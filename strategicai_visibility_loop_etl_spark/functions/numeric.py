@@ -1,0 +1,55 @@
+"""Numeric coercion helpers as native column expressions.
+
+Re-expresses reference etl_merge.py:285-312 (``to_float_nocomma``,
+``to_int``, ``normalize_ctr``). Casting a non-numeric string yields
+NULL in Spark, matching pandas ``errors="coerce"``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def to_double_nocomma(col: Column) -> Column:
+    """Parse floats while tolerating thousands separators ('1,234.5')."""
+    return F.trim(F.regexp_replace(col.cast("string"), ",", "")).cast("double")
+
+
+def to_long(col: Column) -> Column:
+    """Integer coercion with null-on-failure (pandas Int64 analog)."""
+    # Via double first so "12.0" and "1,2" behave like pd.to_numeric.
+    return to_double_nocomma(col).cast("long")
+
+
+def normalize_ctr(df: DataFrame, ctr_col: str, out_col: str | None = None) -> DataFrame:
+    """Normalize a CTR column to a fraction, reference-heuristic style.
+
+    Reference etl_merge.py:295-312: strip '%'/','; divide by 100 when a
+    percent sign appears anywhere OR the majority of parsed values fall
+    in (1, 100].
+
+    The "did we see a percent sign / majority in (1,100]" decision is a
+    GLOBAL property of the column, so this is a two-pass plan: a scalar
+    aggregate (single reduce, map-side partial agg) broadcast back via a
+    1-row cross join. At 100 TB that is one cheap extra pass — never a
+    window over an unpartitioned dataset.
+    """
+    out_col = out_col or ctr_col
+    s = F.col(ctr_col).cast("string")
+    cleaned = F.trim(F.regexp_replace(F.regexp_replace(s, "%", ""), ",", ""))
+    vals = cleaned.cast("double")
+
+    stats = df.select(
+        F.max(F.when(s.contains("%"), F.lit(1)).otherwise(F.lit(0))).alias("__saw_pct"),
+        F.avg(
+            F.when(vals.isNotNull(), ((vals > 1.0) & (vals <= 100.0)).cast("int"))
+        ).alias("__frac_pctish"),
+    )
+
+    joined = df.withColumn("__ctr_val", vals).crossJoin(F.broadcast(stats))
+    scaled = F.when(
+        (F.col("__saw_pct") == 1) | (F.col("__frac_pctish") > 0.5),
+        F.col("__ctr_val") / 100.0,
+    ).otherwise(F.col("__ctr_val"))
+    return joined.withColumn(out_col, scaled).drop("__ctr_val", "__saw_pct", "__frac_pctish")

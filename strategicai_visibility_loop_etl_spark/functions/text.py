@@ -1,0 +1,133 @@
+"""Text-analysis primitives for large-scale document pipelines.
+
+All of these are pure ``pyspark.sql.functions`` column expressions —
+they stay inside whole-stage codegen, which is the difference between
+"runs on 100 TB of documents" and "melts the Python workers". Each has
+an ANSI-SQL twin used as the DuckDB oracle (see queries.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Per-language marker (stop)words for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic so the heuristic is
+# expressible in both Spark and ANSI SQL for oracle parity.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "are"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de": ("der", "die", "und", "das", "von", "mit", "ist", "den", "nicht", "ein"),
+    "fr": ("le", "la", "les", "de", "et", "des", "un", "une", "est", "pour"),
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"] + ("a", "an", "it", "on", "as", "at", "by", "be")
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-alnum
+# non-space chars. Kept to a regex subset valid in both Java regex and
+# RE2 (DuckDB) so the oracle can count the same tokens.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_FP_MOD = 1_000_000_007
+_FP_BASE = 31
+
+
+def normalized_text(col: Column) -> Column:
+    """Lowercase, collapse runs of whitespace, trim — canonical form for hashing."""
+    return F.trim(F.regexp_replace(F.lower(col.cast("string")), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text (array<string>)."""
+    t = normalized_text(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, " "))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (0 for empty/blank)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Token count under the BPE-ish regex (letters|digits|punct singles)."""
+    return F.regexp_count(col.cast("string"), F.lit(BPE_ISH_PATTERN)).cast("long")
+
+
+def stopword_hits(col: Column, words: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Number of tokens (with multiplicity) that are in ``words``."""
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(lit_words, t))).cast("long")
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document-quality score in [0, 1].
+
+    Components (equal thirds): length saturation (chars/500 capped at 1),
+    alpha ratio (alphabetic chars / non-space chars), and English
+    stopword ratio saturation (stop hits per token / 0.4 capped at 1).
+    Deterministic and SQL-expressible by construction.
+    """
+    s = normalized_text(col)
+    n_chars = F.length(s).cast("double")
+    n_nonspace = F.length(F.regexp_replace(s, " ", "")).cast("double")
+    n_alpha = F.length(F.regexp_replace(s, r"[^a-z]", "")).cast("double")
+    n_tok = token_count(col).cast("double")
+    stops = stopword_hits(col).cast("double")
+
+    len_sat = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.when(n_nonspace > 0, n_alpha / n_nonspace).otherwise(F.lit(0.0))
+    stop_sat = F.least(
+        F.when(n_tok > 0, stops / n_tok).otherwise(F.lit(0.0)) / F.lit(0.4), F.lit(1.0)
+    )
+    return F.round((len_sat + alpha_ratio + stop_sat) / F.lit(3.0), 6)
+
+
+def lang_id_expr(col: Column) -> Column:
+    """Argmax language over marker-word hit counts; 'und' when all zero.
+
+    Ties break by language code order (deterministic). This is the
+    classic cheap stopword language-ID; a production system would layer
+    character n-gram profiles on top, but the *engine shape* — per-row
+    scoring with native expressions, no Python — is the point here.
+    """
+    toks = tokens(col)
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        lit_words = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        score = F.size(F.filter(toks, lambda t: F.array_contains(lit_words, t)))
+        scores.append((lang, score))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # Left-to-right fold keeps first-seen language on ties.
+    for lang, score in scores:
+        take = score > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best
+
+
+def fingerprint64(col: Column) -> Column:
+    """Polynomial rolling hash of the normalized text (mod 1e9+7).
+
+    acc = (acc * 31 + ascii(char)) mod 1_000_000_007, folded left over
+    the characters. Stays within int64 (acc < 1e9+7, *31 + 255 << 2^63)
+    so Spark and the SQL oracle agree bit-for-bit.
+    """
+    chars = F.split(normalized_text(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * F.lit(_FP_BASE) + F.ascii(ch)) % F.lit(_FP_MOD),
+    )
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles (array<string>, distinct) of the normalized text."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )

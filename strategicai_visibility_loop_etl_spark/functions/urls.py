@@ -1,0 +1,95 @@
+"""URL normalization as pure Spark column expressions (no UDFs).
+
+Re-expresses the reference semantics (reference etl_merge.py:474-514
+``url_normalize`` and :165-172 ``looks_url_like``) with JVM-side
+``pyspark.sql.functions`` so the whole transform stays inside
+whole-stage codegen — at 100 TB this runs on every row of every
+source, so a Python UDF here would dominate the pipeline.
+
+Semantics (matching the reference):
+- trim; path-only values ("/x") get ``site_base`` prefixed when given
+- fragment ("#...") always dropped
+- query: ``utm_*`` params dropped (case-insensitive); optionally ALL
+  params dropped (``strip_all_query``); empty segments dropped
+- authority (host[:port], userinfo) lowercased
+- trailing slash trimmed from the path unless the path is exactly "/"
+- non-URL strings pass through with the same path-style treatment the
+  reference's urlparse round-trip applies (fragment/query/slash rules,
+  no authority to lowercase)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
+
+
+def looks_url_like(col: Column) -> Column:
+    """True when the trimmed value starts with http(s):// or '/'.
+
+    Mirrors reference etl_merge.py:165-172.
+    """
+    s = F.lower(F.trim(col.cast("string")))
+    return s.startswith("http://") | s.startswith("https://") | s.startswith("/")
+
+
+def _filter_query(query: Column, strip_all_query: bool) -> Column:
+    if strip_all_query:
+        return F.lit("")
+    parts = F.split(query, "&")
+    kept = F.filter(
+        parts,
+        lambda p: (p != F.lit("")) & ~F.lower(p).startswith("utm_"),
+    )
+    return F.array_join(kept, "&")
+
+
+def url_normalize(
+    col: Column,
+    site_base: str | None = None,
+    strip_all_query: bool = False,
+) -> Column:
+    u = F.trim(col.cast("string"))
+
+    if site_base:
+        base = site_base.rstrip("/")
+        u = F.when(u.startswith("/"), F.concat(F.lit(base), u)).otherwise(u)
+
+    # Drop fragment first (reference always drops it).
+    u = F.regexp_replace(u, r"#.*$", "")
+
+    # Split off the query string at the first '?'.
+    qpos = F.instr(u, "?")
+    base_part = F.when(qpos > 0, F.substring_index(u, "?", 1)).otherwise(u)
+    raw_query = F.when(qpos > 0, F.substring(u, qpos + F.lit(1), F.length(u))).otherwise(F.lit(""))
+    query = _filter_query(raw_query, strip_all_query)
+
+    # Authority handling: only when an explicit scheme is present.
+    has_scheme = base_part.rlike(_SCHEME_RE)
+    scheme = F.regexp_extract(base_part, r"^([a-zA-Z][a-zA-Z0-9+.\-]*://)", 1)
+    authority = F.regexp_extract(base_part, _SCHEME_RE + r"([^/]*)", 1)
+    path = F.substring(
+        base_part,
+        F.length(scheme) + F.length(authority) + F.lit(1),
+        F.length(base_part),
+    )
+    # Schemeless: the whole value is the "path".
+    path = F.when(has_scheme, path).otherwise(base_part)
+
+    # Trim one trailing slash unless path is exactly "/".
+    path = F.when(
+        (path != F.lit("/")) & path.endswith("/"),
+        F.substring(path, F.lit(1), F.length(path) - F.lit(1)),
+    ).otherwise(path)
+
+    rebuilt = F.when(
+        has_scheme, F.concat(scheme, F.lower(authority), path)
+    ).otherwise(path)
+    rebuilt = F.when(query != "", F.concat(rebuilt, F.lit("?"), query)).otherwise(rebuilt)
+
+    # Null/empty passthrough (reference returns input unchanged).
+    return F.when(col.isNull() | (F.trim(col.cast("string")) == ""), col.cast("string")).otherwise(
+        rebuilt
+    )

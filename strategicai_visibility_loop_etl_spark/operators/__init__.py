@@ -1,0 +1,37 @@
+from .aggregate import agg_gsc, agg_ga4, weighted_mean
+from .merge import merge_visibility, derive_metrics, add_run_metadata
+from .scoring import expected_ctr_buckets_df, score_expected_ctr, intent_multiplier
+from .anomaly import anomaly_ctr_underperf, schema_gaps
+from .dedup import (
+    dedup_exact,
+    dedup_fingerprint,
+    ngram_jaccard_pairs,
+    minhash_signatures,
+    dedup_minhash_lsh,
+    simhash64,
+    dedup_simhash,
+)
+from .similarity import knn_cosine_topk, ann_lsh_topk
+
+__all__ = [
+    "agg_gsc",
+    "agg_ga4",
+    "weighted_mean",
+    "merge_visibility",
+    "derive_metrics",
+    "add_run_metadata",
+    "expected_ctr_buckets_df",
+    "score_expected_ctr",
+    "intent_multiplier",
+    "anomaly_ctr_underperf",
+    "schema_gaps",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "dedup_minhash_lsh",
+    "simhash64",
+    "dedup_simhash",
+    "knn_cosine_topk",
+    "ann_lsh_topk",
+]

@@ -1,0 +1,51 @@
+"""Anomaly slices (reference etl_merge.py:905-1012).
+
+The CTR-underperformance slice filters to scored candidates, keeps
+positive missed_clicks, and ranks by opportunity. Ranking uses a
+global row_number — on a slice that is by construction a small
+fraction of rows; at 100 TB, if the slice itself were huge you'd cap
+it (`orderBy(...).limit(N)` → TakeOrdered, no full sort) before
+ranking, which `top_n` below provides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def anomaly_ctr_underperf(
+    scored: DataFrame,
+    cfg: dict,
+    limit: int | None = None,
+) -> DataFrame:
+    scoring = cfg.get("scoring", {}) or {}
+    max_pos = float(scoring.get("max_position_for_ctr_eval", 5))
+    min_clicks = float(scoring.get("min_clicks_for_ctr_eval", 0))
+
+    cand = scored.filter(
+        F.col("position").isNotNull()
+        & F.col("ctr").isNotNull()
+        & F.col("impressions").isNotNull()
+        & (F.col("position") <= max_pos)
+    )
+    if min_clicks > 0 and "clicks" in scored.columns:
+        cand = cand.filter(F.coalesce(F.col("clicks"), F.lit(0.0)) >= min_clicks)
+
+    under = cand.filter(F.col("missed_clicks") > 0)
+    if limit is not None:
+        # TakeOrdered path: no global sort materialization.
+        under = under.orderBy(F.col("missed_clicks").desc(), F.col("url")).limit(limit)
+    w = Window.orderBy(F.col("missed_clicks").desc(), F.col("url"))
+    return under.withColumn("priority_rank", F.row_number().over(w))
+
+
+def schema_gaps(merged: DataFrame, col: str = "schema_types") -> DataFrame:
+    """Rows with missing/blank structured data (reference :1006-1012)."""
+    c = F.col(col)
+    return merged.filter(c.isNull() | (F.trim(c.cast("string")) == ""))
+
+
+def top_n(df: DataFrame, order_col: str, n: int, ascending: bool = False) -> DataFrame:
+    ordered = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    return df.orderBy(ordered).limit(n)

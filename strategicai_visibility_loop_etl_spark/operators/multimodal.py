@@ -1,0 +1,111 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Images / audio / video travel as opaque ``binary`` columns next to a
+typed metadata struct. The *Spark-side* machinery — schema, batch
+shape, Arrow transfer through ``mapInPandas``, partition sizing — is
+real and tested; the codec step itself is stubbed (this container has
+no image/audio libraries) behind ``DecodeNotAvailable`` with a
+deterministic fake for tests.
+
+At 100 TB: binary payloads dominate partition size, so
+``spark.sql.files.maxPartitionBytes`` should be tuned down (payload
+rows are huge) and decode parallelism follows partitions — mapInPandas
+streams Arrow batches, never materializing a partition in pandas.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = (
+    "media_id long, mime string, n_bytes long, digest string, feature array<double>"
+)
+
+
+class DecodeNotAvailable(NotImplementedError):
+    """Raised when a real media codec would be required."""
+
+
+def decode_image(payload: bytes) -> object:
+    """STUB — real implementation needs an image library (PIL/opencv),
+    not present in this environment."""
+    raise DecodeNotAvailable("image decode requires an image codec library")
+
+
+def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a decoded feature vector: bytes of the
+    sha256 digest scaled to [0,1). Keeps tests meaningful (stable values,
+    right shape) without any codec."""
+    dg = hashlib.sha256(payload or b"").digest()
+    return [dg[i] / 255.0 for i in range(dim)]
+
+
+def extract_features(df: DataFrame, dim: int = 8, use_fake_decoder: bool = True) -> DataFrame:
+    """payload → feature vector via mapInPandas (Arrow-batched).
+
+    ``use_fake_decoder=False`` raises DecodeNotAvailable at execution —
+    the seam where a real codec plugs in.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise DecodeNotAvailable("no media codec in this environment")
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["meta"].map(lambda m: (m or {}).get("mime")),
+                    "n_bytes": payloads.map(lambda p: len(p) if p is not None else 0),
+                    "digest": payloads.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                    ),
+                    "feature": payloads.map(lambda p: _fake_feature(p, dim)),
+                }
+            )
+
+    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp.
+
+    Real frame extraction is codec work (stubbed); the *plan shape* —
+    explode over a generated timestamp sequence, payload carried
+    alongside — is the part that matters for partitioning and is real.
+    """
+    ts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.coalesce(F.col("meta.duration_ms"), F.lit(0)) - 1, F.lit(0)),
+        F.lit(every_ms).cast("long"),
+    )
+    return df.select(
+        "media_id",
+        F.explode(ts).alias("frame_ts_ms"),
+        F.col("meta.mime").alias("mime"),
+    )

@@ -1,0 +1,156 @@
+"""End-to-end config-driven visibility pipeline.
+
+Counterpart of reference etl_merge.py:733-1012 ``main()``: resolve
+inputs (env > config > defaults), load + normalize the three sources,
+aggregate, merge on the crawl spine, derive + score, emit slices and
+run/governance metadata. Everything between read and write is one lazy
+logical plan per output — Catalyst sees the whole pipeline and prunes /
+pushes down per sink.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.aggregate import agg_ga4, agg_gsc
+from ..operators.anomaly import anomaly_ctr_underperf, schema_gaps
+from ..operators.merge import add_run_metadata, derive_metrics, merge_visibility
+from ..operators.scoring import expected_ctr_buckets_df, score_expected_ctr
+from ..sources.loaders import load_frog, load_ga4, load_gsc
+
+
+def default_config() -> dict:
+    """Defaults mirroring the reference's etl_config.yaml shape."""
+    return {
+        "scoring": {
+            "enable": True,
+            "expected_ctr_units": "fraction",
+            "expected_ctr_uplift": 0.0,
+            "min_impressions": 5,
+            "max_position_for_ctr_eval": 20.0,
+            "min_clicks_for_ctr_eval": 0,
+            "expected_ctr_by_position": {
+                "1": 0.300, "2": 0.200, "3": 0.150, "4-5": 0.095,
+                "6-7": 0.060, "8-9": 0.040, "10-12": 0.030, "13-15": 0.020,
+                "16-20": 0.015, "21-30": 0.010, "31-50": 0.006,
+            },
+        },
+        "thresholds": {"ctr_underperf_margin": 0.002},
+        "inputs": {},
+        "output": {"write_slices": False},
+    }
+
+
+def load_config(path: str | None) -> dict:
+    cfg = default_config()
+    if path and os.path.exists(path):
+        try:
+            import yaml  # noqa: PLC0415
+
+            with open(path) as fh:
+                user = yaml.safe_load(fh) or {}
+            for k, v in user.items():
+                if isinstance(v, dict) and isinstance(cfg.get(k), dict):
+                    cfg[k].update(v)
+                else:
+                    cfg[k] = v
+        except ImportError:
+            pass
+    return cfg
+
+
+def _resolve_input(env_name: str, cfg: dict, cfg_key: str, default: str | None) -> str | None:
+    env_val = os.getenv(env_name, "").strip()
+    if env_val:
+        return os.path.expanduser(os.path.expandvars(env_val))
+    return (cfg.get("inputs", {}) or {}).get(cfg_key, default)
+
+
+def run_visibility_pipeline(
+    spark: SparkSession,
+    cfg: dict | None = None,
+    frog_path: str | None = None,
+    gsc_path: str | None = None,
+    ga4_path: str | None = None,
+    out_dir: str | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full merge; returns {'merged', 'ctr_underperf', 'schema_gaps'}.
+
+    Writes parquet outputs when ``out_dir`` is given (parquet, not CSV —
+    at 100 TB the sink must be splittable and column-pruned; a CSV
+    mirror is one ``.write.csv`` away for the reference's consumers).
+    """
+    cfg = cfg or default_config()
+    site_base = os.getenv("SITE_BASE", "").strip() or None
+    strip_all = str(os.getenv("STRIP_ALL_QUERY_PARAMS", "")).lower().strip() in {"1", "true", "yes"}
+
+    frog_path = frog_path or _resolve_input("FROG_CSV_PATH", cfg, "screaming_frog", None)
+    gsc_path = gsc_path or _resolve_input("GSC_CSV_PATH", cfg, "gsc", None)
+    ga4_path = ga4_path or _resolve_input("GA4_CSV_PATH", cfg, "ga4", None)
+    for tag, p in (("screaming_frog", frog_path), ("gsc", gsc_path), ("ga4", ga4_path)):
+        if not p:
+            raise FileNotFoundError(f"input not configured: {tag}")
+
+    frog = load_frog(spark, frog_path, site_base, strip_all)
+    gsc = agg_gsc(load_gsc(spark, gsc_path, site_base, strip_all))
+    ga4 = agg_ga4(load_ga4(spark, ga4_path, site_base, strip_all))
+
+    merged = derive_metrics(merge_visibility(frog, gsc, ga4))
+
+    if (cfg.get("scoring", {}) or {}).get("enable", True):
+        buckets = expected_ctr_buckets_df(spark, cfg.get("scoring", {}) or {})
+        merged = score_expected_ctr(merged, buckets, cfg)
+
+    run_id = os.getenv("RUN_ID") or datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    merged = add_run_metadata(
+        merged,
+        run_id,
+        int(time.time()),
+        {"frog": frog_path, "gsc": gsc_path, "ga4": ga4_path},
+    )
+
+    # Output rounding discipline (reference :860-886).
+    rounding = {
+        "ctr": 4, "ctr_pct": 2, "position": 1, "engagement_rate": 4,
+        "engagement_rate_pct": 1, "click_share": 6, "expected_ctr": 4,
+        "ctr_deficit": 4, "intent_multiplier": 2, "missed_clicks": 3,
+        "missed_clicks_eff": 3,
+    }
+    for c, n in rounding.items():
+        if c in merged.columns:
+            merged = merged.withColumn(c, F.round(F.col(c), n))
+    if "avg_engagement_time" in merged.columns:
+        merged = merged.withColumn(
+            "avg_engagement_time", F.round(F.col("avg_engagement_time"), 0).cast("long")
+        )
+
+    preferred = [
+        "url", "status_code", "title", "meta_description", "word_count", "click_depth",
+        "inlinks", "schema_types", "clicks", "impressions", "ctr", "ctr_pct", "position",
+        "expected_ctr", "expected_ctr_bucket", "expected_ctr_units", "expected_ctr_uplift",
+        "ctr_deficit", "intent_multiplier", "missed_clicks", "missed_clicks_eff",
+        "users", "sessions", "engaged_sessions", "engagement_rate", "engagement_rate_pct",
+        "avg_engagement_time", "click_share", "run_id", "run_timestamp",
+        "run_timestamp_iso", "source_frog", "source_gsc", "source_ga4",
+    ]
+    cols = [c for c in preferred if c in merged.columns] + [
+        c for c in merged.columns if c not in preferred
+    ]
+    merged = merged.select(*cols)
+
+    outputs = {"merged": merged}
+    if (cfg.get("scoring", {}) or {}).get("enable", True):
+        outputs["ctr_underperf"] = anomaly_ctr_underperf(merged, cfg)
+    if "schema_types" in merged.columns:
+        outputs["schema_gaps"] = schema_gaps(merged)
+
+    if out_dir:
+        for name, df in outputs.items():
+            df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+    return outputs
