@@ -12,14 +12,19 @@ from pyspark.sql import functions as F
 
 
 def to_double_nocomma(col: Column) -> Column:
-    """Parse floats while tolerating thousands separators ('1,234.5')."""
-    return F.trim(F.regexp_replace(col.cast("string"), ",", "")).cast("double")
+    """Parse floats while tolerating thousands separators ('1,234.5').
+
+    ``try_cast``, not ``cast``: Spark 4 runs ANSI mode by default, where
+    a malformed string cast THROWS. The reference's pandas
+    ``errors="coerce"`` semantics require null-on-failure.
+    """
+    return F.trim(F.regexp_replace(col.cast("string"), ",", "")).try_cast("double")
 
 
 def to_long(col: Column) -> Column:
     """Integer coercion with null-on-failure (pandas Int64 analog)."""
     # Via double first so "12.0" and "1,2" behave like pd.to_numeric.
-    return to_double_nocomma(col).cast("long")
+    return to_double_nocomma(col).try_cast("long")
 
 
 def normalize_ctr(df: DataFrame, ctr_col: str, out_col: str | None = None) -> DataFrame:
@@ -38,12 +43,15 @@ def normalize_ctr(df: DataFrame, ctr_col: str, out_col: str | None = None) -> Da
     out_col = out_col or ctr_col
     s = F.col(ctr_col).cast("string")
     cleaned = F.trim(F.regexp_replace(F.regexp_replace(s, "%", ""), ",", ""))
-    vals = cleaned.cast("double")
+    vals = cleaned.try_cast("double")
 
+    # The majority fraction counts unparseable rows in the denominator —
+    # the reference's ((vals>1)&(vals<=100)).mean() treats NaN compares
+    # as False over the full column length.
     stats = df.select(
         F.max(F.when(s.contains("%"), F.lit(1)).otherwise(F.lit(0))).alias("__saw_pct"),
         F.avg(
-            F.when(vals.isNotNull(), ((vals > 1.0) & (vals <= 100.0)).cast("int"))
+            F.when(vals.isNotNull() & (vals > 1.0) & (vals <= 100.0), F.lit(1)).otherwise(F.lit(0))
         ).alias("__frac_pctish"),
     )
 

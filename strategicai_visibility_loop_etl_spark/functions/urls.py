@@ -84,8 +84,11 @@ def url_normalize(
         F.substring(path, F.lit(1), F.length(path) - F.lit(1)),
     ).otherwise(path)
 
+    # Scheme lowercased too — urlparse/urlunparse round-trip semantics
+    # (reference etl_merge.py:492-511); a preserved 'HTTPS://' would
+    # silently split join keys across sources.
     rebuilt = F.when(
-        has_scheme, F.concat(scheme, F.lower(authority), path)
+        has_scheme, F.concat(F.lower(scheme), F.lower(authority), path)
     ).otherwise(path)
     rebuilt = F.when(query != "", F.concat(rebuilt, F.lit("?"), query)).otherwise(rebuilt)
 

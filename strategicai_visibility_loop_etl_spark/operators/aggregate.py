@@ -22,7 +22,9 @@ def weighted_mean(value: Column, weight: Column, neutral_weight: float = 1.0) ->
     """
     w = F.when(weight.isNotNull() & (weight > 0), weight).otherwise(F.lit(neutral_weight))
     num = F.sum(value * w)
-    den = F.sum(F.when(value.isNotNull(), w))
+    # Denominator sums w over ALL rows — the reference's w_sum
+    # (etl_merge.py:688-693) counts null-value rows' weights too.
+    den = F.sum(w)
     return F.when(den > 0, num / den)
 
 

@@ -17,8 +17,16 @@ from pyspark.sql import functions as F
 def anomaly_ctr_underperf(
     scored: DataFrame,
     cfg: dict,
-    limit: int | None = None,
+    limit: int | None = 100_000,
 ) -> DataFrame:
+    """CTR-underperformance slice, ranked by opportunity.
+
+    ``limit`` is capped by default: the rank is a global row_number, and
+    an uncapped global window is a single-partition sort at scale. With
+    the cap, the sort is TakeOrderedAndProject (top-N per partition then
+    merge on the driver-side heap) and the window only ever sees
+    ``limit`` rows. Pass ``limit=None`` only for small slices.
+    """
     scoring = cfg.get("scoring", {}) or {}
     max_pos = float(scoring.get("max_position_for_ctr_eval", 5))
     min_clicks = float(scoring.get("min_clicks_for_ctr_eval", 0))

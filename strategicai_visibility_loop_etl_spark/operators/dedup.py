@@ -69,8 +69,11 @@ def ngram_jaccard_pairs(
     ).filter(F.size("sh") > 0)
 
     exploded = sh.select("id", F.explode("sh").alias("g"))
-    freq = exploded.groupBy("g").agg(F.count("*").alias("n")).filter(F.col("n") <= max_bucket)
-    pruned = exploded.join(F.broadcast(freq.select("g")), "g")
+    # Skew guard: drop HOT shingles (shared by > max_bucket docs). Only
+    # the hot set — small by construction — is broadcast; broadcasting
+    # the full shingle vocabulary would OOM the driver at corpus scale.
+    hot = exploded.groupBy("g").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket)
+    pruned = exploded.join(F.broadcast(hot.select("g")), "g", "left_anti")
 
     a = pruned.alias("a")
     b = pruned.alias("b")
@@ -208,33 +211,29 @@ def simhash64(text: Column) -> Column:
     assemble the sign bits into a BIGINT. Bit 63 lands in the sign bit —
     Java shift semantics keep it consistent across runs.
     """
+    # Bit positions must be Python ints: F.shiftright/shiftleft take an
+    # int numBits, not a Column — unroll the 64-bit loop driver-side.
     toks = tokens(text)
     counts = F.aggregate(
         toks,
         F.array_repeat(F.lit(0).cast("long"), 64),
         lambda acc, t: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda i: (F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1).cast(
-                    "long"
-                ),
+            F.array(
+                *[
+                    (F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+                    for i in range(64)
+                ]
             ),
             lambda a, d: a + d,
         ),
     )
-    assembled = F.aggregate(
-        F.zip_with(
-            counts,
-            F.sequence(F.lit(0), F.lit(63)),
-            lambda c, i: F.when(c > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+    bit_vals = F.zip_with(
+        counts,
+        F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(64)]),
+        lambda c, bit: F.when(c > 0, bit).otherwise(F.lit(0).cast("long")),
     )
-    return assembled
+    return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def dedup_simhash(

@@ -1,10 +1,10 @@
 """Config-driven expected-CTR scoring (reference etl_merge.py:333-434, 789-843).
 
-The reference evaluates position buckets row-by-row in Python. Spark-first
-design: the bucket table (a handful of config rows) becomes a tiny
-DataFrame broadcast into a *range join* — ``pos BETWEEN lo AND hi`` —
-which Catalyst executes as a broadcast nested-loop over ≤ a dozen rows:
-effectively free per row, fully codegen'd, no Python in the loop.
+The reference evaluates position buckets row-by-row in Python with a
+first-match-wins loop. Spark-first design: the bucket table (a handful
+of config rows) compiles into a ``when``-chain in config order — a pure
+codegen'd projection with zero joins, preserving first-match semantics
+even for overlapping or boundary-touching buckets.
 """
 
 from __future__ import annotations
@@ -32,8 +32,12 @@ def _normalize_expected(v: float, units: str, uplift: float) -> float:
     return out * (1.0 + uplift)
 
 
-def expected_ctr_buckets_df(spark: SparkSession, scoring_cfg: dict) -> DataFrame:
-    """Bucket config → tiny DataFrame (bucket, lo, hi, expected_ctr)."""
+def expected_ctr_bucket_rows(scoring_cfg: dict) -> list[tuple[str, float, float, float]]:
+    """Bucket config → ordered [(bucket, lo, hi, expected_ctr)] rows.
+
+    Config order is preserved — the reference takes the FIRST matching
+    bucket and breaks (etl_merge.py:370-380), so order is semantics.
+    """
     units = str(scoring_cfg.get("expected_ctr_units", "fraction"))
     uplift = float(scoring_cfg.get("expected_ctr_uplift", 0.0) or 0.0)
     rows = []
@@ -42,7 +46,15 @@ def expected_ctr_buckets_df(spark: SparkSession, scoring_cfg: dict) -> DataFrame
         if rng is None:
             continue
         rows.append((str(key), rng[0], rng[1], _normalize_expected(val, units, uplift)))
-    return spark.createDataFrame(rows, "bucket string, lo double, hi double, expected_ctr double")
+    return rows
+
+
+def expected_ctr_buckets_df(spark: SparkSession, scoring_cfg: dict) -> DataFrame:
+    """Bucket config → tiny DataFrame (bucket, lo, hi, expected_ctr)."""
+    return spark.createDataFrame(
+        expected_ctr_bucket_rows(scoring_cfg),
+        "bucket string, lo double, hi double, expected_ctr double",
+    )
 
 
 def intent_multiplier(
@@ -75,10 +87,15 @@ def intent_multiplier(
 
 def score_expected_ctr(
     merged: DataFrame,
-    buckets: DataFrame,
     cfg: dict,
 ) -> DataFrame:
     """Attach expected_ctr / bucket / deficit / multiplier / missed_clicks.
+
+    The bucket lookup is a when-chain in config order — FIRST matching
+    bucket wins, exactly like the reference's loop-and-break
+    (etl_merge.py:370-380). A range join would match every overlapping
+    bucket and silently duplicate rows; the chain is also cheaper: zero
+    joins, pure codegen'd projection.
 
     Fallback expected CTR when no bucket matches = global median ctr
     (reference :793-795) — computed as a scalar aggregate
@@ -90,30 +107,42 @@ def score_expected_ctr(
     margin = float(thresholds.get("ctr_underperf_margin", 0.0) or 0.0)
     units = str(scoring.get("expected_ctr_units", "fraction"))
     uplift = float(scoring.get("expected_ctr_uplift", 0.0) or 0.0)
+    bucket_rows = expected_ctr_bucket_rows(scoring)
 
-    median_df = merged.select(
-        F.expr("percentile_approx(ctr, 0.5, 10000)").alias("__ctr_median")
-    )
+    # Exact interpolated median for reference parity (pandas .median()
+    # averages the two middle values). ``median`` is a real aggregate
+    # (no global sort), but buffers per-group values; at extreme scale
+    # flip approx_median=True for percentile_approx.
+    approx = bool(scoring.get("approx_median", False))
+    median_fn = "percentile_approx(ctr, 0.5, 10000)" if approx else "median(ctr)"
+    median_df = merged.select(F.expr(median_fn).alias("__ctr_median"))
     with_median = merged.crossJoin(F.broadcast(median_df))
-
-    joined = with_median.join(
-        F.broadcast(buckets),
-        (F.col("position") >= F.col("lo")) & (F.col("position") <= F.col("hi")),
-        "left",
-    )
 
     fallback = (F.col("__ctr_median") / (100.0 if units.lower() == "percent" else 1.0)) * (
         1.0 + uplift
     )
+    pos = F.col("position")
+    bucket_expr: Column = F.lit(None).cast("string")
+    expected_expr: Column = F.lit(None).cast("double")
+    if bucket_rows:
+        chain_b = None
+        chain_e = None
+        for name, lo, hi, exp in bucket_rows:
+            cond = pos.isNotNull() & (pos >= F.lit(lo)) & (pos <= F.lit(hi))
+            chain_b = F.when(cond, name) if chain_b is None else chain_b.when(cond, name)
+            chain_e = F.when(cond, exp) if chain_e is None else chain_e.when(cond, exp)
+        bucket_expr = chain_b
+        expected_expr = chain_e
+
     out = (
-        joined.withColumn(
+        with_median.withColumn(
             "expected_ctr_bucket",
-            F.coalesce(F.col("bucket"), F.lit("fallback_median")),
+            F.coalesce(bucket_expr, F.lit("fallback_median")),
         )
-        .withColumn("expected_ctr", F.coalesce(F.col("expected_ctr"), fallback))
+        .withColumn("expected_ctr", F.coalesce(expected_expr, fallback))
         .withColumn("expected_ctr_units", F.lit(units))
         .withColumn("expected_ctr_uplift", F.lit(uplift))
-        .drop("bucket", "lo", "hi", "__ctr_median")
+        .drop("__ctr_median")
     )
 
     out = out.withColumn(

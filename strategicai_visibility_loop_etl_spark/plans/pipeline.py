@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from ..operators.aggregate import agg_ga4, agg_gsc
 from ..operators.anomaly import anomaly_ctr_underperf, schema_gaps
 from ..operators.merge import add_run_metadata, derive_metrics, merge_visibility
-from ..operators.scoring import expected_ctr_buckets_df, score_expected_ctr
+from ..operators.scoring import score_expected_ctr
 from ..sources.loaders import load_frog, load_ga4, load_gsc
 
 
@@ -69,7 +69,10 @@ def _resolve_input(env_name: str, cfg: dict, cfg_key: str, default: str | None) 
     env_val = os.getenv(env_name, "").strip()
     if env_val:
         return os.path.expanduser(os.path.expandvars(env_val))
-    return (cfg.get("inputs", {}) or {}).get(cfg_key, default)
+    inputs = cfg.get("inputs", {}) or {}
+    # Accept both our short keys and the reference etl_config.yaml names
+    # (inputs.screaming_frog_csv / gsc_csv / ga4_csv).
+    return inputs.get(cfg_key) or inputs.get(f"{cfg_key}_csv") or default
 
 
 def run_visibility_pipeline(
@@ -104,8 +107,7 @@ def run_visibility_pipeline(
     merged = derive_metrics(merge_visibility(frog, gsc, ga4))
 
     if (cfg.get("scoring", {}) or {}).get("enable", True):
-        buckets = expected_ctr_buckets_df(spark, cfg.get("scoring", {}) or {})
-        merged = score_expected_ctr(merged, buckets, cfg)
+        merged = score_expected_ctr(merged, cfg)
 
     run_id = os.getenv("RUN_ID") or datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
     merged = add_run_metadata(
@@ -122,12 +124,14 @@ def run_visibility_pipeline(
         "ctr_deficit": 4, "intent_multiplier": 2, "missed_clicks": 3,
         "missed_clicks_eff": 3,
     }
+    # bround (HALF_EVEN), not round (HALF_UP): the reference rounds with
+    # pandas/numpy, which is banker's rounding — 0.60625 → 0.6062.
     for c, n in rounding.items():
         if c in merged.columns:
-            merged = merged.withColumn(c, F.round(F.col(c), n))
+            merged = merged.withColumn(c, F.bround(F.col(c), n))
     if "avg_engagement_time" in merged.columns:
         merged = merged.withColumn(
-            "avg_engagement_time", F.round(F.col("avg_engagement_time"), 0).cast("long")
+            "avg_engagement_time", F.bround(F.col("avg_engagement_time"), 0).cast("long")
         )
 
     preferred = [
