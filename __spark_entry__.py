@@ -1,38 +1,846 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship visibility-merge analog on sf0.001.
+``queries()`` registers one callable per implemented operator from
+SURVEY.md §2; ``oracle_sql()`` carries the DuckDB twin for each
+SQL-expressible query (MinHash-LSH / SimHash / ANN-LSH are rows-only —
+their bucketing depends on xxhash64, which DuckDB does not provide).
+
+Determinism notes (how these queries hash-match the oracle):
+- Large double sums go through ``CAST(x AS DECIMAL(18,6))`` before
+  SUM in BOTH engines: decimal addition is exact and order-independent,
+  so Spark's partition-parallel sum and DuckDB's sum agree bit-for-bit;
+  the final cast back to double is then identical.
+- Per-row double arithmetic (products, ratios of already-agreed
+  values) is IEEE-deterministic and identical across engines.
+- Every computed column is aliased identically in Spark and SQL, and
+  ranking windows order by rounded values + a unique tiebreak key.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.functions.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    lang_id_expr,
+    quality_score,
+    token_count,
+)
+from strategicai_visibility_loop_etl_spark.functions.urls import url_normalize
+from strategicai_visibility_loop_etl_spark.functions.numeric import normalize_ctr
+from strategicai_visibility_loop_etl_spark.operators.aggregate import agg_gsc, weighted_mean
+from strategicai_visibility_loop_etl_spark.operators.anomaly import anomaly_ctr_underperf, schema_gaps
+from strategicai_visibility_loop_etl_spark.operators.dedup import (
+    dedup_exact,
+    dedup_fingerprint,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+)
+from strategicai_visibility_loop_etl_spark.operators.merge import derive_metrics, merge_visibility
+from strategicai_visibility_loop_etl_spark.operators.relational import (
+    pivot_counts,
+    top_n_per_group,
+    union_sources,
+)
+from strategicai_visibility_loop_etl_spark.operators.scoring import score_expected_ctr
+from strategicai_visibility_loop_etl_spark.operators.similarity import ann_lsh_topk, knn_cosine_topk
+from strategicai_visibility_loop_etl_spark.plans.pipeline import default_config
+
+DEC = "decimal(18,6)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    # default; read nanos as long (queries derive what they need).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, alias: str):
+    """Exact, order-independent double sum via decimal (see module doc)."""
+    return F.sum(F.col(col).cast(DEC) if isinstance(col, str) else col.cast(DEC)).cast(
+        "double"
+    ).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Core relational engine
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan+filter+project + hash aggregate (TPC-H Q1 shape).
+
+    Capability rows 1-2 (reference analog: pandas groupby.agg,
+    etl_merge.py:658-710). Filter reaches the parquet scan (pushdown);
+    aggregation is one map-side-partial hash agg.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order"))
+        .withColumn("avg_price", F.col("sum_base_price") / F.col("count_order"))
+    )
+
+
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way join + agg + sort + limit (capability row 3).
+
+    orderBy().limit() compiles to TakeOrderedAndProject — no global
+    sort materialization; the revenue sum is exact (decimal) so the
+    top-10 cut is deterministic.
+    """
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"), "o_orderpriority")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q05_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake join chain region⋈nation⋈customer⋈orders⋈lineitem +
+    agg (capability row 3); small dims broadcast."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(_dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def _lineitem_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        _dsum("l_quantity", "sum_qty"),
+        _dsum(revenue, "revenue"),
+    )
+
+
+def _order_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            _dsum("o_totalprice", "total_spend"),
+        )
+    )
+
+
+def q10_visibility_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: spine ⟕ fact-source-1 ⟕ fact-source-2 on one key —
+    the visibility merge (reference etl_merge.py:758-777) re-keyed onto
+    the star schema: part = crawl spine, lineitem agg = GSC facts,
+    order agg = GA4 facts. Capability rows 4-5."""
+    part = _t(spark, sf_dir, "part")
+    merged = merge_visibility(
+        part, _lineitem_facts(spark, sf_dir), _order_facts(spark, sf_dir), key="p_partkey"
+    )
+    return merged.select(
+        "p_partkey", "p_name", "p_brand", "n_lines", "sum_qty", "revenue", "n_orders", "total_spend"
+    )
+
+
+def q11_weighted_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean with neutral-weight fallback (capability row 6,
+    reference etl_merge.py:677-693): null/zero weights count with
+    weight 1.0, and the denominator covers ALL rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = F.when(F.col("l_linenumber") <= 2, F.lit(None).cast("double")).otherwise(
+        F.col("l_quantity")
+    )
+    return (
+        li.groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(
+            F.round(weighted_mean(F.col("l_extendedprice"), w, exact=True), 2).alias(
+                "weighted_price"
+            )
+        )
+    )
+
+
+def q12_click_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-total share via scalar-agg broadcast (capability row 7,
+    reference click_share :779-787) — never a window over an
+    unpartitioned frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        _dsum("l_quantity", "clicks")
+    )
+    out = derive_metrics(per_part)
+    return out.select("p_partkey", "clicks", F.round("click_share", 9).alias("click_share"))
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q13_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / conditional agg + derived engagement ratio (capability
+    rows 8 and 15)."""
+    ev = _t(spark, sf_dir, "events")
+    piv = pivot_counts(ev, "user_id", "event_type", EVENT_TYPES)
+    for c in EVENT_TYPES:
+        piv = piv.withColumn(c, F.coalesce(F.col(c), F.lit(0)).cast("long"))
+    total = sum(F.col(c) for c in EVENT_TYPES)
+    engaged = F.col("click") + F.col("purchase")
+    return piv.withColumn(
+        "engagement_rate",
+        F.round(F.when(total > 0, engaged.cast("double") / total).otherwise(F.lit(0.0)), 6),
+    )
+
+
+def _gsc_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem → a GSC-shaped fact frame (url, clicks, impressions,
+    position) for the domain-scoring queries."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("https://shop.example.com/part/"), F.col("l_partkey").cast("string")).alias(
+            "url"
+        ),
+        (F.col("l_quantity") * F.col("l_discount")).alias("clicks"),
+        (F.col("l_quantity") * 10).alias("impressions"),
+        F.col("l_linenumber").cast("double").alias("position"),
+    )
+
+
+def q14_ctr_underperf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scoring pipeline: per-URL aggregation → expected-CTR
+    bucket chain (first-match) → median fallback → deficit → missed
+    clicks → ranked anomaly slice (capability rows 9-10, 22-24;
+    reference etl_merge.py:789-843, 905-1004)."""
+    cfg = default_config()
+    g = agg_gsc(_gsc_like(spark, sf_dir))
+    scored = score_expected_ctr(g, cfg)
+    sliced = anomaly_ctr_underperf(scored, cfg)
+    return sliced.select(
+        "url",
+        F.round("position", 2).alias("position"),
+        F.round("ctr", 6).alias("ctr"),
+        F.round("expected_ctr", 6).alias("expected_ctr"),
+        "expected_ctr_bucket",
+        F.round("ctr_deficit", 6).alias("ctr_deficit"),
+        F.round("missed_clicks", 4).alias("missed_clicks"),
+        "priority_rank",
+    )
+
+
+def q15_thin_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null/blank gap slice (capability row 11, reference schema_gaps
+    :1006-1012) over a synthesized sometimes-blank column."""
+    docs = _t(spark, sf_dir, "documents")
+    flagged = docs.withColumn(
+        "schema_types",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(""))
+        .when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("source")),
+    )
+    return schema_gaps(flagged).select("doc_id", "lang", "source")
+
+
+def q16_top_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N per group via bounded window rank (capability row 12)."""
+    part = _t(spark, sf_dir, "part")
+    return top_n_per_group(
+        part, ["p_brand"], "p_retailprice", n=3, tiebreak_cols=["p_partkey"]
+    ).select("p_brand", "p_partkey", "p_name", "p_retailprice", "rank")
+
+
+def q17_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous-source union by name (capability row 14): two
+    export shapes align by column name, gaps null-filled, provenance
+    tagged."""
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"), F.col("p_name").alias("name"),
+        F.col("p_retailprice").alias("price"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("key"), F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return union_sources([part, supp], source_names=["part", "supplier"])
+
+
+def q18_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL normalization as a pure column expression (capability row
+    16, reference etl_merge.py:474-514) over five synthesized URL
+    shapes: mixed-case scheme/host + utm params, path-only (site_base
+    prefix), fragment, mixed utm position, non-URL passthrough."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    ks = k.cast("string")
+    cs = F.col("o_custkey").cast("string")
+    raw = (
+        F.when(k % 5 == 0, F.concat(F.lit("HTTPS://Shop.Example.COM/Item/"), ks, F.lit("/?utm_source=x&ref="), cs))
+        .when(k % 5 == 1, F.concat(F.lit("/path/"), ks, F.lit("/")))
+        .when(k % 5 == 2, F.concat(F.lit("http://shop.example.com/item/"), ks, F.lit("#frag")))
+        .when(k % 5 == 3, F.concat(F.lit("HTTP://SHOP.example.com/Item/"), ks, F.lit("?id="), cs, F.lit("&utm_medium=email")))
+        .otherwise(F.concat(F.lit("not-a-url-"), ks))
+    )
+    return orders.select(
+        F.col("o_orderkey"),
+        raw.alias("raw_url"),
+        url_normalize(raw, site_base="https://shop.example.com").alias("url"),
+    )
+
+
+def q19_ctr_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTR percent-vs-fraction heuristic + comma-tolerant coercion
+    (capability rows 17-18, reference etl_merge.py:285-312): a '%'
+    anywhere in the column scales every value by 1/100; junk → NULL."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    raw = (
+        F.when(k % 11 == 0, F.lit("n/a"))
+        .when(k % 3 == 0, F.concat((k % 90 + 1).cast("string"), F.lit(".5%")))
+        .otherwise((k % 2).cast("string"))
+    )
+    base = orders.select(F.col("o_orderkey"), raw.alias("ctr"))
+    return normalize_ctr(base, "ctr").select("o_orderkey", F.round("ctr", 9).alias("ctr"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (documents / embeddings)
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ upper-cased copies (ids +100000) — every original
+    gains exactly one case-variant duplicate under normalization."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.select((F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text"))
+    return docs.unionByName(dups)
+
+
+def q20_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest (capability row 28): only the
+     64-hex sha256 + id ride the shuffle."""
+    return dedup_exact(_docs_with_dups(spark, sf_dir))
+
+
+def q21_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint dedup (capability row 29) — polynomial
+    hash mod 1e9+7, a pure fold expression with an exact SQL twin."""
+    return dedup_fingerprint(_docs_with_dups(spark, sf_dir))
+
+
+def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (capability row 30).
+
+    Spark side generates candidates via the inverted index (no O(n²)
+    pairs); the oracle brute-forces all pairs — agreement proves the
+    index loses nothing (max_bucket is sized above the corpus so the
+    skew guard never prunes at test scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_bucket=10_000_000)
+
+
+def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs (capability row 31; rows-only —
+    xxhash64 has no DuckDB twin). Banded signatures, bucket-join."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_minhash_lsh(docs, k=3, num_hashes=64, bands=16, threshold=0.5)
+
+
+def q24_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (capability row 32; rows-only oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_simhash(docs, max_hamming=3)
+
+
+def q25_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k (capability row 33): broadcast
+    query set × streamed corpus, per-query window rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn_cosine_topk(emb, queries_df, k=5)
+
+
+def q29_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (capability row 33 scale path;
+    rows-only — recall vs q25 is asserted in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_lsh_topk(emb, queries_df, k=5, nbits=16, bands=8)
+
+
+def q26_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (capability row 34) — argmax over
+    per-language marker hits, native expressions only."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def q27_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (capability row 35)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def q28_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts (capability row 36)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q10_visibility_merge(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q03_top_orders": q03_top_orders,
+        "q05_region_volume": q05_region_volume,
+        "q10_visibility_merge": q10_visibility_merge,
+        "q11_weighted_position": q11_weighted_position,
+        "q12_click_share": q12_click_share,
+        "q13_event_pivot": q13_event_pivot,
+        "q14_ctr_underperf": q14_ctr_underperf,
+        "q15_thin_content": q15_thin_content,
+        "q16_top_parts_per_brand": q16_top_parts_per_brand,
+        "q17_union_sources": q17_union_sources,
+        "q18_url_normalize": q18_url_normalize,
+        "q19_ctr_normalize": q19_ctr_normalize,
+        "q20_exact_dedup": q20_exact_dedup,
+        "q21_fingerprint": q21_fingerprint,
+        "q22_ngram_jaccard": q22_ngram_jaccard,
+        "q23_minhash_lsh": q23_minhash_lsh,
+        "q24_simhash": q24_simhash,
+        "q25_embedding_topk": q25_embedding_topk,
+        "q26_lang_id": q26_lang_id,
+        "q27_text_quality": q27_text_quality,
+        "q28_token_count": q28_token_count,
+        "q29_ann_lsh": q29_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --- oracle SQL builders ----------------------------------------------------
+
+_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+
+
+def _toks(norm_expr: str) -> str:
+    return f"CASE WHEN {norm_expr} = '' THEN [] ELSE string_split({norm_expr}, ' ') END"
+
+
+def _bucket_case_sql(value_expr: str, out: str) -> str:
+    """Expected-CTR bucket chain from default_config(), first match wins."""
+    from strategicai_visibility_loop_etl_spark.operators.scoring import expected_ctr_bucket_rows
+
+    rows = expected_ctr_bucket_rows(default_config()["scoring"])
+    if out == "bucket":
+        whens = "\n      ".join(
+            f"WHEN {value_expr} >= {lo} AND {value_expr} <= {hi} THEN '{name}'"
+            for name, lo, hi, _ in rows
+        )
+        return f"CASE {whens} ELSE 'fallback_median' END"
+    whens = "\n      ".join(
+        f"WHEN {value_expr} >= {lo} AND {value_expr} <= {hi} THEN {exp!r}"
+        for name, lo, hi, exp in rows
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    """(score select-list, argmax CASE) mirroring lang_id_expr's fold."""
+    langs = sorted(LANG_MARKERS)
+    scores = []
+    for lang in langs:
+        markers = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+        scores.append(
+            f"len(list_filter(toks, t -> list_contains([{markers}], t))) AS s_{lang}"
+        )
+    max_expr = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = [f"CASE WHEN {max_expr} <= 0 THEN 'und'"]
+    for lang in langs[:-1]:
+        case.append(f"WHEN s_{lang} = {max_expr} THEN '{lang}'")
+    case.append(f"ELSE '{langs[-1]}' END")
+    return ",\n       ".join(scores), " ".join(case)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    norm_text = _NORM.format(c="text")
+    lang_scores, lang_case = _lang_scores_sql()
+    bucket_b = _bucket_case_sql("position", "bucket")
+    bucket_e = _bucket_case_sql("position", "expected")
+
+    dup_union = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, upper(text) AS text FROM documents
     """
-    return {}
+
+    sql: dict[str, str] = {}
+
+    sql["q01_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               COUNT(*) AS count_order,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+        FROM lineitem
+        WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["q03_top_orders"] = """
+        SELECT o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o.o_orderpriority,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+    """
+
+    sql["q05_region_volume"] = """
+        SELECT r.r_name,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+    """
+
+    sql["q10_visibility_merge"] = """
+        WITH li AS (
+            SELECT l_partkey AS p_partkey,
+                   COUNT(*) AS n_lines,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+            FROM lineitem GROUP BY 1
+        ),
+        ord AS (
+            SELECT l.l_partkey AS p_partkey,
+                   COUNT(DISTINCT o.o_orderkey) AS n_orders,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1
+        )
+        SELECT p.p_partkey, p.p_name, p.p_brand,
+               li.n_lines, li.sum_qty, li.revenue, ord.n_orders, ord.total_spend
+        FROM part p
+        LEFT JOIN li ON p.p_partkey = li.p_partkey
+        LEFT JOIN ord ON p.p_partkey = ord.p_partkey
+    """
+
+    sql["q11_weighted_position"] = """
+        SELECT l_partkey AS p_partkey,
+               round(
+                 CAST(SUM(CAST(l_extendedprice * (CASE WHEN l_linenumber <= 2 THEN 1.0
+                                             WHEN l_quantity > 0 THEN l_quantity
+                                             ELSE 1.0 END) AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(CASE WHEN l_linenumber <= 2 THEN 1.0
+                            WHEN l_quantity > 0 THEN l_quantity
+                            ELSE 1.0 END AS DECIMAL(38,6))) AS DOUBLE), 2) AS weighted_price
+        FROM lineitem
+        GROUP BY 1
+    """
+
+    sql["q12_click_share"] = """
+        WITH g AS (
+            SELECT l_partkey AS p_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS clicks
+            FROM lineitem GROUP BY 1
+        )
+        SELECT p_partkey, clicks,
+               round(CASE WHEN SUM(clicks) OVER () > 0
+                          THEN clicks / SUM(clicks) OVER () ELSE 0.0 END, 9) AS click_share
+        FROM g
+    """
+
+    counts = ",\n               ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN event_type = '{t}' THEN 1 END), 0) AS BIGINT) AS \"{t}\""
+        for t in EVENT_TYPES
+    )
+    total = " + ".join(f'"{t}"' for t in EVENT_TYPES)
+    sql["q13_event_pivot"] = f"""
+        WITH p AS (
+            SELECT user_id,
+               {counts}
+            FROM events GROUP BY user_id
+        )
+        SELECT *, round(CASE WHEN {total} > 0
+                    THEN CAST("click" + "purchase" AS DOUBLE) / ({total})
+                    ELSE 0.0 END, 6) AS engagement_rate
+        FROM p
+    """
+
+    sql["q14_ctr_underperf"] = f"""
+        WITH g AS (
+            SELECT 'https://shop.example.com/part/' || CAST(l_partkey AS VARCHAR) AS url,
+                   SUM(l_quantity * l_discount) AS clicks,
+                   SUM(l_quantity * 10) AS impressions,
+                   SUM((CAST(l_linenumber AS DOUBLE)) * (l_quantity * 10)) / SUM(l_quantity * 10) AS position
+            FROM lineitem GROUP BY 1
+        ),
+        w AS (
+            SELECT url, clicks, impressions, position,
+                   CASE WHEN impressions > 0 THEN clicks / impressions END AS ctr
+            FROM g
+        ),
+        med AS (SELECT CAST(median(ctr) AS DOUBLE) AS ctr_median FROM w),
+        scored AS (
+            SELECT w.url, w.position, w.ctr, w.impressions,
+                   COALESCE({bucket_e.replace("position", "w.position")}, med.ctr_median) AS expected_ctr,
+                   {bucket_b.replace("position", "w.position")} AS expected_ctr_bucket
+            FROM w, med
+        ),
+        sc2 AS (
+            SELECT *, greatest(expected_ctr - ctr - 0.002, 0.0) AS ctr_deficit
+            FROM scored
+        ),
+        sc3 AS (
+            SELECT *, ctr_deficit * impressions * 1.0 AS missed_clicks
+            FROM sc2
+            WHERE position IS NOT NULL AND ctr IS NOT NULL AND impressions IS NOT NULL
+              AND position <= 20.0 AND ctr_deficit * impressions * 1.0 > 0
+        )
+        SELECT url, round(position, 2) AS position, round(ctr, 6) AS ctr,
+               round(expected_ctr, 6) AS expected_ctr, expected_ctr_bucket,
+               round(ctr_deficit, 6) AS ctr_deficit,
+               round(missed_clicks, 4) AS missed_clicks,
+               CAST(row_number() OVER (ORDER BY missed_clicks DESC, url) AS INT) AS priority_rank
+        FROM sc3
+    """
+
+    sql["q15_thin_content"] = """
+        SELECT doc_id, lang, source
+        FROM (
+            SELECT *, CASE WHEN doc_id % 7 = 0 THEN ''
+                           WHEN doc_id % 11 = 0 THEN NULL
+                           ELSE source END AS schema_types
+            FROM documents
+        )
+        WHERE schema_types IS NULL OR trim(schema_types) = ''
+    """
+
+    sql["q16_top_parts_per_brand"] = """
+        SELECT p_brand, p_partkey, p_name, p_retailprice, rank FROM (
+            SELECT p_brand, p_partkey, p_name, p_retailprice,
+                   CAST(row_number() OVER (PARTITION BY p_brand
+                        ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rank
+            FROM part
+        ) WHERE rank <= 3
+    """
+
+    sql["q17_union_sources"] = """
+        SELECT p_partkey AS key, p_name AS name, p_retailprice AS price,
+               'part' AS source, NULL::DOUBLE AS acctbal
+        FROM part
+        UNION ALL
+        SELECT s_suppkey AS key, s_name AS name, NULL::DOUBLE AS price,
+               'supplier' AS source, s_acctbal AS acctbal
+        FROM supplier
+    """
+
+    sql["q18_url_normalize"] = """
+        WITH r AS (
+            SELECT o_orderkey,
+                   CASE
+                     WHEN o_orderkey % 5 = 0 THEN 'HTTPS://Shop.Example.COM/Item/' || CAST(o_orderkey AS VARCHAR) || '/?utm_source=x&ref=' || CAST(o_custkey AS VARCHAR)
+                     WHEN o_orderkey % 5 = 1 THEN '/path/' || CAST(o_orderkey AS VARCHAR) || '/'
+                     WHEN o_orderkey % 5 = 2 THEN 'http://shop.example.com/item/' || CAST(o_orderkey AS VARCHAR) || '#frag'
+                     WHEN o_orderkey % 5 = 3 THEN 'HTTP://SHOP.example.com/Item/' || CAST(o_orderkey AS VARCHAR) || '?id=' || CAST(o_custkey AS VARCHAR) || '&utm_medium=email'
+                     ELSE 'not-a-url-' || CAST(o_orderkey AS VARCHAR)
+                   END AS raw_url,
+                   CASE
+                     WHEN o_orderkey % 5 = 0 THEN 'https://shop.example.com/Item/' || CAST(o_orderkey AS VARCHAR) || '?ref=' || CAST(o_custkey AS VARCHAR)
+                     WHEN o_orderkey % 5 = 1 THEN 'https://shop.example.com/path/' || CAST(o_orderkey AS VARCHAR)
+                     WHEN o_orderkey % 5 = 2 THEN 'http://shop.example.com/item/' || CAST(o_orderkey AS VARCHAR)
+                     WHEN o_orderkey % 5 = 3 THEN 'http://shop.example.com/Item/' || CAST(o_orderkey AS VARCHAR) || '?id=' || CAST(o_custkey AS VARCHAR)
+                     ELSE 'not-a-url-' || CAST(o_orderkey AS VARCHAR)
+                   END AS url
+            FROM orders
+        )
+        SELECT o_orderkey, raw_url, url FROM r
+    """
+
+    sql["q19_ctr_normalize"] = """
+        WITH base AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 11 = 0 THEN 'n/a'
+                        WHEN o_orderkey % 3 = 0 THEN CAST(o_orderkey % 90 + 1 AS VARCHAR) || '.5%'
+                        ELSE CAST(o_orderkey % 2 AS VARCHAR) END AS ctr
+            FROM orders
+        ),
+        stats AS (
+            SELECT MAX(CASE WHEN ctr LIKE '%\\%%' ESCAPE '\\' THEN 1 ELSE 0 END) AS saw_pct,
+                   AVG(CASE WHEN TRY_CAST(trim(replace(replace(ctr, '%', ''), ',', '')) AS DOUBLE) > 1.0
+                             AND TRY_CAST(trim(replace(replace(ctr, '%', ''), ',', '')) AS DOUBLE) <= 100.0
+                            THEN 1 ELSE 0 END) AS frac_pctish
+            FROM base
+        )
+        SELECT o_orderkey,
+               round(CASE WHEN stats.saw_pct = 1 OR stats.frac_pctish > 0.5
+                          THEN TRY_CAST(trim(replace(replace(ctr, '%', ''), ',', '')) AS DOUBLE) / 100.0
+                          ELSE TRY_CAST(trim(replace(replace(ctr, '%', ''), ',', '')) AS DOUBLE) END, 9) AS ctr
+        FROM base, stats
+    """
+
+    sql["q20_exact_dedup"] = f"""
+        SELECT sha256({_NORM.format(c="text")}) AS digest,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM ({dup_union})
+        GROUP BY 1
+    """
+
+    sql["q21_fingerprint"] = f"""
+        SELECT list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split({_NORM.format(c="text")}, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+               MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+        FROM ({dup_union})
+        GROUP BY 1
+    """
+
+    sql["q22_ngram_jaccard"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+            FROM t WHERE len(toks) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+                          THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                          ELSE 0.0 END, 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+                   THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   ELSE 0.0 END >= 0.5
+    """
+
+    sql["q25_embedding_topk"] = """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ),
+        s AS (
+            SELECT q.query_id, c.vec_id,
+                   round(CASE WHEN sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)) > 0
+                              THEN list_dot_product(cv, qv)
+                                   / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                              ELSE 0.0 END, 6) AS cosine
+            FROM c, q
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM s
+        ) WHERE rank <= 5
+    """
+
+    sql["q26_lang_id"] = f"""
+        WITH t AS (
+            SELECT doc_id, lang, {_toks(norm_text)} AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang,
+       {lang_scores}
+            FROM t
+        )
+        SELECT doc_id, lang, {lang_case} AS lang_pred FROM s
+    """
+
+    stop_list = ", ".join(
+        f"'{w}'" for w in LANG_MARKERS["en"] + ("a", "an", "it", "on", "as", "at", "by", "be")
+    )
+    sql["q27_text_quality"] = f"""
+        WITH t AS (
+            SELECT doc_id, {norm_text} AS norm FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(length(norm) AS DOUBLE) AS n_chars,
+                   CAST(length(replace(norm, ' ', '')) AS DOUBLE) AS n_nonspace,
+                   CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+                   CAST(CASE WHEN norm = '' THEN 0 ELSE len(string_split(norm, ' ')) END AS DOUBLE) AS n_tok,
+                   CAST(len(list_filter({_toks("norm")}, t -> list_contains([{stop_list}], t))) AS DOUBLE) AS stops
+            FROM t
+        )
+        SELECT doc_id,
+               round((least(n_chars / 500.0, 1.0)
+                      + (CASE WHEN n_nonspace > 0 THEN n_alpha / n_nonspace ELSE 0.0 END)
+                      + least((CASE WHEN n_tok > 0 THEN stops / n_tok ELSE 0.0 END) / 0.4, 1.0)
+                     ) / 3.0, 6) AS quality
+        FROM m
+    """
+
+    sql["q28_token_count"] = f"""
+        SELECT doc_id,
+               CAST(CASE WHEN {norm_text} = '' THEN 0
+                    ELSE len(string_split({norm_text}, ' ')) END AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """
+
+    return sql

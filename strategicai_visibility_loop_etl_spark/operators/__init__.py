@@ -12,8 +12,16 @@ from .dedup import (
     dedup_simhash,
 )
 from .similarity import knn_cosine_topk, ann_lsh_topk
+from .relational import top_n_per_group, union_sources, pivot_counts, conditional_agg
+from .governance import write_autodetect_log, append_run_log
 
 __all__ = [
+    "top_n_per_group",
+    "union_sources",
+    "pivot_counts",
+    "conditional_agg",
+    "write_autodetect_log",
+    "append_run_log",
     "agg_gsc",
     "agg_ga4",
     "weighted_mean",

@@ -13,14 +13,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def weighted_mean(value: Column, weight: Column, neutral_weight: float = 1.0) -> Column:
+def weighted_mean(
+    value: Column, weight: Column, neutral_weight: float = 1.0, exact: bool = False
+) -> Column:
     """sum(v*w)/sum(w) with a neutral weight when w is NULL or <= 0.
 
     Mirrors the reference's impressions-weighted position
     (etl_merge.py:677-693): rows with zero/missing weight still count,
     with weight ``neutral_weight``.
+
+    ``exact=True`` routes both sums through DECIMAL(38,6): decimal
+    addition is exact and order-independent, so the result is
+    bit-identical regardless of partitioning (and matches a SQL oracle
+    computing the same casts). Costs ~2× on the aggregate — use it
+    when reproducibility across runs/engines matters more than raw
+    throughput.
     """
     w = F.when(weight.isNotNull() & (weight > 0), weight).otherwise(F.lit(neutral_weight))
+    if exact:
+        num = F.sum((value * w).cast("decimal(38,6)")).cast("double")
+        den = F.sum(w.cast("decimal(38,6)")).cast("double")
+        return F.when(den > 0, num / den)
     num = F.sum(value * w)
     # Denominator sums w over ALL rows — the reference's w_sum
     # (etl_merge.py:688-693) counts null-value rows' weights too.

@@ -34,7 +34,10 @@ def dedup_spine(df: DataFrame, key: str = "url") -> DataFrame:
 def merge_visibility(
     frog: DataFrame, gsc: DataFrame, ga4: DataFrame, key: str = "url"
 ) -> DataFrame:
-    spine = dedup_spine(frog.filter(F.length(F.col(key)) > 0), key)
+    # Cast only inside the emptiness test so the join key keeps its
+    # native type (ANSI mode rejects length() on numeric keys).
+    non_empty = F.col(key).isNotNull() & (F.trim(F.col(key).cast("string")) != "")
+    spine = dedup_spine(frog.filter(non_empty), key)
     return spine.join(gsc, key, "left").join(ga4, key, "left")
 
 

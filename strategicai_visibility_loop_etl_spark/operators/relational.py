@@ -1,0 +1,100 @@
+"""Generic relational operators the reference exercises implicitly.
+
+- ``top_n_per_group`` — window rank ≤ N per group key (SURVEY §2 row 12).
+- ``union_sources`` — union of heterogeneous exports by column name
+  (SURVEY row 14; the reference's multi-export merge use case,
+  reference etl_merge.py:88-108 reads several export shapes of the
+  same logical source).
+- ``pivot_counts`` / ``conditional_agg`` — pivot / sum(when()) event
+  breakdowns (SURVEY row 15).
+
+Scale notes: top-N-per-group is ONE shuffle on the group key with the
+rank evaluated streaming per partition — never a global sort. With a
+known small N, Spark's WindowGroupLimit pushes the limit beneath the
+shuffle (partial top-N map-side). ``pivot_counts`` requires an explicit
+value list — letting Spark infer values adds a whole extra job and an
+unbounded-width schema; at 100 TB the caller must name the columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_n_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    n: int,
+    ascending: bool = False,
+    rank_col: str = "rank",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Top-``n`` rows per group by ``order_col``.
+
+    ``row_number`` (not rank/dense_rank) so output size is bounded at
+    exactly n per group; ``tiebreak_cols`` make the cut deterministic —
+    pass the group's natural key for reproducible (and oracle-matching)
+    results.
+    """
+    ordering = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    ordering += [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*ordering)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= n)
+    )
+
+
+def union_sources(frames: Sequence[DataFrame], source_names: Sequence[str] | None = None) -> DataFrame:
+    """Union heterogeneous frames by column name, null-filling gaps.
+
+    ``unionByName(allowMissingColumns=True)`` — the Spark analog of the
+    reference's "merge several exports of the same logical source"
+    flow: differing column sets align by name, missing columns become
+    NULL. Optionally tags provenance with a ``source`` column.
+    """
+    if not frames:
+        raise ValueError("union_sources needs at least one frame")
+    tagged = []
+    for i, f in enumerate(frames):
+        if source_names is not None:
+            f = f.withColumn("source", F.lit(str(source_names[i])))
+        tagged.append(f)
+    out = tagged[0]
+    for f in tagged[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def pivot_counts(
+    df: DataFrame,
+    group_col: str,
+    pivot_col: str,
+    values: Sequence[str],
+    agg: Column | None = None,
+) -> DataFrame:
+    """Pivot ``pivot_col`` into one column per value of ``values``.
+
+    The explicit ``values`` list matters at scale: without it Spark runs
+    an extra distinct-collect job and the schema width is data-driven.
+    Default aggregate is count(*).
+    """
+    agg = agg if agg is not None else F.count(F.lit(1))
+    return df.groupBy(group_col).pivot(pivot_col, list(values)).agg(agg)
+
+
+def conditional_agg(
+    df: DataFrame,
+    group_col: str,
+    cond_col: str,
+    conditions: dict[str, Column],
+) -> DataFrame:
+    """sum(when(cond, x)) breakdown — the shuffle-free-wide alternative
+    to pivot when conditions are arbitrary expressions, one hash
+    aggregate, map-side partial agg."""
+    aggs = [F.sum(F.when(cond, F.col(cond_col))).alias(name) for name, cond in conditions.items()]
+    return df.groupBy(group_col).agg(*aggs)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..operators.aggregate import agg_ga4, agg_gsc
 from ..operators.anomaly import anomaly_ctr_underperf, schema_gaps
+from ..operators.governance import append_run_log
 from ..operators.merge import add_run_metadata, derive_metrics, merge_visibility
 from ..operators.scoring import score_expected_ctr
 from ..sources.loaders import load_frog, load_ga4, load_gsc
@@ -110,10 +111,11 @@ def run_visibility_pipeline(
         merged = score_expected_ctr(merged, cfg)
 
     run_id = os.getenv("RUN_ID") or datetime.now(timezone.utc).strftime("%Y%m%d_%H%M%S")
+    run_ts = int(time.time())
     merged = add_run_metadata(
         merged,
         run_id,
-        int(time.time()),
+        run_ts,
         {"frog": frog_path, "gsc": gsc_path, "ga4": ga4_path},
     )
 
@@ -157,4 +159,15 @@ def run_visibility_pipeline(
     if out_dir:
         for name, df in outputs.items():
             df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        # Governance run log (reference :986-1004): one append-only row
+        # per run, env-gated via ETL_RUN_LOG / ETL_RUN_LOG_PATH.
+        append_run_log(
+            run_id,
+            run_ts,
+            spark.read.parquet(os.path.join(out_dir, "merged")).count(),
+            frog_path,
+            gsc_path,
+            ga4_path,
+            os.path.join(out_dir, "merged"),
+        )
     return outputs

@@ -12,8 +12,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from ..functions.numeric import normalize_ctr, to_double_nocomma, to_long
 from ..functions.urls import looks_url_like, url_normalize
+from ..operators.governance import write_autodetect_log
 from .readers import load_table_any
 from .resolve import autodetect_url_column, coalesce_columns, resolve_columns
 
@@ -28,12 +31,20 @@ GA4_FIELDS = ["url", "users", "sessions", "engaged_sessions", "avg_engagement_ti
 GA4_JUNK = ("(not set)", "(other)", "other", "not set")
 
 
-def _resolve_with_autodetect(df: DataFrame, fields: list[str]) -> dict[str, str | None]:
+def _resolve_with_autodetect(
+    df: DataFrame, fields: list[str], source_name: str = ""
+) -> dict[str, str | None]:
     mapping = resolve_columns(df, fields)
+    auto = None
     if mapping.get("url") is None:
         auto = autodetect_url_column(df)
         if auto:
             mapping["url"] = auto
+    if source_name:
+        # Row count is an extra full scan in Spark (the reference gets it
+        # free from an in-memory frame); opt in via env, else log -1.
+        rows = df.count() if os.getenv("ETL_AUTODETECT_LOG_COUNT", "").strip() else -1
+        write_autodetect_log(source_name, mapping, auto, rows)
     return mapping
 
 
@@ -45,7 +56,7 @@ def load_frog(
 ) -> DataFrame:
     """Screaming Frog crawl export → canonical crawl frame (the spine)."""
     raw = load_table_any(spark, path)
-    out = coalesce_columns(raw, _resolve_with_autodetect(raw, FROG_FIELDS))
+    out = coalesce_columns(raw, _resolve_with_autodetect(raw, FROG_FIELDS, "screaming_frog"))
     out = out.withColumn("url", url_normalize(F.col("url"), site_base, strip_all_query))
     for c in ("status_code", "click_depth", "inlinks", "word_count"):
         out = out.withColumn(c, to_long(F.col(c)))
@@ -60,7 +71,7 @@ def load_gsc(
 ) -> DataFrame:
     """GSC performance export → canonical search frame (pre-aggregation)."""
     raw = load_table_any(spark, path)
-    out = coalesce_columns(raw, _resolve_with_autodetect(raw, GSC_FIELDS))
+    out = coalesce_columns(raw, _resolve_with_autodetect(raw, GSC_FIELDS, "gsc"))
     out = out.filter(looks_url_like(F.col("url")))
     out = out.withColumn("url", url_normalize(F.col("url"), site_base, strip_all_query))
     for c in ("clicks", "impressions", "position"):
@@ -78,7 +89,7 @@ def load_ga4(
 ) -> DataFrame:
     """GA4 pages/screens export → canonical analytics frame (pre-aggregation)."""
     raw = load_table_any(spark, path)
-    out = coalesce_columns(raw, _resolve_with_autodetect(raw, GA4_FIELDS))
+    out = coalesce_columns(raw, _resolve_with_autodetect(raw, GA4_FIELDS, "ga4"))
     out = out.withColumn("url", F.trim(F.col("url")))
     out = out.filter(
         looks_url_like(F.col("url")) & ~F.lower(F.col("url")).isin(*GA4_JUNK)
