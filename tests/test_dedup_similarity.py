@@ -1,0 +1,124 @@
+"""Dedup + similarity operators on crafted near-duplicate corpora
+(SURVEY §5: known-answer tests, plus ANN-recall-vs-exact)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.operators.dedup import (
+    dedup_exact,
+    dedup_fingerprint,
+    dedup_minhash_lsh,
+    dedup_simhash,
+    ngram_jaccard_pairs,
+)
+from strategicai_visibility_loop_etl_spark.operators.similarity import ann_lsh_topk, knn_cosine_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, "The  Quick Brown FOX jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the garden outside"),  # case/ws dup
+        (4, BASE.replace("garden", "meadow")),  # near dup (1 word)
+        (5, "completely different text about spark dataframes and shuffle "
+            "partitions and the catalyst optimizer planning joins"),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_groups_case_and_whitespace(spark):
+    out = {r["keep_id"]: r["n_dups"] for r in dedup_exact(_corpus(spark)).collect()}
+    # 1,2,3 collapse; 4, 5, 6 stand alone.
+    assert out[1] == 3
+    assert out[4] == 1
+    assert out[5] == 1
+    assert out[6] == 1
+
+
+def test_dedup_fingerprint_matches_exact_grouping(spark):
+    out = {r["keep_id"]: r["n_dups"] for r in dedup_fingerprint(_corpus(spark)).collect()}
+    assert out[1] == 3 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_corpus(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    assert 0.5 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in p or 6 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard_est"]
+        for r in dedup_minhash_lsh(_corpus(spark), threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 1.0
+    assert (1, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_finds_near_dups(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup_simhash(_corpus(spark)).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 0
+    assert (1, 4) in pairs  # single-word swap => small hamming distance
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_hot_bucket_guard(spark):
+    # 3000 identical docs -> every chunk bucket has 3000 members, above
+    # max_bucket -> pruned, no pairs (exact dedup's job instead).
+    df = spark.range(3000).select(F.col("id").alias("doc_id"), F.lit(BASE).alias("text"))
+    assert dedup_simhash(df, max_bucket=2000).count() == 0
+
+
+def _embeddings(spark):
+    import math
+
+    rows = []
+    for i in range(50):
+        angle = (i % 10) * 0.1
+        rows.append((i, [math.cos(angle), math.sin(angle), float(i % 3), 1.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_knn_self_is_top1(spark):
+    emb = _embeddings(spark)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = knn_cosine_topk(emb, queries, k=3)
+    first = {r["query_id"]: r["vec_id"] for r in top.filter(F.col("rank") == 1).collect()}
+    # Rank-1 must have cosine 1.0 (self or an identical vector).
+    ones = {r["query_id"]: r["cosine"] for r in top.filter(F.col("rank") == 1).collect()}
+    assert set(first) == {0, 1, 2}
+    assert all(c == 1.0 for c in ones.values())
+
+
+def test_ann_recall_vs_exact(spark):
+    emb = _embeddings(spark)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in knn_cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ann_lsh_topk(emb, queries, k=5, nbits=8, bands=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"ANN recall too low: {recall}"

@@ -1,0 +1,150 @@
+"""Unit tests for pure column-expression functions vs hand-computed
+values (SURVEY §5a)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.functions.numeric import (
+    normalize_ctr,
+    to_double_nocomma,
+    to_long,
+)
+from strategicai_visibility_loop_etl_spark.functions.text import (
+    fingerprint64,
+    lang_id_expr,
+    quality_score,
+    shingles,
+    token_count,
+    bpe_ish_token_count,
+)
+from strategicai_visibility_loop_etl_spark.functions.urls import looks_url_like, url_normalize
+
+
+def _one(spark, expr, value, schema="v string"):
+    return spark.createDataFrame([(value,)], schema).select(expr.alias("r")).first()["r"]
+
+
+# --- urls -------------------------------------------------------------------
+
+URL_CASES = [
+    # (input, site_base, strip_all, expected)
+    ("HTTPS://Example.COM/Path/?utm_source=x&id=2#frag", None, False, "https://example.com/Path?id=2"),
+    ("https://example.com/", None, False, "https://example.com/"),
+    ("https://example.com/a/", None, False, "https://example.com/a"),
+    ("/about/", "https://Site.com", False, "https://site.com/about"),
+    ("/about/", None, False, "/about"),
+    ("https://example.com/a?utm_source=1&utm_medium=2", None, False, "https://example.com/a"),
+    ("https://example.com/a?b=1&c=2", None, True, "https://example.com/a"),
+    ("not a url", None, False, "not a url"),
+    ("HTTP://X.io/", None, False, "http://x.io/"),
+    ("https://example.com/a#x?y=1", None, False, "https://example.com/a"),
+]
+
+
+@pytest.mark.parametrize("raw,base,strip_all,expected", URL_CASES)
+def test_url_normalize(spark, raw, base, strip_all, expected):
+    got = _one(spark, url_normalize(F.col("v"), base, strip_all), raw)
+    assert got == expected
+
+
+def test_url_normalize_idempotent(spark):
+    vals = [(c[0],) for c in URL_CASES]
+    df = spark.createDataFrame(vals, "v string")
+    once = df.select(url_normalize(F.col("v")).alias("n1"))
+    twice = once.select("n1", url_normalize(F.col("n1")).alias("n2"))
+    for r in twice.collect():
+        assert r["n1"] == r["n2"]
+
+
+def test_url_normalize_null_passthrough(spark):
+    assert _one(spark, url_normalize(F.col("v")), None) is None
+    assert _one(spark, url_normalize(F.col("v")), "   ") == "   "
+
+
+def test_looks_url_like(spark):
+    assert _one(spark, looks_url_like(F.col("v")), "https://a.b") is True
+    assert _one(spark, looks_url_like(F.col("v")), "/path") is True
+    assert _one(spark, looks_url_like(F.col("v")), "hello") is False
+
+
+# --- numeric ----------------------------------------------------------------
+
+
+def test_to_double_nocomma(spark):
+    assert _one(spark, to_double_nocomma(F.col("v")), "1,234.5") == 1234.5
+    assert _one(spark, to_double_nocomma(F.col("v")), " 42 ") == 42.0
+    assert _one(spark, to_double_nocomma(F.col("v")), "junk") is None
+
+
+def test_to_long(spark):
+    assert _one(spark, to_long(F.col("v")), "12.0") == 12
+    assert _one(spark, to_long(F.col("v")), "1,200") == 1200
+    assert _one(spark, to_long(F.col("v")), "n/a") is None
+
+
+def test_normalize_ctr_percent_sign(spark):
+    df = spark.createDataFrame([("5.5%",), ("2",), ("bad",)], "ctr string")
+    vals = {r["ctr"] for r in normalize_ctr(df, "ctr").collect()}
+    assert vals == {0.055, 0.02, None}
+
+
+def test_normalize_ctr_majority_heuristic(spark):
+    # Majority of parseable values in (1,100] -> divide by 100.
+    df = spark.createDataFrame([("5",), ("7",), ("50",)], "ctr string")
+    vals = sorted(r["ctr"] for r in normalize_ctr(df, "ctr").collect())
+    assert vals == [0.05, 0.07, 0.5]
+
+
+def test_normalize_ctr_fraction_kept(spark):
+    # Unparseable rows count in the denominator: 2/5 in range -> no scaling.
+    df = spark.createDataFrame([("5",), ("7",), ("x",), ("y",), ("z",)], "ctr string")
+    vals = sorted(r["ctr"] for r in normalize_ctr(df, "ctr").collect() if r["ctr"] is not None)
+    assert vals == [5.0, 7.0]
+
+
+# --- text -------------------------------------------------------------------
+
+
+def test_token_count(spark):
+    assert _one(spark, token_count(F.col("v")), "Hello   world  foo") == 3
+    assert _one(spark, token_count(F.col("v")), "") == 0
+    assert _one(spark, token_count(F.col("v")), "   ") == 0
+
+
+def test_bpe_ish_token_count(spark):
+    # "don't stop2" -> don / ' / t / stop2 -> [don][']['t'... wait: letters|digits|single punct
+    # don, ', t, stop, 2 => 5
+    assert _one(spark, bpe_ish_token_count(F.col("v")), "don't stop2") == 5
+
+
+def test_fingerprint64(spark):
+    # Hand-computed: "ab" -> ((0*31+97)%M)*31+98 % M = 97*31+98 = 3105
+    assert _one(spark, fingerprint64(F.col("v")), "ab") == 3105
+    # Normalization folds case/whitespace.
+    a = _one(spark, fingerprint64(F.col("v")), "Hello  World")
+    b = _one(spark, fingerprint64(F.col("v")), "hello world")
+    assert a == b
+
+
+def test_shingles(spark):
+    got = _one(spark, shingles(F.col("v"), 2), "a b c a b")
+    assert sorted(got) == ["a b", "b c", "c a"]
+    assert _one(spark, shingles(F.col("v"), 3), "one two") == []
+
+
+def test_lang_id(spark):
+    assert _one(spark, lang_id_expr(F.col("v")), "the cat and the dog are in the house") == "en"
+    assert _one(spark, lang_id_expr(F.col("v")), "el perro y la casa de los gatos") == "es"
+    assert _one(spark, lang_id_expr(F.col("v")), "xyzzy plugh") == "und"
+
+
+def test_quality_score_bounds(spark):
+    docs = [("",), ("the and of to in is that for with are " * 20,), ("!!!! ???? ####",)]
+    df = spark.createDataFrame(docs, "v string")
+    for r in df.select(quality_score(F.col("v")).alias("q")).collect():
+        assert 0.0 <= r["q"] <= 1.0
+    rich = _one(spark, quality_score(F.col("v")), "the and of to in is that for with are " * 20)
+    junk = _one(spark, quality_score(F.col("v")), "!!!! ???? ####")
+    assert rich > junk

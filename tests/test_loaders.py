@@ -1,0 +1,103 @@
+"""Loader tests on reference-shaped CSV fixtures (SURVEY §5b): synonym
+headers, percent CTR, GA4 junk/preamble rows, path-only URLs,
+delimiter sniffing, single-column fallback."""
+
+from __future__ import annotations
+
+import textwrap
+
+from strategicai_visibility_loop_etl_spark.sources.loaders import load_frog, load_ga4, load_gsc
+from strategicai_visibility_loop_etl_spark.sources.readers import load_table_any
+from strategicai_visibility_loop_etl_spark.sources.resolve import (
+    autodetect_url_column,
+    resolve_columns,
+)
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(textwrap.dedent(content).lstrip())
+    return str(p)
+
+
+def test_load_frog_synonym_headers(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "frog.csv",
+        """
+        Address,Status Code,Title 1,Meta Description 1,Crawl Depth,Inlinks,Word Count,Structured Data
+        https://example.com/a/,200,A,da,1,"1,200",500,Article
+        https://example.com/b?utm_source=x,301,B,db,2,3,250,
+        """,
+    )
+    out = load_frog(spark, path).collect()
+    rows = {r["url"]: r for r in out}
+    assert "https://example.com/a" in rows
+    assert rows["https://example.com/a"]["status_code"] == 200
+    assert rows["https://example.com/a"]["inlinks"] == 1200  # comma-tolerant
+    assert "https://example.com/b" in rows  # utm stripped
+
+
+def test_load_gsc_percent_ctr_and_path_urls(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "gsc.csv",
+        """
+        Top pages,Clicks,Impressions,CTR,Position
+        /a/,100,1000,10%,1.2
+        /b,50,2000,2.5%,3.4
+        not-a-url,1,10,1%,9.9
+        """,
+    )
+    out = load_gsc(spark, path, site_base="https://example.com").collect()
+    rows = {r["url"]: r for r in out}
+    assert set(rows) == {"https://example.com/a", "https://example.com/b"}  # junk filtered
+    assert rows["https://example.com/a"]["ctr"] == 0.10
+    assert rows["https://example.com/b"]["ctr"] == 0.025
+
+
+def test_load_ga4_junk_rows_and_preamble(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "ga4.csv",
+        """
+        # GA4 export
+        # date range: something
+        Page path and screen class,Active users,Sessions,Engaged sessions,Average engagement time
+        /a,10,20,15,33.5
+        (not set),5,5,5,1
+        /b,1,2,1,8
+        """,
+    )
+    out = load_ga4(spark, path, site_base="https://example.com").collect()
+    urls = {r["url"] for r in out}
+    assert urls == {"https://example.com/a", "https://example.com/b"}
+    row_a = next(r for r in out if r["url"].endswith("/a"))
+    assert row_a["sessions"] == 20.0 and row_a["engaged_sessions"] == 15.0
+
+
+def test_delimiter_sniffing_tsv(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "data.csv",
+        "url\tclicks\nhttps://e.com/x\t5\n",
+    )
+    df = load_table_any(spark, path)
+    assert df.columns == ["url", "clicks"]
+    assert df.first()["clicks"] == "5"
+
+
+def test_resolve_columns_slug_match(spark):
+    df = spark.createDataFrame([("u", "1")], ["Landing Page", "Total Clicks"])
+    mapping = resolve_columns(df, ["url", "clicks", "position"])
+    assert mapping["url"] == "Landing Page"
+    assert mapping["clicks"] == "Total Clicks"
+    assert mapping["position"] is None
+
+
+def test_autodetect_url_column(spark):
+    df = spark.createDataFrame(
+        [("x%d" % i, "https://e.com/p%d" % i, str(i)) for i in range(20)],
+        ["name", "weird_header", "n"],
+    )
+    assert autodetect_url_column(df) == "weird_header"

@@ -1,0 +1,65 @@
+"""Multimodal binary-column plumbing: schema, Arrow batch shape,
+mapInPandas feature extraction with the declared codec stub."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    DecodeNotAvailable,
+    decode_image,
+    extract_features,
+    sample_frames,
+)
+
+
+def _media_df(spark):
+    rows = [
+        (1, bytearray(b"\x89PNG fake image bytes"), ("image/png", 64, 48, None)),
+        (2, bytearray(b"RIFF fake wav bytes"), ("audio/wav", None, None, 3500)),
+        (3, None, ("image/png", 1, 1, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_shapes_and_determinism(spark):
+    out = extract_features(_media_df(spark), dim=8).collect()
+    rows = {r["media_id"]: r for r in out}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["mime"] == "image/png"
+    assert rows[1]["n_bytes"] == len(b"\x89PNG fake image bytes")
+    assert rows[1]["digest"] == hashlib.sha256(b"\x89PNG fake image bytes").hexdigest()
+    assert len(rows[1]["feature"]) == 8
+    assert all(0.0 <= v < 1.0 for v in rows[1]["feature"])
+    # Null payload handled, hashes empty bytes.
+    assert rows[3]["n_bytes"] == 0
+    assert rows[3]["digest"] == hashlib.sha256(b"").hexdigest()
+    # Deterministic across runs.
+    again = {r["media_id"]: r for r in extract_features(_media_df(spark), dim=8).collect()}
+    assert again[1]["feature"] == rows[1]["feature"]
+
+
+def test_real_decoder_seam_raises(spark):
+    with pytest.raises(Exception) as err:
+        extract_features(_media_df(spark), use_fake_decoder=False).collect()
+    assert "DecodeNotAvailable" in str(err.value) or "codec" in str(err.value)
+
+
+def test_decode_image_stub_declared():
+    with pytest.raises(DecodeNotAvailable):
+        decode_image(b"anything")
+
+
+def test_sample_frames_counts(spark):
+    out = sample_frames(_media_df(spark), every_ms=1000).collect()
+    per_media = {}
+    for r in out:
+        per_media.setdefault(r["media_id"], []).append(r["frame_ts_ms"])
+    # audio: 3500ms -> samples at 0,1000,2000,3000
+    assert sorted(per_media[2]) == [0, 1000, 2000, 3000]
+    # no duration -> single frame at 0
+    assert per_media[1] == [0]

@@ -1,0 +1,33 @@
+"""Driver-style correctness gate: every queries() entry vs its DuckDB
+oracle at sf0.001 (the driver runs the same comparison at sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.oracle_harness import compare, duckdb_result, spark_result
+
+QUERIES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    fn = entrymod.queries()[name]
+    oracles = entrymod.oracle_sql()
+    df = fn(spark, sf_dir)
+    s_cols, s_rows = spark_result(df)
+    if name not in oracles:
+        assert len(s_rows) >= 0  # rows-only: runs and returns a frame
+        assert len(s_cols) > 0
+        return
+    o_cols, o_rows = duckdb_result(oracles[name], sf_dir)
+    rep = compare(name, s_cols, s_rows, o_cols, o_rows)
+    assert rep["status"] == "ok", rep
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"p_partkey", "revenue", "n_orders"}

@@ -1,0 +1,136 @@
+"""End-to-end pipeline parity vs a pandas-computed oracle on
+reference-shaped fixtures, plus governance-log assertions (SURVEY §5c)."""
+
+from __future__ import annotations
+
+import csv
+import os
+import textwrap
+
+import pandas as pd
+import pytest
+
+from strategicai_visibility_loop_etl_spark.plans.pipeline import (
+    default_config,
+    run_visibility_pipeline,
+)
+
+FROG = """
+Address,Status Code,Title 1,Word Count,Structured Data
+https://e.com/a/,200,A,500,Article
+https://e.com/b,200,B,300,
+https://e.com/c?utm_source=x,301,C,100,Product
+https://e.com/a,200,A-dup,501,Article
+"""
+
+GSC = """
+Top pages,Clicks,Impressions,CTR,Position
+/a/,100,1000,10%,1
+/a,20,1000,2%,3
+/b,50,2000,2.5%,2
+"""
+
+GA4 = """
+Page path and screen class,Active users,Sessions,Engaged sessions
+/a,10,20,15
+/b,4,8,2
+(not set),5,5,5
+"""
+
+
+@pytest.fixture()
+def fixture_paths(tmp_path):
+    paths = {}
+    for name, content in (("frog.csv", FROG), ("gsc.csv", GSC), ("ga4.csv", GA4)):
+        p = tmp_path / name
+        p.write_text(textwrap.dedent(content).lstrip())
+        paths[name.split(".")[0]] = str(p)
+    return paths
+
+
+def test_pipeline_parity_with_pandas_oracle(spark, fixture_paths, tmp_path, monkeypatch):
+    monkeypatch.setenv("SITE_BASE", "https://e.com")
+    monkeypatch.setenv("ETL_RUN_LOG", "0")
+    monkeypatch.setenv("ETL_AUTODETECT_LOG", "0")
+    cfg = default_config()
+    cfg["inputs"] = {
+        "screaming_frog": fixture_paths["frog"],
+        "gsc": fixture_paths["gsc"],
+        "ga4": fixture_paths["ga4"],
+    }
+    outs = run_visibility_pipeline(spark, cfg)
+    merged = {r["url"]: r for r in outs["merged"].collect()}
+
+    # Spine dedup: /a kept once (4 frog rows -> 3 urls).
+    assert set(merged) == {"https://e.com/a", "https://e.com/b", "https://e.com/c"}
+
+    # GSC aggregation oracle (pandas-computed semantics):
+    # /a: clicks 120, impressions 2000, weighted pos (1*1000+3*1000)/2000 = 2.0
+    a = merged["https://e.com/a"]
+    assert a["clicks"] == 120.0
+    assert a["impressions"] == 2000.0
+    assert a["position"] == 2.0
+    assert a["ctr"] == round(120.0 / 2000.0, 4)
+
+    # GA4 joined: sessions/engaged -> engagement_rate 15/20
+    assert a["sessions"] == 20.0
+    assert a["engagement_rate"] == 0.75
+
+    # click_share: /a 120 of 170 total
+    assert a["click_share"] == round(120.0 / 170.0, 6)
+
+    # Position-1 bucket expectations from default config: pos 2.0 -> bucket "2"
+    assert a["expected_ctr_bucket"] == "2"
+    assert a["expected_ctr"] == 0.2
+    # deficit = 0.2 - 0.06 - 0.002 margin
+    assert a["ctr_deficit"] == round(0.2 - 0.06 - 0.002, 4)
+    assert a["missed_clicks"] == round((0.2 - 0.06 - 0.002) * 2000, 3)
+
+    # /c has no GSC/GA4 data -> nulls, no crash
+    c = merged["https://e.com/c"]
+    assert c["clicks"] is None and c["sessions"] is None
+
+    # anomaly slice ranked by missed clicks
+    under = outs["ctr_underperf"].collect()
+    assert [r["priority_rank"] for r in under] == list(range(1, len(under) + 1))
+    assert under[0]["missed_clicks"] == max(r["missed_clicks"] for r in under)
+
+    # schema gaps: /b has blank structured data
+    gaps = {r["url"] for r in outs["schema_gaps"].collect()}
+    assert gaps == {"https://e.com/b"}
+
+
+def test_pipeline_governance_logs(spark, fixture_paths, tmp_path, monkeypatch):
+    run_log = tmp_path / "logs" / "runs.csv"
+    auto_log = tmp_path / "logs" / "auto.csv"
+    monkeypatch.setenv("SITE_BASE", "https://e.com")
+    monkeypatch.setenv("ETL_RUN_LOG", "1")
+    monkeypatch.setenv("ETL_RUN_LOG_PATH", str(run_log))
+    monkeypatch.setenv("ETL_AUTODETECT_LOG", "1")
+    monkeypatch.setenv("ETL_AUTODETECT_LOG_PATH", str(auto_log))
+    monkeypatch.setenv("RUN_ID", "testrun_1")
+    cfg = default_config()
+    cfg["inputs"] = {
+        "screaming_frog_csv": fixture_paths["frog"],  # reference-style key names
+        "gsc_csv": fixture_paths["gsc"],
+        "ga4_csv": fixture_paths["ga4"],
+    }
+    run_visibility_pipeline(spark, cfg, out_dir=str(tmp_path / "out"))
+
+    with open(run_log) as fh:
+        rows = list(csv.DictReader(fh))
+    assert len(rows) == 1
+    assert rows[0]["run_id"] == "testrun_1"
+    assert rows[0]["rows_merged"] == "3"
+    assert rows[0]["frog_csv"] == "frog.csv"
+
+    with open(auto_log) as fh:
+        auto_rows = list(csv.DictReader(fh))
+    assert {r["source"] for r in auto_rows} == {"screaming_frog", "gsc", "ga4"}
+    gsc_row = next(r for r in auto_rows if r["source"] == "gsc")
+    assert "url" in gsc_row["mapped_fields"].split(";")
+
+    # parquet outputs written
+    assert os.path.isdir(tmp_path / "out" / "merged")
+    merged_back = pd.read_parquet(tmp_path / "out" / "merged")
+    assert len(merged_back) == 3

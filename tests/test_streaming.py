@@ -1,0 +1,101 @@
+"""Execute the Structured Streaming operators for real (SURVEY §5 —
+streaming code that has never run is presumed broken): file source →
+processAllAvailable → memory sink, results checked against the same
+computation done in batch."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.streaming.events import (
+    events_windowed_agg,
+    streaming_dedup,
+    streaming_visibility_update,
+)
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _event_rows():
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                t0 + timedelta(minutes=7 * i),
+                i % 10,
+                ["view", "click", "purchase"][i % 3],
+                float(i % 5),
+            )
+        )
+    # Duplicate a slice of event_ids (same ts) for the dedup test.
+    for i in range(0, 40, 2):
+        rows.append((i, t0 + timedelta(minutes=7 * i), i % 10, ["view", "click", "purchase"][i % 3], float(i % 5)))
+    return rows
+
+
+def _write_stream_source(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    df = spark.createDataFrame(_event_rows(), SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    return src, df
+
+
+def _run_to_memory(stream_df, name, mode, ckpt_dir):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(ckpt_dir / f"ckpt-{name}"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_events_windowed_agg_matches_batch(spark, tmp_path):
+    src, batch_df = _write_stream_source(spark, tmp_path)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = events_windowed_agg(stream, window_dur="1 hour", watermark="2 hours")
+    name = _run_to_memory(out, "win_agg_test", "complete", tmp_path)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql(f"select * from {name}").collect()
+    }
+    expected_df = (
+        batch_df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+    )
+    expected = {(r["ws"], r["event_type"]): (r["n"], r["s"]) for r in expected_df.collect()}
+    assert got == expected
+    assert len(got) > 10
+
+
+def test_streaming_dedup_drops_duplicates(spark, tmp_path):
+    src, batch_df = _write_stream_source(spark, tmp_path)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming_dedup(stream, keys=["event_id"], watermark="24 hours")
+    name = _run_to_memory(out, "dedup_test", "append", tmp_path)
+
+    n = spark.sql(f"select count(distinct event_id) c, count(*) n from {name}").first()
+    assert n["n"] == n["c"], "duplicates survived streaming dedup"
+    assert n["n"] == batch_df.select("event_id").distinct().count()
+
+
+def test_streaming_visibility_update(spark, tmp_path):
+    src, _ = _write_stream_source(spark, tmp_path)
+    spine = spark.createDataFrame(
+        [(i, f"user-{i}") for i in range(10)], "user_id long, name string"
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming_visibility_update(stream, spine, key="user_id")
+    name = _run_to_memory(out, "vis_update_test", "append", tmp_path)
+    rows = spark.sql(f"select * from {name}").collect()
+    assert len(rows) > 0
+    assert all(r["name"] == f"user-{r['user_id']}" for r in rows)
