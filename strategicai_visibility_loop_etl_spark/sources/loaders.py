@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 import os
 
 from ..functions.numeric import normalize_ctr, to_double_nocomma, to_long
-from ..functions.urls import looks_url_like, url_normalize
+from ..functions.urls import looks_url_like, url_normalize_df
 from ..operators.governance import write_autodetect_log
 from .readers import load_table_any
 from .resolve import autodetect_url_column, coalesce_columns, resolve_columns
@@ -57,7 +57,7 @@ def load_frog(
     """Screaming Frog crawl export → canonical crawl frame (the spine)."""
     raw = load_table_any(spark, path)
     out = coalesce_columns(raw, _resolve_with_autodetect(raw, FROG_FIELDS, "screaming_frog"))
-    out = out.withColumn("url", url_normalize(F.col("url"), site_base, strip_all_query))
+    out = url_normalize_df(out, "url", None, site_base, strip_all_query)
     for c in ("status_code", "click_depth", "inlinks", "word_count"):
         out = out.withColumn(c, to_long(F.col(c)))
     return out
@@ -73,7 +73,7 @@ def load_gsc(
     raw = load_table_any(spark, path)
     out = coalesce_columns(raw, _resolve_with_autodetect(raw, GSC_FIELDS, "gsc"))
     out = out.filter(looks_url_like(F.col("url")))
-    out = out.withColumn("url", url_normalize(F.col("url"), site_base, strip_all_query))
+    out = url_normalize_df(out, "url", None, site_base, strip_all_query)
     for c in ("clicks", "impressions", "position"):
         out = out.withColumn(c, to_double_nocomma(F.col(c)))
     # CTR percent-vs-fraction heuristic is a global decision → two-pass.
@@ -94,7 +94,7 @@ def load_ga4(
     out = out.filter(
         looks_url_like(F.col("url")) & ~F.lower(F.col("url")).isin(*GA4_JUNK)
     )
-    out = out.withColumn("url", url_normalize(F.col("url"), site_base, strip_all_query))
+    out = url_normalize_df(out, "url", None, site_base, strip_all_query)
     for c in ("users", "sessions", "engaged_sessions", "avg_engagement_time"):
         out = out.withColumn(c, to_double_nocomma(F.col(c)))
     return out

@@ -73,17 +73,35 @@ def _read_csv(spark: SparkSession, path: str, sep: str | None = None) -> DataFra
 
 
 def _read_excel(spark: SparkSession, path: str) -> DataFrame:
+    # Probe the engine up front so the failure mode is a clear,
+    # declared capability gap rather than a confusing pandas error.
     try:
-        import pandas as pd  # noqa: PLC0415
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError("Excel ingest requires pandas + an xlsx engine") from exc
-    try:
-        pdf = pd.read_excel(path, dtype=str)
-    except ImportError as exc:  # missing openpyxl/xlrd in this image
+        import openpyxl  # noqa: F401, PLC0415
+    except ImportError as exc:
         raise NotImplementedError(
-            "Excel ingest needs openpyxl/xlrd; not available in this environment"
+            "Excel ingest needs openpyxl; not available in this environment "
+            "(reference reads xlsx via pandas, etl_merge.py:88-108). "
+            "Convert to CSV or install openpyxl."
         ) from exc
+    import pandas as pd  # noqa: PLC0415
+
+    pdf = pd.read_excel(path, dtype=str)
     return spark.createDataFrame(pdf.astype("string").where(pdf.notna(), None))
+
+
+def resolve_sibling_extension(path: str) -> str:
+    """csv↔xlsx extension fallback (reference etl_merge.py:717-731):
+    when the configured file is missing but a sibling with the paired
+    extension exists, use the sibling."""
+    if os.path.exists(path):
+        return path
+    stem, ext = os.path.splitext(path)
+    swaps = {".csv": (".xlsx", ".xls"), ".xlsx": (".csv",), ".xls": (".csv",)}
+    for alt in swaps.get(ext.lower(), ()):
+        candidate = stem + alt
+        if os.path.exists(candidate):
+            return candidate
+    return path
 
 
 def load_table_any(spark: SparkSession, path: str) -> DataFrame:
@@ -91,6 +109,7 @@ def load_table_any(spark: SparkSession, path: str) -> DataFrame:
 
     Headers are whitespace-trimmed (reference strips them per-loader).
     """
+    path = resolve_sibling_extension(path)
     ext = os.path.splitext(path)[1].lower()
     if ext in {".xlsx", ".xls"}:
         df = _read_excel(spark, path)

@@ -101,3 +101,32 @@ def test_autodetect_url_column(spark):
         ["name", "weird_header", "n"],
     )
     assert autodetect_url_column(df) == "weird_header"
+
+
+def test_csv_xlsx_extension_fallback(spark, tmp_path):
+    from strategicai_visibility_loop_etl_spark.sources.readers import resolve_sibling_extension
+
+    csv_path = tmp_path / "export.csv"
+    csv_path.write_text("url,clicks\nhttps://e.com/a,1\n")
+    # Configured as .xlsx but only the .csv sibling exists -> falls back.
+    assert resolve_sibling_extension(str(tmp_path / "export.xlsx")) == str(csv_path)
+    df = load_table_any(spark, str(tmp_path / "export.xlsx"))
+    assert df.columns == ["url", "clicks"]
+    # Existing paths are returned untouched.
+    assert resolve_sibling_extension(str(csv_path)) == str(csv_path)
+
+
+def test_xlsx_without_engine_reports_clearly(spark, tmp_path):
+    import pytest as _pytest
+
+    xlsx = tmp_path / "only.xlsx"
+    xlsx.write_bytes(b"PK\x03\x04 not really an xlsx")
+    try:
+        import openpyxl  # noqa: F401
+
+        _pytest.skip("openpyxl present; stub path not reachable")
+    except ImportError:
+        pass
+    with _pytest.raises(Exception) as err:
+        load_table_any(spark, str(xlsx))
+    assert "openpyxl" in str(err.value) or "xlsx" in str(err.value).lower()
