@@ -43,8 +43,10 @@ from strategicai_visibility_loop_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
 )
 from strategicai_visibility_loop_etl_spark.operators.merge import derive_metrics, merge_visibility
+from strategicai_visibility_loop_etl_spark.operators.asof import asof_join
 from strategicai_visibility_loop_etl_spark.operators.relational import (
     pivot_counts,
+    salted_join,
     top_n_per_group,
     union_sources,
 )
@@ -86,7 +88,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.date_format("l_shipdate", "yyyy-MM-dd") <= "1998-09-02")
+        # Direct timestamp comparison (not date_format) so the predicate
+        # pushes to the parquet scan as LessThan -> row-group skipping.
+        li.filter(F.col("l_shipdate") < F.to_timestamp(F.lit("1998-09-03")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity", "sum_qty"),
@@ -423,6 +427,54 @@ def q28_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q30_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level aggregation via ROLLUP (event_type × day hierarchy)
+    — partial-agg friendly grouping sets."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.timestamp_micros((F.col("ts") / 1000).cast("long")), "yyyy-MM-dd")
+    return (
+        ev.withColumn("day", day)
+        .rollup("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n_events"), _dsum("value", "sum_value"))
+    )
+
+
+def q31_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join — result identical to the plain
+    join (the oracle IS the plain join), hot keys spread across
+    ``salt`` reducers."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), F.col("l_quantity")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li, part, "p_partkey", salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_lines"), _dsum("l_quantity", "sum_qty")
+    )
+
+
+def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks up the latest order at-or-before its
+    timestamp per user (union-sort-carry, one shuffle — no inequality
+    join). DuckDB's native ASOF JOIN is the oracle."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ets"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+        .withColumn("o_date", F.date_format("o_orderdate", "yyyy-MM-dd"))
+    )
+    out = asof_join(
+        ev, orders, key="user_id", left_ts="ets", right_ts="o_orderdate",
+        right_value_cols=["o_orderkey", "o_date"],
+    )
+    return out.select("event_id", "user_id", "o_orderkey", "o_date")
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -458,6 +510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_text_quality": q27_text_quality,
         "q28_token_count": q28_token_count,
         "q29_ann_lsh": q29_ann_lsh,
+        "q30_event_rollup": q30_event_rollup,
+        "q31_salted_join": q31_salted_join,
+        "q32_asof_join": q32_asof_join,
     }
 
 
@@ -529,7 +584,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
         FROM lineitem
-        WHERE strftime(l_shipdate, '%Y-%m-%d') <= '1998-09-02'
+        WHERE l_shipdate < TIMESTAMP '1998-09-03'
         GROUP BY l_returnflag, l_linestatus
     """
 
@@ -838,6 +893,34 @@ def oracle_sql() -> dict[str, str]:
                     ELSE len(string_split({norm_text}, ' ')) END AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
         FROM documents
+    """
+
+    sql["q30_event_rollup"] = """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+    """
+
+    sql["q31_salted_join"] = """
+        SELECT p.p_brand,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand
+    """
+
+    sql["q32_asof_join"] = """
+        WITH o AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   MAX(o_orderkey) AS o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS o_date
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, o.o_orderkey, o.o_date
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
     """
 
     return sql

@@ -12,11 +12,14 @@ from .dedup import (
     dedup_simhash,
 )
 from .similarity import knn_cosine_topk, ann_lsh_topk
-from .relational import top_n_per_group, union_sources, pivot_counts, conditional_agg
+from .relational import top_n_per_group, union_sources, pivot_counts, conditional_agg, salted_join
+from .asof import asof_join
 from .governance import write_autodetect_log, append_run_log
 
 __all__ = [
     "top_n_per_group",
+    "salted_join",
+    "asof_join",
     "union_sources",
     "pivot_counts",
     "conditional_agg",

@@ -87,6 +87,33 @@ def pivot_counts(
     return df.groupBy(group_col).pivot(pivot_col, list(values)).agg(agg)
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salt-split hot keys (the skew-join pattern).
+
+    The left side's rows scatter across ``salt`` sub-keys (deterministic
+    pmod of a hash over the whole row, so the distribution is stable and
+    even); the right side replicates each row into all ``salt`` sub-keys
+    via a small explode. A key holding 30% of the data then occupies
+    ``salt`` reducers instead of one. Result set is identical to a plain
+    equi-join on ``key`` — use when AQE's skew-join split isn't enough
+    (e.g. skewed *aggregation* feeding the join, or joins under
+    ``spark.sql.adaptive.enabled=false``). Right side grows ×salt, so
+    keep it the smaller input.
+    """
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_s = left.withColumn("__salt", salt_col.cast("int"))
+    r_s = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l_s.join(r_s, [key, "__salt"], how).drop("__salt")
+
+
 def conditional_agg(
     df: DataFrame,
     group_col: str,

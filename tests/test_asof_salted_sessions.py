@@ -1,0 +1,120 @@
+"""As-of join edge cases, salted-join equivalence, and stateful
+streaming sessionization vs its batch twin."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.operators.asof import asof_join
+from strategicai_visibility_loop_etl_spark.operators.relational import salted_join
+from strategicai_visibility_loop_etl_spark.streaming.sessions import (
+    sessionize,
+    sessionize_batch,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "k1", _ts("2024-01-01 10:00:00")),   # after both rights -> latest (9:30)
+            (2, "k1", _ts("2024-01-01 09:00:00")),   # between -> 8:00 row
+            (3, "k1", _ts("2024-01-01 07:59:59")),   # before all -> null
+            (4, "k1", _ts("2024-01-01 08:00:00")),   # exact tie -> matched
+            (5, "k2", _ts("2024-01-01 12:00:00")),   # key with no rights -> null
+        ],
+        "id long, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("k1", _ts("2024-01-01 08:00:00"), "v8", 80),
+            ("k1", _ts("2024-01-01 09:30:00"), "v930", None),  # null value col still wins
+        ],
+        "k string, rts timestamp, label string, amount int",
+    )
+    out = {r["id"]: r for r in asof_join(left, right, "k", "ts", "rts").collect()}
+    assert out[1]["label"] == "v930" and out[1]["amount"] is None  # latest ROW wins
+    assert out[2]["label"] == "v8" and out[2]["amount"] == 80
+    assert out[3]["label"] is None
+    assert out[4]["label"] == "v8"  # ties match (>= semantics)
+    assert out[5]["label"] is None
+    assert len(out) == 5  # exactly one output row per left row
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_partkey").alias("p_partkey"), "l_quantity"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select("p_partkey", "p_brand")
+    plain = li.join(part, "p_partkey").groupBy("p_brand").count()
+    salted = salted_join(li, part, "p_partkey", salt=4).groupBy("p_brand").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def _session_events(spark):
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    for user in range(3):
+        # session 1: 3 events 10 min apart; gap; session 2: 2 events
+        for m in (0, 10, 20, 120, 125):
+            rows.append((eid, t0 + timedelta(minutes=m + user), user, "view", 1.0))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_sessionize_batch(spark):
+    ev = _session_events(spark)
+    sess = sessionize_batch(ev, gap_seconds=1800).collect()
+    per_user = {}
+    for r in sess:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert set(per_user) == {0, 1, 2}
+    for u, ss in per_user.items():
+        ss.sort(key=lambda r: r["session_start"])
+        assert [s["n_events"] for s in ss] == [3, 2]
+        assert ss[0]["sum_value"] == 3.0 and ss[1]["sum_value"] == 2.0
+
+
+def test_sessionize_streaming_matches_batch(spark, tmp_path):
+    ev = _session_events(spark)
+    src = str(tmp_path / "sess_src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    out = sessionize(stream, gap_seconds=1800, watermark="24 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # NOTE: processAllAvailable() never returns for a
+    # ProcessingTimeTimeout query — live state keeps scheduling
+    # "cleaning up state" batches. Poll for the expected closed
+    # sessions instead (one per user), with a deadline.
+    import time
+
+    deadline = time.time() + 90
+    while time.time() < deadline:
+        if spark.sql("select * from sessions_test").count() >= 3:
+            break
+        time.sleep(2)
+    q.stop()
+    got = spark.sql("select * from sessions_test").collect()
+    # Streaming emits CLOSED sessions; the final open session per user
+    # awaits the processing-time timeout, so expect >= the closed ones.
+    batch = sessionize_batch(ev, gap_seconds=1800).collect()
+    batch_keys = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch}
+    got_keys = {(r["user_id"], r["session_start"], r["n_events"]) for r in got}
+    assert got_keys <= batch_keys
+    # the first (closed) session of every user must have been emitted
+    closed_first = {k for k in batch_keys if k[2] == 3}
+    assert closed_first <= got_keys
