@@ -1,7 +1,7 @@
 from .aggregate import agg_gsc, agg_ga4, weighted_mean
 from .merge import merge_visibility, derive_metrics, add_run_metadata
 from .scoring import expected_ctr_buckets_df, score_expected_ctr, intent_multiplier
-from .anomaly import anomaly_ctr_underperf, schema_gaps
+from .anomaly import anomaly_ctr_underperf, ctr_candidates, schema_gaps
 from .dedup import (
     dedup_exact,
     dedup_fingerprint,
@@ -35,6 +35,7 @@ __all__ = [
     "score_expected_ctr",
     "intent_multiplier",
     "anomaly_ctr_underperf",
+    "ctr_candidates",
     "schema_gaps",
     "dedup_exact",
     "dedup_fingerprint",

@@ -27,6 +27,21 @@ def anomaly_ctr_underperf(
     merge on the driver-side heap) and the window only ever sees
     ``limit`` rows. Pass ``limit=None`` only for small slices.
     """
+    under = ctr_candidates(scored, cfg).filter(F.col("missed_clicks") > 0)
+    if limit is not None:
+        # TakeOrdered path: no global sort materialization.
+        under = under.orderBy(F.col("missed_clicks").desc(), F.col("url")).limit(limit)
+    w = Window.orderBy(F.col("missed_clicks").desc(), F.col("url"))
+    return under.withColumn("priority_rank", F.row_number().over(w)).withColumn(
+        "intent_note", F.lit("")  # analyst triage column (reference :972)
+    )
+
+
+def ctr_candidates(scored: DataFrame, cfg: dict) -> DataFrame:
+    """All rows eligible for CTR evaluation — the reference's
+    ``ctr_debug`` export (etl_merge.py:919-952): position/ctr/
+    impressions present, position within eval range, optional
+    min-clicks floor. Includes NON-underperforming rows."""
     scoring = cfg.get("scoring", {}) or {}
     max_pos = float(scoring.get("max_position_for_ctr_eval", 5))
     min_clicks = float(scoring.get("min_clicks_for_ctr_eval", 0))
@@ -39,13 +54,7 @@ def anomaly_ctr_underperf(
     )
     if min_clicks > 0 and "clicks" in scored.columns:
         cand = cand.filter(F.coalesce(F.col("clicks"), F.lit(0.0)) >= min_clicks)
-
-    under = cand.filter(F.col("missed_clicks") > 0)
-    if limit is not None:
-        # TakeOrdered path: no global sort materialization.
-        under = under.orderBy(F.col("missed_clicks").desc(), F.col("url")).limit(limit)
-    w = Window.orderBy(F.col("missed_clicks").desc(), F.col("url"))
-    return under.withColumn("priority_rank", F.row_number().over(w))
+    return cand
 
 
 def schema_gaps(merged: DataFrame, col: str = "schema_types") -> DataFrame:

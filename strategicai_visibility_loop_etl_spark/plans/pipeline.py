@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.aggregate import agg_ga4, agg_gsc
-from ..operators.anomaly import anomaly_ctr_underperf, schema_gaps
+from ..operators.anomaly import anomaly_ctr_underperf, ctr_candidates, schema_gaps
 from ..operators.governance import append_run_log
 from ..operators.merge import add_run_metadata, derive_metrics, merge_visibility
 from ..operators.scoring import score_expected_ctr
@@ -153,6 +153,10 @@ def run_visibility_pipeline(
     outputs = {"merged": merged}
     if (cfg.get("scoring", {}) or {}).get("enable", True):
         outputs["ctr_underperf"] = anomaly_ctr_underperf(merged, cfg)
+        if (cfg.get("output", {}) or {}).get("write_slices", False):
+            # Reference's ctr_debug.csv: ALL candidate rows, including
+            # non-underperforming (etl_merge.py:946-952).
+            outputs["ctr_debug"] = ctr_candidates(merged, cfg)
     if "schema_types" in merged.columns:
         outputs["schema_gaps"] = schema_gaps(merged)
 
