@@ -105,7 +105,19 @@ def run_visibility_pipeline(
     gsc = agg_gsc(load_gsc(spark, gsc_path, site_base, strip_all))
     ga4 = agg_ga4(load_ga4(spark, ga4_path, site_base, strip_all))
 
-    merged = derive_metrics(merge_visibility(frog, gsc, ga4))
+    base = merge_visibility(frog, gsc, ga4)
+    if out_dir:
+        # Stage the merge result to parquet and re-read it. The derive/
+        # score stages each broadcast a scalar aggregate (clicks total,
+        # CTR median) whose plan branch re-executes everything beneath
+        # it — with the staged read that's a cheap column-pruned parquet
+        # scan instead of the whole load→normalize→merge subtree.
+        # (persist() is NOT equivalent: intra-query cache population is
+        # racy across branches and measured slower than the recompute.)
+        stage_path = os.path.join(out_dir, "_stage", "merge")
+        base.write.mode("overwrite").parquet(stage_path)
+        base = spark.read.parquet(stage_path)
+    merged = derive_metrics(base)
 
     if (cfg.get("scoring", {}) or {}).get("enable", True):
         merged = score_expected_ctr(merged, cfg)
@@ -150,9 +162,20 @@ def run_visibility_pipeline(
     ]
     merged = merged.select(*cols)
 
+    if out_dir:
+        # Materialization barrier: write merged ONCE, then derive every
+        # slice from the re-read parquet. Without it each slice write
+        # re-executes the whole load→merge→score plan (measured 3-4×
+        # the pipeline cost), and at 100 TB the re-read is the only
+        # shape that doesn't hold the working set in executor memory.
+        merged_path = os.path.join(out_dir, "merged")
+        merged.write.mode("overwrite").parquet(merged_path)
+        merged = spark.read.parquet(merged_path)
+
     outputs = {"merged": merged}
+    anomaly_limit = int((cfg.get("scoring", {}) or {}).get("anomaly_limit", 100_000))
     if (cfg.get("scoring", {}) or {}).get("enable", True):
-        outputs["ctr_underperf"] = anomaly_ctr_underperf(merged, cfg)
+        outputs["ctr_underperf"] = anomaly_ctr_underperf(merged, cfg, limit=anomaly_limit)
         if (cfg.get("output", {}) or {}).get("write_slices", False):
             # Reference's ctr_debug.csv: ALL candidate rows, including
             # non-underperforming (etl_merge.py:946-952).
@@ -162,13 +185,14 @@ def run_visibility_pipeline(
 
     if out_dir:
         for name, df in outputs.items():
-            df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+            if name != "merged":
+                df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
         # Governance run log (reference :986-1004): one append-only row
         # per run, env-gated via ETL_RUN_LOG / ETL_RUN_LOG_PATH.
         append_run_log(
             run_id,
             run_ts,
-            spark.read.parquet(os.path.join(out_dir, "merged")).count(),
+            merged.count(),
             frog_path,
             gsc_path,
             ga4_path,

@@ -57,6 +57,11 @@ def _sniff_sep(path: str, default: str = ",") -> str:
 
 
 def _read_csv(spark: SparkSession, path: str, sep: str | None = None) -> DataFrame:
+    # multiLine (quoted embedded newlines) makes each file a single split —
+    # no read parallelism. Default OFF (4× faster on a single node, and
+    # the difference between parallel and serial scans on a cluster);
+    # exports with embedded newlines can opt in via ETL_CSV_MULTILINE=1.
+    multiline = os.getenv("ETL_CSV_MULTILINE", "").strip().lower() in {"1", "true", "yes"}
     sep = sep or _sniff_sep(path)
     return (
         spark.read.option("header", True)
@@ -64,7 +69,7 @@ def _read_csv(spark: SparkSession, path: str, sep: str | None = None) -> DataFra
         .option("comment", "#")
         .option("quote", '"')
         .option("escape", '"')
-        .option("multiLine", True)
+        .option("multiLine", multiline)
         .option("mode", "PERMISSIVE")
         .option("ignoreLeadingWhiteSpace", True)
         .option("ignoreTrailingWhiteSpace", True)
