@@ -431,7 +431,7 @@ def q30_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation via ROLLUP (event_type × day hierarchy)
     — partial-agg friendly grouping sets."""
     ev = _t(spark, sf_dir, "events")
-    day = F.date_format(F.timestamp_micros((F.col("ts") / 1000).cast("long")), "yyyy-MM-dd")
+    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
     return (
         ev.withColumn("day", day)
         .rollup("event_type", "day")
@@ -460,7 +460,7 @@ def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.timestamp_micros((F.col("ts") / 1000).cast("long")).alias("ets"),
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ets"),
     )
     orders = (
         _t(spark, sf_dir, "orders")
@@ -473,6 +473,63 @@ def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_value_cols=["o_orderkey", "o_date"],
     )
     return out.select("event_id", "user_id", "o_orderkey", "o_date")
+
+
+def q33_moving_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed analytics over an ordered stream: lag delta + moving
+    average per user (bounded window frames, one shuffle on the key)."""
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.expr("ts DIV 1000")
+    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    wavg = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        F.round(F.avg("value").over(wavg), 6).alias("value_ma3"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+def q34_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: count lineitems shipped within each order's
+    [orderdate, orderdate+90d) fulfilment window, per order priority.
+    The interval dim (priority buckets) is tiny → broadcast range join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(days < 30, "0-29d")
+        .when(days < 60, "30-59d")
+        .when(days < 90, "60-89d")
+        .otherwise("90d+")
+    )
+    return (
+        j.groupBy("o_orderpriority", bucket.alias("ship_latency"))
+        .agg(F.count(F.lit(1)).alias("n_items"), _dsum("l_extendedprice", "sum_price"))
+    )
+
+
+def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the streaming stateful
+    operator): lag → new-session flag → running session index → agg."""
+    from strategicai_visibility_loop_etl_spark.streaming.sessions import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ets"),
+    )
+    out = sessionize_batch(ev, gap_seconds=3600, ts_col="ets")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +570,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_event_rollup": q30_event_rollup,
         "q31_salted_join": q31_salted_join,
         "q32_asof_join": q32_asof_join,
+        "q33_moving_metrics": q33_moving_metrics,
+        "q34_interval_join": q34_interval_join,
+        "q36_sessionize": q36_sessionize,
     }
 
 
@@ -909,6 +969,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
+    """
+
+    sql["q33_moving_metrics"] = """
+        WITH e AS (
+            SELECT event_id, user_id, value, epoch_us(ts) AS tus FROM events
+        )
+        SELECT event_id, user_id,
+               round(value - lag(value) OVER w, 6) AS value_delta,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS value_ma3,
+               CAST(row_number() OVER w AS INT) AS seq
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    """
+
+    sql["q34_interval_join"] = """
+        SELECT o.o_orderpriority,
+               CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 30 THEN '0-29d'
+                    WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 60 THEN '30-59d'
+                    WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90 THEN '60-89d'
+                    ELSE '90d+' END AS ship_latency,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """
+
+    sql["q36_sessionize"] = """
+        WITH e AS (
+            SELECT event_id, user_id, value, epoch_us(ts) AS tus FROM events
+        ),
+        f AS (
+            SELECT *, CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                                > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS newf
+            FROM e
+        ),
+        g AS (
+            SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY tus
+                      ROWS UNBOUNDED PRECEDING) AS sess
+            FROM f
+        )
+        SELECT user_id,
+               strftime(make_timestamp(MIN(tus)), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(make_timestamp(MAX(tus)), '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events,
+               round(SUM(value), 6) AS sum_value
+        FROM g
+        GROUP BY user_id, sess
     """
 
     sql["q32_asof_join"] = """

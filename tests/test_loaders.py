@@ -130,3 +130,36 @@ def test_xlsx_without_engine_reports_clearly(spark, tmp_path):
     with _pytest.raises(Exception) as err:
         load_table_any(spark, str(xlsx))
     assert "openpyxl" in str(err.value) or "xlsx" in str(err.value).lower()
+
+
+def test_bucketed_write_join_without_shuffle(spark, tmp_path, sf_dir):
+    """Two tables bucketed on the join key join with no Exchange."""
+    from strategicai_visibility_loop_etl_spark.sources.sinks import read_table, write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS t_li_b")
+    spark.sql("DROP TABLE IF EXISTS t_ord_b")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "t_li_b", ["l_orderkey"], num_buckets=8,
+                   path=str(tmp_path / "li_b"))
+    write_bucketed(orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                   "t_ord_b", ["l_orderkey"], num_buckets=8,
+                   path=str(tmp_path / "ord_b"))
+    a = read_table(spark, "t_li_b")
+    b = read_table(spark, "t_ord_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force the non-broadcast path: the point of bucketing is that
+        # the SHUFFLE for a sort-merge join disappears.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:800]
+        assert "Exchange hashpartitioning" not in plan, plan[:800]
+        assert joined.count() == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    spark.sql("DROP TABLE IF EXISTS t_li_b")
+    spark.sql("DROP TABLE IF EXISTS t_ord_b")
