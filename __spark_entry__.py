@@ -532,6 +532,107 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti join (EXISTS / NOT EXISTS): per nation, customers with
+    at least one order vs customers with none. left_semi/left_anti keep
+    only the probe side's columns — no row duplication when the build
+    side has many matches, and the join can stay broadcast when the
+    key set fits (here orders is the big side, so it shuffles once)."""
+    cust = _t(spark, sf_dir, "customer")
+    okeys = _t(spark, sf_dir, "orders").select("o_custkey")
+    active = (
+        cust.join(okeys, cust.c_custkey == okeys.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    inactive = (
+        cust.join(okeys, cust.c_custkey == okeys.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+    return (
+        active.join(inactive, "c_nationkey", "full_outer")
+        .select(
+            "c_nationkey",
+            F.coalesce("n_active", F.lit(0)).alias("n_active"),
+            F.coalesce("n_inactive", F.lit(0)).alias("n_inactive"),
+        )
+    )
+
+
+def q38_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median and quantiles (sort-based, interpolated).
+
+    ``F.median``/``F.percentile`` are the exact (not approx) forms —
+    they match DuckDB's ``median``/``quantile_cont`` bit-for-bit
+    because both sort and linearly interpolate. At 100 TB you'd reach
+    for ``percentile_approx`` (mergeable sketch, no global sort); the
+    exact form here doubles as that sketch's accuracy oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99_price"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q39_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (expand + two-phase agg).
+
+    Catalyst plans this as a single pass with distinct-expansion;
+    the approx (HLL) twin is covered by a tolerance test in
+    tests/test_functions.py — at 100 TB approx_count_distinct is the
+    default and this exact form is its oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def q40_avg_qty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery aggregation (TPC-H Q17 shape): lineitems
+    with quantity below 20% of their part's average. Expressed as a
+    self-agg + re-join (what Catalyst would decorrelate to anyway);
+    the per-part average rides a decimal sum so both engines agree
+    exactly. One shuffle on l_partkey, reused by AQE for the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    avgq = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+            * 0.2
+        ).alias("qty_thresh")
+    )
+    return (
+        li.join(avgq, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            _dsum("l_extendedprice", "sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            F.round(F.col("sum_price") / 7.0, 6).alias("avg_yearly"),
+            "n_items",
+        )
+    )
+
+
+def q41_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set aggregation to a deterministic string: distinct market
+    segments per nation, sorted then joined. collect_set is
+    partition-order-dependent; sort_array makes the result canonical
+    (the only way a set-valued column can hash-match across engines)."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract
 # ---------------------------------------------------------------------------
@@ -573,6 +674,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_moving_metrics": q33_moving_metrics,
         "q34_interval_join": q34_interval_join,
         "q36_sessionize": q36_sessionize,
+        "q37_semi_anti_join": q37_semi_anti_join,
+        "q38_group_percentiles": q38_group_percentiles,
+        "q39_distinct_counts": q39_distinct_counts,
+        "q40_avg_qty_outliers": q40_avg_qty_outliers,
+        "q41_collect_sorted": q41_collect_sorted,
     }
 
 
@@ -1017,6 +1123,63 @@ def oracle_sql() -> dict[str, str]:
                round(SUM(value), 6) AS sum_value
         FROM g
         GROUP BY user_id, sess
+    """
+
+    sql["q37_semi_anti_join"] = """
+        WITH a AS (
+            SELECT c_nationkey, COUNT(*) AS n_active FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1
+        ),
+        i AS (
+            SELECT c_nationkey, COUNT(*) AS n_inactive FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            GROUP BY 1
+        )
+        SELECT COALESCE(a.c_nationkey, i.c_nationkey) AS c_nationkey,
+               COALESCE(n_active, 0) AS n_active,
+               COALESCE(n_inactive, 0) AS n_inactive
+        FROM a FULL OUTER JOIN i ON a.c_nationkey = i.c_nationkey
+    """
+
+    sql["q38_group_percentiles"] = """
+        SELECT l_returnflag,
+               round(median(l_extendedprice), 6) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+               round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+    """
+
+    sql["q39_distinct_counts"] = """
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """
+
+    sql["q40_avg_qty_outliers"] = """
+        WITH t AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                       / COUNT(*) * 0.2 AS qty_thresh
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                     / 7.0, 6) AS avg_yearly,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+        WHERE l.l_quantity < t.qty_thresh
+    """
+
+    sql["q41_collect_sorted"] = """
+        SELECT c_nationkey,
+               array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+               COUNT(DISTINCT c_mktsegment) AS n_segments
+        FROM customer
+        GROUP BY c_nationkey
     """
 
     sql["q32_asof_join"] = """

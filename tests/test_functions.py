@@ -148,3 +148,14 @@ def test_quality_score_bounds(spark):
     rich = _one(spark, quality_score(F.col("v")), "the and of to in is that for with are " * 20)
     junk = _one(spark, quality_score(F.col("v")), "!!!! ???? ####")
     assert rich > junk
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """HLL approx (the 100 TB default) stays within 5% of the exact
+    count that q39_distinct_counts oracles."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
