@@ -29,10 +29,12 @@ _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://"
 def looks_url_like(col: Column) -> Column:
     """True when the trimmed value starts with http(s):// or '/'.
 
-    Mirrors reference etl_merge.py:165-172.
+    Mirrors reference etl_merge.py:165-172. One rlike, not three
+    startswith branches: codegen inlines the shared trim/lower subtree
+    once per reference, so the single-regex form generates a third of
+    the code when this predicate lands inside a fused stage.
     """
-    s = F.lower(F.trim(col.cast("string")))
-    return s.startswith("http://") | s.startswith("https://") | s.startswith("/")
+    return F.trim(col.cast("string")).rlike(r"(?i)^(https?://|/)")
 
 
 def _filter_query(query: Column, strip_all_query: bool) -> Column:

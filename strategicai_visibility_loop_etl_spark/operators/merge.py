@@ -32,12 +32,31 @@ def dedup_spine(df: DataFrame, key: str = "url") -> DataFrame:
 
 
 def merge_visibility(
-    frog: DataFrame, gsc: DataFrame, ga4: DataFrame, key: str = "url"
+    frog: DataFrame,
+    gsc: DataFrame,
+    ga4: DataFrame,
+    key: str = "url",
+    drop_empty_keys: bool = False,
 ) -> DataFrame:
-    # Cast only inside the emptiness test so the join key keeps its
-    # native type (ANSI mode rejects length() on numeric keys).
-    non_empty = F.col(key).isNotNull() & (F.trim(F.col(key).cast("string")) != "")
-    spine = dedup_spine(frog.filter(non_empty), key)
+    """Spine dedup + two left joins (reference etl_merge.py:758-777).
+
+    Like the reference, null/empty keys are KEPT by default (deduped to
+    one spine row; they match nothing in the joins on either engine).
+    ``drop_empty_keys`` exists for callers that want the guard — but
+    note: when ``key`` is an unevaluated derived column (e.g. the URL
+    normalizer's expression tree), a filter on it is predicate-pushed
+    below the projection with the full tree substituted per reference,
+    which can exceed the JVM's 64 KB method limit and knock the whole
+    stage out of codegen. Filter junk on the RAW column at load time
+    instead; that predicate reaches the scan.
+    """
+    spine = frog
+    if drop_empty_keys:
+        # Cast only inside the emptiness test so the join key keeps its
+        # native type (ANSI mode rejects length() on numeric keys).
+        non_empty = F.col(key).isNotNull() & (F.trim(F.col(key).cast("string")) != "")
+        spine = spine.filter(non_empty)
+    spine = dedup_spine(spine, key)
     return spine.join(gsc, key, "left").join(ga4, key, "left")
 
 
