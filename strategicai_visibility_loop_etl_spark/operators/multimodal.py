@@ -92,6 +92,58 @@ def extract_features(df: DataFrame, dim: int = 8, use_fake_decoder: bool = True)
     return df.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, payload binary, mime string, width int, height int"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    max_width: int = 256,
+    max_height: int = 256,
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """Aspect-preserving downscale via mapInPandas (Arrow-batched).
+
+    The codec is stubbed: the fake "resizer" passes the payload through
+    and computes the target dimensions from metadata with the same
+    aspect-ratio math a real resize would use — so the schema, batch
+    shape, and dimension logic are all real and tested, and a PIL/opencv
+    call slots into the marked seam. Rows whose metadata lacks
+    dimensions pass through unresized (None width/height), mirroring
+    how a real pipeline quarantines undecodable media rather than
+    failing the batch.
+    """
+
+    def _target(w, h):
+        if w is None or h is None or w <= 0 or h <= 0:
+            return None, None
+        scale = min(max_width / w, max_height / h, 1.0)
+        return int(w * scale), int(h * scale)
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder:
+                raise DecodeNotAvailable("no media codec in this environment")
+            metas = pdf["meta"]
+            dims = [
+                _target((m or {}).get("width"), (m or {}).get("height"))
+                for m in metas
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    # Real impl: decoded-and-reencoded bytes. Stub: passthrough.
+                    "payload": pdf["payload"],
+                    "mime": metas.map(lambda m: (m or {}).get("mime")),
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                }
+            )
+
+    return df.mapInPandas(op, schema=RESIZED_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled timestamp.
 

@@ -13,6 +13,7 @@ from strategicai_visibility_loop_etl_spark.operators.multimodal import (
     DecodeNotAvailable,
     decode_image,
     extract_features,
+    resize_images,
     sample_frames,
 )
 
@@ -63,3 +64,17 @@ def test_sample_frames_counts(spark):
     assert sorted(per_media[2]) == [0, 1000, 2000, 3000]
     # no duration -> single frame at 0
     assert per_media[1] == [0]
+
+
+def test_resize_images_dims_and_passthrough(spark):
+    out = {r["media_id"]: r for r in resize_images(_media_df(spark), 32, 32).collect()}
+    # 64x48 scaled by min(32/64, 32/48) = 0.5 -> 32x24, aspect preserved.
+    assert (out[1]["width"], out[1]["height"]) == (32, 24)
+    assert bytes(out[1]["payload"]) == b"\x89PNG fake image bytes"
+    # No dimensions in metadata -> quarantined passthrough, not a failure.
+    assert out[2]["width"] is None and out[2]["height"] is None
+    # Never upscale: 1x1 stays 1x1.
+    assert (out[3]["width"], out[3]["height"]) == (1, 1)
+    with pytest.raises(Exception) as err:
+        resize_images(_media_df(spark), use_fake_decoder=False).collect()
+    assert "DecodeNotAvailable" in str(err.value) or "codec" in str(err.value)
