@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: the shapes that matter at 100 TB.
+
+Correctness tests prove the answer; these prove the PLAN — filters
+reach the parquet scan, small dims broadcast, top-N never globally
+sorts, the anomaly slice never single-partitions. A refactor that
+keeps results but loses one of these shapes regresses 100× at scale
+while staying green everywhere else; these tests catch that.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_to_parquet_scan(spark, sf_dir):
+    plan = _plan(entrymod.q01_pricing_summary(spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan, plan[:2000]
+    # Column pruning: the scan must not read the whole 16-col lineitem.
+    assert "ReadSchema" in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read and "l_shipmode" not in read, read
+
+
+def test_q03_small_dim_broadcasts(spark, sf_dir):
+    plan = _plan(entrymod.q03_top_orders(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # Global sort+limit must compile to TakeOrdered, not a full sort.
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_q14_bucket_scoring_is_joinless(spark, sf_dir):
+    """Expected-CTR buckets are a when-chain projection, not a join —
+    first-match semantics with zero shuffle."""
+    plan = _plan(entrymod.q14_ctr_underperf(spark, sf_dir))
+    assert "RangeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # One broadcast is allowed (the scalar median fallback); the bucket
+    # table itself must not appear as a join of N bucket rows.
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:3000]
+
+
+def test_q37_semi_anti_stay_semi_anti(spark, sf_dir):
+    plan = _plan(entrymod.q37_semi_anti_join(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_q16_topn_uses_group_limit(spark, sf_dir):
+    """Top-N per group must pre-prune via WindowGroupLimit (Spark 3.5+)
+    so only N rows per key survive the shuffle, not the full table."""
+    plan = _plan(entrymod.q16_top_parts_per_brand(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_pipeline_merge_has_no_giant_interpreted_stage(spark, tmp_path):
+    """The visibility merge must stay inside whole-stage codegen: the
+    constraint-propagation pathology (inferred isnotnull(url) expanded
+    through the normalize tree) previously emitted >64KB methods and
+    knocked stages into interpreted mode. Guard: with the pipeline's
+    conf applied, the merge plan carries no filter on the url leg long
+    enough to embed the expanded tree."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import agg_gsc
+    from strategicai_visibility_loop_etl_spark.operators.merge import merge_visibility
+    from strategicai_visibility_loop_etl_spark.sources.loaders import load_frog, load_gsc
+
+    frog_csv = tmp_path / "frog.csv"
+    frog_csv.write_text(
+        "Address,Status Code\nhttps://a.example/x,200\n/rel/path,200\n"
+    )
+    gsc_csv = tmp_path / "gsc.csv"
+    gsc_csv.write_text(
+        "Top pages,Clicks,Impressions,CTR,Position\nhttps://a.example/x,5,100,5%,2.0\n"
+    )
+    prev = spark.conf.get("spark.sql.constraintPropagation.enabled")
+    try:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+        frog = load_frog(spark, str(frog_csv), "https://a.example")
+        gsc = agg_gsc(load_gsc(spark, str(gsc_csv), "https://a.example"))
+        merged = merge_visibility(frog, gsc, gsc.select("url", "clicks"))
+        plan = _plan(merged)
+        # The expanded pathology produced plans of >1MB; a healthy plan
+        # for this 3-leg merge is a few KB.
+        assert len(plan) < 100_000, f"plan blew up: {len(plan)} chars"
+    finally:
+        spark.conf.set("spark.sql.constraintPropagation.enabled", prev)
