@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import textwrap
 
+from pyspark.sql import functions as F
+
 from strategicai_visibility_loop_etl_spark.sources.loaders import load_frog, load_ga4, load_gsc
 from strategicai_visibility_loop_etl_spark.sources.readers import load_table_any
 from strategicai_visibility_loop_etl_spark.sources.resolve import (
@@ -163,3 +165,25 @@ def test_bucketed_write_join_without_shuffle(spark, tmp_path, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     spark.sql("DROP TABLE IF EXISTS t_li_b")
     spark.sql("DROP TABLE IF EXISTS t_ord_b")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path, sf_dir):
+    """A filter on the partition column must prune at planning time —
+    the scan's PartitionFilters carry the predicate and only matching
+    directories are read."""
+    from strategicai_visibility_loop_etl_spark.sources.sinks import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    spark.sql("DROP TABLE IF EXISTS t_ord_part")
+    write_bucketed(
+        orders, "t_ord_part", ["o_orderkey"], num_buckets=4,
+        partition_cols=["o_orderpriority"], path=str(tmp_path / "ord_part"),
+    )
+    df = spark.table("t_ord_part").filter(F.col("o_orderpriority") == "1-URGENT")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split("PartitionFilters")[1][:200], plan[:1500]
+    expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert df.count() == expected
+    spark.sql("DROP TABLE IF EXISTS t_ord_part")
