@@ -217,9 +217,19 @@ def _run_pipeline(
         outputs["schema_gaps"] = schema_gaps(merged)
 
     if out_dir:
+        # Parquet is the at-scale sink (splittable, column-pruned);
+        # output.csv_mirror additionally writes header'd CSV directories
+        # for the reference's downstream consumers. Distributed CSV (one
+        # part per partition), never coalesce(1) — a single-file write
+        # funnels the whole output through one task.
+        csv_mirror = bool((cfg.get("output", {}) or {}).get("csv_mirror", False))
         for name, df in outputs.items():
             if name != "merged":
                 df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+            if csv_mirror:
+                df.write.mode("overwrite").option("header", True).csv(
+                    os.path.join(out_dir, f"{name}_csv")
+                )
         # Governance run log (reference :986-1004): one append-only row
         # per run, env-gated via ETL_RUN_LOG / ETL_RUN_LOG_PATH.
         append_run_log(

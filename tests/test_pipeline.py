@@ -134,3 +134,23 @@ def test_pipeline_governance_logs(spark, fixture_paths, tmp_path, monkeypatch):
     assert os.path.isdir(tmp_path / "out" / "merged")
     merged_back = pd.read_parquet(tmp_path / "out" / "merged")
     assert len(merged_back) == 3
+
+
+def test_pipeline_csv_mirror(spark, fixture_paths, tmp_path, monkeypatch):
+    """output.csv_mirror writes header'd CSV directories alongside
+    parquet for the reference's downstream consumers."""
+    monkeypatch.setenv("SITE_BASE", "https://e.com")
+    cfg = default_config()
+    cfg["inputs"] = {
+        "screaming_frog": fixture_paths["frog"],
+        "gsc": fixture_paths["gsc"],
+        "ga4": fixture_paths["ga4"],
+    }
+    cfg["output"]["csv_mirror"] = True
+    out = tmp_path / "out"
+    run_visibility_pipeline(spark, cfg, out_dir=str(out))
+    for name in ("merged", "ctr_underperf", "schema_gaps"):
+        assert os.path.isdir(out / f"{name}_csv"), name
+    back = spark.read.option("header", True).csv(str(out / "merged_csv"))
+    assert back.count() == 3
+    assert "url" in back.columns and "missed_clicks" in back.columns
