@@ -16,14 +16,21 @@ from pyspark.sql import functions as F
 
 
 def dedup_spine(df: DataFrame, key: str = "url") -> DataFrame:
-    """Keep one row per key, deterministic first-by-ordering-column set.
+    """Keep one row per key, deterministically.
 
     ``dropDuplicates`` keeps an arbitrary row; for reproducible results
-    (and oracle parity) we keep the minimum row by the remaining
-    columns via row_number — one shuffle on the key.
+    (and oracle parity) we keep the row with the minimum ``xxhash64``
+    over the remaining columns via row_number — one shuffle on the key,
+    and the sort key is a single 8-byte long regardless of how wide the
+    spine is (a crawl spine carries title/meta_description/…; sorting
+    full rows would drag every byte through the comparator). Distinct
+    rows colliding on the 64-bit hash is the only nondeterminism left
+    (~2^-64 per key); identical rows tie harmlessly.
     """
     order_cols = [c for c in df.columns if c != key]
-    w = Window.partitionBy(key).orderBy(*[F.col(c).asc_nulls_last() for c in order_cols] or [F.lit(1)])
+    w = Window.partitionBy(key).orderBy(
+        F.xxhash64(*[F.col(c) for c in order_cols]).asc() if order_cols else F.lit(1)
+    )
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -105,7 +105,18 @@ def salted_join(
     (e.g. skewed *aggregation* feeding the join, or joins under
     ``spark.sql.adaptive.enabled=false``). Right side grows ×salt, so
     keep it the smaller input.
+
+    Only inner/left joins are supported: the right side is replicated
+    into every salt sub-key, so an unmatched right row under
+    ``how="right"``/``"full"`` would surface ``salt`` times — a silent
+    wrong answer. Salt the other input (or pre-aggregate) instead.
     """
+    if how not in {"inner", "left", "left_outer"}:
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left','left_outer'}}, got {how!r}: "
+            "replicated right-side rows would duplicate unmatched rows "
+            "under right/full outer joins"
+        )
     salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l_s = left.withColumn("__salt", salt_col.cast("int"))
     r_s = right.withColumn(
