@@ -2,9 +2,14 @@
 
 ``entry(spark)`` runs the flagship visibility-merge analog on sf0.001.
 ``queries()`` registers one callable per implemented operator from
-SURVEY.md §2; ``oracle_sql()`` carries the DuckDB twin for each
-SQL-expressible query (MinHash-LSH / SimHash / ANN-LSH are rows-only —
-their bucketing depends on xxhash64, which DuckDB does not provide).
+SURVEY.md §2; ``oracle_sql()`` carries the DuckDB twin for every query.
+The LSH trio (MinHash / SimHash / ANN) splits the check: the Spark
+query materializes its signature table to parquet (``_SIG_STAGE``), and
+the oracle replays the banding / Hamming / bucketing + verification
+over that parquet in DuckDB — the hashes stay Spark-side (DuckDB has
+no xxhash64 twin), but the LSH *logic* gets an engine-independent
+oracle. The driver always runs the Spark query before its oracle, so
+the staged parquet reflects the same sf.
 
 Determinism notes (how these queries hash-match the oracle):
 - Large double sums go through ``CAST(x AS DECIMAL(18,6))`` before
@@ -55,6 +60,12 @@ from strategicai_visibility_loop_etl_spark.operators.similarity import ann_lsh_t
 from strategicai_visibility_loop_etl_spark.plans.pipeline import default_config
 
 DEC = "decimal(18,6)"
+
+# Fixed signature-staging root: oracle_sql() strings are static, so the
+# LSH queries and their DuckDB twins must agree on one absolute path.
+# Bench/tests/driver run a query and its oracle back-to-back, so the
+# staged parquet always reflects the matching run.
+_SIG_STAGE = "/root/repo/.sig_stage"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -372,16 +383,25 @@ def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs (capability row 31; rows-only —
-    xxhash64 has no DuckDB twin). Banded signatures, bucket-join."""
+    """MinHash-LSH candidate pairs (capability row 31). Banded
+    signatures, bucket-join. The signature table stages to parquet and
+    the DuckDB oracle replays banding + verification over it with
+    brute-force band-slice equality (xxhash64 band-hash equality ⟺
+    slice equality modulo a ~2^-64 collision)."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_minhash_lsh(docs, k=3, num_hashes=64, bands=16, threshold=0.5)
+    return dedup_minhash_lsh(
+        docs, k=3, num_hashes=64, bands=16, threshold=0.5,
+        stage_path=f"{_SIG_STAGE}/minhash",
+    )
 
 
 def q24_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (capability row 32; rows-only oracle)."""
+    """SimHash near-dup pairs (capability row 32). The (id, h) table
+    stages to parquet; the DuckDB oracle brute-forces all-pairs Hamming
+    over it — the pigeonhole chunk bucketing provably finds every pair
+    within distance 3, so the sets must agree exactly."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_simhash(docs, max_hamming=3)
+    return dedup_simhash(docs, max_hamming=3, stage_path=f"{_SIG_STAGE}/simhash")
 
 
 def q25_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,12 +416,16 @@ def q25_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q29_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-k (capability row 33 scale path;
-    rows-only — recall vs q25 is asserted in tests)."""
+    recall vs q25 is additionally asserted in tests). Signature tables
+    stage to parquet; the DuckDB oracle replays band-match candidate
+    generation + exact cosine re-rank over them."""
     emb = _t(spark, sf_dir, "embeddings")
     queries_df = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ann_lsh_topk(emb, queries_df, k=5, nbits=16, bands=8)
+    return ann_lsh_topk(
+        emb, queries_df, k=5, nbits=16, bands=8, stage_path=f"{_SIG_STAGE}/ann"
+    )
 
 
 def q26_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,6 +1017,77 @@ def oracle_sql() -> dict[str, str]:
                    THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                         / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
                    ELSE 0.0 END >= 0.5
+    """
+
+    # --- LSH trio: replay the logic over Spark-staged signature parquet.
+    # q23: bands=16, r=4 over 64 minhashes; candidate ⟺ some band's 4
+    # signature slots match exactly (brute-forced here; Spark's xxhash64
+    # band-hash equality is the same predicate modulo hash collision).
+    # agree/64 has ≤6 decimal digits (64 = 2^6) so round(_, 6) is exact
+    # in both engines.
+    mh_bands = " OR ".join(
+        f"list_slice(a.sig, {b * 4 + 1}, {b * 4 + 4}) = list_slice(b.sig, {b * 4 + 1}, {b * 4 + 4})"
+        for b in range(16)
+    )
+    sql["q23_minhash_lsh"] = f"""
+        WITH s AS (
+            SELECT id, sig FROM read_parquet('{_SIG_STAGE}/minhash/*.parquet')
+        ),
+        cand AS (
+            SELECT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
+            FROM s a JOIN s b ON a.id < b.id
+            WHERE {mh_bands}
+        ),
+        est AS (
+            SELECT id_a, id_b,
+                   round(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0, 6)
+                       AS jaccard_est
+            FROM cand
+        )
+        SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5
+    """
+
+    # q24: all-pairs Hamming over the staged (id, h) table. The Spark
+    # side's 16-bit-chunk pigeonhole bucketing finds every pair within
+    # distance 3 by construction, so brute force must agree exactly.
+    sql["q24_simhash"] = f"""
+        WITH s AS (
+            SELECT id, h FROM read_parquet('{_SIG_STAGE}/simhash/*.parquet')
+        )
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE bit_count(xor(a.h, b.h)) <= 3
+    """
+
+    # q29: candidates ⟺ some 2-bit band of the 16-bit hyperplane
+    # signature matches; exact cosine re-rank over the staged vectors
+    # (same expression as the q25 oracle), top-5 per query.
+    ann_bands = " OR ".join(
+        f"((c.sig >> {b * 2}) & 3) = ((q.sig >> {b * 2}) & 3)" for b in range(8)
+    )
+    sql["q29_ann_lsh"] = f"""
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, sig
+            FROM read_parquet('{_SIG_STAGE}/ann/corpus/*.parquet')
+        ),
+        q AS (
+            SELECT query_id, CAST(query_vec AS DOUBLE[]) AS qv, sig
+            FROM read_parquet('{_SIG_STAGE}/ann/query/*.parquet')
+        ),
+        s AS (
+            SELECT q.query_id, c.vec_id,
+                   round(CASE WHEN sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)) > 0
+                              THEN list_dot_product(cv, qv)
+                                   / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                              ELSE 0.0 END, 6) AS cosine
+            FROM c, q
+            WHERE {ann_bands}
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM s
+        ) WHERE rank <= 5
     """
 
     sql["q25_embedding_topk"] = """

@@ -171,17 +171,31 @@ def minhash_signatures(
     )
 
 
-def dedup_minhash_lsh(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    k: int = 3,
+def _stage_roundtrip(df: DataFrame, stage_path: str | None) -> DataFrame:
+    """Optionally write ``df`` to parquet and read it back.
+
+    Two jobs in one: (a) a materialization barrier — the signature table
+    is computed ONCE instead of re-executing the explode+agg subtree for
+    every plan branch that consumes it (bucket sizing AND both sides of
+    the self-join); (b) an engine-independent audit surface — the staged
+    parquet is exactly what the DuckDB oracle replays the LSH logic
+    over, so the banding/Hamming verification gets checked outside
+    Spark (the hashes themselves stay Spark-side by design).
+    """
+    if stage_path is None:
+        return df
+    df.write.mode("overwrite").parquet(stage_path)
+    return df.sparkSession.read.parquet(stage_path)
+
+
+def minhash_lsh_pairs(
+    sig_df: DataFrame,
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket: int = 2000,
 ) -> DataFrame:
-    """Near-dup pairs via banded MinHash-LSH, verified on signatures.
+    """Candidate pairs from a ``(id, sig)`` signature table.
 
     rows-per-band r = num_hashes // bands. A pair lands in a candidate
     bucket iff some band of r minhashes matches exactly. Verification
@@ -192,17 +206,15 @@ def dedup_minhash_lsh(
     exact dedup).
     """
     r = num_hashes // bands
-    ex = exploded_shingles(df, text_col, id_col, k)
-    agg = ex.groupBy("id").agg(*_minhash_cols(num_hashes))
-
     band_hash = [
         F.xxhash64(
-            F.concat_ws(",", *[F.col(f"__h{b * r + j}").cast("string") for j in range(r)])
+            F.concat_ws(
+                ",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)]
+            )
         ).alias(f"__b{b}")
         for b in range(bands)
     ]
-    sig = F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
-    with_bands = agg.select("id", sig, *band_hash)
+    with_bands = sig_df.select("id", "sig", *band_hash)
 
     band_rows = with_bands.select(
         "id",
@@ -240,6 +252,27 @@ def dedup_minhash_lsh(
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int = 2000,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified on signatures.
+
+    ``stage_path`` materializes the signature table to parquet and
+    derives the pairs from the read-back — see ``_stage_roundtrip``.
+    """
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    sig = _stage_roundtrip(sig, stage_path)
+    return minhash_lsh_pairs(sig, num_hashes, bands, threshold, max_bucket)
 
 
 def simhash64(text: Column) -> Column:
@@ -306,20 +339,17 @@ def simhash_table(
     return bit_counts.select("id", assembled.alias("h"))
 
 
-def dedup_simhash(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def simhash_pairs(
+    hashed: DataFrame,
     max_hamming: int = 3,
     max_bucket: int = 2000,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """Near-dup pairs from a ``(id, h)`` SimHash table.
 
     Pigeonhole bucketing: split the 64-bit hash into 4 × 16-bit chunks;
     any pair within distance 3 agrees exactly on ≥ 1 chunk, so
     candidates = pairs sharing (chunk_idx, chunk_value).
     """
-    hashed = simhash_table(df, text_col, id_col)
     chunks = hashed.select(
         "id",
         "h",
@@ -351,3 +381,20 @@ def dedup_simhash(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def dedup_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 2000,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    ``stage_path`` materializes the ``(id, h)`` table to parquet and
+    derives the pairs from the read-back — see ``_stage_roundtrip``.
+    """
+    hashed = _stage_roundtrip(simhash_table(df, text_col, id_col), stage_path)
+    return simhash_pairs(hashed, max_hamming, max_bucket)

@@ -99,13 +99,22 @@ def ann_lsh_topk(
     query_id: str = "query_id",
     query_vec: str = "query_vec",
     seed: int = 42,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH.
 
     The ``nbits`` signature is split into ``bands``; a corpus vector is
     a candidate for a query iff they agree on at least one band
     (multi-probe recall boost without hamming-ball enumeration).
+
+    ``stage_path`` materializes the signature tables to parquet
+    (``{stage_path}/corpus`` and ``{stage_path}/query``, columns
+    id + vector + sig) and derives candidates from the read-back —
+    a compute-once barrier for the signature UDF, and the surface an
+    engine-independent oracle replays the banding over.
     """
+    from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
+
     if dim is None:
         first = corpus.select(F.size(corpus_vec).alias("d")).first()
         dim = int(first["d"]) if first else 0
@@ -124,6 +133,9 @@ def ann_lsh_topk(
     q_sig = queries.select(
         F.col(query_id), F.col(query_vec), _signature(F.col(query_vec), planes).alias("sig")
     )
+    if stage_path is not None:
+        c_sig = _stage_roundtrip(c_sig, f"{stage_path}/corpus")
+        q_sig = _stage_roundtrip(q_sig, f"{stage_path}/query")
 
     c_bands = c_sig.select(
         corpus_id,
