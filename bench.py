@@ -50,8 +50,20 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # Warmup: absorb session/codegen startup cost outside the timings.
+    # Warmup: absorb session/codegen startup cost outside the timings,
+    # and spin up the per-core Python UDF daemons (first pandas-UDF use
+    # otherwise pays ~3 s of worker+Arrow startup inside one query's
+    # timing — a fixed per-session cost any real workload amortizes).
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("double")
+    def _warm(x):
+        return x.astype("float64")
+
+    spark.range(0, 32_000, 1, int(cpus)).select(_warm(col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -70,10 +82,58 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "regressions": _regressions(timings, sf),
             }
         )
     )
     spark.stop()
+
+
+def _prev_round_queries(sf):
+    """Per-query timings from the newest BENCH_r*.json at the same sf.
+
+    Handles both the bare bench JSON line and the driver's wrapper
+    object (which stores the line inside a ``tail`` string).
+    """
+    import glob
+
+    best = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as fh:
+                d = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        inner = d
+        if "queries" not in d and isinstance(d.get("tail"), str):
+            i = d["tail"].find('{"metric"')
+            if i < 0:
+                continue
+            try:
+                inner = json.loads(d["tail"][i:].splitlines()[0])
+            except json.JSONDecodeError:
+                continue
+        if isinstance(inner.get("queries"), dict) and inner.get("sf") == sf:
+            best = inner["queries"]  # sorted glob -> last = newest round
+    return best
+
+
+def _regressions(timings, sf, ratio_gate: float = 1.5, abs_gate: float = 0.3):
+    """Flag queries >ratio_gate× slower than the previous round.
+
+    ``abs_gate`` filters sub-second jitter (0.2 s -> 0.35 s is noise,
+    not a regression). Returns {} when no comparable prior round exists.
+    """
+    prev = _prev_round_queries(sf)
+    if not prev:
+        return {}
+    out = {}
+    for name, now in timings.items():
+        p = prev.get(name)
+        if p and now > p * ratio_gate and now - p > abs_gate:
+            out[name] = {"prev": p, "now": now, "ratio": round(now / p, 2)}
+    return out
 
 
 if __name__ == "__main__":
