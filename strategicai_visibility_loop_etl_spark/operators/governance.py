@@ -7,13 +7,20 @@ data plane never touches them, and an append-only audit file is what
 the reference's consumers tail. Both are env-gated exactly like the
 reference (``ETL_RUN_LOG`` / ``ETL_AUTODETECT_LOG`` with ``*_PATH``
 overrides).
+
+The log path contract is DRIVER-LOCAL by design (append semantics
+don't exist on object stores); a path with a remote scheme raises
+loudly instead of writing to a surprising driver-local location.
 """
 
 from __future__ import annotations
 
 import csv
 import os
+import re
 from datetime import datetime, timezone
+
+_REMOTE_SCHEME = re.compile(r"^(?!file:)[a-zA-Z][a-zA-Z0-9+.-]*://")
 
 
 def _env_bool(name: str, default: bool) -> bool:
@@ -24,6 +31,13 @@ def _env_bool(name: str, default: bool) -> bool:
 
 
 def _append_csv(path: str, header: list[str], row: list) -> None:
+    if _REMOTE_SCHEME.match(path):
+        raise ValueError(
+            f"governance logs are driver-local append-only CSV; got remote path {path!r}. "
+            "Point ETL_RUN_LOG_PATH / ETL_AUTODETECT_LOG_PATH at local driver "
+            "storage (or a mounted filesystem) and ship the file from there."
+        )
+    path = path[len("file://"):] if path.startswith("file://") else path
     parent = os.path.dirname(path)
     if parent:
         os.makedirs(parent, exist_ok=True)
