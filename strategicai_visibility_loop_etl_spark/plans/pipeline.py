@@ -76,6 +76,66 @@ def _resolve_input(env_name: str, cfg: dict, cfg_key: str, default: str | None) 
     return inputs.get(cfg_key) or inputs.get(f"{cfg_key}_csv") or default
 
 
+# CSV-mirror rendering contract (reference to_csv(float_format="%.6f"),
+# etl_merge.py:860-902): ratio/config-derived columns are float by
+# construction there -> always "%.6f"; crawl/provenance ints are Int64
+# by construction -> always bare ints. Raw metric sums (clicks,
+# sessions, ...) take pandas' data-dependent inference: int64 (bare)
+# when fully populated and integral, float64 ("%.6f") otherwise — the
+# formatter reproduces that decision with one aggregate over the output.
+_MIRROR_FLOAT_COLS = {
+    "ctr", "ctr_pct", "position", "expected_ctr", "expected_ctr_uplift",
+    "ctr_deficit", "intent_multiplier", "missed_clicks", "missed_clicks_eff",
+    "engagement_rate", "engagement_rate_pct", "click_share",
+}
+_MIRROR_INT_COLS = {
+    "status_code", "click_depth", "inlinks", "word_count",
+    "avg_engagement_time", "run_timestamp", "priority_rank",
+}
+
+
+def format_csv_mirror(df: DataFrame) -> DataFrame:
+    """Render float columns the way the reference's CSV writer does.
+
+    ``%.6f`` never diverges between engines on bround'ed inputs: an
+    exact decimal tie at the 7th digit (…5×10⁻⁷) is not representable
+    in binary, so Java's and C's correctly-rounded formatting agree on
+    every double.
+    """
+    from pyspark.sql.types import DoubleType, FloatType  # noqa: PLC0415
+
+    dbl = [f.name for f in df.schema.fields if isinstance(f.dataType, (DoubleType, FloatType))]
+    dynamic = [c for c in dbl if c not in _MIRROR_FLOAT_COLS and c not in _MIRROR_INT_COLS]
+    int_like: set[str] = set()
+    if dynamic:
+        flags = df.agg(
+            *[
+                F.max(
+                    F.when(
+                        F.col(c).isNull() | (F.col(c) != F.floor(c)), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ).alias(c)
+                for c in dynamic
+            ]
+        ).first()
+        int_like = {c for c in dynamic if not (flags[c] or 0)}
+
+    out_cols = []
+    for f in df.schema.fields:
+        c = f.name
+        if not isinstance(f.dataType, (DoubleType, FloatType)):
+            out_cols.append(F.col(c))
+        elif c in _MIRROR_INT_COLS or c in int_like:
+            out_cols.append(F.col(c).cast("long").alias(c))
+        else:
+            out_cols.append(
+                F.when(
+                    F.col(c).isNotNull(), F.format_string("%.6f", F.col(c))
+                ).alias(c)
+            )
+    return df.select(*out_cols)
+
+
 def run_visibility_pipeline(
     spark: SparkSession,
     cfg: dict | None = None,
@@ -227,7 +287,12 @@ def _run_pipeline(
             if name != "merged":
                 df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
             if csv_mirror:
-                df.write.mode("overwrite").option("header", True).csv(
+                # escape='"' doubles embedded quotes like pandas'
+                # QUOTE_MINIMAL; emptyValue='' renders empty strings
+                # bare (Spark's default '""' would diff vs pandas).
+                format_csv_mirror(df).write.mode("overwrite").option(
+                    "header", True
+                ).option("escape", '"').option("emptyValue", "").csv(
                     os.path.join(out_dir, f"{name}_csv")
                 )
         # Governance run log (reference :986-1004): one append-only row

@@ -154,3 +154,60 @@ def test_pipeline_csv_mirror(spark, fixture_paths, tmp_path, monkeypatch):
     back = spark.read.option("header", True).csv(str(out / "merged_csv"))
     assert back.count() == 3
     assert "url" in back.columns and "missed_clicks" in back.columns
+
+
+def test_csv_mirror_bytes_match_pandas_rendering(spark, fixture_paths, tmp_path, monkeypatch):
+    """The mirror must be byte-identical (modulo row order) to the
+    reference's rendering mechanism — pandas ``to_csv(index=False,
+    float_format="%.6f")`` over the same data with the reference's
+    dtype contract: ratio/config columns float by construction, crawl
+    ints Int64 by construction, raw metric sums inferred int64 when
+    fully populated and integral."""
+    import glob
+    import io
+
+    import pandas as pd
+
+    monkeypatch.setenv("SITE_BASE", "https://e.com")
+    monkeypatch.setenv("ETL_RUN_LOG", "0")
+    monkeypatch.setenv("ETL_AUTODETECT_LOG", "0")
+    cfg = default_config()
+    cfg["inputs"] = {
+        "screaming_frog": fixture_paths["frog"],
+        "gsc": fixture_paths["gsc"],
+        "ga4": fixture_paths["ga4"],
+    }
+    cfg["output"]["csv_mirror"] = True
+    out = tmp_path / "out"
+    run_visibility_pipeline(spark, cfg, out_dir=str(out))
+
+    float_by_construction = {
+        "ctr", "ctr_pct", "position", "expected_ctr", "expected_ctr_uplift",
+        "ctr_deficit", "intent_multiplier", "missed_clicks", "missed_clicks_eff",
+        "engagement_rate", "engagement_rate_pct", "click_share",
+    }
+    int_by_construction = {
+        "status_code", "click_depth", "inlinks", "word_count",
+        "avg_engagement_time", "run_timestamp",
+    }
+    pdf = pd.read_parquet(out / "merged")
+    for c in pdf.columns:
+        if c in int_by_construction:
+            pdf[c] = pd.to_numeric(pdf[c], errors="coerce").astype("Int64")
+        elif pdf[c].dtype.kind == "f" and c not in float_by_construction:
+            # pandas' own inference: to_numeric yields int64 only for
+            # fully-populated integral columns.
+            if pdf[c].notna().all() and (pdf[c] % 1 == 0).all():
+                pdf[c] = pdf[c].astype("int64")
+    buf = io.StringIO()
+    pdf.to_csv(buf, index=False, float_format="%.6f")
+    exp_header, *exp_rows = buf.getvalue().splitlines()
+
+    got_rows, got_header = [], None
+    for part in glob.glob(str(out / "merged_csv" / "part-*")):
+        with open(part) as fh:
+            lines = fh.read().splitlines()
+        got_header = lines[0]
+        got_rows += lines[1:]
+    assert got_header == exp_header
+    assert sorted(got_rows) == sorted(exp_rows)
