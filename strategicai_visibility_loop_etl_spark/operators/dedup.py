@@ -85,7 +85,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    max_bucket: int = 1000,
+    max_bucket: int | str = 1000,
 ) -> DataFrame:
     """Near-dup pairs with word-k-gram Jaccard ≥ threshold.
 
@@ -101,7 +101,9 @@ def ngram_jaccard_pairs(
     ex = exploded_shingles(df, text_col, id_col, k)
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
 
-    hot = ex.groupBy("g").agg(F.count("*").alias("n")).filter(F.col("n") > max_bucket)
+    posting_sizes = ex.groupBy("g").agg(F.count("*").alias("n"))
+    cap = resolve_max_bucket(posting_sizes, max_bucket)
+    hot = posting_sizes.filter(F.col("n") > cap)
     pruned = ex.join(F.broadcast(hot.select("g")), "g", "left_anti")
 
     a = pruned.select(F.col("g"), F.col("id").alias("id_a"))
@@ -171,6 +173,35 @@ def minhash_signatures(
     )
 
 
+def resolve_max_bucket(
+    bucket_sizes: DataFrame,
+    max_bucket: int | str,
+    size_col: str = "n",
+    floor: int = 16,
+    headroom: int = 8,
+) -> int:
+    """Static int passthrough, or ``"auto"``: derive the hot-bucket
+    cutoff from the bucket-size distribution itself.
+
+    ``auto`` = max(floor, headroom × p99.9 of bucket sizes) — web-scale
+    boilerplate (a shingle like "all rights reserved", a SimHash chunk
+    shared by templated pages) sits orders of magnitude above the p99.9
+    of organic bucket sizes, so it gets dropped without hand-tuning a
+    constant per corpus. Costs one tiny aggregate over the (bucket,
+    count) table — a scalar to the driver, independent of corpus size.
+    The oracle-gated queries pin explicit thresholds sized above the
+    test corpus (pruning there would diverge from the brute-force
+    oracles, which model no pruning).
+    """
+    if max_bucket != "auto":
+        return int(max_bucket)
+    row = bucket_sizes.agg(
+        F.percentile_approx(size_col, 0.999, 10_000).alias("q")
+    ).first()
+    q = row["q"] if row and row["q"] is not None else 1
+    return max(floor, int(q) * headroom)
+
+
 def _stage_roundtrip(df: DataFrame, stage_path: str | None) -> DataFrame:
     """Optionally write ``df`` to parquet and read it back.
 
@@ -193,7 +224,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
-    max_bucket: int = 2000,
+    max_bucket: int | str = 2000,
 ) -> DataFrame:
     """Candidate pairs from a ``(id, sig)`` signature table.
 
@@ -230,7 +261,8 @@ def minhash_lsh_pairs(
     ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
     bucket_sizes = band_rows.groupBy("band", "bh").agg(F.count("*").alias("n"))
-    ok = bucket_sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select("band", "bh")
+    cap = resolve_max_bucket(bucket_sizes, max_bucket)
+    ok = bucket_sizes.filter((F.col("n") > 1) & (F.col("n") <= cap)).select("band", "bh")
     pruned = band_rows.join(ok, ["band", "bh"])
 
     a = pruned.select("band", "bh", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -262,7 +294,7 @@ def dedup_minhash_lsh(
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.7,
-    max_bucket: int = 2000,
+    max_bucket: int | str = 2000,
     stage_path: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified on signatures.
@@ -342,7 +374,7 @@ def simhash_table(
 def simhash_pairs(
     hashed: DataFrame,
     max_hamming: int = 3,
-    max_bucket: int = 2000,
+    max_bucket: int | str = 2000,
 ) -> DataFrame:
     """Near-dup pairs from a ``(id, h)`` SimHash table.
 
@@ -367,7 +399,8 @@ def simhash_pairs(
     ).select("id", "h", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
 
     sizes = chunks.groupBy("ci", "cv").agg(F.count("*").alias("n"))
-    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select("ci", "cv")
+    cap = resolve_max_bucket(sizes, max_bucket)
+    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= cap)).select("ci", "cv")
     pruned = chunks.join(ok, ["ci", "cv"])
 
     a = pruned.select("ci", "cv", F.col("id").alias("id_a"), F.col("h").alias("h_a"))
@@ -388,7 +421,7 @@ def dedup_simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket: int = 2000,
+    max_bucket: int | str = 2000,
     stage_path: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming.

@@ -85,6 +85,58 @@ def test_simhash_hot_bucket_guard(spark):
     assert dedup_simhash(df, max_bucket=2000).count() == 0
 
 
+def _pathological_corpus(spark, n_identical=1000, n_bases=5000):
+    """1k identical boilerplate docs + 10k near-dups (5k pairs of
+    2 variants each) — the skew shape that melts naive LSH. Base docs
+    use per-doc token vocabularies so cross-base Jaccard is ~0 (a
+    shared sentence frame would make unrelated docs genuinely similar
+    and the estimator would rightly pair them)."""
+    rows = [(i, BASE) for i in range(n_identical)]
+    nid = n_identical
+    for b in range(n_bases):
+        text = " ".join(f"tok{b}w{j}" for j in range(20))
+        rows.append((nid, text))
+        rows.append((nid + 1, text + " extra"))
+        nid += 2
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_auto_max_bucket_bounds_candidates_on_skew(spark):
+    """max_bucket="auto" derives the hot-bucket cutoff from the bucket
+    size distribution: the 1k-identical block (bucket size 1000, far
+    above p99.9 of organic sizes) is dropped instead of producing
+    C(1000,2) ≈ 500k candidate pairs, while organic near-dup pairs are
+    still found. Output stays O(n · cap), not O(hot²)."""
+    df = _pathological_corpus(spark)
+    n_docs = df.count()
+    pairs = dedup_minhash_lsh(df, threshold=0.5, max_bucket="auto").collect()
+    # Bounded: nowhere near the 499,500 pairs of the identical block.
+    assert len(pairs) <= n_docs * 2, len(pairs)
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # Identical-block pairs are pruned (exact dedup's job) ...
+    assert not any(a < 1000 and b < 1000 for a, b in ids)
+    # ... while organic near-dup pairs survive in volume.
+    organic = {(a, b) for a, b in ids if a >= 1000 and b == a + 1}
+    assert len(organic) >= 4000, len(organic)
+
+
+def test_auto_max_bucket_simhash_bounds_candidates(spark):
+    df = _pathological_corpus(spark, n_identical=1000, n_bases=1000)
+    pairs = dedup_simhash(df, max_hamming=3, max_bucket="auto").collect()
+    assert len(pairs) <= df.count() * 2, len(pairs)
+    assert not any(r["id_a"] < 1000 and r["id_b"] < 1000 for r in pairs)
+
+
+def test_resolve_max_bucket_static_and_auto(spark):
+    from strategicai_visibility_loop_etl_spark.operators.dedup import resolve_max_bucket
+
+    sizes = spark.createDataFrame([(i, 2) for i in range(999)] + [(999, 1000)], "b long, n long")
+    assert resolve_max_bucket(sizes, 123) == 123
+    auto = resolve_max_bucket(sizes, "auto")
+    # p99.9 of {2×999, 1000} is small; headroom 8 with floor 16.
+    assert 16 <= auto < 1000, auto
+
+
 def _embeddings(spark):
     import math
 
