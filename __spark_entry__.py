@@ -24,6 +24,7 @@ Determinism notes (how these queries hash-match the oracle):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -76,11 +77,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _exact_sums() -> bool:
+    """Sum mode switch: SPARK_GRAFT_EXACT_SUMS=0 flips every _dsum to a
+    plain double sum — the production choice at 100 TB (decimal adds
+    ~2× to sum-heavy aggregations; see BASELINE.md for the measured
+    delta). Default ON: the correctness gate pins the exact,
+    order-independent decimal form that hash-matches DuckDB."""
+    return os.getenv("SPARK_GRAFT_EXACT_SUMS", "1").strip().lower() not in {"0", "false", "no"}
+
+
 def _dsum(col, alias: str):
-    """Exact, order-independent double sum via decimal (see module doc)."""
-    return F.sum(F.col(col).cast(DEC) if isinstance(col, str) else col.cast(DEC)).cast(
-        "double"
-    ).alias(alias)
+    """Exact, order-independent double sum via decimal (see module doc),
+    or a plain double sum under SPARK_GRAFT_EXACT_SUMS=0."""
+    c = F.col(col) if isinstance(col, str) else col
+    if _exact_sums():
+        return F.sum(c.cast(DEC)).cast("double").alias(alias)
+    return F.sum(c.cast("double")).alias(alias)
 
 
 # ---------------------------------------------------------------------------
