@@ -57,6 +57,7 @@ from strategicai_visibility_loop_etl_spark.operators.relational import (
     union_sources,
 )
 from strategicai_visibility_loop_etl_spark.operators.scoring import score_expected_ctr
+from strategicai_visibility_loop_etl_spark.operators.textprep import EMAIL_RE, PHONE_RE
 from strategicai_visibility_loop_etl_spark.operators.similarity import ann_lsh_topk, knn_cosine_topk
 from strategicai_visibility_loop_etl_spark.plans.pipeline import default_config
 
@@ -655,6 +656,77 @@ def q40_avg_qty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER formation (new in round 3): connected
+    components over the Jaccard pair graph by min-label propagation
+    (O(diameter) join+agg rounds, lineage cut per round). The DuckDB
+    oracle recomputes edges brute-force and closes them with a
+    recursive CTE — a fully engine-independent check of the iterative
+    algorithm's fixed point."""
+    from strategicai_visibility_loop_etl_spark.operators.clusters import connected_components
+
+    edges = ngram_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir), k=3, threshold=0.5, max_bucket=10_000_000
+    ).select("id_a", "id_b")
+    return connected_components(edges)
+
+
+def q43_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (LLM ingest pre-tokenization):
+    64-token chunks, stride 48. sequence+explode+slice — pure codegen,
+    zero shuffles."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=16)
+
+
+def q44_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by multiplicative key hash:
+    per-returnflag rates from a broadcast dim; keying on l_orderkey
+    keeps whole orders together (group-consistent sampling)."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import hash_sample
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    rates = spark.createDataFrame(
+        [("A", 50), ("N", 200), ("R", 10)], "l_returnflag string, rate_per_mille int"
+    )
+    return hash_sample(li, rates, key_col="l_orderkey", stratum_col="l_returnflag")
+
+
+def q45_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII scrub (emails/phones → typed placeholders) over text
+    with synthesized deterministic PII — patterns restricted to the
+    Java/RE2 common regex subset so both engines agree exactly."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 202-555-"),
+        F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+    )
+    return docs.select("doc_id", redact_pii(pii_text).alias("clean_text"))
+
+
+def q46_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (closed-form running-sum window):
+    per-language packs of 256 tokens in doc_id order."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    with_counts = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        with_counts, budget_tokens=256, token_col="n_tokens", stratum_col="lang"
+    )
+
+
 def q41_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set aggregation to a deterministic string: distinct market
     segments per nation, sorted then joined. collect_set is
@@ -715,6 +787,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_distinct_counts": q39_distinct_counts,
         "q40_avg_qty_outliers": q40_avg_qty_outliers,
         "q41_collect_sorted": q41_collect_sorted,
+        "q42_dedup_clusters": q42_dedup_clusters,
+        "q43_chunk_documents": q43_chunk_documents,
+        "q44_stratified_sample": q44_stratified_sample,
+        "q45_pii_redaction": q45_pii_redaction,
+        "q46_pack_sequences": q46_pack_sequences,
     }
 
 
@@ -1287,6 +1364,104 @@ def oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT c_mktsegment) AS n_segments
         FROM customer
         GROUP BY c_nationkey
+    """
+
+    # --- round-3 training-data operators -------------------------------
+    # q42: brute-force Jaccard edges over the dup-union corpus, closed
+    # transitively with a recursive CTE — min reachable id = component.
+    jac = (
+        "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+        " / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+    )
+    sql["q42_dedup_clusters"] = f"""
+        WITH RECURSIVE t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM ({dup_union})
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+            FROM t WHERE len(toks) >= 3
+        ),
+        e AS (
+            SELECT a.doc_id AS ea, b.doc_id AS eb
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
+              AND {jac} >= 0.5
+        ),
+        sym AS (
+            SELECT ea AS a, eb AS b FROM e UNION ALL SELECT eb, ea FROM e
+        ),
+        reach(id, r) AS (
+            SELECT a, a FROM sym
+            UNION
+            SELECT sym.a, reach.r FROM sym JOIN reach ON reach.id = sym.b
+        )
+        SELECT id, MIN(r) AS component FROM reach GROUP BY id
+    """
+
+    sql["q43_chunk_documents"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        b AS (
+            SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ),
+        e AS (
+            SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS s FROM b
+        )
+        SELECT doc_id,
+               CAST(s // 48 AS INT) AS chunk_idx,
+               array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text,
+               CAST(least(64, n - s) AS INT) AS n_chunk_tokens
+        FROM e
+    """
+
+    sql["q44_stratified_sample"] = """
+        WITH rates(l_returnflag, rate_per_mille) AS (
+            VALUES ('A', 50), ('N', 200), ('R', 10)
+        )
+        SELECT l.l_returnflag, l.l_orderkey, l.l_linenumber, l.l_quantity
+        FROM lineitem l JOIN rates r ON l.l_returnflag = r.l_returnflag
+        WHERE (((l.l_orderkey % 2147483648) * 2654435761) % 4294967296) % 1000
+              < r.rate_per_mille
+    """
+
+    sql["q45_pii_redaction"] = (
+        """
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1 202-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                   '"""
+        + EMAIL_RE
+        + """', '[EMAIL]', 'g'),
+                 '"""
+        + PHONE_RE
+        + """', '[PHONE]', 'g') AS clean_text
+        FROM documents
+    """
+    )
+
+    tokcount = (
+        f"CASE WHEN {norm_text} = '' THEN 0 ELSE len(string_split({norm_text}, ' ')) END"
+    )
+    sql["q46_pack_sequences"] = f"""
+        WITH t AS (
+            SELECT doc_id, lang, CAST({tokcount} AS INT) AS n_tokens FROM documents
+        ),
+        w AS (
+            SELECT *, COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+            FROM t
+        )
+        SELECT doc_id, lang, n_tokens,
+               CAST(bef // 256 AS INT) AS pack_id,
+               CAST(bef % 256 AS BIGINT) AS pack_offset
+        FROM w
     """
 
     sql["q32_asof_join"] = """

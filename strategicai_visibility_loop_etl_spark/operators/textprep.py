@@ -1,0 +1,144 @@
+"""Training-data preparation operators: chunking, redaction, sampling,
+packing.
+
+All four are pure column-expression / window plans (whole-stage
+codegen, no Python in the hot path) and have exact ANSI-SQL twins, so
+they ride the same DuckDB oracle gate as the relational queries.
+
+- ``chunk_documents`` — split long documents into overlapping
+  token-window chunks (the pre-tokenization step of an LLM ingest
+  pipeline). ``sequence`` + ``explode`` + ``slice``: one narrow
+  explode, no shuffle at all until the caller aggregates.
+- ``redact_pii`` — regex scrub of emails/phones to typed placeholder
+  tokens. Plain ``regexp_replace`` chain (patterns kept to the regex
+  subset Java and RE2 share).
+- ``hash_sample`` — deterministic per-stratum sampling by a
+  multiplicative hash of the row key: reproducible across engines,
+  runs, and partitionings (``rand()`` is none of those), stratum rates
+  from a broadcastable dim.
+- ``pack_sequences`` — assign documents to fixed-token-budget packs in
+  key order via a running-sum window (closed-form ``floor(cumsum /
+  budget)``). A pack may overflow by at most one document — the
+  closed-form trade-off that keeps packing one window over one
+  shuffle; a strict never-overflow greedy is inherently sequential
+  (each decision depends on the accumulated remainder) and would need
+  a stateful per-partition pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text
+
+# Knuth's multiplicative constant; arithmetic stays in BIGINT range so
+# the SQL twin ((id * 2654435761) % 2^32) is bit-identical.
+_KNUTH = 2654435761
+_MOD = 4294967296
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_chunk_tokens) — overlapping
+    token windows of ``chunk_tokens`` with stride chunk_tokens−overlap.
+
+    Empty documents produce no chunks. The last chunk may be short
+    (never empty): starts are 0, stride, … < n_tokens.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__n")
+    ).filter((F.col("__n") > 0) & (F.element_at("__toks", 1) != ""))
+    starts = F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    exploded = base.select(
+        id_col, "__toks", "__n", F.explode(starts).alias("__start")
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        (F.col("__start") / stride).cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("__start")).alias(
+            "n_chunk_tokens"
+        ),
+    )
+
+
+# Patterns restricted to the Java/RE2 common subset (char classes,
+# bounded repeats — no backrefs or lookarounds).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9]{1,3}([- ][0-9]{2,4}){2,4}"
+
+
+def redact_pii(
+    col,
+    email_token: str = "[EMAIL]",
+    phone_token: str = "[PHONE]",
+):
+    """Column expression: emails then phones replaced by placeholder
+    tokens. Order matters — emails first so digits inside an address
+    are not half-eaten by the phone pattern."""
+    out = F.regexp_replace(col, EMAIL_RE, email_token)
+    return F.regexp_replace(out, PHONE_RE, phone_token)
+
+
+def hash_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rate_col: str = "rate_per_mille",
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff
+    ``(key × 2654435761) mod 2³² mod 1000 < rate_per_mille`` for its
+    stratum. ``rates`` is a tiny (stratum, rate_per_mille) dim —
+    broadcast join, no shuffle on the fact side; the decision is a
+    pure function of the key, so resampling with a higher rate yields
+    a superset (stable expansion — the property training-data
+    pipelines need from a sample).
+
+    The key folds to 31 bits before the multiply so the arithmetic
+    never overflows BIGINT (ANSI mode throws on overflow) and the SQL
+    twin stays bit-identical."""
+    folded = F.pmod(F.col(key_col), F.lit(2147483648))
+    bucket = F.pmod((folded * F.lit(_KNUTH)) % F.lit(_MOD), F.lit(1000))
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(bucket < F.col(rate_col))
+        .drop(rate_col)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """(…, pack_id, pack_offset) — documents assigned to token-budget
+    packs in ``id_col`` order (optionally per stratum).
+
+    pack_id = floor(running-sum-before-this-doc / budget): one window
+    over one shuffle (or per-stratum windows). See module doc for the
+    overflow-by-one-document trade-off vs a sequential greedy.
+    """
+    part = [stratum_col] if stratum_col else []
+    w = Window.partitionBy(*part).orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("bigint"))
+    return df.select(
+        "*",
+        F.floor(before / budget_tokens).cast("int").alias("pack_id"),
+        (before % budget_tokens).cast("bigint").alias("pack_offset"),
+    )

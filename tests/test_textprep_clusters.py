@@ -1,0 +1,99 @@
+"""Unit tests for training-data prep operators (chunking, redaction,
+sampling, packing) and near-dup cluster formation — hand-computed
+known answers; the sf-scale DuckDB oracle check lives in test_oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.operators.clusters import (
+    cluster_representatives,
+    connected_components,
+)
+from strategicai_visibility_loop_etl_spark.operators.textprep import (
+    chunk_documents,
+    hash_sample,
+    pack_sequences,
+    redact_pii,
+)
+
+
+def test_chunking_windows_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, ""), (3, None)], "doc_id long, text string")
+    out = {r["chunk_idx"]: r for r in chunk_documents(df, chunk_tokens=4, overlap=2).collect()}
+    # stride 2 -> starts 0,2,4,6,8
+    assert sorted(out) == [0, 1, 2, 3, 4]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"] == "w2 w3 w4 w5"
+    assert out[4]["chunk_text"] == "w8 w9"  # short tail chunk
+    assert out[4]["n_chunk_tokens"] == 2
+    assert all(r["doc_id"] == 1 for r in out.values())  # empty/null -> no chunks
+
+
+def test_chunking_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_redact_pii_known_strings(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at first.last+tag@sub.example.co.uk today"),
+            (2, "call +44 20 7946 0958 now"),
+            (3, "no pii here, just 12345 numbers"),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r["c"] for r in df.select("id", redact_pii(F.col("t")).alias("c")).collect()}
+    assert out[1] == "mail me at [EMAIL] today"
+    assert out[2] == "call [PHONE] now"
+    assert out[3] == "no pii here, just 12345 numbers"
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.createDataFrame(
+        [(i, "A" if i % 2 == 0 else "B") for i in range(2000)], "k long, s string"
+    )
+    rates_lo = spark.createDataFrame([("A", 100), ("B", 100)], "s string, rate_per_mille int")
+    rates_hi = spark.createDataFrame([("A", 300), ("B", 300)], "s string, rate_per_mille int")
+    lo = {r["k"] for r in hash_sample(df, rates_lo, "k", "s").collect()}
+    lo2 = {r["k"] for r in hash_sample(df, rates_lo, "k", "s").collect()}
+    hi = {r["k"] for r in hash_sample(df, rates_hi, "k", "s").collect()}
+    assert lo == lo2  # deterministic
+    assert lo <= hi  # higher rate = superset (stable expansion)
+    assert 0.05 < len(lo) / 2000 < 0.15  # ~10%
+    assert 0.2 < len(hi) / 2000 < 0.4  # ~30%
+
+
+def test_pack_sequences_budget(spark):
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(10)], "doc_id long, n_tokens long"
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(df, budget_tokens=250).collect()}
+    # cumsum-before: 0,100,...,900 -> packs 0,0,0,1,1,2,2,2,3,3
+    assert [out[i]["pack_id"] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert out[0]["pack_offset"] == 0 and out[1]["pack_offset"] == 100
+
+
+def test_connected_components_chain_and_clique(spark):
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, clique 10-11-12, isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_cluster_representatives_keep_min(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    edges = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    comp = connected_components(edges)
+    kept = {r["doc_id"] for r in cluster_representatives(docs, comp).collect()}
+    # 1,3,5 collapse to 1; 0,2,4 untouched.
+    assert kept == {0, 1, 2, 4}
