@@ -659,16 +659,24 @@ def q40_avg_qty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTER formation (new in round 3): connected
     components over the Jaccard pair graph by min-label propagation
-    (O(diameter) join+agg rounds, lineage cut per round). The DuckDB
-    oracle recomputes edges brute-force and closes them with a
-    recursive CTE — a fully engine-independent check of the iterative
-    algorithm's fixed point."""
-    from strategicai_visibility_loop_etl_spark.operators.clusters import connected_components
+    (O(diameter) join+agg rounds, lineage cut per round). Exact
+    duplicates are collapsed FIRST (sha256 groupBy + O(n) star edges),
+    so the expensive shingle index only sees unique texts — the 100 TB
+    shape, and component-equivalent to the full graph (identical texts
+    ⇒ identical shingle sets). The DuckDB oracle recomputes edges
+    brute-force over ALL docs and closes them with a recursive CTE — a
+    fully engine-independent check of both the collapse equivalence and
+    the iterative algorithm's fixed point."""
+    from strategicai_visibility_loop_etl_spark.operators.clusters import (
+        collapse_exact,
+        connected_components,
+    )
 
-    edges = ngram_jaccard_pairs(
-        _docs_with_dups(spark, sf_dir), k=3, threshold=0.5, max_bucket=10_000_000
+    reps, stars = collapse_exact(_docs_with_dups(spark, sf_dir), min_tokens=3)
+    pairs = ngram_jaccard_pairs(
+        reps, k=3, threshold=0.5, max_bucket=10_000_000
     ).select("id_a", "id_b")
-    return connected_components(edges)
+    return connected_components(stars.unionByName(pairs))
 
 
 def q43_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -20,8 +20,52 @@ collect of the frame.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text
+
+
+def collapse_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate pre-collapse for near-dup clustering:
+    ``(representatives, star_edges)``.
+
+    Crawl corpora are 30-50% byte-identical pages; running shingle-based
+    candidate generation on them wastes the whole inverted index on
+    jaccard-1 pairs (every posting doubles, every dup pair meets in
+    EVERY shared shingle). Collapsing first costs one narrow shuffle on
+    a 64-hex digest and turns each exact group into O(n) star edges
+    (member → group-min) instead of O(n²) posting work.
+
+    Component equivalence with the uncollapsed graph: identical
+    normalized texts have identical shingle sets, so jaccard is a
+    function of the representative — every cross-group edge survives via
+    the rep pair, every in-group edge is replaced by stars to the same
+    rep, and the reachable-min label of every node is unchanged.
+
+    ``min_tokens`` must match the shingle width ``k`` of the pair
+    generator run on the representatives: docs with fewer tokens have no
+    shingles, hence no edges in the pair graph, and must not be pulled
+    into components by a star edge either.
+    """
+    norm = normalized_text(F.coalesce(F.col(text_col), F.lit("")))
+    t = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.sha2(norm, 256).alias("__key"),
+        F.when(norm == "", 0).otherwise(F.size(F.split(norm, " "))).alias("__n"),
+    ).filter(F.col("__n") >= min_tokens)
+    t = t.withColumn("__rep", F.min(id_col).over(Window.partitionBy("__key")))
+    reps = t.filter(F.col(id_col) == F.col("__rep")).select(id_col, text_col)
+    stars = t.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return reps, stars
 
 
 def connected_components(

@@ -88,6 +88,44 @@ def test_connected_components_chain_and_clique(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_collapse_exact_component_equivalence(spark):
+    """Components over (star edges ∪ rep pairs) must equal components
+    over the full uncollapsed pair graph — including cross-group
+    near-dup edges that only survive via representatives."""
+    from strategicai_visibility_loop_etl_spark.operators.clusters import collapse_exact
+    from strategicai_visibility_loop_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, base),
+        (2, base.upper()),          # exact dup of 1 (normalized)
+        (3, "  " + base + "  "),    # exact dup of 1 (whitespace)
+        (4, base + " tonight"),     # near-dup of the group
+        (5, "completely different text about spark execution plans here"),
+        (6, "Completely DIFFERENT text about spark execution plans here"),  # exact dup of 5
+        (7, "too short"),           # < 3 tokens: no shingles, must stay out
+        (8, "TOO SHORT"),           # exact dup of 7 — still must stay out
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = connected_components(
+        ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_bucket=10**6).select(
+            "id_a", "id_b"
+        )
+    )
+    reps, stars = collapse_exact(docs, min_tokens=3)
+    collapsed = connected_components(
+        stars.unionByName(
+            ngram_jaccard_pairs(reps, k=3, threshold=0.5, max_bucket=10**6).select(
+                "id_a", "id_b"
+            )
+        )
+    )
+    as_map = lambda df: {r["id"]: r["component"] for r in df.collect()}
+    assert as_map(full) == as_map(collapsed)
+    assert as_map(full) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}  # 7,8 excluded
+
+
 def test_cluster_representatives_keep_min(spark):
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
