@@ -34,6 +34,7 @@ from strategicai_visibility_loop_etl_spark.functions.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
     lang_id_expr,
+    normalized_text,
     quality_score,
     token_count,
 )
@@ -735,6 +736,57 @@ def q46_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics (top-bigram fraction, distinct
+    fraction) per document — the standard LLM quality-filter signal for
+    boilerplate and looped generations. Two partial-aggregable hash
+    aggregates over the exploded bigram table; exact integer counts,
+    IEEE-identical final divisions."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import repetition_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_metrics(docs, n=2, top_frac_threshold=0.2)
+
+
+def q48_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl diff (the visibility loop's run-over-run
+    comparison as a distributed op): old = documents; new = documents
+    with every 10th doc removed, every 7th reworded, and a shifted-id
+    batch added. Only (doc_id, sha256 digest) ride the full-outer
+    join's shuffle."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    digest = F.sha2(normalized_text(F.col("text")), 256)
+    old = docs.select("doc_id", digest.alias("digest"))
+    surviving = docs.filter(F.col("doc_id") % 10 != 0)
+    reworded = surviving.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    new = reworded.unionByName(added).select(
+        "doc_id", F.sha2(normalized_text(F.col("text")), 256).alias("digest")
+    )
+    return snapshot_diff(old, new, key_col="doc_id", fingerprint_col="digest")
+
+
+def q49_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 terms by document frequency: per-doc-distinct explode,
+    partial-agg count, TakeOrdered top-k (no global vocabulary sort).
+    Deterministic tiebreak (df desc, term asc)."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        term_document_frequency,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return term_document_frequency(docs, top_k=50)
+
+
 def q41_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set aggregation to a deterministic string: distinct market
     segments per nation, sorted then joined. collect_set is
@@ -800,6 +852,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_stratified_sample": q44_stratified_sample,
         "q45_pii_redaction": q45_pii_redaction,
         "q46_pack_sequences": q46_pack_sequences,
+        "q47_repetition_filter": q47_repetition_filter,
+        "q48_snapshot_diff": q48_snapshot_diff,
+        "q49_term_df": q49_term_df,
     }
 
 
@@ -1470,6 +1525,66 @@ def oracle_sql() -> dict[str, str]:
                CAST(bef // 256 AS INT) AS pack_id,
                CAST(bef % 256 AS BIGINT) AS pack_offset
         FROM w
+    """
+
+    sql["q47_repetition_filter"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        e AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS g
+            FROM t WHERE len(toks) >= 2
+        ),
+        per AS (
+            SELECT doc_id, g, COUNT(*) AS c FROM e GROUP BY doc_id, g
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_grams,
+               round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                   AS top_gram_frac,
+               round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                   AS distinct_gram_frac,
+               (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)) > 0.2
+                   AS repetitive
+        FROM per GROUP BY doc_id
+    """
+
+    rev_norm = _NORM.format(c="(text || ' rev2')")
+    sql["q48_snapshot_diff"] = f"""
+        WITH old AS (
+            SELECT doc_id, sha256({norm_text}) AS fp FROM documents
+        ),
+        new AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0 THEN sha256({rev_norm})
+                        ELSE sha256({norm_text}) END AS fp
+            FROM documents WHERE doc_id % 10 != 0
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, sha256({norm_text}) AS fp
+            FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+               CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    """
+
+    sql["q49_term_df"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        e AS (
+            SELECT doc_id, unnest(list_distinct(toks)) AS term FROM t
+        )
+        SELECT term, COUNT(*) AS doc_freq
+        FROM e WHERE term != ''
+        GROUP BY term
+        ORDER BY doc_freq DESC, term ASC
+        LIMIT 50
     """
 
     sql["q32_asof_join"] = """

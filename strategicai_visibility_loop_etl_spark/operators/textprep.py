@@ -118,6 +118,71 @@ def hash_sample(
     )
 
 
+def repetition_metrics(
+    df: DataFrame,
+    n: int = 2,
+    top_frac_threshold: float = 0.2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition quality metrics per document:
+    (id, n_grams, top_gram_frac, distinct_gram_frac, repetitive).
+
+    ``top_gram_frac`` = occurrences of the most frequent word-n-gram /
+    total n-grams; boilerplate and looped generations push it up.
+    Two hash aggregates over the exploded n-gram table — both partial
+    (map-side) aggregable, fully codegen'd; documents with fewer than
+    ``n`` tokens emit no n-grams and are excluded. Counts are exact
+    longs; the final per-row divisions are IEEE-identical across
+    engines, so the metrics oracle bit-exactly.
+    """
+    from pyspark.ml.feature import NGram  # noqa: PLC0415 (cheap, pure-plan transform)
+
+    toks = df.select(
+        F.col(id_col),
+        F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ").alias("__toks"),
+    )
+    grams = NGram(n=n, inputCol="__toks", outputCol="__g").transform(toks)
+    per = (
+        grams.select(id_col, F.explode("__g").alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+    )
+    top_frac = F.max("c") / F.sum("c")
+    return per.groupBy(id_col).agg(
+        F.sum("c").alias("n_grams"),
+        F.round(top_frac, 6).alias("top_gram_frac"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_gram_frac"),
+        (top_frac > top_frac_threshold).alias("repetitive"),
+    )
+
+
+def term_document_frequency(
+    df: DataFrame,
+    top_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_k`` terms by document frequency: (term, df).
+
+    Per-doc distinct terms (``array_distinct`` before the explode — no
+    shuffle spent on within-doc dedup), one partial-aggregable count
+    per term, then a TakeOrdered top-k (never a global sort of the
+    vocabulary). Deterministic tiebreak: df desc, term asc.
+    """
+    norm = normalized_text(F.coalesce(F.col(text_col), F.lit("")))
+    ex = (
+        df.select(F.explode(F.array_distinct(F.split(norm, " "))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return (
+        ex.groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("term"))
+        .limit(top_k)
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int,

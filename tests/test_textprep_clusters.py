@@ -78,6 +78,56 @@ def test_pack_sequences_budget(spark):
     assert out[0]["pack_offset"] == 0 and out[1]["pack_offset"] == 100
 
 
+def test_repetition_metrics_known_answers(spark):
+    from strategicai_visibility_loop_etl_spark.operators.textprep import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),     # bigrams: 4x "spam spam"
+            (2, "all words here are unique now"),  # 5 distinct bigrams
+            (3, "one"),                          # <2 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(df, n=2).collect()}
+    assert sorted(out) == [1, 2]
+    assert out[1]["n_grams"] == 4 and out[1]["top_gram_frac"] == 1.0
+    assert out[1]["repetitive"] is True
+    assert out[2]["n_grams"] == 5 and out[2]["top_gram_frac"] == 0.2
+    assert out[2]["distinct_gram_frac"] == 1.0
+    assert out[2]["repetitive"] is False
+
+
+def test_snapshot_diff_statuses(spark):
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "url long, digest string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "url long, digest string"
+    )
+    out = {r["url"]: r["status"] for r in snapshot_diff(old, new, key_col="url").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_term_df_topk_and_tiebreak(spark):
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        term_document_frequency,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),   # within-doc repeat counts once
+            (2, "alpha gamma"),
+            (3, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = term_document_frequency(df, top_k=2).collect()
+    assert [(r["term"], r["doc_freq"]) for r in rows] == [("alpha", 3), ("beta", 2)]
+
+
 def test_connected_components_chain_and_clique(spark):
     edges = spark.createDataFrame(
         # chain 1-2-3-4, clique 10-11-12, isolated pair 20-21
