@@ -736,6 +736,26 @@ def q46_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (capability row 33's clustered scale
+    path, FAISS-IVF shape): k-means coarse quantizer → inverted lists
+    → probe n_probe lists → exact cosine re-rank. Training is
+    Spark-side; the centroid table stages to parquet and the DuckDB
+    oracle replays assignment + probing + re-rank over it with the
+    same ``(-2·x·c) + c·c`` argmin score, so the IVF logic gets a full
+    engine-independent check."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(
+        emb, queries_df, k=5, n_centroids=16, n_probe=4, iters=2,
+        stage_path=f"{_SIG_STAGE}/ivf",
+    )
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -855,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_repetition_filter": q47_repetition_filter,
         "q48_snapshot_diff": q48_snapshot_diff,
         "q49_term_df": q49_term_df,
+        "q50_ann_ivf": q50_ann_ivf,
     }
 
 
@@ -1525,6 +1546,53 @@ def oracle_sql() -> dict[str, str]:
                CAST(bef // 256 AS INT) AS pack_id,
                CAST(bef % 256 AS BIGINT) AS pack_offset
         FROM w
+    """
+
+    # q50: centroids are Spark-trained and staged; DuckDB replays the
+    # whole IVF search — nearest-centroid assignment, n_probe probing,
+    # exact-cosine re-rank — with the same (-2·x·c) + c·c argmin score
+    # and (score, cluster) tiebreak, over the staged centroid table.
+    ivf_score_c = "(-2 * list_dot_product(c.cv, ct.centroid)) + list_dot_product(ct.centroid, ct.centroid)"
+    ivf_score_q = "(-2 * list_dot_product(q.qv, ct.centroid)) + list_dot_product(ct.centroid, ct.centroid)"
+    sql["q50_ann_ivf"] = f"""
+        WITH cent AS (
+            SELECT cluster, centroid
+            FROM read_parquet('{_SIG_STAGE}/ivf/centroids/*.parquet')
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ),
+        ca AS (
+            SELECT vec_id, cv,
+                   (SELECT ct.cluster FROM cent ct
+                    ORDER BY {ivf_score_c}, ct.cluster LIMIT 1) AS cluster
+            FROM c
+        ),
+        pr AS (
+            SELECT query_id, qv, cluster FROM (
+                SELECT q.query_id, q.qv, ct.cluster,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {ivf_score_q}, ct.cluster) AS rn
+                FROM q, cent ct
+            ) WHERE rn <= 4
+        ),
+        s AS (
+            SELECT pr.query_id, ca.vec_id,
+                   round(CASE WHEN sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)) > 0
+                              THEN list_dot_product(cv, qv)
+                                   / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                              ELSE 0.0 END, 6) AS cosine
+            FROM pr JOIN ca USING (cluster)
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM s
+        ) WHERE rank <= 5
     """
 
     sql["q47_repetition_filter"] = f"""

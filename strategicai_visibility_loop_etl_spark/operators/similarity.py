@@ -9,6 +9,13 @@
   candidates share a signature bucket (multi-probe over bands), exact
   cosine re-ranks within buckets. At 100 TB the corpus is scanned once
   to signatures, and each query touches only its buckets.
+- ``ivf_topk`` — the clustered scale path (FAISS-IVF shape): a coarse
+  quantizer of ``n_centroids`` k-means centroids partitions the corpus
+  into inverted lists; each query probes its ``n_probe`` nearest lists
+  and exact cosine re-ranks inside them. Training is Spark-side (like
+  the xxhash64 of the LSH family); the trained centroid table stages
+  to parquet, and the DuckDB oracle replays assignment + probing +
+  re-rank over it — the IVF *logic* gets an engine-independent check.
 """
 
 from __future__ import annotations
@@ -61,6 +68,138 @@ def knn_cosine_topk(
     )
     scored = joined.select(
         F.col(query_id), F.col(corpus_id), F.round(cos, 6).alias("cosine")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def _train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int,
+    corpus_id: str,
+    corpus_vec: str,
+) -> np.ndarray:
+    """Lloyd-iterated k-means centroids, (n_centroids, dim) float64.
+
+    Init is the deterministic hash-sample: the ``n_centroids`` corpus
+    vectors with the smallest ``xxhash64(id)`` (reproducible across
+    runs and partitionings, no ``rand()``). Each iteration is one
+    corpus pass: an Arrow-batched argmin assignment (one matmul per
+    batch — training needs no cross-engine bit-parity, the centroids
+    are staged), then per-dimension partial-aggregable SUM/COUNT via
+    ``posexplode`` — the collect is bounded by model size
+    (n_centroids × dim rows), never by corpus size. Empty clusters
+    keep their previous centroid.
+    """
+    init_rows = (
+        corpus.select(F.col(corpus_vec).alias("v"), F.col(corpus_id).alias("i"))
+        .withColumn("__o", F.xxhash64(F.col("i")))
+        .orderBy("__o", "i")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.asarray([list(r["v"]) for r in init_rows], dtype=np.float64)
+
+    for _ in range(iters):
+        frozen = cents.copy()
+
+        @pandas_udf("int")
+        def assign_udf(vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            mat = np.asarray(list(vecs), dtype=np.float64)
+            d2 = (mat * mat).sum(1, keepdims=True) - 2.0 * (mat @ frozen.T) + (
+                frozen * frozen
+            ).sum(1)
+            return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+        stats = (
+            corpus.select(assign_udf(F.col(corpus_vec)).alias("cluster"), F.col(corpus_vec))
+            .select("cluster", F.posexplode(corpus_vec).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = cents.copy()
+        counts = np.zeros(len(cents))
+        for r in stats:
+            nxt[r["cluster"], r["dim"]] = r["s"] / r["n"]
+            counts[r["cluster"]] = r["n"]
+        cents = np.where(counts[:, None] > 0, nxt, cents)
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) search.
+
+    Search-time assignment/probing uses the order-preserving fold
+    kernels and the comparison score ``(-2·x·c) + c·c`` (the ``x·x``
+    term is constant under the argmin), written identically in the
+    DuckDB oracle so the argmin and probe ranks agree bit-for-bit.
+    Assignment reduces map-side (``min_by`` partial agg) — the corpus
+    never shuffles ×n_centroids. ``stage_path`` materializes the
+    centroid table (``{stage_path}/centroids``) for the oracle replay.
+
+    At 100 TB the assignment output IS the index: write it bucketed by
+    ``cluster`` once, and per-query work touches only probed lists.
+    """
+    from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
+
+    cents = _train_ivf_centroids(corpus, n_centroids, iters, corpus_id, corpus_vec)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    )
+    if stage_path is not None:
+        cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
+
+    score = (F.lit(-2) * dot_arrow(F.col(corpus_vec), F.col("centroid"))) + dot_arrow(
+        F.col("centroid"), F.col("centroid")
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cent_df))
+        .select(F.col(corpus_id), F.col(corpus_vec), F.col("cluster"), score.alias("__s"))
+        .groupBy(corpus_id)
+        .agg(
+            F.min_by("cluster", F.struct("__s", "cluster")).alias("cluster"),
+            F.first(corpus_vec).alias(corpus_vec),
+        )
+    )
+
+    q_score = (F.lit(-2) * dot_arrow(F.col(query_vec), F.col("centroid"))) + dot_arrow(
+        F.col("centroid"), F.col("centroid")
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("__s"), F.col("cluster"))
+    probes = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .select(F.col(query_id), F.col(query_vec), F.col("cluster"), q_score.alias("__s"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id, query_vec, "cluster")
+    )
+
+    scored = assigned.join(F.broadcast(probes), "cluster").select(
+        F.col(query_id),
+        F.col(corpus_id),
+        F.round(cosine_arrow(F.col(corpus_vec), F.col(query_vec)), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (

@@ -174,3 +174,23 @@ def test_ann_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"ANN recall too low: {recall}"
+
+
+def test_ivf_recall_vs_exact_and_determinism(spark):
+    from strategicai_visibility_loop_etl_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in knn_cosine_topk(emb, queries, k=5).collect()
+    }
+    run = lambda: sorted(
+        map(tuple, ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3, iters=2).collect())
+    )
+    first = run()
+    approx = {(q, v) for q, v, _, _ in first}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    assert first == run()  # hash-sampled init + staged argmin = reproducible
