@@ -58,6 +58,46 @@ def test_q16_topn_uses_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan[:2000]
 
 
+def test_q43_chunking_is_shuffle_free(spark, sf_dir):
+    """Chunking is sequence+explode+slice — a pure per-partition plan.
+    Any Exchange here would mean a 100 TB corpus shuffles for no
+    reason. The scan must also prune to (doc_id, text)."""
+    plan = _plan(entrymod.q43_chunk_documents(spark, sf_dir))
+    assert "Exchange" not in plan, plan[:2000]
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read, read
+
+
+def test_q44_sample_rates_broadcast_fact_never_shuffles(spark, sf_dir):
+    """The per-stratum rate dim must broadcast; the lineitem fact side
+    must reach the filter without a shuffle."""
+    plan = _plan(entrymod.q44_stratified_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    # Only the broadcast leg may exchange; the fact side must not.
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+
+def test_ivf_assignment_reduces_map_side(spark):
+    """IVF nearest-centroid assignment must be a broadcast cross join
+    followed by a partial (map-side) aggregate — the corpus must never
+    hash-shuffle ×n_centroids candidate rows."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.limit(2).select(
+        emb.vec_id.alias("query_id"), emb.embedding.alias("query_vec")
+    )
+    plan = _plan(ivf_topk(emb, queries, k=3, n_centroids=4, n_probe=2, iters=1))
+    assert "BroadcastNestedLoopJoin" in plan, plan[:3000]
+    assert "SortMergeJoin" not in plan, plan[:3000]
+    # min_by partial agg: both a partial and a final aggregate level.
+    assert "partial_min_by" in plan or "partial_first" in plan, plan[:3000]
+
+
 def test_pipeline_merge_has_no_giant_interpreted_stage(spark, tmp_path):
     """The visibility merge must stay inside whole-stage codegen: the
     constraint-propagation pathology (inferred isnotnull(url) expanded
