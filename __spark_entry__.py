@@ -756,6 +756,37 @@ def q50_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the embedding member of the
+    dedup family): hyperplane-LSH banded self-join + exact cosine
+    verify. The synthetic embeddings are random (no natural near-dups),
+    so every vec_id < 50 gains a planted jittered copy (id +100000,
+    each component +0.02 → cosine ≈ 0.987 with its original) BEFORE
+    signatures are computed and staged; the DuckDB oracle replays the
+    8×8-bit banding + cosine ≥ 0.98 verify over the staged table.
+    ``max_bucket`` is pinned above the corpus so the skew guard never
+    prunes at test scale (the oracle models no pruning)."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    return embedding_neardup_pairs(
+        emb.unionByName(planted),
+        threshold=0.98,
+        nbits=64,
+        bands=8,
+        max_bucket=10_000_000,
+        stage_path=f"{_SIG_STAGE}/embdup",
+    )
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -876,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_snapshot_diff": q48_snapshot_diff,
         "q49_term_df": q49_term_df,
         "q50_ann_ivf": q50_ann_ivf,
+        "q51_embedding_neardup": q51_embedding_neardup,
     }
 
 
@@ -1593,6 +1625,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
             FROM s
         ) WHERE rank <= 5
+    """
+
+    # q51: band match (any 8-bit slice of the 64-bit hyperplane
+    # signature equal) over the staged (id, vec, sig) self-join, exact
+    # cosine >= 0.98 verify. DuckDB's >> is arithmetic on BIGINT like
+    # Spark's shiftright, so the sign bit of the 64-bit sig is safe.
+    embdup_bands = " OR ".join(
+        f"((s1.sig >> {b * 8}) & 255) = ((s2.sig >> {b * 8}) & 255)" for b in range(8)
+    )
+    sql["q51_embedding_neardup"] = f"""
+        WITH s AS (
+            SELECT id, CAST(vec AS DOUBLE[]) AS v, sig
+            FROM read_parquet('{_SIG_STAGE}/embdup/*.parquet')
+        )
+        SELECT id_a, id_b, cosine FROM (
+            SELECT s1.id AS id_a, s2.id AS id_b,
+                   round(CASE WHEN sqrt(list_dot_product(s1.v, s1.v)) * sqrt(list_dot_product(s2.v, s2.v)) > 0
+                              THEN list_dot_product(s1.v, s2.v)
+                                   / (sqrt(list_dot_product(s1.v, s1.v)) * sqrt(list_dot_product(s2.v, s2.v)))
+                              ELSE 0.0 END, 6) AS cosine
+            FROM s s1 JOIN s s2 ON s1.id < s2.id
+            WHERE {embdup_bands}
+        ) WHERE cosine >= 0.98
     """
 
     sql["q47_repetition_filter"] = f"""

@@ -183,11 +183,16 @@ def resolve_max_bucket(
     """Static int passthrough, or ``"auto"``: derive the hot-bucket
     cutoff from the bucket-size distribution itself.
 
-    ``auto`` = max(floor, headroom × p99.9 of bucket sizes) — web-scale
+    ``auto`` = max(floor, headroom × p99 of bucket sizes) — web-scale
     boilerplate (a shingle like "all rights reserved", a SimHash chunk
-    shared by templated pages) sits orders of magnitude above the p99.9
+    shared by templated pages) sits orders of magnitude above the p99
     of organic bucket sizes, so it gets dropped without hand-tuning a
-    constant per corpus. Costs one tiny aggregate over the (bucket,
+    constant per corpus. p99 (not p99.9) so the heuristic still sees
+    past the hot mass when the bucket-key space is narrow — an 8-bit
+    LSH band has ≤256 distinct values, so even a handful of hot
+    buckets exceeds 0.1% of all buckets and would drag a p99.9 up to
+    the hot size itself. Hot buckets above ~1% of distinct buckets
+    need an explicit cap. Costs one tiny aggregate over the (bucket,
     count) table — a scalar to the driver, independent of corpus size.
     The oracle-gated queries pin explicit thresholds sized above the
     test corpus (pruning there would diverge from the brute-force
@@ -196,7 +201,7 @@ def resolve_max_bucket(
     if max_bucket != "auto":
         return int(max_bucket)
     row = bucket_sizes.agg(
-        F.percentile_approx(size_col, 0.999, 10_000).alias("q")
+        F.percentile_approx(size_col, 0.99, 10_000).alias("q")
     ).first()
     q = row["q"] if row and row["q"] is not None else 1
     return max(floor, int(q) * headroom)

@@ -16,6 +16,11 @@
   the xxhash64 of the LSH family); the trained centroid table stages
   to parquet, and the DuckDB oracle replays assignment + probing +
   re-rank over it — the IVF *logic* gets an engine-independent check.
+- ``embedding_neardup_pairs`` — the embedding member of the dedup
+  family (exact / fingerprint / n-gram Jaccard / MinHash / SimHash /
+  embedding-cosine): hyperplane-LSH banded *self*-join over one corpus,
+  exact cosine verify ≥ threshold. Same staged-signature oracle surface
+  as ``ann_lsh_topk``.
 """
 
 from __future__ import annotations
@@ -343,4 +348,91 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    dim: int | None = None,
+    nbits: int = 64,
+    bands: int = 8,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    seed: int = 42,
+    max_bucket: int | str = "auto",
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (``id_a < id_b``, cosine
+    ≥ ``threshold``) via random-hyperplane LSH.
+
+    Candidate generation: two vectors are candidates iff some
+    ``nbits // bands``-bit band of their signatures matches — no
+    all-pairs. Buckets above ``max_bucket`` rows are dropped (skew
+    guard, see ``dedup.resolve_max_bucket``); only (id, band-key) pairs
+    ride the candidate shuffle — vectors are joined back from the
+    signature table for the final cosine verify, so the band explode
+    never replicates the embedding payload ``bands``×.
+
+    ``stage_path`` materializes the ``(id, vec, sig)`` table to parquet
+    (compute-once barrier + the surface the DuckDB oracle replays the
+    banding and cosine verification over).
+    """
+    from .dedup import _stage_roundtrip, resolve_max_bucket  # noqa: PLC0415
+
+    if dim is None:
+        first = corpus.select(F.size(corpus_vec).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    planes = _hyperplanes(dim, nbits, seed)
+    rbits = nbits // bands
+    mask = F.lit((1 << rbits) - 1)
+
+    sig = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(corpus_vec).alias("vec"),
+        _signature(F.col(corpus_vec), planes).alias("sig"),
+    )
+    sig = _stage_roundtrip(sig, stage_path)
+
+    band_rows = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("sig"), b * rbits).bitwiseAND(mask).alias("bv"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+
+    bucket_sizes = band_rows.groupBy("band", "bv").agg(F.count("*").alias("n"))
+    cap = resolve_max_bucket(bucket_sizes, max_bucket)
+    ok = bucket_sizes.filter((F.col("n") > 1) & (F.col("n") <= cap)).select("band", "bv")
+    pruned = band_rows.join(ok, ["band", "bv"])
+
+    a = pruned.select("band", "bv", F.col("id").alias("id_a"))
+    b = pruned.select("band", "bv", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    va = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_arrow(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )

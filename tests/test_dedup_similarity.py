@@ -133,7 +133,7 @@ def test_resolve_max_bucket_static_and_auto(spark):
     sizes = spark.createDataFrame([(i, 2) for i in range(999)] + [(999, 1000)], "b long, n long")
     assert resolve_max_bucket(sizes, 123) == 123
     auto = resolve_max_bucket(sizes, "auto")
-    # p99.9 of {2×999, 1000} is small; headroom 8 with floor 16.
+    # p99 of {2×999, 1000} is small; headroom 8 with floor 16.
     assert 16 <= auto < 1000, auto
 
 
@@ -174,6 +174,57 @@ def test_ann_recall_vs_exact(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"ANN recall too low: {recall}"
+
+
+def test_embedding_neardup_finds_planted_pairs(spark):
+    """Jittered copies (component +0.02, cosine ≈ 0.99 at this dim)
+    pair with their originals; well-separated directions don't pair."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = _embeddings(spark)
+    planted = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    pairs = embedding_neardup_pairs(
+        emb.unionByName(planted), threshold=0.98, max_bucket=10_000_000
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # Every planted copy pairs with its original (recall on the known
+    # answers), and verification is exact: no pair below threshold.
+    assert all((i, i + 1000) in got for i in range(50)), sorted(got)[:5]
+    assert all(r["cosine"] >= 0.98 for r in pairs)
+
+
+def test_embedding_neardup_hot_bucket_guard(spark):
+    """3000 identical vectors land in one bucket per band; the auto
+    guard drops them instead of emitting C(3000,2) ≈ 4.5M pairs."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    import random
+
+    # Realistic dimensionality matters: 8 hyperplanes split R^4 into
+    # ≤128 regions, so a 4-dim corpus has so few distinct buckets that
+    # the hot bucket IS the p99.9 and ``auto`` can't see past it. At
+    # dim 32 the 2000 organic directions spread into thousands of
+    # near-singleton buckets and the 8 hot buckets (one per band) sit
+    # far above the organic p99.9.
+    rng = random.Random(7)
+    hot = [rng.gauss(0, 1) for _ in range(32)]
+    rows = [(i, list(hot)) for i in range(3000)]
+    rows += [
+        (3000 + i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = embedding_neardup_pairs(df, threshold=0.98, max_bucket="auto").collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    # The identical block's C(3000,2) pairs are pruned by the guard.
+    assert not any(a < 3000 and b < 3000 for a, b in ids)
+    assert len(pairs) <= df.count() * 2, len(pairs)
 
 
 def test_ivf_recall_vs_exact_and_determinism(spark):
