@@ -787,6 +787,35 @@ def q51_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q52_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level corpus dedup (RefinedWeb/C4 boilerplate filter):
+    drop every line occurring in >1 distinct documents, keep per-doc
+    survival counts. The synthetic corpus has no newlines, so the query
+    first segments each document into 8-token pseudo-lines (pure
+    codegen: sequence + slice, no shuffle) — near-dup and exact-dup
+    documents then share aligned lines, which is exactly the cross-doc
+    repetition the filter targets. Reference has no analog; this is a
+    first-class training-data operator (SURVEY §2 #64)."""
+    from strategicai_visibility_loop_etl_spark.functions.text import normalized_text
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        drop_common_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(normalized_text(F.col("text")), " ").alias("__toks")
+    ).filter((F.size("__toks") > 0) & (F.element_at("__toks", 1) != ""))
+    nlines = F.ceil(F.size("__toks") / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i * 8 + 1, 8), " "),
+    )
+    lined = base.select("doc_id", F.array_join(lines, "\n").alias("text"))
+    return drop_common_lines(lined, max_doc_freq=1).select(
+        "doc_id", "clean_text", "n_lines", "n_lines_kept"
+    )
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -908,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_term_df": q49_term_df,
         "q50_ann_ivf": q50_ann_ivf,
         "q51_embedding_neardup": q51_embedding_neardup,
+        "q52_line_dedup": q52_line_dedup,
     }
 
 
@@ -1648,6 +1678,42 @@ def oracle_sql() -> dict[str, str]:
             FROM s s1 JOIN s s2 ON s1.id < s2.id
             WHERE {embdup_bands}
         ) WHERE cosine >= 0.98
+    """
+
+    # q52: 8-token pseudo-lines (same slice construction as the Spark
+    # query), cross-doc line document-frequency, drop df>1 lines,
+    # reassemble in line order. The Spark side aggregates df over
+    # xxhash64(line); the oracle aggregates over the line text itself —
+    # identical modulo 64-bit collisions, absent at any test scale.
+    sql["q52_line_dedup"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        l AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)),
+                       i -> array_to_string(list_slice(toks, i * 8 + 1, i * 8 + 8), ' ')
+                   ) AS lines
+            FROM t WHERE len(toks) > 0
+        ),
+        e AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS line_id, lines[u.i + 1] AS line
+            FROM l, UNNEST(range(0, len(lines))) AS u(i)
+        ),
+        d AS (
+            SELECT line FROM e GROUP BY line HAVING count(DISTINCT doc_id) > 1
+        ),
+        f AS (
+            SELECT e.doc_id, e.line_id, e.line, (d.line IS NOT NULL) AS dropped
+            FROM e LEFT JOIN d ON e.line = d.line
+        )
+        SELECT doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY line_id)
+                        FILTER (WHERE NOT dropped), '') AS clean_text,
+               count(*) AS n_lines,
+               count(*) FILTER (WHERE NOT dropped) AS n_lines_kept
+        FROM f GROUP BY doc_id
     """
 
     sql["q47_repetition_filter"] = f"""

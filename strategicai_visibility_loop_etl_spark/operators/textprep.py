@@ -183,6 +183,56 @@ def term_document_frequency(
     )
 
 
+def drop_common_lines(
+    df: DataFrame,
+    max_doc_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = "\n",
+) -> DataFrame:
+    """Line-level corpus dedup (the RefinedWeb/C4 boilerplate filter):
+    remove every line that occurs in more than ``max_doc_freq``
+    distinct documents; return (id, clean_text, n_lines, n_lines_kept).
+
+    Plan shape, scale-first: lines are exploded once; the document
+    frequency is aggregated over ``xxhash64(line)`` so only (hash,
+    doc_id) rides the df shuffle — never the line text. The common-hash
+    set joins back to the line rows as a keep/drop flag (no broadcast
+    assumption: at web scale the boilerplate set can be millions of
+    lines), and each document reassembles in one grouped aggregate via
+    ``array_sort(collect_list(struct(line_id, …)))`` — order restored
+    without a window. A 64-bit hash collision can only merge two lines'
+    counts upward, i.e. over-drop a rare line — the conservative
+    direction for a training-data filter.
+
+    Documents whose every line is boilerplate stay in the output with
+    ``clean_text = ''`` (a filter decision for the caller, not this
+    operator).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), delim)).alias(
+            "__line_id", "__line"
+        ),
+    ).withColumn("__h", F.xxhash64("__line"))
+    common = (
+        lines.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__h", F.lit(True).alias("__drop"))
+    )
+    flagged = lines.join(common, "__h", "left")
+    kept = F.filter(
+        F.array_sort(F.collect_list(F.struct("__line_id", "__line", "__drop"))),
+        lambda x: x["__drop"].isNull(),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda x: x["__line"]), delim).alias("clean_text"),
+        F.count("*").alias("n_lines"),
+        F.count(F.when(F.col("__drop").isNull(), 1)).alias("n_lines_kept"),
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int,

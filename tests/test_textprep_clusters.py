@@ -13,6 +13,7 @@ from strategicai_visibility_loop_etl_spark.operators.clusters import (
 )
 from strategicai_visibility_loop_etl_spark.operators.textprep import (
     chunk_documents,
+    drop_common_lines,
     hash_sample,
     pack_sequences,
     redact_pii,
@@ -96,6 +97,35 @@ def test_repetition_metrics_known_answers(spark):
     assert out[2]["n_grams"] == 5 and out[2]["top_gram_frac"] == 0.2
     assert out[2]["distinct_gram_frac"] == 1.0
     assert out[2]["repetitive"] is False
+
+
+def test_drop_common_lines_known_answers(spark):
+    """The shared boilerplate line vanishes everywhere (including its
+    within-doc repeat), unique lines survive in order, an all-boiler
+    doc stays with empty clean_text."""
+    rows = [
+        (1, "COOKIE NOTICE\nalpha one\nbeta two"),
+        (2, "COOKIE NOTICE\ngamma three\nCOOKIE NOTICE"),
+        (3, "delta four\nepsilon five"),
+        (4, "COOKIE NOTICE"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in drop_common_lines(df, max_doc_freq=1).collect()
+    }
+    assert out[1]["clean_text"] == "alpha one\nbeta two"
+    assert out[2]["clean_text"] == "gamma three"
+    assert (out[2]["n_lines"], out[2]["n_lines_kept"]) == (3, 1)
+    assert out[3]["clean_text"] == "delta four\nepsilon five"
+    assert out[3]["n_lines_kept"] == 2
+    assert out[4]["clean_text"] == "" and out[4]["n_lines_kept"] == 0
+    # max_doc_freq=2 tolerates the 3-doc line nowhere, 2-doc lines everywhere.
+    out2 = {
+        r["doc_id"]: r
+        for r in drop_common_lines(df, max_doc_freq=2).collect()
+    }
+    assert out2[4]["clean_text"] == "" and out2[1]["n_lines_kept"] == 2
 
 
 def test_snapshot_diff_statuses(spark):
