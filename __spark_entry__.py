@@ -816,6 +816,20 @@ def q52_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q53_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exactly-k-per-stratum sample (WindowGroupLimit
+    top-k by multiplicative key hash) — the exact-count companion to
+    q44's rate-based stratified sample."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        topk_per_stratum,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    return topk_per_stratum(part, k=8, key_col="p_partkey", stratum_col="p_brand").select(
+        "p_brand", "p_partkey", "sample_rank"
+    )
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -938,6 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_ann_ivf": q50_ann_ivf,
         "q51_embedding_neardup": q51_embedding_neardup,
         "q52_line_dedup": q52_line_dedup,
+        "q53_topk_sample": q53_topk_sample,
     }
 
 
@@ -1714,6 +1729,19 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_lines,
                count(*) FILTER (WHERE NOT dropped) AS n_lines_kept
         FROM f GROUP BY doc_id
+    """
+
+    # q53: the multiplicative hash ((key mod 2^31) × Knuth) mod 2^32 is
+    # plain BIGINT arithmetic both engines compute bit-identically.
+    sql["q53_topk_sample"] = """
+        SELECT p_brand, p_partkey, sample_rank FROM (
+            SELECT p_brand, p_partkey,
+                   CAST(row_number() OVER (
+                        PARTITION BY p_brand
+                        ORDER BY ((p_partkey % 2147483648) * 2654435761) % 4294967296,
+                                 p_partkey) AS INT) AS sample_rank
+            FROM part
+        ) WHERE sample_rank <= 8
     """
 
     sql["q47_repetition_filter"] = f"""

@@ -118,6 +118,36 @@ def hash_sample(
     )
 
 
+def topk_per_stratum(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    stratum_col: str,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic exactly-``k``-per-stratum sample: rank rows within
+    each stratum by the multiplicative hash of the key (ties broken by
+    the key itself — a total order) and keep rank ≤ k.
+
+    The rate-based sibling ``hash_sample`` can't promise an exact count
+    per stratum; this one can, at the cost of a per-stratum rank. The
+    rank-≤-k filter compiles to Spark's WindowGroupLimit — each map
+    task keeps only its local top-k per stratum before the shuffle, so
+    the exchange carries O(#partitions × k) rows per stratum, not the
+    stratum. Like ``hash_sample``, the ordering is a pure function of
+    the key: reproducible across engines, runs, and partitionings, and
+    stable under corpus growth (a new row only displaces the current
+    rank-k row, never reshuffles the kept set).
+    """
+    folded = F.pmod(F.col(key_col), F.lit(2147483648))
+    h = F.pmod(folded * F.lit(_KNUTH), F.lit(_MOD))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 def repetition_metrics(
     df: DataFrame,
     n: int = 2,

@@ -17,6 +17,7 @@ from strategicai_visibility_loop_etl_spark.operators.textprep import (
     hash_sample,
     pack_sequences,
     redact_pii,
+    topk_per_stratum,
 )
 
 
@@ -126,6 +127,30 @@ def test_drop_common_lines_known_answers(spark):
         for r in drop_common_lines(df, max_doc_freq=2).collect()
     }
     assert out2[4]["clean_text"] == "" and out2[1]["n_lines_kept"] == 2
+
+
+def test_topk_per_stratum_exact_deterministic_stable(spark):
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(200)], "k long, stratum string"
+    )
+    a = topk_per_stratum(df, 5, "k", "stratum")
+    got = {(r["stratum"], r["k"]) for r in a.collect()}
+    # Exactly k per stratum.
+    counts = {}
+    for s, _ in got:
+        counts[s] = counts.get(s, 0) + 1
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+    # Partitioning-independent.
+    b = topk_per_stratum(df.repartition(13), 5, "k", "stratum")
+    assert {(r["stratum"], r["k"]) for r in b.collect()} == got
+    # Corpus growth only displaces, never reshuffles: the new sample is
+    # drawn from the old sample plus the new rows.
+    grown = df.union(
+        spark.createDataFrame([(i, f"s{i % 3}") for i in range(200, 400)], "k long, stratum string")
+    )
+    g = {(r["stratum"], r["k"]) for r in topk_per_stratum(grown, 5, "k", "stratum").collect()}
+    new_keys = {(f"s{i % 3}", i) for i in range(200, 400)}
+    assert g <= (got | new_keys)
 
 
 def test_snapshot_diff_statuses(spark):
