@@ -830,6 +830,56 @@ def q53_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q54_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type × day): all four grouping sets in one
+    partial-aggregable pass, disambiguated by grouping_id — the
+    companion to q30's ROLLUP. Spark expands the cube BEFORE the
+    exchange (Expand + partial hash agg), so the shuffle carries
+    pre-combined per-set partials, not 4× the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    return (
+        ev.withColumn("day", day)
+        .cube("event_type", "day")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value", "sum_value"),
+        )
+    )
+
+
+def q55_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics per segment: quartile (ntile), exact
+    percent_rank and cume_dist over a total order (balance, key
+    tiebreak — ties broken so every engine ranks identically). One
+    shuffle on the partition key; all three functions share the same
+    window sort."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.bround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.bround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def q56_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile discretization (feature bucketing for
+    training-data prep): quartile cutpoints per return flag, histogram
+    of prices per bucket."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        quantile_buckets,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return quantile_buckets(li, "l_extendedprice", ["l_returnflag"])
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -953,6 +1003,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_embedding_neardup": q51_embedding_neardup,
         "q52_line_dedup": q52_line_dedup,
         "q53_topk_sample": q53_topk_sample,
+        "q54_event_cube": q54_event_cube,
+        "q55_rank_distribution": q55_rank_distribution,
+        "q56_quantile_buckets": q56_quantile_buckets,
     }
 
 
@@ -1742,6 +1795,47 @@ def oracle_sql() -> dict[str, str]:
                                  p_partkey) AS INT) AS sample_rank
             FROM part
         ) WHERE sample_rank <= 8
+    """
+
+    # q54: DuckDB's GROUPING(a, b) uses the same bit order as Spark's
+    # grouping_id() (first column = MSB), verified empirically.
+    sql["q54_event_cube"] = """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS INT) AS gid,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
+    """
+
+    sql["q55_rank_distribution"] = """
+        SELECT c_mktsegment, c_custkey,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """
+
+    # q56: exact quantile_cont matches Spark's percentile (both sort +
+    # linearly interpolate, proven by q38); bucket = #cuts below + 1.
+    sql["q56_quantile_buckets"] = """
+        WITH v AS (
+            SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS val FROM lineitem
+        ),
+        c AS (
+            SELECT l_returnflag,
+                   quantile_cont(val, 0.25) AS q1,
+                   quantile_cont(val, 0.5) AS q2,
+                   quantile_cont(val, 0.75) AS q3
+            FROM v GROUP BY l_returnflag
+        )
+        SELECT v.l_returnflag,
+               1 + CAST(val > q1 AS INT) + CAST(val > q2 AS INT)
+                 + CAST(val > q3 AS INT) AS bucket,
+               COUNT(*) AS n, min(val) AS min_v, max(val) AS max_v
+        FROM v JOIN c USING (l_returnflag)
+        GROUP BY 1, 2
     """
 
     sql["q47_repetition_filter"] = f"""

@@ -41,6 +41,43 @@ def weighted_mean(
     return F.when(den > 0, num / den)
 
 
+def quantile_buckets(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Per-group quantile discretization: cut each group's values at
+    its own exact quantiles, return the per-bucket histogram
+    (group…, bucket, n, min_v, max_v) with bucket = #cutpoints below
+    the value + 1 (values ≤ q25 land in bucket 1).
+
+    Two passes over the fact: one sort-based exact-percentile aggregate
+    for the cutpoints (the oracle-exact form — at 100 TB swap in
+    ``percentile_approx``, a mergeable sketch with no per-group buffer),
+    then the tiny (group, cutpoints) dim broadcasts back and the bucket
+    assignment is a codegen'd comparison chain — no second wide shuffle
+    beyond the histogram's own hash aggregate.
+    """
+    val = F.col(value_col).cast("double")
+    base = df.select(*group_cols, val.alias("__v"))
+    cuts = base.groupBy(*group_cols).agg(
+        F.percentile("__v", F.array(*[F.lit(p) for p in probs])).alias("__cuts")
+    )
+    joined = base.join(F.broadcast(cuts), list(group_cols))
+    bucket = F.lit(1)
+    for i in range(len(probs)):
+        bucket = bucket + (F.col("__v") > F.element_at("__cuts", i + 1)).cast("int")
+    return (
+        joined.groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("__v").alias("min_v"),
+            F.max("__v").alias("max_v"),
+        )
+    )
+
+
 def agg_gsc(gsc: DataFrame, key: str = "url") -> DataFrame:
     """Collapse GSC rows to one per URL: sum clicks/impressions,
     impressions-weighted mean position, recomputed ctr."""
