@@ -880,6 +880,30 @@ def q56_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_buckets(li, "l_extendedprice", ["l_returnflag"])
 
 
+def q57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion funnel: per-step user counts
+    plus the exact summed view→purchase latency for fully-converted
+    users. Timestamps are truncated to MICROseconds before any funnel
+    comparison — the parquet carries nanos but DuckDB timestamps are
+    micro-precision, so the strictly-after comparisons must happen at
+    the shared precision in both engines. Integer sums are
+    order-independent, no decimal needed."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        funnel_steps,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
+    )
+    per_user = funnel_steps(ev, ["view", "click", "purchase"], ts_col="tus")
+    return per_user.agg(
+        F.count("t_1").alias("n_view"),
+        F.count("t_2").alias("n_click"),
+        F.count("t_3").alias("n_purchase"),
+        F.sum(F.col("t_3") - F.col("t_1")).alias("sum_conv_us"),
+    )
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1006,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_event_cube": q54_event_cube,
         "q55_rank_distribution": q55_rank_distribution,
         "q56_quantile_buckets": q56_quantile_buckets,
+        "q57_funnel": q57_funnel,
     }
 
 
@@ -1836,6 +1861,30 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n, min(val) AS min_v, max(val) AS max_v
         FROM v JOIN c USING (l_returnflag)
         GROUP BY 1, 2
+    """
+
+    # q57: micro-precision throughout (epoch_us ↔ ts DIV 1000); the
+    # sum over unreached users is NULL-skipped identically.
+    sql["q57_funnel"] = """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        ),
+        s1 AS (
+            SELECT user_id, min(tus) AS t1 FROM ev
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT ev.user_id, min(tus) AS t2 FROM ev JOIN s1 USING (user_id)
+            WHERE event_type = 'click' AND tus > t1 GROUP BY ev.user_id
+        ),
+        s3 AS (
+            SELECT ev.user_id, min(tus) AS t3 FROM ev JOIN s2 USING (user_id)
+            WHERE event_type = 'purchase' AND tus > t2 GROUP BY ev.user_id
+        )
+        SELECT (SELECT count(*) FROM s1) AS n_view,
+               (SELECT count(*) FROM s2) AS n_click,
+               (SELECT count(*) FROM s3) AS n_purchase,
+               (SELECT SUM(t3 - t1) FROM s3 JOIN s1 USING (user_id)) AS sum_conv_us
     """
 
     sql["q47_repetition_filter"] = f"""

@@ -7,6 +7,8 @@
   same logical source).
 - ``pivot_counts`` / ``conditional_agg`` — pivot / sum(when()) event
   breakdowns (SURVEY row 15).
+- ``funnel_steps`` — ordered conversion funnel (earliest step-i event
+  strictly after step i−1), one shuffle key for all stages.
 
 Scale notes: top-N-per-group is ONE shuffle on the group key with the
 rank evaluated streaming per partition — never a global sort. With a
@@ -22,6 +24,48 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel: (user, t_1 … t_k) where ``t_i`` is
+    the user's earliest ``steps[i]`` event strictly AFTER ``t_{i-1}``
+    (NULL once a step is never reached — later steps stay NULL too).
+
+    Each step is one hash aggregate + one co-partitioned join, all
+    keyed on ``user_col``: after the first exchange every later stage
+    reuses the same partitioning (AQE exchange reuse — the q40
+    decorrelation pattern), so a k-step funnel costs one wide shuffle
+    of the filtered events, not k. The strictly-after semantics makes
+    the result independent of any secondary sort: ties on the same
+    timestamp do not advance the funnel, so no engine-dependent
+    within-timestamp order can change the answer.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.select(user_col, type_col, ts_col)
+    reached = (
+        ev.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t_1"))
+    )
+    out = reached
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t_{i - 1}"
+        reached = (
+            ev.filter(F.col(type_col) == step)
+            .join(reached.select(user_col, prev), user_col)
+            .filter(F.col(ts_col) > F.col(prev))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        out = out.join(reached.select(user_col, f"t_{i}"), user_col, "left")
+    return out
 
 
 def top_n_per_group(

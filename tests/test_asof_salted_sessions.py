@@ -8,7 +8,10 @@ from datetime import datetime, timedelta
 from pyspark.sql import functions as F
 
 from strategicai_visibility_loop_etl_spark.operators.asof import asof_join
-from strategicai_visibility_loop_etl_spark.operators.relational import salted_join
+from strategicai_visibility_loop_etl_spark.operators.relational import (
+    funnel_steps,
+    salted_join,
+)
 from strategicai_visibility_loop_etl_spark.streaming.sessions import (
     sessionize,
     sessionize_batch,
@@ -83,6 +86,27 @@ def _session_events(spark):
     return spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
     )
+
+
+def test_funnel_steps_ordering_semantics(spark):
+    """Clicks before the first view don't count; simultaneous events
+    don't advance (strictly-after); stalled users keep NULL tails."""
+    rows = [
+        # u1 converts fully, with an early click that must be ignored.
+        (1, "click", 5), (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2: click at the same instant as the view — not strictly after.
+        (2, "view", 10), (2, "click", 10), (2, "purchase", 40),
+        # u3: never clicks; a purchase without a click can't count.
+        (3, "view", 10), (3, "purchase", 99),
+        # u4: no view at all — not in the funnel.
+        (4, "click", 1), (4, "purchase", 2),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    got = {r["user_id"]: r for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["t_1"], got[1]["t_2"], got[1]["t_3"]) == (10, 20, 30)
+    assert got[2]["t_2"] is None and got[2]["t_3"] is None
+    assert got[3]["t_2"] is None and got[3]["t_3"] is None
 
 
 def test_sessionize_batch(spark):
