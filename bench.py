@@ -65,23 +65,34 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Host noise on this VM swings a single-shot query timing 2-8x
+    # (measured: q23 8.3s vs 23.4s on back-to-back idle runs). Per-query
+    # min over SPARK_GRAFT_BENCH_REPS full passes (interleaved, so one
+    # noisy window can't taint a query twice) is the noise-robust
+    # estimator; the reported total is the sum of minima.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
-    total = 0.0
-    for name, fn in qs.items():
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
+    for _ in range(reps):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+    total = sum(timings.values())
 
     print(
         json.dumps(
             {
-                "metric": "total wall seconds for all registered queries (noop sink)",
+                "metric": (
+                    "total wall seconds for all registered queries "
+                    f"(noop sink, min of {reps} passes)"
+                ),
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
                 "regressions": _regressions(timings, sf),
             }
         )
