@@ -904,6 +904,27 @@ def q57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q58_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD dimension from the event log: each user's
+    event_type runs become validity intervals. Micro-precision
+    timestamps with event_id tiebreak — a total order, so both engines
+    compress identical runs."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        scd2_intervals,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts DIV 1000").alias("tus"),
+        "event_id",
+    )
+    return scd2_intervals(
+        ev, key_col="user_id", value_col="event_type", ts_col="tus",
+        tiebreak_col="event_id",
+    )
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1031,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_rank_distribution": q55_rank_distribution,
         "q56_quantile_buckets": q56_quantile_buckets,
         "q57_funnel": q57_funnel,
+        "q58_scd2": q58_scd2,
     }
 
 
@@ -1885,6 +1907,31 @@ def oracle_sql() -> dict[str, str]:
                (SELECT count(*) FROM s2) AS n_click,
                (SELECT count(*) FROM s3) AS n_purchase,
                (SELECT SUM(t3 - t1) FROM s3 JOIN s1 USING (user_id)) AS sum_conv_us
+    """
+
+    # q58: run starts = rn=1 OR value IS DISTINCT FROM lag; lead()
+    # over survivors closes intervals. Total order (tus, event_id).
+    sql["q58_scd2"] = """
+        WITH ev AS (
+            SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_type, tus, event_id,
+                   row_number() OVER w AS rn,
+                   lag(event_type) OVER w AS prev
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ),
+        runs AS (
+            SELECT user_id, event_type, tus, event_id FROM marked
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+        )
+        SELECT user_id, event_type,
+               tus AS effective_from,
+               lead(tus) OVER w2 AS effective_to,
+               (lead(tus) OVER w2 IS NULL) AS is_current
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)
     """
 
     sql["q47_repetition_filter"] = f"""

@@ -1,21 +1,27 @@
-"""Snapshot diffing: what changed between two crawls.
+"""Snapshot diffing and change-history dimensions.
 
 The reference's visibility loop is inherently run-over-run (this
 crawl's merged table vs the last one — cf. /root/reference
-etl_merge.py run-provenance fields); this operator makes the
-comparison itself a first-class distributed op: classify every key as
-added / removed / changed / unchanged between two snapshots by
-comparing content fingerprints.
+etl_merge.py run-provenance fields); these operators make the
+comparison itself a first-class distributed op:
 
-Scale shape: one full-outer shuffled join on the key — only (key,
-fingerprint) ride the shuffle, never document bodies; with both
-snapshots written bucketed on the key (sources/sinks.py) the Exchange
-disappears entirely. Status is a pure codegen'd CASE.
+- ``snapshot_diff`` — classify every key as added / removed /
+  changed / unchanged between two snapshots by content fingerprint.
+  One full-outer shuffled join on the key — only (key, fingerprint)
+  ride the shuffle, never document bodies; with both snapshots
+  written bucketed on the key (sources/sinks.py) the Exchange
+  disappears entirely. Status is a pure codegen'd CASE.
+- ``scd2_intervals`` — compress a change log into type-2
+  slowly-changing-dimension rows (value, effective_from,
+  effective_to, is_current). Two window passes over ONE shuffle on
+  the key: lag() drops no-op changes, lead() over the survivors
+  closes each interval — the survivors are already partitioned by the
+  key, so the second window reuses the first exchange.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -41,3 +47,44 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return o.join(n, key_col, "full_outer").select(key_col, status.alias("status"))
+
+
+def scd2_intervals(
+    log: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Type-2 SCD rows from a change log: one row per (key, value run)
+    with ``effective_from`` (first ts of the run), ``effective_to``
+    (next run's start, NULL for the open run) and ``is_current``.
+
+    Consecutive rows with the same value collapse into one interval
+    (no-op changes in the log don't produce zero-width rows). The sort
+    must be a TOTAL order for the result to be engine-independent —
+    pass ``tiebreak_col`` when ``ts_col`` can tie within a key.
+    """
+    order = [F.col(ts_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    w = Window.partitionBy(key_col).orderBy(*order)
+    changes = (
+        log.select(key_col, value_col, ts_col, *( [tiebreak_col] if tiebreak_col else [] ))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("__prev", F.lag(value_col).over(w))
+        # IS DISTINCT FROM semantics so null-valued runs collapse like
+        # any other run; rn=1 keeps a key whose FIRST value is null
+        # (lag can't distinguish that from "no previous row").
+        .filter(
+            (F.col("__rn") == 1) | ~F.col(value_col).eqNullSafe(F.col("__prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(*order)
+    return changes.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w2).alias("effective_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

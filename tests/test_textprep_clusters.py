@@ -153,6 +153,28 @@ def test_topk_per_stratum_exact_deterministic_stable(spark):
     assert g <= (got | new_keys)
 
 
+def test_scd2_intervals_runs_and_nulls(spark):
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import scd2_intervals
+
+    rows = [
+        (1, "a", 10), (1, "a", 20), (1, "b", 30), (1, "a", 40),
+        (2, None, 5), (2, None, 6), (2, "x", 7),
+    ]
+    log = spark.createDataFrame(rows, "k long, v string, ts long")
+    got = sorted(
+        scd2_intervals(log, "k", "v", "ts").collect(),
+        key=lambda r: (r["k"], r["effective_from"]),
+    )
+    flat = [(r["k"], r["v"], r["effective_from"], r["effective_to"], r["is_current"]) for r in got]
+    assert flat == [
+        (1, "a", 10, 30, False),   # the no-op change at 20 collapsed
+        (1, "b", 30, 40, False),
+        (1, "a", 40, None, True),  # value may recur in a later run
+        (2, None, 5, 7, False),    # null-valued first run survives
+        (2, "x", 7, None, True),
+    ]
+
+
 def test_snapshot_diff_statuses(spark):
     from strategicai_visibility_loop_etl_spark.operators.snapshot import snapshot_diff
 
