@@ -925,6 +925,28 @@ def q58_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange: write the corpus as newline-delimited JSON,
+    read it back with an EXPLICIT schema (no inference pass — at scale
+    inference is a second full scan), aggregate per language. The
+    DuckDB oracle reads the very same staged files, so the comparison
+    covers Spark's JSON encoding (escaping, null-key omission) and
+    decoding end-to-end, not just the aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    path = f"{_SIG_STAGE}/jsonl_docs"
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "doc_id long, text string, lang string, source string, n_chars long"
+    ).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_len"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1053,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_quantile_buckets": q56_quantile_buckets,
         "q57_funnel": q57_funnel,
         "q58_scd2": q58_scd2,
+        "q59_jsonl_roundtrip": q59_jsonl_roundtrip,
     }
 
 
@@ -1932,6 +1955,21 @@ def oracle_sql() -> dict[str, str]:
                (lead(tus) OVER w2 IS NULL) AS is_current
         FROM runs
         WINDOW w2 AS (PARTITION BY user_id ORDER BY tus, event_id)
+    """
+
+    # q59: DuckDB reads the Spark-written JSONL files themselves —
+    # an engine-independent check of the JSON encode/decode path.
+    sql["q59_jsonl_roundtrip"] = f"""
+        SELECT lang, count(*) AS n_docs,
+               SUM(length(text)) AS sum_len,
+               SUM(n_chars) AS sum_chars,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM read_json('{_SIG_STAGE}/jsonl_docs/*.json',
+                       format='newline_delimited',
+                       columns={{'doc_id': 'BIGINT', 'text': 'VARCHAR',
+                                 'lang': 'VARCHAR', 'source': 'VARCHAR',
+                                 'n_chars': 'BIGINT'}})
+        GROUP BY lang
     """
 
     sql["q47_repetition_filter"] = f"""
