@@ -87,3 +87,83 @@ def test_comma_coercion_matches_python(spark, nums):
 
     expect = [oracle(s) for s in nums]
     assert got == expect
+
+
+_doc_words = st.sampled_from(["alpha", "beta", "gamma", "delta", "x", "commonline"])
+_doc_text = st.lists(
+    st.lists(_doc_words, min_size=0, max_size=12).map(" ".join), min_size=0, max_size=5
+).map("\n".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(_doc_text, min_size=1, max_size=8))
+def test_drop_common_lines_properties(spark, texts):
+    """Identity when the threshold tolerates everything; and a Python
+    reference implementation agrees on arbitrary corpora."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        drop_common_lines,
+    )
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    # Identity: with max_doc_freq >= corpus size nothing can be dropped.
+    ident = {
+        r["doc_id"]: r["clean_text"]
+        for r in drop_common_lines(df, max_doc_freq=len(texts)).collect()
+    }
+    assert ident == dict(enumerate(texts))
+
+    # Python oracle at max_doc_freq=1.
+    from collections import defaultdict
+
+    docs_per_line = defaultdict(set)
+    for i, t in enumerate(texts):
+        for line in t.split("\n"):
+            docs_per_line[line].add(i)
+    expect = {
+        i: "\n".join(l for l in t.split("\n") if len(docs_per_line[l]) <= 1)
+        for i, t in enumerate(texts)
+    }
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in drop_common_lines(df, max_doc_freq=1).collect()
+    }
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    log=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # key
+            st.sampled_from(["a", "b", None]),      # value
+            st.integers(0, 6),                      # ts
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_scd2_intervals_tile_the_timeline(spark, log):
+    """Per key: intervals are disjoint, contiguous (each effective_to
+    equals the next effective_from), start at the key's min ts, exactly
+    one open (is_current) interval, and adjacent values differ."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import scd2_intervals
+
+    rows = [(k, v, t, i) for i, (k, v, t) in enumerate(log)]
+    df = spark.createDataFrame(rows, "k long, v string, ts long, seq long")
+    out = scd2_intervals(df, "k", "v", "ts", tiebreak_col="seq").collect()
+
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    keys_in_log = {k for k, _, _ in log}
+    assert set(by_key) == keys_in_log
+    for k, ivs in by_key.items():
+        ivs.sort(key=lambda r: r["effective_from"])
+        min_ts = min(t for kk, _, t in log if kk == k)
+        assert ivs[0]["effective_from"] == min_ts
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["is_current"] and ivs[-1]["effective_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert a["v"] != b["v"] or (a["v"] is None) != (b["v"] is None)
