@@ -947,6 +947,39 @@ def q59_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q60_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream attribution join run in BATCH mode (watermarks
+    are no-ops on batch frames — the same code serves both; the
+    streaming execution is exercised by tests/test_streaming.py, and
+    this oracle pins the join's interval semantics). Micro-truncated
+    event time; outputs epoch micros, not timestamps, so both engines
+    stringify identically."""
+    from strategicai_visibility_loop_etl_spark.streaming.events import (
+        stream_stream_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("tts"),
+    )
+    out = stream_stream_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+        ts_col="tts",
+        watermark="24 hours",
+        horizon="1 hour",
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"),
+    )
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1076,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_funnel": q57_funnel,
         "q58_scd2": q58_scd2,
         "q59_jsonl_roundtrip": q59_jsonl_roundtrip,
+        "q60_attribution": q60_attribution,
     }
 
 
@@ -1970,6 +2004,21 @@ def oracle_sql() -> dict[str, str]:
                                  'lang': 'VARCHAR', 'source': 'VARCHAR',
                                  'n_chars': 'BIGINT'}})
         GROUP BY lang
+    """
+
+    # q60: 1 hour = 3_600_000_000 micros; inclusive bounds both sides.
+    sql["q60_attribution"] = """
+        WITH v AS (
+            SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+            FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+            SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT v.user_id, view_id, click_id, vus AS view_us, cus AS click_us
+        FROM v JOIN c ON v.user_id = c.user_id
+                     AND cus >= vus AND cus <= vus + 3600000000
     """
 
     sql["q47_repetition_filter"] = f"""
