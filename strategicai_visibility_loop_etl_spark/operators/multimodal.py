@@ -144,6 +144,54 @@ def resize_images(
     return df.mapInPandas(op, schema=RESIZED_SCHEMA)
 
 
+def audio_chunks(
+    df: DataFrame,
+    chunk_ms: int = 1000,
+    sample_rate: int = 16_000,
+    bytes_per_sample: int = 2,
+    channels: int = 1,
+) -> DataFrame:
+    """PCM audio chunking plumbing: one row per fixed-duration chunk
+    with its exact byte range (chunk_idx, byte_start, byte_len) —
+    the windowing step of an audio-training ingest, computed from
+    metadata alone (pure codegen arithmetic: NO payload bytes are
+    touched or shuffled until a downstream decode slices them).
+
+    Byte math: frame = ``bytes_per_sample × channels`` bytes; a
+    ``chunk_ms`` window covers ``sample_rate × chunk_ms / 1000``
+    frames. The final chunk is short (bounded by ``duration_ms``),
+    mirroring ``chunk_documents``' tail behavior.
+    """
+    frame_bytes = bytes_per_sample * channels
+    chunk_frames = sample_rate * chunk_ms // 1000
+    chunk_bytes = chunk_frames * frame_bytes
+    total_frames = (
+        (F.coalesce(F.col("meta.duration_ms"), F.lit(0)) * sample_rate / 1000)
+        .cast("long")
+    )
+    total_bytes = total_frames * frame_bytes
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(total_bytes - 1, F.lit(0)),
+        F.lit(chunk_bytes).cast("long"),
+    )
+    base = df.filter(total_frames > 0).select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        total_bytes.alias("__total"),
+        F.explode(starts).alias("byte_start"),
+    )
+    return base.select(
+        "media_id",
+        "mime",
+        (F.col("byte_start") / chunk_bytes).cast("int").alias("chunk_idx"),
+        "byte_start",
+        F.least(F.lit(chunk_bytes).cast("long"), F.col("__total") - F.col("byte_start")).alias(
+            "byte_len"
+        ),
+    )
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled timestamp.
 

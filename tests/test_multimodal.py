@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from strategicai_visibility_loop_etl_spark.operators.multimodal import (
     MEDIA_SCHEMA,
     DecodeNotAvailable,
+    audio_chunks,
     decode_image,
     extract_features,
     resize_images,
@@ -64,6 +65,30 @@ def test_sample_frames_counts(spark):
     assert sorted(per_media[2]) == [0, 1000, 2000, 3000]
     # no duration -> single frame at 0
     assert per_media[1] == [0]
+
+
+def test_audio_chunks_byte_ranges(spark):
+    """3500 ms of 16 kHz 16-bit mono = 112,000 bytes → three full
+    1-second chunks of 32,000 bytes and a 16,000-byte tail; chunks
+    tile the payload exactly; images (no duration) emit nothing."""
+    out = audio_chunks(_media_df(spark), chunk_ms=1000).collect()
+    assert {r["media_id"] for r in out} == {2}
+    chunks = sorted(out, key=lambda r: r["chunk_idx"])
+    assert [(r["chunk_idx"], r["byte_start"], r["byte_len"]) for r in chunks] == [
+        (0, 0, 32000),
+        (1, 32000, 32000),
+        (2, 64000, 32000),
+        (3, 96000, 16000),
+    ]
+    assert sum(r["byte_len"] for r in chunks) == 112000
+    # 8-bit stereo keeps the 2-byte frame; 2 s chunks → 64,000 B + tail.
+    st = sorted(
+        audio_chunks(
+            _media_df(spark), chunk_ms=2000, bytes_per_sample=1, channels=2
+        ).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [(r["byte_start"], r["byte_len"]) for r in st] == [(0, 64000), (64000, 48000)]
 
 
 def test_resize_images_dims_and_passthrough(spark):
