@@ -393,7 +393,10 @@ def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     index loses nothing (max_bucket is sized above the corpus so the
     skew guard never prunes at test scale)."""
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_bucket=10_000_000)
+    return ngram_jaccard_pairs(
+        docs, k=3, threshold=0.5, max_bucket=10_000_000,
+        stage_path=f"{_SIG_STAGE}/ngram22",
+    )
 
 
 def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -675,7 +678,8 @@ def q42_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reps, stars = collapse_exact(_docs_with_dups(spark, sf_dir), min_tokens=3)
     pairs = ngram_jaccard_pairs(
-        reps, k=3, threshold=0.5, max_bucket=10_000_000
+        reps, k=3, threshold=0.5, max_bucket=10_000_000,
+        stage_path=f"{_SIG_STAGE}/ngram42",
     ).select("id_a", "id_b")
     return connected_components(stars.unionByName(pairs))
 

@@ -86,6 +86,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_bucket: int | str = 1000,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs with word-k-gram Jaccard ≥ threshold.
 
@@ -97,8 +98,15 @@ def ngram_jaccard_pairs(
     broadcast join, and compute Jaccard from the counts. No
     array_intersect on pair rows — the verification is two hash
     aggregates, fully codegen'd.
+
+    The exploded-shingle table feeds SIX downstream consumers (posting
+    sizes, both self-join sides, both hot-side joins, doc sizes), and
+    because the hot set travels by broadcast there is no exchange for
+    Spark to reuse — without a barrier the scan+NGram+explode subtree
+    re-executes per consumer. ``stage_path`` materializes it once
+    (measured 6.0 s → 3.6 s at sf0.1 steady-state).
     """
-    ex = exploded_shingles(df, text_col, id_col, k)
+    ex = _stage_roundtrip(exploded_shingles(df, text_col, id_col, k), stage_path)
     sizes = ex.groupBy("id").agg(F.count("*").alias("n_sh"))
 
     posting_sizes = ex.groupBy("g").agg(F.count("*").alias("n"))
