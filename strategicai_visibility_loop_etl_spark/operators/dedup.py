@@ -248,6 +248,12 @@ def minhash_lsh_pairs(
     lambda. Buckets larger than ``max_bucket`` are dropped (skew guard;
     a bucket that hot is near-identical boilerplate better handled by
     exact dedup).
+
+    Only (id, band, band-hash) rides the candidate shuffle — the
+    64-value signature would otherwise replicate ``bands``× through
+    the explode and again through the pair dedup; it joins back from
+    ``sig_df`` (cheap when staged) for the final verify, the same
+    payload discipline as the embedding near-dup path.
     """
     r = num_hashes // bands
     band_hash = [
@@ -258,11 +264,10 @@ def minhash_lsh_pairs(
         ).alias(f"__b{b}")
         for b in range(bands)
     ]
-    with_bands = sig_df.select("id", "sig", *band_hash)
+    with_bands = sig_df.select("id", *band_hash)
 
     band_rows = with_bands.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -271,21 +276,24 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "sig", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
 
     bucket_sizes = band_rows.groupBy("band", "bh").agg(F.count("*").alias("n"))
     cap = resolve_max_bucket(bucket_sizes, max_bucket)
     ok = bucket_sizes.filter((F.col("n") > 1) & (F.col("n") <= cap)).select("band", "bh")
     pruned = band_rows.join(ok, ["band", "bh"])
 
-    a = pruned.select("band", "bh", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = pruned.select("band", "bh", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    a = pruned.select("band", "bh", F.col("id").alias("id_a"))
+    b = pruned.select("band", "bh", F.col("id").alias("id_b"))
     cand = (
         a.join(b, ["band", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sig_df.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig_df.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sa, "id_a").join(sb, "id_b")
 
     agree = sum(
         (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
