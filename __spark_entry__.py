@@ -984,6 +984,18 @@ def q60_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q61_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF,
+    ranked on the rounded score (see tfidf_top_terms for the 1-ulp
+    cross-engine ln() rationale)."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        tfidf_top_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, top_k=5)
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1114,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_scd2": q58_scd2,
         "q59_jsonl_roundtrip": q59_jsonl_roundtrip,
         "q60_attribution": q60_attribution,
+        "q61_tfidf": q61_tfidf,
     }
 
 
@@ -2023,6 +2036,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT v.user_id, view_id, click_id, vus AS view_us, cus AS click_us
         FROM v JOIN c ON v.user_id = c.user_id
                      AND cus >= vus AND cus <= vus + 3600000000
+    """
+
+    # q61: rank over the ROUNDED score with a term tiebreak (ln() is
+    # only ~1-ulp reproducible across math libraries).
+    sql["q61_tfidf"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        e AS (
+            SELECT doc_id, unnest(toks) AS term FROM t
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM e
+            WHERE term != '' GROUP BY doc_id, term
+        ),
+        dfq AS (
+            SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY term
+        ),
+        n AS (
+            SELECT COUNT(DISTINCT doc_id) AS nd FROM e WHERE term != ''
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfq.doc_freq,
+                   round(tf.tf * ln(CAST(n.nd + 1 AS DOUBLE) / (dfq.doc_freq + 1)), 6) AS score
+            FROM tf JOIN dfq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, doc_freq, score, rank FROM (
+            SELECT *, CAST(row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+            FROM scored
+        ) WHERE rank <= 5
     """
 
     sql["q47_repetition_filter"] = f"""

@@ -263,6 +263,52 @@ def drop_common_lines(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``top_k`` characteristic terms per document by smoothed
+    TF-IDF: ``tf × ln((N+1)/(df+1))`` — (id, term, tf, doc_freq,
+    score, rank).
+
+    Plan: one hash aggregate for per-(doc, term) tf, one more over it
+    for per-term df (both partial-aggregable), N as a one-row scalar
+    broadcast, a term-keyed join, and a WindowGroupLimit top-k per doc.
+    Ranking happens on the ROUNDED score (6 dp) with a term tiebreak:
+    ``ln`` is only ~1-ulp reproducible across math libraries, and an
+    unrounded order-by would let two mathematically-distinct-but-equal
+    scores (e.g. 2·ln(x) vs ln(x²)) rank differently per engine.
+    """
+    norm = normalized_text(F.coalesce(F.col(text_col), F.lit("")))
+    ex = (
+        df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = ex.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = ex.select(id_col).distinct().agg(F.count("*").alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.bround(
+                F.col("tf")
+                * F.log((F.col("__n") + 1).cast("double") / (F.col("doc_freq") + 1)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "doc_freq", "score", "rank")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int,
