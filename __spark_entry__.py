@@ -996,6 +996,28 @@ def q61_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, top_k=5)
 
 
+def q62_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted once per (cohort, weeks-since-cohort) they were active in.
+    Two hash aggregates (per-user min, then per-cell distinct count)
+    plus a co-partitioned user join — the q40 decorrelation shape.
+    Weeks are epoch-day DIV 7 (engine-neutral integer arithmetic; no
+    calendar-week locale semantics to disagree on)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("(ts DIV 86400000000000) DIV 7").alias("wk"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    cells = (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("wk_offset"))
+        .distinct()
+    )
+    return cells.groupBy("cohort_wk", "wk_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1127,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_jsonl_roundtrip": q59_jsonl_roundtrip,
         "q60_attribution": q60_attribution,
         "q61_tfidf": q61_tfidf,
+        "q62_retention_cohorts": q62_retention_cohorts,
     }
 
 
@@ -2067,6 +2090,23 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
             FROM scored
         ) WHERE rank <= 5
+    """
+
+    # q62: weeks = epoch-day // 7 (ts nanos -> epoch_ns // day // 7) —
+    # pure integer arithmetic, no calendar-week locale semantics.
+    sql["q62_retention_cohorts"] = """
+        WITH ev AS (
+            SELECT user_id, (epoch_ns(ts) // 86400000000000) // 7 AS wk FROM events
+        ),
+        first AS (
+            SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id
+        ),
+        cells AS (
+            SELECT DISTINCT ev.user_id, cohort_wk, wk - cohort_wk AS wk_offset
+            FROM ev JOIN first USING (user_id)
+        )
+        SELECT cohort_wk, wk_offset, COUNT(*) AS n_users
+        FROM cells GROUP BY cohort_wk, wk_offset
     """
 
     sql["q47_repetition_filter"] = f"""
