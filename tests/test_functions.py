@@ -159,3 +159,20 @@ def test_approx_count_distinct_tolerance(spark, sf_dir):
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx"),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_percentile_approx_tolerance(spark, sf_dir):
+    """percentile_approx (the mergeable-sketch form q38's docstring
+    routes 100 TB users to) stays within the sketch's rank-error bound
+    of the exact per-group percentiles the oracle pins."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rows = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.9).alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.9, 1000).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.89)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.91)").alias("hi"),
+    ).collect()
+    for r in rows:
+        # accuracy=1000 -> rank error <= 1/1000; [p89, p91] is a
+        # generous value-space envelope for that.
+        assert r["lo"] <= r["approx"] <= r["hi"], r

@@ -293,3 +293,15 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path, sf_dir):
     expected = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert df.count() == expected
     spark.sql("DROP TABLE IF EXISTS t_ord_part")
+
+
+def test_register_views_sql_front_door(spark, sf_dir):
+    from strategicai_visibility_loop_etl_spark.session import register_views
+
+    names = register_views(spark, sf_dir)
+    assert {"lineitem", "orders", "documents"} <= set(names)
+    got = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1"
+    ).collect()
+    assert [r["l_returnflag"] for r in got] == ["A", "N", "R"]
+    assert sum(r["n"] for r in got) == spark.table("lineitem").count()
