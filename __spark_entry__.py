@@ -1018,6 +1018,21 @@ def q62_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q63_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: per training doc, the fraction of its
+    distinct 8-grams colliding with a held-out benchmark set (every
+    20th doc plays the benchmark). The standard eval-contamination
+    hygiene pass over training corpora."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        benchmark_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return benchmark_overlap(corpus, bench, k=8)
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1150,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_attribution": q60_attribution,
         "q61_tfidf": q61_tfidf,
         "q62_retention_cohorts": q62_retention_cohorts,
+        "q63_decontamination": q63_decontamination,
     }
 
 
@@ -2107,6 +2123,42 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT cohort_wk, wk_offset, COUNT(*) AS n_users
         FROM cells GROUP BY cohort_wk, wk_offset
+    """
+
+    # q63: 8-grams via the q22 slice idiom; range(1, len-6) is empty
+    # for short docs, so they fall through to 0/0/0.0 on the spine.
+    sql["q63_decontamination"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 6),
+                       i -> array_to_string(list_slice(toks, i, i + 7), ' '))) AS gs
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 20 != 0
+        ),
+        b AS (
+            SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 20 = 0
+        ),
+        per AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM e GROUP BY doc_id
+        ),
+        hits AS (
+            SELECT e.doc_id, COUNT(*) AS n_overlap FROM e JOIN b USING (g)
+            GROUP BY e.doc_id
+        )
+        SELECT d.doc_id AS id,
+               coalesce(per.n_grams, 0) AS n_grams,
+               coalesce(hits.n_overlap, 0) AS n_overlap,
+               round(CASE WHEN coalesce(per.n_grams, 0) > 0
+                          THEN coalesce(hits.n_overlap, 0)
+                               / CAST(per.n_grams AS DOUBLE)
+                          ELSE 0.0 END, 6) AS overlap_frac
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
+        LEFT JOIN per USING (doc_id) LEFT JOIN hits USING (doc_id)
     """
 
     sql["q47_repetition_filter"] = f"""

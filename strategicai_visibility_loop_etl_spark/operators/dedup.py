@@ -157,6 +157,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def benchmark_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decontamination check: per corpus document, how many of its
+    distinct word-``k``-grams also appear anywhere in ``benchmark``
+    (the eval/test set) — (id, n_grams, n_overlap, overlap_frac).
+
+    The standard training-data hygiene pass (n-gram collision against
+    held-out benchmarks). Plan: both sides explode to distinct
+    k-grams; the benchmark side reduces to a DISTINCT gram set (tiny
+    relative to the corpus — benchmarks are small) and the overlap is
+    a per-gram join + per-doc count. The join keys on the gram string;
+    Spark/AQE broadcasts the benchmark gram set when it fits, and the
+    shuffle otherwise carries only (gram, id) — never document text.
+    Docs with fewer than ``k`` tokens have no grams and report 0/0/0.0
+    via the left join back to the corpus spine.
+    """
+    ex_c = exploded_shingles(corpus, text_col, id_col, k)
+    bench_grams = exploded_shingles(benchmark, text_col, id_col, k).select("g").distinct()
+    per_doc = ex_c.groupBy("id").agg(F.count("*").alias("n_grams"))
+    hits = (
+        ex_c.join(bench_grams, "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    spine = corpus.select(F.col(id_col).alias("id"))
+    return (
+        spine.join(per_doc, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.coalesce("n_overlap", F.lit(0))
+                    / F.coalesce("n_grams", F.lit(0)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 def _minhash_cols(num_hashes: int) -> list[Column]:
     return [
         F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)

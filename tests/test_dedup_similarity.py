@@ -245,3 +245,27 @@ def test_ivf_recall_vs_exact_and_determinism(spark):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
     assert first == run()  # hash-sampled init + staged argmin = reproducible
+
+
+def test_benchmark_overlap_planted_contamination(spark):
+    from strategicai_visibility_loop_etl_spark.operators.dedup import benchmark_overlap
+
+    bench_text = "q one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [
+            (1, bench_text),                     # fully contaminated
+            (2, "totally different words here all over the whole doc"),
+            (3, "x " + bench_text),              # shifted: shares inner grams
+            (4, "tiny doc"),                     # < k tokens -> 0/0/0
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {r["id"]: r for r in benchmark_overlap(corpus, bench, k=8).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1]["n_overlap"] == got[1]["n_grams"] > 0
+    assert got[1]["overlap_frac"] == 1.0
+    assert got[2]["n_overlap"] == 0 and got[2]["n_grams"] > 0
+    # 12 tokens -> 5 grams; 4 of them are pure bench_text grams.
+    assert got[3]["n_grams"] == 5 and got[3]["n_overlap"] == 4
+    assert got[4]["n_grams"] == 0 and got[4]["overlap_frac"] == 0.0
