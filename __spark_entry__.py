@@ -1033,6 +1033,18 @@ def q63_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benchmark_overlap(corpus, bench, k=8)
 
 
+def q64_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span pressure per document: fraction of 8-gram
+    positions whose gram occurs in at least one other document —
+    position-weighted cross-doc repetition (the span-level signal
+    behind substring-dedup policies)."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        duplicate_span_fraction,
+    )
+
+    return duplicate_span_fraction(_docs_with_dups(spark, sf_dir), k=8)
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1166,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q61_tfidf": q61_tfidf,
         "q62_retention_cohorts": q62_retention_cohorts,
         "q63_decontamination": q63_decontamination,
+        "q64_dup_spans": q64_dup_spans,
     }
 
 
@@ -2159,6 +2172,46 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END, 6) AS overlap_frac
         FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
         LEFT JOIN per USING (doc_id) LEFT JOIN hits USING (doc_id)
+    """
+
+    # q64: positional grams with multiplicity; df over DISTINCT
+    # (gram, doc); every doc has a planted case-dup so dup_frac is 1.0
+    # for any doc with >= 8 tokens.
+    sql["q64_dup_spans"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM ({dup_union})
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - 6),
+                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')) AS gs
+            FROM t
+        ),
+        e AS (
+            SELECT doc_id, unnest(gs) AS g FROM g
+        ),
+        d AS (
+            SELECT g, true AS dup FROM (SELECT DISTINCT doc_id, g FROM e)
+            GROUP BY g HAVING count(*) > 1
+        ),
+        f AS (
+            SELECT e.doc_id, coalesce(d.dup, false) AS dup
+            FROM e LEFT JOIN d USING (g)
+        ),
+        per AS (
+            SELECT doc_id, count(*) AS n_positions,
+                   count(*) FILTER (WHERE dup) AS n_dup_positions
+            FROM f GROUP BY doc_id
+        )
+        SELECT s.doc_id AS id,
+               coalesce(per.n_positions, 0) AS n_positions,
+               coalesce(per.n_dup_positions, 0) AS n_dup_positions,
+               round(CASE WHEN coalesce(per.n_positions, 0) > 0
+                          THEN coalesce(per.n_dup_positions, 0)
+                               / CAST(per.n_positions AS DOUBLE)
+                          ELSE 0.0 END, 6) AS dup_frac
+        FROM (SELECT doc_id FROM ({dup_union})) s
+        LEFT JOIN per ON s.doc_id = per.doc_id
     """
 
     sql["q47_repetition_filter"] = f"""

@@ -206,6 +206,64 @@ def benchmark_overlap(
     )
 
 
+def duplicate_span_fraction(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-span pressure: the fraction of a doc's
+    k-gram POSITIONS whose gram also appears in at least one OTHER
+    document — (id, n_positions, n_dup_positions, dup_frac).
+
+    The position-weighted cousin of exact/near dedup (cf. "Deduplicating
+    Training Data Makes Language Models Better": repeated SPANS hurt
+    even when whole docs differ). Positions, not distinct grams, so a
+    boilerplate sentence pasted five times counts five times.
+
+    Plan: positional grams explode once; cross-doc document frequency
+    aggregates over DISTINCT (gram, doc) — computed from the same
+    exploded table — and grams with df > 1 join back as a flag. Only
+    (gram, id, pos) rides any shuffle; the per-doc fractions are one
+    final hash aggregate.
+    """
+    from pyspark.ml.feature import NGram  # noqa: PLC0415 (cheap, pure-plan transform)
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ").alias("__toks"),
+    )
+    grams = NGram(n=k, inputCol="__toks", outputCol="__g").transform(toks)
+    pos = grams.select("id", F.posexplode("__g").alias("pos", "g"))
+    dup = (
+        pos.select("id", "g")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > 1)
+        .select("g", F.lit(True).alias("__dup"))
+    )
+    flagged = pos.join(dup, "g", "left")
+    spine = df.select(F.col(id_col).alias("id"))
+    per = flagged.groupBy("id").agg(
+        F.count("*").alias("n_positions"),
+        F.count(F.when(F.col("__dup"), 1)).alias("n_dup_positions"),
+    )
+    return spine.join(per, "id", "left").select(
+        "id",
+        F.coalesce("n_positions", F.lit(0)).alias("n_positions"),
+        F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+        F.round(
+            F.when(
+                F.coalesce("n_positions", F.lit(0)) > 0,
+                F.coalesce("n_dup_positions", F.lit(0))
+                / F.coalesce("n_positions", F.lit(0)).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
 def _minhash_cols(num_hashes: int) -> list[Column]:
     return [
         F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"__h{i}") for i in range(num_hashes)

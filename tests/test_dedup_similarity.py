@@ -269,3 +269,27 @@ def test_benchmark_overlap_planted_contamination(spark):
     # 12 tokens -> 5 grams; 4 of them are pure bench_text grams.
     assert got[3]["n_grams"] == 5 and got[3]["n_overlap"] == 4
     assert got[4]["n_grams"] == 0 and got[4]["overlap_frac"] == 0.0
+
+
+def test_duplicate_span_fraction_position_weighted(spark):
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        duplicate_span_fraction,
+    )
+
+    boiler = "all rights reserved contact us for more information today"  # 9 toks, 2 grams
+    rows = [
+        (1, boiler + " unique tail one two three four five six seven"),
+        (2, boiler),                 # shares the boiler grams with 1 and 3
+        (3, boiler + " " + boiler),  # pastes it twice: dup positions count twice
+        (4, "nothing shared here at all in this very different document"),
+        (5, "short"),                # < k tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: r for r in duplicate_span_fraction(df, k=8).collect()}
+    assert got[2]["n_positions"] == 2 and got[2]["n_dup_positions"] == 2
+    assert got[4]["n_dup_positions"] == 0 and got[4]["dup_frac"] == 0.0
+    assert got[5]["n_positions"] == 0 and got[5]["dup_frac"] == 0.0
+    # Doc 3 is 18 tokens -> 11 positions.
+    assert got[3]["n_positions"] == 11
+    assert got[3]["n_dup_positions"] >= got[2]["n_dup_positions"]
+    assert 0 < got[1]["dup_frac"] < 1
