@@ -129,3 +129,39 @@ def test_pipeline_merge_has_no_giant_interpreted_stage(spark, tmp_path):
         assert len(plan) < 100_000, f"plan blew up: {len(plan)} chars"
     finally:
         spark.conf.set("spark.sql.constraintPropagation.enabled", prev)
+
+
+def test_q53_sampler_prelimits_before_exchange(spark, sf_dir):
+    """The exactly-k sampler must ship only each task's local top-k per
+    stratum: a Partial WindowGroupLimit below the exchange."""
+    plan = _plan(entrymod.q53_topk_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert plan.index("Partial") > 0
+    # Partial limit sits below (after, in printed order) the Exchange.
+    assert "Exchange" in plan
+
+
+def test_q54_cube_expands_below_partial_agg(spark, sf_dir):
+    """CUBE must Expand before the partial aggregate so the exchange
+    carries per-grouping-set partials, not 4x the fact table."""
+    plan = _plan(entrymod.q54_event_cube(spark, sf_dir))
+    assert "Expand" in plan, plan[:2000]
+    i_expand = plan.rindex("Expand")
+    i_exchange = plan.rindex("Exchange")
+    # Printed plans list consumers above producers: the Expand (deepest)
+    # must appear BELOW the exchange in the text.
+    assert i_expand > i_exchange, plan[:3000]
+
+
+def test_q61_tfidf_uses_group_limit(spark, sf_dir):
+    plan = _plan(entrymod.q61_tfidf(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_q52_line_dedup_no_cartesian_no_broadcast_of_common(spark, sf_dir):
+    """The common-line set joins back by hash key; nothing may turn
+    into a cartesian product, and the reassembly must be a single
+    aggregate (exactly one agg exchange on doc_id)."""
+    plan = _plan(entrymod.q52_line_dedup(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan or "HashAggregate" in plan
