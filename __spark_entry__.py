@@ -573,6 +573,27 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` aggregation — the native sibling of
+    q36's hand-rolled sessionizer (and the operator a streaming job
+    would use verbatim). Session end = last event + gap; an event at
+    exactly the gap boundary MERGES (verified empirically), so the
+    oracle's island split uses strict '>'."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.timestamp_micros(F.expr("ts DIV 1000")).alias("ets")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ets", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("start_us"),
+            F.unix_micros("w.end").alias("end_us"),
+            "n_events",
+        )
+    )
+
+
 def q37_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi/anti join (EXISTS / NOT EXISTS): per nation, customers with
     at least one order vs customers with none. left_semi/left_anti keep
@@ -1179,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_retention_cohorts": q62_retention_cohorts,
         "q63_decontamination": q63_decontamination,
         "q64_dup_spans": q64_dup_spans,
+        "q65_session_window": q65_session_window,
     }
 
 
@@ -2212,6 +2234,30 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END, 6) AS dup_frac
         FROM (SELECT doc_id FROM ({dup_union})) s
         LEFT JOIN per ON s.doc_id = per.doc_id
+    """
+
+    # q65: islands with strict '>' (a boundary-exact event merges in
+    # Spark's session_window); end = last event + gap.
+    sql["q65_session_window"] = """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS tus FROM events
+        ),
+        f AS (
+            SELECT *, CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                                > CAST(3600 AS BIGINT) * 1000000 THEN 1 ELSE 0 END AS newf
+            FROM e
+        ),
+        g AS (
+            SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY tus
+                      ROWS UNBOUNDED PRECEDING) AS sess
+            FROM f
+        )
+        SELECT user_id,
+               MIN(tus) AS start_us,
+               MAX(tus) + 3600000000 AS end_us,
+               COUNT(*) AS n_events
+        FROM g
+        GROUP BY user_id, sess
     """
 
     sql["q47_repetition_filter"] = f"""

@@ -176,3 +176,18 @@ def test_percentile_approx_tolerance(spark, sf_dir):
         # accuracy=1000 -> rank error <= 1/1000; [p89, p91] is a
         # generous value-space envelope for that.
         assert r["lo"] <= r["approx"] <= r["hi"], r
+
+
+def test_freq_items_sketch_covers_true_frequents(spark, sf_dir):
+    """DataFrame.freqItems (the streaming-sketch frequent-items pass)
+    must contain every value whose true frequency clears the support
+    threshold — false positives allowed, false negatives not."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    found = set(li.freqItems(["l_returnflag"], support=0.2).collect()[0][0])
+    total = li.count()
+    truth = {
+        r["l_returnflag"]
+        for r in li.groupBy("l_returnflag").count().collect()
+        if r["count"] / total >= 0.2
+    }
+    assert truth <= found, (truth, found)
