@@ -1066,6 +1066,18 @@ def q64_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_span_fraction(_docs_with_dups(spark, sf_dir), k=8)
 
 
+def q66_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order sharding of the corpus: hash-mod
+    shard + dense in-shard position — the 'global shuffle' training
+    loaders consume, without a global sort."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        shard_assignment,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return shard_assignment(docs, n_shards=8, key_col="doc_id")
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1201,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_decontamination": q63_decontamination,
         "q64_dup_spans": q64_dup_spans,
         "q65_session_window": q65_session_window,
+        "q66_shard_assignment": q66_shard_assignment,
     }
 
 
@@ -2258,6 +2271,20 @@ def oracle_sql() -> dict[str, str]:
                COUNT(*) AS n_events
         FROM g
         GROUP BY user_id, sess
+    """
+
+    # q66: same Knuth-hash arithmetic as q44/q53; dense 0-based rank.
+    sql["q66_shard_assignment"] = """
+        SELECT doc_id, lang,
+               CAST(h % 8 AS INT) AS shard,
+               CAST(row_number() OVER (
+                    PARTITION BY h % 8 ORDER BY h, doc_id) - 1 AS BIGINT)
+                    AS pos_in_shard
+        FROM (
+            SELECT doc_id, lang,
+                   ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
+            FROM documents
+        )
     """
 
     sql["q47_repetition_filter"] = f"""

@@ -263,6 +263,36 @@ def drop_common_lines(
     )
 
 
+def shard_assignment(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str,
+    rank_col: str = "pos_in_shard",
+) -> DataFrame:
+    """Deterministic training-order sharding: every row gets a
+    ``shard`` (multiplicative key hash mod ``n_shards``) and a dense
+    ``pos_in_shard`` (0-based rank by (hash, key) within the shard) —
+    the "global shuffle" step before writing training shards, without
+    a global sort.
+
+    The order is a pure function of the key (reproducible across
+    engines, runs, partitionings); within-shard ranking is one window
+    per shard — shards are many and hash-balanced, so no single
+    reducer sees more than ~1/n_shards of the data. A truly global
+    order would need one sorted partition; sharded order is the form
+    training loaders actually consume (one file list per shard).
+    """
+    folded = F.pmod(F.col(key_col), F.lit(2147483648))
+    h = F.pmod(folded * F.lit(_KNUTH), F.lit(_MOD))
+    shard = F.pmod(h, F.lit(n_shards))
+    w = Window.partitionBy(shard).orderBy(h.asc(), F.col(key_col).asc())
+    return df.select(
+        "*",
+        shard.cast("int").alias("shard"),
+        (F.row_number().over(w) - 1).cast("long").alias(rank_col),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     top_k: int = 5,
