@@ -1078,6 +1078,33 @@ def q66_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_assignment(docs, n_shards=8, key_col="doc_id")
 
 
+def q67_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO emulation: one change batch carrying updates (every
+    3rd doc re-langed), inserts (10 new ids), and deletes (every 97th
+    doc) applied to the documents snapshot in a single full-outer
+    pass."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import upsert
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    updates = docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 97 != 0)).select(
+        "doc_id",
+        F.lit("xx").alias("lang"),
+        (F.col("n_chars") + 1).alias("n_chars"),
+        F.lit(False).alias("is_delete"),
+    )
+    deletes = docs.filter(F.col("doc_id") % 97 == 0).select(
+        "doc_id", "lang", "n_chars", F.lit(True).alias("is_delete")
+    )
+    inserts = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.lit("new").alias("lang"),
+        F.lit(0).cast("bigint").alias("n_chars"),
+        F.lit(False).alias("is_delete"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return upsert(docs, changes, key_col="doc_id", delete_col="is_delete")
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1214,6 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_dup_spans": q64_dup_spans,
         "q65_session_window": q65_session_window,
         "q66_shard_assignment": q66_shard_assignment,
+        "q67_upsert": q67_upsert,
     }
 
 
@@ -2285,6 +2313,29 @@ def oracle_sql() -> dict[str, str]:
                    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS h
             FROM documents
         )
+    """
+
+    # q67: change-side-wins full outer; delete flags filter the joined
+    # row; %97 keys are excluded from the update leg so each key has
+    # at most one change row.
+    sql["q67_upsert"] = """
+        WITH s AS (
+            SELECT doc_id, lang, n_chars FROM documents
+        ),
+        ch AS (
+            SELECT doc_id, 'xx' AS lang, n_chars + 1 AS n_chars, false AS is_delete
+            FROM documents WHERE doc_id % 3 = 0 AND doc_id % 97 != 0
+            UNION ALL
+            SELECT doc_id, lang, n_chars, true FROM documents WHERE doc_id % 97 = 0
+            UNION ALL
+            SELECT doc_id + 100000, 'new', CAST(0 AS BIGINT), false
+            FROM documents WHERE doc_id < 10
+        )
+        SELECT coalesce(ch.doc_id, s.doc_id) AS doc_id,
+               CASE WHEN ch.doc_id IS NOT NULL THEN ch.lang ELSE s.lang END AS lang,
+               CASE WHEN ch.doc_id IS NOT NULL THEN ch.n_chars ELSE s.n_chars END AS n_chars
+        FROM s FULL OUTER JOIN ch ON s.doc_id = ch.doc_id
+        WHERE NOT coalesce(ch.is_delete, false)
     """
 
     sql["q47_repetition_filter"] = f"""

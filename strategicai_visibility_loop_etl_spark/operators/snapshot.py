@@ -17,6 +17,9 @@ comparison itself a first-class distributed op:
   the key: lag() drops no-op changes, lead() over the survivors
   closes each interval — the survivors are already partitioned by the
   key, so the second window reuses the first exchange.
+- ``upsert`` — MERGE INTO emulation (update / insert / delete in one
+  full-outer join pass), change-side-wins projection, additive schema
+  evolution.
 """
 
 from __future__ import annotations
@@ -47,6 +50,63 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return o.join(n, key_col, "full_outer").select(key_col, status.alias("status"))
+
+
+def upsert(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE-INTO emulation (SCD type 1): apply a change batch to a
+    snapshot — matched keys take the change row's values, unmatched
+    change rows insert, unmatched snapshot rows carry over, and (when
+    ``delete_col`` names a boolean column) change rows flagged true
+    delete instead of update.
+
+    One full-outer shuffled join on the key; every column resolves via
+    a codegen'd "change side wins" projection. Columns = union of both
+    schemas (a column missing from one side reads as NULL there —
+    additive schema evolution for free). With both inputs bucketed on
+    the key (sources/sinks.py) the Exchange disappears, which is how
+    the nightly 100 TB snapshot+delta compaction should run.
+
+    ``changes`` must hold at most one row per key (pre-collapse a
+    multi-change log with ``dedup_spine`` or ``scd2_intervals``'
+    latest run) — enforced nowhere at this layer, documented loudly.
+    """
+    s_cols = set(snapshot.columns)
+    c_cols = set(changes.columns)
+    out_cols = [c for c in snapshot.columns if c != key_col] + [
+        c for c in changes.columns if c not in s_cols and c != delete_col
+    ]
+    s = snapshot.select(
+        F.col(key_col),
+        F.lit(True).alias("__in_s"),
+        *[F.col(c).alias(f"__s_{c}") for c in snapshot.columns if c != key_col],
+    )
+    c = changes.select(
+        F.col(key_col),
+        F.lit(True).alias("__in_c"),
+        *[F.col(cc).alias(f"__c_{cc}") for cc in changes.columns if cc != key_col],
+    )
+    j = s.join(c, key_col, "full_outer")
+    if delete_col is not None:
+        j = j.filter(~F.coalesce(F.col(f"__c_{delete_col}"), F.lit(False)))
+    picked = []
+    for col in out_cols:
+        if col == delete_col:
+            continue
+        c_side = F.col(f"__c_{col}") if col in c_cols else None
+        s_side = F.col(f"__s_{col}") if col in s_cols else None
+        if c_side is not None and s_side is not None:
+            # Change side wins where the row came from the change batch
+            # (even if its value is NULL — an explicit NULL overwrite).
+            expr = F.when(F.col("__in_c"), c_side).otherwise(s_side)
+        else:
+            expr = c_side if c_side is not None else s_side
+        picked.append(expr.alias(col))
+    return j.select(key_col, *picked)
 
 
 def scd2_intervals(

@@ -262,3 +262,25 @@ def test_cluster_representatives_keep_min(spark):
     kept = {r["doc_id"] for r in cluster_representatives(docs, comp).collect()}
     # 1,3,5 collapse to 1; 0,2,4 untouched.
     assert kept == {0, 1, 2, 4}
+
+
+def test_upsert_merge_semantics(spark):
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import upsert
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, n long"
+    )
+    # update k=1 (with an explicit NULL overwrite of n), delete k=2,
+    # insert k=9 carrying a NEW column the snapshot lacks.
+    changes = spark.createDataFrame(
+        [(1, "A", None, False, "x"), (2, None, None, True, None), (9, "i", 90, False, "y")],
+        "k long, v string, n long, dead boolean, extra string",
+    )
+    out = {r["k"]: r for r in upsert(snap, changes, "k", delete_col="dead").collect()}
+    assert set(out) == {1, 3, 9}
+    assert (out[1]["v"], out[1]["n"], out[1]["extra"]) == ("A", None, "x")
+    assert (out[3]["v"], out[3]["n"], out[3]["extra"]) == ("c", 30, None)
+    assert (out[9]["v"], out[9]["n"], out[9]["extra"]) == ("i", 90, "y")
+    # Without a delete column every change row applies.
+    out2 = upsert(snap, changes.drop("dead"), "k").count()
+    assert out2 == 4
