@@ -47,3 +47,37 @@ def write_bucketed(
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     """Read a catalog table (bucket metadata flows into planning)."""
     return spark.table(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    target_mb: int = 256,
+) -> int:
+    """Rewrite a directory of (typically many small) parquet files into
+    ~``target_mb``-sized files; returns the output file count.
+
+    The nightly small-files compaction every long-lived ingest needs:
+    streaming/micro-batch sinks accumulate thousands of KB-scale files
+    and scan planning (file listing + footer reads + one task per tiny
+    split) comes to dominate. Output file count = ceil(input bytes /
+    target), sized from the Hadoop FS API (object-store safe — never
+    ``os.listdir``); the rewrite is one round-robin repartition, no
+    key assumption. For sort/cluster-aware layouts use
+    ``write_bucketed`` instead — this keeps only sizes, not order.
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(in_path).repartition(n_files).write.mode("overwrite").parquet(out_path)
+    out_p = jvm.org.apache.hadoop.fs.Path(out_path)
+    statuses = fs.listStatus(out_p)
+    return sum(
+        1 for i in range(len(statuses)) if statuses[i].getPath().getName().endswith(".parquet")
+    )

@@ -305,3 +305,17 @@ def test_register_views_sql_front_door(spark, sf_dir):
     ).collect()
     assert [r["l_returnflag"] for r in got] == ["A", "N", "R"]
     assert sum(r["n"] for r in got) == spark.table("lineitem").count()
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    from strategicai_visibility_loop_etl_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "many")
+    dst = str(tmp_path / "compacted")
+    # 64 tiny files of the same schema.
+    spark.range(0, 6400).repartition(64).write.parquet(src)
+    n_out = compact_parquet(spark, src, dst, target_mb=256)
+    assert n_out == 1  # a few KB total -> one output file
+    a = sorted(r["id"] for r in spark.read.parquet(src).collect())
+    b = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+    assert a == b  # content-preserving
