@@ -1105,6 +1105,23 @@ def q67_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upsert(docs, changes, key_col="doc_id", delete_col="is_delete")
 
 
+def q68_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON extraction from a string column: from_json with an
+    EXPLICIT schema (the scale-right form — schema'd parsing stays in
+    codegen and prunes to the referenced field; schema inference would
+    cost a full extra pass) + per-type aggregation of the extracted
+    field."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.from_json("props", "k int").alias("p")
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("p.k").cast("bigint")).alias("sum_k"),
+        F.min("p.k").alias("min_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
 def q47_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition metrics (top-bigram fraction, distinct
     fraction) per document — the standard LLM quality-filter signal for
@@ -1242,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_session_window": q65_session_window,
         "q66_shard_assignment": q66_shard_assignment,
         "q67_upsert": q67_upsert,
+        "q68_json_extract": q68_json_extract,
     }
 
 
@@ -2336,6 +2354,16 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN ch.doc_id IS NOT NULL THEN ch.n_chars ELSE s.n_chars END AS n_chars
         FROM s FULL OUTER JOIN ch ON s.doc_id = ch.doc_id
         WHERE NOT coalesce(ch.is_delete, false)
+    """
+
+    # q68: SUM casts to BIGINT on both sides (DuckDB SUM(BIGINT) is
+    # HUGEINT but stringifies identically for these magnitudes).
+    sql["q68_json_extract"] = """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type
     """
 
     sql["q47_repetition_filter"] = f"""
