@@ -97,6 +97,40 @@ def _dsum(col, alias: str):
     return F.sum(c.cast("double")).alias(alias)
 
 
+def _wall_us(col):
+    """Wall-clock epoch micros (bigint) of a timestamp column — matches
+    DuckDB ``epoch_us(ts)`` over the same parquet. ``unix_micros``
+    requires an LTZ input, and casting TIMESTAMP_NTZ→LTZ shifts with
+    the session timezone; this date/field-extraction form never
+    consults a timezone, so it is stable no matter what timezone the
+    driver's session runs under."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.unix_date(F.to_date(c)).cast("long") * F.lit(86_400_000_000)
+        + (F.hour(c) * 3600 + F.minute(c) * 60).cast("long") * F.lit(1_000_000)
+        + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("long")
+    )
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with canonical event-time columns added:
+
+    - ``ets``: event time as a timestamp (micro precision)
+    - ``tus``: wall-clock epoch micros, bigint (= DuckDB ``epoch_us``)
+
+    The testdata generator has shipped ``ts`` both as TIMESTAMP(NANOS)
+    (which Spark reads as bigint nanos under the legacy nanosAsLong
+    conf ``_t`` sets) and as TIMESTAMP(MICROS) (read as timestamp_ntz);
+    both normalize here so every event-time query is schema-agnostic.
+    Catalyst prunes whichever of the two derived columns a query
+    doesn't reference."""
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"].startswith("timestamp"):
+        return ev.withColumn("ets", F.col("ts")).withColumn("tus", _wall_us("ts"))
+    tus = F.expr("ts DIV 1000")
+    return ev.withColumn("tus", tus).withColumn("ets", F.timestamp_micros(tus))
+
+
 # ---------------------------------------------------------------------------
 # Core relational engine
 # ---------------------------------------------------------------------------
@@ -471,8 +505,8 @@ def q28_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q30_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level aggregation via ROLLUP (event_type × day hierarchy)
     — partial-agg friendly grouping sets."""
-    ev = _t(spark, sf_dir, "events")
-    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    ev = _ev(spark, sf_dir)
+    day = F.date_format("ets", "yyyy-MM-dd")
     return (
         ev.withColumn("day", day)
         .rollup("event_type", "day")
@@ -498,11 +532,7 @@ def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each event picks up the latest order at-or-before its
     timestamp per user (union-sort-carry, one shuffle — no inequality
     join). DuckDB's native ASOF JOIN is the oracle."""
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ets"),
-    )
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "ets")
     orders = (
         _t(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("user_id"), F.col("o_orderdate"))
@@ -519,9 +549,8 @@ def q32_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_moving_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed analytics over an ordered stream: lag delta + moving
     average per user (bounded window frames, one shuffle on the key)."""
-    ev = _t(spark, sf_dir, "events")
-    ts_us = F.expr("ts DIV 1000")
-    w = Window.partitionBy("user_id").orderBy(ts_us, F.col("event_id"))
+    ev = _ev(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("tus"), F.col("event_id"))
     wavg = w.rowsBetween(-2, 0)
     return ev.select(
         "event_id",
@@ -557,12 +586,7 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator): lag → new-session flag → running session index → agg."""
     from strategicai_visibility_loop_etl_spark.streaming.sessions import sessionize_batch
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "value",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ets"),
-    )
+    ev = _ev(spark, sf_dir).select("event_id", "user_id", "value", "ets")
     out = sessionize_batch(ev, gap_seconds=3600, ts_col="ets")
     return out.select(
         "user_id",
@@ -579,16 +603,14 @@ def q65_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     would use verbatim). Session end = last event + gap; an event at
     exactly the gap boundary MERGES (verified empirically), so the
     oracle's island split uses strict '>'."""
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.timestamp_micros(F.expr("ts DIV 1000")).alias("ets")
-    )
+    ev = _ev(spark, sf_dir).select("user_id", "ets")
     return (
         ev.groupBy("user_id", F.session_window("ets", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.unix_micros("w.start").alias("start_us"),
-            F.unix_micros("w.end").alias("end_us"),
+            _wall_us(F.col("w.start")).alias("start_us"),
+            _wall_us(F.col("w.end")).alias("end_us"),
             "n_events",
         )
     )
@@ -861,8 +883,8 @@ def q54_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     companion to q30's ROLLUP. Spark expands the cube BEFORE the
     exchange (Expand + partial hash agg), so the shuffle carries
     pre-combined per-set partials, not 4× the fact table."""
-    ev = _t(spark, sf_dir, "events")
-    day = F.date_format(F.timestamp_micros(F.expr("ts DIV 1000")), "yyyy-MM-dd")
+    ev = _ev(spark, sf_dir)
+    day = F.date_format("ets", "yyyy-MM-dd")
     return (
         ev.withColumn("day", day)
         .cube("event_type", "day")
@@ -917,9 +939,7 @@ def q57_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         funnel_steps,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr("ts DIV 1000").alias("tus")
-    )
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "tus")
     per_user = funnel_steps(ev, ["view", "click", "purchase"], ts_col="tus")
     return per_user.agg(
         F.count("t_1").alias("n_view"),
@@ -938,12 +958,7 @@ def q58_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         scd2_intervals,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.expr("ts DIV 1000").alias("tus"),
-        "event_id",
-    )
+    ev = _ev(spark, sf_dir).select("user_id", "event_type", "tus", "event_id")
     return scd2_intervals(
         ev, key_col="user_id", value_col="event_type", ts_col="tus",
         tiebreak_col="event_id",
@@ -983,11 +998,8 @@ def q60_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_attribution,
     )
 
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        "user_id",
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("tts"),
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "event_type", "user_id", F.col("ets").alias("tts")
     )
     out = stream_stream_attribution(
         ev.filter(F.col("event_type") == "view"),
@@ -1000,8 +1012,8 @@ def q60_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "view_id",
         "click_id",
-        F.unix_micros("view_ts").alias("view_us"),
-        F.unix_micros("click_ts").alias("click_us"),
+        _wall_us("view_ts").alias("view_us"),
+        _wall_us("click_ts").alias("click_us"),
     )
 
 
@@ -1024,9 +1036,9 @@ def q62_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus a co-partitioned user join — the q40 decorrelation shape.
     Weeks are epoch-day DIV 7 (engine-neutral integer arithmetic; no
     calendar-week locale semantics to disagree on)."""
-    ev = _t(spark, sf_dir, "events").select(
+    ev = _ev(spark, sf_dir).select(
         "user_id",
-        F.expr("(ts DIV 86400000000000) DIV 7").alias("wk"),
+        F.expr("(tus DIV 86400000000) DIV 7").alias("wk"),
     )
     first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     cells = (

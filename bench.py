@@ -70,12 +70,23 @@ def main() -> None:
     # min over SPARK_GRAFT_BENCH_REPS full passes (interleaved, so one
     # noisy window can't taint a query twice) is the noise-robust
     # estimator; the reported total is the sum of minima.
+    # One broken query must never zero the whole round's bench (a
+    # schema drift in the testdata did exactly that once): record the
+    # failure, keep timing everything else, always emit the JSON line.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
     for _ in range(reps):
         for name, fn in qs.items():
+            if name in failures:
+                continue
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 - report, don't die
+                failures[name] = f"{type(exc).__name__}: {exc}"[:500]
+                timings.pop(name, None)
+                continue
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
@@ -93,6 +104,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": reps,
+                "failures": failures,
                 "regressions": _regressions(timings, sf),
             }
         )

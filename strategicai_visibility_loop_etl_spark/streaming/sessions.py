@@ -115,11 +115,14 @@ def sessionize_batch(
     """Batch twin: identical session assignment via windows (lag → new-
     session flag → running session index), one shuffle on the key."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    gap = F.lit(gap_seconds)
+    # Interval comparison, not cast-to-epoch: works for TIMESTAMP and
+    # TIMESTAMP_NTZ alike (NTZ forbids numeric casts) and never touches
+    # the session timezone.
+    gap = F.make_dt_interval(secs=F.lit(gap_seconds))
     flagged = events.withColumn(
         "__new",
         F.when(
-            F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w) > gap,
+            F.col(ts_col) - F.lag(F.col(ts_col)).over(w) > gap,
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("__sess", F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
