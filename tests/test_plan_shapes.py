@@ -69,13 +69,15 @@ def test_q43_chunking_is_shuffle_free(spark, sf_dir):
 
 
 def test_q44_sample_rates_broadcast_fact_never_shuffles(spark, sf_dir):
-    """The per-stratum rate dim must broadcast; the lineitem fact side
-    must reach the filter without a shuffle."""
+    """The per-stratum rate dim must broadcast and the rate leg's fact
+    side reach its filter without a shuffle; the topk leg pre-limits
+    via WindowGroupLimit, and its per-stratum window is the ONLY hash
+    exchange in the whole plan."""
     plan = _plan(entrymod.q44_stratified_sample(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
-    # Only the broadcast leg may exchange; the fact side must not.
-    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
 
 
 def test_ivf_assignment_reduces_map_side(spark):
