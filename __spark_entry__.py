@@ -732,8 +732,9 @@ def q44_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       keeps whole orders together (group-consistent sampling). A higher
       rate yields a superset (stable expansion).
     - ``topk``: exactly-k-per-stratum by hash rank (WindowGroupLimit —
-      map tasks pre-limit before the exchange); the composite key
-      l_orderkey×10+l_linenumber is a total order (linenumber ≤ 7)."""
+      map tasks pre-limit before the exchange); ordered by the composite
+      key l_orderkey×10+l_linenumber with l_quantity as the final
+      tie-break (the testdata duplicates (orderkey, linenumber))."""
     from strategicai_visibility_loop_etl_spark.operators.textprep import (
         hash_sample,
         topk_per_stratum,
@@ -756,6 +757,12 @@ def q44_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=8,
             key_col="__skey",
             stratum_col="l_returnflag",
+            # The testdata's (l_orderkey, l_linenumber) is NOT unique, so
+            # the composite key alone is not a total order — break the
+            # remaining ties by l_quantity (rows still tied after that
+            # are identical in every projected column, so any rank
+            # permutation among them hashes the same).
+            tiebreak_cols=["l_quantity"],
         )
         .drop("__skey")
         .withColumn("method", F.lit("topk"))
@@ -1848,7 +1855,7 @@ def oracle_sql() -> dict[str, str]:
                        CAST(row_number() OVER (
                             PARTITION BY l_returnflag
                             ORDER BY ((sk % 2147483648) * 2654435761) % 4294967296,
-                                     sk) AS INT) AS sample_rank
+                                     sk, l_quantity) AS INT) AS sample_rank
                 FROM (
                     SELECT *, l_orderkey * 10 + l_linenumber AS sk FROM lineitem
                 )
@@ -2090,7 +2097,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT (SELECT count(*) FROM s1) AS n_view,
                (SELECT count(*) FROM s2) AS n_click,
                (SELECT count(*) FROM s3) AS n_purchase,
-               (SELECT SUM(t3 - t1) FROM s3 JOIN s1 USING (user_id)) AS sum_conv_us
+               (SELECT CAST(SUM(t3 - t1) AS BIGINT)
+                FROM s3 JOIN s1 USING (user_id)) AS sum_conv_us
     """
 
     # q58: run starts = rn=1 OR value IS DISTINCT FROM lag; lead()
@@ -2122,8 +2130,8 @@ def oracle_sql() -> dict[str, str]:
     # an engine-independent check of the JSON encode/decode path.
     sql["q59_jsonl_roundtrip"] = f"""
         SELECT lang, count(*) AS n_docs,
-               SUM(length(text)) AS sum_len,
-               SUM(n_chars) AS sum_chars,
+               CAST(SUM(length(text)) AS BIGINT) AS sum_len,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                min(doc_id) AS min_id, max(doc_id) AS max_id
         FROM read_json('{_SIG_STAGE}/jsonl_docs/*.json',
                        format='newline_delimited',
@@ -2333,11 +2341,13 @@ def oracle_sql() -> dict[str, str]:
         WHERE NOT coalesce(ch.is_delete, false)
     """
 
-    # q68: SUM casts to BIGINT on both sides (DuckDB SUM(BIGINT) is
-    # HUGEINT but stringifies identically for these magnitudes).
+    # q68: DuckDB SUM(BIGINT) widens to HUGEINT (int128), which the
+    # driver's Arrow canonicalizer renders as decimal128 — cast the SUM
+    # back to BIGINT so both sides hash identically.
     sql["q68_json_extract"] = """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
                MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
         FROM events GROUP BY event_type

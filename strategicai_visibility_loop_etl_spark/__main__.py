@@ -1,0 +1,118 @@
+"""CLI front door for the visibility pipeline.
+
+Mirrors the reference's primary UX (etl_merge.py:733-1012 ``main()``):
+
+    python -m strategicai_visibility_loop_etl_spark --config etl_config.yaml
+
+Input resolution precedence, same as the reference's
+``resolve_input_path`` (etl_merge.py:717-731):
+
+    1. explicit CLI flag (``--frog/--gsc/--ga4``)
+    2. env var (FROG_CSV_PATH / GSC_CSV_PATH / GA4_CSV_PATH)
+    3. config ``inputs:`` section (short or ``*_csv`` key names)
+    4. demo defaults under ``data_demo/``
+
+Outputs land as parquet directories under ``--out`` (splittable,
+column-pruned — the at-scale sink); pass ``--csv-mirror`` for the
+reference's CSV rendering alongside.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from .plans.pipeline import load_config, run_visibility_pipeline
+
+_DEMO_DEFAULTS = {
+    "screaming_frog": "data_demo/screaming_frog_export.csv",
+    "gsc": "data_demo/gsc_export.csv",
+    "ga4": "data_demo/ga4_export.csv",
+}
+
+_ENV_NAMES = {
+    "screaming_frog": "FROG_CSV_PATH",
+    "gsc": "GSC_CSV_PATH",
+    "ga4": "GA4_CSV_PATH",
+}
+
+
+def _resolve(tag: str, cli_value: str | None, cfg: dict) -> str:
+    if cli_value:
+        return os.path.expanduser(os.path.expandvars(cli_value))
+    env_val = os.getenv(_ENV_NAMES[tag], "").strip()
+    if env_val:
+        return os.path.expanduser(os.path.expandvars(env_val))
+    inputs = cfg.get("inputs", {}) or {}
+    return inputs.get(tag) or inputs.get(f"{tag}_csv") or _DEMO_DEFAULTS[tag]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m strategicai_visibility_loop_etl_spark",
+        description="Run the SEO-visibility merge pipeline on Spark.",
+    )
+    p.add_argument("--config", default="etl_config.yaml",
+                   help="YAML config (reference etl_config.yaml shape)")
+    p.add_argument("--frog", help="Screaming Frog export (csv/xlsx)")
+    p.add_argument("--gsc", help="Google Search Console export (csv/xlsx)")
+    p.add_argument("--ga4", help="GA4 export (csv/xlsx)")
+    p.add_argument("--out", default="merged",
+                   help="output directory for parquet results (default: merged/)")
+    p.add_argument("--csv-mirror", action="store_true",
+                   help="also write the reference-rendered CSV mirrors")
+    p.add_argument("--write-slices", action="store_true",
+                   help="also write the ctr_debug candidate slice")
+    p.add_argument("--cpus", type=int, default=None,
+                   help="local[N] parallelism (default: SPARK_GRAFT_CPUS or all cores)")
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args.config)
+    if args.csv_mirror:
+        cfg.setdefault("output", {})["csv_mirror"] = True
+    if args.write_slices:
+        cfg.setdefault("output", {})["write_slices"] = True
+
+    frog = _resolve("screaming_frog", args.frog, cfg)
+    gsc = _resolve("gsc", args.gsc, cfg)
+    ga4 = _resolve("ga4", args.ga4, cfg)
+    print(f"Resolved inputs -> Frog: {frog} | GSC: {gsc} | GA4: {ga4}")
+
+    missing = [(tag, p) for tag, p in
+               (("Screaming Frog", frog), ("GSC", gsc), ("GA4", ga4))
+               if not os.path.exists(p)]
+    if missing:
+        for tag, p in missing:
+            print(f"[ERROR] File not found for {tag}: {p}", file=sys.stderr)
+        return 1
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark  # noqa: PLC0415
+
+        spark = get_spark(cpus=args.cpus)
+    try:
+        outputs = run_visibility_pipeline(
+            spark, cfg, frog_path=frog, gsc_path=gsc, ga4_path=ga4,
+            out_dir=args.out,
+        )
+        # out_dir materializes 'merged' to parquet; the count here is a
+        # metadata-only read of the staged files, not a recompute.
+        n = outputs["merged"].count()
+        print(f"Merged rows: {n}")
+        print(f"Merged data exported to {os.path.join(args.out, 'merged')}")
+        for name in outputs:
+            if name != "merged":
+                print(f"Wrote {os.path.join(args.out, name)}")
+    finally:
+        if owns_spark:
+            spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -124,10 +124,15 @@ def topk_per_stratum(
     key_col: str,
     stratum_col: str,
     rank_col: str = "sample_rank",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic exactly-``k``-per-stratum sample: rank rows within
     each stratum by the multiplicative hash of the key (ties broken by
-    the key itself — a total order) and keep rank ≤ k.
+    the key itself, then ``tiebreak_cols``) and keep rank ≤ k.
+
+    Pass ``tiebreak_cols`` when ``key_col`` is not unique: without a
+    total order, rows tied on the key take engine-dependent ranks and
+    the result is only deterministic up to that permutation.
 
     The rate-based sibling ``hash_sample`` can't promise an exact count
     per stratum; this one can, at the cost of a per-stratum rank. The
@@ -141,7 +146,9 @@ def topk_per_stratum(
     """
     folded = F.pmod(F.col(key_col), F.lit(2147483648))
     h = F.pmod(folded * F.lit(_KNUTH), F.lit(_MOD))
-    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    order = [h.asc(), F.col(key_col).asc()]
+    order += [F.col(c).asc() for c in (tiebreak_cols or [])]
+    w = Window.partitionBy(stratum_col).orderBy(*order)
     return (
         df.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)

@@ -38,30 +38,90 @@ def canonical_rows(columns, rows):
     return sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
 
 
+def _arrow_kind(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_temporal(t):
+        return "temporal"
+    return "other"
+
+
+def _spark_kind(dtype: str) -> str:
+    d = dtype.lower()
+    if d == "boolean":
+        return "bool"
+    if d in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return "int"
+    if d in ("float", "double"):
+        return "float"
+    if d.startswith("decimal"):
+        return "decimal"
+    if d.startswith("timestamp") or d == "date":
+        return "temporal"
+    return "other"
+
+
 def spark_result(df):
     cols = df.columns
     rows = [tuple(r) for r in df.collect()]
-    return cols, rows
+    kinds = {c: _spark_kind(t) for c, t in df.dtypes}
+    return cols, rows, kinds
 
 
 def duckdb_result(sql: str, sf_dir: str):
+    """Run the oracle and fetch THROUGH ARROW, like the driver's gate.
+
+    The Python client's fetchall() silently narrows DuckDB HUGEINT
+    (e.g. SUM over BIGINT) to Python int, hiding type widenings that
+    the driver's Arrow-based canonicalizer renders as decimal128 and
+    hash-fails.  Fetching the Arrow table keeps the widened type
+    visible so compare() can flag it locally.
+    """
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
-    rows = cur.fetchall()
+    tbl = con.execute(sql).fetch_arrow_table()
     con.close()
-    return cols, rows
+    cols = tbl.column_names
+    kinds = {f.name: _arrow_kind(f.type) for f in tbl.schema}
+    pycols = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    rows = list(zip(*pycols)) if tbl.num_columns else []
+    return cols, rows, kinds
 
 
-def compare(name: str, s_cols, s_rows, o_cols, o_rows, max_diffs: int = 5):
+# Numeric kinds whose cross-engine stringification can diverge in the
+# driver's canonicalizer even when Python's str() happens to agree
+# (int 123 vs Decimal('123') vs 123.0).
+_NUMERIC = {"int", "float", "decimal"}
+
+
+def compare(name: str, s_cols, s_rows, o_cols, o_rows, max_diffs: int = 5,
+            s_kinds=None, o_kinds=None):
     report = {"query": name, "rows": len(s_rows), "oracle_rows": len(o_rows)}
     if sorted(s_cols) != sorted(o_cols):
         report["status"] = "schema_mismatch"
         report["spark_cols"] = sorted(s_cols)
         report["oracle_cols"] = sorted(o_cols)
         return report
+    if s_kinds and o_kinds:
+        risky = {
+            c: (s_kinds[c], o_kinds[c])
+            for c in s_cols
+            if s_kinds.get(c) != o_kinds.get(c)
+            and (s_kinds.get(c) in _NUMERIC or o_kinds.get(c) in _NUMERIC)
+        }
+        if risky:
+            report["status"] = "type_mismatch"
+            report["type_diffs"] = risky
+            return report
     if len(s_rows) != len(o_rows):
         report["status"] = "rowcount_mismatch"
         return report
@@ -91,12 +151,13 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None):
         if only and name not in only:
             continue
         df = fn(spark, sf_dir)
-        s_cols, s_rows = spark_result(df)
+        s_cols, s_rows, s_kinds = spark_result(df)
         if name not in oracles:
             results.append({"query": name, "status": "rows_only", "rows": len(s_rows)})
             continue
-        o_cols, o_rows = duckdb_result(oracles[name], sf_dir)
-        results.append(compare(name, s_cols, s_rows, o_cols, o_rows))
+        o_cols, o_rows, o_kinds = duckdb_result(oracles[name], sf_dir)
+        results.append(compare(name, s_cols, s_rows, o_cols, o_rows,
+                               s_kinds=s_kinds, o_kinds=o_kinds))
     return results
 
 

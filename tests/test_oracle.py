@@ -16,14 +16,25 @@ def test_query_matches_oracle(spark, sf_dir, name):
     fn = entrymod.queries()[name]
     oracles = entrymod.oracle_sql()
     df = fn(spark, sf_dir)
-    s_cols, s_rows = spark_result(df)
+    s_cols, s_rows, s_kinds = spark_result(df)
     if name not in oracles:
         assert len(s_rows) >= 0  # rows-only: runs and returns a frame
         assert len(s_cols) > 0
         return
-    o_cols, o_rows = duckdb_result(oracles[name], sf_dir)
-    rep = compare(name, s_cols, s_rows, o_cols, o_rows)
+    o_cols, o_rows, o_kinds = duckdb_result(oracles[name], sf_dir)
+    rep = compare(name, s_cols, s_rows, o_cols, o_rows,
+                  s_kinds=s_kinds, o_kinds=o_kinds)
     assert rep["status"] == "ok", rep
+
+
+def test_query_registry_contract():
+    """The driver's gate checks at most 50 sorted keys — enforce the cap
+    mechanically, and every oracle key must name a registered query."""
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert len(qs) <= 50, f"{len(qs)} queries; driver gate caps at 50"
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle_sql keys with no queries() entry: {sorted(missing)}"
 
 
 def test_entry_smoke(spark):

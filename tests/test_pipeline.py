@@ -156,6 +156,57 @@ def test_pipeline_csv_mirror(spark, fixture_paths, tmp_path, monkeypatch):
     assert "url" in back.columns and "missed_clicks" in back.columns
 
 
+def test_cli_entrypoint_runs_pipeline(spark, fixture_paths, tmp_path, monkeypatch, capsys):
+    """`python -m strategicai_visibility_loop_etl_spark` front door: flags resolve
+    inputs, the pipeline runs, parquet outputs land under --out."""
+    from strategicai_visibility_loop_etl_spark.__main__ import main
+
+    monkeypatch.setenv("SITE_BASE", "https://e.com")
+    monkeypatch.setenv("ETL_RUN_LOG", "0")
+    monkeypatch.setenv("ETL_AUTODETECT_LOG", "0")
+    out = tmp_path / "cli_out"
+    rc = main(
+        [
+            "--frog", fixture_paths["frog"],
+            "--gsc", fixture_paths["gsc"],
+            "--ga4", fixture_paths["ga4"],
+            "--out", str(out),
+            "--csv-mirror",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert os.path.isdir(out / "merged")
+    assert os.path.isdir(out / "merged_csv")
+    merged_back = pd.read_parquet(out / "merged")
+    assert set(merged_back["url"]) == {
+        "https://e.com/a", "https://e.com/b", "https://e.com/c",
+    }
+    assert "Merged rows: 3" in capsys.readouterr().out
+
+
+def test_cli_env_precedence_and_missing_file(spark, fixture_paths, tmp_path, monkeypatch, capsys):
+    """Env vars beat config (reference resolve_input_path precedence);
+    a missing input is a clean [ERROR] + exit 1, like the reference."""
+    from strategicai_visibility_loop_etl_spark.__main__ import main
+
+    monkeypatch.setenv("SITE_BASE", "https://e.com")
+    monkeypatch.setenv("ETL_RUN_LOG", "0")
+    monkeypatch.setenv("ETL_AUTODETECT_LOG", "0")
+    monkeypatch.setenv("FROG_CSV_PATH", fixture_paths["frog"])
+    monkeypatch.setenv("GSC_CSV_PATH", fixture_paths["gsc"])
+    monkeypatch.setenv("GA4_CSV_PATH", fixture_paths["ga4"])
+    out = tmp_path / "env_out"
+    rc = main(["--out", str(out)], spark=spark)
+    assert rc == 0
+    assert os.path.isdir(out / "merged")
+
+    monkeypatch.setenv("FROG_CSV_PATH", str(tmp_path / "nope.csv"))
+    rc = main(["--out", str(tmp_path / "x")], spark=spark)
+    assert rc == 1
+    assert "[ERROR] File not found for Screaming Frog" in capsys.readouterr().err
+
+
 def test_csv_mirror_bytes_match_pandas_rendering(spark, fixture_paths, tmp_path, monkeypatch):
     """The mirror must be byte-identical (modulo row order) to the
     reference's rendering mechanism — pandas ``to_csv(index=False,
