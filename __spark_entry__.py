@@ -100,9 +100,14 @@ def _wall_us(col):
     """Wall-clock epoch micros (bigint) of a timestamp column — matches
     DuckDB ``epoch_us(ts)`` over the same parquet. ``unix_micros``
     requires an LTZ input, and casting TIMESTAMP_NTZ→LTZ shifts with
-    the session timezone; this date/field-extraction form never
-    consults a timezone, so it is stable no matter what timezone the
-    driver's session runs under."""
+    the session timezone.
+
+    Timezone contract: over TIMESTAMP_NTZ inputs (the testdata's micros
+    schema) this extraction is timezone-independent. Over an LTZ input
+    F.to_date/F.hour/F.minute extract fields in the session timezone,
+    so correctness then requires spark.sql.session.timeZone=UTC — which
+    ``_t``/``_ev`` force on every read; any caller bypassing those must
+    set it too."""
     c = F.col(col) if isinstance(col, str) else col
     return (
         F.unix_date(F.to_date(c)).cast("long") * F.lit(86_400_000_000)
@@ -124,6 +129,10 @@ def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst prunes whichever of the two derived columns a query
     doesn't reference."""
     ev = _t(spark, sf_dir, "events")
+    # _t already forces UTC, but tus extraction silently shifts if the
+    # session timezone ever differs (see _wall_us) — pin it here too so
+    # a future code path can't bypass the contract.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if dict(ev.dtypes)["ts"].startswith("timestamp"):
         return ev.withColumn("ets", F.col("ts")).withColumn("tus", _wall_us("ts"))
     tus = F.expr("ts DIV 1000")

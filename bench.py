@@ -73,24 +73,58 @@ def main() -> None:
     # One broken query must never zero the whole round's bench (a
     # schema drift in the testdata did exactly that once): record the
     # failure, keep timing everything else, always emit the JSON line.
+    # A transient error must not erase a valid timing either: every
+    # query is attempted in every rep, the best successful timing is
+    # kept, and "failures" lists only queries that NEVER succeeded
+    # (flakes land in "transient_errors" instead).
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
-    failures: dict[str, str] = {}
+    errors: dict[str, str] = {}
     for _ in range(reps):
         for name, fn in qs.items():
-            if name in failures:
-                continue
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             except Exception as exc:  # noqa: BLE001 - report, don't die
-                failures[name] = f"{type(exc).__name__}: {exc}"[:500]
-                timings.pop(name, None)
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
                 continue
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+    failures = {n: e for n, e in errors.items() if n not in timings}
+    transient = {n: e for n, e in errors.items() if n in timings}
     total = sum(timings.values())
+
+    # Second pass: the production sum mode (plain double sums instead of
+    # the oracle-exact decimal form) over the sum-heavy queries, so the
+    # at-scale number is tracked round-over-round, not just in
+    # BASELINE.md prose. The env flag is read at plan-build time, so
+    # rebuilding each DataFrame picks it up.
+    fast_sum_queries = [
+        n for n in ("q01_pricing_summary", "q03_top_orders", "q05_region_volume",
+                    "q10_visibility_merge", "q33_moving_metrics", "q40_avg_qty_outliers",
+                    "q54_event_cube")
+        if n in qs
+    ]
+    prev_mode = os.environ.get("SPARK_GRAFT_EXACT_SUMS")
+    os.environ["SPARK_GRAFT_EXACT_SUMS"] = "0"
+    fast_timings: dict[str, float] = {}
+    try:
+        for _ in range(reps):
+            for name in fast_sum_queries:
+                t0 = time.perf_counter()
+                try:
+                    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                except Exception:  # noqa: BLE001
+                    continue
+                dt = round(time.perf_counter() - t0, 3)
+                if name not in fast_timings or dt < fast_timings[name]:
+                    fast_timings[name] = dt
+    finally:
+        if prev_mode is None:
+            os.environ.pop("SPARK_GRAFT_EXACT_SUMS", None)
+        else:
+            os.environ["SPARK_GRAFT_EXACT_SUMS"] = prev_mode
 
     print(
         json.dumps(
@@ -105,6 +139,8 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "failures": failures,
+                "transient_errors": transient,
+                "queries_fast_sums": fast_timings,
                 "regressions": _regressions(timings, sf),
             }
         )

@@ -73,14 +73,31 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 50,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """(id, component) for every node in ``edges``; component = min node
     id reachable through the undirected pair graph.
 
-    Raises if the propagation hasn't converged after ``max_iter``
-    rounds (a component with diameter > max_iter — degenerate for
+    ``algorithm``:
+
+    - ``"propagation"`` (default): min-label propagation — one join +
+      one aggregate per round, O(diameter) rounds. The right choice for
+      near-dup graphs, whose components are cliques or short chains.
+    - ``"star"``: alternating large-star/small-star contraction
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SoCC'14) — O(log n) rounds on ANY graph shape, so adversarially
+      deep (long-chain) components can't burn a round per hop. Each
+      round costs two grouped aggregates + joins, so per-round work is
+      higher; prefer it only when the graph may be deep.
+
+    Raises if not converged after ``max_iter`` rounds (for propagation
+    that means a component with diameter > max_iter — degenerate for
     near-dup graphs and worth failing loudly on).
     """
+    if algorithm == "star":
+        return _connected_components_star(edges, src, dst, max_iter)
+    if algorithm != "propagation":
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -118,7 +135,96 @@ def connected_components(
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
-        "(pathologically deep component?)"
+        "(pathologically deep component? try algorithm='star')"
+    )
+
+
+def _connected_components_star(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int,
+) -> DataFrame:
+    """Alternating large-star/small-star contraction.
+
+    Each round rewrites the edge set: large-star hangs every
+    strictly-larger neighbor of u onto m = min(N(u) ∪ {u}); small-star
+    hangs u and its smaller neighbors onto their min. Both emissions
+    keep every edge (v, m) with v > m, so edges stay canonically
+    (hi, lo)-oriented, and the edge count never grows. At the fixpoint
+    the edge set is a star forest: every non-root node carries exactly
+    one edge to its component's minimum node.
+
+    Convergence is detected by an order-insensitive checksum
+    (count + sum of xxhash64) of the canonical edge set — one scalar
+    aggregate per round, no driver-side edge collection.
+    """
+    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    nodes = (
+        raw.select(F.col("a").alias("id"))
+        .unionAll(raw.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        raw.filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _checksum(df: DataFrame):
+        # decimal(38,0) accumulator: a long sum of xxhash64 values
+        # overflows (ANSI mode throws on it).
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("hi", "lo").cast("decimal(38,0)")).alias("h"),
+        ).first()
+
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        # Large-star over the symmetric view: m = min(N(u) ∪ {u});
+        # emit (v, m) for every neighbor v > u.
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).unionAll(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m_lg = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        large = (
+            sym.join(m_lg, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # Small-star over canonical edges: m = min of u's smaller
+        # neighbors; emit (v, m) for those neighbors and u itself.
+        m_sm = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(m_sm, "hi")
+            .select(F.col("lo").alias("v"), F.col("m"))
+            .unionAll(m_sm.select(F.col("hi").alias("v"), F.col("m")))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = small
+        chk = _checksum(e)
+        if chk == prev:
+            roots_or_isolated = nodes.join(
+                e.select(F.col("hi").alias("id")), "id", "left_anti"
+            ).select("id", F.col("id").alias("component"))
+            members = e.groupBy(F.col("hi").alias("id")).agg(
+                F.min("lo").alias("component")
+            )
+            return members.unionByName(roots_or_isolated)
+        prev = chk
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iter} rounds"
     )
 
 

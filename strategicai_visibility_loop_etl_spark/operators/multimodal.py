@@ -16,12 +16,21 @@ streams Arrow batches, never materializing a partition in pandas.
 from __future__ import annotations
 
 import hashlib
+import importlib.util
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def pil_available() -> bool:
+    """True when a real image codec (Pillow) is importable. The fake
+    decoder stays the default either way — tests and CI must not change
+    behavior based on what happens to be installed."""
+    return importlib.util.find_spec("PIL") is not None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -52,9 +61,22 @@ class DecodeNotAvailable(NotImplementedError):
 
 
 def decode_image(payload: bytes) -> object:
-    """STUB — real implementation needs an image library (PIL/opencv),
-    not present in this environment."""
-    raise DecodeNotAvailable("image decode requires an image codec library")
+    """Decode bytes to a PIL image when Pillow is installed; otherwise
+    raise ``DecodeNotAvailable`` (the container this repo is developed
+    in ships no image codec — the fake decoder covers tests there)."""
+    if not pil_available():
+        raise DecodeNotAvailable("image decode requires an image codec library")
+    from PIL import Image  # noqa: PLC0415
+
+    return Image.open(io.BytesIO(payload))
+
+
+def _real_image_feature(payload: bytes, dim: int) -> list[float]:
+    """Grayscale the decoded image and average-pool it to ``dim``
+    values in [0,1] — a minimal real feature extractor that exercises
+    decode → transform → vector end-to-end."""
+    img = decode_image(payload).convert("L").resize((dim, 1))
+    return [p / 255.0 for p in img.getdata()]
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -68,14 +90,21 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 def extract_features(df: DataFrame, dim: int = 8, use_fake_decoder: bool = True) -> DataFrame:
     """payload → feature vector via mapInPandas (Arrow-batched).
 
-    ``use_fake_decoder=False`` raises DecodeNotAvailable at execution —
-    the seam where a real codec plugs in.
+    ``use_fake_decoder=False`` decodes for real through Pillow when it
+    is installed (grayscale average-pool to ``dim`` values), and raises
+    ``DecodeNotAvailable`` at execution otherwise — the seam where any
+    other codec plugs in.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake_decoder:
+            if not use_fake_decoder and not pil_available():
                 raise DecodeNotAvailable("no media codec in this environment")
+            feat = (
+                (lambda p: _fake_feature(p, dim))
+                if use_fake_decoder
+                else (lambda p: _real_image_feature(p, dim))
+            )
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
@@ -85,7 +114,7 @@ def extract_features(df: DataFrame, dim: int = 8, use_fake_decoder: bool = True)
                     "digest": payloads.map(
                         lambda p: hashlib.sha256(p or b"").hexdigest()
                     ),
-                    "feature": payloads.map(lambda p: _fake_feature(p, dim)),
+                    "feature": payloads.map(feat),
                 }
             )
 
@@ -105,14 +134,16 @@ def resize_images(
 ) -> DataFrame:
     """Aspect-preserving downscale via mapInPandas (Arrow-batched).
 
-    The codec is stubbed: the fake "resizer" passes the payload through
-    and computes the target dimensions from metadata with the same
-    aspect-ratio math a real resize would use — so the schema, batch
-    shape, and dimension logic are all real and tested, and a PIL/opencv
-    call slots into the marked seam. Rows whose metadata lacks
-    dimensions pass through unresized (None width/height), mirroring
-    how a real pipeline quarantines undecodable media rather than
-    failing the batch.
+    With ``use_fake_decoder=True`` (the default) the codec is stubbed:
+    the fake "resizer" passes the payload through and computes the
+    target dimensions from metadata with the same aspect-ratio math a
+    real resize would use — so the schema, batch shape, and dimension
+    logic are all real and tested. With ``use_fake_decoder=False`` the
+    payload is decoded, resized, and re-encoded through Pillow when it
+    is installed (``DecodeNotAvailable`` otherwise). Rows whose
+    metadata lacks dimensions pass through unresized (None
+    width/height), mirroring how a real pipeline quarantines
+    undecodable media rather than failing the batch.
     """
 
     def _target(w, h):
@@ -121,23 +152,39 @@ def resize_images(
         scale = min(max_width / w, max_height / h, 1.0)
         return int(w * scale), int(h * scale)
 
+    def _real_resize(payload):
+        img = decode_image(payload)
+        fmt = img.format or "PNG"
+        img.thumbnail((max_width, max_height))
+        buf = io.BytesIO()
+        img.save(buf, format=fmt)
+        return buf.getvalue(), img.width, img.height
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake_decoder:
+            if not use_fake_decoder and not pil_available():
                 raise DecodeNotAvailable("no media codec in this environment")
             metas = pdf["meta"]
-            dims = [
-                _target((m or {}).get("width"), (m or {}).get("height"))
-                for m in metas
-            ]
+            if use_fake_decoder:
+                dims = [
+                    _target((m or {}).get("width"), (m or {}).get("height"))
+                    for m in metas
+                ]
+                payloads = pdf["payload"]
+                widths = [d[0] for d in dims]
+                heights = [d[1] for d in dims]
+            else:
+                resized = [_real_resize(p) for p in pdf["payload"]]
+                payloads = [r[0] for r in resized]
+                widths = [r[1] for r in resized]
+                heights = [r[2] for r in resized]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    # Real impl: decoded-and-reencoded bytes. Stub: passthrough.
-                    "payload": pdf["payload"],
+                    "payload": payloads,
                     "mime": metas.map(lambda m: (m or {}).get("mime")),
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "width": widths,
+                    "height": heights,
                 }
             )
 

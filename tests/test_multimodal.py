@@ -14,6 +14,7 @@ from strategicai_visibility_loop_etl_spark.operators.multimodal import (
     audio_chunks,
     decode_image,
     extract_features,
+    pil_available,
     resize_images,
     sample_frames,
 )
@@ -45,15 +46,39 @@ def test_extract_features_shapes_and_determinism(spark):
     assert again[1]["feature"] == rows[1]["feature"]
 
 
+@pytest.mark.skipif(pil_available(), reason="a real codec is installed")
 def test_real_decoder_seam_raises(spark):
     with pytest.raises(Exception) as err:
         extract_features(_media_df(spark), use_fake_decoder=False).collect()
     assert "DecodeNotAvailable" in str(err.value) or "codec" in str(err.value)
 
 
+@pytest.mark.skipif(pil_available(), reason="a real codec is installed")
 def test_decode_image_stub_declared():
     with pytest.raises(DecodeNotAvailable):
         decode_image(b"anything")
+
+
+@pytest.mark.skipif(not pil_available(), reason="Pillow not installed")
+def test_real_decode_through_pillow(spark):
+    """When Pillow is present, use_fake_decoder=False must push a real
+    JPEG through decode → feature-extract and decode → resize."""
+    from PIL import Image
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (64, 48), color=(200, 10, 10)).save(buf, format="JPEG")
+    jpeg = buf.getvalue()
+    df = spark.createDataFrame(
+        [(1, bytearray(jpeg), ("image/jpeg", 64, 48, None))], MEDIA_SCHEMA
+    )
+    feats = extract_features(df, dim=8, use_fake_decoder=False).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 8
+    assert all(0.0 <= v <= 1.0 for v in feats[0]["feature"])
+    resized = resize_images(df, 32, 32, use_fake_decoder=False).collect()[0]
+    assert (resized["width"], resized["height"]) == (32, 24)
+    back = Image.open(io.BytesIO(bytes(resized["payload"])))
+    assert (back.width, back.height) == (32, 24)
 
 
 def test_sample_frames_counts(spark):

@@ -69,15 +69,44 @@ def test_q43_chunking_is_shuffle_free(spark, sf_dir):
 
 
 def test_q44_sample_rates_broadcast_fact_never_shuffles(spark, sf_dir):
-    """The per-stratum rate dim must broadcast and the rate leg's fact
-    side reach its filter without a shuffle; the topk leg pre-limits
-    via WindowGroupLimit, and its per-stratum window is the ONLY hash
-    exchange in the whole plan."""
-    plan = _plan(entrymod.q44_stratified_sample(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan, plan[:2000]
-    assert "SortMergeJoin" not in plan, plan[:2000]
-    assert "WindowGroupLimit" in plan, plan[:2000]
-    assert plan.count("Exchange hashpartitioning") == 1, plan[:3000]
+    """Per-leg plan shapes (asserting an exact exchange count over the
+    unioned plan is brittle across Spark versions / AQE re-plans):
+
+    - rate leg: the per-stratum rate dim broadcasts and the fact side
+      reaches its filter with NO hash exchange at all;
+    - topk leg: pre-limits via WindowGroupLimit, whose per-stratum
+      window is its only hash exchange."""
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        hash_sample,
+        topk_per_stratum,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    rates = spark.createDataFrame(
+        [("A", 50), ("N", 200), ("R", 10)], "l_returnflag string, rate_per_mille int"
+    )
+    rate_plan = _plan(
+        hash_sample(li, rates, key_col="l_orderkey", stratum_col="l_returnflag")
+    )
+    assert "BroadcastHashJoin" in rate_plan, rate_plan[:2000]
+    assert "SortMergeJoin" not in rate_plan, rate_plan[:2000]
+    assert "Exchange hashpartitioning" not in rate_plan, rate_plan[:3000]
+
+    topk_plan = _plan(
+        topk_per_stratum(
+            li.withColumn("__skey", F.col("l_orderkey") * 10 + F.col("l_linenumber")),
+            k=8,
+            key_col="__skey",
+            stratum_col="l_returnflag",
+            tiebreak_cols=["l_quantity"],
+        )
+    )
+    assert "WindowGroupLimit" in topk_plan, topk_plan[:2000]
+    assert topk_plan.count("Exchange hashpartitioning") == 1, topk_plan[:3000]
 
 
 def test_ivf_assignment_reduces_map_side(spark):

@@ -215,6 +215,45 @@ def test_connected_components_chain_and_clique(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_star_matches_propagation_random(spark):
+    """Property: the alternating-star contraction and min-label
+    propagation agree exactly on random graphs (seeded, several shapes:
+    sparse, dense, with self-loops and duplicate edges)."""
+    import random
+
+    for seed, n, m in ((1, 40, 25), (2, 60, 90), (3, 30, 200)):
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]  # includes self-loops and dups by construction
+        edges = spark.createDataFrame(pairs, "id_a long, id_b long")
+        prop = {
+            r["id"]: r["component"] for r in connected_components(edges).collect()
+        }
+        star = {
+            r["id"]: r["component"]
+            for r in connected_components(edges, algorithm="star").collect()
+        }
+        assert prop == star, (seed, {k: (prop[k], star.get(k)) for k in prop if prop[k] != star.get(k)})
+
+
+def test_connected_components_star_deep_chain_converges_fast(spark):
+    """A 300-node path needs ~300 propagation rounds (propagation's
+    declared failure mode, raising at max_iter) but only O(log n) star
+    rounds — the star variant must finish well under 15."""
+    n = 300
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=20)
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(edges, algorithm="star", max_iter=15).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+
+
 def test_collapse_exact_component_equivalence(spark):
     """Components over (star edges ∪ rep pairs) must equal components
     over the full uncollapsed pair graph — including cross-group

@@ -1,0 +1,168 @@
+"""sf1-scale smoke for the dedup / clustering family.
+
+The registered correctness queries run at sf0.01-0.1; this script
+proves the skew guards at ~10x that. It builds a synthetic corpus by
+replicating the sf0.1 documents table 10x with controlled mutations —
+plus a deliberately adversarial skew block (one boilerplate text
+repeated N times, the worst case for shingle inverted indexes) — then
+runs the three candidate-generation paths and connected components,
+reporting wall time and candidate counts.
+
+The check is that candidate counts stay O(n * cap), NOT O(n^2): the
+skew block alone would contribute ~N^2/2 pairs if any hot-bucket guard
+failed.
+
+Usage:
+    python tools/scale_smoke.py [--mult 10] [--skew 20000] [--cpus 16]
+
+Results are printed as one JSON line; paste the numbers into
+BASELINE.md's scale-smoke section.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_corpus(spark, sf_dir: str, mult: int, skew: int):
+    """documents x mult with per-replica tail mutations (so replicas are
+    near-dups, not byte dups), plus `skew` copies of one boilerplate."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    n = docs.count()
+    rep = spark.range(mult).select(F.col("id").alias("rep"))
+    body = (
+        docs.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+            # rep 0 keeps the original; others get a distinct tail token
+            # so each replica group forms a near-dup (not exact) cluster.
+            F.when(F.col("rep") == 0, F.col("text"))
+            .otherwise(F.concat_ws(" ", F.col("text"), F.format_string("rep%d", "rep")))
+            .alias("text"),
+        )
+    )
+    boiler = spark.range(skew).select(
+        (F.col("id") + F.lit(900_000_000)).alias("doc_id"),
+        F.lit(
+            "this site uses cookies to improve your experience accept all "
+            "cookies or manage preferences in settings privacy policy terms"
+        ).alias("text"),
+    )
+    return body.unionByName(boiler), n * mult + skew
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--skew", type=int, default=20_000)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
+    ap.add_argument("--stage", default="/tmp/scale_smoke_stage")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .appName("scale-smoke")
+        .config("spark.sql.shuffle.partitions", str(args.cpus * 2))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from strategicai_visibility_loop_etl_spark.operators.clusters import (
+        collapse_exact,
+        connected_components,
+    )
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        dedup_minhash_lsh,
+        dedup_simhash,
+        ngram_jaccard_pairs,
+    )
+
+    corpus_df, n_docs = build_corpus(spark, args.sf_dir, args.mult, args.skew)
+    corpus_path = os.path.join(args.stage, "corpus")
+    corpus_df.write.mode("overwrite").parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    report: dict = {"n_docs": n_docs, "mult": args.mult, "skew_block": args.skew}
+
+    def timed(tag: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        report[tag] = {"sec": round(time.perf_counter() - t0, 2), **out}
+        print(f"  {tag}: {report[tag]}", file=sys.stderr)
+
+    timed(
+        "ngram_jaccard",
+        lambda: {
+            "pairs": ngram_jaccard_pairs(
+                corpus, k=5, threshold=0.7, max_bucket="auto",
+                stage_path=os.path.join(args.stage, "ng"),
+            ).count()
+        },
+    )
+    timed(
+        "minhash_lsh",
+        lambda: {
+            "pairs": dedup_minhash_lsh(
+                corpus,
+                num_hashes=64,
+                bands=16,
+                threshold=0.7,
+                max_bucket="auto",
+                stage_path=os.path.join(args.stage, "mh"),
+            ).count()
+        },
+    )
+    timed(
+        "simhash",
+        lambda: {
+            "pairs": dedup_simhash(
+                corpus, max_hamming=3, max_bucket="auto",
+                stage_path=os.path.join(args.stage, "sh"),
+            ).count()
+        },
+    )
+
+    def _clusters():
+        reps, stars = collapse_exact(corpus, min_tokens=5)
+        pairs = ngram_jaccard_pairs(
+            reps, k=5, threshold=0.7, max_bucket="auto",
+            stage_path=os.path.join(args.stage, "ng_reps"),
+        ).select("id_a", "id_b")
+        comp = connected_components(stars.unionByName(pairs))
+        return {
+            "nodes": comp.count(),
+            "components": comp.select("component").distinct().count(),
+        }
+
+    timed("dedup_clusters", _clusters)
+
+    # Sanity gate: candidates must be O(n * cap), never O(n^2). The skew
+    # block alone would emit ~skew^2/2 pairs on a broken guard.
+    quad = args.skew * (args.skew - 1) // 2
+    for tag in ("ngram_jaccard", "minhash_lsh", "simhash"):
+        assert report[tag]["pairs"] < quad / 10, (
+            f"{tag} candidate blowup: {report[tag]['pairs']} pairs vs "
+            f"skew-quadratic {quad}"
+        )
+    report["ok"] = True
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
