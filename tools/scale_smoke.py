@@ -66,6 +66,8 @@ def main() -> None:
     ap.add_argument("--skew", type=int, default=20_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "16")))
     ap.add_argument("--stage", default="/tmp/scale_smoke_stage")
+    ap.add_argument("--emb-mult", type=int, default=50,
+                    help="embedding replication factor for the ANN smoke (0 skips)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -150,6 +152,57 @@ def main() -> None:
         }
 
     timed("dedup_clusters", _clusters)
+
+    if args.emb_mult > 0:
+        from strategicai_visibility_loop_etl_spark.operators.similarity import (
+            ann_lsh_topk,
+            embedding_neardup_pairs,
+            ivf_topk,
+        )
+
+        emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+        vec_col = "embedding" if "embedding" in emb.columns else emb.columns[-1]
+        id_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
+        rep = spark.range(args.emb_mult).select(F.col("id").alias("rep"))
+        # Replicas perturb one coordinate per rep so they are near- but
+        # not exact duplicates (exercises the verify stage for real).
+        big_emb = (
+            emb.crossJoin(F.broadcast(rep))
+            .select(
+                (F.col(id_col) + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+                F.transform(
+                    F.col(vec_col),
+                    lambda v, i: v + F.when(i == 0, F.col("rep") * 1e-4).otherwise(F.lit(0.0)),
+                ).alias("embedding"),
+            )
+        )
+        emb_path = os.path.join(args.stage, "emb")
+        big_emb.write.mode("overwrite").parquet(emb_path)
+        big = spark.read.parquet(emb_path)
+        n_vec = big.count()
+        report["n_vectors"] = n_vec
+        qset = big.limit(20).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        timed(
+            "ann_lsh",
+            lambda: {"rows": ann_lsh_topk(big, qset, k=10,
+                                          stage_path=os.path.join(args.stage, "alsh")).count()},
+        )
+        timed(
+            "ann_ivf",
+            lambda: {"rows": ivf_topk(big, qset, k=10, n_centroids=64, n_probe=8,
+                                      stage_path=os.path.join(args.stage, "ivf")).count()},
+        )
+        timed(
+            "emb_neardup",
+            lambda: {"pairs": embedding_neardup_pairs(
+                big, threshold=0.999, max_bucket="auto",
+                stage_path=os.path.join(args.stage, "end"),
+            ).count()},
+        )
+        # Near-dup pairs must be O(n_vec * mult), never O(n_vec^2).
+        assert report["emb_neardup"]["pairs"] < n_vec * args.emb_mult, report["emb_neardup"]
 
     # Sanity gate: candidates must be O(n * cap), never O(n^2). The skew
     # block alone would emit ~skew^2/2 pairs on a broken guard.
