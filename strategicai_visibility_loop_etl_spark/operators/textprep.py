@@ -356,17 +356,56 @@ def pack_sequences(
     """(…, pack_id, pack_offset) — documents assigned to token-budget
     packs in ``id_col`` order (optionally per stratum).
 
-    pack_id = floor(running-sum-before-this-doc / budget): one window
-    over one shuffle (or per-stratum windows). See module doc for the
-    overflow-by-one-document trade-off vs a sequential greedy.
+    pack_id = floor(running-sum-before-this-doc / budget). With a
+    stratum the running sum is one per-stratum window over one shuffle.
+    Without one it is a DISTRIBUTED two-pass prefix sum — never a
+    single-partition global window: range-partition by id, running sum
+    within each partition, then add each partition's cumulative offset
+    (a partition-count-sized frame — the only single-partition window
+    runs over that, not the data). The result is identical to the
+    global-window formula because the prefix sum in id order does not
+    depend on where partition boundaries fall (``id_col`` must be
+    unique — with duplicate ids the within-tie order is undefined
+    either way). See module doc for the overflow-by-one-document
+    trade-off vs a sequential greedy.
     """
-    part = [stratum_col] if stratum_col else []
-    w = Window.partitionBy(*part).orderBy(F.col(id_col)).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("bigint"))
-    return df.select(
+    if stratum_col:
+        w = Window.partitionBy(stratum_col).orderBy(F.col(id_col)).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("bigint"))
+    else:
+        d = df.repartitionByRange(F.col(id_col)).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        w_local = Window.partitionBy("__pid").orderBy(F.col(id_col)).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        # Cumulative token total of all partitions before each one:
+        # a window over the (pid, total) frame — #partitions rows.
+        w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = (
+            d.groupBy("__pid")
+            .agg(F.sum(token_col).alias("__tot"))
+            .select(
+                "__pid",
+                F.coalesce(F.sum("__tot").over(w_off), F.lit(0).cast("bigint")).alias(
+                    "__off"
+                ),
+            )
+        )
+        local_before = F.coalesce(
+            F.sum(token_col).over(w_local), F.lit(0).cast("bigint")
+        )
+        df = (
+            d.join(F.broadcast(offsets), "__pid")
+            .withColumn("__before", local_before + F.col("__off"))
+            .drop("__pid", "__off")
+        )
+        before = F.col("__before")
+    out = df.select(
         "*",
         F.floor(before / budget_tokens).cast("int").alias("pack_id"),
         (before % budget_tokens).cast("bigint").alias("pack_offset"),
     )
+    return out.drop("__before")

@@ -80,6 +80,25 @@ def test_pack_sequences_budget(spark):
     assert out[0]["pack_offset"] == 0 and out[1]["pack_offset"] == 100
 
 
+def test_pack_sequences_global_distributed_matches_formula(spark):
+    """The no-stratum path's distributed two-pass prefix sum must equal
+    the naive global running-sum formula exactly, regardless of input
+    partitioning."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1, 400)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").repartition(17)
+    got = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"])
+        for r in pack_sequences(df, budget_tokens=1000).collect()
+    }
+    before = 0
+    for i, n in rows:  # already in doc_id order
+        assert got[i] == (before // 1000, before % 1000), (i, got[i], before)
+        before += n
+
+
 def test_repetition_metrics_known_answers(spark):
     from strategicai_visibility_loop_etl_spark.operators.textprep import repetition_metrics
 

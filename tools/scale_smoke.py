@@ -71,7 +71,6 @@ def main() -> None:
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
 
     spark = (
         SparkSession.builder.master(f"local[{args.cpus}]")
@@ -85,6 +84,41 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    report: dict = {"mult": args.mult, "skew_block": args.skew}
+
+    def timed(tag: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        report[tag] = {"sec": round(time.perf_counter() - t0, 2), **out}
+        print(f"  {tag}: {report[tag]}", file=sys.stderr)
+
+    run_docs = args.mult > 0
+    if run_docs:
+        corpus_df, n_docs = build_corpus(spark, args.sf_dir, args.mult, args.skew)
+        corpus_path = os.path.join(args.stage, "corpus")
+        corpus_df.write.mode("overwrite").parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        report["n_docs"] = n_docs
+        _run_doc_family(args, timed, corpus)
+
+    if args.emb_mult > 0:
+        _run_ann_family(spark, args, timed, report)
+
+    # Sanity gate: candidates must be O(n * cap), never O(n^2). The skew
+    # block alone would emit ~skew^2/2 pairs on a broken guard.
+    if run_docs and args.skew > 1:
+        quad = args.skew * (args.skew - 1) // 2
+        for tag in ("ngram_jaccard", "minhash_lsh", "simhash"):
+            assert report[tag]["pairs"] < quad / 10, (
+                f"{tag} candidate blowup: {report[tag]['pairs']} pairs vs "
+                f"skew-quadratic {quad}"
+            )
+    report["ok"] = True
+    print(json.dumps(report))
+    spark.stop()
+
+
+def _run_doc_family(args, timed, corpus) -> None:
     from strategicai_visibility_loop_etl_spark.operators.clusters import (
         collapse_exact,
         connected_components,
@@ -94,18 +128,6 @@ def main() -> None:
         dedup_simhash,
         ngram_jaccard_pairs,
     )
-
-    corpus_df, n_docs = build_corpus(spark, args.sf_dir, args.mult, args.skew)
-    corpus_path = os.path.join(args.stage, "corpus")
-    corpus_df.write.mode("overwrite").parquet(corpus_path)
-    corpus = spark.read.parquet(corpus_path)
-    report: dict = {"n_docs": n_docs, "mult": args.mult, "skew_block": args.skew}
-
-    def timed(tag: str, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        report[tag] = {"sec": round(time.perf_counter() - t0, 2), **out}
-        print(f"  {tag}: {report[tag]}", file=sys.stderr)
 
     timed(
         "ngram_jaccard",
@@ -153,68 +175,59 @@ def main() -> None:
 
     timed("dedup_clusters", _clusters)
 
-    if args.emb_mult > 0:
-        from strategicai_visibility_loop_etl_spark.operators.similarity import (
-            ann_lsh_topk,
-            embedding_neardup_pairs,
-            ivf_topk,
-        )
 
-        emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
-        vec_col = "embedding" if "embedding" in emb.columns else emb.columns[-1]
-        id_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
-        rep = spark.range(args.emb_mult).select(F.col("id").alias("rep"))
-        # Replicas perturb one coordinate per rep so they are near- but
-        # not exact duplicates (exercises the verify stage for real).
-        big_emb = (
-            emb.crossJoin(F.broadcast(rep))
-            .select(
-                (F.col(id_col) + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
-                F.transform(
-                    F.col(vec_col),
-                    lambda v, i: v + F.when(i == 0, F.col("rep") * 1e-4).otherwise(F.lit(0.0)),
-                ).alias("embedding"),
-            )
-        )
-        emb_path = os.path.join(args.stage, "emb")
-        big_emb.write.mode("overwrite").parquet(emb_path)
-        big = spark.read.parquet(emb_path)
-        n_vec = big.count()
-        report["n_vectors"] = n_vec
-        qset = big.limit(20).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
-        timed(
-            "ann_lsh",
-            lambda: {"rows": ann_lsh_topk(big, qset, k=10,
-                                          stage_path=os.path.join(args.stage, "alsh")).count()},
-        )
-        timed(
-            "ann_ivf",
-            lambda: {"rows": ivf_topk(big, qset, k=10, n_centroids=64, n_probe=8,
-                                      stage_path=os.path.join(args.stage, "ivf")).count()},
-        )
-        timed(
-            "emb_neardup",
-            lambda: {"pairs": embedding_neardup_pairs(
-                big, threshold=0.999, max_bucket="auto",
-                stage_path=os.path.join(args.stage, "end"),
-            ).count()},
-        )
-        # Near-dup pairs must be O(n_vec * mult), never O(n_vec^2).
-        assert report["emb_neardup"]["pairs"] < n_vec * args.emb_mult, report["emb_neardup"]
+def _run_ann_family(spark, args, timed, report) -> None:
+    from pyspark.sql import functions as F
 
-    # Sanity gate: candidates must be O(n * cap), never O(n^2). The skew
-    # block alone would emit ~skew^2/2 pairs on a broken guard.
-    quad = args.skew * (args.skew - 1) // 2
-    for tag in ("ngram_jaccard", "minhash_lsh", "simhash"):
-        assert report[tag]["pairs"] < quad / 10, (
-            f"{tag} candidate blowup: {report[tag]['pairs']} pairs vs "
-            f"skew-quadratic {quad}"
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        ann_lsh_topk,
+        embedding_neardup_pairs,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+    vec_col = "embedding" if "embedding" in emb.columns else emb.columns[-1]
+    id_col = "vec_id" if "vec_id" in emb.columns else emb.columns[0]
+    rep = spark.range(args.emb_mult).select(F.col("id").alias("rep"))
+    # Replicas perturb one coordinate per rep so they are near- but
+    # not exact duplicates (exercises the verify stage for real).
+    big_emb = (
+        emb.crossJoin(F.broadcast(rep))
+        .select(
+            (F.col(id_col) + F.col("rep") * F.lit(10_000_000)).alias("vec_id"),
+            F.transform(
+                F.col(vec_col),
+                lambda v, i: v + F.when(i == 0, F.col("rep") * 1e-4).otherwise(F.lit(0.0)),
+            ).alias("embedding"),
         )
-    report["ok"] = True
-    print(json.dumps(report))
-    spark.stop()
+    )
+    emb_path = os.path.join(args.stage, "emb")
+    big_emb.write.mode("overwrite").parquet(emb_path)
+    big = spark.read.parquet(emb_path)
+    n_vec = big.count()
+    report["n_vectors"] = n_vec
+    qset = big.limit(20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    timed(
+        "ann_lsh",
+        lambda: {"rows": ann_lsh_topk(big, qset, k=10,
+                                      stage_path=os.path.join(args.stage, "alsh")).count()},
+    )
+    timed(
+        "ann_ivf",
+        lambda: {"rows": ivf_topk(big, qset, k=10, n_centroids=64, n_probe=8,
+                                  stage_path=os.path.join(args.stage, "ivf")).count()},
+    )
+    timed(
+        "emb_neardup",
+        lambda: {"pairs": embedding_neardup_pairs(
+            big, threshold=0.999, max_bucket="auto",
+            stage_path=os.path.join(args.stage, "end"),
+        ).count()},
+    )
+    # Near-dup pairs must be O(n_vec * mult), never O(n_vec^2).
+    assert report["emb_neardup"]["pairs"] < n_vec * args.emb_mult, report["emb_neardup"]
 
 
 if __name__ == "__main__":
