@@ -89,13 +89,22 @@ def connected_components(
       deep (long-chain) components can't burn a round per hop. Each
       round costs two grouped aggregates + joins, so per-round work is
       higher; prefer it only when the graph may be deep.
+    - ``"auto"``: propagation first (the cheap common case); if it
+      hits ``max_iter`` without converging — a pathologically deep
+      component — fall back to star contraction instead of raising.
 
     Raises if not converged after ``max_iter`` rounds (for propagation
     that means a component with diameter > max_iter — degenerate for
-    near-dup graphs and worth failing loudly on).
+    near-dup graphs and worth failing loudly on; ``"auto"`` converts
+    that failure into the star fallback).
     """
     if algorithm == "star":
         return _connected_components_star(edges, src, dst, max_iter)
+    if algorithm == "auto":
+        try:
+            return connected_components(edges, src, dst, max_iter, "propagation")
+        except RuntimeError:
+            return _connected_components_star(edges, src, dst, max_iter)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(

@@ -273,6 +273,24 @@ def test_connected_components_star_deep_chain_converges_fast(spark):
     assert comp == {i: 0 for i in range(n)}
 
 
+def test_connected_components_auto_falls_back_to_star(spark):
+    """algorithm='auto': propagation handles shallow graphs; a deep
+    chain that would raise at max_iter silently falls back to star."""
+    shallow = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    assert {
+        r["id"]: r["component"]
+        for r in connected_components(shallow, algorithm="auto").collect()
+    } == {1: 1, 2: 1, 3: 1}
+    deep = spark.createDataFrame(
+        [(i, i + 1) for i in range(99)], "id_a long, id_b long"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(deep, max_iter=10, algorithm="auto").collect()
+    }
+    assert comp == {i: 0 for i in range(100)}
+
+
 def test_collapse_exact_component_equivalence(spark):
     """Components over (star edges ∪ rep pairs) must equal components
     over the full uncollapsed pair graph — including cross-group
