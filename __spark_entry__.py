@@ -96,6 +96,24 @@ def _dsum(col, alias: str):
     return F.sum(c.cast("double")).alias(alias)
 
 
+def _rd(col, n: int):
+    """round(x, n) on a double, matching DuckDB bit-for-bit.
+
+    DuckDB rounds DOUBLE as ``round(x * 10^n) / 10^n``; Spark's
+    round/bround instead round the double's shortest decimal repr, and
+    the two disagree whenever x*10^n lands exactly on a .5 boundary or
+    the repr straddles one — observed at sf0.1 (q10 weighted_price
+    47614.53 vs .54, q14 position 4.23 vs 4.22). Routing the Spark side
+    through the same multiply makes every step IEEE-identical:
+    ``F.round(y, 0)`` equals C's ``round(y)`` for every |y| < 2^53
+    (exact at .5 ties, away from zero, no internal scaling).
+    Thin wrapper over ``functions.numeric.round_c`` accepting a column
+    name."""
+    from strategicai_visibility_loop_etl_spark.functions.numeric import round_c
+
+    return round_c(F.col(col) if isinstance(col, str) else col, n)
+
+
 def _wall_us(col):
     """Wall-clock epoch micros (bigint) of a timestamp column — matches
     DuckDB ``epoch_us(ts)`` over the same parquet. ``unix_micros``
@@ -224,7 +242,7 @@ def _lineitem_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         _dsum("l_quantity", "sum_qty"),
         _dsum(revenue, "revenue"),
-        F.round(weighted_mean(F.col("l_extendedprice"), w, exact=True), 2).alias(
+        _rd(weighted_mean(F.col("l_extendedprice"), w, exact=True), 2).alias(
             "weighted_price"
         ),
     )
@@ -259,7 +277,7 @@ def q10_visibility_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared.select(
         "p_partkey", "p_name", "p_brand", "n_lines", "sum_qty", "revenue",
         "n_orders", "total_spend", "weighted_price",
-        F.round("click_share", 9).alias("qty_share"),
+        _rd("click_share", 9).alias("qty_share"),
     )
 
 
@@ -277,7 +295,7 @@ def q13_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     engaged = F.col("click") + F.col("purchase")
     return piv.withColumn(
         "engagement_rate",
-        F.round(F.when(total > 0, engaged.cast("double") / total).otherwise(F.lit(0.0)), 6),
+        _rd(F.when(total > 0, engaged.cast("double") / total).otherwise(F.lit(0.0)), 6),
     )
 
 
@@ -306,12 +324,12 @@ def q14_ctr_underperf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliced = anomaly_ctr_underperf(scored, cfg)
     return sliced.select(
         "url",
-        F.round("position", 2).alias("position"),
-        F.round("ctr", 6).alias("ctr"),
-        F.round("expected_ctr", 6).alias("expected_ctr"),
+        _rd("position", 2).alias("position"),
+        _rd("ctr", 6).alias("ctr"),
+        _rd("expected_ctr", 6).alias("expected_ctr"),
         "expected_ctr_bucket",
-        F.round("ctr_deficit", 6).alias("ctr_deficit"),
-        F.round("missed_clicks", 4).alias("missed_clicks"),
+        _rd("ctr_deficit", 6).alias("ctr_deficit"),
+        _rd("missed_clicks", 4).alias("missed_clicks"),
         "priority_rank",
     )
 
@@ -383,7 +401,7 @@ def q18_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = orders.select(F.col("o_orderkey"), raw.alias("raw_url"), raw_ctr.alias("ctr"))
     normed = url_normalize_df(base, "raw_url", "url", site_base="https://shop.example.com")
     return normalize_ctr(normed, "ctr").select(
-        "o_orderkey", "raw_url", "url", F.round("ctr", 9).alias("ctr")
+        "o_orderkey", "raw_url", "url", _rd("ctr", 9).alias("ctr")
     )
 
 
@@ -539,8 +557,8 @@ def q33_moving_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
-        F.round(F.avg("value").over(wavg), 6).alias("value_ma3"),
+        _rd(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        _rd(F.avg("value").over(wavg), 6).alias("value_ma3"),
         F.row_number().over(w).alias("seq"),
     )
 
@@ -577,7 +595,7 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
-        F.round("sum_value", 6).alias("sum_value"),
+        _rd("sum_value", 6).alias("sum_value"),
     )
 
 
@@ -648,9 +666,9 @@ def q38_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form here doubles as that sketch's accuracy oracle."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
-        F.round(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
-        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("p99_price"),
+        _rd(F.median("l_extendedprice"), 6).alias("median_price"),
+        _rd(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
+        _rd(F.percentile("l_extendedprice", 0.99), 6).alias("p99_price"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -691,7 +709,7 @@ def q40_avg_qty_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(
-            F.round(F.col("sum_price") / 7.0, 6).alias("avg_yearly"),
+            _rd(F.col("sum_price") / 7.0, 6).alias("avg_yearly"),
             "n_items",
         )
     )
@@ -948,8 +966,8 @@ def q55_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "c_custkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.bround(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.bround(F.cume_dist().over(w), 6).alias("cume"),
+        _rd(F.percent_rank().over(w), 6).alias("pct_rank"),
+        _rd(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 

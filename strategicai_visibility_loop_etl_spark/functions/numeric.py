@@ -11,6 +11,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def round_c(col: Column, n: int) -> Column:
+    """round(x, n) on a double with C-library semantics, matching
+    engines (DuckDB, C++/Rust analytics cores) that implement it as
+    ``round(x * 10^n) / 10^n``.
+
+    Spark's round/bround instead round the double's shortest decimal
+    repr, and the two families disagree whenever ``x * 10^n`` lands
+    exactly on a .5 boundary (or the repr straddles one). Routing
+    through the same multiply makes every step IEEE-identical:
+    ``F.round(y, 0)`` equals C's ``round(y)`` for every |y| < 2^53
+    (exact at .5 ties, away from zero, no internal scaling). Use this
+    for any rounded double that must hash-match a non-JVM engine."""
+    p = F.lit(float(10**n))
+    return F.round(col * p, 0) / p
+
+
 def to_double_nocomma(col: Column) -> Column:
     """Parse floats while tolerating thousands separators ('1,234.5').
 

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_c
 from ..functions.text import fingerprint64, normalized_text, shingles, tokens
 
 _NUM_BITS = 64
@@ -153,7 +154,7 @@ def ngram_jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", round_c(F.col("jaccard"), 6).alias("jaccard"))
     )
 
 
@@ -194,7 +195,7 @@ def benchmark_overlap(
             "id",
             F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.round(
+            round_c(
                 F.when(
                     F.coalesce("n_grams", F.lit(0)) > 0,
                     F.coalesce("n_overlap", F.lit(0))
@@ -253,7 +254,7 @@ def duplicate_span_fraction(
         "id",
         F.coalesce("n_positions", F.lit(0)).alias("n_positions"),
         F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
-        F.round(
+        round_c(
             F.when(
                 F.coalesce("n_positions", F.lit(0)) > 0,
                 F.coalesce("n_dup_positions", F.lit(0))
@@ -408,7 +409,7 @@ def minhash_lsh_pairs(
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
     return (
-        cand.withColumn("jaccard_est", F.round(est, 6))
+        cand.withColumn("jaccard_est", round_c(est, 6))
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )

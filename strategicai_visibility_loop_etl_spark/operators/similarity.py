@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.numeric import round_c
 from ..functions.vectors import cosine_arrow, dot_arrow, l2_norm_arrow
 
 
@@ -72,7 +73,7 @@ def knn_cosine_topk(
         F.lit(0.0)
     )
     scored = joined.select(
-        F.col(query_id), F.col(corpus_id), F.round(cos, 6).alias("cosine")
+        F.col(query_id), F.col(corpus_id), round_c(cos, 6).alias("cosine")
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
@@ -204,7 +205,7 @@ def ivf_topk(
     scored = assigned.join(F.broadcast(probes), "cluster").select(
         F.col(query_id),
         F.col(corpus_id),
-        F.round(cosine_arrow(F.col(corpus_vec), F.col(query_vec)), 6).alias("cosine"),
+        round_c(cosine_arrow(F.col(corpus_vec), F.col(query_vec)), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
@@ -341,7 +342,7 @@ def ann_lsh_topk(
         F.col(corpus_id),
         # Candidate sets are bucket-bounded (small), so one fused Arrow
         # cosine per pair beats staging norms through the band explode.
-        F.round(cosine_arrow(F.col(corpus_vec), F.col(query_vec)), 6).alias("cosine"),
+        round_c(cosine_arrow(F.col(corpus_vec), F.col(query_vec)), 6).alias("cosine"),
     )
     w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
     return (
@@ -431,7 +432,7 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_arrow(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+            round_c(cosine_arrow(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")

@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import round_c
 from ..functions.text import normalized_text
 
 # Knuth's multiplicative constant; arithmetic stays in BIGINT range so
@@ -188,8 +189,8 @@ def repetition_metrics(
     top_frac = F.max("c") / F.sum("c")
     return per.groupBy(id_col).agg(
         F.sum("c").alias("n_grams"),
-        F.round(top_frac, 6).alias("top_gram_frac"),
-        F.round(F.count("*") / F.sum("c"), 6).alias("distinct_gram_frac"),
+        round_c(top_frac, 6).alias("top_gram_frac"),
+        round_c(F.count("*") / F.sum("c"), 6).alias("distinct_gram_frac"),
         (top_frac > top_frac_threshold).alias("repetitive"),
     )
 
@@ -331,7 +332,7 @@ def tfidf_top_terms(
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
-            F.bround(
+            round_c(
                 F.col("tf")
                 * F.log((F.col("__n") + 1).cast("double") / (F.col("doc_freq") + 1)),
                 6,

@@ -141,7 +141,7 @@ def compare(name: str, s_cols, s_rows, o_cols, o_rows, max_diffs: int = 5,
     return report
 
 
-def run_all(spark, sf_dir: str, only: list[str] | None = None):
+def run_all(spark, sf_dir: str, only: list[str] | None = None, on_result=None):
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -153,28 +153,35 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None):
         df = fn(spark, sf_dir)
         s_cols, s_rows, s_kinds = spark_result(df)
         if name not in oracles:
-            results.append({"query": name, "status": "rows_only", "rows": len(s_rows)})
-            continue
-        o_cols, o_rows, o_kinds = duckdb_result(oracles[name], sf_dir)
-        results.append(compare(name, s_cols, s_rows, o_cols, o_rows,
-                               s_kinds=s_kinds, o_kinds=o_kinds))
+            rep = {"query": name, "status": "rows_only", "rows": len(s_rows)}
+        else:
+            o_cols, o_rows, o_kinds = duckdb_result(oracles[name], sf_dir)
+            rep = compare(name, s_cols, s_rows, o_cols, o_rows,
+                          s_kinds=s_kinds, o_kinds=o_kinds)
+        results.append(rep)
+        if on_result:
+            on_result(rep)
     return results
 
 
 if __name__ == "__main__":
+    import os
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = sys.argv[2:] or None
     from pyspark.sql import SparkSession
 
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", "8g")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for rep in run_all(spark, sf_dir, only):
-        print(rep)
+    # Stream each result as it lands so a long run killed mid-way
+    # still leaves the completed comparisons on stdout.
+    run_all(spark, sf_dir, only, on_result=lambda rep: print(rep, flush=True))
     spark.stop()
