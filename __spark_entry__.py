@@ -63,11 +63,31 @@ from strategicai_visibility_loop_etl_spark.plans.pipeline import default_config
 
 DEC = "decimal(18,6)"
 
-# Fixed signature-staging root: oracle_sql() strings are static, so the
-# LSH queries and their DuckDB twins must agree on one absolute path.
-# Bench/tests/driver run a query and its oracle back-to-back, so the
-# staged parquet always reflects the matching run.
-_SIG_STAGE = "/root/repo/.sig_stage"
+# Signature-staging root: oracle_sql() strings are static, so the LSH
+# queries and their DuckDB twins must agree on one absolute path — but
+# it must be PER-PROCESS: two concurrent runs (e.g. bench + harness)
+# sharing one stage dir would read each other's half-written staged
+# tables. The pid suffix keeps each process's query/oracle pair
+# consistent; stale dirs from finished runs are swept opportunistically.
+_SIG_ROOT = os.environ.get("SPARK_GRAFT_SIG_STAGE_ROOT", "/root/repo/.sig_stage")
+_SIG_STAGE = f"{_SIG_ROOT}/p{os.getpid()}"
+
+
+def _sweep_stale_stage_dirs(max_age_s: int = 6 * 3600) -> None:
+    """Best-effort removal of stage dirs from dead runs (> max_age_s)."""
+    import shutil
+    import time as _time
+
+    try:
+        for name in os.listdir(_SIG_ROOT):
+            p = os.path.join(_SIG_ROOT, name)
+            if p != _SIG_STAGE and _time.time() - os.path.getmtime(p) > max_age_s:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+
+
+_sweep_stale_stage_dirs()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
