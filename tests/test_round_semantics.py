@@ -1,0 +1,61 @@
+"""Cross-engine rounding contract: functions.numeric.round_c must equal
+DuckDB's round(DOUBLE, n) bit-for-bit — the property that keeps every
+rounded double in the oracle gate hash-stable (see the q10/q14 sf0.1
+incident documented in SURVEY round-5 notes)."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.functions.numeric import round_c
+
+
+def _adversarial_values(rng: random.Random, n: int) -> list[float]:
+    vals: list[float] = []
+    # Exact decimal ties at every tested scale: k/100 ± the .5 boundary —
+    # the class that diverged between Spark round/bround and DuckDB.
+    for _ in range(n // 4):
+        k = rng.randrange(-10_000_000, 10_000_000)
+        vals.append((k + 0.5) / 100.0)
+        vals.append((k + 0.5) / 1_000_000.0)
+    # Dyadic ties (exactly representable .5 products): k + 0.5 scaled.
+    for _ in range(n // 4):
+        vals.append(rng.randrange(-(2**40), 2**40) / 2 ** rng.randrange(1, 20))
+    # Plain uniform doubles across magnitudes.
+    for _ in range(n // 2):
+        vals.append(rng.uniform(-1.0, 1.0) * 10 ** rng.randrange(-6, 9))
+    return vals
+
+
+@pytest.mark.parametrize("ndigits", [0, 2, 4, 6, 9])
+def test_round_c_matches_duckdb_round(spark, ndigits):
+    rng = random.Random(ndigits * 1000 + 17)
+    vals = _adversarial_values(rng, 2000)
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, x double")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select("i", round_c(F.col("x"), ndigits).alias("y")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(vals)))
+    want = dict(con.execute(f"SELECT i, round(x, {ndigits}) FROM t").fetchall())
+    con.close()
+    def canon(v):
+        # DuckDB's round keeps the sign of zero (round(-0.2, 0) = -0.0)
+        # while Spark's never emits -0.0. No oracle-gated query can
+        # produce a signed zero (ratios are >= 0; deltas of identical
+        # values are +0.0 exactly), so zero sign is outside the
+        # contract this test enforces.
+        return "0.0" if v == 0 else repr(v)
+
+    diffs = {
+        i: (vals[i], got[i], want[i])
+        for i in got
+        if canon(got[i]) != canon(want[i])
+    }
+    assert not diffs, f"{len(diffs)} divergences, first: {sorted(diffs.items())[:3]}"
