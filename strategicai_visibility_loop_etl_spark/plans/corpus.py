@@ -1,0 +1,183 @@
+"""End-to-end corpus-cleaning pipeline for LLM training data.
+
+The training-data analog of ``plans.pipeline``: one config-driven
+composition of the operators this engine already oracle-gates —
+language ID, quality scoring, PII redaction, exact dedup, near-dup
+cluster collapse, decontamination, chunking, packing, and shard
+assignment — in the order a FineWeb/RefinedWeb-style corpus pass runs
+them. Each stage is an independent lazy plan; the whole pipeline is a
+handful of narrow shuffles:
+
+1. annotate      — lang_id / quality / token counts (zero shuffles)
+2. filter        — lang allowlist + quality floor + length bounds
+                   (predicate on the annotated scan)
+3. redact        — PII placeholders (pure regexp projection)
+4. exact dedup   — keep min-id per normalized-text sha256 (one narrow
+                   shuffle on a 32-byte digest)
+5. near-dup      — shingle/Jaccard candidate pairs → connected
+                   components → keep cluster representative
+6. decontaminate — drop documents sharing ≥k-gram with a benchmark
+                   frame (optional; (gram, id)-only shuffle)
+7. emit          — cleaned docs, plus optional chunked and packed
+                   views and a deterministic shard assignment
+
+At 100 TB each stage's scale story is the underlying operator's (see
+their docstrings); this module adds no collect, no global window, no
+cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    bpe_ish_token_count,
+    lang_id_expr,
+    normalized_text,
+    quality_score,
+    token_count,
+)
+from ..operators.clusters import (
+    cluster_representatives,
+    collapse_exact,
+    connected_components,
+)
+from ..operators.dedup import benchmark_overlap, ngram_jaccard_pairs
+from ..operators.textprep import (
+    chunk_documents,
+    pack_sequences,
+    redact_pii,
+    shard_assignment,
+)
+
+
+def default_corpus_config() -> dict:
+    return {
+        "langs": None,              # e.g. ["en", "de"]; None = keep all
+        "min_quality": 0.0,         # quality_score floor, 0 disables
+        "min_tokens": 8,
+        "max_tokens": 1_000_000,
+        "redact_pii": True,
+        "neardup": {
+            "enable": True,
+            "k": 3,                 # shingle width
+            "threshold": 0.8,       # jaccard
+            "max_bucket": "auto",   # hot-shingle skew guard
+            "cc_algorithm": "auto",  # propagation w/ star fallback
+        },
+        "decontaminate": {"enable": False, "k": 8},
+        "chunk": {"enable": False, "chunk_tokens": 512, "overlap": 64},
+        "pack": {"enable": False, "budget_tokens": 4096, "stratum_col": None},
+        "shards": 0,                # >0 = emit shard assignment
+    }
+
+
+def run_corpus_pipeline(
+    docs: DataFrame,
+    cfg: dict | None = None,
+    benchmark: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Clean ``docs`` and return ``{"clean", "annotated", ...}`` frames.
+
+    ``docs`` needs (id_col, text_col); extra columns ride along.
+    ``benchmark`` (id_col, text_col) enables decontamination when the
+    config asks for it. Returned frames are lazy — write or count them
+    to execute.
+    """
+    cfg = {**default_corpus_config(), **(cfg or {})}
+    nd = {**default_corpus_config()["neardup"], **(cfg.get("neardup") or {})}
+    txt = F.col(text_col)
+
+    # 1. annotate (pure projection: stays in the scan's codegen stage)
+    annotated = docs.withColumns(
+        {
+            "lang": lang_id_expr(txt),
+            "quality": quality_score(txt),
+            "n_tokens": token_count(txt),
+            "n_bpe_tokens": bpe_ish_token_count(txt),
+        }
+    )
+
+    # 2. filter (predicates push down past the annotations they use)
+    kept = annotated.filter(
+        (F.col("n_tokens") >= cfg["min_tokens"])
+        & (F.col("n_tokens") <= cfg["max_tokens"])
+    )
+    if cfg["langs"]:
+        kept = kept.filter(F.col("lang").isin(list(cfg["langs"])))
+    if cfg["min_quality"] > 0:
+        kept = kept.filter(F.col("quality") >= cfg["min_quality"])
+
+    # 3. redact
+    if cfg["redact_pii"]:
+        kept = kept.withColumn(text_col, redact_pii(txt))
+
+    # 4-5. exact dedup + near-dup collapse. collapse_exact already
+    # returns unique-normalized-text representatives, so the exact pass
+    # is the first half of the near-dup pass — one digest shuffle total.
+    clean = kept
+    if nd["enable"]:
+        reps, stars = collapse_exact(
+            kept.select(id_col, text_col), text_col=text_col, id_col=id_col,
+            min_tokens=nd["k"],
+        )
+        pairs = ngram_jaccard_pairs(
+            reps, text_col=text_col, id_col=id_col, k=nd["k"],
+            threshold=nd["threshold"], max_bucket=nd["max_bucket"],
+        ).select("id_a", "id_b")
+        comp = connected_components(
+            stars.unionByName(pairs), algorithm=nd["cc_algorithm"]
+        )
+        clean = cluster_representatives(kept, comp, id_col=id_col)
+    else:
+        norm = normalized_text(F.coalesce(txt, F.lit("")))
+        clean = (
+            kept.withColumn("__key", F.sha2(norm, 256))
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy("__key").orderBy(F.col(id_col))
+                ),
+            )
+            .filter(F.col("__rn") == 1)
+            .drop("__key", "__rn")
+        )
+
+    # 6. decontaminate
+    dec = {**default_corpus_config()["decontaminate"], **(cfg.get("decontaminate") or {})}
+    if dec["enable"]:
+        if benchmark is None:
+            raise ValueError("decontaminate.enable requires a benchmark frame")
+        overlap = benchmark_overlap(
+            clean.select(id_col, text_col), benchmark.select(id_col, text_col),
+            k=dec["k"], text_col=text_col, id_col=id_col,
+        )
+        contaminated = overlap.filter(F.col("n_overlap") > 0).select(
+            F.col("id").alias(id_col)
+        )
+        clean = clean.join(contaminated, id_col, "left_anti")
+
+    out: dict[str, DataFrame] = {"annotated": annotated, "clean": clean}
+
+    ch = {**default_corpus_config()["chunk"], **(cfg.get("chunk") or {})}
+    if ch["enable"]:
+        out["chunks"] = chunk_documents(
+            clean, chunk_tokens=ch["chunk_tokens"], overlap=ch["overlap"],
+            text_col=text_col, id_col=id_col,
+        )
+    pk = {**default_corpus_config()["pack"], **(cfg.get("pack") or {})}
+    if pk["enable"]:
+        out["packed"] = pack_sequences(
+            clean.select(id_col, "n_tokens", *([pk["stratum_col"]] if pk["stratum_col"] else [])),
+            budget_tokens=pk["budget_tokens"],
+            id_col=id_col,
+            stratum_col=pk["stratum_col"],
+        )
+    if cfg["shards"]:
+        out["shards"] = shard_assignment(
+            clean.select(id_col), n_shards=cfg["shards"], key_col=id_col
+        )
+    return out
