@@ -1,3 +1,9 @@
-from .pipeline import run_visibility_pipeline, default_config
+from .corpus import default_corpus_config, run_corpus_pipeline
+from .pipeline import default_config, run_visibility_pipeline
 
-__all__ = ["run_visibility_pipeline", "default_config"]
+__all__ = [
+    "default_config",
+    "default_corpus_config",
+    "run_corpus_pipeline",
+    "run_visibility_pipeline",
+]
