@@ -69,7 +69,71 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_corpus_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m strategicai_visibility_loop_etl_spark corpus",
+        description="Run the corpus-cleaning pipeline on a parquet documents table.",
+    )
+    p.add_argument("--input", required=True,
+                   help="parquet path with (doc_id, text) columns")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--langs", help="comma-separated language allowlist")
+    p.add_argument("--min-tokens", type=int, default=8)
+    p.add_argument("--min-quality", type=float, default=0.0)
+    p.add_argument("--no-neardup", action="store_true",
+                   help="exact dedup only (skip shingle-Jaccard clustering)")
+    p.add_argument("--jaccard", type=float, default=0.8)
+    p.add_argument("--chunk-tokens", type=int, default=0,
+                   help=">0 also writes a chunked view")
+    p.add_argument("--shards", type=int, default=0,
+                   help=">0 also writes a shard assignment")
+    p.add_argument("--cpus", type=int, default=None)
+    return p
+
+
+def corpus_main(argv: list[str], spark=None) -> int:
+    from .plans.corpus import default_corpus_config, run_corpus_pipeline  # noqa: PLC0415
+
+    args = build_corpus_parser().parse_args(argv)
+    cfg = default_corpus_config()
+    cfg["min_tokens"] = args.min_tokens
+    cfg["min_quality"] = args.min_quality
+    if args.langs:
+        cfg["langs"] = [x.strip() for x in args.langs.split(",") if x.strip()]
+    cfg["neardup"] = {"enable": not args.no_neardup, "threshold": args.jaccard}
+    if args.chunk_tokens:
+        cfg["chunk"] = {"enable": True, "chunk_tokens": args.chunk_tokens,
+                        "overlap": max(args.chunk_tokens // 8, 1)}
+    cfg["shards"] = args.shards
+
+    owns_spark = spark is None
+    if owns_spark:
+        from .session import get_spark  # noqa: PLC0415
+
+        spark = get_spark(cpus=args.cpus)
+    try:
+        docs = spark.read.parquet(args.input)
+        out = run_corpus_pipeline(docs, cfg)
+        for name, df in out.items():
+            if name == "annotated":
+                continue  # derived view of the input; clean/chunks/etc suffice
+            path = os.path.join(args.out, name)
+            df.write.mode("overwrite").parquet(path)
+            print(f"Wrote {path}")
+        n_in = docs.count()
+        n_clean = spark.read.parquet(os.path.join(args.out, "clean")).count()
+        print(f"Corpus cleaned: {n_in} -> {n_clean} documents")
+    finally:
+        if owns_spark:
+            spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "corpus":
+        return corpus_main(argv[1:], spark=spark)
     args = build_parser().parse_args(argv)
     cfg = load_config(args.config)
     if args.csv_mirror:

@@ -207,6 +207,30 @@ def test_cli_env_precedence_and_missing_file(spark, fixture_paths, tmp_path, mon
     assert "[ERROR] File not found for Screaming Frog" in capsys.readouterr().err
 
 
+def test_cli_corpus_subcommand(spark, tmp_path, sf_dir):
+    """`python -m strategicai_visibility_loop_etl_spark corpus` cleans a parquet
+    documents table end-to-end."""
+    from strategicai_visibility_loop_etl_spark.__main__ import main
+
+    out = tmp_path / "corpus_out"
+    rc = main(
+        [
+            "corpus",
+            "--input", f"{sf_dir}/documents.parquet",
+            "--out", str(out),
+            "--min-tokens", "4",
+            "--shards", "2",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    clean = pd.read_parquet(out / "clean")
+    assert 0 < len(clean)
+    assert {"lang", "quality", "n_tokens"} <= set(clean.columns)
+    shards = pd.read_parquet(out / "shards")
+    assert set(shards["shard"]) <= {0, 1}
+
+
 def test_csv_mirror_bytes_match_pandas_rendering(spark, fixture_paths, tmp_path, monkeypatch):
     """The mirror must be byte-identical (modulo row order) to the
     reference's rendering mechanism — pandas ``to_csv(index=False,
