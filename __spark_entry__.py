@@ -321,13 +321,21 @@ def q13_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _gsc_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem → a GSC-shaped fact frame (url, clicks, impressions,
-    position) for the domain-scoring queries."""
+    position) for the domain-scoring queries.
+
+    clicks is DECIMAL(18,6): it is the only inexact per-row product
+    here (impressions and the position terms are integer-valued and
+    exact), and a plain double SUM of it is order-dependent — Spark's
+    partition-parallel partials vs DuckDB's sequential scan could
+    differ by an ulp and flip a rounding boundary at large scales.
+    agg_gsc's sum over the decimal is exact and order-independent,
+    and the downstream ctr division casts back to double."""
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
         F.concat(F.lit("https://shop.example.com/part/"), F.col("l_partkey").cast("string")).alias(
             "url"
         ),
-        (F.col("l_quantity") * F.col("l_discount")).alias("clicks"),
+        (F.col("l_quantity") * F.col("l_discount")).cast(DEC).alias("clicks"),
         (F.col("l_quantity") * 10).alias("impressions"),
         F.col("l_linenumber").cast("double").alias("position"),
     )
@@ -1458,7 +1466,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q14_ctr_underperf"] = f"""
         WITH g AS (
             SELECT 'https://shop.example.com/part/' || CAST(l_partkey AS VARCHAR) AS url,
-                   SUM(l_quantity * l_discount) AS clicks,
+                   CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS clicks,
                    SUM(l_quantity * 10) AS impressions,
                    SUM((CAST(l_linenumber AS DOUBLE)) * (l_quantity * 10)) / SUM(l_quantity * 10) AS position
             FROM lineitem GROUP BY 1
