@@ -616,7 +616,11 @@ def q36_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator): lag → new-session flag → running session index → agg."""
     from strategicai_visibility_loop_etl_spark.streaming.sessions import sessionize_batch
 
-    ev = _ev(spark, sf_dir).select("event_id", "user_id", "value", "ets")
+    # value rides as DECIMAL so the per-session sum is exact and
+    # order-independent (same reasoning as _gsc_like's clicks).
+    ev = _ev(spark, sf_dir).select(
+        "event_id", "user_id", F.col("value").cast(DEC).alias("value"), "ets"
+    )
     out = sessionize_batch(ev, gap_seconds=3600, ts_col="ets")
     return out.select(
         "user_id",
@@ -1777,7 +1781,7 @@ def oracle_sql() -> dict[str, str]:
                strftime(make_timestamp(MIN(tus)), '%Y-%m-%d %H:%M:%S') AS session_start,
                strftime(make_timestamp(MAX(tus)), '%Y-%m-%d %H:%M:%S') AS session_end,
                COUNT(*) AS n_events,
-               round(SUM(value), 6) AS sum_value
+               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         FROM g
         GROUP BY user_id, sess
     """
