@@ -2457,3 +2457,166 @@ def oracle_sql() -> dict[str, str]:
     """
 
     return sql
+
+
+# --- extra registry ---------------------------------------------------------
+# The driver's correctness gate checks at most 50 sorted keys, and
+# queries() is pinned at exactly 50 — additional operators land HERE.
+# extra_queries()/extra_oracle_sql() follow the same contract and are
+# verified by the SAME harness (tests/oracle_harness.py merges both
+# registries; tests/test_oracle.py parametrizes over the union), so an
+# extra query gets the identical rows+schema+hash check locally even
+# though the driver never sees it.
+
+
+def qx01_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination (capability row 88):
+    the q63 contamination check routed through a bit-position Bloom
+    set — k broadcast map-side membership probes over the corpus grams
+    before the exact verify join, so at 100 TB the benchmark ships as
+    a few MB of ints instead of tens of MB of gram strings. Output is
+    bit-identical to the exact path; the oracle is q63's exact SQL."""
+    from strategicai_visibility_loop_etl_spark.operators.sketch import (
+        bloom_prefilter_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    return bloom_prefilter_overlap(corpus, bench, k=8)
+
+
+def qx02_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus k-means semantic clustering (capability row 89):
+    SemDeDup-style embedding cluster assignment — deterministic
+    hash-sample init, Lloyd passes with model-sized collects, final
+    assignment via broadcast min_by argmin (one corpus pass, never a
+    shuffle ×k). Centroids stage to parquet; DuckDB replays the argmin
+    and squared distance from the same table."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kmeans_assign(
+        emb, n_clusters=8, iters=2, stage_path=f"{_SIG_STAGE}/kmeans"
+    ).orderBy("id")
+
+
+def qx03_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token heavy hitters (capability row 90): exact top-50
+    token census with corpus frequency share — explode → one partial
+    hash count → TakeOrdered top-k (per-partition heaps, the
+    vocabulary never sorts globally), scalar total by broadcast."""
+    from strategicai_visibility_loop_etl_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "documents"), top_k=50)
+
+
+def qx04_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (capability
+    row 91, Efraimidis–Spirakis A-ES): 50 documents drawn with
+    probability ∝ n_chars via the pure-hash exponential key — no
+    rand(), reproducible across engines and partitionings, top-k
+    through the WindowGroupLimit pre-limit."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        weighted_sample_k,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_k(docs, k=50, key_col="doc_id", weight_col="n_chars")
+
+
+def qx05_hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct-count sketches (capability row 92): per
+    (event_type, shard) Datasketches HLL binaries merged up to
+    event_type with hll_union_agg — the store-sketches-not-rows
+    pattern that makes 100-TB distinct counting re-aggregatable.
+    Estimates are engine-specific (no DuckDB twin): rows-only here,
+    tolerance-vs-exact in tests/test_sketch.py."""
+    from strategicai_visibility_loop_etl_spark.operators.sketch import (
+        hll_merge_estimate,
+        hll_shard_sketches,
+    )
+
+    ev = _ev(spark, sf_dir).withColumn("shard", F.col("event_id") % 8)
+    sk = hll_shard_sketches(ev, ["event_type"], "user_id", "shard")
+    return hll_merge_estimate(sk, ["event_type"]).orderBy("event_type")
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
+        "qx02_kmeans_assign": qx02_kmeans_assign,
+        "qx03_heavy_hitters": qx03_heavy_hitters,
+        "qx04_weighted_sample": qx04_weighted_sample,
+        "qx05_hll_shard_distinct": qx05_hll_shard_distinct,
+    }
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    norm_text = _NORM.format(c="text")
+    sql: dict[str, str] = {}
+
+    # Bloom prefilter + exact verify is result-identical to the exact
+    # join — the oracle IS q63's exact SQL (no Bloom replay needed;
+    # false positives are provably eliminated by the verify join).
+    sql["qx01_bloom_decontaminate"] = oracle_sql()["q63_decontamination"]
+
+    kscore = (
+        "(-2 * list_dot_product(c.cv, ct.centroid))"
+        " + list_dot_product(ct.centroid, ct.centroid)"
+    )
+    sql["qx02_kmeans_assign"] = f"""
+        WITH cent AS (
+            SELECT cluster, centroid
+            FROM read_parquet('{_SIG_STAGE}/kmeans/centroids/*.parquet')
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        )
+        SELECT vec_id AS id,
+               (SELECT ct.cluster FROM cent ct
+                ORDER BY {kscore}, ct.cluster LIMIT 1) AS cluster,
+               round((SELECT MIN({kscore}) FROM cent ct)
+                     + list_dot_product(c.cv, c.cv), 6) AS sq_dist
+        FROM c
+        ORDER BY id
+    """
+
+    sql["qx03_heavy_hitters"] = f"""
+        WITH toks AS (
+            SELECT unnest({_toks(norm_text)}) AS token FROM documents
+        ),
+        f AS (
+            SELECT token, COUNT(*) AS n_occurrences FROM toks
+            WHERE length(token) >= 1 GROUP BY token
+        ),
+        tot AS (SELECT CAST(SUM(n_occurrences) AS DOUBLE) AS total FROM f),
+        top AS (
+            SELECT token, n_occurrences FROM f
+            ORDER BY n_occurrences DESC, token LIMIT 50
+        )
+        SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC, token) AS INT) AS rank,
+               token, n_occurrences,
+               round(n_occurrences / total, 6) AS freq_share
+        FROM top, tot
+    """
+
+    # Identical exponential-key formula to weighted_sample_k: the
+    # multiplicative hash uniform (+1 into (0, 2^32]), -ln(u)/w, ties
+    # by key. (doc_id %% 2^31) * 2654435761 peaks at ~5.7e18 < BIGINT
+    # max, so the arithmetic never overflows on either engine.
+    sql["qx04_weighted_sample"] = """
+        SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS sample_rank FROM (
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (
+                       ORDER BY -ln((((doc_id % 2147483648) * 2654435761)
+                                     % 4294967296 + 1) / 4294967296.0)
+                                / CAST(n_chars AS DOUBLE),
+                                doc_id) AS rn
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        ) WHERE rn <= 50
+    """
+
+    # qx05 intentionally absent: HLL estimates are engine-specific.
+    return sql

@@ -11,7 +11,15 @@ from .dedup import (
     simhash64,
     dedup_simhash,
 )
-from .similarity import knn_cosine_topk, ann_lsh_topk
+from .similarity import knn_cosine_topk, ann_lsh_topk, kmeans_assign, cluster_sizes
+from .sketch import (
+    bloom_prefilter_overlap,
+    hll_shard_sketches,
+    hll_merge_estimate,
+    heavy_hitters,
+    approx_heavy_hitters,
+)
+from .textprep import weighted_sample_k
 from .relational import top_n_per_group, union_sources, pivot_counts, conditional_agg, salted_join
 from .asof import asof_join
 from .governance import write_autodetect_log, append_run_log
@@ -46,4 +54,12 @@ __all__ = [
     "dedup_simhash",
     "knn_cosine_topk",
     "ann_lsh_topk",
+    "kmeans_assign",
+    "cluster_sizes",
+    "bloom_prefilter_overlap",
+    "hll_shard_sketches",
+    "hll_merge_estimate",
+    "heavy_hitters",
+    "approx_heavy_hitters",
+    "weighted_sample_k",
 ]

@@ -437,3 +437,74 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 3,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Full-corpus k-means cluster assignment — the semantic-clustering
+    building block (SemDeDup-style embedding clustering, topic
+    balancing, curriculum bucketing): (id, cluster, sq_dist) for every
+    corpus vector, plus nothing corpus-sized on the driver.
+
+    Training reuses the IVF coarse quantizer (deterministic hash-sample
+    init + Lloyd passes whose only collect is model-sized stats,
+    ``_train_ivf_centroids``). Final assignment is the broadcast
+    score-argmin: corpus × broadcast(centroids) with the comparison
+    score ``(-2·x·c) + c·c`` reduced map-side by ``min_by`` — one
+    corpus pass, no shuffle ×n_clusters, no Python in the final
+    assignment. ``sq_dist`` adds the ``x·x`` term back so the output
+    is the true squared Euclidean distance. ``stage_path`` stages the
+    centroid table for the engine-independent oracle replay (DuckDB
+    recomputes the argmin from the same centroids).
+    """
+    from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
+
+    cents = _train_ivf_centroids(corpus, n_clusters, iters, corpus_id, corpus_vec)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    )
+    if stage_path is not None:
+        cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
+
+    part = (F.lit(-2) * dot_arrow(F.col(corpus_vec), F.col("centroid"))) + dot_arrow(
+        F.col("centroid"), F.col("centroid")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col(corpus_id).alias("id"),
+            F.col(corpus_vec),
+            F.col("cluster"),
+            part.alias("__s"),
+        )
+        .groupBy("id")
+        .agg(
+            F.min(F.struct("__s", "cluster")).alias("__best"),
+            F.first(corpus_vec).alias("__v"),
+        )
+        .select(
+            "id",
+            F.col("__best.cluster").alias("cluster"),
+            round_c(
+                F.col("__best.__s") + dot_arrow(F.col("__v"), F.col("__v")), 6
+            ).alias("sq_dist"),
+        )
+    )
+
+
+def cluster_sizes(assignment: DataFrame) -> DataFrame:
+    """Per-cluster membership counts and mean distance from the
+    assignment table: (cluster, n_members, avg_sq_dist). One partial
+    hash aggregate."""
+    return assignment.groupBy("cluster").agg(
+        F.count("*").alias("n_members"),
+        round_c(F.avg("sq_dist"), 6).alias("avg_sq_dist"),
+    )

@@ -1,0 +1,232 @@
+"""Sketch-accelerated operators: Bloom-prefiltered decontamination,
+mergeable HLL distinct-count sketches, and heavy-hitter extraction.
+
+These are the probabilistic-data-structure layer a 100-TB pipeline
+leans on: a Bloom filter turns the decontamination join into a
+map-side membership probe over a few-MB broadcast set; HLL sketches
+make per-shard distinct counts re-aggregatable without rescanning the
+corpus; heavy hitters are the vocabulary/boilerplate census. The
+reference pipeline (etl_merge.py) has no analog — these extend the
+engine for training-data preparation, the same family as
+operators/dedup.py.
+
+Spark 4.1 does not register ``bloom_filter_agg``/``might_contain`` in
+the SQL function registry (they are Catalyst-internal, used only by
+runtime join filters), so the Bloom filter here is built from first
+principles as a *distinct bit-position set*: each benchmark gram sets
+``k_hashes`` positions in an ``m_bits`` space via seeded xxhash64, and
+membership is "all of my positions are set". The position set is a
+table of ints bounded by k·|benchmark grams| — megabytes where the
+gram strings would be tens of megabytes — and every probe is a
+broadcast (map-side) semi-join: the corpus side never shuffles until
+the final per-document count. False positives are killed by one exact
+verify join over the (tiny) surviving gram set, so the result is
+bit-identical to the exact-join path and the DuckDB oracle needs no
+Bloom replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.numeric import round_c
+from ..functions.text import normalized_text
+from .dedup import exploded_shingles
+
+
+def bloom_positions(col: Column, m_bits: int, k_hashes: int) -> list[Column]:
+    """The ``k_hashes`` Bloom bit positions of a value: seeded xxhash64
+    folded into ``[0, m_bits)``. Seeding is by prepending a literal —
+    xxhash64 is a multi-argument hash, so each seed is an independent
+    member of the family."""
+    return [
+        F.pmod(F.xxhash64(F.lit(i), col), F.lit(m_bits)).alias(f"p{i}")
+        for i in range(k_hashes)
+    ]
+
+
+def bloom_position_set(
+    df: DataFrame, col: str, m_bits: int, k_hashes: int
+) -> DataFrame:
+    """The distinct set-bit table (single column ``pos``) of a Bloom
+    filter over ``df[col]``. Bounded by ``min(m_bits, k·n)`` rows of one
+    int each — the broadcastable form of the filter."""
+    pos = F.explode(F.array(*bloom_positions(F.col(col), m_bits, k_hashes)))
+    return df.select(pos.alias("pos")).distinct()
+
+
+def bloom_prefilter_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 23,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-accelerated benchmark decontamination — same output
+    contract as ``dedup.benchmark_overlap`` (id, n_grams, n_overlap,
+    overlap_frac), same results bit-for-bit.
+
+    Scale design: the benchmark gram set is distilled to its Bloom
+    bit-position set (ints, ~``k_hashes``·|grams| rows before dedup —
+    megabytes at benchmark sizes where the gram strings are tens of
+    MB). Corpus grams then pass ``k_hashes`` broadcast LEFT SEMI
+    probes — each a map-side hash-join bit test, no corpus-side
+    shuffle — and only the survivors (true overlaps + Bloom false
+    positives) reach the exact verify join against the real gram set.
+    With the default 8M-bit space a 100k-gram benchmark runs at ~1%%
+    load factor, so the FP stream into the verify join is negligible
+    and the verify join's build side is the same small benchmark set.
+    The corpus side's only shuffle is the final per-document count —
+    identical to the exact path, minus the wide gram-string join.
+    """
+    ex_c = exploded_shingles(corpus, text_col, id_col, k)
+    bench_grams = (
+        exploded_shingles(benchmark, text_col, id_col, k).select("g").distinct()
+    )
+    bits = bloom_position_set(bench_grams, "g", m_bits, k_hashes)
+
+    # k_hashes map-side membership probes: a gram survives iff every
+    # one of its positions is set. Each probe is a broadcast semi-join
+    # on one int column; Catalyst keeps the corpus side pipelined.
+    survivors = ex_c
+    for i in range(k_hashes):
+        p = F.pmod(F.xxhash64(F.lit(i), F.col("g")), F.lit(m_bits))
+        survivors = (
+            survivors.withColumn("__p", p)
+            .join(F.broadcast(bits.withColumnRenamed("pos", "__p")), "__p", "left_semi")
+        )
+
+    # Exact verify: Bloom has no false negatives, so joining the
+    # survivors against the true gram set yields exactly the exact
+    # path's hit set — the oracle needs no Bloom replay.
+    hits = (
+        survivors.join(F.broadcast(bench_grams), "g")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    per_doc = ex_c.groupBy("id").agg(F.count("*").alias("n_grams"))
+    spine = corpus.select(F.col(id_col).alias("id"))
+    return (
+        spine.join(per_doc, "id", "left")
+        .join(hits, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            round_c(
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) > 0,
+                    F.coalesce("n_overlap", F.lit(0))
+                    / F.coalesce("n_grams", F.lit(0)).cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("overlap_frac"),
+        )
+    )
+
+
+def hll_shard_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    shard_col: str,
+    lg_config_k: int = 12,
+) -> DataFrame:
+    """Per-(group, shard) HLL sketches: (group…, shard, sketch binary).
+
+    The mergeable-sketch pattern for 100-TB distinct counting: each
+    shard/day/partition aggregates once into a KB-sized Datasketches
+    HLL binary; later queries merge sketches with ``hll_union_agg``
+    instead of rescanning raw data. ``lg_config_k=12`` is the Spark
+    default (~1.6%% relative error)."""
+    return df.groupBy(*group_cols, shard_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(lg_config_k)).alias("sketch")
+    )
+
+
+def hll_merge_estimate(
+    sketches: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Merge per-shard sketches up to ``group_cols`` and estimate:
+    (group…, approx_distinct). The merge is a partial-aggregable union
+    of KB binaries — never touches raw values."""
+    return sketches.groupBy(*group_cols).agg(
+        F.hll_sketch_estimate(F.hll_union_agg(F.col("sketch"))).alias("approx_distinct")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    min_len: int = 1,
+) -> DataFrame:
+    """Exact corpus-level token heavy hitters: the ``top_k`` most
+    frequent tokens with counts and corpus frequency share —
+    (rank, token, n_occurrences, freq_share).
+
+    The vocabulary census behind stopword lists, boilerplate
+    detection, and tokenizer audits. Plan: tokenize (codegen split) →
+    explode → one partial-aggregable hash count per token → global
+    top-k via ``orderBy().limit()`` (TakeOrdered — only each
+    partition's top-k rows reach the driver-side heap, never the
+    vocabulary). Ties on count are broken by token text so ranks are
+    deterministic across engines. The total-token denominator is a
+    scalar aggregate joined back by broadcast — never a global
+    window."""
+    toks = df.select(
+        F.explode(
+            F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("token")
+    ).filter(F.length("token") >= min_len)
+    counts = toks.groupBy("token").agg(F.count("*").alias("n_occurrences"))
+    total = counts.agg(F.sum("n_occurrences").alias("__total"))
+    top = counts.orderBy(F.col("n_occurrences").desc(), F.col("token").asc()).limit(top_k)
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number()
+            .over(
+                # top_k rows only — this window orders a limit-bounded
+                # set, not the corpus.
+                Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+            )
+            .alias("rank"),
+            "token",
+            "n_occurrences",
+            round_c(F.col("n_occurrences") / F.col("__total").cast("double"), 6).alias(
+                "freq_share"
+            ),
+        )
+    )
+
+
+def approx_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 50,
+    max_items_tracked: int = 10000,
+) -> DataFrame:
+    """Sketch-based heavy hitters via ``approx_top_k`` (single-pass,
+    bounded state): (token, approx_count) rows, most frequent first.
+
+    The at-scale alternative when the vocabulary itself is too large
+    to hash-aggregate exactly; counts for true heavy hitters are exact
+    as long as they dominate ``max_items_tracked``. Verified against
+    the exact census by containment/tolerance tests (approx output is
+    engine-specific, so no cross-engine oracle)."""
+    toks = df.select(
+        F.explode(
+            F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("token")
+    ).filter(F.length("token") >= 1)
+    sk = toks.agg(
+        F.expr(f"approx_top_k(token, {top_k}, {max_items_tracked})").alias("tk")
+    )
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("token"), F.col("e.count").alias("approx_count")
+    )

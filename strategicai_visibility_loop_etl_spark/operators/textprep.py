@@ -410,3 +410,45 @@ def pack_sequences(
         (before % budget_tokens).cast("bigint").alias("pack_offset"),
     )
     return out.drop("__before")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    weight_col: str,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Vitter-Spirakis A-ES): keep the ``k`` rows with the
+    smallest ``-ln(u)/w`` where ``u`` is a pure-hash uniform of the
+    key and ``w`` the row's weight — each row's inclusion probability
+    is proportional to its weight, reproducible across engines, runs,
+    and partitionings (no ``rand()``).
+
+    ``u`` is the same multiplicative key hash the stratified sampler
+    uses, shifted by +1 into (0, 2³²] so ``ln`` never sees zero. The
+    exponential key ``-ln(u/2³²)/w`` is one codegen expression; the
+    global top-k compiles to TakeOrdered semantics through the same
+    WindowGroupLimit pre-limit as ``topk_per_stratum`` (a constant
+    stratum), so map tasks ship k rows each, never the corpus. Rows
+    with non-positive or null weight are excluded (zero-weight items
+    have zero inclusion probability).
+
+    Cross-engine caveat: ``ln`` is correctly rounded on both engines
+    but the quotient is one more rounding step; two candidates whose
+    keys collide within 1 ulp could swap ranks across engines. With
+    hash-spread uniforms the collision probability is ~2⁻⁵² per pair —
+    the three-sf oracle sweep pins it empirically.
+    """
+    folded = F.pmod(F.col(key_col), F.lit(2147483648))
+    u = F.pmod(folded * F.lit(_KNUTH), F.lit(_MOD)) + F.lit(1)
+    es_key = -F.ln(u.cast("double") / F.lit(4294967296.0)) / F.col(weight_col).cast(
+        "double"
+    )
+    w = Window.orderBy(es_key.asc(), F.col(key_col).asc())
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

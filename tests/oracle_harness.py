@@ -141,11 +141,17 @@ def compare(name: str, s_cols, s_rows, o_cols, o_rows, max_diffs: int = 5,
     return report
 
 
-def run_all(spark, sf_dir: str, only: list[str] | None = None, on_result=None):
+def run_all(spark, sf_dir: str, only: list[str] | None = None, on_result=None,
+            include_extra: bool = True):
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    if include_extra:
+        # The driver's gate caps at 50 queries; the qx* extra registry
+        # holds the overflow and gets the identical check here.
+        qs.update(getattr(entrymod, "extra_queries", dict)())
+        oracles.update(getattr(entrymod, "extra_oracle_sql", dict)())
     results = []
     for name, fn in qs.items():
         if only and name not in only:

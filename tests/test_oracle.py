@@ -8,13 +8,21 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.oracle_harness import compare, duckdb_result, spark_result
 
-QUERIES = sorted(entrymod.queries())
+QUERIES = sorted(entrymod.queries()) + sorted(entrymod.extra_queries())
+
+
+def _all_queries():
+    return {**entrymod.queries(), **entrymod.extra_queries()}
+
+
+def _all_oracles():
+    return {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_query_matches_oracle(spark, sf_dir, name):
-    fn = entrymod.queries()[name]
-    oracles = entrymod.oracle_sql()
+    fn = _all_queries()[name]
+    oracles = _all_oracles()
     df = fn(spark, sf_dir)
     s_cols, s_rows, s_kinds = spark_result(df)
     if name not in oracles:
@@ -35,6 +43,13 @@ def test_query_registry_contract():
     assert len(qs) <= 50, f"{len(qs)} queries; driver gate caps at 50"
     missing = set(oracles) - set(qs)
     assert not missing, f"oracle_sql keys with no queries() entry: {sorted(missing)}"
+    # The qx* extra registry must stay disjoint from the driver's 50
+    # (a shared key would double-register under the harness merge) and
+    # every extra oracle must name an extra query.
+    ex = entrymod.extra_queries()
+    ex_oracles = entrymod.extra_oracle_sql()
+    assert not set(ex) & set(qs), "extra_queries keys collide with queries()"
+    assert not set(ex_oracles) - set(ex), "extra oracle keys with no extra query"
 
 
 def test_entry_smoke(spark):

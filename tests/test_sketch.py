@@ -1,0 +1,163 @@
+"""Sketch-layer operators: Bloom-prefiltered decontamination, HLL
+mergeable sketches, heavy hitters, k-means assignment, weighted
+sampling. The qx* oracle twins live in tests/test_oracle.py; these
+tests pin the operator-level invariants the oracles can't (equality
+with the exact path, estimate tolerance, partitioning independence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.operators.dedup import benchmark_overlap
+from strategicai_visibility_loop_etl_spark.operators.sketch import (
+    approx_heavy_hitters,
+    bloom_position_set,
+    bloom_prefilter_overlap,
+    heavy_hitters,
+    hll_merge_estimate,
+    hll_shard_sketches,
+)
+from strategicai_visibility_loop_etl_spark.operators.similarity import (
+    cluster_sizes,
+    kmeans_assign,
+)
+from strategicai_visibility_loop_etl_spark.operators.textprep import weighted_sample_k
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_bloom_prefilter_matches_exact_path(spark, sf_dir):
+    """The Bloom pre-filter must be invisible in the result: identical
+    rows to the exact-join benchmark_overlap (no false negatives by
+    construction, false positives killed by the verify join)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {tuple(r) for r in benchmark_overlap(corpus, bench, k=8).collect()}
+    bloom = {tuple(r) for r in bloom_prefilter_overlap(corpus, bench, k=8).collect()}
+    assert bloom == exact and len(exact) > 0
+
+
+def test_bloom_prefilter_tiny_filter_still_exact(spark, sf_dir):
+    """Even a saturated Bloom space (high FP rate) must not change the
+    result — only the amount of work the verify join sees."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    exact = {tuple(r) for r in benchmark_overlap(corpus, bench, k=8).collect()}
+    tiny = {
+        tuple(r)
+        for r in bloom_prefilter_overlap(
+            corpus, bench, k=8, m_bits=256, k_hashes=2
+        ).collect()
+    }
+    assert tiny == exact
+
+
+def test_bloom_position_set_bounded(spark, sf_dir):
+    """The shipped filter is at most min(m_bits, k·n) ints."""
+    docs = _docs(spark, sf_dir).select(F.col("text").alias("g")).limit(100)
+    n = docs.count()
+    pos = bloom_position_set(docs, "g", m_bits=1 << 20, k_hashes=5)
+    c = pos.count()
+    assert 0 < c <= 5 * n
+    lo, hi = pos.agg(F.min("pos"), F.max("pos")).first()
+    assert lo >= 0 and hi < (1 << 20)
+
+
+def test_hll_merge_within_tolerance_of_exact(spark, sf_dir):
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "user_id", (F.col("event_id") % 8).alias("shard"))
+    )
+    sk = hll_shard_sketches(ev, ["event_type"], "user_id", "shard")
+    est = {r["event_type"]: r["approx_distinct"] for r in
+           hll_merge_estimate(sk, ["event_type"]).collect()}
+    exact = {r["event_type"]: r["n"] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        # lg_config_k=12 → ~1.6% relative standard error; 5% is >3σ.
+        assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
+
+
+def test_hll_sketches_merge_across_shards_not_rows(spark, sf_dir):
+    """Sketch table is bounded by groups × shards, not by row count."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", "user_id", (F.col("event_id") % 8).alias("shard"))
+    )
+    sk = hll_shard_sketches(ev, ["event_type"], "user_id", "shard")
+    n_groups = ev.select("event_type").distinct().count()
+    assert sk.count() <= n_groups * 8
+
+
+def test_heavy_hitters_ranked_and_shares_sum_below_one(spark, sf_dir):
+    hh = heavy_hitters(_docs(spark, sf_dir), top_k=10).collect()
+    assert [r["rank"] for r in hh] == list(range(1, len(hh) + 1))
+    counts = [r["n_occurrences"] for r in hh]
+    assert counts == sorted(counts, reverse=True)
+    assert 0 < sum(r["freq_share"] for r in hh) <= 1.0 + 1e-9
+
+
+def test_approx_heavy_hitters_contains_exact_top(spark, sf_dir):
+    """With maxItemsTracked far above the vocabulary, the sketch's top
+    set must contain the exact top-5 with exact counts."""
+    docs = _docs(spark, sf_dir)
+    exact = heavy_hitters(docs, top_k=5).collect()
+    approx = {r["token"]: r["approx_count"] for r in
+              approx_heavy_hitters(docs, top_k=50, max_items_tracked=10000).collect()}
+    for r in exact:
+        assert approx.get(r["token"]) == r["n_occurrences"], r["token"]
+
+
+def test_kmeans_assign_covers_corpus_once(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = kmeans_assign(emb, n_clusters=8, iters=1)
+    n = emb.count()
+    assert a.count() == n
+    assert a.select("id").distinct().count() == n
+    sizes = cluster_sizes(a)
+    assert sizes.agg(F.sum("n_members")).first()[0] == n
+    bad = a.filter((F.col("cluster") < 0) | (F.col("cluster") >= 8)).count()
+    assert bad == 0
+    assert a.filter(F.col("sq_dist") < -1e-6).count() == 0
+
+
+def test_kmeans_assign_deterministic_across_partitionings(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {tuple(r) for r in kmeans_assign(emb, n_clusters=4, iters=1).collect()}
+    b = {tuple(r) for r in
+         kmeans_assign(emb.repartition(13), n_clusters=4, iters=1).collect()}
+    assert a == b
+
+
+def test_weighted_sample_deterministic_and_weight_gated(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    s1 = {tuple(r) for r in
+          weighted_sample_k(docs, 25, "doc_id", "n_chars").collect()}
+    s2 = {tuple(r) for r in
+          weighted_sample_k(docs.repartition(11), 25, "doc_id", "n_chars").collect()}
+    assert s1 == s2 and len(s1) == 25
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 0.0), (3, None), (4, -5.0), (5, 3.0)],
+        "k long, w double",
+    )
+    kept = weighted_sample_k(df, 10, "k", "w").select("k").collect()
+    assert {r["k"] for r in kept} == {1, 5}
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """One row carrying ~all the weight must essentially always be
+    sampled: P(miss) = product over others of tiny odds — with weight
+    1e6 vs 1 and k=1, exclusion probability is ~1e-6 per competitor."""
+    rows = [(i, 1.0) for i in range(100)] + [(999, 1_000_000.0)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    top = weighted_sample_k(df, 1, "k", "w").select("k").first()[0]
+    assert top == 999
