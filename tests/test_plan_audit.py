@@ -20,12 +20,12 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-QUERIES = sorted(entrymod.queries())
+QUERIES = sorted(entrymod.queries()) + sorted(entrymod.extra_queries())
 
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_no_cartesian_or_rowwise_python(spark, sf_dir, name):
-    df = entrymod.queries()[name](spark, sf_dir)
+    df = {**entrymod.queries(), **entrymod.extra_queries()}[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, f"{name}: cartesian product\n{plan[:2000]}"
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF\n{plan[:2000]}"
