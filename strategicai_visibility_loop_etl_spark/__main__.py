@@ -87,6 +87,22 @@ def build_corpus_parser() -> argparse.ArgumentParser:
                    help=">0 also writes a chunked view")
     p.add_argument("--shards", type=int, default=0,
                    help=">0 also writes a shard assignment")
+    p.add_argument("--benchmark",
+                   help="parquet path with (doc_id, text): enables "
+                        "decontamination against this eval set")
+    p.add_argument("--bloom", action="store_true",
+                   help="route decontamination through the Bloom "
+                        "prefilter (same result, smaller broadcast)")
+    p.add_argument("--decontaminate-k", type=int, default=8,
+                   help="n-gram width for the contamination check")
+    p.add_argument("--domain-cap", type=int, default=0,
+                   help=">0 keeps at most N documents per domain")
+    p.add_argument("--domain-col", default="source",
+                   help="column holding the domain for --domain-cap")
+    p.add_argument("--sample-k", type=int, default=0,
+                   help=">0 also writes a weighted sample of N docs")
+    p.add_argument("--sample-weight", default="n_tokens",
+                   help="weight column for --sample-k")
     p.add_argument("--cpus", type=int, default=None)
     return p
 
@@ -105,6 +121,15 @@ def corpus_main(argv: list[str], spark=None) -> int:
         cfg["chunk"] = {"enable": True, "chunk_tokens": args.chunk_tokens,
                         "overlap": max(args.chunk_tokens // 8, 1)}
     cfg["shards"] = args.shards
+    if args.benchmark:
+        cfg["decontaminate"] = {"enable": True, "k": args.decontaminate_k,
+                                "use_bloom": args.bloom}
+    if args.domain_cap:
+        cfg["domain_cap"] = {"enable": True, "domain_col": args.domain_col,
+                             "cap": args.domain_cap}
+    if args.sample_k:
+        cfg["sample"] = {"enable": True, "k": args.sample_k,
+                         "weight_col": args.sample_weight}
 
     owns_spark = spark is None
     if owns_spark:
@@ -113,7 +138,8 @@ def corpus_main(argv: list[str], spark=None) -> int:
         spark = get_spark(cpus=args.cpus)
     try:
         docs = spark.read.parquet(args.input)
-        out = run_corpus_pipeline(docs, cfg)
+        benchmark = spark.read.parquet(args.benchmark) if args.benchmark else None
+        out = run_corpus_pipeline(docs, cfg, benchmark=benchmark)
         for name, df in out.items():
             if name == "annotated":
                 continue  # derived view of the input; clean/chunks/etc suffice

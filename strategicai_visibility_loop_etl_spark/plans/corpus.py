@@ -44,11 +44,14 @@ from ..operators.clusters import (
     connected_components,
 )
 from ..operators.dedup import benchmark_overlap, ngram_jaccard_pairs
+from ..operators.sketch import bloom_prefilter_overlap
 from ..operators.textprep import (
     chunk_documents,
     pack_sequences,
     redact_pii,
     shard_assignment,
+    topk_per_stratum,
+    weighted_sample_k,
 )
 
 
@@ -66,7 +69,9 @@ def default_corpus_config() -> dict:
             "max_bucket": "auto",   # hot-shingle skew guard
             "cc_algorithm": "auto",  # propagation w/ star fallback
         },
-        "decontaminate": {"enable": False, "k": 8},
+        "decontaminate": {"enable": False, "k": 8, "use_bloom": False},
+        "domain_cap": {"enable": False, "domain_col": "source", "cap": 1000},
+        "sample": {"enable": False, "k": 1000, "weight_col": "n_tokens"},
         "chunk": {"enable": False, "chunk_tokens": 512, "overlap": 64},
         "pack": {"enable": False, "budget_tokens": 4096, "stratum_col": None},
         "shards": 0,                # >0 = emit shard assignment
@@ -146,12 +151,15 @@ def run_corpus_pipeline(
             .drop("__key", "__rn")
         )
 
-    # 6. decontaminate
+    # 6. decontaminate — ``use_bloom`` routes through the
+    # bit-position-set prefilter (result-identical; the 100-TB path
+    # ships the benchmark as MBs of ints instead of gram strings)
     dec = {**default_corpus_config()["decontaminate"], **(cfg.get("decontaminate") or {})}
     if dec["enable"]:
         if benchmark is None:
             raise ValueError("decontaminate.enable requires a benchmark frame")
-        overlap = benchmark_overlap(
+        overlap_fn = bloom_prefilter_overlap if dec.get("use_bloom") else benchmark_overlap
+        overlap = overlap_fn(
             clean.select(id_col, text_col), benchmark.select(id_col, text_col),
             k=dec["k"], text_col=text_col, id_col=id_col,
         )
@@ -160,7 +168,28 @@ def run_corpus_pipeline(
         )
         clean = clean.join(contaminated, id_col, "left_anti")
 
+    # 7. per-domain quota — crawl-balance cap: at most ``cap`` docs per
+    # domain, chosen by the deterministic hash rank (WindowGroupLimit —
+    # map tasks pre-limit before the per-domain exchange), so one giant
+    # domain can't dominate the training mix.
+    dq = {**default_corpus_config()["domain_cap"], **(cfg.get("domain_cap") or {})}
+    if dq["enable"]:
+        clean = topk_per_stratum(
+            clean, k=dq["cap"], key_col=id_col, stratum_col=dq["domain_col"],
+            rank_col="__quota_rank",
+        ).drop("__quota_rank")
+
     out: dict[str, DataFrame] = {"annotated": annotated, "clean": clean}
+
+    # 8. weighted subsample — an Efraimidis–Spirakis draw of the clean
+    # corpus with probability ∝ weight (token count by default): the
+    # budget-constrained "train on k docs" view, deterministic across
+    # runs and partitionings.
+    sm = {**default_corpus_config()["sample"], **(cfg.get("sample") or {})}
+    if sm["enable"]:
+        out["sample"] = weighted_sample_k(
+            clean, k=sm["k"], key_col=id_col, weight_col=sm["weight_col"]
+        )
 
     ch = {**default_corpus_config()["chunk"], **(cfg.get("chunk") or {})}
     if ch["enable"]:

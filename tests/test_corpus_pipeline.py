@@ -100,3 +100,72 @@ def test_corpus_pipeline_on_real_documents(spark, sf_dir):
     assert 0 < n_clean <= n_in
     # Cleaned output keeps the annotation columns and the original ids.
     assert {"lang", "quality", "n_tokens"} <= set(out["clean"].columns)
+
+
+def test_corpus_pipeline_bloom_decontaminate_matches_exact(corpus, spark):
+    """use_bloom must be a pure execution-strategy switch: same clean
+    set as the exact decontamination path."""
+    bench = spark.createDataFrame(
+        [(100, "catalyst execution plans here are completely different words about spark")],
+        "doc_id long, text string",
+    )
+    cfg = default_corpus_config()
+    cfg["min_tokens"] = 6
+    cfg["neardup"] = {"enable": False}
+    cfg["decontaminate"] = {"enable": True, "k": 5}
+    exact = {r["doc_id"] for r in
+             run_corpus_pipeline(corpus, cfg, benchmark=bench)["clean"].collect()}
+    cfg["decontaminate"] = {"enable": True, "k": 5, "use_bloom": True}
+    bloom = {r["doc_id"] for r in
+             run_corpus_pipeline(corpus, cfg, benchmark=bench)["clean"].collect()}
+    assert bloom == exact and 4 not in bloom
+
+
+def test_corpus_pipeline_domain_cap_and_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    cfg = default_corpus_config()
+    cfg["neardup"] = {"enable": False}
+    cfg["domain_cap"] = {"enable": True, "domain_col": "source", "cap": 20}
+    cfg["sample"] = {"enable": True, "k": 30, "weight_col": "n_tokens"}
+    out = run_corpus_pipeline(docs, cfg)
+    per_domain = out["clean"].groupBy("source").count().collect()
+    assert all(r["count"] <= 20 for r in per_domain)
+    sample = out["sample"].collect()
+    assert len(sample) == 30
+    # The quota rank column must not leak into the output schema.
+    assert "__quota_rank" not in out["clean"].columns
+
+
+def test_corpus_cli_new_stage_flags(spark, sf_dir, tmp_path):
+    """--benchmark/--bloom/--domain-cap/--sample-k wire through the CLI
+    into the pipeline config and write the extra outputs."""
+    import duckdb
+
+    from strategicai_visibility_loop_etl_spark.__main__ import corpus_main
+
+    bench = tmp_path / "bench.parquet"
+    duckdb.sql(
+        f"COPY (SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id % 20 = 0) TO '{bench}' (FORMAT PARQUET)"
+    )
+    out = tmp_path / "out"
+    rc = corpus_main(
+        [
+            "--input", f"{sf_dir}/documents.parquet",
+            "--out", str(out),
+            "--no-neardup",
+            "--benchmark", str(bench),
+            "--bloom",
+            "--domain-cap", "15",
+            "--sample-k", "10",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    clean = spark.read.parquet(str(out / "clean"))
+    per_domain = clean.groupBy("source").count().collect()
+    assert all(r["count"] <= 15 for r in per_domain)
+    assert clean.filter(F.col("doc_id") % 20 == 0).count() == 0
+    assert spark.read.parquet(str(out / "sample")).count() == 10
