@@ -113,6 +113,15 @@ def main() -> None:
                 f"{tag} candidate blowup: {report[tag]['pairs']} pairs vs "
                 f"skew-quadratic {quad}"
             )
+    if run_docs:
+        # The Bloom prefilter must be result-identical to the exact
+        # decontamination path at scale, not just in unit fixtures.
+        assert (
+            report["bloom_decontaminate"]["overlap"]
+            == report["exact_decontaminate"]["overlap"]
+            and report["bloom_decontaminate"]["docs"]
+            == report["exact_decontaminate"]["docs"]
+        ), (report["bloom_decontaminate"], report["exact_decontaminate"])
     report["ok"] = True
     print(json.dumps(report))
     spark.stop()
@@ -175,6 +184,36 @@ def _run_doc_family(args, timed, corpus) -> None:
 
     timed("dedup_clusters", _clusters)
 
+    # Bloom-prefiltered decontamination: every 20th base doc plays the
+    # benchmark. The check is that the Bloom path completes at 10x and
+    # agrees with the exact path on total overlap mass.
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        benchmark_overlap,
+    )
+    from strategicai_visibility_loop_etl_spark.operators.sketch import (
+        bloom_prefilter_overlap,
+    )
+
+    bench = corpus.filter(F.col("doc_id") % 20 == 0).limit(5000)
+    train = corpus.filter(F.col("doc_id") % 20 != 0)
+
+    def _bloom():
+        agg = bloom_prefilter_overlap(train, bench, k=8).agg(
+            F.count("*").alias("docs"), F.sum("n_overlap").alias("overlap")
+        ).first()
+        return {"docs": agg["docs"], "overlap": int(agg["overlap"] or 0)}
+
+    def _exact():
+        agg = benchmark_overlap(train, bench, k=8).agg(
+            F.count("*").alias("docs"), F.sum("n_overlap").alias("overlap")
+        ).first()
+        return {"docs": agg["docs"], "overlap": int(agg["overlap"] or 0)}
+
+    timed("bloom_decontaminate", _bloom)
+    timed("exact_decontaminate", _exact)
+
 
 def _run_ann_family(spark, args, timed, report) -> None:
     from pyspark.sql import functions as F
@@ -228,6 +267,18 @@ def _run_ann_family(spark, args, timed, report) -> None:
     )
     # Near-dup pairs must be O(n_vec * mult), never O(n_vec^2).
     assert report["emb_neardup"]["pairs"] < n_vec * args.emb_mult, report["emb_neardup"]
+
+    # Full-corpus k-means assignment: one Lloyd pass + broadcast argmin
+    # must cover every vector exactly once at 100k scale.
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    timed(
+        "kmeans_assign",
+        lambda: {"rows": kmeans_assign(big, n_clusters=64, iters=1).count()},
+    )
+    assert report["kmeans_assign"]["rows"] == n_vec, report["kmeans_assign"]
 
 
 if __name__ == "__main__":
