@@ -2542,6 +2542,33 @@ def qx05_hll_shard_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_merge_estimate(sk, ["event_type"]).orderBy("event_type")
 
 
+def qx06_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window engagement (capability row 93): distinct users
+    and event volume per 7-day window sliding daily — the DAU/WAU
+    shape. Built on the native ``F.window`` sliding generator (each
+    event expands to the ≤7 windows containing it BEFORE the exchange,
+    so the shuffle carries (window, user) pairs, 7× the events, never
+    a per-window rescan); per-window exact distinct via one hash
+    aggregate. The streaming twin is the same expression under
+    ``readStream`` + watermark. DuckDB replays the expansion with an
+    explicit 0..6 day-offset unnest (Spark's epoch-aligned daily
+    slides are exactly the event-day-minus-offset starts)."""
+    ev = _ev(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ets", "7 days", "1 day").alias("w"))
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+        .orderBy("window_start")
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2549,6 +2576,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx03_heavy_hitters": qx03_heavy_hitters,
         "qx04_weighted_sample": qx04_weighted_sample,
         "qx05_hll_shard_distinct": qx05_hll_shard_distinct,
+        "qx06_sliding_distinct": qx06_sliding_distinct,
     }
 
 
@@ -2616,6 +2644,22 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE n_chars IS NOT NULL AND n_chars > 0
         ) WHERE rn <= 50
+    """
+
+    # Each event joins the 7 daily-sliding windows that contain it:
+    # starts event_day-6 .. event_day ([start, start+7) covers the
+    # event). Spark's 1-day slide is epoch-aligned, so these are the
+    # same window starts.
+    sql["qx06_sliding_distinct"] = """
+        WITH e AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+        w AS (
+            SELECT e.d - CAST(t.o AS INT) AS window_start, e.user_id
+            FROM e, unnest(range(0, 7)) AS t(o)
+        )
+        SELECT window_start,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM w GROUP BY window_start ORDER BY window_start
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -418,6 +418,7 @@ def weighted_sample_k(
     key_col: str,
     weight_col: str,
     rank_col: str = "sample_rank",
+    stratum_col: str | None = None,
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis–Vitter-Spirakis A-ES): keep the ``k`` rows with the
@@ -435,6 +436,10 @@ def weighted_sample_k(
     with non-positive or null weight are excluded (zero-weight items
     have zero inclusion probability).
 
+    ``stratum_col`` draws ``k`` rows per stratum instead of globally
+    (weighted quota per language/domain) — same exponential keys, the
+    rank window just partitions by the stratum.
+
     Cross-engine caveat: ``ln`` is correctly rounded on both engines
     but the quotient is one more rounding step; two candidates whose
     keys collide within 1 ulp could swap ranks across engines. With
@@ -446,7 +451,9 @@ def weighted_sample_k(
     es_key = -F.ln(u.cast("double") / F.lit(4294967296.0)) / F.col(weight_col).cast(
         "double"
     )
-    w = Window.orderBy(es_key.asc(), F.col(key_col).asc())
+    w = (
+        Window.partitionBy(stratum_col) if stratum_col is not None else Window
+    ).orderBy(es_key.asc(), F.col(key_col).asc())
     return (
         df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
         .withColumn(rank_col, F.row_number().over(w))

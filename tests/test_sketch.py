@@ -161,3 +161,21 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     df = spark.createDataFrame(rows, "k long, w double")
     top = weighted_sample_k(df, 1, "k", "w").select("k").first()[0]
     assert top == 999
+
+
+def test_weighted_sample_per_stratum_quota(spark, sf_dir):
+    """stratum_col draws exactly k rows from EVERY stratum, and the
+    global-sample keys are a pure function of (key, weight) — the
+    per-stratum draw of a stratum equals the global ranking restricted
+    to that stratum's rows re-ranked."""
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    per = weighted_sample_k(docs, 5, "doc_id", "n_chars", stratum_col="lang")
+    counts = {r["lang"]: r["n"] for r in
+              per.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert set(counts) == langs and all(n == 5 for n in counts.values())
+    # Determinism across partitionings holds per-stratum too.
+    again = {tuple(r) for r in
+             weighted_sample_k(docs.repartition(7), 5, "doc_id", "n_chars",
+                               stratum_col="lang").collect()}
+    assert {tuple(r) for r in per.collect()} == again
