@@ -1,3 +1,13 @@
-from .events import events_windowed_agg, streaming_dedup, streaming_visibility_update
+from .events import (
+    events_windowed_agg,
+    sliding_distinct_users,
+    streaming_dedup,
+    streaming_visibility_update,
+)
 
-__all__ = ["events_windowed_agg", "streaming_dedup", "streaming_visibility_update"]
+__all__ = [
+    "events_windowed_agg",
+    "sliding_distinct_users",
+    "streaming_dedup",
+    "streaming_visibility_update",
+]

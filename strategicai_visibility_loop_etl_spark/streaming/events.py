@@ -115,3 +115,38 @@ def streaming_visibility_update(
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
     )
     return per_key.join(F.broadcast(spine), key, "left")
+
+
+def sliding_distinct_users(
+    events: DataFrame,
+    window_dur: str = "7 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of the DAU/WAU sliding-window engagement query
+    (qx06): distinct-user pressure per sliding window, continuously.
+
+    Exact ``countDistinct`` is not a streaming aggregate (its state is
+    the full value set); the streaming-correct form is the HLL
+    ``approx_count_distinct``, whose per-window state is a KB sketch —
+    the same store-sketches-not-rows trade the batch engine exposes via
+    ``hll_shard_sketches``. ``n_events`` stays exact. Each event joins
+    its ≤ window/slide containing windows before the shuffle; state is
+    bounded by watermark + window count, and late events beyond the
+    watermark drop instead of reopening closed windows.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_dur, slide).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "approx_users",
+            "n_events",
+        )
+    )

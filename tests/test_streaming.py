@@ -131,3 +131,41 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     expected = {(r["view_id"], r["click_id"]) for r in expected_df.collect()}
     assert got == expected
     assert len(got) > 10  # the synthetic cadence guarantees matches
+
+
+def test_sliding_distinct_users_matches_batch(spark, tmp_path):
+    """The streaming sliding-window distinct (qx06's twin) executed for
+    real: exact event counts must equal the batch twin per window;
+    approx_users within HLL tolerance of the exact batch distinct."""
+    from strategicai_visibility_loop_etl_spark.streaming.events import (
+        sliding_distinct_users,
+    )
+
+    src, batch_df = _write_stream_source(spark, tmp_path)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = sliding_distinct_users(
+        stream, window_dur="2 hours", slide="1 hour", watermark="1 hour"
+    )
+    name = _run_to_memory(out, "sliding_distinct", "append", tmp_path)
+    got = {
+        r["window_start"]: (r["approx_users"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    exact = {
+        r["ws"]: (r["nu"], r["ne"])
+        for r in batch_df.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w")
+        )
+        .agg(
+            F.countDistinct("user_id").alias("nu"), F.count("*").alias("ne")
+        )
+        .select(F.col("w.start").alias("ws"), "nu", "ne")
+        .collect()
+    }
+    # Append mode only emits windows the watermark has closed — every
+    # emitted window must match the batch twin; most windows close.
+    assert len(got) >= len(exact) // 2 and len(got) > 0
+    for ws, (au, ne) in got.items():
+        enu, ene = exact[ws]
+        assert ne == ene, (ws, ne, ene)
+        assert abs(au - enu) <= max(2, 0.1 * enu), (ws, au, enu)
