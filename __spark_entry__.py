@@ -2569,6 +2569,22 @@ def qx06_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx07_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user daily resample with forward fill (capability row 94):
+    irregular events → dense daily series over each user's observed
+    span, gap days carrying the last observed total. Decimal-exact
+    day sums; grid generated by sequence-explode (never shuffled in);
+    one running last(ignorenulls) window per user key."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        resample_daily_ffill,
+    )
+
+    ev = _ev(spark, sf_dir).select(
+        "user_id", F.col("ets").alias("ts"), "value"
+    ).filter(F.col("user_id") < 50)
+    return resample_daily_ffill(ev, "user_id", "ts", "value")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2577,6 +2593,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx04_weighted_sample": qx04_weighted_sample,
         "qx05_hll_shard_distinct": qx05_hll_shard_distinct,
         "qx06_sliding_distinct": qx06_sliding_distinct,
+        "qx07_gap_fill": qx07_gap_fill,
     }
 
 
@@ -2660,6 +2677,30 @@ def extra_oracle_sql() -> dict[str, str]:
                COUNT(DISTINCT user_id) AS n_users,
                COUNT(*) AS n_events
         FROM w GROUP BY window_start ORDER BY window_start
+    """
+
+    sql["qx07_gap_fill"] = """
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   SUM(CAST(value AS DECIMAL(18,6))) AS day_value
+            FROM events WHERE user_id < 50 GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+            FROM daily GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id,
+                   CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+            FROM span
+        )
+        SELECT g.user_id, g.day,
+               last_value(d.day_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value,
+               d.day_value IS NULL AS is_gap
+        FROM grid g LEFT JOIN daily d USING (user_id, day)
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

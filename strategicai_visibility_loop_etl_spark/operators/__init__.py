@@ -20,6 +20,7 @@ from .sketch import (
     approx_heavy_hitters,
 )
 from .textprep import weighted_sample_k
+from .timeseries import resample_daily_ffill
 from .relational import top_n_per_group, union_sources, pivot_counts, conditional_agg, salted_join
 from .asof import asof_join
 from .governance import write_autodetect_log, append_run_log
@@ -62,4 +63,5 @@ __all__ = [
     "heavy_hitters",
     "approx_heavy_hitters",
     "weighted_sample_k",
+    "resample_daily_ffill",
 ]

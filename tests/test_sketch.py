@@ -179,3 +179,27 @@ def test_weighted_sample_per_stratum_quota(spark, sf_dir):
              weighted_sample_k(docs.repartition(7), 5, "doc_id", "n_chars",
                                stratum_col="lang").collect()}
     assert {tuple(r) for r in per.collect()} == again
+
+
+def test_resample_daily_ffill_fills_gaps_with_last_value(spark):
+    from datetime import datetime
+
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        resample_daily_ffill,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 5), 2.0),
+        (1, datetime(2024, 1, 1, 9), 3.0),   # same day: sums to 5
+        (1, datetime(2024, 1, 4, 1), 7.0),   # 2-day gap before this
+        (2, datetime(2024, 2, 10, 0), 1.0),  # single-day key
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    out = {(r["k"], str(r["day"])): (float(r["value"]), r["is_gap"])
+           for r in resample_daily_ffill(df, "k", "ts", "v").collect()}
+    assert out[(1, "2024-01-01")] == (5.0, False)
+    assert out[(1, "2024-01-02")] == (5.0, True)   # carried forward
+    assert out[(1, "2024-01-03")] == (5.0, True)
+    assert out[(1, "2024-01-04")] == (7.0, False)
+    assert out[(2, "2024-02-10")] == (1.0, False)
+    assert len(out) == 5  # dense span per key, nothing beyond it
