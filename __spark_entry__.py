@@ -2585,6 +2585,24 @@ def qx07_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_daily_ffill(ev, "user_id", "ts", "value")
 
 
+def qx08_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup blocking (capability row 95): k-means clusters as the
+    candidate-blocking key, exact cosine within clusters — candidate
+    volume n²/k instead of n². The staged (id, cluster, vec) table is
+    the oracle surface; DuckDB replays the within-cluster self-join
+    and cosine. An explicit no-op cap keeps the oracle replayable
+    (the data-driven "auto" skew cap is unit-tested instead)."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        semantic_neardup_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_neardup_pairs(
+        emb, n_clusters=8, iters=2, threshold=0.3, max_cluster=10**6,
+        stage_path=f"{_SIG_STAGE}/semdedup",
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2594,6 +2612,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx05_hll_shard_distinct": qx05_hll_shard_distinct,
         "qx06_sliding_distinct": qx06_sliding_distinct,
         "qx07_gap_fill": qx07_gap_fill,
+        "qx08_semantic_dedup": qx08_semantic_dedup,
     }
 
 
@@ -2701,6 +2720,24 @@ def extra_oracle_sql() -> dict[str, str]:
                ) AS value,
                d.day_value IS NULL AS is_gap
         FROM grid g LEFT JOIN daily d USING (user_id, day)
+    """
+
+    sql["qx08_semantic_dedup"] = f"""
+        WITH a AS (
+            SELECT id, cluster, CAST(vec AS DOUBLE[]) AS v
+            FROM read_parquet('{_SIG_STAGE}/semdedup/assign/*.parquet')
+        ),
+        p AS (
+            SELECT x.cluster, x.id AS id_a, y.id AS id_b,
+                   round(CASE WHEN sqrt(list_dot_product(x.v, x.v))
+                                   * sqrt(list_dot_product(y.v, y.v)) > 0
+                              THEN list_dot_product(x.v, y.v)
+                                   / (sqrt(list_dot_product(x.v, x.v))
+                                      * sqrt(list_dot_product(y.v, y.v)))
+                              ELSE 0.0 END, 6) AS cosine
+            FROM a x JOIN a y ON x.cluster = y.cluster AND x.id < y.id
+        )
+        SELECT cluster, id_a, id_b, cosine FROM p WHERE cosine >= 0.3
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -11,7 +11,14 @@ from .dedup import (
     simhash64,
     dedup_simhash,
 )
-from .similarity import knn_cosine_topk, ann_lsh_topk, kmeans_assign, cluster_sizes
+from .similarity import (
+    knn_cosine_topk,
+    ann_lsh_topk,
+    kmeans_assign,
+    cluster_sizes,
+    semantic_neardup_pairs,
+    semantic_dedup,
+)
 from .sketch import (
     bloom_prefilter_overlap,
     hll_shard_sketches,
@@ -64,4 +71,6 @@ __all__ = [
     "approx_heavy_hitters",
     "weighted_sample_k",
     "resample_daily_ffill",
+    "semantic_neardup_pairs",
+    "semantic_dedup",
 ]

@@ -508,3 +508,109 @@ def cluster_sizes(assignment: DataFrame) -> DataFrame:
         F.count("*").alias("n_members"),
         round_c(F.avg("sq_dist"), 6).alias("avg_sq_dist"),
     )
+
+
+def semantic_neardup_pairs(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    max_cluster: int | str = "auto",
+    stage_path: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means clusters
+    as the blocking key, exact cosine within each cluster —
+    (id_a < id_b, cluster, cosine ≥ threshold).
+
+    This is the published SemDeDup recipe (cluster the embeddings,
+    compare only within clusters): candidate volume is Σ c_i² over
+    cluster sizes instead of n² — with balanced clusters, n²/k. The
+    within-cluster self-join keys on the cluster id, the same
+    bucket-join shape as the LSH family, and inherits its skew guard:
+    clusters above ``max_cluster`` rows ("auto" = the data-driven
+    p99.9 cap) are dropped from pairing — a degenerate k-means fit
+    must not recreate the all-pairs join. Assignment reuses the
+    broadcast min-struct argmin (one corpus pass); the staged
+    ``(id, cluster, vec)`` table is the DuckDB oracle's replay
+    surface. For the keep/drop decision, feed these pairs to
+    ``connected_components`` + ``cluster_representatives`` (the
+    component formation is oracle-checked by q42).
+    """
+    from .dedup import _stage_roundtrip, resolve_max_bucket  # noqa: PLC0415
+
+    cents = _train_ivf_centroids(corpus, n_clusters, iters, corpus_id, corpus_vec)
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    )
+    part = (F.lit(-2) * dot_arrow(F.col(corpus_vec), F.col("centroid"))) + dot_arrow(
+        F.col("centroid"), F.col("centroid")
+    )
+    assign = (
+        corpus.crossJoin(F.broadcast(cent_df))
+        .select(
+            F.col(corpus_id).alias("id"),
+            F.col(corpus_vec).alias("vec"),
+            F.col("cluster"),
+            part.alias("__s"),
+        )
+        .groupBy("id")
+        .agg(
+            F.min(F.struct("__s", "cluster")).alias("__best"),
+            F.first("vec").alias("vec"),
+        )
+        .select("id", F.col("__best.cluster").alias("cluster"), "vec")
+    )
+    assign = _stage_roundtrip(assign, f"{stage_path}/assign" if stage_path else None)
+
+    sizes = assign.groupBy("cluster").agg(F.count("*").alias("n"))
+    cap = resolve_max_bucket(sizes, max_cluster)
+    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= cap)).select("cluster")
+    pruned = assign.join(F.broadcast(ok), "cluster")
+
+    a = pruned.select("cluster", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = pruned.select("cluster", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "cluster",
+            "id_a",
+            "id_b",
+            round_c(cosine_arrow(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 2,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    max_cluster: int | str = "auto",
+) -> DataFrame:
+    """Full SemDeDup keep/drop decision: (id, rep_id, keep) — one
+    representative (the minimum id) survives per semantic near-dup
+    component. Pairs from ``semantic_neardup_pairs``; component
+    formation by the oracle-checked ``connected_components``."""
+    from .clusters import connected_components  # noqa: PLC0415
+
+    pairs = semantic_neardup_pairs(
+        corpus, n_clusters, iters, threshold, corpus_id, corpus_vec, max_cluster
+    ).select("id_a", "id_b")
+    comp = connected_components(pairs)
+    spine = corpus.select(F.col(corpus_id).alias("id"))
+    return (
+        spine.join(comp, "id", "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("rep_id"),
+            (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
+        )
+    )

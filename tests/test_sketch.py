@@ -203,3 +203,44 @@ def test_resample_daily_ffill_fills_gaps_with_last_value(spark):
     assert out[(1, "2024-01-04")] == (7.0, False)
     assert out[(2, "2024-02-10")] == (1.0, False)
     assert len(out) == 5  # dense span per key, nothing beyond it
+
+
+def test_semantic_dedup_keep_flags_consistent(spark, sf_dir):
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = semantic_dedup(emb, n_clusters=8, iters=1, threshold=0.3,
+                         max_cluster=10**6)
+    rows = out.collect()
+    n = emb.count()
+    assert len(rows) == n
+    # Every representative keeps itself; every dropped row points at a
+    # kept representative with a smaller-or-equal id.
+    kept = {r["id"] for r in rows if r["keep"]}
+    for r in rows:
+        assert r["rep_id"] in kept
+        assert r["rep_id"] <= r["id"]
+        assert r["keep"] == (r["rep_id"] == r["id"])
+    # Pairs above the threshold never have both endpoints kept.
+    pairs = semantic_neardup_pairs(emb, n_clusters=8, iters=1, threshold=0.3,
+                                   max_cluster=10**6).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert not (p["id_a"] in kept and p["id_b"] in kept)
+
+
+def test_semantic_pairs_cluster_cap_guards_degenerate_fit(spark, sf_dir):
+    """A cap below the largest cluster must drop that cluster's pairs
+    rather than emit a quadratic bucket."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        semantic_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # n_clusters=1 makes one corpus-sized cluster; cap 10 must kill it.
+    p = semantic_neardup_pairs(emb, n_clusters=1, iters=1, threshold=-1.0,
+                               max_cluster=10)
+    assert p.count() == 0
