@@ -2603,6 +2603,33 @@ def qx08_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx09_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl ingest (capability row 96): classify a new
+    batch against the existing corpus digest index — work scales with
+    the batch, the corpus contributes only digests. Batch construction:
+    every 5th doc resubmitted case-mutated (→ dup_of_corpus), every
+    7th with a novel tail (→ new), and the %14 subset of those
+    duplicated once more (→ dup_in_batch)."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        incremental_ingest,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    resub = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), F.upper("text").alias("text")
+    )
+    fresh = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat_ws(" ", "text", F.lit("novel tail content")).alias("text"),
+    )
+    fresh_dup = docs.filter(F.col("doc_id") % 14 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat_ws(" ", "text", F.lit("novel tail content")).alias("text"),
+    )
+    batch = resub.unionByName(fresh).unionByName(fresh_dup)
+    return incremental_ingest(docs, batch)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2613,6 +2640,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx06_sliding_distinct": qx06_sliding_distinct,
         "qx07_gap_fill": qx07_gap_fill,
         "qx08_semantic_dedup": qx08_semantic_dedup,
+        "qx09_incremental_ingest": qx09_incremental_ingest,
     }
 
 
@@ -2738,6 +2766,31 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM a x JOIN a y ON x.cluster = y.cluster AND x.id < y.id
         )
         SELECT cluster, id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+    """
+
+    sql["qx09_incremental_ingest"] = f"""
+        WITH batch AS (
+            SELECT doc_id + 500000 AS id, upper(text) AS text
+            FROM documents WHERE doc_id % 5 = 0
+            UNION ALL
+            SELECT doc_id + 600000, text || ' novel tail content'
+            FROM documents WHERE doc_id % 7 = 0
+            UNION ALL
+            SELECT doc_id + 700000, text || ' novel tail content'
+            FROM documents WHERE doc_id % 14 = 0
+        ),
+        ex AS (SELECT DISTINCT sha256({norm_text}) AS digest FROM documents),
+        b AS (SELECT id, sha256({norm_text}) AS digest FROM batch),
+        r AS (
+            SELECT id, digest,
+                   row_number() OVER (PARTITION BY digest ORDER BY id) AS rn
+            FROM b
+        )
+        SELECT r.id,
+               CASE WHEN ex.digest IS NOT NULL THEN 'dup_of_corpus'
+                    WHEN r.rn > 1 THEN 'dup_in_batch'
+                    ELSE 'new' END AS status
+        FROM r LEFT JOIN ex USING (digest)
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -148,3 +148,53 @@ def scd2_intervals(
         F.lead(ts_col).over(w2).alias("effective_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def incremental_ingest(
+    existing: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classify a new crawl batch against an existing corpus without
+    re-deduplicating the corpus: (id, status) with status one of
+
+    - ``new``           — first occurrence of this content anywhere
+    - ``dup_of_corpus`` — content already in the existing corpus
+    - ``dup_in_batch``  — novel content duplicated inside the batch;
+                          the smallest id in the batch is the ``new``
+                          one, the rest land here
+
+    ``accepted = result.filter(status == 'new')`` is the set to append;
+    its digests are the index delta. This is the per-increment path a
+    continuously-crawling pipeline runs daily: work scales with the
+    BATCH, the corpus contributes only its digest index.
+
+    Plan: both sides reduce to 32-byte sha256 digests of normalized
+    text. The corpus index joins on the digest — deliberately NOT
+    broadcast (at 100 TB the index is itself huge; keep it as a
+    bucketed digest table and the join co-locates shuffle-free). The
+    within-batch first-occurrence is one row_number window over the
+    digest, groups bounded by the batch's dup multiplicity.
+    """
+    from ..functions.text import normalized_text  # noqa: PLC0415
+
+    ex = existing.select(
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("digest")
+    ).distinct().withColumn("__in_corpus", F.lit(True))
+    b = batch.select(
+        F.col(id_col).alias("id"),
+        F.sha2(normalized_text(F.col(text_col)), 256).alias("digest"),
+    )
+    w = Window.partitionBy("digest").orderBy("id")
+    return (
+        b.withColumn("__rn", F.row_number().over(w))
+        .join(ex, "digest", "left")
+        .select(
+            "id",
+            F.when(F.col("__in_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("__rn") > 1, F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+    )

@@ -244,3 +244,30 @@ def test_semantic_pairs_cluster_cap_guards_degenerate_fit(spark, sf_dir):
     p = semantic_neardup_pairs(emb, n_clusters=1, iters=1, threshold=-1.0,
                                max_cluster=10)
     assert p.count() == 0
+
+
+def test_incremental_ingest_statuses(spark):
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        incremental_ingest,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "ALPHA  beta gamma"),   # corpus dup under normalization
+            (11, "zeta eta theta"),      # new
+            (12, "zeta eta theta"),      # batch dup of 11
+            (13, "iota kappa"),          # new
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["id"]: r["status"] for r in incremental_ingest(existing, batch).collect()}
+    assert out == {
+        10: "dup_of_corpus",
+        11: "new",
+        12: "dup_in_batch",
+        13: "new",
+    }
