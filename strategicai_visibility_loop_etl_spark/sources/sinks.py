@@ -81,3 +81,65 @@ def compact_parquet(
     return sum(
         1 for i in range(len(statuses)) if statuses[i].getPath().getName().endswith(".parquet")
     )
+
+
+def zorder_value(cols: Sequence, bits: int = 16):
+    """Morton (Z-order) interleave of up to a few numeric columns,
+    each pre-normalized to ``[0, 2^bits)`` — the multi-dimensional
+    clustering key behind data-skipping layouts (Delta OPTIMIZE
+    ZORDER BY, Hudi clustering). Pure codegen bit arithmetic: for each
+    of ``bits`` positions, bit ``i`` of column ``j`` lands at output
+    position ``i × n_cols + j``."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of
+    ``zorder_cols``: rows close in EVERY clustered dimension land in
+    the same files, so parquet min/max stats prune scans filtered on
+    ANY of the dimensions — the layout lever for 100-TB tables queried
+    along more than one column (a plain sort only skips on its leading
+    column).
+
+    Each column min-max-normalizes to ``bits`` bits via one scalar
+    aggregate (broadcast literals, no window); the interleaved key
+    drives ``repartitionByRange`` (range exchange ≈ the only shuffle)
+    plus an intra-partition sort. Stats-based skipping is asserted by
+    the sink tests: per-file value ranges shrink ~√files per dimension
+    vs an unclustered write.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in zorder_cols],
+        *[F.max(c).alias(f"mx_{c}") for c in zorder_cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in zorder_cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1
+        scaled.append(
+            ((F.col(c) - F.lit(mn)) * F.lit(top) / F.lit(span)).cast("long")
+        )
+    keyed = df.withColumn("__z", zorder_value(scaled, bits))
+    if num_files:
+        keyed = keyed.repartitionByRange(num_files, "__z")
+    else:
+        keyed = keyed.repartitionByRange("__z")
+    keyed.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

@@ -319,3 +319,46 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     a = sorted(r["id"] for r in spark.read.parquet(src).collect())
     b = sorted(r["id"] for r in spark.read.parquet(dst).collect())
     assert a == b  # content-preserving
+
+
+def test_zorder_write_shrinks_per_file_ranges(spark, tmp_path, sf_dir):
+    """Z-order clustering must shrink per-file min/max spans on BOTH
+    clustered dimensions vs an unclustered multi-file write — that
+    span ratio IS the expected stats-based scan pruning."""
+    import pyarrow.parquet as pq
+
+    from strategicai_visibility_loop_etl_spark.sources.sinks import write_zordered
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    plain = str(tmp_path / "plain")
+    li.repartition(8).write.parquet(plain)
+    zpath = str(tmp_path / "zordered")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], num_files=8)
+
+    def mean_span(path, col):
+        import glob as g
+
+        spans, lo_all, hi_all = [], None, None
+        for f in g.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {md.row_group(rg).column(i).path_in_schema: i
+                        for i in range(md.row_group(rg).num_columns)}
+                st = md.row_group(rg).column(cols[col]).statistics
+                spans.append(st.max - st.min)
+                lo_all = st.min if lo_all is None else min(lo_all, st.min)
+                hi_all = st.max if hi_all is None else max(hi_all, st.max)
+        return sum(spans) / len(spans), hi_all - lo_all
+
+    for col in ("l_orderkey", "l_partkey"):
+        z_span, full = mean_span(zpath, col)
+        p_span, _ = mean_span(plain, col)
+        # Random placement gives per-file span ≈ full range; Z-order
+        # over 8 files must cut the mean span on each dimension.
+        assert p_span > full * 0.8, (col, p_span, full)
+        assert z_span < p_span * 0.6, (col, z_span, p_span)
+
+    # Same rows, just relocated.
+    assert spark.read.parquet(zpath).count() == li.count()
