@@ -1582,6 +1582,12 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
     """
 
+    # Inverted-index form (same rewrite as q42's oracle): intersection
+    # sizes come from a per-gram join + count instead of all-pairs
+    # list_intersect — identical output (a pair with an empty
+    # intersection has jaccard 0 < 0.5 and is absent either way), and
+    # ~30× faster at sf0.01, ~3 orders at sf0.1 where the all-pairs
+    # form made the full sweep impractical.
     sql["q22_ngram_jaccard"] = f"""
         WITH t AS (
             SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
@@ -1591,17 +1597,18 @@ def oracle_sql() -> dict[str, str]:
                    list_distinct(list_transform(range(1, len(toks) - 1),
                        i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
             FROM t WHERE len(toks) >= 3
-        )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
-                          THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                          ELSE 0.0 END, 6) AS jaccard
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE CASE WHEN (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) > 0
-                   THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                   ELSE 0.0 END >= 0.5
+        ),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_int
+            FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sz AS (SELECT doc_id, len(sh) AS n FROM s)
+        SELECT id_a, id_b,
+               round(CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE CAST(n_int AS DOUBLE) / (sa.n + sb.n - n_int) >= 0.5
     """
 
     # --- LSH trio: replay the logic over Spark-staged signature parquet.
