@@ -50,6 +50,10 @@ def test_query_registry_contract():
     ex_oracles = entrymod.extra_oracle_sql()
     assert not set(ex) & set(qs), "extra_queries keys collide with queries()"
     assert not set(ex_oracles) - set(ex), "extra oracle keys with no extra query"
+    # Every extra query carries an oracle unless explicitly declared
+    # rows-only here — a new extra can't silently skip verification.
+    declared_rows_only = {"qx05_hll_shard_distinct"}  # HLL estimates are engine-specific
+    assert set(ex) - set(ex_oracles) == declared_rows_only
 
 
 def test_entry_smoke(spark):
