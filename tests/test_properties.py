@@ -167,3 +167,18 @@ def test_scd2_intervals_tile_the_timeline(spark, log):
         for a, b in zip(ivs, ivs[1:]):
             assert a["effective_to"] == b["effective_from"]
             assert a["v"] != b["v"] or (a["v"] is None) != (b["v"] is None)
+
+
+def test_weighted_sample_k_is_prefix_stable(spark):
+    """A-ES ranking is a pure function of (key, weight): the top-k
+    sample is a prefix of the top-(k+m) sample — growing the budget
+    only appends, never reshuffles the kept set."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, float(1 + (i * 37) % 11)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    small = {r["k"] for r in weighted_sample_k(df, 20, "k", "w").collect()}
+    big = {r["k"] for r in weighted_sample_k(df, 50, "k", "w").collect()}
+    assert small < big and len(small) == 20 and len(big) == 50

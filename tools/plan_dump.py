@@ -38,7 +38,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as entrymod
 
-    qs = entrymod.queries()
+    qs = {**entrymod.queries(), **entrymod.extra_queries()}
     for name in names:
         print(f"\n{'=' * 70}\n{name}\n{'=' * 70}")
         qs[name](spark, sf_dir).explain("formatted")
