@@ -169,3 +169,52 @@ def test_sliding_distinct_users_matches_batch(spark, tmp_path):
         enu, ene = exact[ws]
         assert ne == ene, (ws, ne, ene)
         assert abs(au - enu) <= max(2, 0.1 * enu), (ws, au, enu)
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Kill-and-restart correctness: a windowed aggregation stopped
+    mid-stream and restarted from its checkpoint must neither drop nor
+    double-count — the final complete-mode result equals the batch
+    computation over ALL data, though the two halves were processed by
+    two different query incarnations."""
+    src = str(tmp_path / "restart_src")
+    ckpt = tmp_path / "restart_ckpt"
+    rows = _event_rows()
+    half = len(rows) // 2
+    df1 = spark.createDataFrame(rows[:half], SCHEMA)
+    df1.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        out = events_windowed_agg(stream, window_dur="1 hour", watermark="2 hours")
+        return (
+            out.writeStream.format("memory")
+            .queryName("restart_test")
+            .outputMode("complete")
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # first incarnation dies after processing half the data
+
+    df2 = spark.createDataFrame(rows[half:], SCHEMA)
+    df2.coalesce(1).write.mode("append").parquet(src)
+    q = start()  # second incarnation resumes from the checkpoint
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("select * from restart_test").collect()
+    }
+    full = spark.createDataFrame(rows, SCHEMA)
+    expected = {
+        (r["ws"], r["event_type"]): (r["n"], r["s"])
+        for r in full.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "s")
+        .collect()
+    }
+    assert got == expected
