@@ -208,3 +208,40 @@ def load_table_any(spark: SparkSession, path: str) -> DataFrame:
     if ext not in {".parquet", ".json", ".jsonl", ".ndjson"}:
         df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
     return df
+
+
+def read_jsonl_robust(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Schema'd JSONL read that quarantines malformed lines instead of
+    failing the job or silently nulling them: returns
+    ``(good, corrupt)`` frames.
+
+    Web-scale JSONL exports always contain some broken lines; FAILFAST
+    kills a 100-TB job on the first one, and plain PERMISSIVE leaves
+    nulled rows indistinguishable from legitimately-null data. This
+    reads PERMISSIVE with an explicit corrupt-record column (explicit
+    ``schema`` — no inference pass over the corpus), splits on its
+    nullness, and returns the quarantine frame for the dead-letter
+    sink. ``good`` drops the marker column; ``corrupt`` carries the
+    raw offending line.
+    """
+    full_schema = f"{schema}, {corrupt_col} string"
+    df = (
+        spark.read.schema(full_schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+        # Spark requires materializing via cache/checkpoint-free plans
+        # when filtering on the corrupt column alone; referencing the
+        # full row keeps the plan legal.
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    corrupt = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, corrupt

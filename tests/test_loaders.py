@@ -362,3 +362,24 @@ def test_zorder_write_shrinks_per_file_ranges(spark, tmp_path, sf_dir):
 
     # Same rows, just relocated.
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_read_jsonl_robust_quarantines_bad_lines(spark, tmp_path):
+    from strategicai_visibility_loop_etl_spark.sources.readers import (
+        read_jsonl_robust,
+    )
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "text": "ok one"}\n'
+        "this is not json at all\n"
+        '{"id": 2, "text": "ok two"}\n'
+        '{"id": broken json}\n'
+        '{"id": 3, "text": null}\n'   # legitimate null, NOT corrupt
+    )
+    good, corrupt = read_jsonl_robust(spark, str(p), "id long, text string")
+    g = {r["id"]: r["text"] for r in good.collect()}
+    assert g == {1: "ok one", 2: "ok two", 3: None}
+    bad = [r["raw_line"] for r in corrupt.collect()]
+    assert len(bad) == 2
+    assert "not json" in bad[0] or "not json" in bad[1]

@@ -218,3 +218,49 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
         .collect()
     }
     assert got == expected
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
+    """The watermark contract, demonstrated: an event arriving later
+    than watermark behind the stream's max event time must NOT reopen
+    its (already emitted) window."""
+    from datetime import datetime
+
+    src = str(tmp_path / "late_src")
+    ckpt = tmp_path / "late_ckpt"
+    t = datetime(2024, 3, 1, 0, 0, 0)
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(mode).parquet(src)
+
+    # Batch 1: events in hours 0 and 6 — max event time 06:30, so the
+    # 1-hour watermark closes every window ending before 05:30.
+    write(
+        [(1, t.replace(hour=0, minute=10), 1, "view", 1.0),
+         (2, t.replace(hour=0, minute=20), 2, "view", 1.0),
+         (3, t.replace(hour=6, minute=30), 3, "view", 1.0)],
+        "overwrite",
+    )
+
+    def start():
+        stream = spark.readStream.schema(SCHEMA).parquet(src)
+        out = events_windowed_agg(stream, window_dur="1 hour", watermark="1 hour")
+        return (
+            out.writeStream.format("memory")
+            .queryName("late_test")
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+
+    q = start()
+    q.processAllAvailable()
+    # Batch 2: a straggler for hour 0 — 6+ hours late, beyond the
+    # watermark. It must be dropped, not re-emit/extend hour 0.
+    write([(4, t.replace(hour=0, minute=40), 4, "view", 1.0)], "append")
+    q.processAllAvailable()
+    q.stop()
+
+    rows = {r["window_start"].hour: r["n_events"]
+            for r in spark.sql("select * from late_test").collect()}
+    assert rows.get(0) == 2, rows  # straggler NOT counted
