@@ -2637,6 +2637,23 @@ def qx09_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_ingest(docs, batch)
 
 
+def qx10_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization (capability row 98): frequency-ranked vocab
+    build (TakeOrdered top-k, deterministic tie-break) + token-id
+    encoding of every 10th document — zero corpus shuffles in the
+    encode pass (map-side posexplode + broadcast vocab join). The
+    oracle recomputes BOTH stages in SQL, so vocabulary construction
+    and encoding are each engine-checked."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, vocab_size=24)
+    return encode_tokens(docs.filter(F.col("doc_id") % 10 == 0), vocab)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2648,6 +2665,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx07_gap_fill": qx07_gap_fill,
         "qx08_semantic_dedup": qx08_semantic_dedup,
         "qx09_incremental_ingest": qx09_incremental_ingest,
+        "qx10_tokenize": qx10_tokenize,
     }
 
 
@@ -2798,6 +2816,35 @@ def extra_oracle_sql() -> dict[str, str]:
                     WHEN r.rn > 1 THEN 'dup_in_batch'
                     ELSE 'new' END AS status
         FROM r LEFT JOIN ex USING (digest)
+    """
+
+    sql["qx10_tokenize"] = f"""
+        WITH toks AS (
+            SELECT unnest({_toks(norm_text)}) AS token FROM documents
+        ),
+        f AS (
+            SELECT token, COUNT(*) AS n FROM toks
+            WHERE length(token) >= 1 GROUP BY token
+        ),
+        vocab AS (
+            SELECT token,
+                   CAST(row_number() OVER (ORDER BY n DESC, token) - 1 AS INT)
+                       AS token_id
+            FROM (SELECT token, n FROM f ORDER BY n DESC, token LIMIT 24)
+        ),
+        d AS (
+            SELECT doc_id, {_toks(norm_text)} AS tk
+            FROM documents WHERE doc_id % 10 = 0
+        ),
+        e AS (
+            SELECT doc_id, unnest(tk) AS token,
+                   generate_subscripts(tk, 1) AS p
+            FROM d
+        )
+        SELECT e.doc_id AS id, CAST(e.p - 1 AS INT) AS pos,
+               CAST(coalesce(v.token_id, -1) AS INT) AS token_id
+        FROM e LEFT JOIN vocab v USING (token)
+        WHERE length(e.token) >= 1
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -26,7 +26,7 @@ from .sketch import (
     heavy_hitters,
     approx_heavy_hitters,
 )
-from .textprep import weighted_sample_k
+from .textprep import weighted_sample_k, build_vocab, encode_tokens
 from .timeseries import resample_daily_ffill
 from .relational import top_n_per_group, union_sources, pivot_counts, conditional_agg, salted_join
 from .asof import asof_join
@@ -70,6 +70,8 @@ __all__ = [
     "heavy_hitters",
     "approx_heavy_hitters",
     "weighted_sample_k",
+    "build_vocab",
+    "encode_tokens",
     "resample_daily_ffill",
     "semantic_neardup_pairs",
     "semantic_dedup",

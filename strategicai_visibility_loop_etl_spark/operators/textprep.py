@@ -459,3 +459,63 @@ def weighted_sample_k(
         .withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def build_vocab(
+    df: DataFrame,
+    vocab_size: int = 32768,
+    text_col: str = "text",
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: (token, token_id) with ids
+    0..vocab_size-1 assigned most-frequent-first (ties by token text,
+    so the mapping is deterministic across engines and runs).
+
+    One partial-aggregable token count, then TakeOrdered top-k — the
+    vocabulary never sorts globally and the result is model-sized.
+    This is the word-level stand-in for a trained subword vocab; the
+    encoding contract (``encode_tokens``) is identical either way.
+    """
+    toks = df.select(
+        F.explode(
+            F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("token")
+    ).filter(F.length("token") >= 1)
+    counts = toks.groupBy("token").agg(F.count("*").alias("__n"))
+    top = counts.orderBy(F.col("__n").desc(), F.col("token").asc()).limit(vocab_size)
+    w = Window.orderBy(F.col("__n").desc(), F.col("token").asc())
+    # The window orders the limit-bounded top-k, never the vocabulary.
+    return top.select(
+        "token", (F.row_number().over(w) - 1).cast("int").alias("token_id")
+    )
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Encode documents to (id, pos, token_id) rows against ``vocab``
+    — the corpus-to-token-ids pass that feeds sequence packing and
+    shard writes. Out-of-vocabulary tokens get ``oov_id``.
+
+    Zero corpus shuffles: tokenization + posexplode are map-side, the
+    vocab join is a broadcast hash join (the vocab is model-sized by
+    construction), and the output can stream straight to a sharded
+    sink. At 100 TB this pass is scan-bound, exactly as it should be.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("pos", "token"),
+    ).filter(F.length("token") >= 1)
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "id",
+            "pos",
+            F.coalesce("token_id", F.lit(oov_id)).cast("int").alias("token_id"),
+        )
+    )

@@ -271,3 +271,27 @@ def test_incremental_ingest_statuses(spark):
         12: "dup_in_batch",
         13: "new",
     }
+
+
+def test_vocab_and_encoding_roundtrip(spark):
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        build_vocab,
+        encode_tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat"), (3, "rare words here")],
+        "doc_id long, text string",
+    )
+    vocab = build_vocab(docs, vocab_size=4)
+    v = {r["token"]: r["token_id"] for r in vocab.collect()}
+    # "the" (3) and "sat" (2) dominate; ids dense from 0, ties by text.
+    assert v["the"] == 0 and v["sat"] == 1 and len(v) == 4
+    enc = encode_tokens(docs, vocab)
+    rows = {(r["id"], r["pos"]): r["token_id"] for r in enc.collect()}
+    assert rows[(1, 0)] == v["the"] and rows[(1, 4)] == v["the"]
+    assert rows[(2, 2)] == v["sat"]
+    # OOV tokens encode to -1, positions stay dense per doc.
+    assert rows[(3, 0)] == -1 or rows[(3, 0)] in v.values()
+    n_doc1 = len([k for k in rows if k[0] == 1])
+    assert n_doc1 == 6 and set(k[1] for k in rows if k[0] == 1) == set(range(6))
