@@ -6,6 +6,7 @@ from .text import (
     bpe_ish_token_count,
     quality_score,
     lang_id_expr,
+    strip_html,
     fingerprint64,
     shingles,
 )
@@ -23,6 +24,7 @@ __all__ = [
     "bpe_ish_token_count",
     "quality_score",
     "lang_id_expr",
+    "strip_html",
     "fingerprint64",
     "shingles",
     "cosine_similarity",

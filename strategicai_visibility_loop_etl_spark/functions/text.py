@@ -140,3 +140,24 @@ def shingles(col: Column, k: int = 3) -> Column:
     return F.array_distinct(
         F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
     )
+
+
+def strip_html(col: Column) -> Column:
+    """Crude-but-fast HTML-to-text: drop script/style blocks, strip
+    tags, decode the common entities, collapse whitespace — the
+    pre-filter a crawl pipeline runs before real text extraction.
+    Pure ``regexp_replace`` chain (Java/RE2-common subset: non-greedy
+    dot, case-insensitive flags via inline ``(?i)``, no lookarounds),
+    so it whole-stage-codegens and needs no Python. Deliberately
+    conservative: malformed markup degrades to leftover text, never to
+    an error.
+    """
+    out = F.regexp_replace(col, r"(?is)<(script|style)[^>]*>.*?</\1>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -74,6 +74,7 @@ def default_corpus_config() -> dict:
         "sample": {"enable": False, "k": 1000, "weight_col": "n_tokens"},
         "chunk": {"enable": False, "chunk_tokens": 512, "overlap": 64},
         "pack": {"enable": False, "budget_tokens": 4096, "stratum_col": None},
+        "tokenize": {"enable": False, "vocab_size": 32768},
         "shards": 0,                # >0 = emit shard assignment
     }
 
@@ -204,6 +205,15 @@ def run_corpus_pipeline(
             budget_tokens=pk["budget_tokens"],
             id_col=id_col,
             stratum_col=pk["stratum_col"],
+        )
+    tk = {**default_corpus_config()["tokenize"], **(cfg.get("tokenize") or {})}
+    if tk["enable"]:
+        from ..operators.textprep import build_vocab, encode_tokens  # noqa: PLC0415
+
+        vocab = build_vocab(clean, vocab_size=tk["vocab_size"], text_col=text_col)
+        out["vocab"] = vocab
+        out["tokens"] = encode_tokens(
+            clean, vocab, text_col=text_col, id_col=id_col
         )
     if cfg["shards"]:
         out["shards"] = shard_assignment(

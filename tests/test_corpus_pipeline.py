@@ -169,3 +169,19 @@ def test_corpus_cli_new_stage_flags(spark, sf_dir, tmp_path):
     assert all(r["count"] <= 15 for r in per_domain)
     assert clean.filter(F.col("doc_id") % 20 == 0).count() == 0
     assert spark.read.parquet(str(out / "sample")).count() == 10
+
+
+def test_corpus_pipeline_tokenize_outputs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    cfg = default_corpus_config()
+    cfg["neardup"] = {"enable": False}
+    cfg["tokenize"] = {"enable": True, "vocab_size": 16}
+    out = run_corpus_pipeline(docs, cfg)
+    vocab = out["vocab"].collect()
+    assert len(vocab) == 16
+    ids = {r["token_id"] for r in vocab}
+    assert ids == set(range(16))
+    toks = out["tokens"]
+    assert set(toks.columns) == {"id", "pos", "token_id"}
+    sample = toks.limit(200).collect()
+    assert sample and all(r["token_id"] >= -1 for r in sample)

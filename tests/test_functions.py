@@ -191,3 +191,25 @@ def test_freq_items_sketch_covers_true_frequents(spark, sf_dir):
         if r["count"] / total >= 0.2
     }
     assert truth <= found, (truth, found)
+
+
+def test_strip_html_tags_entities_whitespace(spark):
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.functions.text import strip_html
+
+    rows = [
+        (1, "<html><head><style>body{color:red}</style></head>"
+            "<body><h1>Title</h1><p>Hello &amp; welcome &lt;here&gt;.</p>"
+            "<script>alert('x')</script><!-- note --></body></html>"),
+        (2, "plain text stays"),
+        (3, "<p>broken <b>markup"),
+        (4, "A&nbsp;B"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    out = {r["id"]: r["t"] for r in
+           df.select("id", strip_html(F.col("html")).alias("t")).collect()}
+    assert out[1] == "Title Hello & welcome <here>."
+    assert out[2] == "plain text stays"
+    assert out[3] == "broken markup"
+    assert out[4] == "A B"
