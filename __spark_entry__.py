@@ -2654,6 +2654,47 @@ def qx10_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_tokens(docs.filter(F.col("doc_id") % 10 == 0), vocab)
 
 
+def qx11_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity quality scoring (capability row 100,
+    CCNet shape): per document the mean negative log-likelihood and
+    perplexity under the corpus's own unigram distribution — the
+    score CCNet buckets on to trim both boilerplate (low ppl) and
+    noise (high ppl) tails. Per-token log-probs round to DECIMAL
+    before the weighted sum, so the aggregate is exact and
+    order-independent; DuckDB replays LM training and scoring from
+    the same relational plan."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        unigram_lm_scores,
+    )
+
+    return unigram_lm_scores(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def qx12_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster representative retention (capability row 101)
+    — the dedup ACTION q42 stops short of: form the exact+near-dup
+    components, then keep exactly one document per cluster (min id
+    wins) plus every unclustered document. The DuckDB oracle closes
+    the brute-force pair graph with a recursive CTE and anti-joins
+    the non-representatives, so the keep/drop decision itself is
+    engine-checked end to end."""
+    from strategicai_visibility_loop_etl_spark.operators.clusters import (
+        cluster_representatives,
+        collapse_exact,
+        connected_components,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir)
+    reps, stars = collapse_exact(docs, min_tokens=3)
+    pairs = ngram_jaccard_pairs(
+        reps, k=3, threshold=0.5, max_bucket=10_000_000,
+        stage_path=f"{_SIG_STAGE}/ngram_x12",
+    ).select("id_a", "id_b")
+    comp = connected_components(stars.unionByName(pairs))
+    kept = cluster_representatives(docs, comp)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2666,6 +2707,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx08_semantic_dedup": qx08_semantic_dedup,
         "qx09_incremental_ingest": qx09_incremental_ingest,
         "qx10_tokenize": qx10_tokenize,
+        "qx11_lm_quality": qx11_lm_quality,
+        "qx12_cluster_reps": qx12_cluster_reps,
     }
 
 
@@ -2845,6 +2888,58 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST(coalesce(v.token_id, -1) AS INT) AS token_id
         FROM e LEFT JOIN vocab v USING (token)
         WHERE length(e.token) >= 1
+    """
+
+    sql["qx11_lm_quality"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, unnest(toks) AS token FROM t
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM tok WHERE length(token) >= 1 GROUP BY doc_id, token
+        ),
+        lm AS (
+            SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token
+        ),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM lm),
+        lp AS (
+            SELECT token,
+                   CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS logp
+            FROM lm, tot
+        ),
+        s AS (
+            SELECT f.doc_id,
+                   CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+                   SUM(CAST(f.tf AS DECIMAL(18,0)) * lp.logp) AS slp
+            FROM tf f JOIN lp USING (token)
+            GROUP BY f.doc_id
+        )
+        SELECT doc_id, n_tokens,
+               round(-CAST(slp AS DOUBLE) / n_tokens, 6) AS nll,
+               round(exp(round(-CAST(slp AS DOUBLE) / n_tokens, 6)), 4) AS ppl
+        FROM s ORDER BY doc_id
+    """
+
+    # Keep/drop replay: close the brute-force near-dup graph (the q42
+    # recursive CTE over the same dup-augmented universe) and keep a
+    # doc unless it sits in a component under a smaller id.
+    dup_union = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, upper(text) AS text FROM documents
+    """
+    sql["qx12_cluster_reps"] = f"""
+        SELECT d.doc_id
+        FROM ({dup_union}) d
+        WHERE d.doc_id NOT IN (
+            SELECT id FROM ({oracle_sql()["q42_dedup_clusters"]})
+            WHERE id <> component
+        )
+        ORDER BY d.doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -519,3 +519,73 @@ def encode_tokens(
             F.coalesce("token_id", F.lit(oov_id)).cast("int").alias("token_id"),
         )
     )
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    logp_decimals: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a unigram LM
+    trained on the corpus itself: per document (id, n_tokens, nll,
+    ppl) where ``nll`` is the mean negative log-likelihood of the
+    document's tokens under the corpus unigram distribution and
+    ``ppl = exp(nll)``. Low-perplexity documents look like the corpus
+    (boilerplate, templated text); high-perplexity ones are noise —
+    both tails are what a quality filter trims (CCNet buckets on
+    exactly this score, with a 5-gram KenLM where this uses the
+    relational unigram analog).
+
+    Plan shape (two passes over term frequencies, never raw tokens):
+    tokenize → per-(doc, token) hash count ``tf`` (the only corpus
+    shuffle, payload one long) → the LM is ``tf`` re-aggregated by
+    token (map-side partial over the same exchange) → score by joining
+    the per-doc term vector against the LM on token and summing
+    ``tf × log p(token)``. The token join is a plain hash join — at
+    100 TB the LM (vocabulary-sized) is usually broadcastable, but
+    that is left to AQE since a web-scale vocabulary can exceed the
+    broadcast threshold.
+
+    Determinism across engines: each token's log-probability is
+    rounded to ``logp_decimals`` and cast to DECIMAL before the
+    weighted sum, so the per-document sum is exact integer-scaled
+    arithmetic — order-independent and bit-identical in any engine
+    (a raw double sum would be partitioning-dependent). The only
+    float step is one ln()/exp() per vocabulary entry / document on
+    identical inputs (the q61 1-ulp rationale). Documents with zero
+    tokens are dropped (no likelihood is defined for them).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+        ).alias("token"),
+    ).filter(F.length("token") >= 1)
+    tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    lm = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("__total"))
+    logp = lm.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("__total").cast("double")),
+            logp_decimals,
+        )
+        .cast(f"decimal(18,{logp_decimals})")
+        .alias("logp"),
+    )
+    scored = (
+        tf.join(logp, "token")
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf").cast("decimal(18,0)") * F.col("logp")).alias("__slp"),
+        )
+    )
+    nll = F.round(-F.col("__slp").cast("double") / F.col("n_tokens"), 6)
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        nll.alias("nll"),
+        F.round(F.exp(nll), 4).alias("ppl"),
+    )
