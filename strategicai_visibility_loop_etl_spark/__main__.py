@@ -101,6 +101,12 @@ def build_corpus_parser() -> argparse.ArgumentParser:
                    help="column holding the domain for --domain-cap")
     p.add_argument("--sample-k", type=int, default=0,
                    help=">0 also writes a weighted sample of N docs")
+    p.add_argument("--ppl-min", type=float, default=0.0,
+                   help="drop docs below this unigram-LM perplexity "
+                        "(boilerplate tail)")
+    p.add_argument("--ppl-max", type=float, default=0.0,
+                   help="drop docs above this unigram-LM perplexity "
+                        "(noise tail); 0 disables")
     p.add_argument("--sample-weight", default="n_tokens",
                    help="weight column for --sample-k")
     p.add_argument("--cpus", type=int, default=None)
@@ -130,6 +136,9 @@ def corpus_main(argv: list[str], spark=None) -> int:
     if args.sample_k:
         cfg["sample"] = {"enable": True, "k": args.sample_k,
                          "weight_col": args.sample_weight}
+    if args.ppl_min or args.ppl_max:
+        cfg["lm_filter"] = {"enable": True, "min_ppl": args.ppl_min,
+                            "max_ppl": args.ppl_max or None}
 
     owns_spark = spark is None
     if owns_spark:

@@ -69,6 +69,7 @@ def default_corpus_config() -> dict:
             "max_bucket": "auto",   # hot-shingle skew guard
             "cc_algorithm": "auto",  # propagation w/ star fallback
         },
+        "lm_filter": {"enable": False, "min_ppl": 0.0, "max_ppl": None},
         "decontaminate": {"enable": False, "k": 8, "use_bloom": False},
         "domain_cap": {"enable": False, "domain_col": "source", "cap": 1000},
         "sample": {"enable": False, "k": 1000, "weight_col": "n_tokens"},
@@ -116,6 +117,22 @@ def run_corpus_pipeline(
         kept = kept.filter(F.col("lang").isin(list(cfg["langs"])))
     if cfg["min_quality"] > 0:
         kept = kept.filter(F.col("quality") >= cfg["min_quality"])
+
+    # 2b. perplexity-band filter (CCNet shape): score every kept doc
+    # against the kept corpus's own unigram LM and trim the tails —
+    # low ppl is boilerplate, high ppl is noise. Adds one (doc, token)
+    # term-frequency shuffle + a vocabulary join; nll/ppl ride along
+    # as annotations on the clean frame.
+    lf = {**default_corpus_config()["lm_filter"], **(cfg.get("lm_filter") or {})}
+    if lf["enable"]:
+        from ..operators.textprep import unigram_lm_scores  # noqa: PLC0415
+
+        scores = unigram_lm_scores(kept, text_col=text_col, id_col=id_col)
+        kept = kept.join(scores.select(id_col, "nll", "ppl"), id_col)
+        if lf["min_ppl"]:
+            kept = kept.filter(F.col("ppl") >= lf["min_ppl"])
+        if lf["max_ppl"] is not None:
+            kept = kept.filter(F.col("ppl") <= lf["max_ppl"])
 
     # 3. redact
     if cfg["redact_pii"]:

@@ -160,6 +160,7 @@ def test_corpus_cli_new_stage_flags(spark, sf_dir, tmp_path):
             "--bloom",
             "--domain-cap", "15",
             "--sample-k", "10",
+            "--ppl-max", "1000",
         ],
         spark=spark,
     )
@@ -169,6 +170,9 @@ def test_corpus_cli_new_stage_flags(spark, sf_dir, tmp_path):
     assert all(r["count"] <= 15 for r in per_domain)
     assert clean.filter(F.col("doc_id") % 20 == 0).count() == 0
     assert spark.read.parquet(str(out / "sample")).count() == 10
+    # --ppl-max wired through: the lm_filter stage ran and annotated
+    assert {"nll", "ppl"} <= set(clean.columns)
+    assert clean.filter(F.col("ppl") > 1000).count() == 0
 
 
 def test_corpus_pipeline_tokenize_outputs(spark, sf_dir):
@@ -185,3 +189,39 @@ def test_corpus_pipeline_tokenize_outputs(spark, sf_dir):
     assert set(toks.columns) == {"id", "pos", "token_id"}
     sample = toks.limit(200).collect()
     assert sample and all(r["token_id"] >= -1 for r in sample)
+
+
+def test_corpus_pipeline_lm_filter_band(corpus):
+    """The perplexity-band stage trims the tails: the repeated-text
+    family (1/2/3/6) shares most tokens, so its docs score low ppl;
+    doc 4 is all corpus-rare words, so it scores the highest. A
+    max_ppl cap must drop doc 4 and keep the family; nll/ppl ride
+    along on the clean frame."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        unigram_lm_scores,
+    )
+
+    cfg = default_corpus_config()
+    cfg["min_tokens"] = 6
+    cfg["neardup"] = {"enable": False}
+    cfg["lm_filter"] = {"enable": True, "min_ppl": 0.0, "max_ppl": None}
+    out = run_corpus_pipeline(corpus, cfg)
+    clean = out["clean"]
+    assert {"nll", "ppl"} <= set(clean.columns)
+    scores = {r["doc_id"]: r["ppl"] for r in clean.collect()}
+    assert max(scores, key=scores.get) == 4
+
+    cfg["lm_filter"] = {"enable": True, "min_ppl": 0.0,
+                        "max_ppl": scores[4] - 0.01}
+    kept = {r["doc_id"] for r in run_corpus_pipeline(corpus, cfg)["clean"].collect()}
+    assert 4 not in kept and 1 in kept
+
+    # direct operator edge cases: null and whitespace-only docs drop
+    # out (no tokens -> no likelihood), everything else scores
+    docs = corpus.sparkSession.createDataFrame(
+        [(10, None), (11, "   "), (12, "alpha beta alpha")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    assert set(rows) == {12}
+    assert rows[12]["n_tokens"] == 3 and rows[12]["ppl"] > 0
