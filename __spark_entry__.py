@@ -2667,7 +2667,9 @@ def qx11_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         unigram_lm_scores,
     )
 
-    return unigram_lm_scores(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return unigram_lm_scores(
+        _t(spark, sf_dir, "documents"), stage_path=f"{_SIG_STAGE}/lm_x11"
+    ).orderBy("doc_id")
 
 
 def qx12_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -526,6 +526,7 @@ def unigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     logp_decimals: int = 6,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality scoring with a unigram LM
     trained on the corpus itself: per document (id, n_tokens, nll,
@@ -564,6 +565,14 @@ def unigram_lm_scores(
     ).filter(F.length("token") >= 1)
     tf = toks.groupBy("id", "token").agg(F.count("*").alias("tf"))
     lm = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
+    if stage_path is not None:
+        # Without materialization the lazy DAG recomputes ``tf`` for
+        # every downstream branch (LM, total, scoring) — three corpus
+        # scans. Staging the VOCABULARY-sized (token, cnt) table makes
+        # it the honest two passes of the CCNet recipe: one scan to
+        # train the LM, one to score against it.
+        lm.write.mode("overwrite").parquet(stage_path)
+        lm = df.sparkSession.read.parquet(stage_path)
     total = lm.agg(F.sum("cnt").alias("__total"))
     logp = lm.crossJoin(F.broadcast(total)).select(
         "token",

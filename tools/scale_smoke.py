@@ -214,6 +214,38 @@ def _run_doc_family(args, timed, corpus) -> None:
     timed("bloom_decontaminate", _bloom)
     timed("exact_decontaminate", _exact)
 
+    # Unigram-LM perplexity scoring: two term-frequency shuffles + a
+    # vocabulary join — should stay scan-bound at any multiplier. The
+    # determinism check at scale: the 20k identical boilerplate docs
+    # must all receive the SAME score (the decimal-sum design makes the
+    # aggregate order-independent; a raw double sum would fan these out
+    # across partitionings).
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        unigram_lm_scores,
+    )
+
+    def _lm():
+        scores = unigram_lm_scores(corpus, stage_path=os.path.join(args.stage, "lm"))
+        agg = scores.agg(
+            F.count("*").alias("docs"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+        ).first()
+        b = (
+            scores.filter(F.col("doc_id") >= 900_000_000)
+            .agg(F.min("ppl").alias("lo"), F.max("ppl").alias("hi"))
+            .first()
+        )
+        assert b["lo"] == b["hi"], ("boilerplate ppl not constant", b)
+        return {
+            "docs": agg["docs"],
+            "min_ppl": agg["min_ppl"],
+            "max_ppl": agg["max_ppl"],
+            "boiler_ppl": b["lo"],
+        }
+
+    timed("unigram_lm", _lm)
+
 
 def _run_ann_family(spark, args, timed, report) -> None:
     from pyspark.sql import functions as F
