@@ -161,3 +161,67 @@ def strip_html(col: Column) -> Column:
     ):
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# "Sloppy windows-1252": the cp1252 mapping for 0x80-0x9F with latin-1
+# passthrough for the five undefined bytes — the decode browsers (and
+# ftfy) use, and the one that produces the mojibake seen in the wild.
+_CP1252_C1 = {
+    0x80: "€", 0x82: "‚", 0x83: "ƒ", 0x84: "„",
+    0x85: "…", 0x86: "†", 0x87: "‡", 0x88: "ˆ",
+    0x89: "‰", 0x8A: "Š", 0x8B: "‹", 0x8C: "Œ",
+    0x8E: "Ž", 0x91: "‘", 0x92: "’", 0x93: "“",
+    0x94: "”", 0x95: "•", 0x96: "–", 0x97: "—",
+    0x98: "˜", 0x99: "™", 0x9A: "š", 0x9B: "›",
+    0x9C: "œ", 0x9E: "ž", 0x9F: "Ÿ",
+}
+
+# Characters whose UTF-8-read-as-cp1252 ghosts are repaired. Curated to
+# sequences that essentially never occur legitimately (each needs an
+# 'Ã'/'Â'/'â'-class lead byte followed by a specific continuation), so
+# unconditional replacement is safe — the plausibility scoring a full
+# ftfy does is not needed for this set.
+_MOJIBAKE_CHARS = (
+    "’‘“”–—…•€™"
+    "éèêëáàâäåã"
+    "óòôöõúùûüñ"
+    "çíìîïßÉÈÁÓ"
+    "ÜÖÄÑÇ«»°·½"
+    "¡¿ýœŒšžŠŽ"
+)
+
+
+def _mojibake_ghost(ch: str) -> str:
+    return "".join(
+        _CP1252_C1.get(b, chr(b)) for b in ch.encode("utf-8")
+    )
+
+
+# Longest ghosts first so a 3-byte sequence is never half-eaten by a
+# 2-byte rule that happens to prefix it.
+MOJIBAKE_TABLE: list[tuple[str, str]] = sorted(
+    ((_mojibake_ghost(c), c) for c in _MOJIBAKE_CHARS),
+    key=lambda kv: -len(kv[0]),
+)
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair UTF-8-decoded-as-windows-1252 mojibake (ftfy-lite):
+    ``donâ€™t`` → ``don’t``, ``faÃ§ade`` → ``façade``. A chained
+    literal ``replace`` over the curated ghost table — pure JVM
+    codegen, no Python, no regex backtracking. Single-pass: doubly
+    encoded text comes out one layer shallower per application."""
+    out = col
+    for ghost, fixed in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(ghost), F.lit(fixed))
+    return out
+
+
+def mojibake_count(col: Column) -> Column:
+    """How many DISTINCT known mojibake ghost sequences the text
+    contains — 0 for clean text; use as a corpus-quality signal or to
+    gate the repair pass."""
+    out = F.lit(0)
+    for ghost, _ in MOJIBAKE_TABLE:
+        out = out + F.when(F.contains(col, F.lit(ghost)), 1).otherwise(0)
+    return out.cast("int")

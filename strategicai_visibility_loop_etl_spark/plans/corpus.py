@@ -57,6 +57,7 @@ from ..operators.textprep import (
 
 def default_corpus_config() -> dict:
     return {
+        "fix_encoding": True,       # repair utf-8-as-cp1252 mojibake first
         "langs": None,              # e.g. ["en", "de"]; None = keep all
         "min_quality": 0.0,         # quality_score floor, 0 disables
         "min_tokens": 8,
@@ -97,6 +98,14 @@ def run_corpus_pipeline(
     cfg = {**default_corpus_config(), **(cfg or {})}
     nd = {**default_corpus_config()["neardup"], **(cfg.get("neardup") or {})}
     txt = F.col(text_col)
+
+    # 0. encoding repair (ftfy-lite): fix utf-8-as-cp1252 mojibake
+    # before anything tokenizes or hashes the text — a no-op literal
+    # replace chain on clean text, still inside the scan's codegen.
+    if cfg["fix_encoding"]:
+        from ..functions.text import fix_mojibake  # noqa: PLC0415
+
+        docs = docs.withColumn(text_col, fix_mojibake(txt))
 
     # 1. annotate (pure projection: stays in the scan's codegen stage)
     annotated = docs.withColumns(

@@ -225,3 +225,23 @@ def test_corpus_pipeline_lm_filter_band(corpus):
     rows = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
     assert set(rows) == {12}
     assert rows[12]["n_tokens"] == 3 and rows[12]["ppl"] > 0
+
+
+def test_corpus_pipeline_fix_encoding(spark):
+    """Stage 0 repairs mojibake before dedup: a cp1252-ghosted copy of
+    a clean doc must collapse into the same exact-dup group."""
+    rows = [
+        (1, "the café’s façade — “quite” nice and modern today indeed"),
+        (2, "the cafÃ©â€™s faÃ§ade â€” â€œquiteâ€\x9d nice and modern today indeed"),
+        (3, "totally unrelated words about distributed query engines here"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = default_corpus_config()
+    cfg["min_tokens"] = 5
+    cfg["neardup"] = {"enable": False}
+    kept = {r["doc_id"] for r in run_corpus_pipeline(corpus, cfg)["clean"].collect()}
+    assert kept == {1, 3}  # 2 is an exact dup of 1 after repair
+
+    cfg["fix_encoding"] = False
+    kept_raw = {r["doc_id"] for r in run_corpus_pipeline(corpus, cfg)["clean"].collect()}
+    assert kept_raw == {1, 2, 3}  # without repair the ghost survives

@@ -213,3 +213,51 @@ def test_strip_html_tags_entities_whitespace(spark):
     assert out[2] == "plain text stays"
     assert out[3] == "broken markup"
     assert out[4] == "A B"
+
+
+def test_fix_mojibake_real_cp1252_roundtrip(spark):
+    """Ghosts built by a REAL utf-8→cp1252 mis-decode (not the module's
+    own table) must repair back to the original."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    originals = [
+        "don’t “quote” me — it’s… fine",
+        "façade ménage über señor œuvre",
+        "El niño comió jalapeños — ¡qué rico!",
+        "plain ascii stays untouched",
+        "température 20° «précisément»",
+    ]
+    def sloppy_cp1252(b: bytes) -> str:
+        # what browsers do: cp1252, with latin-1 passthrough for the
+        # five bytes cp1252 leaves undefined (0x9d in ” etc.)
+        out = []
+        for x in b:
+            try:
+                out.append(bytes([x]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(x))
+        return "".join(out)
+
+    corrupt = [sloppy_cp1252(s.encode("utf-8")) for s in originals]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(corrupt)], "i long, text string"
+    )
+    out = {
+        r["i"]: (r["fixed"], r["n"])
+        for r in df.select(
+            "i",
+            fix_mojibake(F.col("text")).alias("fixed"),
+            mojibake_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    for i, s in enumerate(originals):
+        assert out[i][0] == s, (out[i][0], s)
+    assert out[3][1] == 0          # clean ascii: no ghosts detected
+    assert all(out[i][1] > 0 for i in (0, 1, 2, 4))
+
+    # repair is idempotent on already-clean text
+    df2 = spark.createDataFrame([(0, originals[0])], "i long, text string")
+    assert df2.select(fix_mojibake(F.col("text")).alias("f")).first()["f"] == originals[0]
