@@ -2697,6 +2697,42 @@ def qx12_cluster_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id").orderBy("doc_id")
 
 
+# Characters qx13 ghost-corrupts, in an order where no rule's ghost
+# contains a character a LATER rule would re-corrupt (e.g. the – ghost
+# "â€“" contains “, so “ corrupts first). Both engines apply the same
+# ordered chain, so the synthesized corruption is deterministic.
+_QX13_CORRUPT = ["“", "”", "é", "è", "ü", "ñ", "ç", "ö", "ä",
+                 "«", "»", "°", "–", "—", "’"]
+_QX13_SEED = " café crème – “señor” don’t « 20° » ühlböck"
+
+
+def qx13_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair under the full hash oracle (capability row 102):
+    every document gets a seed phrase of repairable characters appended,
+    is ghost-corrupted through the utf-8-as-cp1252 byte map, then
+    repaired with ``fix_mojibake``. Output: ghost count on the corrupted
+    text and whether the repair round-trips to the pre-corruption text
+    (it must, for every row). Corruption, detection, and repair chains
+    are all generated from the same MOJIBAKE_TABLE on both engines."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        MOJIBAKE_TABLE,
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    ghost = dict((c, g) for g, c in MOJIBAKE_TABLE)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seeded = F.concat(F.col("text"), F.lit(_QX13_SEED))
+    corrupted = seeded
+    for ch in _QX13_CORRUPT:
+        corrupted = F.replace(corrupted, F.lit(ch), F.lit(ghost[ch]))
+    return docs.select(
+        "doc_id",
+        mojibake_count(corrupted).alias("n_ghosts"),
+        (fix_mojibake(corrupted) == seeded).alias("roundtrip"),
+    ).orderBy("doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2711,6 +2747,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx10_tokenize": qx10_tokenize,
         "qx11_lm_quality": qx11_lm_quality,
         "qx12_cluster_reps": qx12_cluster_reps,
+        "qx13_mojibake_repair": qx13_mojibake_repair,
     }
 
 
@@ -2942,6 +2979,39 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE id <> component
         )
         ORDER BY d.doc_id
+    """
+
+    # qx13: all three chains (corrupt / count / repair) generated from
+    # the same MOJIBAKE_TABLE the Spark side uses, so the oracle can
+    # never drift from the implementation's ghost map.
+    from strategicai_visibility_loop_etl_spark.functions.text import (  # noqa: PLC0415
+        MOJIBAKE_TABLE,
+    )
+
+    def _sq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    ghost = {c: g for g, c in MOJIBAKE_TABLE}
+    corrupt_expr = f"text || {_sq(_QX13_SEED)}"
+    for ch in _QX13_CORRUPT:
+        corrupt_expr = f"replace({corrupt_expr}, {_sq(ch)}, {_sq(ghost[ch])})"
+    count_expr = " + ".join(
+        f"(CASE WHEN contains(c, {_sq(g)}) THEN 1 ELSE 0 END)"
+        for g, _ in MOJIBAKE_TABLE
+    )
+    repair_expr = "c"
+    for g, ch in MOJIBAKE_TABLE:
+        repair_expr = f"replace({repair_expr}, {_sq(g)}, {_sq(ch)})"
+    sql["qx13_mojibake_repair"] = f"""
+        WITH c0 AS (
+            SELECT doc_id, text || {_sq(_QX13_SEED)} AS seeded,
+                   {corrupt_expr} AS c
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST({count_expr} AS INT) AS n_ghosts,
+               ({repair_expr} = seeded) AS roundtrip
+        FROM c0 ORDER BY doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.
