@@ -179,7 +179,7 @@ def resolve_sibling_extension(path: str, spark: SparkSession | None = None) -> s
 
 
 def load_table_any(spark: SparkSession, path: str) -> DataFrame:
-    """Load CSV/Excel/Parquet/JSON by extension; columns as strings.
+    """Load CSV/Excel/Parquet/ORC/JSON by extension; columns as strings.
 
     Headers are whitespace-trimmed (reference strips them per-loader).
     """
@@ -189,6 +189,8 @@ def load_table_any(spark: SparkSession, path: str) -> DataFrame:
         df = _read_excel(spark, path)
     elif ext == ".parquet":
         df = spark.read.parquet(path)
+    elif ext == ".orc":
+        df = spark.read.orc(path)
     elif ext in {".json", ".jsonl", ".ndjson"}:
         df = spark.read.json(path)
     else:
@@ -205,7 +207,7 @@ def load_table_any(spark: SparkSession, path: str) -> DataFrame:
     for old, new in renames.items():
         df = df.withColumnRenamed(old, new)
     # Canonical string typing for CSV/Excel-born frames.
-    if ext not in {".parquet", ".json", ".jsonl", ".ndjson"}:
+    if ext not in {".parquet", ".orc", ".json", ".jsonl", ".ndjson"}:
         df = df.select([F.col(c).cast("string").alias(c) for c in df.columns])
     return df
 

@@ -383,3 +383,14 @@ def test_read_jsonl_robust_quarantines_bad_lines(spark, tmp_path):
     bad = [r["raw_line"] for r in corrupt.collect()]
     assert len(bad) == 2
     assert "not json" in bad[0] or "not json" in bad[1]
+
+
+def test_load_table_any_orc_roundtrip(spark, tmp_path):
+    """ORC rides the same extension dispatch as parquet: typed columns
+    survive (no string coercion) and values round-trip."""
+    src = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    path = str(tmp_path / "region.orc")
+    src.write.mode("overwrite").orc(path)
+    df = load_table_any(spark, path)
+    assert df.schema == src.schema
+    assert sorted(df.collect()) == sorted(src.collect())
