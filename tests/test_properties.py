@@ -182,3 +182,59 @@ def test_weighted_sample_k_is_prefix_stable(spark):
     small = {r["k"] for r in weighted_sample_k(df, 20, "k", "w").collect()}
     big = {r["k"] for r in weighted_sample_k(df, 50, "k", "w").collect()}
     assert small < big and len(small) == 20 and len(big) == 50
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            # printable ascii + the repairable characters themselves
+            alphabet=st.sampled_from(
+                [chr(c) for c in range(0x20, 0x7F)] + list("’“”–—…éèüñçöä«»°œ€")
+            ),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_mojibake_ascii_invariant_and_ghost_roundtrip(spark, texts):
+    """Two properties of the repair chain: (a) text with no ghost
+    sequences is byte-identical after repair; (b) sloppy-cp1252
+    ghosting of any repairable text is undone exactly."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        MOJIBAKE_TABLE,
+        fix_mojibake,
+        mojibake_count,
+    )
+
+    ghosts = [g for g, _ in MOJIBAKE_TABLE]
+
+    def sloppy_cp1252(b: bytes) -> str:
+        out = []
+        for x in b:
+            try:
+                out.append(bytes([x]).decode("cp1252"))
+            except UnicodeDecodeError:
+                out.append(chr(x))
+        return "".join(out)
+
+    rows = [(i, t, sloppy_cp1252(t.encode("utf-8"))) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "i long, clean string, corrupt string")
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            fix_mojibake(F.col("clean")).alias("fixed_clean"),
+            fix_mojibake(F.col("corrupt")).alias("fixed_corrupt"),
+            mojibake_count(F.col("clean")).alias("n_clean"),
+        ).collect()
+    }
+    for i, t, _ in rows:
+        if not any(g in t for g in ghosts):
+            # (a) repair never touches ghost-free text
+            assert got[i]["fixed_clean"] == t, (got[i]["fixed_clean"], t)
+            assert got[i]["n_clean"] == 0
+        # (b) the ghosting of t contains only table sequences for the
+        # non-ascii chars, so repair inverts it exactly
+        assert got[i]["fixed_corrupt"] == t, (got[i]["fixed_corrupt"], t)
