@@ -2733,6 +2733,32 @@ def qx13_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# qx14 targets: favor four domains, drop the rest of the 20 uniform
+# sources. Normalized in Python ONCE here so the Spark plan and the
+# DuckDB replay see identical double literals.
+_QX14_TARGETS = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+_QX14_K = 200
+
+
+def qx14_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture re-weighting (capability row 103, the DoReMi
+    static-mixture step): re-sample so the listed domains contribute
+    in 4:2:1:1 proportion toward a ~200-doc budget, unlisted domains
+    drop. One domain-cardinality count aggregate derives the
+    per-mille rates; the corpus side is the pure-hash broadcast-join
+    filter (never shuffles, superset-stable in k). DuckDB replays the
+    rate derivation and the keep decision from the same normalized
+    weights."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return mixture_sample(
+        docs, targets=_QX14_TARGETS, k=_QX14_K, key_col="doc_id"
+    ).orderBy("doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2748,6 +2774,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx11_lm_quality": qx11_lm_quality,
         "qx12_cluster_reps": qx12_cluster_reps,
         "qx13_mojibake_repair": qx13_mojibake_repair,
+        "qx14_mixture_sample": qx14_mixture_sample,
     }
 
 
@@ -3012,6 +3039,26 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST({count_expr} AS INT) AS n_ghosts,
                ({repair_expr} = seeded) AS roundtrip
         FROM c0 ORDER BY doc_id
+    """
+
+    total_w = float(sum(_QX14_TARGETS.values()))
+    tgt_values = ", ".join(
+        f"('{d}', {w / total_w!r})" for d, w in sorted(_QX14_TARGETS.items())
+    )
+    sql["qx14_mixture_sample"] = f"""
+        WITH tgt(source, w) AS (VALUES {tgt_values}),
+        n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        r AS (
+            SELECT n.source,
+                   least(1000, CAST(floor({1000.0 * _QX14_K!r} * t.w / n.n)
+                                    AS INT)) AS rate_per_mille
+            FROM n JOIN tgt t USING (source)
+        )
+        SELECT d.source, d.doc_id, d.lang
+        FROM documents d JOIN r USING (source)
+        WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296) % 1000
+              < r.rate_per_mille
+        ORDER BY d.doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -598,3 +598,45 @@ def unigram_lm_scores(
         nll.alias("nll"),
         F.round(F.exp(nll), 4).alias("ppl"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    k: int,
+    key_col: str,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Deterministic corpus mixture re-weighting (the DoReMi-style
+    static mixture step): sample so domain ``d`` contributes
+    ≈ ``k × w_d`` documents, where ``w_d`` is ``targets[d]``
+    normalized. Domains absent from ``targets`` are dropped; a domain
+    too small to fill its quota is taken whole (rate caps at 1000‰).
+
+    Plan shape: one domain-cardinality count aggregate (rows =
+    |domains|, a model-sized frame), rates derived on it, then the
+    ``hash_sample`` broadcast-join filter — the corpus itself never
+    shuffles, and the per-row keep decision is the same pure key hash,
+    so re-running with a larger ``k`` yields a superset per domain.
+
+    Weights normalize in Python so the per-domain rate expression
+    ``floor(1000·k·w / n)`` sees identical double literals in any
+    engine replaying it.
+    """
+    if k <= 0 or not targets:
+        raise ValueError("mixture_sample needs k > 0 and non-empty targets")
+    total_w = float(sum(targets.values()))
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(d, w / total_w) for d, w in sorted(targets.items())],
+        f"{domain_col} string, __w double",
+    )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    rates = counts.join(F.broadcast(tgt), domain_col).select(
+        domain_col,
+        F.least(
+            F.lit(1000),
+            F.floor(F.lit(1000.0 * k) * F.col("__w") / F.col("__n")).cast("int"),
+        ).alias("rate_per_mille"),
+    )
+    return hash_sample(df, rates, key_col=key_col, stratum_col=domain_col)

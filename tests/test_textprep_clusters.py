@@ -360,3 +360,36 @@ def test_upsert_merge_semantics(spark):
     # Without a delete column every change row applies.
     out2 = upsert(snap, changes.drop("dead"), "k").count()
     assert out2 == 4
+
+
+def test_mixture_sample_proportions_and_superset(spark, sf_dir):
+    """Targets 4:2:1:1 over four of twenty uniform domains: achieved
+    counts track the ratios, unlisted domains drop, and growing k
+    keeps every previously sampled row (pure-hash stability)."""
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    targets = {"src0": 4.0, "src1": 2.0, "src2": 1.0, "src3": 1.0}
+    small = mixture_sample(docs, targets, k=80, key_col="doc_id")
+    counts = {r["source"]: r["n"] for r in
+              small.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(targets)          # unlisted domains dropped
+    # per-mille rates derived from 4:2:1:1 over uniform domains: the
+    # achieved counts follow the same ordering
+    assert counts.get("src0", 0) > counts.get("src2", 0)
+    assert counts.get("src1", 0) > 0
+
+    big = mixture_sample(docs, targets, k=160, key_col="doc_id")
+    small_ids = {r["doc_id"] for r in small.collect()}
+    big_ids = {r["doc_id"] for r in big.collect()}
+    assert small_ids <= big_ids                 # superset-stable in k
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mixture_sample(docs, {}, k=10, key_col="doc_id")
