@@ -74,6 +74,8 @@ def default_corpus_config() -> dict:
         "decontaminate": {"enable": False, "k": 8, "use_bloom": False},
         "domain_cap": {"enable": False, "domain_col": "source", "cap": 1000},
         "sample": {"enable": False, "k": 1000, "weight_col": "n_tokens"},
+        "mixture": {"enable": False, "targets": {}, "k": 1000,
+                    "domain_col": "source"},
         "chunk": {"enable": False, "chunk_tokens": 512, "overlap": 64},
         "pack": {"enable": False, "budget_tokens": 4096, "stratum_col": None},
         "tokenize": {"enable": False, "vocab_size": 32768},
@@ -216,6 +218,18 @@ def run_corpus_pipeline(
     if sm["enable"]:
         out["sample"] = weighted_sample_k(
             clean, k=sm["k"], key_col=id_col, weight_col=sm["weight_col"]
+        )
+
+    # 8b. domain mixture re-weighting (DoReMi static step): re-sample
+    # the clean corpus so each target domain contributes in proportion
+    # toward the document budget.
+    mx = {**default_corpus_config()["mixture"], **(cfg.get("mixture") or {})}
+    if mx["enable"]:
+        from ..operators.textprep import mixture_sample  # noqa: PLC0415
+
+        out["mixture"] = mixture_sample(
+            clean, targets=mx["targets"], k=mx["k"],
+            key_col=id_col, domain_col=mx["domain_col"],
         )
 
     ch = {**default_corpus_config()["chunk"], **(cfg.get("chunk") or {})}

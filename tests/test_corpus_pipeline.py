@@ -245,3 +245,17 @@ def test_corpus_pipeline_fix_encoding(spark):
     cfg["fix_encoding"] = False
     kept_raw = {r["doc_id"] for r in run_corpus_pipeline(corpus, cfg)["clean"].collect()}
     assert kept_raw == {1, 2, 3}  # without repair the ghost survives
+
+
+def test_corpus_pipeline_mixture_output(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    cfg = default_corpus_config()
+    cfg["neardup"] = {"enable": False}
+    cfg["mixture"] = {"enable": True, "k": 60,
+                      "targets": {"src0": 3.0, "src1": 1.0}}
+    out = run_corpus_pipeline(docs, cfg)
+    mix = out["mixture"].collect()
+    assert len(mix) > 0
+    assert {r["source"] for r in mix} <= {"src0", "src1"}
