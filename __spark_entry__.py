@@ -2745,7 +2745,8 @@ def qx14_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     static-mixture step): re-sample so the listed domains contribute
     in 4:2:1:1 proportion toward a ~200-doc budget, unlisted domains
     drop. One domain-cardinality count aggregate derives the
-    per-mille rates; the corpus side is the pure-hash broadcast-join
+    parts-per-million rates (clamped ≥1 so a huge domain can't floor
+    to zero); the corpus side is the pure-hash broadcast-join
     filter (never shuffles, superset-stable in k). DuckDB replays the
     rate derivation and the keep decision from the same normalized
     weights."""
@@ -3026,19 +3027,41 @@ def extra_oracle_sql() -> dict[str, str]:
         f"(CASE WHEN contains(c, {_sq(g)}) THEN 1 ELSE 0 END)"
         for g, _ in MOJIBAKE_TABLE
     )
-    repair_expr = "c"
-    for g, ch in MOJIBAKE_TABLE:
-        repair_expr = f"replace({repair_expr}, {_sq(g)}, {_sq(ch)})"
+    # Mirror fix_mojibake's two-phase sentinel chain (ghost → PUA
+    # sentinel → fixed) so mixed literal-lead-byte content repairs
+    # identically on both engines.
+    from strategicai_visibility_loop_etl_spark.functions.text import (  # noqa: PLC0415
+        MOJIBAKE_SENTINEL_BASE,
+    )
+
+    # Each phase is its own CTE projection: the full two-phase chain
+    # nests 2×|table| replace() calls, which blows DuckDB's 128-deep
+    # expression binder; per-phase it stays under the cap.
+    phase1_expr = "c"
+    for i, (g, _ch) in enumerate(MOJIBAKE_TABLE):
+        phase1_expr = (
+            f"replace({phase1_expr}, {_sq(g)},"
+            f" {_sq(chr(MOJIBAKE_SENTINEL_BASE + i))})"
+        )
+    phase2_expr = "s"
+    for i, (_g, ch) in enumerate(MOJIBAKE_TABLE):
+        phase2_expr = (
+            f"replace({phase2_expr},"
+            f" {_sq(chr(MOJIBAKE_SENTINEL_BASE + i))}, {_sq(ch)})"
+        )
     sql["qx13_mojibake_repair"] = f"""
         WITH c0 AS (
             SELECT doc_id, text || {_sq(_QX13_SEED)} AS seeded,
                    {corrupt_expr} AS c
             FROM documents
+        ),
+        r1 AS (
+            SELECT doc_id, seeded, c, {phase1_expr} AS s FROM c0
         )
         SELECT doc_id,
                CAST({count_expr} AS INT) AS n_ghosts,
-               ({repair_expr} = seeded) AS roundtrip
-        FROM c0 ORDER BY doc_id
+               ({phase2_expr} = seeded) AS roundtrip
+        FROM r1 ORDER BY doc_id
     """
 
     total_w = float(sum(_QX14_TARGETS.values()))
@@ -3050,14 +3073,16 @@ def extra_oracle_sql() -> dict[str, str]:
         n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
         r AS (
             SELECT n.source,
-                   least(1000, CAST(floor({1000.0 * _QX14_K!r} * t.w / n.n)
-                                    AS INT)) AS rate_per_mille
+                   least(1000000,
+                         greatest(1, CAST(floor({1_000_000.0 * _QX14_K!r}
+                                                * t.w / n.n) AS INT)))
+                       AS rate_ppm
             FROM n JOIN tgt t USING (source)
         )
         SELECT d.source, d.doc_id, d.lang
         FROM documents d JOIN r USING (source)
-        WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296) % 1000
-              < r.rate_per_mille
+        WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000
+              < r.rate_ppm
         ORDER BY d.doc_id
     """
 

@@ -138,7 +138,8 @@ def corpus_main(argv: list[str], spark=None) -> int:
                          "weight_col": args.sample_weight}
     if args.ppl_min or args.ppl_max:
         cfg["lm_filter"] = {"enable": True, "min_ppl": args.ppl_min,
-                            "max_ppl": args.ppl_max or None}
+                            "max_ppl": args.ppl_max or None,
+                            "stage_path": os.path.join(args.out, "_stage", "lm")}
 
     owns_spark = spark is None
     if owns_spark:

@@ -188,6 +188,7 @@ _MOJIBAKE_CHARS = (
     "çíìîïßÉÈÁÓ"
     "ÜÖÄÑÇ«»°·½"
     "¡¿ýœŒšžŠŽ"
+    "ÃÂâÅ"  # the ghost lead bytes themselves (their own ghosts: Ãƒ Ã‚ Ã¢ Ã…)
 )
 
 
@@ -205,15 +206,33 @@ MOJIBAKE_TABLE: list[tuple[str, str]] = sorted(
 )
 
 
+# Private-use-area code points used as cascade-proof intermediate
+# tokens by fix_mojibake. Input text that already contains these exact
+# code points (U+E000..U+E000+len(table)) would be rewritten — PUA
+# chars carry no standard meaning and essentially never appear in real
+# corpora, so this is an accepted (documented) limitation.
+MOJIBAKE_SENTINEL_BASE = 0xE000
+
+
 def fix_mojibake(col: Column) -> Column:
     """Repair UTF-8-decoded-as-windows-1252 mojibake (ftfy-lite):
-    ``donâ€™t`` → ``don’t``, ``faÃ§ade`` → ``façade``. A chained
-    literal ``replace`` over the curated ghost table — pure JVM
-    codegen, no Python, no regex backtracking. Single-pass: doubly
-    encoded text comes out one layer shallower per application."""
+    ``donâ€™t`` → ``don’t``, ``faÃ§ade`` → ``façade``. Two chained
+    literal ``replace`` passes over the curated ghost table — pure JVM
+    codegen, no Python, no regex backtracking. Single-layer: doubly
+    encoded text comes out one layer shallower per application.
+
+    Two-phase (ghost → PUA sentinel → fixed char) so replacement
+    outputs can never cascade into later rules: with a naive single
+    chain, a literal ``Ã`` followed by the ghost of ``“`` (``â€œ``)
+    became ``Ã“`` after the 3-char rule, which the later ``Ã“``→``Ó``
+    rule then rewrote — corrupting text that was only partially
+    mojibake. Sentinels match no ghost, so phase 1 output is inert and
+    phase 2 merely decodes it."""
     out = col
-    for ghost, fixed in MOJIBAKE_TABLE:
-        out = F.replace(out, F.lit(ghost), F.lit(fixed))
+    for i, (ghost, _fixed) in enumerate(MOJIBAKE_TABLE):
+        out = F.replace(out, F.lit(ghost), F.lit(chr(MOJIBAKE_SENTINEL_BASE + i)))
+    for i, (_ghost, fixed) in enumerate(MOJIBAKE_TABLE):
+        out = F.replace(out, F.lit(chr(MOJIBAKE_SENTINEL_BASE + i)), F.lit(fixed))
     return out
 
 

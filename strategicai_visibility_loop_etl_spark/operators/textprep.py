@@ -98,20 +98,26 @@ def hash_sample(
     key_col: str,
     stratum_col: str,
     rate_col: str = "rate_per_mille",
+    denom: int = 1000,
 ) -> DataFrame:
     """Deterministic stratified sample: keep a row iff
-    ``(key × 2654435761) mod 2³² mod 1000 < rate_per_mille`` for its
-    stratum. ``rates`` is a tiny (stratum, rate_per_mille) dim —
-    broadcast join, no shuffle on the fact side; the decision is a
-    pure function of the key, so resampling with a higher rate yields
-    a superset (stable expansion — the property training-data
-    pipelines need from a sample).
+    ``(key × 2654435761) mod 2³² mod denom < rate`` for its stratum.
+    ``rates`` is a tiny (stratum, rate) dim — broadcast join, no
+    shuffle on the fact side; the decision is a pure function of the
+    key, so resampling with a higher rate yields a superset (stable
+    expansion — the property training-data pipelines need from a
+    sample).
+
+    ``denom`` sets the rate granularity (default per-mille; callers
+    that derive rates from small target÷population ratios should use
+    a finer denom so the rate doesn't floor to zero — the 2³² hash
+    range supports any denom up to ~4×10⁹).
 
     The key folds to 31 bits before the multiply so the arithmetic
     never overflows BIGINT (ANSI mode throws on overflow) and the SQL
     twin stays bit-identical."""
     folded = F.pmod(F.col(key_col), F.lit(2147483648))
-    bucket = F.pmod((folded * F.lit(_KNUTH)) % F.lit(_MOD), F.lit(1000))
+    bucket = F.pmod((folded * F.lit(_KNUTH)) % F.lit(_MOD), F.lit(denom))
     return (
         df.join(F.broadcast(rates), stratum_col)
         .filter(bucket < F.col(rate_col))
@@ -611,7 +617,7 @@ def mixture_sample(
     static mixture step): sample so domain ``d`` contributes
     ≈ ``k × w_d`` documents, where ``w_d`` is ``targets[d]``
     normalized. Domains absent from ``targets`` are dropped; a domain
-    too small to fill its quota is taken whole (rate caps at 1000‰).
+    too small to fill its quota is taken whole (rate caps at 10⁶ ppm).
 
     Plan shape: one domain-cardinality count aggregate (rows =
     |domains|, a model-sized frame), rates derived on it, then the
@@ -619,8 +625,16 @@ def mixture_sample(
     shuffles, and the per-row keep decision is the same pure key hash,
     so re-running with a larger ``k`` yields a superset per domain.
 
+    Rates are parts-per-MILLION, clamped to ≥ 1: per-mille floored to
+    zero whenever a domain's size exceeded 1000·k·w (e.g. k=100,
+    w=0.1, n=20000 → 0‰ — the domain silently vanished from the
+    sample). At ppm granularity the same case keeps rate 500, and the
+    ≥1 clamp guarantees every targeted non-empty domain contributes
+    (slightly over-sampling domains larger than 10⁶·k·w rather than
+    dropping them).
+
     Weights normalize in Python so the per-domain rate expression
-    ``floor(1000·k·w / n)`` sees identical double literals in any
+    ``floor(10⁶·k·w / n)`` sees identical double literals in any
     engine replaying it.
     """
     if k <= 0 or not targets:
@@ -635,8 +649,16 @@ def mixture_sample(
     rates = counts.join(F.broadcast(tgt), domain_col).select(
         domain_col,
         F.least(
-            F.lit(1000),
-            F.floor(F.lit(1000.0 * k) * F.col("__w") / F.col("__n")).cast("int"),
-        ).alias("rate_per_mille"),
+            F.lit(1_000_000),
+            F.greatest(
+                F.lit(1),
+                F.floor(
+                    F.lit(1_000_000.0 * k) * F.col("__w") / F.col("__n")
+                ).cast("int"),
+            ),
+        ).alias("rate_ppm"),
     )
-    return hash_sample(df, rates, key_col=key_col, stratum_col=domain_col)
+    return hash_sample(
+        df, rates, key_col=key_col, stratum_col=domain_col,
+        rate_col="rate_ppm", denom=1_000_000,
+    )

@@ -70,7 +70,8 @@ def default_corpus_config() -> dict:
             "max_bucket": "auto",   # hot-shingle skew guard
             "cc_algorithm": "auto",  # propagation w/ star fallback
         },
-        "lm_filter": {"enable": False, "min_ppl": 0.0, "max_ppl": None},
+        "lm_filter": {"enable": False, "min_ppl": 0.0, "max_ppl": None,
+                      "stage_path": None},
         "decontaminate": {"enable": False, "k": 8, "use_bloom": False},
         "domain_cap": {"enable": False, "domain_col": "source", "cap": 1000},
         "sample": {"enable": False, "k": 1000, "weight_col": "n_tokens"},
@@ -138,8 +139,18 @@ def run_corpus_pipeline(
     if lf["enable"]:
         from ..operators.textprep import unigram_lm_scores  # noqa: PLC0415
 
-        scores = unigram_lm_scores(kept, text_col=text_col, id_col=id_col)
-        kept = kept.join(scores.select(id_col, "nll", "ppl"), id_col)
+        # stage_path materializes the vocabulary-sized LM table; without
+        # it the lazy DAG re-runs the whole upstream chain (repair →
+        # annotate → filter) once each for the LM, the scalar total,
+        # and the scoring branch — three corpus scans instead of two.
+        scores = unigram_lm_scores(
+            kept, text_col=text_col, id_col=id_col,
+            stage_path=lf.get("stage_path"),
+        )
+        # LEFT join: a doc that tokenizes to nothing has no score row;
+        # it is only dropped by a bound it actually violates (null ppl
+        # fails both bound predicates), never by the join itself.
+        kept = kept.join(scores.select(id_col, "nll", "ppl"), id_col, "left")
         if lf["min_ppl"]:
             kept = kept.filter(F.col("ppl") >= lf["min_ppl"])
         if lf["max_ppl"] is not None:

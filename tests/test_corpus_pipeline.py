@@ -227,6 +227,38 @@ def test_corpus_pipeline_lm_filter_band(corpus):
     assert rows[12]["n_tokens"] == 3 and rows[12]["ppl"] > 0
 
 
+def test_corpus_pipeline_lm_filter_no_bounds_keeps_tokenless(spark, tmp_path):
+    """Enabling lm_filter with both bounds off must not change the
+    output set: token-less docs have no score row, ride through the
+    LEFT join with null ppl, and only a configured bound drops them.
+    Also exercises stage_path (the staged LM parquet is written and
+    read back)."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "   "), (3, "beta beta delta")],
+        "doc_id long, text string",
+    )
+    cfg = default_corpus_config()
+    cfg["min_tokens"] = 0
+    cfg["redact_pii"] = False
+    cfg["neardup"] = {"enable": False}
+    stage = str(tmp_path / "lm_stage")
+    cfg["lm_filter"] = {"enable": True, "min_ppl": 0.0, "max_ppl": None,
+                        "stage_path": stage}
+    clean = run_corpus_pipeline(docs, cfg)["clean"]
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 3}           # nothing dropped by the join
+    assert rows[2]["ppl"] is None           # unscorable, annotated null
+    assert rows[1]["ppl"] is not None
+    import os
+
+    assert os.path.isdir(stage)             # LM table actually staged
+    # with a bound configured, the token-less doc drops (cannot score)
+    cfg["lm_filter"] = {"enable": True, "min_ppl": 0.0, "max_ppl": 1e9,
+                        "stage_path": stage}
+    kept = {r["doc_id"] for r in run_corpus_pipeline(docs, cfg)["clean"].collect()}
+    assert kept == {1, 3}
+
+
 def test_corpus_pipeline_fix_encoding(spark):
     """Stage 0 repairs mojibake before dedup: a cp1252-ghosted copy of
     a clean doc must collapse into the same exact-dup group."""

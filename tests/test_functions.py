@@ -261,3 +261,28 @@ def test_fix_mojibake_real_cp1252_roundtrip(spark):
     # repair is idempotent on already-clean text
     df2 = spark.createDataFrame([(0, originals[0])], "i long, text string")
     assert df2.select(fix_mojibake(F.col("text")).alias("f")).first()["f"] == originals[0]
+
+
+def test_fix_mojibake_no_cascade_across_replacement_boundary(spark):
+    """Mixed content: a LITERAL ghost lead byte adjacent to real
+    mojibake must survive repair. Single-phase chains cascaded here —
+    'Ã' + 'â€œ' became 'Ã“' after the 3-char rule, which the later
+    'Ã“'→'Ó' rule then rewrote to 'Ó'. The sentinel two-phase keeps
+    the literal 'Ã' and repairs only the ghost."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        fix_mojibake,
+    )
+
+    cases = [
+        (0, "Ãâ€œ", "Ã“"),          # the ADVICE cascade example
+        (1, "Ââ€™x", "Â’x"),         # Â + ghost-of-’
+        (2, "Ã Ã©", "Ã é"),          # literal Ã, space, then real ghost
+        (3, "Ãƒ", "Ã"),              # ghost of Ã itself now repairs
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "i long, text string"
+    )
+    got = {r["i"]: r["f"] for r in
+           df.select("i", fix_mojibake(F.col("text")).alias("f")).collect()}
+    for i, _t, want in cases:
+        assert got[i] == want, (i, got[i], want)

@@ -187,9 +187,12 @@ def test_weighted_sample_k_is_prefix_stable(spark):
 @given(
     texts=st.lists(
         st.text(
-            # printable ascii + the repairable characters themselves
+            # printable ascii + the repairable characters themselves,
+            # including the bare ghost lead bytes (Ã/Â/â/Å) that used
+            # to cascade through the single-phase replace chain
             alphabet=st.sampled_from(
-                [chr(c) for c in range(0x20, 0x7F)] + list("’“”–—…éèüñçöä«»°œ€")
+                [chr(c) for c in range(0x20, 0x7F)]
+                + list("’“”–—…éèüñçöä«»°œ€ÃÂâÅ")
             ),
             max_size=80,
         ),

@@ -393,3 +393,32 @@ def test_mixture_sample_proportions_and_superset(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         mixture_sample(docs, {}, k=10, key_col="doc_id")
+
+
+def test_mixture_sample_large_domain_never_floors_to_zero(spark):
+    """A domain whose size exceeds 1000·k·w must still contribute: the
+    per-mille form floored its rate to 0 (k=100, w=0.1, n=20000 →
+    0‰) and silently dropped it; ppm granularity keeps rate 500 and
+    the ≥1 clamp covers even more extreme ratios."""
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        mixture_sample,
+    )
+
+    big = spark.range(0, 20_000).select(
+        F.col("id").alias("doc_id"), F.lit("big").alias("source")
+    )
+    small = spark.range(100_000, 100_100).select(
+        F.col("id").alias("doc_id"), F.lit("small").alias("source")
+    )
+    docs = big.unionByName(small)
+    out = mixture_sample(
+        docs, {"big": 0.1, "small": 0.9}, k=100, key_col="doc_id"
+    )
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("big", 0) > 0     # rate 500 ppm ≈ 10 docs, not 0
+    assert counts.get("small", 0) > 0
+    # expected ≈ k·w = 10 from the big domain; allow wide hash noise
+    assert 1 <= counts["big"] <= 40
