@@ -2760,6 +2760,24 @@ def qx14_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx15_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring removal (capability row 104, the
+    ExactSubstr pass of Lee et al. 2022): every ≥8-token run occurring
+    twice anywhere in the corpus is excised from every document that
+    contains it; surviving text, span and removal counts come back per
+    doc. Relational shape: positional 8-gram hashes → occurrence-count
+    > 1 → per-doc sorted hit arrays → maximal-interval merge + token
+    excision as pure array expressions. Only (gram-hash, id, pos) ever
+    shuffles. DuckDB recomputes spans and excision from the gram
+    strings in SQL."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exactsubstr_dedup(docs, k=8).orderBy("doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2776,6 +2794,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx12_cluster_reps": qx12_cluster_reps,
         "qx13_mojibake_repair": qx13_mojibake_repair,
         "qx14_mixture_sample": qx14_mixture_sample,
+        "qx15_exactsubstr": qx15_exactsubstr,
     }
 
 
@@ -3084,6 +3103,67 @@ def extra_oracle_sql() -> dict[str, str]:
         WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000
               < r.rate_ppm
         ORDER BY d.doc_id
+    """
+
+    # ExactSubstr replay: positional 8-grams with multiplicity (a gram
+    # repeated inside ONE doc is duplicated too, matching the
+    # suffix-array semantics), window-merged spans, covered-index
+    # anti-join excision. Gram strings here; the Spark side groups
+    # their xxhash64 (same dup set absent a 64-bit collision).
+    sql["qx15_exactsubstr"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        g0 AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - 6),
+                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')) AS gs
+            FROM t
+        ),
+        g AS (
+            SELECT doc_id, unnest(gs) AS gram,
+                   generate_subscripts(gs, 1) - 1 AS pos
+            FROM g0
+        ),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+        h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos - lag(pos) OVER w > 8
+                        THEN 1 ELSE 0 END AS ns
+            FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        spans AS (
+            SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS n_spans
+            FROM sp GROUP BY doc_id
+        ),
+        cov AS (
+            SELECT DISTINCT h.doc_id, c.i
+            FROM h, unnest(range(h.pos, h.pos + 8)) AS c(i)
+        ),
+        tp AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) - 1 AS p
+            FROM t
+        ),
+        kept AS (
+            SELECT tp.doc_id, COUNT(*) AS n_kept,
+                   string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
+            FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.i = tp.p
+            WHERE cov.i IS NULL
+            GROUP BY tp.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               coalesce(spans.n_spans, 0) AS n_spans,
+               CAST(len(t.toks) - coalesce(kept.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               coalesce(kept.clean_text, '') AS clean_text
+        FROM t
+        LEFT JOIN spans USING (doc_id)
+        LEFT JOIN kept USING (doc_id)
+        ORDER BY t.doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

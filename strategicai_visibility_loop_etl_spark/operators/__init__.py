@@ -5,6 +5,7 @@ from .anomaly import anomaly_ctr_underperf, ctr_candidates, schema_gaps
 from .dedup import (
     dedup_exact,
     dedup_fingerprint,
+    exactsubstr_dedup,
     ngram_jaccard_pairs,
     minhash_signatures,
     dedup_minhash_lsh,
@@ -55,6 +56,7 @@ __all__ = [
     "schema_gaps",
     "dedup_exact",
     "dedup_fingerprint",
+    "exactsubstr_dedup",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "dedup_minhash_lsh",

@@ -560,3 +560,105 @@ def dedup_simhash(
     """
     hashed = _stage_roundtrip(simhash_table(df, text_col, id_col), stage_path)
     return simhash_pairs(hashed, max_hamming, max_bucket)
+
+
+def exactsubstr_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document exact-substring removal (the ExactSubstr pass of
+    "Deduplicating Training Data Makes Language Models Better", Lee et
+    al. 2022): any run of ≥ ``k`` tokens that appears at least twice in
+    the corpus (in another document OR repeated within the same one) is
+    EXCISED from every document containing it, keeping the surrounding
+    unique text. The reference implementation builds a corpus-wide
+    suffix array; the relational re-expression is positional k-gram
+    fingerprints — a position is a "hit" when its k-gram occurs ≥ 2
+    times corpus-wide, hit intervals ``[p, p+k)`` merge into maximal
+    spans, and tokens inside any span are dropped.
+
+    Returns (id_col, n_tokens, n_spans, n_removed, clean_text) for
+    every input document — clean_text is the surviving normalized
+    tokens re-joined with single spaces (docs shorter than ``k`` tokens
+    pass through un-excised).
+
+    Scale shape: positional grams explode once and are hashed map-side,
+    so the only data-sized shuffles carry (gram-hash, id, pos) — never
+    gram strings or document text; the duplicated-gram set comes from
+    one hash aggregate over the hashes, and hit positions fold back to
+    one bounded-by-document-length sorted array per doc. Span merging
+    and excision are pure array expressions on that array — no second
+    pass over the corpus, no per-token shuffle, no collect. Per-doc
+    expression cost is O(tokens × spans); spans ≤ tokens/(k+1), so the
+    worst case is O(tokens²/k) for pathological alternating-dup docs —
+    fine at real document lengths.
+
+    Exact semantics note: duplication counts gram OCCURRENCES, not
+    distinct documents — a sentence pasted twice inside one document is
+    excised too, matching the suffix-array behavior.
+    """
+    from pyspark.ml.feature import NGram  # noqa: PLC0415 (JVM-side, pure-plan)
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    base = toks.withColumn("__n", F.size("__toks"))
+    grams = NGram(n=k, inputCol="__toks", outputCol="__g").transform(
+        base.select("id", "__toks")
+    )
+    pos = grams.select("id", F.posexplode("__g").alias("pos", "g")).select(
+        "id", "pos", F.xxhash64("g").alias("gh")
+    )
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("gh")
+    )
+    hits = (
+        pos.join(dup, "gh")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("__hits"))
+    )
+    joined = base.join(hits, "id", "left").withColumn(
+        "__hits", F.coalesce("__hits", F.array().cast("array<int>"))
+    )
+
+    hits_col = F.col("__hits")
+    last_idx = F.size("__hits") - 1
+    # Island boundaries on the sorted hit array: intervals [p, p+k) and
+    # [q, q+k) (p < q) merge iff q - p <= k. element_at is 1-based, so
+    # for 0-based lambda index i, element_at(hits, i) IS the previous
+    # element; the CASE guard keeps it from evaluating at i == 0.
+    starts = F.filter(
+        hits_col,
+        lambda p, i: F.when(i == 0, F.lit(True)).otherwise(
+            p - F.element_at(hits_col, i) > k
+        ),
+    )
+    ends = F.transform(
+        F.filter(
+            hits_col,
+            lambda p, i: F.when(i == last_idx, F.lit(True)).otherwise(
+                F.element_at(hits_col, i + 2) - p > k
+            ),
+        ),
+        lambda p: p + k,
+    )
+    spans = F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e")))
+    kept = F.filter(
+        "__toks",
+        lambda _t, i: ~F.exists(
+            spans, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.size(starts).cast("long").alias("n_spans"),
+        (F.col("__n") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )
