@@ -3092,10 +3092,11 @@ def extra_oracle_sql() -> dict[str, str]:
         n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
         r AS (
             SELECT n.source,
-                   least(1000000,
-                         greatest(1, CAST(floor({1_000_000.0 * _QX14_K!r}
-                                                * t.w / n.n) AS INT)))
-                       AS rate_ppm
+                   CAST(least(CAST(1000000 AS BIGINT),
+                              greatest(CAST(1 AS BIGINT),
+                                       CAST(floor({1_000_000.0 * _QX14_K!r}
+                                                  * t.w / n.n) AS BIGINT)))
+                        AS INT) AS rate_ppm
             FROM n JOIN tgt t USING (source)
         )
         SELECT d.source, d.doc_id, d.lang

@@ -206,12 +206,15 @@ MOJIBAKE_TABLE: list[tuple[str, str]] = sorted(
 )
 
 
-# Private-use-area code points used as cascade-proof intermediate
-# tokens by fix_mojibake. Input text that already contains these exact
-# code points (U+E000..U+E000+len(table)) would be rewritten — PUA
-# chars carry no standard meaning and essentially never appear in real
-# corpora, so this is an accepted (documented) limitation.
-MOJIBAKE_SENTINEL_BASE = 0xE000
+# Unassigned plane-14 code points used as cascade-proof intermediate
+# tokens by fix_mojibake (U+E0200..U+E0200+len(table)). Earlier rounds
+# used BMP private-use U+E000.. — but PUA icon-font codepoints DO occur
+# in scraped web corpora and would have been silently rewritten by
+# phase 2. Plane-14 past the variation selectors (U+E01EF) is wholly
+# unassigned, carries no font mappings, and essentially never appears
+# in real text; input that somehow contains these exact codepoints
+# would still be rewritten — an accepted (documented) residual.
+MOJIBAKE_SENTINEL_BASE = 0xE0200
 
 
 def fix_mojibake(col: Column) -> Column:
@@ -221,7 +224,7 @@ def fix_mojibake(col: Column) -> Column:
     codegen, no Python, no regex backtracking. Single-layer: doubly
     encoded text comes out one layer shallower per application.
 
-    Two-phase (ghost → PUA sentinel → fixed char) so replacement
+    Two-phase (ghost → plane-14 sentinel → fixed char) so replacement
     outputs can never cascade into later rules: with a naive single
     chain, a literal ``Ã`` followed by the ghost of ``“`` (``â€œ``)
     became ``Ã“`` after the 3-char rule, which the later ``Ã“``→``Ó``

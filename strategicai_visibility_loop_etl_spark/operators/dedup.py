@@ -603,7 +603,9 @@ def exactsubstr_dedup(
 
     toks = df.select(
         F.col(id_col).alias("id"),
-        tokens(F.col(text_col)).alias("__toks"),
+        # coalesce so null-text docs pass through un-excised like empty
+        # docs (tokens() yields null for null input, which NPEs NGram)
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("__toks"),
     )
     base = toks.withColumn("__n", F.size("__toks"))
     grams = NGram(n=k, inputCol="__toks", outputCol="__g").transform(

@@ -649,14 +649,14 @@ def mixture_sample(
     rates = counts.join(F.broadcast(tgt), domain_col).select(
         domain_col,
         F.least(
-            F.lit(1_000_000),
+            F.lit(1_000_000).cast("bigint"),
             F.greatest(
-                F.lit(1),
+                F.lit(1).cast("bigint"),
                 F.floor(
                     F.lit(1_000_000.0 * k) * F.col("__w") / F.col("__n")
-                ).cast("int"),
+                ),
             ),
-        ).alias("rate_ppm"),
+        ).cast("int").alias("rate_ppm"),
     )
     return hash_sample(
         df, rates, key_col=key_col, stratum_col=domain_col,

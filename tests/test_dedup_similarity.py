@@ -293,3 +293,62 @@ def test_duplicate_span_fraction_position_weighted(spark):
     assert got[3]["n_positions"] == 11
     assert got[3]["n_dup_positions"] >= got[2]["n_dup_positions"]
     assert 0 < got[1]["dup_frac"] < 1
+
+
+def test_exactsubstr_edge_cases(spark):
+    """ExactSubstr edge semantics: short/null docs pass through,
+    within-doc repeats excise, spans at gap == k merge into one."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup,
+    )
+
+    dup = "one two three four"  # a 4-token run shared across docs (k=4)
+    rows = [
+        (1, f"alpha beta {dup} gamma delta"),
+        (2, f"start {dup} end"),
+        (3, "tiny doc"),          # < k tokens: un-excised
+        (4, None),                # null text: un-excised, 0 tokens
+        (5, f"{dup} {dup}"),      # within-doc paste: everything excised
+        (6, "p q r s t u v w"),   # unique: untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in exactsubstr_dedup(df, k=4).collect()}
+
+    assert got[1]["clean_text"] == "alpha beta gamma delta"
+    assert got[2]["clean_text"] == "start end"
+    assert got[1]["n_spans"] == 1 and got[1]["n_removed"] == 4
+    assert got[3]["clean_text"] == "tiny doc" and got[3]["n_spans"] == 0
+    assert got[4]["n_tokens"] == 0 and got[4]["clean_text"] == ""
+    assert got[4]["n_spans"] == 0 and got[4]["n_removed"] == 0
+    # doc 5: 8 tokens, hits at 0..4 (the dup 4-grams and the repeat run)
+    # -> one merged span covering the whole doc
+    assert got[5]["clean_text"] == "" and got[5]["n_removed"] == 8
+    assert got[6]["clean_text"] == "p q r s t u v w"
+
+
+def test_exactsubstr_adjacent_span_merge_at_gap_k(spark):
+    """Two hit positions p and q with q - p == k produce touching
+    intervals [p, p+k) and [q, q+k) that must merge into ONE maximal
+    span (the merge rule is q - p <= k), while q - p == k + 1 leaves a
+    1-token survivor between two spans."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup,
+    )
+
+    k = 3
+    a, b = "a1 a2 a3", "b1 b2 b3"
+    rows = [
+        # touching: hits at pos 0 and 3 -> one span [0, 6)
+        (1, f"{a} {b} tail1 tail2"),
+        (2, f"{a} {b} other stuff"),
+        # gap k+1: hits at 0 and 4 -> spans [0,3) and [4,7), 'mid' kept
+        (3, f"c1 c2 c3 mid d1 d2 d3"),
+        (4, f"c1 c2 c3 x y d1 d2 d3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in exactsubstr_dedup(df, k=k).collect()}
+
+    assert got[1]["n_spans"] == 1 and got[1]["clean_text"] == "tail1 tail2"
+    assert got[2]["n_spans"] == 1 and got[2]["clean_text"] == "other stuff"
+    assert got[3]["n_spans"] == 2 and got[3]["clean_text"] == "mid"
+    assert got[4]["clean_text"] == "x y"

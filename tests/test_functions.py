@@ -286,3 +286,31 @@ def test_fix_mojibake_no_cascade_across_replacement_boundary(spark):
            df.select("i", fix_mojibake(F.col("text")).alias("f")).collect()}
     for i, _t, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_fix_mojibake_preserves_bmp_pua_icon_chars(spark):
+    """Scraped corpora contain BMP private-use codepoints (icon fonts:
+    U+E000..U+F8FF). The sentinel range lives in unassigned plane-14
+    (U+E0200+), so literal PUA chars — including the exact old sentinel
+    codepoints U+E000..U+E03E — must pass through repair untouched,
+    even adjacent to real mojibake."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        MOJIBAKE_SENTINEL_BASE,
+        MOJIBAKE_TABLE,
+        fix_mojibake,
+    )
+
+    assert MOJIBAKE_SENTINEL_BASE >= 0xE0200  # past plane-14 assigned block
+    old_sentinels = "".join(chr(0xE000 + i) for i in range(len(MOJIBAKE_TABLE)))
+    cases = [
+        (0, "", ""),
+        (1, f"x{old_sentinels}y", f"x{old_sentinels}y"),
+        (2, "donâ€™t", "don’t"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in cases], "i long, text string"
+    )
+    got = {r["i"]: r["f"] for r in
+           df.select("i", fix_mojibake(F.col("text")).alias("f")).collect()}
+    for i, _t, want in cases:
+        assert got[i] == want, (i, got[i], want)

@@ -422,3 +422,22 @@ def test_mixture_sample_large_domain_never_floors_to_zero(spark):
     assert counts.get("small", 0) > 0
     # expected ≈ k·w = 10 from the big domain; allow wide hash noise
     assert 1 <= counts["big"] <= 40
+
+
+def test_mixture_sample_huge_quota_no_ansi_cast_overflow(spark):
+    """Quota >> domain size: k·w/n beyond ~2147 made the pre-clamp
+    INT cast overflow under ANSI (floor(1e6·k·w/n) exceeds INT before
+    least() could cap it). The clamp now happens in BIGINT space
+    before the cast, and the whole tiny domain is taken (rate caps at
+    10⁶ ppm)."""
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        mixture_sample,
+    )
+
+    docs = spark.range(0, 10).select(
+        F.col("id").alias("doc_id"), F.lit("tiny").alias("source")
+    )
+    out = mixture_sample(docs, {"tiny": 1.0}, k=100_000, key_col="doc_id")
+    assert out.count() == 10  # rate clamps to 1e6 ppm → keep everything
