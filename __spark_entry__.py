@@ -2775,7 +2775,9 @@ def qx15_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return exactsubstr_dedup(docs, k=8).orderBy("doc_id")
+    return exactsubstr_dedup(
+        docs, k=8, stage_path=f"{_SIG_STAGE}/exactsubstr"
+    ).orderBy("doc_id")
 
 
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

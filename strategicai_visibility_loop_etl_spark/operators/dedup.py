@@ -567,6 +567,7 @@ def exactsubstr_dedup(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Cross-document exact-substring removal (the ExactSubstr pass of
     "Deduplicating Training Data Makes Language Models Better", Lee et
@@ -588,7 +589,11 @@ def exactsubstr_dedup(
     so the only data-sized shuffles carry (gram-hash, id, pos) — never
     gram strings or document text; the duplicated-gram set comes from
     one hash aggregate over the hashes, and hit positions fold back to
-    one bounded-by-document-length sorted array per doc. Span merging
+    one bounded-by-document-length sorted array per doc. Pass
+    ``stage_path`` at scale: it materializes the positional-hash table
+    once where the unstaged plan re-executes the tokenize+NGram+explode
+    subtree for both of its consumers (the dup aggregate and the hit
+    join). Span merging
     and excision are pure array expressions on that array — no second
     pass over the corpus, no per-token shuffle, no collect. Per-doc
     expression cost is O(tokens × spans); spans ≤ tokens/(k+1), so the
@@ -614,6 +619,12 @@ def exactsubstr_dedup(
     pos = grams.select("id", F.posexplode("__g").alias("pos", "g")).select(
         "id", "pos", F.xxhash64("g").alias("gh")
     )
+    # Both the dup-set aggregate and the hit join consume `pos`;
+    # unstaged, Catalyst expands it into TWO scan+NGram+explode
+    # subtrees (the corpus tokenizes and explodes twice). Staging
+    # materializes the positional hashes once — at 100 TB that halves
+    # the dominant map-side cost.
+    pos = _stage_roundtrip(pos, stage_path)
     dup = (
         pos.groupBy("gh")
         .agg(F.count("*").alias("__c"))

@@ -114,6 +114,8 @@ def main() -> None:
                 f"skew-quadratic {quad}"
             )
     if run_docs:
+        # ExactSubstr: no row loss at scale.
+        assert report["exactsubstr"]["docs"] == n_docs, report["exactsubstr"]
         # The Bloom prefilter must be result-identical to the exact
         # decontamination path at scale, not just in unit fixtures.
         assert (
@@ -213,6 +215,43 @@ def _run_doc_family(args, timed, corpus) -> None:
 
     timed("bloom_decontaminate", _bloom)
     timed("exact_decontaminate", _exact)
+
+    # ExactSubstr excision: the only data-sized shuffle carries
+    # (gram-hash, id, pos) — the 20k-identical boilerplate block is the
+    # worst case for the hit-fold (every position of every copy is a
+    # hit), yet stays linear: hits are O(total positions), never pairs.
+    # Gate: no row loss, and every boilerplate copy fully excised.
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup,
+    )
+
+    def _exactsubstr():
+        out = exactsubstr_dedup(
+            corpus, k=8, stage_path=os.path.join(args.stage, "xs")
+        )
+        agg = out.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("tok"),
+            F.sum("n_removed").alias("removed"),
+        ).first()
+        b = (
+            out.filter(F.col("doc_id") >= 900_000_000)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("n_removed") == F.col("n_tokens")).cast("int")
+                ).alias("full"),
+            )
+            .first()
+        )
+        assert b["n"] == b["full"], ("boilerplate not fully excised", b)
+        return {
+            "docs": agg["docs"],
+            "tokens": int(agg["tok"]),
+            "removed": int(agg["removed"]),
+        }
+
+    timed("exactsubstr", _exactsubstr)
 
     # Unigram-LM perplexity scoring: two term-frequency shuffles + a
     # vocabulary join — should stay scan-bound at any multiplier. The
