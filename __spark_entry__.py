@@ -2780,6 +2780,56 @@ def qx15_exactsubstr(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# BPE rounds for qx16/qx17: enough to produce multi-char subwords at
+# every SF, few enough that the unrolled DuckDB replay stays fast.
+_QX16_MERGES = 16
+
+
+def qx16_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (capability row 105, Sennrich
+    et al. 2016): learn the first 16 merges over the documents corpus.
+    Relational shape: ONE corpus shuffle (word counts, staged), then
+    per merge round one explode+hash-agg over the word table's adjacent
+    symbol pairs and a 1-row argmax collect; merge application is a
+    literal replace on separator-wrapped symbol strings (greedy
+    left-to-right in both engines). DuckDB replays the full merge
+    sequence via an unrolled CTE chain generated from the same
+    constants."""
+    from strategicai_visibility_loop_etl_spark.operators.bpe import (
+        bpe_merges_df,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    merges = bpe_train(
+        docs, n_merges=_QX16_MERGES, stage_path=f"{_SIG_STAGE}/bpe_words"
+    )
+    return bpe_merges_df(spark, merges).orderBy("merge_rank")
+
+
+def qx17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-with-merges leg of the BPE contract (extends qx10's
+    token-id encoding with trained subword merges): every 5th document
+    is segmented with the 16 merges learned by qx16's trainer, merges
+    applied in rank order. The whole encode is one codegen projection —
+    a higher-order transform chains the literal replaces per word; no
+    shuffle, no Python. DuckDB replays training AND encoding."""
+    from strategicai_visibility_loop_etl_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_train(
+        docs.select("text"),
+        n_merges=_QX16_MERGES,
+        stage_path=f"{_SIG_STAGE}/bpe_words17",
+    )
+    return bpe_encode(docs.filter(F.col("doc_id") % 5 == 0), merges).orderBy(
+        "doc_id"
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2797,6 +2847,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx13_mojibake_repair": qx13_mojibake_repair,
         "qx14_mixture_sample": qx14_mixture_sample,
         "qx15_exactsubstr": qx15_exactsubstr,
+        "qx16_bpe_train": qx16_bpe_train,
+        "qx17_bpe_encode": qx17_bpe_encode,
     }
 
 
@@ -3167,6 +3219,89 @@ def extra_oracle_sql() -> dict[str, str]:
         LEFT JOIN spans USING (doc_id)
         LEFT JOIN kept USING (doc_id)
         ORDER BY t.doc_id
+    """
+
+    # qx16/qx17: unrolled replay of the deterministic BPE merge
+    # sequence. Each round: adjacent-pair count over the word table,
+    # argmax by (count DESC, left, right), then the SAME literal
+    # wrapped-string replace both engines use for greedy merging
+    # (replace() is left-to-right non-overlapping in both). Counts cast
+    # to BIGINT (DuckDB SUM is HUGEINT).
+    S, SS = "chr(31)", "chr(31) || chr(31)"
+    bpe_norm = _NORM.format(c="replace(text, chr(31), '')")
+    ctes = [
+        f"""bw0 AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+            FROM (SELECT unnest({_toks(bpe_norm)}) AS w FROM documents)
+            WHERE w <> '' GROUP BY w
+        )"""
+    ]
+    for r in range(1, _QX16_MERGES + 1):
+        ctes.append(f"""bp{r} AS MATERIALIZED (
+            SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+            FROM (SELECT cnt,
+                         unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+                             AS pr
+                  FROM bw{r - 1})
+            GROUP BY a, b
+        )""")
+        ctes.append(
+            f"bb{r} AS MATERIALIZED (SELECT a, b, c FROM bp{r} "
+            f"ORDER BY c DESC, a ASC, b ASC LIMIT 1)"
+        )
+        ctes.append(f"""bw{r} AS MATERIALIZED (
+            SELECT cnt, string_split(trim(replace(
+                {S} || array_to_string(syms, {SS}) || {S},
+                {S} || (SELECT a FROM bb{r}) || {SS}
+                    || (SELECT b FROM bb{r}) || {S},
+                {S} || (SELECT a FROM bb{r})
+                    || (SELECT b FROM bb{r}) || {S}
+            ), chr(31)), {SS}) AS syms
+            FROM bw{r - 1}
+        )""")
+    merge_rows = " UNION ALL ".join(
+        f"SELECT CAST({r - 1} AS INT) AS merge_rank, a AS lhs, b AS rhs,"
+        f" a || b AS merged, c AS pair_count FROM bb{r}"
+        for r in range(1, _QX16_MERGES + 1)
+    )
+    train_ctes = ",\n".join(ctes)
+    sql["qx16_bpe_train"] = f"""
+        WITH {train_ctes}
+        SELECT * FROM ({merge_rows}) ORDER BY merge_rank
+    """
+
+    # encode: single-row CTE exposing the merges as scalar columns, a
+    # cross join puts them in scope of the per-word lambda.
+    bm_cols = ", ".join(
+        f"(SELECT a FROM bb{r}) AS la{r}, (SELECT b FROM bb{r}) AS rb{r}"
+        for r in range(1, _QX16_MERGES + 1)
+    )
+    enc_expr = f"{S} || array_to_string(string_split(w, ''), {SS}) || {S}"
+    for r in range(1, _QX16_MERGES + 1):
+        enc_expr = (
+            f"replace({enc_expr},"
+            f" {S} || la{r} || {SS} || rb{r} || {S},"
+            f" {S} || la{r} || rb{r} || {S})"
+        )
+    sql["qx17_bpe_encode"] = f"""
+        WITH {train_ctes},
+        bm AS (SELECT {bm_cols}),
+        d AS (
+            SELECT doc_id, {_toks(bpe_norm)} AS words
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        e AS (
+            SELECT doc_id, words,
+                   flatten(list_transform(words,
+                       w -> string_split(trim({enc_expr}, chr(31)), {SS})
+                   )) AS toks
+            FROM d CROSS JOIN bm
+        )
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(toks) AS BIGINT) AS n_bpe,
+               array_to_string(toks, ' ') AS encoded
+        FROM e ORDER BY doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -1,0 +1,191 @@
+"""Distributed BPE tokenizer training and encoding.
+
+Byte-Pair Encoding (Sennrich, Haddow & Birch 2016, "Neural Machine
+Translation of Rare Words with Subword Units"): start from characters,
+repeatedly merge the most frequent adjacent symbol pair. The classic
+trainer iterates over a word-frequency dictionary, NOT the raw corpus
+— that is exactly the scalable relational shape:
+
+- ONE corpus pass builds the (word, count) table (explode + hash agg —
+  the only corpus-sized shuffle in the whole trainer; ``min_count``
+  bounds the table at web scale).
+- Each merge round is one explode + hash aggregate over the word
+  table's adjacent symbol pairs plus a 1-row collect (the argmax pair)
+  — model-sized driver traffic, ``n_merges`` rounds total.
+- Applying a merge is a single literal ``replace`` on a
+  separator-wrapped symbol string: every symbol is wrapped as
+  ``\\x1f sym \\x1f`` and the pair pattern ``\\x1f a \\x1f \\x1f b
+  \\x1f`` rewrites to ``\\x1f ab \\x1f``. Literal replace is
+  left-to-right and non-overlapping in both Spark and DuckDB, which IS
+  greedy BPE merge order (``a a a a`` + merge(a,a) → ``aa aa``), and
+  the double-separator wrapping keeps adjacent matches from consuming
+  each other's boundary. No UDF, no Python in the loop.
+
+Encoding applies the learned merge sequence in rank order (one literal
+replace per merge, chained inside a higher-order ``transform`` over
+the document's word array) — zero shuffles, pure codegen, and for any
+word seen in training it reproduces the trainer's final segmentation
+exactly.
+
+Determinism contract (what the DuckDB oracle replays): ties on pair
+count break by (count DESC, left ASC, right ASC) in binary UTF-8
+order; the U+001F separator is stripped from input text up front so
+symbols can never contain it.
+
+Reference behavioral anchor: the reference repo has no tokenizer
+(etl_merge.py is a merge/score pipeline); this operator is part of the
+large-scale training-data surface (SURVEY §2 rows 98/105).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+SEP = "\x1f"
+
+MERGES_SCHEMA = (
+    "merge_rank int, lhs string, rhs string, merged string, pair_count long"
+)
+
+
+def _clean_words(text_col: str) -> Column:
+    """Whitespace tokens with the separator char removed up front."""
+    return tokens(
+        F.replace(F.coalesce(F.col(text_col), F.lit("")), F.lit(SEP), F.lit(""))
+    )
+
+
+def _wrap(syms: Column) -> Column:
+    return F.concat(F.lit(SEP), F.array_join(syms, SEP + SEP), F.lit(SEP))
+
+
+def _unwrap(wrapped: Column) -> Column:
+    # Spark regexp_replace is global by default; the anchors strip the
+    # single boundary separator at each end.
+    return F.split(
+        F.regexp_replace(wrapped, f"^{SEP}|{SEP}$", ""), SEP + SEP
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    min_count: int = 1,
+    stage_path: str | None = None,
+    checkpoint_every: int = 6,
+) -> list[dict]:
+    """Learn ``n_merges`` BPE merges from a corpus; returns the ordered
+    merge table as a model-sized list of dicts
+    (merge_rank/lhs/rhs/merged/pair_count).
+
+    Scale shape: the corpus shuffles ONCE (word counts, staged when
+    ``stage_path`` is given so rounds never re-scan the corpus); every
+    round shuffles only (symbol-pair, partial count) rows from the
+    word table and collects exactly one row. Lineage over the evolving
+    symbol column is cut every ``checkpoint_every`` rounds.
+    """
+    if n_merges <= 0:
+        raise ValueError("bpe_train needs n_merges > 0")
+    words = (
+        df.select(F.explode(_clean_words(text_col)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    if min_count > 1:
+        words = words.filter(F.col("cnt") >= min_count)
+    state = words.select("cnt", F.split("w", "").alias("syms"))
+    if stage_path is not None:
+        state.write.mode("overwrite").parquet(stage_path)
+        state = df.sparkSession.read.parquet(stage_path)
+    else:
+        state = state.localCheckpoint(eager=False)
+
+    merges: list[dict] = []
+    for r in range(n_merges):
+        n = F.size("syms")
+        pair = F.explode(
+            F.arrays_zip(
+                F.slice("syms", 1, n - 1).alias("a"),
+                F.slice("syms", 2, n - 1).alias("b"),
+            )
+        )
+        best = (
+            state.select("cnt", pair.alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word is a single symbol already
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append(
+            {
+                "merge_rank": r,
+                "lhs": a,
+                "rhs": b,
+                "merged": a + b,
+                "pair_count": c,
+            }
+        )
+        replaced = F.replace(
+            _wrap(F.col("syms")),
+            F.lit(SEP + a + SEP + SEP + b + SEP),
+            F.lit(SEP + a + b + SEP),
+        )
+        state = state.select("cnt", _unwrap(replaced).alias("syms"))
+        if (r + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint(eager=False)
+    return merges
+
+
+def bpe_merges_df(spark, merges: list[dict]) -> DataFrame:
+    """The merge table as a DataFrame (merge_rank-ordered)."""
+    rows = [
+        (m["merge_rank"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
+        for m in merges
+    ]
+    return spark.createDataFrame(rows, MERGES_SCHEMA)
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[dict],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode documents with a learned merge sequence: merges apply in
+    rank order, greedy left-to-right per merge — identical to the
+    trainer's own segmentation for in-vocabulary words. Returns
+    (id_col, n_words, n_bpe, encoded) where ``encoded`` is the
+    space-joined BPE token stream of the whole document.
+
+    Plan shape: the whole encode is one codegen projection — a
+    ``transform`` over the word array chains |merges| literal replaces
+    per word; no shuffle, no Python, no explode.
+    """
+
+    def enc(w: Column) -> Column:
+        x = _wrap(F.split(w, ""))
+        for m in merges:
+            x = F.replace(
+                x,
+                F.lit(SEP + m["lhs"] + SEP + SEP + m["rhs"] + SEP),
+                F.lit(SEP + m["merged"] + SEP),
+            )
+        return _unwrap(x)
+
+    words = _clean_words(text_col)
+    toks_col = F.flatten(F.transform(words, enc))
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(toks_col).cast("long").alias("n_bpe"),
+        F.array_join(toks_col, " ").alias("encoded"),
+    )

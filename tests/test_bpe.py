@@ -1,0 +1,129 @@
+"""BPE trainer/encoder vs an independent in-test reference.
+
+The reference implementation below is the textbook word-frequency BPE
+loop (Sennrich et al. 2016) written directly in Python — no shared
+code with the operator — so agreement checks the relational
+re-expression, not the implementation against itself.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    """Plain-Python BPE: returns (merge list, final segmentation)."""
+    state = {w: list(w) for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, syms in state.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += word_counts[w]
+        if not pairs:
+            break
+        # (count DESC, left ASC, right ASC)
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, a + b, c))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges, state
+
+
+def test_bpe_train_matches_reference_loop(spark):
+    from strategicai_visibility_loop_etl_spark.operators.bpe import bpe_train
+
+    # the classic subword-nmt example corpus
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(counts.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = bpe_train(df, n_merges=8, checkpoint_every=3)
+    want, _ = _ref_bpe(counts, 8)
+    assert [(m["lhs"], m["rhs"], m["merged"], m["pair_count"]) for m in got] == want
+
+
+def test_bpe_overlapping_runs_merge_greedy_left_to_right(spark):
+    from strategicai_visibility_loop_etl_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    # 'aaaa' + merge (a,a): greedy non-overlapping -> ['aa', 'aa'];
+    # 'aaa' -> ['aa', 'a'] (the merged symbol never re-merges with the
+    # next 'a' in the SAME round).
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaa"), (2, "aaa")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=1)
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "a")
+    enc = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    assert enc[1]["encoded"] == "aa aa aa aa aa aa"
+    assert enc[2]["encoded"] == "aa a"
+    assert enc[2]["n_bpe"] == 2 and enc[2]["n_words"] == 1
+
+
+def test_bpe_encode_reproduces_trainer_segmentation(spark):
+    from strategicai_visibility_loop_etl_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    counts = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(counts.items())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = bpe_train(df, n_merges=6)
+    _, ref_state = _ref_bpe(counts, 6)
+
+    one = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(counts)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["encoded"] for r in bpe_encode(one, merges).collect()}
+    for i, w in enumerate(counts):
+        assert got[i] == " ".join(ref_state[w]), (w, got[i], ref_state[w])
+    # unseen word still encodes deterministically with learned merges
+    unseen = spark.createDataFrame([(0, "lowest")], "doc_id long, text string")
+    out = bpe_encode(unseen, merges).first()["encoded"]
+    assert out.replace(" ", "") == "lowest"
+
+
+def test_bpe_null_and_empty_docs(spark):
+    from strategicai_visibility_loop_etl_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, None), (3, "   ")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=1)
+    assert merges[0]["merged"] == "ab" and merges[0]["pair_count"] == 3
+    enc = {r["doc_id"]: r for r in bpe_encode(df, merges).collect()}
+    assert enc[2]["n_bpe"] == 0 and enc[2]["encoded"] == ""
+    assert enc[3]["n_bpe"] == 0 and enc[3]["encoded"] == ""
+    assert enc[1]["encoded"] == "ab ab ab"
+
+
+def test_bpe_encode_plan_is_shuffle_free(spark):
+    """The encode is one codegen projection: chained literal replaces
+    inside a higher-order transform — no Exchange, no Python."""
+    from strategicai_visibility_loop_etl_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    merges = [
+        {"merge_rank": 0, "lhs": "a", "rhs": "b", "merged": "ab", "pair_count": 1}
+    ]
+    plan = bpe_encode(df, merges)._sc._jvm.PythonSQLUtils.explainString(
+        bpe_encode(df, merges)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
