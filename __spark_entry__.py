@@ -2830,6 +2830,49 @@ def qx17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# qx18 blocklist: two registrable entries (block the host and every
+# subdomain) plus one deep entry (blocks only the www. variant).
+_QX18_BLOCK = [
+    "src1.example-site.com",
+    "src4.example-site.com",
+    "www.src2.example-site.com",
+]
+
+
+def qx18_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain blocklist gate (capability row 106): every document gets
+    a deterministic synthetic URL (three subdomain shapes from doc_id,
+    every 7th doc path-only/hostless), then the broadcast-dim suffix
+    filter drops blocklisted hosts and their subdomains; hostless docs
+    pass. The oracle derives each host from the SAME synthesis rule
+    directly — ground truth for url_host — and replays suffix matching
+    as an independent host = dom OR host LIKE '%.'||dom predicate."""
+    from strategicai_visibility_loop_etl_spark.functions.urls import url_host
+    from strategicai_visibility_loop_etl_spark.operators.domains import (
+        domain_filter,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit("a.b."))
+        .otherwise(F.lit(""))
+    )
+    url = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.concat(F.lit("/path/only/"), F.col("doc_id").cast("string")),
+    ).otherwise(
+        F.concat(
+            F.lit("https://"), sub, F.col("source"),
+            F.lit(".example-site.com/p/"), F.col("doc_id").cast("string"),
+        )
+    )
+    kept = domain_filter(docs.withColumn("url", url), blocklist=_QX18_BLOCK)
+    return kept.select(
+        "doc_id", "source", url_host(F.col("url")).alias("host")
+    ).orderBy("doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2849,6 +2892,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx15_exactsubstr": qx15_exactsubstr,
         "qx16_bpe_train": qx16_bpe_train,
         "qx17_bpe_encode": qx17_bpe_encode,
+        "qx18_domain_filter": qx18_domain_filter,
     }
 
 
@@ -3302,6 +3346,26 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST(len(toks) AS BIGINT) AS n_bpe,
                array_to_string(toks, ' ') AS encoded
         FROM e ORDER BY doc_id
+    """
+
+    bl_vals = ", ".join(f"('{d}')" for d in _QX18_BLOCK)
+    sql["qx18_domain_filter"] = f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 7 = 3 THEN NULL
+                        ELSE (CASE WHEN doc_id % 3 = 0 THEN 'www.'
+                                   WHEN doc_id % 3 = 1 THEN 'a.b.'
+                                   ELSE '' END)
+                             || source || '.example-site.com' END AS host
+            FROM documents
+        ),
+        bl(dom) AS (VALUES {bl_vals})
+        SELECT doc_id, source, host FROM d
+        WHERE host IS NULL
+           OR NOT EXISTS (SELECT 1 FROM bl
+                          WHERE d.host = bl.dom
+                             OR d.host LIKE '%.' || bl.dom)
+        ORDER BY doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

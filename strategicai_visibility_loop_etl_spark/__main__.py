@@ -109,8 +109,29 @@ def build_corpus_parser() -> argparse.ArgumentParser:
                         "(noise tail); 0 disables")
     p.add_argument("--sample-weight", default="n_tokens",
                    help="weight column for --sample-k")
+    p.add_argument("--block-domains",
+                   help="comma-separated domain blocklist (entry matches "
+                        "the host and its subdomains); prefix with @ to "
+                        "read one domain per line from a file")
+    p.add_argument("--allow-domains",
+                   help="comma-separated domain allowlist; @file form as "
+                        "for --block-domains. Docs without a parseable "
+                        "host are dropped in allowlist mode")
+    p.add_argument("--domain-url-col", default=None,
+                   help="column holding each document's URL for the "
+                        "domain lists (default: 'url' if present)")
+    p.add_argument("--domain-host-col", default=None,
+                   help="column that already holds a bare host (e.g. "
+                        "'source'); overrides --domain-url-col")
     p.add_argument("--cpus", type=int, default=None)
     return p
+
+
+def _domain_list(spec: str) -> list[str]:
+    if spec.startswith("@"):
+        with open(spec[1:], encoding="utf-8") as fh:
+            return [ln.strip() for ln in fh if ln.strip()]
+    return [x.strip() for x in spec.split(",") if x.strip()]
 
 
 def corpus_main(argv: list[str], spark=None) -> int:
@@ -136,6 +157,15 @@ def corpus_main(argv: list[str], spark=None) -> int:
     if args.sample_k:
         cfg["sample"] = {"enable": True, "k": args.sample_k,
                          "weight_col": args.sample_weight}
+    if args.block_domains or args.allow_domains:
+        cfg["domain_filter"] = {
+            "enable": True,
+            "blocklist": _domain_list(args.block_domains) if args.block_domains else None,
+            "allowlist": _domain_list(args.allow_domains) if args.allow_domains else None,
+            "url_col": args.domain_url_col or "url",
+            "domain_col": args.domain_host_col,
+            "include_subdomains": True,
+        }
     if args.ppl_min or args.ppl_max:
         cfg["lm_filter"] = {"enable": True, "min_ppl": args.ppl_min,
                             "max_ppl": args.ppl_max or None,

@@ -184,3 +184,36 @@ def url_normalize_df(
     return step.withColumn(out_col, final).drop(
         "__u", "__qpos", "__base", "__query", "__scheme", "__auth", "__path"
     )
+
+
+def url_host(col: Column) -> Column:
+    """Lowercase host of a URL, or NULL when the value has no
+    authority (path-only values, plain strings, empty/null input).
+
+    Same authority semantics the normalizer applies (reference
+    etl_merge.py:474-514 lowercases the netloc): the component between
+    ``scheme://`` and the first ``/``, ``?`` or ``#``, with userinfo
+    and an explicit port stripped and one trailing dot removed.
+    Bracketed IPv6 literals survive (only a trailing ``:digits`` port
+    is stripped). Pure regexp expressions — stays in codegen."""
+    u = F.trim(col.cast("string"))
+    auth = F.regexp_extract(u, _SCHEME_RE + r"([^/?#]*)", 1)
+    host = F.regexp_replace(auth, r"^[^@/]*@", "")   # userinfo
+    host = F.regexp_replace(host, r":\d*$", "")       # port
+    host = F.regexp_replace(F.lower(host), r"\.$", "")
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def host_suffixes(host: Column, max_labels: int = 8) -> Column:
+    """Every dot-suffix of a host as an array — the standard
+    subdomain-match key set: ``a.b.example.com`` →
+    [a.b.example.com, b.example.com, example.com, com]. Bounded at the
+    last ``max_labels`` labels so adversarial 100-label hosts can't
+    blow up the explode. NULL host → empty array."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    idx = F.sequence(F.greatest(F.lit(1), n - F.lit(max_labels - 1)), n)
+    out = F.transform(
+        idx, lambda i: F.array_join(F.slice(labels, i, n - i + 1), ".")
+    )
+    return F.when(host.isNull(), F.array().cast("array<string>")).otherwise(out)

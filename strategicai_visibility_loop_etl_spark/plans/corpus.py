@@ -8,6 +8,8 @@ assignment — in the order a FineWeb/RefinedWeb-style corpus pass runs
 them. Each stage is an independent lazy plan; the whole pipeline is a
 handful of narrow shuffles:
 
+0. domain gate   — blocklist/allowlist by URL host (broadcast dim,
+                   map-side suffix match; the cheapest filter first)
 1. annotate      — lang_id / quality / token counts (zero shuffles)
 2. filter        — lang allowlist + quality floor + length bounds
                    (predicate on the annotated scan)
@@ -70,6 +72,9 @@ def default_corpus_config() -> dict:
             "max_bucket": "auto",   # hot-shingle skew guard
             "cc_algorithm": "auto",  # propagation w/ star fallback
         },
+        "domain_filter": {"enable": False, "url_col": "url",
+                          "domain_col": None, "blocklist": None,
+                          "allowlist": None, "include_subdomains": True},
         "lm_filter": {"enable": False, "min_ppl": 0.0, "max_ppl": None,
                       "stage_path": None},
         "decontaminate": {"enable": False, "k": 8, "use_bloom": False},
@@ -101,6 +106,24 @@ def run_corpus_pipeline(
     cfg = {**default_corpus_config(), **(cfg or {})}
     nd = {**default_corpus_config()["neardup"], **(cfg.get("neardup") or {})}
     txt = F.col(text_col)
+
+    # 0a. domain gate — the cheapest and FIRST filter of a crawl
+    # pipeline: drop blocklisted (or keep only allowlisted) hosts
+    # before any text-shaped work touches the rows. Broadcast dim +
+    # map-side suffix expansion; see operators/domains.py.
+    dfc = {**default_corpus_config()["domain_filter"],
+           **(cfg.get("domain_filter") or {})}
+    if dfc["enable"]:
+        from ..operators.domains import domain_filter  # noqa: PLC0415
+
+        docs = domain_filter(
+            docs,
+            blocklist=dfc["blocklist"],
+            allowlist=dfc["allowlist"],
+            url_col=dfc["url_col"],
+            domain_col=dfc["domain_col"],
+            include_subdomains=dfc["include_subdomains"],
+        )
 
     # 0. encoding repair (ftfy-lite): fix utf-8-as-cp1252 mojibake
     # before anything tokenizes or hashes the text — a no-op literal

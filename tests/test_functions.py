@@ -314,3 +314,60 @@ def test_fix_mojibake_preserves_bmp_pua_icon_chars(spark):
            df.select("i", fix_mojibake(F.col("text")).alias("f")).collect()}
     for i, _t, want in cases:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_url_host_parity_with_normalizer_authority(spark):
+    """url_host must agree with the authority component url_normalize
+    embeds (reference etl_merge.py:474-514 lowercases the netloc):
+    for every URL with a scheme, the normalized output starts with
+    scheme://host once userinfo/port are absent from the input, and
+    url_host strips exactly the userinfo/port/trailing-dot decorations
+    the normalizer's netloc handling tolerates."""
+    from strategicai_visibility_loop_etl_spark.functions.urls import (
+        url_host,
+        url_normalize,
+    )
+
+    cases = [
+        (0, "https://WWW.Example.COM/Path?utm_source=x", "www.example.com"),
+        (1, "http://user:pw@Sub.Host.io:8080/a", "sub.host.io"),
+        (2, "https://example.com.", "example.com"),
+        (3, "http://[2001:DB8::1]:8080/x", "[2001:db8::1]"),
+        (4, "/path/only", None),
+        (5, "not a url", None),
+        (6, None, None),
+        (7, "", None),
+        (8, "HTTPS://A.B.C/", "a.b.c"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _ in cases], "i long, u string")
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            url_host(F.col("u")).alias("h"),
+            url_normalize(F.col("u")).alias("n"),
+        ).collect()
+    }
+    for i, _u, want in cases:
+        assert got[i]["h"] == want, (i, got[i]["h"], want)
+        if want is not None and "@" not in (_u or "") and "]" not in want:
+            # normalizer lowercases the same authority; host must be a
+            # prefix of the normalized URL's authority section
+            norm = got[i]["n"]
+            assert ("://" + want) in norm or norm.startswith(want), (norm, want)
+
+
+def test_host_suffixes_chain_and_cap(spark):
+    from strategicai_visibility_loop_etl_spark.functions.urls import host_suffixes
+
+    df = spark.createDataFrame(
+        [(0, "a.b.example.com"), (1, "com"), (2, None),
+         (3, ".".join(f"l{i}" for i in range(12)) + ".example.com")],
+        "i long, h string",
+    )
+    got = {r["i"]: r["s"] for r in
+           df.select("i", host_suffixes(F.col("h")).alias("s")).collect()}
+    assert got[0] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+    assert got[1] == ["com"]
+    assert got[2] == []
+    assert len(got[3]) == 8 and got[3][-1] == "com"  # capped at 8 labels
