@@ -2873,6 +2873,34 @@ def qx18_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_QX19_BUCKETS = 4096
+
+
+def qx19_hashed_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed n-gram linear scorer, fastText shape (capability row
+    107): naive-Bayes log-odds weights over hashed word-unigram +
+    word-bigram + char-trigram features (is-English as the label),
+    then every document scored by mean feature weight. Feature hashing
+    uses the engine-portable polynomial fold (q20's), weights round to
+    DECIMAL before the per-doc sum (order-independent), and DuckDB
+    replays training AND scoring end to end."""
+    from strategicai_visibility_loop_etl_spark.operators.scorer import (
+        hashed_scorer_scores,
+        train_hashed_scorer,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("lang") == "en").alias("__is_en")
+    )
+    w = train_hashed_scorer(
+        docs, "__is_en", n_buckets=_QX19_BUCKETS,
+        stage_path=f"{_SIG_STAGE}/scorer19",
+    )
+    return hashed_scorer_scores(
+        docs, w, n_buckets=_QX19_BUCKETS
+    ).orderBy("doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2893,6 +2921,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx16_bpe_train": qx16_bpe_train,
         "qx17_bpe_encode": qx17_bpe_encode,
         "qx18_domain_filter": qx18_domain_filter,
+        "qx19_hashed_scorer": qx19_hashed_scorer,
     }
 
 
@@ -3366,6 +3395,69 @@ def extra_oracle_sql() -> dict[str, str]:
                           WHERE d.host = bl.dom
                              OR d.host LIKE '%.' || bl.dom)
         ORDER BY doc_id
+    """
+
+    # qx19: full train+score replay. Hash fold identical to q20's;
+    # the DECIMAL weight sum makes per-doc scores order-independent.
+    B19 = _QX19_BUCKETS
+    h19 = ("list_reduce(list_prepend(CAST(0 AS BIGINT),"
+           " list_transform(string_split({s}, ''),"
+           " c -> CAST(ascii(c) AS BIGINT))),"
+           " (a, b) -> (a * 31 + b) % 1000000007)")
+    f_uni = f"list_transform(words, w -> {h19.format(s='w')} % {B19})"
+    pair_s = "(p[1] || ' ' || p[2])"
+    f_big = (
+        "list_transform(list_zip(words[1:len(words)-1], words[2:len(words)]),"
+        f" p -> {h19.format(s=pair_s)} % {B19})"
+    )
+    f_chr = (
+        "flatten(list_transform(words, w ->"
+        " list_transform(range(1, length('<' || w || '>') - 1),"
+        f" i -> {h19.format(s=chr(34) + chr(34))} % {B19})))"
+    )
+    f_chr = f_chr.replace(
+        '""', "substr('<' || w || '>', CAST(i AS INT), 3)"
+    )
+    sql["qx19_hashed_scorer"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_toks(norm_text)} AS words,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM documents
+        ),
+        feat AS MATERIALIZED (
+            SELECT doc_id, y, {f_uni} || {f_big} || {f_chr} AS features
+            FROM d
+        ),
+        fx AS MATERIALIZED (
+            SELECT doc_id, y, unnest(features) AS bucket FROM feat
+        ),
+        agg AS MATERIALIZED (
+            SELECT bucket, CAST(SUM(y) AS BIGINT) AS pos,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+            FROM fx GROUP BY bucket
+        ),
+        tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tp,
+                       CAST(SUM(neg) AS BIGINT) AS tn FROM agg),
+        w AS MATERIALIZED (
+            SELECT bucket,
+                   CAST(round(ln((pos + 1) / CAST(tp + {B19} AS DOUBLE))
+                              - ln((neg + 1) / CAST(tn + {B19} AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS w
+            FROM agg, tot
+        ),
+        s AS (
+            SELECT fx.doc_id, COUNT(*) AS n_features,
+                   SUM(coalesce(w.w, CAST(0 AS DECIMAL(18,6)))) AS sw
+            FROM fx LEFT JOIN w USING (bucket)
+            GROUP BY fx.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(s.n_features, 0) AS BIGINT) AS n_features,
+               round(CAST(s.sw AS DOUBLE) / s.n_features, 6) + 0.0 AS score,
+               coalesce(round(CAST(s.sw AS DOUBLE) / s.n_features, 6) > 0,
+                        false) AS pred
+        FROM d LEFT JOIN s USING (doc_id)
+        ORDER BY d.doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

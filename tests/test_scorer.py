@@ -1,0 +1,91 @@
+"""Hashed n-gram linear scorer (SURVEY §2 row 107)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.operators.scorer import (
+    hashed_features,
+    hashed_scorer_scores,
+    train_hashed_scorer,
+)
+
+_M = 1_000_000_007
+
+
+def _py_hash(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % _M
+    return acc
+
+
+def _py_features(text: str, n_buckets: int, char_n: int = 3) -> list[int]:
+    words = text.lower().split()
+    feats = [_py_hash(w) % n_buckets for w in words]
+    feats += [
+        _py_hash(f"{a} {b}") % n_buckets for a, b in zip(words, words[1:])
+    ]
+    for w in words:
+        m = f"<{w}>"
+        feats += [
+            _py_hash(m[i : i + char_n]) % n_buckets
+            for i in range(len(m) - char_n + 1)
+        ]
+    return feats
+
+
+def test_hashed_features_match_python_reimplementation(spark):
+    texts = ["The quick brown fox", "a", "héllo wörld again", "x y"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r["i"]: r["f"]
+        for r in df.select(
+            "i", hashed_features(F.col("text"), 512).alias("f")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_features(t, 512), (t, got[i])
+
+
+def test_train_and_score_separates_classes(spark):
+    pos = [f"the cat sat on the mat number {i}" for i in range(30)]
+    neg = [f"zzz qqq vvv kkk jjj item {i}" for i in range(30)]
+    rows = [(i, t, True) for i, t in enumerate(pos)] + [
+        (100 + i, t, False) for i, t in enumerate(neg)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, label boolean")
+    w = train_hashed_scorer(df, "label", n_buckets=2048)
+    scored = hashed_scorer_scores(df, w, n_buckets=2048)
+    got = {r["doc_id"]: r for r in scored.collect()}
+    for i, _t, y in rows:
+        assert got[i]["pred"] == y, (i, got[i])
+    assert all(r["n_features"] > 0 for r in got.values())
+
+
+def test_score_empty_and_null_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "real text here", True), (2, None, False), (3, "   ", False)],
+        "doc_id long, text string, label boolean",
+    )
+    w = train_hashed_scorer(df, "label", n_buckets=256)
+    got = {r["doc_id"]: r for r in
+           hashed_scorer_scores(df, w, n_buckets=256).collect()}
+    for i in (2, 3):
+        assert got[i]["n_features"] == 0
+        assert got[i]["score"] is None and got[i]["pred"] is False
+
+
+def test_score_plan_has_no_python_or_cartesian(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", True), (2, "d e f", False)],
+        "doc_id long, text string, label boolean",
+    )
+    w = train_hashed_scorer(df, "label", n_buckets=128)
+    out = hashed_scorer_scores(df, w, n_buckets=128)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
