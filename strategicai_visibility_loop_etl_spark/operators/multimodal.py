@@ -256,3 +256,99 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(ts).alias("frame_ts_ms"),
         F.col("meta.mime").alias("mime"),
     )
+
+
+IMAGE_META_SCHEMA = "media_id long, mime string, width int, height int, n_bytes long"
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers (all carry precision+height+width);
+# C4=DHT, C8=JPG-extension, CC=DAC are NOT frames.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(payload: bytes | None):
+    """(mime, width, height) sniffed from container bytes alone — a
+    minimal pure-Python header parser, NO codec library:
+
+    - PNG: 8-byte signature, then the IHDR chunk's big-endian
+      width/height (bytes 16-24 — IHDR is required to come first).
+    - JPEG: walk the FFxx segment chain from SOI to the first SOFn
+      marker; its body is precision(1) + height(2) + width(2).
+    - GIF: 6-byte version signature, then the logical screen
+      descriptor's little-endian width/height.
+
+    Unknown/truncated payloads return (None, None, None) — the
+    quarantine path, never an exception. This is the codec-free leg of
+    capability rows 37/85: metadata extraction is fully real in this
+    sandbox; only pixel DECODE still needs Pillow.
+    """
+    if not payload:
+        return None, None, None
+    if payload[:8] == _PNG_SIG and len(payload) >= 24 and payload[12:16] == b"IHDR":
+        return (
+            "image/png",
+            int.from_bytes(payload[16:20], "big"),
+            int.from_bytes(payload[20:24], "big"),
+        )
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        return (
+            "image/gif",
+            int.from_bytes(payload[6:8], "little"),
+            int.from_bytes(payload[8:10], "little"),
+        )
+    if payload[:2] == b"\xff\xd8":
+        i = 2
+        n = len(payload)
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone marker, no length field
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if seg_len < 2:
+                break
+            if marker in _JPEG_SOF:
+                if i + 9 <= n:
+                    return (
+                        "image/jpeg",
+                        int.from_bytes(payload[i + 7 : i + 9], "big"),
+                        int.from_bytes(payload[i + 5 : i + 7], "big"),
+                    )
+                break
+            i += 2 + seg_len
+        return "image/jpeg", None, None
+    return None, None, None
+
+
+def extract_image_meta(df: DataFrame) -> DataFrame:
+    """payload → sniffed (mime, width, height, n_bytes) with the pure
+    byte-level header parser — REAL metadata extraction that needs no
+    codec anywhere, Arrow-batched through mapInPandas. Disagreements
+    with the metadata column (or nulls) flag corrupt/mislabeled media
+    upstream of any expensive decode."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_header(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [p[0] for p in parsed],
+                    "width": pd.array(
+                        [p[1] for p in parsed], dtype="Int32"
+                    ),
+                    "height": pd.array(
+                        [p[2] for p in parsed], dtype="Int32"
+                    ),
+                    "n_bytes": [
+                        len(p) if p is not None else 0 for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(op, schema=IMAGE_META_SCHEMA)
