@@ -264,3 +264,124 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path):
     rows = {r["window_start"].hour: r["n_events"]
             for r in spark.sql("select * from late_test").collect()}
     assert rows.get(0) == 2, rows  # straggler NOT counted
+
+
+def test_exactly_once_upsert_sink_survives_replay_and_restart(spark, tmp_path):
+    """End-to-end exactly-once: the ledgered MERGE sink under (a) full
+    redelivery of a committed batch, (b) a torn write — snapshot on
+    disk, crash before the ledger commit — and (c) a genuine stream
+    restart from the checkpoint with new data. No loss, no dups: the
+    final state equals the batch-computed truth over all events."""
+    import os
+
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        committed_batches,
+        exactly_once_upsert,
+        read_latest,
+        start_visibility_upsert_stream,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def batch1():
+        return [(i, t0 + timedelta(minutes=13 * i), i % 3, "view", float(i))
+                for i in range(20)]
+
+    def batch2():
+        # Stays INSIDE the 2h watermark horizon of batch1 (whose max ts
+        # is t0+4h07): updates user 0's existing t0+3h window AND opens
+        # new keys — exercising both MERGE arms. (Events older than
+        # max_ts − watermark would be dropped by design, not merged.)
+        return [(100 + i, t0 + timedelta(minutes=200 + i), 0, "view", 2.0)
+                for i in range(5)] + \
+               [(200 + i, t0 + timedelta(minutes=250 + 7 * i), 3, "view", 10.0)
+                for i in range(10)]
+
+    src = str(tmp_path / "eo_src")
+    target = str(tmp_path / "eo_target")
+    ckpt = str(tmp_path / "eo_ckpt")
+    spine = spark.createDataFrame(
+        [(0, "gold"), (1, "silver"), (2, "bronze"), (3, "new")],
+        "user_id long, segment string",
+    )
+    spark.createDataFrame(batch1(), SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def start():
+        events = spark.readStream.schema(SCHEMA).parquet(src)
+        return start_visibility_upsert_stream(events, spine, target, ckpt)
+
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    state1 = {
+        (r["window_start"], r["user_id"]): r
+        for r in read_latest(spark, target).collect()
+    }
+    assert state1 and all(r["segment"] is not None for r in state1.values())
+    ids1 = committed_batches(target)
+
+    # (a) redeliver the last committed batch verbatim — must no-op
+    last = ids1[-1]
+    replay = spark.read.parquet(os.path.join(target, f"v{last}")).select(
+        "window_start", "user_id", "n_events", "sum_value", "segment"
+    )
+    exactly_once_upsert(replay, last, target, ["window_start", "user_id"])
+    after = {
+        (r["window_start"], r["user_id"]): r
+        for r in read_latest(spark, target).collect()
+    }
+    assert after.keys() == state1.keys()
+    assert all(
+        after[k]["sum_value"] == state1[k]["sum_value"] for k in state1
+    ), "replayed batch double-applied"
+
+    # (b) torn write: crash happened AFTER the snapshot write but
+    # BEFORE the ledger commit — rip out the marker and redeliver
+    os.remove(os.path.join(target, "_applied", str(last)))
+    exactly_once_upsert(replay, last, target, ["window_start", "user_id"])
+    assert committed_batches(target)[-1] == last
+    torn = {
+        (r["window_start"], r["user_id"]): r["sum_value"]
+        for r in read_latest(spark, target).collect()
+    }
+    assert torn == {k: v["sum_value"] for k, v in state1.items()}
+
+    # (c) restart from the checkpoint with a second source file
+    spark.createDataFrame(batch2(), SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+
+    final = {
+        (r["window_start"], r["user_id"]): r
+        for r in read_latest(spark, target).collect()
+    }
+    truth = {
+        (r["window_start"], r["user_id"]): r
+        for r in (
+            spark.read.parquet(src)
+            .groupBy(
+                F.window("ts", "1 hour").alias("w"), F.col("user_id")
+            )
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            .join(F.broadcast(spine), "user_id", "left")
+            .select(
+                F.col("w.start").alias("window_start"), "user_id",
+                "n_events", "sum_value", "segment",
+            )
+            .collect()
+        )
+    }
+    assert final.keys() == truth.keys(), (
+        len(final), len(truth),
+    )
+    for k, want in truth.items():
+        got = final[k]
+        assert (got["n_events"], got["sum_value"], got["segment"]) == (
+            want["n_events"], want["sum_value"], want["segment"],
+        ), (k, got, want)
