@@ -2923,6 +2923,29 @@ def qx19_hashed_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_QX20_K = 100
+
+
+def qx20_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (capability row 109, Xie et al.
+    2023): select the 100 documents whose hashed-n-gram distribution
+    best matches the src0 target domain — per-doc log importance
+    weight = summed naive-Bayes log-odds of its features (target vs
+    raw), drawn by deterministic Gumbel top-k. DuckDB replays weight
+    training (on the raw ∪ target union), scoring, the Gumbel keys,
+    and the rank window."""
+    from strategicai_visibility_loop_etl_spark.operators.scorer import (
+        dsir_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    target = docs.filter(F.col("source") == "src0").select("doc_id", "text")
+    return dsir_select(
+        docs.select("doc_id", "text"), target, k=_QX20_K,
+        n_buckets=_QX19_BUCKETS, stage_path=f"{_SIG_STAGE}/dsir20",
+    ).orderBy("sel_rank")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2944,6 +2967,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx17_bpe_encode": qx17_bpe_encode,
         "qx18_domain_filter": qx18_domain_filter,
         "qx19_hashed_scorer": qx19_hashed_scorer,
+        "qx20_dsir": qx20_dsir,
     }
 
 
@@ -3480,6 +3504,72 @@ def extra_oracle_sql() -> dict[str, str]:
                         false) AS pred
         FROM d LEFT JOIN s USING (doc_id)
         ORDER BY d.doc_id
+    """
+
+    # qx20: DSIR replay — same feature/hash chain as qx19, trained on
+    # the raw UNION target corpus, per-doc SUM of weights, Gumbel keys
+    # from the multiplicative hash, rank window for the top-k.
+    sql["qx20_dsir"] = f"""
+        WITH d0 AS (
+            SELECT doc_id, {_toks(norm_text)} AS words,
+                   CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_t
+            FROM documents
+        ),
+        train AS (
+            SELECT words, 0 AS y FROM d0
+            UNION ALL
+            SELECT words, 1 AS y FROM d0 WHERE is_t = 1
+        ),
+        tfeat AS MATERIALIZED (
+            SELECT y, {f_uni} || {f_big} || {f_chr} AS features FROM train
+        ),
+        tfx AS MATERIALIZED (
+            SELECT y, unnest(features) AS bucket FROM tfeat
+        ),
+        agg AS MATERIALIZED (
+            SELECT bucket, CAST(SUM(y) AS BIGINT) AS pos,
+                   CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+            FROM tfx GROUP BY bucket
+        ),
+        tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tp,
+                       CAST(SUM(neg) AS BIGINT) AS tn FROM agg),
+        w AS MATERIALIZED (
+            SELECT bucket,
+                   CAST(round(ln((pos + 1) / CAST(tp + {B19} AS DOUBLE))
+                              - ln((neg + 1) / CAST(tn + {B19} AS DOUBLE)), 6)
+                        AS DECIMAL(18,6)) AS w
+            FROM agg, tot
+        ),
+        dfeat AS MATERIALIZED (
+            SELECT doc_id, {f_uni} || {f_big} || {f_chr} AS features FROM d0
+        ),
+        dfx AS (
+            SELECT doc_id, unnest(features) AS bucket FROM dfeat
+        ),
+        s AS (
+            SELECT dfx.doc_id, COUNT(*) AS n_features,
+                   SUM(coalesce(w.w, CAST(0 AS DECIMAL(18,6)))) AS sw
+            FROM dfx LEFT JOIN w USING (bucket)
+            GROUP BY dfx.doc_id
+        ),
+        keyed AS (
+            SELECT doc_id, n_features,
+                   round(CAST(sw AS DOUBLE), 6) + 0.0 AS logw,
+                   round(CAST(sw AS DOUBLE), 6) + 0.0
+                     + (- ln(- ln((CAST((doc_id % 2147483648)
+                                        * 2654435761 % 4294967296 AS DOUBLE)
+                                   + 0.5) / 4294967297.0))) AS gk
+            FROM s
+        )
+        SELECT doc_id, CAST(n_features AS BIGINT) AS n_features, logw,
+               CAST(sel_rank AS INT) AS sel_rank
+        FROM (
+            SELECT doc_id, n_features, logw,
+                   ROW_NUMBER() OVER (ORDER BY gk DESC, doc_id) AS sel_rank
+            FROM keyed
+        )
+        WHERE sel_rank <= {_QX20_K}
+        ORDER BY sel_rank
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

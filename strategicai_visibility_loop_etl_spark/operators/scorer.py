@@ -27,7 +27,7 @@ trick), so scores are order-independent and engine-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import tokens
@@ -136,13 +136,16 @@ def hashed_scorer_scores(
     id_col: str = "doc_id",
     n_buckets: int = 1 << 18,
     char_n: int = 3,
+    normalize: bool = True,
 ) -> DataFrame:
-    """Score documents with a (bucket, w) table: mean feature weight,
-    positive ⇒ the positive class. Buckets absent from the table
-    contribute 0 (train and score on the same bucket space to avoid
-    that; the default only fires on features unseen in training).
-    Returns (id_col, n_features, score, pred); docs with no features
-    (empty/null text) score NULL, pred false."""
+    """Score documents with a (bucket, w) table: mean feature weight
+    (``normalize=False`` keeps the raw SUM — the log importance weight
+    a DSIR-style selector needs), positive ⇒ the positive class.
+    Buckets absent from the table contribute 0 (train and score on the
+    same bucket space to avoid that; the default only fires on
+    features unseen in training). Returns (id_col, n_features, score,
+    pred); docs with no features (empty/null text) score NULL, pred
+    false."""
     feats = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -162,8 +165,9 @@ def hashed_scorer_scores(
     )
     # + 0.0 canonicalizes IEEE negative zero (a tiny negative sum that
     # rounds to zero must not hash-differ from +0.0 across engines)
+    denom = F.col("n_features") if normalize else F.lit(1)
     score = F.round(
-        F.col("__sw").cast("double") / F.col("n_features"), 6
+        F.col("__sw").cast("double") / denom, 6
     ) + F.lit(0.0)
     out = scored.select(
         F.col("id").alias(id_col),
@@ -177,4 +181,67 @@ def hashed_scorer_scores(
         F.coalesce("n_features", F.lit(0)).cast("long").alias("n_features"),
         "score",
         F.coalesce("pred", F.lit(False)).alias("pred"),
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 18,
+    char_n: int = 3,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    pick ``k`` raw documents whose hashed-n-gram distribution looks
+    like the ``target`` corpus. The importance weight of a document is
+    ∑ features ln(p_target(b)/p_source(b)) — exactly the naive-Bayes
+    log-odds table this module already trains (target vs raw as the
+    two classes), summed rather than averaged — and the draw is
+    Gumbel top-k: key = log-weight + g, g = −ln(−ln u) with the same
+    deterministic pure-hash uniform the A-ES sampler uses, so the
+    selection is reproducible across engines, runs and partitionings.
+
+    Scale shape: weight training is two hash aggregates over the union
+    corpus (the bucket table stages when ``stage_path`` is given);
+    scoring is qx19's explode + broadcast-weight join + per-doc
+    DECIMAL sum; the top-k is a rank window over (key DESC, id) —
+    TakeOrdered semantics, map tasks ship k rows each. Returns
+    (id_col, n_features, logw, sel_rank) for the ``k`` selected docs.
+    """
+    src = df.select(
+        F.col(text_col).alias("__t"), F.lit(False).alias("__is_t")
+    )
+    tgt = target.select(
+        F.col(text_col).alias("__t"), F.lit(True).alias("__is_t")
+    )
+    w = train_hashed_scorer(
+        src.unionByName(tgt), "__is_t", text_col="__t",
+        n_buckets=n_buckets, char_n=char_n, stage_path=stage_path,
+    )
+    scored = hashed_scorer_scores(
+        df, w, text_col=text_col, id_col=id_col,
+        n_buckets=n_buckets, char_n=char_n, normalize=False,
+    ).filter(F.col("score").isNotNull())
+    # Deterministic Gumbel: u ∈ (0,1) strictly from the multiplicative
+    # key hash (the +0.5/2³²+1 shift keeps ln away from both poles).
+    folded = F.pmod(F.col(id_col), F.lit(2147483648))
+    u = (
+        F.pmod(folded * F.lit(2654435761), F.lit(4294967296)).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967297.0)
+    key = F.col("score") + (-F.log(-F.log(u)))
+    win = Window.orderBy(key.desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("sel_rank", F.row_number().over(win))
+        .filter(F.col("sel_rank") <= k)
+        .select(
+            id_col,
+            "n_features",
+            F.col("score").alias("logw"),
+            F.col("sel_rank").cast("int").alias("sel_rank"),
+        )
     )

@@ -89,3 +89,50 @@ def test_score_plan_has_no_python_or_cartesian(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_dsir_selects_target_like_documents(spark):
+    """DSIR must prefer raw docs that resemble the target corpus: with
+    a target full of cat-phrases and a raw pool split between
+    cat-phrases and junk, the selected half must be overwhelmingly the
+    cat half, and log-weights must rank cat docs above junk docs."""
+    from strategicai_visibility_loop_etl_spark.operators.scorer import dsir_select
+
+    target = spark.createDataFrame(
+        [(1000 + i, f"the cat sat on the mat and purred number {i}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    raw_rows = [(i, f"the cat sat near the mat today item {i}") for i in range(25)]
+    raw_rows += [(100 + i, f"zzz qqq vvv kkk www uuu ooo {i}") for i in range(25)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+
+    out = dsir_select(raw, target, k=20, n_buckets=2048)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert {r["sel_rank"] for r in rows} == set(range(1, 21))
+    cat_ids = {r["doc_id"] for r in rows if r["doc_id"] < 100}
+    assert len(cat_ids) >= 18  # Gumbel noise may admit a stray junk doc
+    # log-weights themselves must separate the pools
+    scores = {r["doc_id"]: r["logw"] for r in rows}
+    junk = [v for i, v in scores.items() if i >= 100]
+    cat = [v for i, v in scores.items() if i < 100]
+    assert not junk or max(junk) < min(cat)
+
+
+def test_dsir_is_deterministic(spark):
+    from strategicai_visibility_loop_etl_spark.operators.scorer import dsir_select
+
+    target = spark.createDataFrame(
+        [(900 + i, f"alpha beta gamma {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(i, f"alpha beta delta {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = sorted((r["doc_id"], r["sel_rank"]) for r in
+               dsir_select(raw, target, k=10, n_buckets=512).collect())
+    b = sorted((r["doc_id"], r["sel_rank"]) for r in
+               dsir_select(raw.repartition(7), target, k=10, n_buckets=512).collect())
+    assert a == b
