@@ -2946,6 +2946,22 @@ def qx20_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sel_rank")
 
 
+def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM quality scoring with Stupid Backoff (capability row
+    110, Brants et al. 2007) — the web-scale upgrade of qx11's unigram
+    CCNet score: seen transitions score count(vw)/count(v), unseen
+    back off to 0.4·count(w)/N, no normalization pass by design.
+    Per-transition log-scores round to DECIMAL before the per-doc sum
+    (order-independent); DuckDB replays LM training AND scoring."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        bigram_lm_scores,
+    )
+
+    return bigram_lm_scores(
+        _t(spark, sf_dir, "documents"), stage_path=f"{_SIG_STAGE}/bgl21"
+    ).orderBy("doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2968,6 +2984,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx18_domain_filter": qx18_domain_filter,
         "qx19_hashed_scorer": qx19_hashed_scorer,
         "qx20_dsir": qx20_dsir,
+        "qx21_bigram_lm": qx21_bigram_lm,
     }
 
 
@@ -3570,6 +3587,65 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         WHERE sel_rank <= {_QX20_K}
         ORDER BY sel_rank
+    """
+
+    # qx21: Stupid Backoff replay — pair frequencies, both LM tables,
+    # the backoff CASE, and the DECIMAL per-doc sum.
+    ln04 = repr(__import__("math").log(0.4))
+    sql["qx21_bigram_lm"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        p AS (
+            SELECT doc_id, pr[1] AS prev, pr[2] AS cur
+            FROM (SELECT doc_id,
+                         unnest(list_zip(toks[1:len(toks)-1],
+                                         toks[2:len(toks)])) AS pr
+                  FROM t)
+        ),
+        ptf AS MATERIALIZED (
+            SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM p GROUP BY doc_id, prev, cur
+        ),
+        big AS MATERIALIZED (
+            SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS c2
+            FROM ptf GROUP BY prev, cur
+        ),
+        uni AS MATERIALIZED (
+            SELECT tok, CAST(SUM(c1) AS BIGINT) AS c1 FROM (
+                SELECT prev AS tok, CAST(SUM(tf) AS BIGINT) AS c1
+                FROM ptf GROUP BY prev
+                UNION ALL
+                SELECT toks[len(toks)] AS tok, CAST(COUNT(*) AS BIGINT) AS c1
+                FROM t WHERE len(toks) >= 1 GROUP BY 1
+            ) GROUP BY tok
+        ),
+        tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+        sc AS (
+            SELECT ptf.doc_id, ptf.tf,
+                   CAST(round(
+                       CASE WHEN b.c2 IS NOT NULL
+                            THEN ln(b.c2 / CAST(up.c1 AS DOUBLE))
+                            ELSE {ln04}
+                                 + ln(coalesce(uc.c1, 1)
+                                      / CAST(tot.n AS DOUBLE)) END, 6)
+                        AS DECIMAL(18,6)) AS logs
+            FROM ptf
+            LEFT JOIN big b ON b.prev = ptf.prev AND b.cur = ptf.cur
+            LEFT JOIN uni up ON up.tok = ptf.prev
+            LEFT JOIN uni uc ON uc.tok = ptf.cur
+            CROSS JOIN tot
+        ),
+        agg AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_transitions,
+                   SUM(CAST(tf AS DECIMAL(18,0)) * logs) AS sl
+            FROM sc GROUP BY doc_id
+        )
+        SELECT doc_id, n_transitions,
+               round(-CAST(sl AS DOUBLE) / n_transitions, 6) AS neg_logscore,
+               round(exp(round(-CAST(sl AS DOUBLE) / n_transitions, 6)), 4)
+                   AS sb_ppl
+        FROM agg ORDER BY doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -662,3 +662,126 @@ def mixture_sample(
         df, rates, key_col=key_col, stratum_col=domain_col,
         rate_col="rate_ppm", denom=1_000_000,
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+    logs_decimals: int = 6,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Bigram language-model quality scoring with Stupid Backoff
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the web-scale upgrade of ``unigram_lm_scores``:
+    S(w|v) = count(vw)/count(v) when the bigram was seen, else
+    α·count(w)/N. Stupid Backoff is a SCORE, not a probability — it
+    skips the per-context normalization pass entirely, which is
+    precisely why Google chose it for trillion-token corpora and why
+    it fits a relational engine: both model tables are plain hash
+    aggregates, no discounting joins.
+
+    Per document: the mean −log S over its token transitions
+    (positions 2..n) and ``sb_ppl = exp`` of it; docs with < 2 tokens
+    have no transitions and score NULL. Unigrams unseen in training
+    (never, when scoring the training corpus itself) back off to 1/N.
+
+    Plan shape: ONE corpus pass total. Map-side, each document's token
+    array yields its adjacent-pair rows plus a single last-token
+    sentinel row (``cur`` NULL) — so per-doc pair frequencies, the
+    bigram LM, the unigram LM (= all token occurrences: transition
+    sources + sentinels) AND the corpus total all derive from one
+    staged (id, prev, cur, tf) table; the corpus is never re-scanned
+    or re-tokenized. Scoring joins the per-doc pair vector against the
+    model tables (AQE broadcasts them when small, SMJ at vocabulary
+    scale — no hints). Per-transition log-scores round to DECIMAL
+    before the weighted sum — order-independent, engine-exact (the
+    unigram_lm_scores determinism contract).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(
+            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("__t"),
+    ).withColumn("__t", F.filter("__t", lambda t: F.length(t) >= 1))
+    n = F.size("__t")
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, n - 1).alias("prev"),
+                F.slice("__t", 2, n - 1).alias("cur"),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    # Last-token sentinel rows (cur NULL): with these, "occurrences of
+    # w as prev" == plain token count of w — the unigram LM and N fall
+    # out of the SAME table, no second corpus scan for final tokens.
+    lasts = toks.filter(n >= 1).select(
+        "id",
+        F.element_at("__t", -1).alias("prev"),
+        F.lit(None).cast("string").alias("cur"),
+    )
+    ptf = (
+        pairs.unionByName(lasts)
+        .groupBy("id", "prev", "cur")
+        .agg(F.count("*").alias("tf"))
+    )
+    if stage_path is not None:
+        # The staged table feeds FOUR consumers (bigram LM, unigram
+        # LM, corpus total, scoring); staging makes it one corpus pass.
+        ptf.write.mode("overwrite").parquet(stage_path)
+        ptf = df.sparkSession.read.parquet(stage_path)
+    transitions = ptf.filter(F.col("cur").isNotNull())
+    big = transitions.groupBy("prev", "cur").agg(F.sum("tf").alias("c2"))
+    uni = ptf.groupBy(F.col("prev").alias("tok")).agg(F.sum("tf").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("__n"))
+    dec = f"decimal(18,{logs_decimals})"
+    scored = (
+        transitions.join(big, ["prev", "cur"], "left")
+        .join(
+            uni.select(F.col("tok").alias("prev"), F.col("c1").alias("c1p")),
+            "prev",
+            "left",
+        )
+        .join(
+            uni.select(F.col("tok").alias("cur"), F.col("c1").alias("c1c")),
+            "cur",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            "tf",
+            F.round(
+                F.when(
+                    F.col("c2").isNotNull(),
+                    F.log(
+                        F.col("c2").cast("double") / F.col("c1p").cast("double")
+                    ),
+                ).otherwise(
+                    F.lit(float(__import__("math").log(alpha)))
+                    + F.log(
+                        F.coalesce(F.col("c1c"), F.lit(1)).cast("double")
+                        / F.col("__n").cast("double")
+                    )
+                ),
+                logs_decimals,
+            )
+            .cast(dec)
+            .alias("logs"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_transitions"),
+            F.sum(F.col("tf").cast("decimal(18,0)") * F.col("logs")).alias("__sl"),
+        )
+    )
+    nls = F.round(-F.col("__sl").cast("double") / F.col("n_transitions"), 6)
+    return scored.select(
+        F.col("id").alias(id_col),
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        nls.alias("neg_logscore"),
+        F.round(F.exp(nls), 4).alias("sb_ppl"),
+    )

