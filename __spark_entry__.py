@@ -2962,6 +2962,32 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx22_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 structural page cleaning (capability row 111, Raffel et al.
+    2020 §2.2): deterministic page scaffolding (the qx13 manufacture-
+    the-defect pattern — integer-arithmetic line endings + rule
+    violations, no string hashing) then the real line/page filter:
+    terminal punctuation, ≥5 words/line, javascript lines, lorem
+    ipsum / brace / policy-word pages, ≥3 retained sentences. DuckDB
+    replays BOTH the scaffolding and the filter."""
+    from strategicai_visibility_loop_etl_spark.operators.c4 import (
+        c4_quality_filter,
+        synth_pages,
+    )
+
+    pages = synth_pages(_t(spark, sf_dir, "documents"))
+    out = c4_quality_filter(pages, text_col="page", bad_words=("badtoken",))
+    return out.select(
+        "doc_id",
+        "kept",
+        "drop_reason",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_lines_kept").cast("long").alias("n_lines_kept"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "clean_text",
+    ).orderBy("doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -2985,6 +3011,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx19_hashed_scorer": qx19_hashed_scorer,
         "qx20_dsir": qx20_dsir,
         "qx21_bigram_lm": qx21_bigram_lm,
+        "qx22_c4_filters": qx22_c4_filters,
     }
 
 
@@ -3646,6 +3673,92 @@ def extra_oracle_sql() -> dict[str, str]:
                round(exp(round(-CAST(sl AS DOUBLE) / n_transitions, 6)), 4)
                    AS sb_ppl
         FROM agg ORDER BY doc_id
+    """
+
+    # qx22: replay page scaffolding (pure integer arithmetic on
+    # (doc_id, line idx, line word count)) then the C4 line/page rules.
+    c4_words = (
+        "CASE WHEN (doc_id*7 + i) % 13 = 0"
+        " THEN list_slice(toks, i*6+1, i*6+3)"
+        " ELSE list_slice(toks, i*6+1, i*6+6) END"
+    )
+    c4_line = (
+        f"CASE WHEN (doc_id + i) % 17 = 1"
+        f" THEN array_to_string({c4_words}, ' ') || ' javascript required'"
+        f" ELSE array_to_string({c4_words}, ' ') END"
+    )
+    c4_m = f"(doc_id*131 + i*37 + len({c4_words})*17) % 10"
+    c4_end = (
+        f"CASE WHEN {c4_m} <= 6 THEN '.' WHEN {c4_m} = 7 THEN '!'"
+        f" WHEN {c4_m} = 8 THEN '?' ELSE '' END"
+    )
+    c4_drop = (
+        "CASE WHEN has_lorem THEN 'lorem_ipsum'"
+        " WHEN has_brace THEN 'brace'"
+        " WHEN has_bad THEN 'bad_words'"
+        " WHEN n_sentences < 3 THEN 'too_few_sentences' END"
+    )
+    sql["qx22_c4_filters"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        pg AS (
+            SELECT doc_id,
+                array_to_string(
+                    list_transform(
+                        range(0, CAST(ceil(len(toks)/6.0) AS BIGINT)),
+                        i -> {c4_line} || {c4_end}),
+                    chr(10))
+                || CASE WHEN doc_id % 97 = 3
+                        THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                        ELSE '' END
+                || CASE WHEN doc_id % 89 = 5
+                        THEN chr(10) || 'config = ' || chr(123)
+                             || ' enabled: true ' || chr(125) || '.'
+                        ELSE '' END
+                || CASE WHEN doc_id % 101 = 7
+                        THEN chr(10) || 'this line has badtoken inside it.'
+                        ELSE '' END AS page
+            FROM t
+        ),
+        f AS (
+            SELECT doc_id, page,
+                list_filter(
+                    list_transform(string_split(page, chr(10)),
+                                   l -> trim(l)),
+                    l -> len(l) > 0) AS lines
+            FROM pg
+        ),
+        k AS (
+            SELECT doc_id, page, lines,
+                list_filter(lines, l ->
+                    regexp_matches(l, '[.!?"]$')
+                    AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                        w -> len(w) > 0)) >= 5
+                    AND NOT contains(lower(l), 'javascript')) AS kept_lines
+            FROM f
+        ),
+        s AS (
+            SELECT doc_id, lines, kept_lines,
+                coalesce(list_sum(list_transform(kept_lines, l ->
+                    len(l) - len(regexp_replace(l, '[.!?]', '', 'g')))),
+                    0) AS n_sentences,
+                contains(lower(page), 'lorem ipsum') AS has_lorem,
+                contains(page, chr(123)) AS has_brace,
+                regexp_matches(lower(page),
+                    '(?:^|\\s)(?:badtoken)[.!?]*(?:\\s|$)') AS has_bad
+            FROM k
+        )
+        SELECT doc_id,
+               ({c4_drop}) IS NULL AS kept,
+               {c4_drop} AS drop_reason,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept_lines) AS BIGINT) AS n_lines_kept,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CASE WHEN ({c4_drop}) IS NULL
+                    THEN array_to_string(kept_lines, chr(10)) END
+                   AS clean_text
+        FROM s ORDER BY doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.
