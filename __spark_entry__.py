@@ -2962,6 +2962,20 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx23_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k PMI bigram collocations (capability row 112, Church &
+    Hanks 1990) on qx21's sentinel-pair foundation: PMI as a SUM of
+    logs (overflow-proof, SQL-replayable term-for-term), one
+    corpus-scale aggregation staged, total ordering under ties."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(
+        _t(spark, sf_dir, "documents"), stage_path=f"{_SIG_STAGE}/pmi23"
+    )
+
+
 def qx22_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 structural page cleaning (capability row 111, Raffel et al.
     2020 §2.2): deterministic page scaffolding (the qx13 manufacture-
@@ -3012,6 +3026,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx20_dsir": qx20_dsir,
         "qx21_bigram_lm": qx21_bigram_lm,
         "qx22_c4_filters": qx22_c4_filters,
+        "qx23_pmi_collocations": qx23_pmi_collocations,
     }
 
 
@@ -3759,6 +3774,42 @@ def extra_oracle_sql() -> dict[str, str]:
                     THEN array_to_string(kept_lines, chr(10)) END
                    AS clean_text
         FROM s ORDER BY doc_id
+    """
+
+    # qx23: PMI as a sum of logs over the same sentinel-pair counts.
+    sql["qx23_pmi_collocations"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        ev AS (
+            SELECT pr[1] AS prev, pr[2] AS cur
+            FROM (SELECT unnest(list_zip(toks[1:len(toks)-1],
+                                         toks[2:len(toks)])) AS pr
+                  FROM t)
+            UNION ALL
+            SELECT toks[len(toks)] AS prev, NULL AS cur
+            FROM t WHERE len(toks) >= 1
+        ),
+        g AS MATERIALIZED (
+            SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c
+            FROM ev GROUP BY prev, cur
+        ),
+        uni AS (
+            SELECT prev AS tok, CAST(SUM(c) AS BIGINT) AS c1
+            FROM g GROUP BY prev
+        ),
+        tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni)
+        SELECT g.prev AS w1, g.cur AS w2, g.c AS pair_count,
+               round(ln(CAST(g.c AS DOUBLE)) + ln(CAST(tot.n AS DOUBLE))
+                     - ln(CAST(up.c1 AS DOUBLE))
+                     - ln(CAST(uc.c1 AS DOUBLE)), 6) AS pmi
+        FROM g
+        JOIN uni up ON up.tok = g.prev
+        JOIN uni uc ON uc.tok = g.cur
+        CROSS JOIN tot
+        WHERE g.cur IS NOT NULL AND g.c >= 5
+        ORDER BY pmi DESC, pair_count DESC, w1, w2
+        LIMIT 100
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -664,6 +664,112 @@ def mixture_sample(
     )
 
 
+def _adjacent_pair_events(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, prev, cur) adjacent-token transition rows, map-side from
+    each document's token array, PLUS one last-token sentinel row per
+    doc (``cur`` NULL). With the sentinels, "occurrences of w as prev"
+    equals the plain token count of w — so bigram counts, unigram
+    counts and the corpus total all derive from this ONE table and the
+    corpus is never re-scanned for final tokens. Shared foundation of
+    ``bigram_lm_scores`` and ``pmi_collocations``."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(
+            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("__t"),
+    ).withColumn("__t", F.filter("__t", lambda t: F.length(t) >= 1))
+    n = F.size("__t")
+    pairs = toks.select(
+        "id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("__t", 1, n - 1).alias("prev"),
+                F.slice("__t", 2, n - 1).alias("cur"),
+            )
+        ).alias("p"),
+    ).select("id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
+    lasts = toks.filter(n >= 1).select(
+        "id",
+        F.element_at("__t", -1).alias("prev"),
+        F.lit(None).cast("string").alias("cur"),
+    )
+    return pairs.unionByName(lasts)
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 5,
+    k: int = 100,
+    pmi_decimals: int = 6,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information
+    (Church & Hanks 1990) — the classic corpus-analytics companion of
+    the LM operators: PMI(v,w) = ln c(vw) + ln N − ln c(v) − ln c(w),
+    computed as a SUM of logs (never a product of counts — immune to
+    BIGINT overflow at any corpus scale and replayable term-for-term
+    in SQL).
+
+    One corpus-scale aggregation total: the (prev, cur) transition
+    rows (with last-token sentinels, see ``_adjacent_pair_events``)
+    collapse to a vocabulary²-bounded global pair table, optionally
+    staged; bigram counts, unigram counts and N all fold from it
+    map-side, so the three model tables cost vocabulary-scale, not
+    corpus-scale. The final top-k is a TakeOrdered over the pair
+    table with a total ordering (rounded PMI desc, count desc, then
+    words asc) — deterministic under ties, no full sort materialized.
+
+    Output: ``w1, w2, pair_count, pmi`` (rounded), strongest first.
+    """
+    g = (
+        _adjacent_pair_events(df, text_col, id_col)
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c"))
+    )
+    if stage_path is not None:
+        # one corpus pass: big/uni/N all fold from the staged table
+        g.write.mode("overwrite").parquet(stage_path)
+        g = df.sparkSession.read.parquet(stage_path)
+    big = g.filter(F.col("cur").isNotNull()).select(
+        "prev", "cur", F.col("c").alias("c2")
+    )
+    uni = g.groupBy(F.col("prev").alias("tok")).agg(F.sum("c").alias("c1"))
+    total = uni.agg(F.sum("c1").alias("__n"))
+    pmi = F.round(
+        F.log(F.col("c2").cast("double"))
+        + F.log(F.col("__n").cast("double"))
+        - F.log(F.col("c1p").cast("double"))
+        - F.log(F.col("c1c").cast("double")),
+        pmi_decimals,
+    )
+    return (
+        big.filter(F.col("c2") >= min_count)
+        .join(
+            uni.select(F.col("tok").alias("prev"), F.col("c1").alias("c1p")),
+            "prev",
+        )
+        .join(
+            uni.select(F.col("tok").alias("cur"), F.col("c1").alias("c1c")),
+            "cur",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("prev").alias("w1"),
+            F.col("cur").alias("w2"),
+            F.col("c2").cast("long").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(
+            F.col("pmi").desc(), F.col("pair_count").desc(), "w1", "w2"
+        )
+        .limit(k)
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -699,32 +805,8 @@ def bigram_lm_scores(
     before the weighted sum — order-independent, engine-exact (the
     unigram_lm_scores determinism contract).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.split(
-            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
-        ).alias("__t"),
-    ).withColumn("__t", F.filter("__t", lambda t: F.length(t) >= 1))
-    n = F.size("__t")
-    pairs = toks.select(
-        "id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("__t", 1, n - 1).alias("prev"),
-                F.slice("__t", 2, n - 1).alias("cur"),
-            )
-        ).alias("p"),
-    ).select("id", F.col("p.prev").alias("prev"), F.col("p.cur").alias("cur"))
-    # Last-token sentinel rows (cur NULL): with these, "occurrences of
-    # w as prev" == plain token count of w — the unigram LM and N fall
-    # out of the SAME table, no second corpus scan for final tokens.
-    lasts = toks.filter(n >= 1).select(
-        "id",
-        F.element_at("__t", -1).alias("prev"),
-        F.lit(None).cast("string").alias("cur"),
-    )
     ptf = (
-        pairs.unionByName(lasts)
+        _adjacent_pair_events(df, text_col, id_col)
         .groupBy("id", "prev", "cur")
         .agg(F.count("*").alias("tf"))
     )

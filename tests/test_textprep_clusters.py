@@ -506,3 +506,49 @@ def test_bigram_lm_stupid_backoff_matches_python_reference(spark):
     # repetitive boilerplate (all seen transitions) scores lower
     # neg_logscore than a doc full of rare transitions
     assert got[1]["neg_logscore"] < got[3]["neg_logscore"] or True
+
+
+def test_pmi_collocations_matches_python_reference(spark):
+    """pmi_collocations vs an independent Counter-based PMI: unigram
+    counts include final tokens, PMI = sum of logs, ordering total."""
+    import math
+    from collections import Counter
+
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        pmi_collocations,
+    )
+
+    docs = {
+        1: "strong coffee strong coffee strong coffee",
+        2: "weak tea weak tea strong coffee",
+        3: "strong tea weak coffee strong coffee",
+        4: "coffee",  # single token: unigram only, no pairs
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+
+    uni, big = Counter(), Counter()
+    for t in docs.values():
+        ws = t.split()
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    N = sum(uni.values())
+
+    def r6(x):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    want = sorted(
+        (
+            (r6(math.log(c) + math.log(N) - math.log(uni[a]) - math.log(uni[b])),
+             c, a, b)
+            for (a, b), c in big.items() if c >= 2
+        ),
+        key=lambda t: (-t[0], -t[1], t[2], t[3]),
+    )[:3]
+    got = pmi_collocations(df, min_count=2, k=3).collect()
+    assert [(r["pmi"], r["pair_count"], r["w1"], r["w2"]) for r in got] == want
+    # min_count excludes rarer pairs entirely
+    all_rows = pmi_collocations(df, min_count=2, k=100).collect()
+    assert all(r["pair_count"] >= 2 for r in all_rows)
