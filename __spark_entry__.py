@@ -2962,6 +2962,32 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line removal (capability row 113):
+    qx22's deterministic pages get hash-selected lines re-appended
+    (manufactured boilerplate repeats — 1-based index arithmetic so
+    DuckDB's 1-based lambdas replay verbatim), then the rewrite
+    operator drops later occurrences keeping order. Pure codegen both
+    stages; DuckDB replays injection AND removal."""
+    from strategicai_visibility_loop_etl_spark.operators.c4 import synth_pages
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        dedup_lines_within_doc,
+    )
+
+    pages = synth_pages(_t(spark, sf_dir, "documents"))
+    lines = F.filter(
+        F.transform(F.split(F.col("page"), "\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+    did = F.col("doc_id")
+    dups = F.filter(lines, lambda l, i: (did + (i + 1) * 13) % 4 == 0)
+    noisy = pages.select(
+        "doc_id",
+        F.array_join(F.concat(lines, dups), "\n").alias("page"),
+    )
+    return dedup_lines_within_doc(noisy, text_col="page").orderBy("doc_id")
+
+
 def qx23_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k PMI bigram collocations (capability row 112, Church &
     Hanks 1990) on qx21's sentinel-pair foundation: PMI as a SUM of
@@ -3027,6 +3053,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx21_bigram_lm": qx21_bigram_lm,
         "qx22_c4_filters": qx22_c4_filters,
         "qx23_pmi_collocations": qx23_pmi_collocations,
+        "qx24_intradoc_line_dedup": qx24_intradoc_line_dedup,
     }
 
 
@@ -3713,7 +3740,8 @@ def extra_oracle_sql() -> dict[str, str]:
         " WHEN has_bad THEN 'bad_words'"
         " WHEN n_sentences < 3 THEN 'too_few_sentences' END"
     )
-    sql["qx22_c4_filters"] = f"""
+    # shared scaffolding CTEs: synth_pages replay + trimmed line array
+    c4_scaffold = f"""
         WITH t AS (
             SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
         ),
@@ -3743,7 +3771,9 @@ def extra_oracle_sql() -> dict[str, str]:
                                    l -> trim(l)),
                     l -> len(l) > 0) AS lines
             FROM pg
-        ),
+        )"""
+    sql["qx22_c4_filters"] = f"""
+        {c4_scaffold},
         k AS (
             SELECT doc_id, page, lines,
                 list_filter(lines, l ->
@@ -3774,6 +3804,35 @@ def extra_oracle_sql() -> dict[str, str]:
                     THEN array_to_string(kept_lines, chr(10)) END
                    AS clean_text
         FROM s ORDER BY doc_id
+    """
+
+    # qx24: same scaffolding; inject duplicates (1-based lambda index,
+    # matching Spark's (i+1)), then replay first-occurrence retention.
+    sql["qx24_intradoc_line_dedup"] = f"""
+        {c4_scaffold},
+        n AS (
+            SELECT doc_id,
+                list_concat(lines,
+                    list_filter(lines,
+                        (l, i) -> (doc_id + i*13) % 4 = 0)) AS noisy
+            FROM f
+        ),
+        d AS (
+            SELECT doc_id, noisy,
+                list_filter(noisy,
+                    (l, i) -> list_position(noisy, l) = i) AS kept
+            FROM n
+        )
+        SELECT doc_id,
+               CAST(len(noisy) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               CAST(len(noisy) - len(kept) AS BIGINT) AS n_removed,
+               CASE WHEN len(noisy) = 0 THEN 0.0
+                    ELSE round((len(noisy) - len(kept))
+                               / CAST(len(noisy) AS DOUBLE), 6) END
+                   AS dup_line_fraction,
+               array_to_string(kept, chr(10)) AS text
+        FROM d ORDER BY doc_id
     """
 
     # qx23: PMI as a sum of logs over the same sentinel-pair counts.

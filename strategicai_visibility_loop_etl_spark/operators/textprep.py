@@ -770,6 +770,56 @@ def pmi_collocations(
     )
 
 
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    frac_decimals: int = 6,
+) -> DataFrame:
+    """Within-document repeated-line removal — the REWRITE counterpart
+    of the Gopher duplicate-line *metrics* (``repetition_metrics``):
+    drop every later occurrence of a duplicated (trimmed, non-empty)
+    line, keeping first occurrences in order. Standard intra-page
+    cleanup in web-crawl pipelines (boilerplate nav/footer lines
+    repeat within a page long before they repeat across pages).
+
+    Pure codegen, zero data movement: the line array never leaves its
+    row — first-occurrence testing is ``array_position(lines, l) ==
+    i+1`` inside a higher-order filter (O(lines²) per doc, trivially
+    bounded by page size). Contrast with ``corpus_line_dedup`` (q52),
+    which dedups lines ACROSS documents and must shuffle; at 100 TB
+    this operator is a free rider on whatever scan precedes it.
+
+    Output: ``id_col``, ``n_lines``, ``n_kept``, ``n_removed``,
+    ``dup_line_fraction`` (removed/total, 0.0 for line-less docs),
+    ``text`` (the deduplicated page).
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda l: F.trim(l),
+        ),
+        lambda l: F.length(l) > 0,
+    )
+    kept = F.filter(
+        lines, lambda l, i: F.array_position(lines, l) == i + 1
+    )
+    n_all = F.size(lines)
+    n_kept = F.size(kept)
+    return df.select(
+        F.col(id_col),
+        n_all.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        (n_all - n_kept).cast("long").alias("n_removed"),
+        F.when(n_all == 0, F.lit(0.0))
+        .otherwise(
+            F.round((n_all - n_kept) / n_all.cast("double"), frac_decimals)
+        )
+        .alias("dup_line_fraction"),
+        F.array_join(kept, "\n").alias("text"),
+    )
+
+
 def bigram_lm_scores(
     df: DataFrame,
     text_col: str = "text",

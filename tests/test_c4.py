@@ -125,3 +125,33 @@ def test_synth_pages_deterministic_and_rule_covering(spark, sf_dir):
     assert reasons == {
         None, "lorem_ipsum", "brace", "bad_words", "too_few_sentences"
     }
+
+
+def test_dedup_lines_within_doc(spark):
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        dedup_lines_within_doc,
+    )
+
+    pages = [
+        (1, "nav home about\nArticle body one.\nnav home about\nFooter (c).\n  nav home about  "),
+        (2, "unique one\nunique two\nunique three"),
+        (3, ""),
+        (4, None),
+        (5, "same\nsame\nsame\nsame"),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in dedup_lines_within_doc(df).collect()}
+    # doc 1: 5 trimmed lines, boilerplate repeats 3x -> keep first only
+    assert got[1]["n_lines"] == 5 and got[1]["n_kept"] == 3
+    assert got[1]["text"] == "nav home about\nArticle body one.\nFooter (c)."
+    assert got[1]["dup_line_fraction"] == 0.4
+    # doc 2: untouched, order preserved
+    assert got[2]["n_removed"] == 0 and got[2]["text"] == pages[1][1]
+    # empty / null docs: zero lines, fraction 0.0, empty text
+    for i in (3, 4):
+        assert got[i] == dict(
+            doc_id=i, n_lines=0, n_kept=0, n_removed=0,
+            dup_line_fraction=0.0, text="",
+        )
+    # doc 5: all-identical lines collapse to one
+    assert got[5]["n_kept"] == 1 and got[5]["dup_line_fraction"] == 0.75
