@@ -38,27 +38,14 @@ def _line_words(line: Column) -> Column:
     return F.filter(F.split(line, r"\s+"), lambda w: F.length(w) > 0)
 
 
-def c4_quality_filter(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_words_per_line: int = 5,
-    min_sentences: int = 3,
-    bad_words: tuple[str, ...] = (),
-) -> DataFrame:
-    """Apply the C4 line/page rules; one row out per row in.
-
-    Returns ``id_col`` plus: ``kept`` (page survives), ``drop_reason``
-    (first matching of ``lorem_ipsum``/``brace``/``bad_words``/
-    ``too_few_sentences``, NULL when kept), ``n_lines`` (non-empty
-    input lines), ``n_lines_kept``, ``n_sentences`` (terminal marks in
-    retained lines), and ``clean_text`` (retained lines re-joined;
-    NULL when the page is dropped).
-
-    Pure codegen: the page never leaves its partition and no data
-    moves — callers filter on ``kept`` and select ``clean_text``.
-    """
-    text = F.coalesce(F.col(text_col), F.lit(""))
+def _c4_parts(
+    text: Column,
+    min_words_per_line: int,
+    min_sentences: int,
+    bad_words: tuple[str, ...],
+) -> dict[str, Column]:
+    """The C4 rule expressions over one page column — shared by the
+    report-shaped operator and the pipeline's in-place clean stage."""
     lines = F.filter(
         F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
         lambda l: F.length(l) > 0,
@@ -93,15 +80,74 @@ def c4_quality_filter(
         .when(has_bad, F.lit("bad_words"))
         .when(n_sentences < min_sentences, F.lit("too_few_sentences"))
     )
-    kept = drop_reason.isNull()
+    return {
+        "lines": lines,
+        "kept_lines": kept_lines,
+        "n_sentences": n_sentences,
+        "drop_reason": drop_reason,
+        "kept": drop_reason.isNull(),
+    }
+
+
+def c4_quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    bad_words: tuple[str, ...] = (),
+) -> DataFrame:
+    """Apply the C4 line/page rules; one row out per row in.
+
+    Returns ``id_col`` plus: ``kept`` (page survives), ``drop_reason``
+    (first matching of ``lorem_ipsum``/``brace``/``bad_words``/
+    ``too_few_sentences``, NULL when kept), ``n_lines`` (non-empty
+    input lines), ``n_lines_kept``, ``n_sentences`` (terminal marks in
+    retained lines), and ``clean_text`` (retained lines re-joined;
+    NULL when the page is dropped).
+
+    Pure codegen: the page never leaves its partition and no data
+    moves — callers filter on ``kept`` and select ``clean_text``.
+    """
+    p = _c4_parts(
+        F.coalesce(F.col(text_col), F.lit("")),
+        min_words_per_line,
+        min_sentences,
+        bad_words,
+    )
     return df.select(
         F.col(id_col),
-        kept.alias("kept"),
-        drop_reason.alias("drop_reason"),
-        F.size(lines).alias("n_lines"),
-        F.size(kept_lines).alias("n_lines_kept"),
-        n_sentences.alias("n_sentences"),
-        F.when(kept, F.array_join(kept_lines, "\n")).alias("clean_text"),
+        p["kept"].alias("kept"),
+        p["drop_reason"].alias("drop_reason"),
+        F.size(p["lines"]).alias("n_lines"),
+        F.size(p["kept_lines"]).alias("n_lines_kept"),
+        p["n_sentences"].alias("n_sentences"),
+        F.when(p["kept"], F.array_join(p["kept_lines"], "\n")).alias(
+            "clean_text"
+        ),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+    bad_words: tuple[str, ...] = (),
+) -> DataFrame:
+    """Pipeline form of the C4 rules: drop failing pages, rewrite
+    ``text_col`` to the retained lines, keep every other column.
+    Still one codegen projection + a filter on the same scan — no
+    join back, no shuffle (contrast report-shaped
+    ``c4_quality_filter``, which returns stats for ALL pages)."""
+    p = _c4_parts(
+        F.coalesce(F.col(text_col), F.lit("")),
+        min_words_per_line,
+        min_sentences,
+        bad_words,
+    )
+    return df.filter(p["kept"]).withColumn(
+        text_col, F.array_join(p["kept_lines"], "\n")
     )
 
 

@@ -770,6 +770,27 @@ def pmi_collocations(
     )
 
 
+def _doc_lines(col: Column) -> Column:
+    """Trimmed non-empty line array of a page column."""
+    return F.filter(
+        F.transform(
+            F.split(F.coalesce(col, F.lit("")), "\n"), lambda l: F.trim(l)
+        ),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def _first_occurrence_lines(lines: Column) -> Column:
+    """Keep only each line's first occurrence, preserving order."""
+    return F.filter(lines, lambda l, i: F.array_position(lines, l) == i + 1)
+
+
+def dedup_lines_text(col: Column) -> Column:
+    """Expression form of ``dedup_lines_within_doc`` for pipeline use:
+    the page with later duplicate-line occurrences removed."""
+    return F.array_join(_first_occurrence_lines(_doc_lines(col)), "\n")
+
+
 def dedup_lines_within_doc(
     df: DataFrame,
     text_col: str = "text",
@@ -794,16 +815,8 @@ def dedup_lines_within_doc(
     ``dup_line_fraction`` (removed/total, 0.0 for line-less docs),
     ``text`` (the deduplicated page).
     """
-    lines = F.filter(
-        F.transform(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
-            lambda l: F.trim(l),
-        ),
-        lambda l: F.length(l) > 0,
-    )
-    kept = F.filter(
-        lines, lambda l, i: F.array_position(lines, l) == i + 1
-    )
+    lines = _doc_lines(F.col(text_col))
+    kept = _first_occurrence_lines(lines)
     n_all = F.size(lines)
     n_kept = F.size(kept)
     return df.select(

@@ -10,6 +10,8 @@ handful of narrow shuffles:
 
 0. domain gate   — blocklist/allowlist by URL host (broadcast dim,
                    map-side suffix match; the cheapest filter first)
+0b. structural   — C4 line/page rules + within-page duplicate-line
+                   removal (opt-in; pure codegen on the same scan)
 1. annotate      — lang_id / quality / token counts (zero shuffles)
 2. filter        — lang allowlist + quality floor + length bounds
                    (predicate on the annotated scan)
@@ -75,6 +77,12 @@ def default_corpus_config() -> dict:
         "domain_filter": {"enable": False, "url_col": "url",
                           "domain_col": None, "blocklist": None,
                           "allowlist": None, "include_subdomains": True},
+        # C4 structural page rules + within-page duplicate-line removal
+        # (multi-line corpora only — a single-line corpus has no page
+        # structure for the line rules to keep, so this is opt-in)
+        "structural": {"enable": False, "min_words_per_line": 5,
+                       "min_sentences": 3, "bad_words": (),
+                       "dedup_lines": True},
         "lm_filter": {"enable": False, "min_ppl": 0.0, "max_ppl": None,
                       "stage_path": None},
         "decontaminate": {"enable": False, "k": 8, "use_bloom": False},
@@ -132,6 +140,26 @@ def run_corpus_pipeline(
         from ..functions.text import fix_mojibake  # noqa: PLC0415
 
         docs = docs.withColumn(text_col, fix_mojibake(txt))
+
+    # 0b. structural clean (C4 + intra-page line dedup): both are pure
+    # codegen projections/filters on the same scan — junk pages and
+    # repeated boilerplate lines disappear before any tokenizing,
+    # hashing or shuffling stage sees them.
+    st = {**default_corpus_config()["structural"],
+          **(cfg.get("structural") or {})}
+    if st["enable"]:
+        from ..operators.c4 import c4_clean  # noqa: PLC0415
+
+        docs = c4_clean(
+            docs, text_col=text_col,
+            min_words_per_line=st["min_words_per_line"],
+            min_sentences=st["min_sentences"],
+            bad_words=tuple(st["bad_words"] or ()),
+        )
+        if st["dedup_lines"]:
+            from ..operators.textprep import dedup_lines_text  # noqa: PLC0415
+
+            docs = docs.withColumn(text_col, dedup_lines_text(txt))
 
     # 1. annotate (pure projection: stays in the scan's codegen stage)
     annotated = docs.withColumns(

@@ -291,3 +291,42 @@ def test_corpus_pipeline_mixture_output(spark, sf_dir):
     mix = out["mixture"].collect()
     assert len(mix) > 0
     assert {r["source"] for r in mix} <= {"src0", "src1"}
+
+
+def test_corpus_pipeline_structural_stage(spark):
+    """Stage 0b: C4 page rules + within-page line dedup run BEFORE
+    annotation, so junk pages and repeated boilerplate lines never
+    reach the tokenizing/hashing stages."""
+    from strategicai_visibility_loop_etl_spark.plans.corpus import (
+        default_corpus_config,
+        run_corpus_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar menu login search here.\n"
+                "A real sentence with several words in it.\n"
+                "nav bar menu login search here.\n"
+                "Another real sentence closing out the page."),
+            (2, "Lorem ipsum dolor sit amet and so on."),  # page drop
+            (3, "short\nno punct line\nok?"),              # too few sentences
+        ],
+        "doc_id long, text string",
+    )
+    cfg = {
+        **default_corpus_config(),
+        "structural": {"enable": True, "dedup_lines": True},
+        "min_tokens": 1,
+        "neardup": {"enable": False},
+        "redact_pii": False,
+        "fix_encoding": False,
+    }
+    clean = run_corpus_pipeline(docs, cfg)["clean"]
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert set(rows) == {1}
+    # duplicated boilerplate line removed, order preserved
+    assert rows[1] == (
+        "nav bar menu login search here.\n"
+        "A real sentence with several words in it.\n"
+        "Another real sentence closing out the page."
+    )
