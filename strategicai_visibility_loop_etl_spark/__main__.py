@@ -123,6 +123,12 @@ def build_corpus_parser() -> argparse.ArgumentParser:
     p.add_argument("--domain-host-col", default=None,
                    help="column that already holds a bare host (e.g. "
                         "'source'); overrides --domain-url-col")
+    p.add_argument("--structural", action="store_true",
+                   help="enable the C4 line/page rules + within-page "
+                        "duplicate-line removal (multi-line corpora)")
+    p.add_argument("--bad-words", default=None,
+                   help="comma-separated (or @file) policy word list "
+                        "for the structural page filter")
     p.add_argument("--cpus", type=int, default=None)
     return p
 
@@ -165,6 +171,13 @@ def corpus_main(argv: list[str], spark=None) -> int:
             "url_col": args.domain_url_col or "url",
             "domain_col": args.domain_host_col,
             "include_subdomains": True,
+        }
+    if args.structural:
+        cfg["structural"] = {
+            "enable": True,
+            "dedup_lines": True,
+            "bad_words": tuple(_domain_list(args.bad_words))
+            if args.bad_words else (),
         }
     if args.ppl_min or args.ppl_max:
         cfg["lm_filter"] = {"enable": True, "min_ppl": args.ppl_min,

@@ -330,3 +330,31 @@ def test_corpus_pipeline_structural_stage(spark):
         "A real sentence with several words in it.\n"
         "Another real sentence closing out the page."
     )
+
+
+def test_corpus_cli_structural_flag(spark, tmp_path):
+    """--structural wires the C4 + line-dedup stage through the CLI."""
+    from strategicai_visibility_loop_etl_spark.__main__ import corpus_main
+
+    src = tmp_path / "docs.parquet"
+    spark.createDataFrame(
+        [
+            (1, "Repeated boilerplate line here again.\n"
+                "A genuine sentence with enough words inside.\n"
+                "Repeated boilerplate line here again.\n"
+                "One more proper sentence finishes the page."),
+            (2, "lorem ipsum dolor sit amet filler."),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(str(src))
+    out = tmp_path / "out"
+    rc = corpus_main(
+        ["--input", str(src), "--out", str(out),
+         "--no-neardup", "--min-tokens", "1", "--structural"],
+        spark=spark,
+    )
+    assert rc == 0
+    clean = spark.read.parquet(str(out / "clean"))
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert set(rows) == {1}
+    assert rows[1].count("Repeated boilerplate line here again.") == 1
