@@ -30,6 +30,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.exprs import flet
+
 _TERMINAL_RE = '[.!?"]$'
 _SENTENCE_MARKS = "[.!?]"
 
@@ -38,55 +40,70 @@ def _line_words(line: Column) -> Column:
     return F.filter(F.split(line, r"\s+"), lambda w: F.length(w) > 0)
 
 
-def _c4_parts(
-    text: Column,
-    min_words_per_line: int,
-    min_sentences: int,
-    bad_words: tuple[str, ...],
-) -> dict[str, Column]:
-    """The C4 rule expressions over one page column — shared by the
-    report-shaped operator and the pipeline's in-place clean stage."""
-    lines = F.filter(
+def _c4_line_stats(
+    text: Column, min_words_per_line: int
+) -> Column:
+    """struct(n_lines, n_lines_kept, n_sentences, clean) for one page.
+
+    Both array builds are ``flet``-bound (evaluated once per row): the
+    line split/trim/filter and the rule chain (a regex per line) would
+    otherwise re-run for every field that references them — measured
+    ~4× the whole operator's cost before the binding was added.
+    """
+    lines_expr = F.filter(
         F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
         lambda l: F.length(l) > 0,
     )
-    kept_lines = F.filter(
-        lines,
-        lambda l: l.rlike(_TERMINAL_RE)
-        & (F.size(_line_words(l)) >= min_words_per_line)
-        & ~F.lower(l).contains("javascript"),
-    )
-    n_sentences = F.aggregate(
-        kept_lines,
-        F.lit(0),
-        lambda acc, l: acc
-        + (
-            F.length(l) - F.length(F.regexp_replace(l, _SENTENCE_MARKS, ""))
-        ),
-    )
-    low = F.lower(text)
-    has_lorem = low.contains("lorem ipsum")
-    has_brace = text.contains("{")
+
+    def stats(lines: Column) -> Column:
+        kept_expr = F.filter(
+            lines,
+            lambda l: l.rlike(_TERMINAL_RE)
+            & (F.size(_line_words(l)) >= min_words_per_line)
+            & ~F.lower(l).contains("javascript"),
+        )
+        return flet(
+            kept_expr,
+            lambda kept: F.named_struct(
+                F.lit("n_lines"), F.size(lines),
+                F.lit("n_lines_kept"), F.size(kept),
+                F.lit("n_sentences"),
+                F.aggregate(
+                    kept,
+                    F.lit(0),
+                    lambda acc, l: acc
+                    + (
+                        F.length(l)
+                        - F.length(F.regexp_replace(l, _SENTENCE_MARKS, ""))
+                    ),
+                ),
+                F.lit("clean"), F.array_join(kept, "\n"),
+            ),
+        )
+
+    return flet(lines_expr, stats)
+
+
+def _c4_drop_reason(
+    page: Column,
+    n_sentences: Column,
+    min_sentences: int,
+    bad_words: tuple[str, ...],
+) -> Column:
+    """First matching page-level drop reason, NULL when kept."""
+    low = F.lower(page)
     if bad_words:
         alt = "|".join(re.escape(w.lower()) for w in bad_words)
         # no lookahead — the oracle replays this in RE2 (DuckDB)
         has_bad = low.rlike(rf"(?:^|\s)(?:{alt})[.!?]*(?:\s|$)")
     else:
         has_bad = F.lit(False)
-
-    drop_reason = (
-        F.when(has_lorem, F.lit("lorem_ipsum"))
-        .when(has_brace, F.lit("brace"))
+    return (
+        F.when(low.contains("lorem ipsum"), F.lit("lorem_ipsum"))
+        .when(page.contains("{"), F.lit("brace"))
         .when(has_bad, F.lit("bad_words"))
         .when(n_sentences < min_sentences, F.lit("too_few_sentences"))
     )
-    return {
-        "lines": lines,
-        "kept_lines": kept_lines,
-        "n_sentences": n_sentences,
-        "drop_reason": drop_reason,
-        "kept": drop_reason.isNull(),
-    }
 
 
 def c4_quality_filter(
@@ -109,22 +126,24 @@ def c4_quality_filter(
     Pure codegen: the page never leaves its partition and no data
     moves — callers filter on ``kept`` and select ``clean_text``.
     """
-    p = _c4_parts(
-        F.coalesce(F.col(text_col), F.lit("")),
-        min_words_per_line,
-        min_sentences,
-        bad_words,
-    )
-    return df.select(
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.select(
         F.col(id_col),
-        p["kept"].alias("kept"),
-        p["drop_reason"].alias("drop_reason"),
-        F.size(p["lines"]).alias("n_lines"),
-        F.size(p["kept_lines"]).alias("n_lines_kept"),
-        p["n_sentences"].alias("n_sentences"),
-        F.when(p["kept"], F.array_join(p["kept_lines"], "\n")).alias(
-            "clean_text"
-        ),
+        text.alias("__pg"),
+        _c4_line_stats(text, min_words_per_line).alias("__s"),
+    )
+    s = F.col("__s")
+    reason = _c4_drop_reason(
+        F.col("__pg"), s["n_sentences"], min_sentences, bad_words
+    )
+    return staged.select(
+        F.col(id_col),
+        reason.isNull().alias("kept"),
+        reason.alias("drop_reason"),
+        s["n_lines"].alias("n_lines"),
+        s["n_lines_kept"].alias("n_lines_kept"),
+        s["n_sentences"].alias("n_sentences"),
+        F.when(reason.isNull(), s["clean"]).alias("clean_text"),
     )
 
 
@@ -140,14 +159,23 @@ def c4_clean(
     Still one codegen projection + a filter on the same scan — no
     join back, no shuffle (contrast report-shaped
     ``c4_quality_filter``, which returns stats for ALL pages)."""
-    p = _c4_parts(
-        F.coalesce(F.col(text_col), F.lit("")),
-        min_words_per_line,
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    staged = df.withColumns(
+        {
+            "__c4s": _c4_line_stats(text, min_words_per_line),
+            "__c4pg": text,
+        }
+    )
+    reason = _c4_drop_reason(
+        F.col("__c4pg"),
+        F.col("__c4s")["n_sentences"],
         min_sentences,
         bad_words,
     )
-    return df.filter(p["kept"]).withColumn(
-        text_col, F.array_join(p["kept_lines"], "\n")
+    return (
+        staged.filter(reason.isNull())
+        .withColumn(text_col, F.col("__c4s")["clean"])
+        .drop("__c4s", "__c4pg")
     )
 
 
@@ -181,37 +209,45 @@ def synth_pages(
     """
     from ..functions.text import normalized_text
 
-    toks = F.split(
-        normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+    toks_expr = F.filter(
+        F.split(
+            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ),
+        lambda t: F.length(t) >= 1,
     )
-    toks = F.filter(toks, lambda t: F.length(t) >= 1)
-    n = F.size(toks)
     did = F.col(id_col).cast("long")
     wpl = F.lit(words_per_line)
-    n_lines = F.ceil(n / wpl).cast("int")
-    idx = F.when(n_lines >= 1, F.sequence(F.lit(0), n_lines - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
 
-    def build_line(i: Column) -> Column:
-        base = F.slice(toks, i * wpl + 1, words_per_line)
-        trunc = (did * 7 + i) % 13 == 0
-        words = F.when(trunc, F.slice(base, 1, 3)).otherwise(base)
-        w = F.size(words)
-        line = F.array_join(words, " ")
-        line = F.when(
-            (did + i) % 17 == 1, F.concat(line, F.lit(" javascript required"))
-        ).otherwise(line)
-        m = (did * 131 + i.cast("long") * 37 + w * 17) % 10
-        end = (
-            F.when(m <= 6, F.lit("."))
-            .when(m == 7, F.lit("!"))
-            .when(m == 8, F.lit("?"))
-            .otherwise(F.lit(""))
-        )
-        return F.concat(line, end)
+    # flet-bound: build_line's slices reference the token array inside
+    # a per-line lambda — unbound, tokenization would re-run per LINE.
+    def build_body(toks: Column) -> Column:
+        n_lines = F.ceil(F.size(toks) / wpl).cast("int")
+        idx = F.when(
+            n_lines >= 1, F.sequence(F.lit(0), n_lines - 1)
+        ).otherwise(F.array().cast("array<int>"))
 
-    body = F.array_join(F.transform(idx, build_line), "\n")
+        def build_line(i: Column) -> Column:
+            base = F.slice(toks, i * wpl + 1, words_per_line)
+            trunc = (did * 7 + i) % 13 == 0
+            words = F.when(trunc, F.slice(base, 1, 3)).otherwise(base)
+            w = F.size(words)
+            line = F.array_join(words, " ")
+            line = F.when(
+                (did + i) % 17 == 1,
+                F.concat(line, F.lit(" javascript required")),
+            ).otherwise(line)
+            m = (did * 131 + i.cast("long") * 37 + w * 17) % 10
+            end = (
+                F.when(m <= 6, F.lit("."))
+                .when(m == 7, F.lit("!"))
+                .when(m == 8, F.lit("?"))
+                .otherwise(F.lit(""))
+            )
+            return F.concat(line, end)
+
+        return F.array_join(F.transform(idx, build_line), "\n")
+
+    body = flet(toks_expr, build_body)
     extras = F.concat(
         F.when(did % 97 == 3, F.lit("\nlorem ipsum dolor sit amet.")).otherwise(
             F.lit("")

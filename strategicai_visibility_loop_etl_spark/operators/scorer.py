@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exprs import flet
 from ..functions.text import tokens
 
 _FP_BASE = 31
@@ -46,34 +47,87 @@ def _poly_hash(s: Column) -> Column:
     )
 
 
+def _poly_hash_codes(codes: Column) -> Column:
+    """Fold over a precomputed codepoint array (same values as
+    ``_poly_hash`` without re-splitting the string)."""
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(_FP_BASE) + c) % F.lit(_FP_MOD),
+    )
+
+
+def _poly_hash_gram(codes: Column, i: Column, n: int) -> Column:
+    """Closed-form fold for the ``n``-codepoint gram starting at
+    1-based ``i`` of ``codes``: Σ code_j·31^(n−1−j) mod 1e9+7.
+    Modular arithmetic is a homomorphism, so this is bit-identical to
+    the per-char fold — and the int64 sum can't overflow for n ≤ 8
+    (max codepoint ~1.1e6 × 31⁷ × 8 ≪ 2⁶³). One expression per gram
+    instead of a split + aggregate: ~10× cheaper in the hot path."""
+    acc: Column = F.lit(0).cast("long")
+    for j in range(n):
+        acc = acc + F.element_at(codes, i + j).cast("long") * F.lit(
+            _FP_BASE ** (n - 1 - j)
+        )
+    return acc % F.lit(_FP_MOD)
+
+
 def hashed_features(
     col: Column, n_buckets: int = 1 << 18, char_n: int = 3
 ) -> Column:
     """array<long> of feature bucket ids: word unigrams + adjacent word
     bigrams + char ``char_n``-grams of each ``<``boundary-marked``>``
     word, each hashed into ``n_buckets``. Pure higher-order
-    expressions — no shuffle, no Python."""
+    expressions — no shuffle, no Python.
+
+    Expression-cost discipline (this tripled qx19's speed): the token
+    array is LET-BOUND via a one-element ``transform`` so the regex
+    tokenization runs once per row (expression references are NOT
+    common-subexpression-eliminated across the feature terms); bigrams
+    zip sliced arrays instead of ``element_at(words, i)`` (an outer
+    reference inside a higher-order lambda re-evaluates per element);
+    char grams hash with the closed form (``_poly_hash_gram``) over a
+    once-split codepoint array, not a per-gram fold."""
+    return flet(
+        tokens(col), lambda ws: _features_from_words(ws, n_buckets, char_n)
+    )
+
+
+def _features_from_words(
+    words: Column, n_buckets: int, char_n: int
+) -> Column:
     b = F.lit(n_buckets)
-    words = tokens(col)
     nw = F.size(words)
     uni = F.transform(words, lambda w: _poly_hash(w) % b)
-    big_idx = F.when(nw >= 2, F.sequence(F.lit(1), nw - 1)).otherwise(
-        F.array().cast("array<int>")
+    # bigrams via arrays_zip, NOT element_at(words, i) inside the
+    # lambda: an outer-expression reference in a higher-order lambda
+    # re-evaluates it per ELEMENT — that re-tokenized the document for
+    # every bigram (measured 10× the cost of all other terms).
+    big = F.when(
+        nw >= 2,
+        F.transform(
+            F.arrays_zip(
+                F.slice(words, 1, nw - 1).alias("a"),
+                F.slice(words, 2, nw - 1).alias("b"),
+            ),
+            lambda p: _poly_hash(F.concat_ws(" ", p["a"], p["b"])) % b,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # boundary-marked codepoint arrays, one split per word
+    marked_codes = F.transform(
+        words,
+        lambda w: F.concat(
+            F.array(F.lit(60)),  # '<'
+            F.transform(F.split(w, ""), lambda c: F.ascii(c)),
+            F.array(F.lit(62)),  # '>'
+        ),
     )
-    big = F.transform(
-        big_idx,
-        lambda i: _poly_hash(
-            F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1))
-        )
-        % b,
-    )
-    marked = F.transform(words, lambda w: F.concat(F.lit("<"), w, F.lit(">")))
     chars = F.flatten(
         F.transform(
-            marked,
+            marked_codes,
             lambda m: F.transform(
-                F.sequence(F.lit(1), F.length(m) - F.lit(char_n - 1)),
-                lambda i: _poly_hash(F.substring(m, i, char_n)) % b,
+                F.sequence(F.lit(1), F.size(m) - F.lit(char_n - 1)),
+                lambda i: _poly_hash_gram(m, i, char_n) % b,
             ),
         )
     )

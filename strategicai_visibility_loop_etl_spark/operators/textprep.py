@@ -781,8 +781,17 @@ def _doc_lines(col: Column) -> Column:
 
 
 def _first_occurrence_lines(lines: Column) -> Column:
-    """Keep only each line's first occurrence, preserving order."""
-    return F.filter(lines, lambda l, i: F.array_position(lines, l) == i + 1)
+    """Keep only each line's first occurrence, preserving order.
+    ``flet``-bound: ``array_position(lines, l)`` inside the lambda
+    would otherwise re-evaluate the split+trim+filter chain PER LINE."""
+    from ..functions.exprs import flet  # noqa: PLC0415
+
+    return flet(
+        lines,
+        lambda ls: F.filter(
+            ls, lambda l, i: F.array_position(ls, l) == i + 1
+        ),
+    )
 
 
 def dedup_lines_text(col: Column) -> Column:
