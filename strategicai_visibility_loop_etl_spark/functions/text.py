@@ -131,15 +131,22 @@ def fingerprint64(col: Column) -> Column:
 
 
 def shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles (array<string>, distinct) of the normalized text."""
-    toks = tokens(col)
-    n = F.size(toks)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
-    )
+    """Word k-shingles (array<string>, distinct) of the normalized
+    text. flet-bound: the slice inside the per-shingle lambda must see
+    the token array as a lambda variable, or the regex tokenization
+    re-runs per shingle (see ``functions/exprs.flet``)."""
+    from .exprs import flet  # noqa: PLC0415
+
+    def body(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        )
+
+    return flet(tokens(col), body)
 
 
 def strip_html(col: Column) -> Column:

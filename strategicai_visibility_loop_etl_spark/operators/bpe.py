@@ -181,11 +181,27 @@ def bpe_encode(
             )
         return _unwrap(x)
 
-    words = _clean_words(text_col)
-    toks_col = F.flatten(F.transform(words, enc))
-    return df.select(
+    from ..functions.exprs import flet  # noqa: PLC0415
+
+    # flet-bound: n_words/n_bpe/encoded all reference the word and
+    # token arrays — unbound, the |merges|-deep replace chain would
+    # evaluate once PER OUTPUT COLUMN.
+    out = flet(
+        _clean_words(text_col),
+        lambda words: flet(
+            F.flatten(F.transform(words, enc)),
+            lambda toks: F.named_struct(
+                F.lit("n_words"), F.size(words),
+                F.lit("n_bpe"), F.size(toks),
+                F.lit("encoded"), F.array_join(toks, " "),
+            ),
+        ),
+    )
+    staged = df.select(F.col(id_col), out.alias("__e"))
+    e = F.col("__e")
+    return staged.select(
         F.col(id_col),
-        F.size(words).cast("long").alias("n_words"),
-        F.size(toks_col).cast("long").alias("n_bpe"),
-        F.array_join(toks_col, " ").alias("encoded"),
+        e["n_words"].cast("long").alias("n_words"),
+        e["n_bpe"].cast("long").alias("n_bpe"),
+        e["encoded"].alias("encoded"),
     )

@@ -661,17 +661,37 @@ def exactsubstr_dedup(
         ),
         lambda p: p + k,
     )
-    spans = F.zip_with(starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e")))
-    kept = F.filter(
-        "__toks",
-        lambda _t, i: ~F.exists(
-            spans, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+    spans_expr = F.zip_with(
+        starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+    )
+    # flet-bound twice: the exists() probe must see the span array as
+    # a lambda variable (else the whole starts/ends construction
+    # re-evaluates PER TOKEN), and the kept array feeds two output
+    # columns (else the O(tokens×spans) filter runs twice).
+    from ..functions.exprs import flet  # noqa: PLC0415
+
+    out = flet(
+        spans_expr,
+        lambda spans: flet(
+            F.filter(
+                "__toks",
+                lambda _t, i: ~F.exists(
+                    spans, lambda sp: (i >= sp["s"]) & (i < sp["e"])
+                ),
+            ),
+            lambda kept: F.named_struct(
+                F.lit("n_spans"), F.size(spans),
+                F.lit("n_kept"), F.size(kept),
+                F.lit("clean"), F.array_join(kept, " "),
+            ),
         ),
     )
-    return joined.select(
+    staged = joined.select("id", "__n", out.alias("__x"))
+    x = F.col("__x")
+    return staged.select(
         F.col("id").alias(id_col),
         F.col("__n").cast("long").alias("n_tokens"),
-        F.size(starts).cast("long").alias("n_spans"),
-        (F.col("__n") - F.size(kept)).cast("long").alias("n_removed"),
-        F.array_join(kept, " ").alias("clean_text"),
+        x["n_spans"].cast("long").alias("n_spans"),
+        (F.col("__n") - x["n_kept"]).cast("long").alias("n_removed"),
+        x["clean"].alias("clean_text"),
     )
