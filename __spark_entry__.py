@@ -2962,6 +2962,26 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx25_boilerplate_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate line excision (capability row 114):
+    qx22's deterministic pages carry genuine cross-doc boilerplate
+    (the lorem/config/badtoken extras recur on hash-selected docs, and
+    duplicate documents share every line); any line in ≥ 2 documents
+    is excised from all of them. Only (line-hash, id, pos) shuffles;
+    DuckDB replays document frequency and excision from line STRINGS —
+    independent of the xxhash64 line identity."""
+    from strategicai_visibility_loop_etl_spark.operators.c4 import synth_pages
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_line_excision,
+    )
+
+    pages = synth_pages(_t(spark, sf_dir, "documents"))
+    return boilerplate_line_excision(
+        pages, min_df=2, text_col="page",
+        stage_path=f"{_SIG_STAGE}/boiler25",
+    ).orderBy("doc_id")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3054,6 +3074,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx22_c4_filters": qx22_c4_filters,
         "qx23_pmi_collocations": qx23_pmi_collocations,
         "qx24_intradoc_line_dedup": qx24_intradoc_line_dedup,
+        "qx25_boilerplate_excision": qx25_boilerplate_excision,
     }
 
 
@@ -3833,6 +3854,37 @@ def extra_oracle_sql() -> dict[str, str]:
                    AS dup_line_fraction,
                array_to_string(kept, chr(10)) AS text
         FROM d ORDER BY doc_id
+    """
+
+    # qx25: same scaffolding; df from line STRINGS (hash-independent),
+    # excision replayed with DuckDB's native 1-based lambda indexes.
+    sql["qx25_boilerplate_excision"] = f"""
+        {c4_scaffold},
+        p AS (
+            SELECT doc_id, s['l'] AS l, s['i'] AS i
+            FROM (SELECT doc_id,
+                         unnest(list_transform(lines,
+                             (l, i) -> {{'l': l, 'i': i}})) AS s
+                  FROM f)
+        ),
+        boiler AS (
+            SELECT l FROM (SELECT DISTINCT doc_id, l FROM p)
+            GROUP BY l HAVING COUNT(*) >= 2
+        ),
+        hits AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nrem,
+                   list(i ORDER BY i) AS idxs
+            FROM p JOIN boiler USING (l) GROUP BY doc_id
+        )
+        SELECT f.doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               coalesce(nrem, 0) AS n_removed,
+               array_to_string(
+                   list_filter(lines, (l, i) ->
+                       NOT list_contains(coalesce(idxs, []), i)),
+                   chr(10)) AS clean_text
+        FROM f LEFT JOIN hits ON hits.doc_id = f.doc_id
+        ORDER BY f.doc_id
     """
 
     # qx23: PMI as a sum of logs over the same sentinel-pair counts.

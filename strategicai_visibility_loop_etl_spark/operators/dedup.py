@@ -695,3 +695,75 @@ def exactsubstr_dedup(
         (F.col("__n") - x["n_kept"]).cast("long").alias("n_removed"),
         x["clean"].alias("clean_text"),
     )
+
+
+def boilerplate_line_excision(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Cross-document boilerplate line removal: any trimmed non-empty
+    line whose corpus-wide DOCUMENT frequency is ≥ ``min_df`` is
+    excised from every page that contains it (nav bars, footers,
+    cookie banners — the lines that repeat across a crawl long before
+    whole pages do). The RefinedWeb-style completion of the dedup
+    family: q52 keeps one copy of each duplicated line corpus-wide,
+    qx24 removes repeats within one page; this removes corpus-wide
+    boilerplate from every page.
+
+    Returns (id_col, n_lines, n_removed, clean_text) for every input
+    document, order preserved.
+
+    Scale shape (the ExactSubstr pattern one level up): pages split to
+    lines map-side and only (line-hash, id, pos) rows ever shuffle —
+    never line text. Document frequency is one hash aggregate with a
+    distinct-by-doc pre-collapse; hit positions fold back to one
+    bounded-by-page-length array per doc; excision is a higher-order
+    filter over the page's own line array. ``stage_path`` materializes
+    the positional line-hash table once for its two consumers (the df
+    aggregate and the hit join) — one corpus pass total. Line identity
+    is the 64-bit xxhash of the trimmed line (collision odds the same
+    as ExactSubstr's gram hashing; the oracle replays from strings).
+    """
+    lines_tbl = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+                lambda l: F.trim(l),
+            ),
+            lambda l: F.length(l) > 0,
+        ).alias("__lines"),
+    )
+    base = lines_tbl.withColumn("__nl", F.size("__lines"))
+    pos = base.select(
+        "id", F.posexplode("__lines").alias("pos", "l")
+    ).select("id", "pos", F.xxhash64("l").alias("lh"))
+    pos = _stage_roundtrip(pos, stage_path)
+    boiler = (
+        pos.select("id", "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("__dfc"))
+        .filter(F.col("__dfc") >= min_df)
+        .select("lh")
+    )
+    hits = (
+        pos.join(boiler, "lh")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("__hits"))
+    )
+    joined = base.join(hits, "id", "left").withColumn(
+        "__hits", F.coalesce("__hits", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        "__lines", lambda _l, i: ~F.array_contains("__hits", i)
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.col("__nl").cast("long").alias("n_lines"),
+        F.size("__hits").cast("long").alias("n_removed"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )

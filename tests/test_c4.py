@@ -155,3 +155,51 @@ def test_dedup_lines_within_doc(spark):
         )
     # doc 5: all-identical lines collapse to one
     assert got[5]["n_kept"] == 1 and got[5]["dup_line_fraction"] == 0.75
+
+
+def test_boilerplate_line_excision(spark):
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_line_excision,
+    )
+
+    pages = [
+        (1, "COOKIE BANNER accept all\nUnique article one.\nFooter (c) corp"),
+        (2, "COOKIE BANNER accept all\nUnique article two.\nFooter (c) corp"),
+        (3, "Unique article three.\nFooter (c) corp"),
+        (4, "repeated inside\nrepeated inside\nUnique article four."),  # df=1
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(pages, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in boilerplate_line_excision(df, min_df=2).collect()
+    }
+    # banner (df=2) and footer (df=3) excised everywhere
+    assert got[1]["clean_text"] == "Unique article one."
+    assert got[2]["clean_text"] == "Unique article two."
+    assert got[3]["clean_text"] == "Unique article three."
+    assert got[1]["n_removed"] == 2 and got[3]["n_removed"] == 1
+    # within-doc repetition alone is NOT boilerplate (df counts docs)
+    assert got[4]["n_removed"] == 0
+    assert got[4]["clean_text"].count("repeated inside") == 2
+    # empty / null pages pass through
+    for i in (5, 6):
+        assert got[i] == dict(
+            doc_id=i, n_lines=0, n_removed=0, clean_text="",
+        )
+
+
+def test_boilerplate_line_excision_min_df(spark):
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_line_excision,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "shared line here\nown one."), (2, "shared line here\nown two."),
+         (3, "shared line here\nown three.")],
+        "doc_id long, text string",
+    )
+    # min_df=4 > corpus df -> nothing excised
+    got = boilerplate_line_excision(df, min_df=4).collect()
+    assert all(r["n_removed"] == 0 for r in got)
