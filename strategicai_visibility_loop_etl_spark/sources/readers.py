@@ -247,3 +247,55 @@ def read_jsonl_robust(
         F.col(corrupt_col).alias("raw_line")
     )
     return good, corrupt
+
+
+def read_warc_lite(spark: SparkSession, path: str) -> DataFrame:
+    """Raw crawl-record ingest: WARC-shaped record streams → one row
+    per record with parsed headers and payload.
+
+    Training corpora start life as WARC dumps (Common Crawl et al.).
+    This reads the WARC-lite subset — records delimited by a
+    ``WARC/1.0`` version line, ``Key: Value`` header block, blank
+    line, then the payload — using Spark's text datasource with a
+    custom record delimiter, so splitting happens at the Hadoop input
+    layer: a 100 TB dump fans out by HDFS block, no driver-side
+    parsing and no whole-file reads (gzipped members are the usual
+    non-splittable exception — one task per .gz file). Header parsing
+    is a pure-expression regex pass over each record's header block.
+
+    Columns: ``warc_type``, ``target_uri``, ``warc_date``,
+    ``content_length`` (long, NULL if absent/garbled), ``headers``
+    (map<string,string>, every header verbatim), ``payload``.
+
+    Real WARC adds gzip member framing and digest/continuation
+    semantics; this reader deliberately stops at the record/header/
+    payload shape (the part Spark should own) — wire a real warcio
+    pass through ``mapInPandas`` if byte-exact WARC is needed.
+    """
+    raw = spark.read.option("lineSep", "WARC/1.0").text(path)
+    rec = F.col("value")
+    # Every record: optional leading CRLF remnants, header block,
+    # blank line, payload (may itself contain blank lines).
+    parts = F.split(rec, r"\r?\n\r?\n", 2)
+    hb = F.trim(F.element_at(parts, 1))
+    payload = F.element_at(parts, 2)
+    keys = F.regexp_extract_all(hb, F.lit(r"(?m)^([\w-]+):[^\n]*$"), 1)
+    vals = F.transform(
+        F.regexp_extract_all(hb, F.lit(r"(?m)^[\w-]+:([^\n]*)$"), 1),
+        lambda v: F.trim(v),
+    )
+    hdrs = F.map_from_arrays(keys, vals)
+    return (
+        raw.filter(F.length(F.trim(rec)) > 0)
+        .select(hdrs.alias("headers"), payload.alias("payload"))
+        .select(
+            F.col("headers")["WARC-Type"].alias("warc_type"),
+            F.col("headers")["WARC-Target-URI"].alias("target_uri"),
+            F.col("headers")["WARC-Date"].alias("warc_date"),
+            F.col("headers")["Content-Length"]
+            .try_cast("long")
+            .alias("content_length"),
+            "headers",
+            F.coalesce(F.col("payload"), F.lit("")).alias("payload"),
+        )
+    )

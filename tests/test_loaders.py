@@ -394,3 +394,49 @@ def test_load_table_any_orc_roundtrip(spark, tmp_path):
     df = load_table_any(spark, path)
     assert df.schema == src.schema
     assert sorted(df.collect()) == sorted(src.collect())
+
+
+def test_read_warc_lite(spark, tmp_path):
+    """WARC-lite record streams parse to (type, uri, date, length,
+    headers, payload) with record splitting at the input layer."""
+    from strategicai_visibility_loop_etl_spark.sources.readers import (
+        read_warc_lite,
+    )
+
+    warc = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://example.com/a\r\n"
+        "WARC-Date: 2026-08-14T00:00:00Z\r\n"
+        "Content-Length: 11\r\n"
+        "\r\n"
+        "hello world\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: request\r\n"
+        "WARC-Target-URI: https://example.com/b\r\n"
+        "\r\n"
+        "GET /b HTTP/1.1\n\nHost: example.com\r\n"
+        "WARC/1.0\r\n"
+        "WARC-Type: metadata\r\n"
+        "Content-Length: not-a-number\r\n"
+        "\r\n"
+        "x\n"
+    )
+    p = tmp_path / "crawl.warc"
+    p.write_text(warc, encoding="utf-8")
+    rows = {
+        r["warc_type"]: r
+        for r in read_warc_lite(spark, str(p)).collect()
+    }
+    assert set(rows) == {"response", "request", "metadata"}
+    resp = rows["response"]
+    assert resp["target_uri"] == "https://example.com/a"
+    assert resp["warc_date"] == "2026-08-14T00:00:00Z"
+    assert resp["content_length"] == 11
+    assert resp["payload"].strip() == "hello world"
+    assert resp["headers"]["WARC-Type"] == "response"
+    # payload keeps its own blank lines (only the first blank splits)
+    assert "\n\n" in rows["request"]["payload"]
+    assert rows["request"]["content_length"] is None
+    # ANSI-safe garbled length -> NULL, not a throw
+    assert rows["metadata"]["content_length"] is None
