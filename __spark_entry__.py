@@ -2962,6 +2962,39 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx26_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality scoring (capability row 116): Shannon
+    entropy of each document's normalized char distribution — the
+    cheap degenerate-text floor. −p·ln p rounds to DECIMAL(18,9) per
+    term before the exact sum, so the distinct-order-dependent float
+    sum is engine-exact; DuckDB replays char extraction, the term
+    table and the sum."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        char_entropy,
+        normalized_text,
+    )
+
+    norm = normalized_text(F.col("text"))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.length(norm).cast("long").alias("n_chars"),
+            F.size(F.array_distinct(F.split(norm, "")))
+            .cast("long")
+            .alias("n_distinct"),
+            char_entropy(F.col("text")).alias("entropy"),
+        )
+        .withColumn(
+            "n_distinct",
+            F.when(F.col("n_chars") > 0, F.col("n_distinct")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def qx25_boilerplate_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate line excision (capability row 114):
     qx22's deterministic pages carry genuine cross-doc boilerplate
@@ -3075,6 +3108,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx23_pmi_collocations": qx23_pmi_collocations,
         "qx24_intradoc_line_dedup": qx24_intradoc_line_dedup,
         "qx25_boilerplate_excision": qx25_boilerplate_excision,
+        "qx26_char_entropy": qx26_char_entropy,
     }
 
 
@@ -3853,6 +3887,36 @@ def extra_oracle_sql() -> dict[str, str]:
                                / CAST(len(noisy) AS DOUBLE), 6) END
                    AS dup_line_fraction,
                array_to_string(kept, chr(10)) AS text
+        FROM d ORDER BY doc_id
+    """
+
+    # qx26: char entropy — same char extraction, DECIMAL term table,
+    # exact sum; list orders match because both engines keep first-
+    # occurrence order for distinct over the SAME normalized string.
+    sql["qx26_char_entropy"] = f"""
+        WITH t AS (
+            SELECT doc_id, {norm_text} AS s FROM documents
+        ),
+        c AS (
+            SELECT doc_id, s,
+                   list_transform(range(1, len(s)+1),
+                                  i -> substr(s, CAST(i AS INT), 1)) AS cs
+            FROM t
+        ),
+        d AS (SELECT doc_id, cs, list_distinct(cs) AS ds FROM c)
+        SELECT doc_id,
+               CAST(len(cs) AS BIGINT) AS n_chars,
+               CAST(len(ds) AS BIGINT) AS n_distinct,
+               CASE WHEN len(cs) > 0 THEN
+                   round(-CAST(list_sum(list_transform(ds, ch ->
+                       CAST(round(
+                           (len(list_filter(cs, x -> x = ch))
+                            / CAST(len(cs) AS DOUBLE))
+                           * ln(len(list_filter(cs, x -> x = ch))
+                                / CAST(len(cs) AS DOUBLE)), 9)
+                        AS DECIMAL(18,9))))
+                   AS DOUBLE), 6)
+               END AS entropy
         FROM d ORDER BY doc_id
     """
 

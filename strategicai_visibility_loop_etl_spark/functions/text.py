@@ -254,3 +254,49 @@ def mojibake_count(col: Column) -> Column:
     for ghost, _ in MOJIBAKE_TABLE:
         out = out + F.when(F.contains(col, F.lit(ghost)), 1).otherwise(0)
     return out.cast("int")
+
+
+def char_entropy(col: Column, decimals: int = 6) -> Column:
+    """Shannon entropy (nats) of the normalized text's character
+    distribution — the classic cheap degenerate-text signal: machine
+    spam like "aaaa…" or "ababab…" sits near 0 while natural language
+    sits far higher, so a floor on this catches what length and
+    stopword ratios miss.
+
+    NULL for empty text. Pure higher-order expressions, flet-bound
+    (the char array and its distinct set each evaluate once); per-char
+    cost O(chars × distinct chars). Determinism: −p·ln p rounds to
+    DECIMAL(18,9) PER TERM before the exact decimal sum, so the result
+    is independent of the engine's distinct-element ordering — the
+    same trick as the LM scorers, letting DuckDB replay bit-for-bit.
+    """
+    from .exprs import flet  # noqa: PLC0415
+
+    def body(cs: Column) -> Column:
+        def over_distinct(ds: Column) -> Column:
+            n = F.size(cs).cast("double")
+            terms = F.transform(
+                ds,
+                lambda c: flet(
+                    F.size(F.filter(cs, lambda x: x == c)) / n,
+                    lambda p: F.round(p * F.log(p), 9),
+                ).cast("decimal(18,9)"),
+            )
+            total = F.aggregate(
+                terms,
+                F.lit(0).cast("decimal(28,9)"),
+                # exact: |terms| ≤ distinct chars and each |t| < 10⁹,
+                # so the sum can't approach DECIMAL(28,9)'s range
+                lambda acc, t: (acc + t).cast("decimal(28,9)"),
+            )
+            return F.round(-total.cast("double"), decimals)
+
+        return F.when(F.size(cs) > 0, flet(F.array_distinct(cs), over_distinct))
+
+    # the empty-string guard mirrors tokens(): Java split("") yields
+    # [""], which would fake one zero-entropy "character"
+    norm = normalized_text(col)
+    cs = F.when(norm == "", F.array().cast("array<string>")).otherwise(
+        F.split(norm, "")
+    )
+    return flet(cs, body)

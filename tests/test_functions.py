@@ -371,3 +371,54 @@ def test_host_suffixes_chain_and_cap(spark):
     assert got[1] == ["com"]
     assert got[2] == []
     assert len(got[3]) == 8 and got[3][-1] == "com"  # capped at 8 labels
+
+
+def test_char_entropy_matches_python(spark):
+    """char_entropy vs an independent math.log reference; normalized
+    (lowercased, whitespace-collapsed) chars including spaces."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        char_entropy,
+    )
+    from pyspark.sql import functions as F
+
+    docs = {
+        1: "aaaaaaa",              # single symbol -> 0.0
+        2: "ababababab",           # two equiprobable -> ln 2
+        3: "The quick brown fox jumps over the lazy dog",
+        4: "",                     # empty -> NULL
+        5: None,                   # null -> NULL
+        6: "AA  aa",               # normalization: 'aa aa' -> {'a': 4/5, ' ': 1/5}
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", char_entropy(F.col("text")).alias("h")).collect()
+    }
+
+    def ref(t):
+        if t is None:
+            return None
+        s = " ".join(t.lower().split())
+        if not s:
+            return None
+        n = len(s)
+        c = Counter(s)
+        q9 = lambda x: Decimal(repr(x)).quantize(
+            Decimal("1.000000000"), rounding=ROUND_HALF_UP)
+        total = sum(q9((k / n) * math.log(k / n)) for k in c.values())
+        return float(Decimal(repr(-float(total))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    for i, t in docs.items():
+        want = ref(t)
+        if want is None:
+            assert got[i] is None, (i, got[i])
+        else:
+            assert got[i] is not None and abs(got[i] - want) < 1e-9, (i, got[i], want)
+    assert got[1] == 0.0
+    assert abs(got[2] - round(math.log(2), 6)) < 1e-9
+    assert got[3] > got[2] > got[1]
