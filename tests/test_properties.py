@@ -241,3 +241,87 @@ def test_mojibake_ascii_invariant_and_ghost_roundtrip(spark, texts):
         # (b) the ghosting of t contains only table sequences for the
         # non-ascii chars, so repair inverts it exactly
         assert got[i]["fixed_corrupt"] == t, (got[i]["fixed_corrupt"], t)
+
+
+_page_line = st.sampled_from(
+    [
+        "A proper sentence with five good words.",
+        "Another proper sentence that also qualifies!",
+        "short one.",
+        "no terminal punctuation in this line",
+        "Please enable JavaScript to view this page.",
+        "shared boilerplate footer line (c) corp.",
+        "",
+        "   ",
+        'He said "quote-terminated lines count too."',
+        "multi. mark. line. ends here?",
+    ]
+)
+_page = st.lists(_page_line, min_size=0, max_size=8).map("\n".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(pages=st.lists(_page, min_size=1, max_size=8))
+def test_c4_and_line_dedup_properties(spark, pages):
+    """Batched invariants over arbitrary page shapes: c4_clean is
+    idempotent; intra-doc line dedup is idempotent and keeps a
+    duplicate-free multiset that is a subset of the input lines."""
+    from strategicai_visibility_loop_etl_spark.operators.c4 import c4_clean
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        dedup_lines_within_doc,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(pages)), "doc_id long, text string"
+    )
+
+    once = c4_clean(df)
+    twice = c4_clean(once)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b  # idempotent: cleaning clean pages changes nothing
+
+    d1 = {r["doc_id"]: r for r in dedup_lines_within_doc(df).collect()}
+    rd = dedup_lines_within_doc(
+        spark.createDataFrame(
+            [(i, r["text"]) for i, r in d1.items()], "doc_id long, text string"
+        )
+    )
+    for r in rd.collect():
+        assert r["n_removed"] == 0  # idempotent
+    for i, page in enumerate(pages):
+        src = [ln.strip() for ln in page.split("\n") if ln.strip()]
+        out = [ln for ln in d1[i]["text"].split("\n") if ln]
+        assert len(set(out)) == len(out)  # duplicate-free
+        assert set(out) == set(src)  # same distinct line set
+        assert d1[i]["n_removed"] == len(src) - len(out)
+
+
+@settings(max_examples=8, deadline=None)
+@given(pages=st.lists(_page, min_size=2, max_size=6))
+def test_boilerplate_excision_properties(spark, pages):
+    """Excised lines are exactly those whose doc frequency ≥ min_df;
+    surviving pages contain no such line; disjoint corpora no-op."""
+    from collections import Counter
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_line_excision,
+    )
+
+    df = spark.createDataFrame(
+        list(enumerate(pages)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_line_excision(df, min_df=2).collect()
+    }
+    dfreq = Counter()
+    for page in pages:
+        dfreq.update({ln.strip() for ln in page.split("\n") if ln.strip()})
+    boiler = {ln for ln, c in dfreq.items() if c >= 2}
+    for i, page in enumerate(pages):
+        src = [ln.strip() for ln in page.split("\n") if ln.strip()]
+        want = [ln for ln in src if ln not in boiler]
+        out = [ln for ln in got[i]["clean_text"].split("\n") if ln]
+        assert out == want, (i, out, want)
+        assert got[i]["n_removed"] == len(src) - len(want)

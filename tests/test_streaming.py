@@ -385,3 +385,44 @@ def test_exactly_once_upsert_sink_survives_replay_and_restart(spark, tmp_path):
         assert (got["n_events"], got["sum_value"], got["segment"]) == (
             want["n_events"], want["sum_value"], want["segment"],
         ), (k, got, want)
+
+
+def test_streaming_structural_clean_matches_batch(spark, tmp_path):
+    """c4_clean + dedup_lines_text are stateless projections/filters,
+    so the corpus pipeline's structural stage runs unchanged on a
+    stream — the micro-batch result must equal the batch result."""
+    from strategicai_visibility_loop_etl_spark.operators.c4 import c4_clean
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        dedup_lines_text,
+    )
+
+    rows = [
+        (1, "nav bar repeated line here.\n"
+            "A genuine first sentence with words.\n"
+            "nav bar repeated line here.\n"
+            "A genuine second sentence with words."),
+        (2, "lorem ipsum dolor sit amet page."),
+        (3, "no structure"),
+    ]
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+
+    def stage(df):
+        out = c4_clean(df, min_sentences=2)
+        return out.withColumn("text", dedup_lines_text(F.col("text")))
+
+    batch = {
+        r["doc_id"]: r["text"]
+        for r in stage(spark.read.parquet(src)).collect()
+    }
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    name = _run_to_memory(stage(stream), "structural_stream", "append", tmp_path)
+    streamed = {
+        r["doc_id"]: r["text"]
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert streamed == batch
+    assert set(batch) == {1}
+    assert batch[1].count("nav bar repeated line here.") == 1

@@ -285,6 +285,69 @@ def _run_doc_family(args, timed, corpus) -> None:
 
     timed("unigram_lm", _lm)
 
+    # Cross-doc boilerplate line excision: the 20k-identical block is
+    # the worst case one level up from ExactSubstr — every line of
+    # every boilerplate page is a hit, yet hits stay O(total line
+    # positions), never pairs. Gate: no row loss + every boilerplate
+    # page fully emptied.
+    from strategicai_visibility_loop_etl_spark.operators.c4 import synth_pages
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_line_excision,
+    )
+
+    pages = synth_pages(corpus)
+
+    def _boiler_lines():
+        out = boilerplate_line_excision(
+            pages, min_df=2, text_col="page",
+            stage_path=os.path.join(args.stage, "bl"),
+        )
+        agg = out.agg(
+            F.count("*").alias("docs"),
+            F.sum("n_lines").alias("lines"),
+            F.sum("n_removed").alias("removed"),
+        ).first()
+        b = (
+            out.filter(F.col("doc_id") >= 900_000_000)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("n_removed") == F.col("n_lines")).cast("int")
+                ).alias("full"),
+            )
+            .first()
+        )
+        assert b["n"] == b["full"], ("boilerplate pages not fully excised", b)
+        return {
+            "docs": agg["docs"],
+            "lines": int(agg["lines"]),
+            "removed": int(agg["removed"]),
+        }
+
+    timed("boilerplate_excision", _boiler_lines)
+
+    # Stupid-Backoff bigram LM: same order-independence gate as the
+    # unigram — the 20k identical docs must score bit-identically
+    # regardless of partitioning (the DECIMAL per-transition sum).
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        bigram_lm_scores,
+    )
+
+    def _bigram():
+        scores = bigram_lm_scores(
+            corpus, stage_path=os.path.join(args.stage, "bg")
+        )
+        n = scores.count()
+        b = (
+            scores.filter(F.col("doc_id") >= 900_000_000)
+            .agg(F.min("sb_ppl").alias("lo"), F.max("sb_ppl").alias("hi"))
+            .first()
+        )
+        assert b["lo"] == b["hi"], ("boilerplate sb_ppl not constant", b)
+        return {"docs": n, "boiler_sb_ppl": b["lo"]}
+
+    timed("bigram_lm", _bigram)
+
 
 def _run_ann_family(spark, args, timed, report) -> None:
     from pyspark.sql import functions as F
