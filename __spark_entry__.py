@@ -2962,6 +2962,30 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k retrieval (capability row 117): every 50th
+    document's first 3 normalized tokens form a query; the staged
+    (doc, term, tf, dl) posting table feeds corpus stats and the
+    broadcast-query scoring join. Per-(query, doc, term) contributions
+    round to DECIMAL before the pair sum (order-independent); DuckDB
+    replays postings, stats, idf and ranking end to end."""
+    from strategicai_visibility_loop_etl_spark.functions.text import tokens
+    from strategicai_visibility_loop_etl_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(tokens(F.col("text")), 1, 3), " ").alias(
+            "query"
+        ),
+    )
+    return bm25_topk(
+        docs, queries, k=5, stage_path=f"{_SIG_STAGE}/bm27"
+    ).orderBy("query_id", "rank")
+
+
 def qx26_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-entropy quality scoring (capability row 116): Shannon
     entropy of each document's normalized char distribution — the
@@ -3109,6 +3133,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx24_intradoc_line_dedup": qx24_intradoc_line_dedup,
         "qx25_boilerplate_excision": qx25_boilerplate_excision,
         "qx26_char_entropy": qx26_char_entropy,
+        "qx27_bm25_topk": qx27_bm25_topk,
     }
 
 
@@ -3888,6 +3913,65 @@ def extra_oracle_sql() -> dict[str, str]:
                    AS dup_line_fraction,
                array_to_string(kept, chr(10)) AS text
         FROM d ORDER BY doc_id
+    """
+
+    # qx27: BM25 replay — postings, N/avgdl/df, per-term DECIMAL
+    # contributions, exact pair sum, rank with the doc-id tie-break.
+    sql["qx27_bm25_topk"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        post AS MATERIALIZED (
+            SELECT doc_id AS id, term, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+            GROUP BY doc_id, term
+        ),
+        dls AS (
+            SELECT id, CAST(SUM(tf) AS BIGINT) AS dl
+            FROM post GROUP BY id
+        ),
+        ns AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(dl) / COUNT(*) AS avgdl
+            FROM dls
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM post GROUP BY term
+        ),
+        q AS (
+            SELECT doc_id AS qid,
+                   unnest(list_distinct(toks[1:3])) AS term
+            FROM t WHERE doc_id % 50 = 0
+        ),
+        sc AS (
+            SELECT q.qid, post.id,
+                   CAST(round(
+                       ln(1.0 + (ns.n - dfreq.df + 0.5)
+                                / (dfreq.df + 0.5))
+                       * CAST(post.tf AS DOUBLE) * 2.2
+                       / (CAST(post.tf AS DOUBLE)
+                          + 1.2 * (0.25 + 0.75 * dls.dl / ns.avgdl)), 6)
+                       AS DECIMAL(18,6)) AS c
+            FROM q
+            JOIN post USING (term)
+            JOIN dfreq USING (term)
+            JOIN dls ON dls.id = post.id
+            CROSS JOIN ns
+        ),
+        agg AS (
+            SELECT qid, id, SUM(c) AS s FROM sc GROUP BY qid, id
+        ),
+        rk AS (
+            SELECT qid, id, s,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY s DESC, id ASC) AS rank
+            FROM agg
+        )
+        SELECT qid AS query_id, CAST(rank AS INT) AS rank,
+               id AS doc_id, CAST(s AS DOUBLE) AS score
+        FROM rk WHERE rank <= 5
+        ORDER BY query_id, rank
     """
 
     # qx26: char entropy — same char extraction, DECIMAL term table,
