@@ -2962,6 +2962,31 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx28_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS trend (capability row 118): daily
+    event-value totals per event type regressed over the epoch-day
+    index — slope/intercept/R² from ONE hash aggregate per group,
+    all regression sums exact (integral x, DECIMAL y), only the final
+    divisions pass through double. DuckDB replays daily rollup and
+    the closed form."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        linear_trend,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .alias("day"),
+        )
+        .agg(F.round(F.sum("value"), 6).cast("decimal(28,6)").alias("daily_value"))
+    )
+    return linear_trend(
+        daily, ["event_type"], "day", "daily_value"
+    ).orderBy("event_type")
+
+
 def qx27_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-k retrieval (capability row 117): every 50th
     document's first 3 normalized tokens form a query; the staged
@@ -3134,6 +3159,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx25_boilerplate_excision": qx25_boilerplate_excision,
         "qx26_char_entropy": qx26_char_entropy,
         "qx27_bm25_topk": qx27_bm25_topk,
+        "qx28_event_trends": qx28_event_trends,
     }
 
 
@@ -3914,6 +3940,40 @@ def extra_oracle_sql() -> dict[str, str]:
                array_to_string(kept, chr(10)) AS text
         FROM d ORDER BY doc_id
     """
+
+    # qx28: OLS closed form — exact regression sums, double divisions.
+    den_x = "(n*sxx - sx*sx)"
+    den_y = "(n*syy - sy*sy)"
+    num = "(n*sxy - sx*sy)"
+    sql["qx28_event_trends"] = f'''
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   CAST(round(SUM(value), 6) AS DECIMAL(28,6)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        agg AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(day) AS BIGINT) AS sx,
+                   CAST(SUM(day*day) AS BIGINT) AS sxx,
+                   SUM(y) AS sy, SUM(day*y) AS sxy, SUM(y*y) AS syy
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n AS n_points,
+               CASE WHEN {den_x} != 0 THEN
+                   round(CAST({num} AS DOUBLE)
+                         / CAST({den_x} AS DOUBLE), 6) END AS slope,
+               CASE WHEN {den_x} != 0 THEN
+                   round((CAST(sy AS DOUBLE)
+                          - (CAST({num} AS DOUBLE) / CAST({den_x} AS DOUBLE))
+                            * CAST(sx AS DOUBLE)) / n, 6) END AS intercept,
+               CASE WHEN {den_x} != 0 AND {den_y} != 0 THEN
+                   round((CAST({num} AS DOUBLE) * CAST({num} AS DOUBLE))
+                         / (CAST({den_x} AS DOUBLE)
+                            * CAST({den_y} AS DOUBLE)), 6) END AS r2
+        FROM agg ORDER BY event_type
+    '''
 
     # qx27: BM25 replay — postings, N/avgdl/df, per-term DECIMAL
     # contributions, exact pair sum, rank with the doc-id tie-break.

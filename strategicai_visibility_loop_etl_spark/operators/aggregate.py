@@ -96,3 +96,78 @@ def agg_ga4(ga4: DataFrame, key: str = "url") -> DataFrame:
     """Collapse GA4 rows to one per URL by summing every numeric metric."""
     num_cols = [c for c, t in ga4.dtypes if c != key and t in ("double", "float", "bigint", "int", "long")]
     return ga4.groupBy(key).agg(*[F.sum(c).alias(c) for c in num_cols])
+
+
+def linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (closed-form OLS) — the
+    trend aggregate a visibility/metrics pipeline runs per page or
+    per event type: slope of y over x, plus R², from ONE hash
+    aggregate per group. No window, no iteration, no collect.
+
+    Determinism contract: ``x_col`` must be integral (day index,
+    position, …) and ``y_col`` DECIMAL — then every regression sum
+    (Σx, Σx², Σy, Σxy, Σy²) is exact integer/decimal arithmetic, so
+    slope/intercept/R² are bit-identical across engines and
+    partitionings; only the final division passes through double,
+    rounded to ``out_decimals``.
+
+    Returns group_cols + (n_points, slope, intercept, r2); slope and
+    intercept are NULL for degenerate groups (single x value), R²
+    additionally NULL when y is constant.
+    """
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("decimal(28,6)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(x * x).alias("__sxx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(y * y).alias("__syy"),
+    )
+    n = F.col("__n")
+    den_x = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")).cast(
+        "decimal(38,6)"
+    )
+    den_y = (n * F.col("__syy") - F.col("__sy") * F.col("__sy")).cast(
+        "decimal(38,12)"
+    )
+    num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
+        "decimal(38,6)"
+    )
+    slope = F.when(
+        den_x != 0, F.round(num.cast("double") / den_x.cast("double"), out_decimals)
+    )
+    intercept = F.when(
+        den_x != 0,
+        F.round(
+            (
+                F.col("__sy").cast("double")
+                - (num.cast("double") / den_x.cast("double"))
+                * F.col("__sx").cast("double")
+            )
+            / n.cast("double"),
+            out_decimals,
+        ),
+    )
+    r2 = F.when(
+        (den_x != 0) & (den_y != 0),
+        F.round(
+            (num.cast("double") * num.cast("double"))
+            / (den_x.cast("double") * den_y.cast("double")),
+            out_decimals,
+        ),
+    )
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n_points"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

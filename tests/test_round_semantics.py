@@ -59,3 +59,44 @@ def test_round_c_matches_duckdb_round(spark, ndigits):
         if canon(got[i]) != canon(want[i])
     }
     assert not diffs, f"{len(diffs)} divergences, first: {sorted(diffs.items())[:3]}"
+
+
+def test_linear_trend_matches_numpy_closed_form(spark):
+    """linear_trend vs numpy.polyfit / manual OLS on a known line and
+    a noisy group; degenerate groups return NULLs."""
+    import numpy as np
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        linear_trend,
+    )
+
+    rows = []
+    # g=exact: y = 3x + 7 exactly
+    for x in range(10):
+        rows.append(("exact", x, float(3 * x + 7)))
+    # g=noisy: known points
+    noisy = [(0, 1.0), (1, 2.5), (2, 2.0), (3, 4.5), (4, 4.0)]
+    rows += [("noisy", x, y) for x, y in noisy]
+    # g=single: one point -> NULL slope
+    rows.append(("single", 5, 9.0))
+    # g=flat: constant y -> slope 0, r2 NULL (zero y-variance)
+    rows += [("flat", x, 2.0) for x in range(4)]
+
+    df = spark.createDataFrame(rows, "g string, x int, y double").select(
+        "g", "x", F.col("y").cast("decimal(28,6)").alias("y")
+    )
+    got = {r["g"]: r for r in linear_trend(df, ["g"], "x", "y").collect()}
+
+    assert got["exact"]["slope"] == 3.0
+    assert got["exact"]["intercept"] == 7.0
+    assert got["exact"]["r2"] == 1.0
+
+    xs = np.array([x for x, _ in noisy], dtype=float)
+    ys = np.array([y for _, y in noisy], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    r = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got["noisy"]["slope"] - round(slope, 6)) <= 1e-6
+    assert abs(got["noisy"]["intercept"] - round(intercept, 6)) <= 1e-6
+    assert abs(got["noisy"]["r2"] - round(r * r, 6)) <= 1e-6
+
+    assert got["single"]["slope"] is None and got["single"]["r2"] is None
+    assert got["flat"]["slope"] == 0.0 and got["flat"]["r2"] is None
