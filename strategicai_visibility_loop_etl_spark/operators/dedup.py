@@ -340,6 +340,34 @@ def _stage_roundtrip(df: DataFrame, stage_path: str | None) -> DataFrame:
     return df.sparkSession.read.parquet(stage_path)
 
 
+def _band_rows(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh) LSH bucket keys from a (id, sig) signature
+    table — band hashing is map-side arithmetic over the signature
+    columns, no text access; shared by the batch and incremental
+    paths."""
+    r = num_hashes // bands
+    band_hash = [
+        F.xxhash64(
+            F.concat_ws(
+                ",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)]
+            )
+        ).alias(f"__b{b}")
+        for b in range(bands)
+    ]
+    with_bands = sig_df.select("id", *band_hash)
+    return with_bands.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"__b{b}").alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     sig_df: DataFrame,
     num_hashes: int = 64,
@@ -363,28 +391,7 @@ def minhash_lsh_pairs(
     ``sig_df`` (cheap when staged) for the final verify, the same
     payload discipline as the embedding near-dup path.
     """
-    r = num_hashes // bands
-    band_hash = [
-        F.xxhash64(
-            F.concat_ws(
-                ",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)]
-            )
-        ).alias(f"__b{b}")
-        for b in range(bands)
-    ]
-    with_bands = sig_df.select("id", *band_hash)
-
-    band_rows = with_bands.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"__b{b}").alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    band_rows = _band_rows(sig_df, num_hashes, bands)
 
     bucket_sizes = band_rows.groupBy("band", "bh").agg(F.count("*").alias("n"))
     cap = resolve_max_bucket(bucket_sizes, max_bucket)
@@ -767,3 +774,108 @@ def boilerplate_line_excision(
         F.size("__hits").cast("long").alias("n_removed"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+def minhash_index_write(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize (or append to) a persistent MinHash signature index
+    at ``index_path`` — the (id, sig) parquet table the incremental
+    path dedups against."""
+    minhash_signatures(df, text_col, id_col, k, num_hashes).write.mode(
+        mode
+    ).parquet(index_path)
+
+
+def dedup_minhash_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int | str = 2000,
+    update_index: bool = False,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs for an INCOMING BATCH against an existing
+    signature index, without touching archived text: the operational
+    shape of dedup at 100 TB, where each crawl increment must check
+    against the accumulated corpus but re-shingling petabytes per
+    batch is off the table.
+
+    Only the new batch is shingled and min-hashed; the archived side
+    contributes band keys recomputed from its STORED signatures
+    (map-side arithmetic, no text access, ~num_hashes longs per doc).
+    Candidates are a band join of new-batch rows against (archive ∪
+    new) rows — old↔old pairs are never generated — and verification
+    estimates Jaccard from the two signatures exactly as the batch
+    path does. Bucket caps resolve over the union's bucket-size
+    distribution, so ``"auto"`` sees the same skew the batch run
+    would. Returns canonical (id_a < id_b) pairs where at least one
+    side is new; ``update_index=True`` appends the new signatures to
+    the index afterwards (making the call idempotent-per-batch is the
+    caller's batch-id ledger concern — see ``streaming/sink.py``).
+
+    Equivalence contract (pytest-asserted): identical to running the
+    full batch path over archive+batch and keeping the pairs that
+    involve a new document.
+    """
+    spark = new_docs.sparkSession
+    new_sig = _stage_roundtrip(
+        minhash_signatures(new_docs, text_col, id_col, k, num_hashes),
+        stage_path,
+    )
+    old_sig = spark.read.parquet(index_path)
+    union_sig = old_sig.unionByName(new_sig)
+
+    rows_new = _band_rows(new_sig, num_hashes, bands)
+    rows_all = _band_rows(old_sig, num_hashes, bands).unionByName(rows_new)
+
+    bucket_sizes = rows_all.groupBy("band", "bh").agg(F.count("*").alias("n"))
+    cap = resolve_max_bucket(bucket_sizes, max_bucket)
+    ok = bucket_sizes.filter(
+        (F.col("n") > 1) & (F.col("n") <= cap)
+    ).select("band", "bh")
+
+    a = rows_new.join(ok, ["band", "bh"]).select(
+        "band", "bh", F.col("id").alias("id_a")
+    )
+    b = rows_all.join(ok, ["band", "bh"]).select(
+        "band", "bh", F.col("id").alias("id_b")
+    )
+    cand = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sa = union_sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = union_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    cand = cand.join(sa, "id_a").join(sb, "id_b")
+    agree = sum(
+        (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
+        for i in range(num_hashes)
+    )
+    est = agree.cast("double") / F.lit(float(num_hashes))
+    pairs = (
+        cand.withColumn("jaccard_est", round_c(est, 6))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+    if update_index:
+        # force pair computation BEFORE the index mutates under it
+        pairs = pairs.localCheckpoint()
+        new_sig.write.mode("append").parquet(index_path)
+    return pairs

@@ -352,3 +352,73 @@ def test_exactsubstr_adjacent_span_merge_at_gap_k(spark):
     assert got[2]["n_spans"] == 1 and got[2]["clean_text"] == "other stuff"
     assert got[3]["n_spans"] == 2 and got[3]["clean_text"] == "mid"
     assert got[4]["clean_text"] == "x y"
+
+
+def test_minhash_incremental_matches_full_recompute(spark, sf_dir, tmp_path):
+    """dedup_minhash_incremental(batch, index) == full batch LSH over
+    archive+batch restricted to pairs involving a new doc — without
+    re-shingling the archive."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+        minhash_index_write,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = str(tmp_path / "mh_index")
+    minhash_index_write(old, idx)
+
+    inc = dedup_minhash_incremental(
+        new, idx, threshold=0.5, max_bucket=10_000
+    ).collect()
+
+    full = dedup_minhash_lsh(
+        docs, threshold=0.5, max_bucket=10_000
+    ).collect()
+    new_ids = {r["doc_id"] for r in new.collect()}
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard_est"])
+        for r in full
+        if r["id_a"] in new_ids or r["id_b"] in new_ids
+    }
+    got = {(r["id_a"], r["id_b"], r["jaccard_est"]) for r in inc}
+    assert got == want
+    assert got, "fixture must produce at least one cross/new pair"
+    # old-old pairs never appear
+    assert all(a in new_ids or b in new_ids for a, b, _ in got)
+
+
+def test_minhash_incremental_index_update(spark, tmp_path):
+    """update_index=True appends batch signatures: the NEXT batch sees
+    this batch's docs as archive."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        minhash_index_write,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    idx = str(tmp_path / "idx")
+    d0 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    minhash_index_write(d0, idx)
+
+    batch1 = spark.createDataFrame(
+        [(2, base + " tail")], "doc_id long, text string"
+    )
+    p1 = dedup_minhash_incremental(
+        batch1, idx, threshold=0.5, max_bucket=100, update_index=True
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in p1} == {(1, 2)}
+
+    # batch 2 duplicates batch 1's doc -> must pair against id 2,
+    # which only exists in the index via the update
+    batch2 = spark.createDataFrame(
+        [(3, base + " tail")], "doc_id long, text string"
+    )
+    p2 = dedup_minhash_incremental(
+        batch2, idx, threshold=0.5, max_bucket=100
+    ).collect()
+    assert (2, 3) in {(r["id_a"], r["id_b"]) for r in p2}
