@@ -2962,6 +2962,41 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx29_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection (capability row 120): daily
+    event-value totals per event type scored against the preceding
+    7 observed days — exact rolling sums (DECIMAL y) feed the
+    closed-form variance, so nothing depends on the engine's
+    incremental-variance algorithm; DuckDB replays rollup, frame and
+    closed form row for row."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .alias("day"),
+        )
+        .agg(
+            F.round(F.sum("value"), 6).cast("decimal(28,6)").alias("daily_value")
+        )
+    )
+    out = rolling_zscore_anomalies(
+        daily, ["event_type"], "day", "daily_value"
+    )
+    return out.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.col("daily_value").cast("double").alias("daily_value"),
+        "n_history",
+        "z",
+        "is_anomaly",
+    ).orderBy("event_type", "day")
+
+
 def qx28_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group closed-form OLS trend (capability row 118): daily
     event-value totals per event type regressed over the epoch-day
@@ -3160,6 +3195,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx26_char_entropy": qx26_char_entropy,
         "qx27_bm25_topk": qx27_bm25_topk,
         "qx28_event_trends": qx28_event_trends,
+        "qx29_rolling_anomalies": qx29_rolling_anomalies,
     }
 
 
@@ -3940,6 +3976,40 @@ def extra_oracle_sql() -> dict[str, str]:
                array_to_string(kept, chr(10)) AS text
         FROM d ORDER BY doc_id
     """
+
+    # qx29: rolling z — exact frame sums + closed-form variance.
+    sql["qx29_rolling_anomalies"] = '''
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   CAST(round(SUM(value), 6) AS DECIMAL(28,6)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT event_type, day, y,
+                   COUNT(y) OVER w AS n,
+                   SUM(y) OVER w AS sy,
+                   SUM(y*y) OVER w AS syy
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        ),
+        z AS (
+            SELECT event_type, day, y, n,
+                   CASE WHEN n >= 4 AND (n*syy - sy*sy) > 0 THEN
+                       round((CAST(y AS DOUBLE)
+                              - CAST(sy AS DOUBLE) / n)
+                             / sqrt(CAST(n*syy - sy*sy AS DOUBLE)
+                                    / (n * (n - 1))), 6) END AS zv
+            FROM r
+        )
+        SELECT event_type, CAST(day AS BIGINT) AS day,
+               CAST(y AS DOUBLE) AS daily_value,
+               CAST(n AS BIGINT) AS n_history, zv AS z,
+               coalesce(abs(zv) > 3.0, FALSE) AS is_anomaly
+        FROM z ORDER BY event_type, day
+    '''
 
     # qx28: OLS closed form — exact regression sums, double divisions.
     den_x = "(n*sxx - sx*sx)"

@@ -62,3 +62,61 @@ def resample_daily_ffill(
             F.col("day_value").isNull().alias("is_gap"),
         )
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    window: int = 7,
+    z_threshold: float = 3.0,
+    min_periods: int = 4,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Per-key rolling z-score anomaly detection: each point scored
+    against the mean/std of the PRECEDING ``window`` points (the
+    current point excluded — no self-masking), flagged when
+    |z| > ``z_threshold``. The standard metrics-monitoring shape
+    (traffic spikes, crawl anomalies, pipeline regressions).
+
+    Engine-exactness: ``y_col`` must be DECIMAL — rolling mean and
+    variance come from exact rolling sums (Σy, Σy², n) via the
+    frame window, then the closed form var = (n·Σy² − (Σy)²)/(n(n−1));
+    nothing depends on the engine's incremental-variance algorithm
+    (Welford vs naive differ in low bits), only the final z passes
+    through double. z is NULL (and the row unflagged) with fewer than
+    ``min_periods`` history points or zero variance.
+
+    One shuffle (the per-key window); frames are ROWS-based over the
+    observed points in ``x_col`` order, so gaps don't change the
+    window population — both the Spark plan and the SQL replay agree
+    row for row.
+    """
+    y = F.col(y_col).cast("decimal(28,6)")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(x_col))
+        .rowsBetween(-window, -1)
+    )
+    n = F.count(y).over(w)
+    sy = F.sum(y).over(w)
+    syy = F.sum(y * y).over(w)
+    den = (n * syy - sy * sy).cast("decimal(38,12)")
+    ok = (n >= min_periods) & (den > 0)
+    mean = sy.cast("double") / n.cast("double")
+    var = den.cast("double") / (n * (n - 1)).cast("double")
+    z = F.when(
+        ok,
+        F.round(
+            (F.col(y_col).cast("double") - mean) / F.sqrt(var), out_decimals
+        ),
+    )
+    return df.select(
+        *key_cols,
+        F.col(x_col),
+        F.col(y_col),
+        n.cast("long").alias("n_history"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -100,3 +100,50 @@ def test_linear_trend_matches_numpy_closed_form(spark):
 
     assert got["single"]["slope"] is None and got["single"]["r2"] is None
     assert got["flat"]["slope"] == 0.0 and got["flat"]["r2"] is None
+
+
+def test_rolling_zscore_matches_python(spark):
+    """rolling_zscore_anomalies vs a manual pandas-free reference:
+    preceding-window stats, sample variance, min_periods/zero-var
+    guards, and the injected spike flagged."""
+    import math
+
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        rolling_zscore_anomalies,
+    )
+
+    series = [10.0, 11.0, 9.0, 10.5, 10.0, 9.5, 10.2, 50.0, 10.1, 9.9]
+    rows = [("a", i, v) for i, v in enumerate(series)]
+    rows += [("flat", i, 5.0) for i in range(6)]  # zero variance
+    df = spark.createDataFrame(rows, "k string, x int, y double").select(
+        "k", "x", F.col("y").cast("decimal(28,6)").alias("y")
+    )
+    got = {
+        (r["k"], r["x"]): r
+        for r in rolling_zscore_anomalies(df, ["k"], "x", "y").collect()
+    }
+
+    def ref(i):
+        hist = series[max(0, i - 7):i]
+        if len(hist) < 4:
+            return None
+        n = len(hist)
+        m = sum(hist) / n
+        var = sum((v - m) ** 2 for v in hist) / (n - 1)
+        if var <= 0:
+            return None
+        return round((series[i] - m) / math.sqrt(var), 6)
+
+    for i in range(len(series)):
+        want = ref(i)
+        have = got[("a", i)]["z"]
+        if want is None:
+            assert have is None, (i, have)
+        else:
+            assert have is not None and abs(have - want) < 1e-6, (i, have, want)
+    # the spike is flagged; its neighbors are not
+    assert got[("a", 7)]["is_anomaly"]
+    assert not got[("a", 6)]["is_anomaly"]
+    # insufficient history or zero variance -> never flagged
+    assert not got[("a", 2)]["is_anomaly"]
+    assert all(not got[("flat", i)]["is_anomaly"] for i in range(6))
