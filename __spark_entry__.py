@@ -2962,6 +2962,89 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx30_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped market share (capability row 121): NATION_5
+    suppliers' share of ASIA customers' ECONOMY-part volume per order
+    year — a 7-table join tree (lineitem⋈part⋈supplier⋈orders⋈customer
+    ⋈nation×2⋈region) Catalyst gets to reorder, dims broadcast,
+    conditional/total volume as exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_c = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey")
+    )
+    n_s = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    target = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+        F.lit(0).cast(DEC)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_c), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_rkey") == region.r_regionkey)
+        .join(F.broadcast(n_s), supp.s_nationkey == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(target).alias("__t"),
+            F.sum(vol).alias("__v"),
+        )
+        .select(
+            F.col("o_year").cast("int").alias("o_year"),
+            F.round(
+                F.col("__t").cast("double") / F.col("__v").cast("double"), 6
+            ).alias("mkt_share"),
+            F.col("__v").cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def qx31_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit rollup (capability row 121): per
+    supplier nation × order year over parts named like 'widget';
+    amount = revenue − 0.1·p_retailprice·l_quantity (a retail-derived
+    cost proxy — the testdata carries no partsupp table), summed as
+    exact decimals. Exercises the 6-way join + LIKE filter + two-level
+    rollup grouping Catalyst must reorder."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("__a"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "nation",
+            F.col("o_year").cast("int").alias("o_year"),
+            F.col("__a").cast("double").alias("sum_profit"),
+            "n_lines",
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
 def qx29_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection (capability row 120): daily
     event-value totals per event type scored against the preceding
@@ -3196,6 +3279,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx27_bm25_topk": qx27_bm25_topk,
         "qx28_event_trends": qx28_event_trends,
         "qx29_rolling_anomalies": qx29_rolling_anomalies,
+        "qx30_market_share": qx30_market_share,
+        "qx31_product_profit": qx31_product_profit,
     }
 
 
@@ -3976,6 +4061,48 @@ def extra_oracle_sql() -> dict[str, str]:
                array_to_string(kept, chr(10)) AS text
         FROM d ORDER BY doc_id
     """
+
+    # qx30/qx31: TPC-H Q8/Q9 shapes — decimal-exact volume sums.
+    sql["qx30_market_share"] = '''
+        WITH j AS (
+            SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+                   CAST(l.l_extendedprice * (1 - l.l_discount)
+                        AS DECIMAL(18,6)) AS vol,
+                   ns.n_name AS supp_nation
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            JOIN region r ON nc.n_regionkey = r.r_regionkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+        )
+        SELECT CAST(o_year AS INT) AS o_year,
+               round(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                                   THEN vol ELSE CAST(0 AS DECIMAL(18,6))
+                              END) AS DOUBLE)
+                     / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share,
+               CAST(SUM(vol) AS DOUBLE) AS total_volume
+        FROM j GROUP BY o_year ORDER BY o_year
+    '''
+    sql["qx31_product_profit"] = '''
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             - 0.1 * p.p_retailprice * l.l_quantity
+                        AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY n.n_name, o_year
+        ORDER BY nation, o_year
+    '''
 
     # qx29: rolling z — exact frame sums + closed-form variance.
     sql["qx29_rolling_anomalies"] = '''
