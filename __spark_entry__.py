@@ -2962,6 +2962,20 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx32_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet (capability row 122): the quantitative
+    datasheet a training-data release ships with — size, exact token
+    percentiles, dup/empty fractions, language concentration, mean
+    quality — as a long (metric, value) frame from two aggregates.
+    DuckDB replays every metric (distinct normalized text stands in
+    for the sha2 digest — same count)."""
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        corpus_datasheet,
+    )
+
+    return corpus_datasheet(_t(spark, sf_dir, "documents"))
+
+
 def qx30_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-shaped market share (capability row 121): NATION_5
     suppliers' share of ASIA customers' ECONOMY-part volume per order
@@ -3280,6 +3294,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx28_event_trends": qx28_event_trends,
         "qx29_rolling_anomalies": qx29_rolling_anomalies,
         "qx30_market_share": qx30_market_share,
+        "qx32_corpus_datasheet": qx32_corpus_datasheet,
         "qx31_product_profit": qx31_product_profit,
     }
 
@@ -4061,6 +4076,65 @@ def extra_oracle_sql() -> dict[str, str]:
                array_to_string(kept, chr(10)) AS text
         FROM d ORDER BY doc_id
     """
+
+    # qx32: datasheet replay — every metric from the same norm/token/
+    # quality expressions; distinct norm text == distinct sha2 digest.
+    stop_list32 = ", ".join(
+        f"'{w}'" for w in LANG_MARKERS["en"]
+        + ("a", "an", "it", "on", "as", "at", "by", "be")
+    )
+    sql["qx32_corpus_datasheet"] = f'''
+        WITH t AS (
+            SELECT doc_id, lang, coalesce(text, '') AS rawt,
+                   {norm_text} AS norm, {_toks(norm_text)} AS toks
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, lang, rawt, norm, toks,
+                   CAST(round((least(CAST(length(norm) AS DOUBLE) / 500.0, 1.0)
+                      + (CASE WHEN length(replace(norm, ' ', '')) > 0
+                              THEN CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+                                   / length(replace(norm, ' ', ''))
+                              ELSE 0.0 END)
+                      + least((CASE WHEN len(toks) > 0
+                               THEN CAST(len(list_filter(toks,
+                                        x -> list_contains([{stop_list32}], x))) AS DOUBLE)
+                                    / len(toks) ELSE 0.0 END) / 0.4, 1.0)
+                     ) / 3.0, 6) AS DECIMAL(18,6)) AS qual
+            FROM t
+        ),
+        g AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(toks)) AS BIGINT) AS tokens_total,
+                   quantile_cont(len(toks), 0.5) AS tokens_p50,
+                   quantile_cont(len(toks), 0.9) AS tokens_p90,
+                   quantile_cont(len(toks), 0.99) AS tokens_p99,
+                   CAST(SUM(length(rawt)) AS BIGINT) AS chars_total,
+                   SUM(qual) AS q_sum,
+                   SUM(CASE WHEN len(toks) = 0 THEN 1 ELSE 0 END) AS n_empty,
+                   COUNT(DISTINCT norm) AS n_uniq
+            FROM q
+        ),
+        lg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_langs,
+                   CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_share
+            FROM (SELECT lang, COUNT(*) AS c FROM t GROUP BY lang)
+        )
+        SELECT metric, round(value, 6) AS value FROM (
+            SELECT 'chars_total' AS metric, CAST(chars_total AS DOUBLE) AS value FROM g
+            UNION ALL SELECT 'dup_frac', 1.0 - CAST(n_uniq AS DOUBLE) / n_docs FROM g
+            UNION ALL SELECT 'empty_frac', CAST(n_empty AS DOUBLE) / n_docs FROM g
+            UNION ALL SELECT 'n_docs', CAST(n_docs AS DOUBLE) FROM g
+            UNION ALL SELECT 'n_langs', CAST(n_langs AS DOUBLE) FROM lg
+            UNION ALL SELECT 'quality_mean', CAST(q_sum AS DOUBLE) / n_docs FROM g
+            UNION ALL SELECT 'tokens_mean', CAST(tokens_total AS DOUBLE) / n_docs FROM g
+            UNION ALL SELECT 'tokens_p50', tokens_p50 FROM g
+            UNION ALL SELECT 'tokens_p90', tokens_p90 FROM g
+            UNION ALL SELECT 'tokens_p99', tokens_p99 FROM g
+            UNION ALL SELECT 'tokens_total', CAST(tokens_total AS DOUBLE) FROM g
+            UNION ALL SELECT 'top_lang_share', top_share FROM lg
+        ) ORDER BY metric
+    '''
 
     # qx30/qx31: TPC-H Q8/Q9 shapes — decimal-exact volume sums.
     sql["qx30_market_share"] = '''

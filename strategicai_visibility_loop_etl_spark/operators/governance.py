@@ -104,3 +104,84 @@ def append_run_log(
         ],
     )
     return path
+
+
+def corpus_datasheet(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+):
+    """Dataset datasheet: the one-page stats report a training-data
+    release ships with (Gebru et al. 2021, "Datasheets for Datasets"
+    — the quantitative slice), as a long (metric, value) frame:
+    corpus size, token-length distribution (exact percentiles — the
+    accuracy oracle for the approx sketches you'd use at 100 TB),
+    emptiness, exact-duplicate fraction, language concentration and
+    mean quality.
+
+    Two aggregates total: one global (counts, sums, percentiles,
+    distinct-normalized-text), one over the language distribution;
+    both partial-aggregate map-side. Every value lands as a rounded
+    double so the report is engine-exact and hash-stable.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.text import normalized_text, quality_score, token_count
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        token_count(txt).alias("__nt"),
+        F.length(txt).cast("long").alias("__nc"),
+        quality_score(txt).alias("__q"),
+        F.sha2(normalized_text(txt), 256).alias("__dig"),
+        *([F.col(lang_col).alias("__lang")] if lang_col else []),
+    )
+    # means via exact sum / count, not avg(): a floating avg's
+    # accumulation order varies with partitioning; long/decimal sums
+    # are exact, so one final division is deterministic
+    g = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__nt").alias("tokens_total"),
+        F.median("__nt").alias("tokens_p50"),
+        F.percentile("__nt", 0.9).alias("tokens_p90"),
+        F.percentile("__nt", 0.99).alias("tokens_p99"),
+        F.sum("__nc").alias("chars_total"),
+        F.sum(F.col("__q").cast("decimal(18,6)")).alias("__q_sum"),
+        F.sum((F.col("__nt") == 0).cast("int")).alias("__n_empty"),
+        F.countDistinct("__dig").alias("__n_uniq"),
+    )
+    metrics = {
+        "chars_total": F.col("chars_total").cast("double"),
+        "dup_frac": F.lit(1.0) - F.col("__n_uniq") / F.col("n_docs"),
+        "empty_frac": F.col("__n_empty") / F.col("n_docs"),
+        "n_docs": F.col("n_docs").cast("double"),
+        "quality_mean": F.col("__q_sum").cast("double") / F.col("n_docs"),
+        "tokens_mean": F.col("tokens_total").cast("double") / F.col("n_docs"),
+        "tokens_p50": F.col("tokens_p50"),
+        "tokens_p90": F.col("tokens_p90"),
+        "tokens_p99": F.col("tokens_p99"),
+        "tokens_total": F.col("tokens_total").cast("double"),
+    }
+    if lang_col:
+        lang = (
+            base.groupBy("__lang")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.count("*").alias("n_langs"),
+                (F.max("c") / F.sum("c")).alias("top_lang_share"),
+            )
+        )
+        g = g.crossJoin(F.broadcast(lang))
+        metrics["n_langs"] = F.col("n_langs").cast("double")
+        metrics["top_lang_share"] = F.col("top_lang_share")
+    stack_args = []
+    for name in sorted(metrics):
+        stack_args += [F.lit(name), F.round(metrics[name], 6)]
+    return (
+        g.select(
+            F.stack(F.lit(len(metrics)), *stack_args).alias("metric", "value")
+        )
+        .orderBy("metric")
+    )

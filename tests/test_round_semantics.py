@@ -147,3 +147,29 @@ def test_rolling_zscore_matches_python(spark):
     # insufficient history or zero variance -> never flagged
     assert not got[("a", 2)]["is_anomaly"]
     assert all(not got[("flat", i)]["is_anomaly"] for i in range(6))
+
+
+def test_corpus_datasheet_known_values(spark):
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        corpus_datasheet,
+    )
+
+    docs = [
+        (1, "one two three", "en"),
+        (2, "one two three", "en"),      # exact dup of 1
+        (3, "four five six seven", "en"),
+        (4, "", "de"),                    # empty
+        (5, "acht neun", "de"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    m = {r["metric"]: r["value"] for r in corpus_datasheet(df).collect()}
+    assert m["n_docs"] == 5.0
+    assert m["tokens_total"] == 3 + 3 + 4 + 0 + 2
+    assert m["empty_frac"] == 0.2
+    assert m["dup_frac"] == round(1 - 4 / 5, 6)
+    assert m["n_langs"] == 2.0
+    assert m["top_lang_share"] == 0.6
+    assert m["tokens_p50"] == 3.0
+    assert m["tokens_mean"] == round(12 / 5, 6)
+    assert 0.0 < m["quality_mean"] < 1.0
+    assert sorted(m) == list(m)  # stable metric ordering
