@@ -2962,6 +2962,32 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx33_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend (capability row 123): median of pairwise
+    slopes per event type over the daily rollup - the outlier-immune
+    companion of qx28's OLS; group-keyed pair join + exact median,
+    per-pair slopes rounded before the median so both engines
+    interpolate the same values."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        theil_sen_trend,
+    )
+
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            .alias("day"),
+        )
+        .agg(
+            F.round(F.sum("value"), 6).cast("decimal(28,6)").alias("daily_value")
+        )
+    )
+    return theil_sen_trend(
+        daily, ["event_type"], "day", "daily_value"
+    ).orderBy("event_type")
+
+
 def qx32_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus datasheet (capability row 122): the quantitative
     datasheet a training-data release ships with — size, exact token
@@ -3295,6 +3321,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx29_rolling_anomalies": qx29_rolling_anomalies,
         "qx30_market_share": qx30_market_share,
         "qx32_corpus_datasheet": qx32_corpus_datasheet,
+        "qx33_theil_sen": qx33_theil_sen,
         "qx31_product_profit": qx31_product_profit,
     }
 
@@ -4076,6 +4103,27 @@ def extra_oracle_sql() -> dict[str, str]:
                array_to_string(kept, chr(10)) AS text
         FROM d ORDER BY doc_id
     """
+
+    # qx33: Theil-Sen — pairwise slopes + exact interpolated median.
+    sql["qx33_theil_sen"] = '''
+        WITH daily AS (
+            SELECT event_type,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                   CAST(round(SUM(value), 6) AS DECIMAL(28,6)) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   round(CAST(b.y - a.y AS DOUBLE) / (b.day - a.day), 9)
+                       AS s
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.day < b.day
+        )
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               round(quantile_cont(s, 0.5), 6) AS ts_slope
+        FROM pairs GROUP BY event_type ORDER BY event_type
+    '''
 
     # qx32: datasheet replay — every metric from the same norm/token/
     # quality expressions; distinct norm text == distinct sha2 digest.

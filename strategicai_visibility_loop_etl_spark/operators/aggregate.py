@@ -171,3 +171,58 @@ def linear_trend(
         intercept.alias("intercept"),
         r2.alias("r2"),
     )
+
+
+def theil_sen_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Per-group Theil–Sen robust trend: the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i), x_i < x_j — the estimator that
+    shrugs off the outliers that drag OLS (``linear_trend``) around;
+    the standard robust companion on monitoring rollups.
+
+    Fully relational — a within-group self-join on x-ordered pairs
+    plus an exact median; no Python, no sorting UDFs. Pair volume is
+    O(points² per group): fine for the intended inputs (daily rollups
+    — thousands of points per key at most, millions of pair rows),
+    and the join is group-keyed so pairs never cross groups. For
+    longer series, pre-bucket x (e.g. weekly) before calling.
+
+    Determinism: slopes are DECIMAL y-deltas over integral x-deltas,
+    rounded per pair before the median; the exact interpolated median
+    matches DuckDB's ``quantile_cont`` bit-for-bit. Groups with < 2
+    distinct x yield NULL.
+    """
+    a = df.select(
+        *group_cols,
+        F.col(x_col).cast("long").alias("__xa"),
+        F.col(y_col).cast("decimal(28,6)").alias("__ya"),
+    )
+    b = df.select(
+        *group_cols,
+        F.col(x_col).cast("long").alias("__xb"),
+        F.col(y_col).cast("decimal(28,6)").alias("__yb"),
+    )
+    pairs = a.join(b, group_cols).filter(F.col("__xa") < F.col("__xb"))
+    slope = F.round(
+        (F.col("__yb") - F.col("__ya")).cast("double")
+        / (F.col("__xb") - F.col("__xa")).cast("double"),
+        out_decimals + 3,
+    )
+    return (
+        pairs.select(*group_cols, slope.alias("__s"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.median("__s"), out_decimals).alias("ts_slope"),
+        )
+        .select(
+            *group_cols,
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "ts_slope",
+        )
+    )

@@ -173,3 +173,36 @@ def test_corpus_datasheet_known_values(spark):
     assert m["tokens_mean"] == round(12 / 5, 6)
     assert 0.0 < m["quality_mean"] < 1.0
     assert sorted(m) == list(m)  # stable metric ordering
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """Theil-Sen vs a Python median-of-slopes reference; one wild
+    outlier barely moves it while OLS swings."""
+    import statistics
+
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        linear_trend,
+        theil_sen_trend,
+    )
+
+    pts = [(i, 2.0 * i + 5.0) for i in range(10)]
+    pts[7] = (7, 500.0)  # outlier
+    df = spark.createDataFrame(
+        [("a", x, y) for x, y in pts], "g string, x int, y double"
+    ).select("g", "x", F.col("y").cast("decimal(28,6)").alias("y"))
+
+    ts = theil_sen_trend(df, ["g"], "x", "y").collect()[0]
+    slopes = [
+        round((y2 - y1) / (x2 - x1), 9)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1:]
+    ]
+    assert ts["n_pairs"] == 45
+    assert abs(ts["ts_slope"] - round(statistics.median(slopes), 6)) < 1e-9
+    assert abs(ts["ts_slope"] - 2.0) < 0.5  # robust
+    ols = linear_trend(df, ["g"], "x", "y").collect()[0]
+    assert abs(ols["slope"] - 2.0) > 2.0  # OLS dragged by the outlier
+
+    # degenerate: single point -> NULL slope, zero pairs -> absent
+    one = spark.createDataFrame([("b", 1, 1.0)], "g string, x int, y double")
+    assert theil_sen_trend(one, ["g"], "x", "y").collect() == []
