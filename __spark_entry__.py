@@ -2962,6 +2962,27 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx34_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized cosine top-k (capability row 124): symmetric
+    per-vector int8 codes (4x memory cut - the billion-vector serving
+    path), scoring in pure integer arithmetic (scales cancel in
+    cosine), one sqrt at the end. Deterministic by construction; the
+    DuckDB oracle replays quantization AND integer scoring."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qz = quantize_embeddings(emb)
+    queries = qz.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    return quantized_cosine_topk(qz, queries, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 def qx33_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust trend (capability row 123): median of pairwise
     slopes per event type over the daily rollup - the outlier-immune
@@ -3322,6 +3343,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx30_market_share": qx30_market_share,
         "qx32_corpus_datasheet": qx32_corpus_datasheet,
         "qx33_theil_sen": qx33_theil_sen,
+        "qx34_quantized_ann": qx34_quantized_ann,
         "qx31_product_profit": qx31_product_profit,
     }
 
@@ -4103,6 +4125,43 @@ def extra_oracle_sql() -> dict[str, str]:
                array_to_string(kept, chr(10)) AS text
         FROM d ORDER BY doc_id
     """
+
+    # qx34: int8 quantization + integer cosine replay.
+    sql["qx34_quantized_ann"] = '''
+        WITH qz AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CASE WHEN mx > 0
+                            THEN CAST(round(x / (mx / 127.0)) AS BIGINT)
+                            ELSE 0 END) AS qvec
+            FROM (SELECT vec_id, embedding,
+                         CAST(coalesce(list_max(list_transform(embedding,
+                             x -> abs(x))), 0.0) AS DOUBLE) AS mx
+                  FROM embeddings)
+        ),
+        n AS (
+            SELECT vec_id, qvec,
+                   CAST(list_sum(list_transform(qvec, x -> x*x)) AS BIGINT)
+                       AS n2
+            FROM qz
+        ),
+        pairs AS (
+            SELECT q.vec_id AS query_id, c.vec_id,
+                   CASE WHEN c.n2 * q.n2 > 0 THEN
+                       round(CAST(list_dot_product(c.qvec, q.qvec) AS DOUBLE)
+                             / sqrt(CAST(c.n2 * q.n2 AS DOUBLE)), 6)
+                   ELSE 0.0 END AS qcosine
+            FROM n c, n q WHERE q.vec_id < 5
+        ),
+        rk AS (
+            SELECT query_id, vec_id, qcosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY qcosine DESC, vec_id) AS rank
+            FROM pairs
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, vec_id, qcosine
+        FROM rk WHERE rank <= 5 ORDER BY query_id, rank
+    '''
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.
     sql["qx33_theil_sen"] = '''

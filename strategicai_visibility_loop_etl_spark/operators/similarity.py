@@ -614,3 +614,96 @@ def semantic_dedup(
             (F.coalesce("component", F.col("id")) == F.col("id")).alias("keep"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization: (id, scale, qvec) with
+    q_i = round(x_i·127 / max|x|) ∈ [−127, 127] — the standard 4×
+    memory cut for billion-vector ANN serving. Zero vectors quantize
+    to all-zero with scale 0.
+
+    ``F.round(y, 0)`` is exact at .5 ties for |y| < 2^53 (matches
+    C-library/DuckDB rounding — see ``round_c``), so the quantized
+    codes are engine-identical. flet-bound so the per-element lambda
+    sees the scale as a variable (an outer reference would recompute
+    the array-max per ELEMENT)."""
+    from ..functions.exprs import flet
+
+    v = F.col(vec_col)
+    scale_expr = (
+        F.coalesce(
+            F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(0.0)
+        )
+        / 127.0
+    ).cast("double")
+    qvec = flet(
+        scale_expr,
+        lambda s: F.when(
+            s > 0,
+            F.transform(v, lambda x: F.round(x / s, 0).cast("int")),
+        ).otherwise(F.transform(v, lambda x: F.lit(0))),
+    )
+    return df.select(
+        F.col(id_col),
+        scale_expr.alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+def quantized_cosine_topk(
+    corpus_q: DataFrame,
+    queries_q: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+) -> DataFrame:
+    """Exact top-k under QUANTIZED cosine: because the per-vector
+    scales cancel in cos = (sa·sb·Σqa·qb)/(sa√Σqa²·sb√Σqb²), scoring
+    is pure integer arithmetic — Σqa·qb and the two squared norms are
+    exact int64 sums — with one final sqrt+divide. No float
+    accumulation order anywhere: the ranking is deterministic by
+    construction, and DuckDB replays it from the same integer codes.
+    Same broadcast-query / window-rank shape as ``knn_cosine_topk``;
+    recall vs the float path is tolerance-tested."""
+    c = corpus_q.select(
+        F.col(corpus_id),
+        F.col("qvec").alias("__cq"),
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("__cn2"),
+    )
+    q = queries_q.select(
+        F.col(query_id),
+        F.col("qvec").alias("__qq"),
+        F.aggregate(
+            F.transform(F.col("qvec"), lambda x: (x * x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, b: a + b,
+        ).alias("__qn2"),
+    )
+    joined = c.crossJoin(F.broadcast(q))
+    dot = F.aggregate(
+        F.zip_with(F.col("__cq"), F.col("__qq"), lambda a, b: (a * b).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    denom2 = F.col("__cn2") * F.col("__qn2")
+    cos = F.when(
+        denom2 > 0,
+        F.round(dot.cast("double") / F.sqrt(denom2.cast("double")), 6),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("qcosine").desc(), F.col(corpus_id)
+    )
+    return (
+        joined.select(query_id, corpus_id, cos.alias("qcosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col("rank").cast("int").alias("rank"), corpus_id, "qcosine")
+    )

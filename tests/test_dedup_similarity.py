@@ -422,3 +422,58 @@ def test_minhash_incremental_index_update(spark, tmp_path):
         batch2, idx, threshold=0.5, max_bucket=100
     ).collect()
     assert (2, 3) in {(r["id_a"], r["id_b"]) for r in p2}
+
+
+def test_quantized_ann_recall_vs_float(spark, sf_dir):
+    """Int8-quantized cosine ranking approximates the float path:
+    high top-5 overlap, and the quantization error is bounded."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        knn_cosine_topk,
+        quantize_embeddings,
+        quantized_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_f = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = knn_cosine_topk(emb, queries_f, k=5).collect()
+
+    qz = quantize_embeddings(emb)
+    queries_q = qz.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "qvec"
+    )
+    approx = quantized_cosine_topk(qz, queries_q, k=5).collect()
+
+    def by_q(rows, idc):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r[idc])
+        return out
+
+    e, a = by_q(exact, "vec_id"), by_q(approx, "vec_id")
+    assert set(e) == set(a)
+    total = hits = 0
+    for q in e:
+        total += len(e[q])
+        hits += len(e[q] & a[q])
+    assert hits / total >= 0.8, (hits, total)
+    # int8 cosine error bound: |cos_q - cos| small for the self-match
+    self_rows = {r["query_id"]: r for r in approx if r["rank"] == 1}
+    for q, r in self_rows.items():
+        assert r["vec_id"] == q and abs(r["qcosine"] - 1.0) < 1e-4
+
+
+def test_quantize_embeddings_codes_and_zero_vector(spark):
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert got[1]["qvec"] == [64, -127, 32]  # round(.5/(1/127))=63.5->64
+    assert abs(got[1]["scale"] - 1.0 / 127) < 1e-9
+    assert got[2]["qvec"] == [0, 0, 0] and got[2]["scale"] == 0.0
