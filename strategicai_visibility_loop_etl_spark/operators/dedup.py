@@ -835,10 +835,37 @@ def dedup_minhash_incremental(
         stage_path,
     )
     old_sig = spark.read.parquet(index_path)
-    union_sig = old_sig.unionByName(new_sig)
+    pairs = incremental_pairs_from_signatures(
+        new_sig, old_sig, num_hashes, bands, threshold, max_bucket
+    )
+    if update_index:
+        # force pair computation BEFORE the index mutates under it
+        pairs = pairs.localCheckpoint()
+        new_sig.write.mode("append").parquet(index_path)
+    return pairs
 
-    rows_new = _band_rows(new_sig, num_hashes, bands)
-    rows_all = _band_rows(old_sig, num_hashes, bands).unionByName(rows_new)
+
+def incremental_pairs_from_signatures(
+    new_sig: DataFrame,
+    old_sig: DataFrame | None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int | str = 2000,
+) -> DataFrame:
+    """The signature-level core of ``dedup_minhash_incremental``:
+    canonical pairs involving at least one NEW signature, given the
+    archive's (id, sig) table (or None for the very first batch —
+    then it is plain within-batch LSH). Shared by the batch API and
+    the streaming dedup-on-arrival sink."""
+    if old_sig is None:
+        union_sig = new_sig
+        rows_new = _band_rows(new_sig, num_hashes, bands)
+        rows_all = rows_new
+    else:
+        union_sig = old_sig.unionByName(new_sig)
+        rows_new = _band_rows(new_sig, num_hashes, bands)
+        rows_all = _band_rows(old_sig, num_hashes, bands).unionByName(rows_new)
 
     bucket_sizes = rows_all.groupBy("band", "bh").agg(F.count("*").alias("n"))
     cap = resolve_max_bucket(bucket_sizes, max_bucket)
@@ -869,13 +896,8 @@ def dedup_minhash_incremental(
         for i in range(num_hashes)
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
-    pairs = (
+    return (
         cand.withColumn("jaccard_est", round_c(est, 6))
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
-    if update_index:
-        # force pair computation BEFORE the index mutates under it
-        pairs = pairs.localCheckpoint()
-        new_sig.write.mode("append").parquet(index_path)
-    return pairs

@@ -126,3 +126,95 @@ def start_visibility_upsert_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_signature_index(
+    spark: SparkSession, index_dir: str
+) -> DataFrame | None:
+    """The accumulated (id, sig) index: the union of every COMMITTED
+    batch's signature directory (ledger-resolved — a crashed batch's
+    orphan directory is invisible)."""
+    ids = committed_batches(index_dir)
+    if not ids:
+        return None
+    paths = [os.path.join(index_dir, f"b{i}") for i in ids]
+    return spark.read.parquet(*paths)
+
+
+def dedup_on_arrival_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    pairs_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    max_bucket: int | str = 2000,
+) -> None:
+    """foreachBatch body: incremental MinHash dedup-on-arrival with
+    the ledgered exactly-once protocol. Each micro-batch is shingled
+    once, checked against the ACCUMULATED signature index (archive
+    side = stored signatures only, the `dedup_minhash_incremental`
+    economics), its near-dup pairs land in ``pairs_dir/v{batch_id}``
+    and its signatures in ``index_dir/b{batch_id}`` — a per-batch
+    DIRECTORY, not an append, so a redelivered batch overwrites the
+    same paths with identical content; the ledger marker commits both
+    atomically at the end. The index reader unions committed batch
+    directories, so a crash at any point either replays to an
+    identical state or leaves the batch invisible."""
+    from ..operators.dedup import (
+        incremental_pairs_from_signatures,
+        minhash_signatures,
+    )
+
+    marker = os.path.join(_ledger_dir(index_dir), str(batch_id))
+    if os.path.exists(marker):
+        return  # redelivery of a committed batch: no-op
+    spark = batch_df.sparkSession
+    sig_dir = os.path.join(index_dir, f"b{batch_id}")
+    minhash_signatures(
+        batch_df, text_col, id_col, k, num_hashes
+    ).write.mode("overwrite").parquet(sig_dir)
+    new_sig = spark.read.parquet(sig_dir)
+    old_sig = read_signature_index(spark, index_dir)
+    pairs = incremental_pairs_from_signatures(
+        new_sig, old_sig, num_hashes, bands, threshold, max_bucket
+    )
+    pairs.write.mode("overwrite").parquet(
+        os.path.join(pairs_dir, f"v{batch_id}")
+    )
+    os.makedirs(_ledger_dir(index_dir), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(f"b{batch_id}")
+    os.replace(tmp, marker)  # atomic commit of index + pairs
+
+
+def start_dedup_on_arrival_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    pairs_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Streaming crawl ingest with dedup-on-arrival: every arriving
+    micro-batch of documents is checked against everything ingested
+    before it and becomes part of the archive for the next batch.
+    Returns the started StreamingQuery; read the accumulated pairs
+    with ``spark.read.parquet(f"{pairs_dir}/v*")`` filtered through
+    ``committed_batches(index_dir)``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_on_arrival_batch(
+            batch_df, batch_id, index_dir, pairs_dir, **kwargs
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

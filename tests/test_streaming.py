@@ -426,3 +426,83 @@ def test_streaming_structural_clean_matches_batch(spark, tmp_path):
     assert streamed == batch
     assert set(batch) == {1}
     assert batch[1].count("nav bar repeated line here.") == 1
+
+
+def test_dedup_on_arrival_stream(spark, tmp_path):
+    """Streaming dedup-on-arrival: batches check against everything
+    ingested before them; the accumulated pair set equals the full
+    batch recompute restricted to cross/new pairs per arrival order;
+    redelivery of a committed batch no-ops."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        dedup_minhash_lsh,
+    )
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        committed_batches,
+        dedup_on_arrival_batch,
+        read_signature_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    docs = [
+        (1, base),
+        (2, base + " tail"),            # near-dup of 1
+        (3, "completely different text about gardening tulips and soil"),
+        (4, base + " tail"),            # exact dup of 2, near-dup of 1
+        (5, "another unrelated document talking about spark internals"),
+    ]
+    batches = [docs[0:2], docs[2:4], docs[4:5]]
+    idx = str(tmp_path / "idx")
+    prs = str(tmp_path / "pairs")
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    for bid, rows in enumerate(batches):
+        dedup_on_arrival_batch(
+            mk(rows), bid, idx, prs, threshold=0.5, max_bucket=100
+        )
+    assert committed_batches(idx) == [0, 1, 2]
+    assert read_signature_index(spark, idx).count() == 5
+
+    got = set()
+    for bid in committed_batches(idx):
+        for r in spark.read.parquet(f"{prs}/v{bid}").collect():
+            got.add((r["id_a"], r["id_b"]))
+    # full recompute over everything: all pairs (arrival order means
+    # every pair was new-vs-archive or within-batch at some point)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_minhash_lsh(
+            mk(docs), threshold=0.5, max_bucket=100
+        ).collect()
+    }
+    assert got == full
+    assert (1, 2) in got and (2, 4) in got and (1, 4) in got
+
+    # redelivery: replaying batch 1 must change nothing
+    before = read_signature_index(spark, idx).count()
+    dedup_on_arrival_batch(
+        mk(batches[1]), 1, idx, prs, threshold=0.5, max_bucket=100
+    )
+    assert read_signature_index(spark, idx).count() == before
+
+    # and the real streaming wiring delivers the same protocol
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        start_dedup_on_arrival_stream,
+    )
+
+    src = str(tmp_path / "stream_src")
+    mk(docs).coalesce(1).write.mode("overwrite").parquet(src)
+    idx2, prs2 = str(tmp_path / "idx2"), str(tmp_path / "pairs2")
+    q = start_dedup_on_arrival_stream(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        idx2, prs2, str(tmp_path / "ckpt"),
+        threshold=0.5, max_bucket=100,
+    )
+    q.processAllAvailable()
+    q.stop()
+    got2 = set()
+    for bid in committed_batches(idx2):
+        for r in spark.read.parquet(f"{prs2}/v{bid}").collect():
+            got2.add((r["id_a"], r["id_b"]))
+    assert got2 == full
