@@ -2962,6 +2962,21 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx35_carve_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style block carving (capability row 126): documents
+    concatenated in id order with <eos>, cut into 128-token blocks
+    spanning document boundaries; offsets from the distributed
+    prefix sum. DuckDB replays the cumulative offsets, block
+    arithmetic and fragment assembly."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        carve_blocks,
+    )
+
+    return carve_blocks(
+        _t(spark, sf_dir, "documents"), block_tokens=128
+    ).orderBy("block_id")
+
+
 def qx34_quantized_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8-quantized cosine top-k (capability row 124): symmetric
     per-vector int8 codes (4x memory cut - the billion-vector serving
@@ -3344,6 +3359,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx32_corpus_datasheet": qx32_corpus_datasheet,
         "qx33_theil_sen": qx33_theil_sen,
         "qx34_quantized_ann": qx34_quantized_ann,
+        "qx35_carve_blocks": qx35_carve_blocks,
         "qx31_product_profit": qx31_product_profit,
     }
 
@@ -4125,6 +4141,47 @@ def extra_oracle_sql() -> dict[str, str]:
                array_to_string(kept, chr(10)) AS text
         FROM d ORDER BY doc_id
     """
+
+    # qx35: carve replay — window cumsum, block spans, ordered frags.
+    sql["qx35_carve_blocks"] = f'''
+        WITH t AS (
+            SELECT doc_id,
+                   list_append({_toks(norm_text)}, '<eos>') AS toks
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+            FROM t WHERE len(toks) > 1
+        ),
+        o AS (
+            SELECT doc_id, toks, n,
+                   coalesce(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS start
+            FROM d
+        ),
+        sp AS (
+            SELECT doc_id, toks, start, start + n AS fin,
+                   unnest(range(CAST(floor(start / 128) AS BIGINT),
+                                CAST(floor((start + n - 1) / 128) AS BIGINT)
+                                + 1)) AS block_id
+            FROM o
+        ),
+        fr AS (
+            SELECT block_id, start,
+                   list_slice(toks,
+                       CAST(greatest(start, block_id*128) - start + 1 AS INT),
+                       CAST(least(fin, (block_id+1)*128) - start AS INT))
+                       AS frag
+            FROM sp
+        )
+        SELECT CAST(block_id AS BIGINT) AS block_id,
+               CAST(SUM(len(frag)) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               array_to_string(flatten(list(frag ORDER BY start)), ' ')
+                   AS text
+        FROM fr GROUP BY block_id ORDER BY block_id
+    '''
 
     # qx34: int8 quantization + integer cosine replay.
     sql["qx34_quantized_ann"] = '''

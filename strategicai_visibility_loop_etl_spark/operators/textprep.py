@@ -353,6 +353,43 @@ def tfidf_top_terms(
     )
 
 
+def global_prefix_sum(
+    df: DataFrame, value_col: str, id_col: str, out_col: str = "__before"
+) -> DataFrame:
+    """Exclusive global prefix sum of ``value_col`` in ``id_col``
+    order as ``out_col`` — the DISTRIBUTED two-pass form (never a
+    single-partition global window): range-partition by id, running
+    sum within each partition, then add each partition's cumulative
+    offset (a partition-count-sized frame — the only single-partition
+    window runs over that, not the data). ``id_col`` must be unique.
+    Shared by ``pack_sequences`` and ``carve_blocks``."""
+    d = df.repartitionByRange(F.col(id_col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("__pid").orderBy(F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__tot"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__tot").over(w_off), F.lit(0).cast("bigint")).alias(
+                "__off"
+            ),
+        )
+    )
+    local_before = F.coalesce(
+        F.sum(value_col).over(w_local), F.lit(0).cast("bigint")
+    )
+    return (
+        d.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, local_before + F.col("__off"))
+        .drop("__pid", "__off")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget_tokens: int,
@@ -382,33 +419,7 @@ def pack_sequences(
         )
         before = F.coalesce(F.sum(token_col).over(w), F.lit(0).cast("bigint"))
     else:
-        d = df.repartitionByRange(F.col(id_col)).withColumn(
-            "__pid", F.spark_partition_id()
-        )
-        w_local = Window.partitionBy("__pid").orderBy(F.col(id_col)).rowsBetween(
-            Window.unboundedPreceding, -1
-        )
-        # Cumulative token total of all partitions before each one:
-        # a window over the (pid, total) frame — #partitions rows.
-        w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = (
-            d.groupBy("__pid")
-            .agg(F.sum(token_col).alias("__tot"))
-            .select(
-                "__pid",
-                F.coalesce(F.sum("__tot").over(w_off), F.lit(0).cast("bigint")).alias(
-                    "__off"
-                ),
-            )
-        )
-        local_before = F.coalesce(
-            F.sum(token_col).over(w_local), F.lit(0).cast("bigint")
-        )
-        df = (
-            d.join(F.broadcast(offsets), "__pid")
-            .withColumn("__before", local_before + F.col("__off"))
-            .drop("__pid", "__off")
-        )
+        df = global_prefix_sum(df, token_col, id_col)
         before = F.col("__before")
     out = df.select(
         "*",
@@ -938,4 +949,86 @@ def bigram_lm_scores(
         F.col("n_transitions").cast("long").alias("n_transitions"),
         nls.alias("neg_logscore"),
         F.round(F.exp(nls), 4).alias("sb_ppl"),
+    )
+
+
+def carve_blocks(
+    df: DataFrame,
+    block_tokens: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eos_token: str = "<eos>",
+) -> DataFrame:
+    """GPT-style pre-training example carving: concatenate the
+    normalized documents in ``id_col`` order, an ``eos_token`` after
+    each, and cut the stream into consecutive ``block_tokens``-token
+    blocks — documents SPAN block boundaries (the "concat and chunk"
+    regime of GPT/Llama data loaders), unlike ``chunk_documents``
+    (per-document windows) and ``pack_sequences`` (whole-document
+    budget packing).
+
+    Distributed shape: each document learns its global [start, end)
+    token offset from the two-pass exclusive prefix sum
+    (``global_prefix_sum`` — no data-sized single-partition window),
+    computes the ≤ ⌈tokens/B⌉+1 block ids it overlaps with pure
+    arithmetic, and ships one (block, start, fragment) row per
+    overlap; blocks assemble with one hash aggregate whose payload is
+    bounded by ``block_tokens``. Token-less documents contribute
+    nothing (no bare-EOS blocks). Returns (block_id, n_tokens,
+    n_docs, text); every block is exactly ``block_tokens`` long
+    except the final remainder.
+    """
+    toks_raw = F.split(normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " ")
+    toks_raw = F.filter(toks_raw, lambda t: F.length(t) >= 1)
+    with_eos = F.concat(toks_raw, F.array(F.lit(eos_token)))
+    base = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            with_eos.alias("__toks"),
+        )
+        .filter(F.size("__toks") > 1)  # token-less docs carry only EOS
+        .withColumn("__n", F.size("__toks").cast("bigint"))
+    )
+    base = global_prefix_sum(base, "__n", "__id")
+    start = F.col("__before")
+    end = start + F.col("__n")
+    b = F.lit(block_tokens).cast("bigint")
+    spans = base.select(
+        "__id",
+        "__toks",
+        start.alias("__start"),
+        end.alias("__end"),
+        F.explode(
+            F.sequence(F.floor(start / b), F.floor((end - 1) / b))
+        ).alias("block_id"),
+    )
+    s = F.greatest(F.col("__start"), F.col("block_id") * b)
+    e = F.least(F.col("__end"), (F.col("block_id") + 1) * b)
+    frag = F.slice(
+        F.col("__toks"),
+        (s - F.col("__start") + 1).cast("int"),
+        (e - s).cast("int"),
+    )
+    return (
+        spans.select(
+            F.col("block_id").cast("long").alias("block_id"),
+            F.col("__start").alias("__s"),
+            frag.alias("__frag"),
+        )
+        .groupBy("block_id")
+        .agg(
+            F.sum(F.size("__frag")).cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.array_join(
+                F.flatten(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("__s"), F.col("__frag")))
+                        ),
+                        lambda r: r["__frag"],
+                    )
+                ),
+                " ",
+            ).alias("text"),
+        )
     )

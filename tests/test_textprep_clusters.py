@@ -552,3 +552,37 @@ def test_pmi_collocations_matches_python_reference(spark):
     # min_count excludes rarer pairs entirely
     all_rows = pmi_collocations(df, min_count=2, k=100).collect()
     assert all(r["pair_count"] >= 2 for r in all_rows)
+
+
+def test_carve_blocks_reconstructs_stream(spark):
+    """Blocks reassemble EXACTLY to the concatenated eos-joined
+    stream; all full blocks are block_tokens long; docs span
+    boundaries; token-less docs vanish."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        carve_blocks,
+    )
+
+    docs = [
+        (1, "a b c d e"),
+        (2, ""),             # token-less: contributes nothing
+        (3, "f g h"),
+        (4, "i j k l m n o p q r"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = carve_blocks(df, block_tokens=4).orderBy("block_id").collect()
+
+    stream = []
+    for _i, t in docs:
+        toks = (t or "").split()
+        if toks:
+            stream += toks + ["<eos>"]
+    want_blocks = [stream[i:i + 4] for i in range(0, len(stream), 4)]
+    assert [r["text"].split() for r in out] == want_blocks
+    assert [r["block_id"] for r in out] == list(range(len(want_blocks)))
+    for r in out[:-1]:
+        assert r["n_tokens"] == 4
+    # doc 4 (10 tokens + eos) must span multiple blocks
+    assert any(r["n_docs"] > 1 for r in out)
+    # reconstruction is total: no token lost or duplicated
+    assert sum(r["n_tokens"] for r in out) == len(stream)
