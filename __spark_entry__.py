@@ -2962,6 +2962,30 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx36_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split (capability row 127): the
+    split unit is the near-dup connected component (q42's staged
+    table), so a test document can never have a near-duplicate in
+    train; labels from the pure-hash ppm bucket of the unit. The
+    DuckDB oracle recloses the pair graph recursively and replays
+    unit + bucket + thresholds."""
+    from strategicai_visibility_loop_etl_spark.operators.clusters import (
+        leakage_free_split,
+    )
+
+    path = _cc_comp_path(sf_dir)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        _compute_components(spark, sf_dir, "ngram_x36").write.mode(
+            "overwrite"
+        ).parquet(path)
+    comp = spark.read.parquet(path)
+    out = leakage_free_split(
+        _docs_with_dups(spark, sf_dir), comp,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+    )
+    return out.select("doc_id", "split_unit", "split").orderBy("doc_id")
+
+
 def qx35_carve_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style block carving (capability row 126): documents
     concatenated in id order with <eos>, cut into 128-token blocks
@@ -3360,6 +3384,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx33_theil_sen": qx33_theil_sen,
         "qx34_quantized_ann": qx34_quantized_ann,
         "qx35_carve_blocks": qx35_carve_blocks,
+        "qx36_leakage_split": qx36_leakage_split,
         "qx31_product_profit": qx31_product_profit,
     }
 
@@ -3592,6 +3617,30 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE id <> component
         )
         ORDER BY d.doc_id
+    """
+
+    # qx36: reclose the pair graph (q42's recursive oracle), then
+    # replay unit + multiplicative-hash bucket + ppm thresholds.
+    sql["qx36_leakage_split"] = f"""
+        WITH comp AS ({oracle_sql()["q42_dedup_clusters"]}),
+        d AS (SELECT doc_id FROM ({dup_union})),
+        u AS (
+            SELECT d.doc_id,
+                   CAST(coalesce(c.component, d.doc_id) AS BIGINT)
+                       AS split_unit
+            FROM d LEFT JOIN comp c ON c.id = d.doc_id
+        ),
+        b AS (
+            SELECT doc_id, split_unit,
+                   ((split_unit % 2147483648) * 2654435761)
+                       % 4294967296 % 1000000 AS bk
+            FROM u
+        )
+        SELECT doc_id, split_unit,
+               CASE WHEN bk < 900000 THEN 'train'
+                    WHEN bk < 950000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM b ORDER BY doc_id
     """
 
     # qx13: all three chains (corrupt / count / repair) generated from

@@ -250,3 +250,59 @@ def cluster_representatives(
     return joined.filter(
         F.col("component").isNull() | (F.col(id_col) == F.col("component"))
     ).drop("component")
+
+
+def leakage_free_split(
+    df: DataFrame,
+    components: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/val/test assignment that never splits a near-dup cluster
+    across sides — the eval-hygiene guarantee a naive per-document
+    hash split silently violates (a test document's near-duplicate in
+    train IS leakage; Lee et al. 2022 measure the inflation).
+
+    The split UNIT is the connected component (own id for unclustered
+    docs); the label is a pure-hash bucket of the unit against
+    cumulative parts-per-million thresholds derived from the
+    normalized ``weights`` (insertion order) — deterministic across
+    engines/runs/partitionings, stable under corpus growth (a new doc
+    joins its cluster's side), and proportions hold in expectation
+    over units. One broadcast-ish join against the components table
+    (cluster-sized) + a pure projection.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty {label: weight} dict")
+    total = float(sum(weights.values()))
+    cum = 0.0
+    bounds: list[tuple[str, int]] = []
+    for name, wgt in weights.items():
+        cum += wgt / total
+        bounds.append((name, min(1_000_000, round(cum * 1_000_000))))
+    bounds[-1] = (bounds[-1][0], 1_000_000)  # close rounding gaps
+
+    unit = F.coalesce(F.col("component"), F.col(id_col)).cast("long")
+    folded = F.pmod(unit, F.lit(2147483648))
+    bucket = F.pmod(
+        F.pmod(folded * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(1_000_000),
+    )
+    label = None
+    for name, hi in bounds:
+        cond = bucket < F.lit(hi)
+        label = (
+            F.when(cond, F.lit(name))
+            if label is None
+            else label.when(cond, F.lit(name))
+        )
+    return (
+        df.join(
+            components.select(F.col("id").alias(id_col), "component"),
+            id_col,
+            "left",
+        )
+        .withColumn("split_unit", unit)
+        .withColumn("split", label)
+        .drop("component")
+    )

@@ -586,3 +586,49 @@ def test_carve_blocks_reconstructs_stream(spark):
     assert any(r["n_docs"] > 1 for r in out)
     # reconstruction is total: no token lost or duplicated
     assert sum(r["n_tokens"] for r in out) == len(stream)
+
+
+def test_leakage_free_split_clusters_stay_together(spark):
+    from strategicai_visibility_loop_etl_spark.operators.clusters import (
+        leakage_free_split,
+    )
+
+    # components: {1,2,3} together, {10,11} together, 20/21 singletons
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)], "id long, component long"
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21)], "doc_id long"
+    )
+    out = leakage_free_split(
+        docs, comp, {"train": 0.8, "test": 0.2}
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 7
+    # every member of a cluster shares unit AND side
+    assert len({by_id[i]["split"] for i in (1, 2, 3)}) == 1
+    assert len({by_id[i]["split_unit"] for i in (1, 2, 3)}) == 1
+    assert by_id[10]["split"] == by_id[11]["split"]
+    # singletons use their own id as unit
+    assert by_id[20]["split_unit"] == 20
+    assert set(r["split"] for r in out) <= {"train", "test"}
+
+    # deterministic across invocations
+    again = {
+        r["doc_id"]: r["split"]
+        for r in leakage_free_split(
+            docs, comp, {"train": 0.8, "test": 0.2}
+        ).collect()
+    }
+    assert again == {i: r["split"] for i, r in by_id.items()}
+
+    # proportions hold over many singleton units
+    many = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    none = spark.createDataFrame([], "id long, component long")
+    frac = (
+        leakage_free_split(many, none, {"train": 0.9, "test": 0.1})
+        .filter(F.col("split") == "train")
+        .count()
+        / 2000
+    )
+    assert 0.87 < frac < 0.93
