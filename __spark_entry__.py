@@ -2962,6 +2962,34 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx37_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation gate (capability row 128, Deequ-lite):
+    six declarative rules over orders incl. a deliberately-failing
+    range bound and a passing customer foreign key — row-level rules
+    fold into ONE conditional-sum aggregate, uniqueness rides the
+    same aggregate, the FK adds one anti-join count. DuckDB replays
+    every rule."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        validate_expectations,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rules = [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "unique", "col": "o_orderkey"},
+        {"rule": "in_range", "col": "o_totalprice", "min": 0,
+         "max": 150000},  # deliberately tight: must report violations
+        {"rule": "accepted_values", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"rule": "matches_regex", "col": "o_orderpriority",
+         "pattern": "^[0-9]-[A-Z ]+$"},
+        {"rule": "foreign_key", "col": "o_custkey", "ref": cust,
+         "ref_col": "c_custkey"},
+    ]
+    return validate_expectations(orders, rules)
+
+
 def qx36_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free train/val/test split (capability row 127): the
     split unit is the near-dup connected component (q42's staged
@@ -3385,6 +3413,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx34_quantized_ann": qx34_quantized_ann,
         "qx35_carve_blocks": qx35_carve_blocks,
         "qx36_leakage_split": qx36_leakage_split,
+        "qx37_expectations": qx37_expectations,
         "qx31_product_profit": qx31_product_profit,
     }
 
@@ -3618,6 +3647,51 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         ORDER BY d.doc_id
     """
+
+    # qx37: replay each rule as plain SQL aggregates.
+    sql["qx37_expectations"] = '''
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+        v AS (
+            SELECT 0 AS rule_id, 'not_null' AS rule, 'o_custkey' AS col,
+                   CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+                       AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 1, 'unique', 'o_orderkey',
+                   CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+                        + greatest(COUNT(*) FILTER (WHERE o_orderkey IS NULL)
+                                   - 1, 0) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 2, 'in_range', 'o_totalprice',
+                   CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+                        AND (o_totalprice < 0 OR o_totalprice > 150000))
+                        AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 3, 'accepted_values', 'o_orderstatus',
+                   CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                        AND o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 4, 'matches_regex', 'o_orderpriority',
+                   CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                        AND NOT regexp_matches(o_orderpriority,
+                                               '^[0-9]-[A-Z ]+$'))
+                        AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 5, 'foreign_key', 'o_custkey',
+                   CAST((SELECT COUNT(*) FROM orders o
+                         WHERE o.o_custkey IS NOT NULL
+                           AND o.o_custkey NOT IN
+                               (SELECT c_custkey FROM customer))
+                        AS BIGINT)
+        )
+        SELECT v.rule_id, v.rule, v.col, n.n_rows, v.n_violations,
+               v.n_violations = 0 AS passed
+        FROM v CROSS JOIN n ORDER BY rule_id
+    '''
 
     # qx36: reclose the pair graph (q42's recursive oracle), then
     # replay unit + multiplicative-hash bucket + ppm thresholds.
