@@ -348,6 +348,60 @@ def _run_doc_family(args, timed, corpus) -> None:
 
     timed("bigram_lm", _bigram)
 
+    # GPT-style block carving: conservation gate — the carved blocks
+    # must contain EXACTLY the concatenated corpus token count (plus
+    # one EOS per doc), with every non-final block exactly B long.
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        carve_blocks,
+    )
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        token_count,
+    )
+
+    def _carve():
+        blocks = carve_blocks(corpus, block_tokens=512)
+        agg = blocks.agg(
+            F.count("*").alias("blocks"),
+            F.sum("n_tokens").alias("tok"),
+            F.max("block_id").alias("max_id"),
+            F.sum((F.col("n_tokens") == 512).cast("int")).alias("full"),
+        ).first()
+        src = corpus.select(token_count(F.col("text")).alias("n")).filter(
+            F.col("n") > 0
+        ).agg(F.sum("n").alias("t"), F.count("*").alias("d")).first()
+        expect = int(src["t"]) + int(src["d"])  # + one EOS per doc
+        assert int(agg["tok"]) == expect, (agg["tok"], expect)
+        assert agg["blocks"] == int(agg["max_id"]) + 1
+        assert agg["full"] >= agg["blocks"] - 1
+        return {"blocks": int(agg["blocks"]), "tokens": int(agg["tok"])}
+
+    timed("carve_blocks", _carve)
+
+    # BM25 over the full corpus: the posting index is one explode+agg
+    # (staged); 200 queries score via broadcast — the corpus-sized
+    # side must never re-shuffle per query batch.
+    from strategicai_visibility_loop_etl_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    def _bm25():
+        queries = corpus.filter(F.col("doc_id") % 350 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.substring(F.col("text"), 1, 60).alias("query"),
+        )
+        out = bm25_topk(
+            corpus, queries, k=10,
+            stage_path=os.path.join(args.stage, "bm"),
+        )
+        agg = out.agg(
+            F.count("*").alias("rows"),
+            F.countDistinct("query_id").alias("qs"),
+        ).first()
+        assert agg["rows"] <= agg["qs"] * 10
+        return {"result_rows": agg["rows"], "queries": agg["qs"]}
+
+    timed("bm25", _bm25)
+
 
 def _run_ann_family(spark, args, timed, report) -> None:
     from pyspark.sql import functions as F
