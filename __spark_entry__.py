@@ -2962,6 +2962,32 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx38_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank quality-signal fusion (capability row 129):
+    heuristic quality, char entropy and token count each map to
+    decile buckets via ONE exact-percentile aggregate broadcast back
+    (no global sort), blend = mean bucket fraction. DuckDB replays
+    cut points (quantile_cont parity), bucketing and the blend."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        char_entropy,
+        quality_score,
+        token_count,
+    )
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        quality_blend,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        char_entropy(F.col("text")).alias("entropy"),
+        token_count(F.col("text")).cast("double").alias("n_tokens"),
+    )
+    return quality_blend(
+        docs, ["quality", "entropy", "n_tokens"]
+    ).orderBy("doc_id")
+
+
 def qx37_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality expectation gate (capability row 128, Deequ-lite):
     six declarative rules over orders incl. a deliberately-failing
@@ -3414,6 +3440,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx35_carve_blocks": qx35_carve_blocks,
         "qx36_leakage_split": qx36_leakage_split,
         "qx37_expectations": qx37_expectations,
+        "qx38_quality_blend": qx38_quality_blend,
         "qx31_product_profit": qx31_product_profit,
     }
 
@@ -3647,6 +3674,89 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         ORDER BY d.doc_id
     """
+
+    # qx38: cut points via quantile_cont, bucket = #cuts <= x, blend.
+    q38_fracs = ", ".join(str(i / 10) for i in range(1, 10))
+    sig_exprs = {
+        "quality": "qual", "entropy": "ent", "n_tokens": "ntok",
+    }
+    sql["qx38_quality_blend"] = f'''
+        WITH t AS (
+            SELECT doc_id, {norm_text} AS norm, {_toks(norm_text)} AS toks,
+                   coalesce(text, '') AS rawt
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   round((least(CAST(length(norm) AS DOUBLE) / 500.0, 1.0)
+                      + (CASE WHEN length(replace(norm, ' ', '')) > 0
+                              THEN CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+                                   / length(replace(norm, ' ', ''))
+                              ELSE 0.0 END)
+                      + least((CASE WHEN len(toks) > 0
+                               THEN CAST(len(list_filter(toks, x ->
+                                    list_contains([{{stops}}], x))) AS DOUBLE)
+                                    / len(toks) ELSE 0.0 END) / 0.4, 1.0)
+                     ) / 3.0, 6) AS qual,
+                   CASE WHEN len(norm) > 0 THEN
+                       round(-CAST(list_sum(list_transform(
+                           list_distinct(list_transform(range(1, len(norm)+1),
+                               i -> substr(norm, CAST(i AS INT), 1))), ch ->
+                           CAST(round(
+                               (len(list_filter(list_transform(range(1, len(norm)+1),
+                                    i -> substr(norm, CAST(i AS INT), 1)),
+                                    x -> x = ch))
+                                / CAST(len(norm) AS DOUBLE))
+                               * ln(len(list_filter(list_transform(range(1, len(norm)+1),
+                                    i -> substr(norm, CAST(i AS INT), 1)),
+                                    x -> x = ch))
+                                    / CAST(len(norm) AS DOUBLE)), 9)
+                            AS DECIMAL(18,9))))
+                       AS DOUBLE), 6)
+                   END AS ent,
+                   CAST(len(toks) AS DOUBLE) AS ntok
+            FROM t
+        ),
+        cuts AS (
+            SELECT
+                quantile_cont(qual, [{q38_fracs}]) AS cq,
+                quantile_cont(ent, [{q38_fracs}]) AS ce,
+                quantile_cont(ntok, [{q38_fracs}]) AS cn
+            FROM s
+        ),
+        b AS (
+            SELECT s.doc_id,
+                   CASE WHEN qual IS NOT NULL THEN
+                       len(list_filter(cq, t -> t <= qual)) END AS qb,
+                   CASE WHEN ent IS NOT NULL THEN
+                       len(list_filter(ce, t -> t <= ent)) END AS eb,
+                   CASE WHEN ntok IS NOT NULL THEN
+                       len(list_filter(cn, t -> t <= ntok)) END AS nb
+            FROM s CROSS JOIN cuts
+        )
+        SELECT doc_id,
+               CAST(qb AS INT) AS quality_bucket,
+               CAST(eb AS INT) AS entropy_bucket,
+               CAST(nb AS INT) AS n_tokens_bucket,
+               CASE WHEN (CASE WHEN qb IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN eb IS NULL THEN 0 ELSE 1 END
+                          + CASE WHEN nb IS NULL THEN 0 ELSE 1 END) > 0
+                    THEN round((coalesce(qb/9.0, 0.0)
+                                + coalesce(eb/9.0, 0.0)
+                                + coalesce(nb/9.0, 0.0))
+                               / (CASE WHEN qb IS NULL THEN 0 ELSE 1 END
+                                  + CASE WHEN eb IS NULL THEN 0 ELSE 1 END
+                                  + CASE WHEN nb IS NULL THEN 0 ELSE 1 END),
+                               6) END AS blend
+        FROM b ORDER BY doc_id
+    '''
+    stops38 = ", ".join(
+        f"'{w}'" for w in LANG_MARKERS["en"]
+        + ("a", "an", "it", "on", "as", "at", "by", "be")
+    )
+    sql["qx38_quality_blend"] = sql["qx38_quality_blend"].replace(
+        "{stops}", stops38
+    )
 
     # qx37: replay each rule as plain SQL aggregates.
     sql["qx37_expectations"] = '''

@@ -362,9 +362,24 @@ def global_prefix_sum(
     sum within each partition, then add each partition's cumulative
     offset (a partition-count-sized frame — the only single-partition
     window runs over that, not the data). ``id_col`` must be unique.
-    Shared by ``pack_sequences`` and ``carve_blocks``."""
-    d = df.repartitionByRange(F.col(id_col)).withColumn(
-        "__pid", F.spark_partition_id()
+    Shared by ``pack_sequences`` and ``carve_blocks``.
+
+    The range-partitioned frame is ``localCheckpoint``-ed before use:
+    its two consumers (the per-partition offsets aggregate and the
+    main frame) would otherwise evaluate ``repartitionByRange`` +
+    ``spark_partition_id`` INDEPENDENTLY — and range boundaries come
+    from sampling, so the two evaluations can assign rows to
+    different partition ids, after which the inner join on ``__pid``
+    silently drops every row whose main-side pid had no offsets row.
+    The carve_blocks scale gate caught exactly that at 70k docs with
+    a skewed id space (96% of tokens vanished); the checkpoint pins
+    ONE partitioning for both consumers. At 100 TB the materialization
+    is real but unavoidable — any two-pass prefix sum must agree with
+    itself on the partition layout."""
+    d = (
+        df.repartitionByRange(F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     w_local = Window.partitionBy("__pid").orderBy(F.col(id_col)).rowsBetween(
         Window.unboundedPreceding, -1
@@ -1031,4 +1046,65 @@ def carve_blocks(
                 " ",
             ).alias("text"),
         )
+    )
+
+
+def quality_blend(
+    df: DataFrame,
+    signal_cols: list[str],
+    id_col: str = "doc_id",
+    n_buckets: int = 10,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Percentile-rank fusion of quality signals: each signal maps to
+    its corpus quantile bucket (0..n_buckets−1) and the blend is the
+    mean bucket fraction — how FineWeb-style pipelines combine
+    incommensurable signals (a heuristic score, an entropy, a length)
+    without hand-tuned scales.
+
+    Scale shape: NO global sort (a per-signal percent_rank would be
+    one corpus sort each). Instead one aggregate computes each
+    signal's interior cut points — exact interpolated percentiles
+    here (the ``quantile_cont`` parity q38 established; at 100 TB
+    swap in ``percentile_approx``, same plan shape) — and a broadcast
+    1-row cross join carries them back; the bucket index is
+    ``#cuts ≤ x``, a pure array expression. One scan + one
+    model-sized aggregate total, any number of signals.
+
+    Rows with a NULL signal get NULL for that bucket and are excluded
+    from the blend mean (blend NULL only if ALL signals are NULL).
+    """
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        *[
+            F.percentile(F.col(c), F.lit(fracs)).alias(f"__cut_{c}")
+            for c in signal_cols
+        ]
+    )
+    out = df.join(F.broadcast(cuts))
+    bexprs = {
+        c: F.when(
+            F.col(c).isNotNull(),
+            F.size(
+                F.filter(F.col(f"__cut_{c}"), lambda t: t <= F.col(c))
+            ),
+        )
+        for c in signal_cols
+    }
+    n_present = sum(b.isNotNull().cast("int") for b in bexprs.values())
+    blend = F.when(
+        n_present > 0,
+        F.round(
+            sum(
+                F.coalesce(b.cast("double") / (n_buckets - 1), F.lit(0.0))
+                for b in bexprs.values()
+            )
+            / n_present,
+            out_decimals,
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        *[b.alias(f"{c}_bucket") for c, b in bexprs.items()],
+        blend.alias("blend"),
     )

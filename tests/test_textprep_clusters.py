@@ -632,3 +632,26 @@ def test_leakage_free_split_clusters_stay_together(spark):
         / 2000
     )
     assert 0.87 < frac < 0.93
+
+
+def test_quality_blend_buckets_and_nulls(spark):
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        quality_blend,
+    )
+
+    rows = [(i, float(i), float(100 - i)) for i in range(100)]
+    rows.append((100, None, 50.0))  # null signal
+    df = spark.createDataFrame(rows, "doc_id long, a double, b double")
+    got = {r["doc_id"]: r for r in
+           quality_blend(df, ["a", "b"], n_buckets=10).collect()}
+    # monotone: larger a -> larger-or-equal bucket; extremes land 0/9
+    assert got[0]["a_bucket"] == 0 and got[99]["a_bucket"] == 9
+    assert got[0]["b_bucket"] == 9 and got[99]["b_bucket"] == 0
+    for i in range(99):
+        assert got[i + 1]["a_bucket"] >= got[i]["a_bucket"]
+    # a and b are mirror images: blend is constant 0.5 for full rows
+    for i in range(100):
+        assert abs(got[i]["blend"] - 0.5) < 0.12  # bucket granularity
+    # null signal: that bucket NULL, blend falls back to present ones
+    assert got[100]["a_bucket"] is None
+    assert got[100]["blend"] == round(got[100]["b_bucket"] / 9, 6)
