@@ -655,3 +655,26 @@ def test_quality_blend_buckets_and_nulls(spark):
     # null signal: that bucket NULL, blend falls back to present ones
     assert got[100]["a_bucket"] is None
     assert got[100]["blend"] == round(got[100]["b_bucket"] / 9, 6)
+
+
+def test_global_prefix_sum_conserves_rows_under_skewed_ids(spark):
+    """Regression pin for the round-7 scale-gate catch: the two-pass
+    prefix sum must not lose rows when sampled range boundaries could
+    disagree between its two consumers (skewed, clustered id space).
+    Checks exact row conservation and the prefix-sum invariant."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        global_prefix_sum,
+    )
+
+    # clustered ids: a dense low block, a huge gap, a dense high block
+    ids = list(range(2000)) + list(range(900_000_000, 900_020_000))
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in ids], "id long, n long"
+    ).repartition(16)
+    out = global_prefix_sum(df, "n", "id").orderBy("id").collect()
+    assert len(out) == len(ids)  # the bug dropped rows via the pid join
+    run = 0
+    for r in out:
+        assert r["__before"] == run, (r["id"], r["__before"], run)
+        run += r["n"]
+    assert run == sum((i % 7) + 1 for i in ids)
