@@ -27,13 +27,57 @@ from .sketch import (
     heavy_hitters,
     approx_heavy_hitters,
 )
-from .textprep import weighted_sample_k, build_vocab, encode_tokens
-from .timeseries import resample_daily_ffill
+from .textprep import (
+    weighted_sample_k,
+    build_vocab,
+    encode_tokens,
+    bigram_lm_scores,
+    pmi_collocations,
+    dedup_lines_within_doc,
+    carve_blocks,
+    quality_blend,
+    global_prefix_sum,
+)
+from .timeseries import resample_daily_ffill, rolling_zscore_anomalies
+from .c4 import c4_quality_filter, c4_clean, synth_pages
+from .retrieval import bm25_topk, document_postings
+from .expectations import validate_expectations
+from .aggregate import linear_trend, theil_sen_trend
+from .dedup import (
+    boilerplate_line_excision,
+    dedup_minhash_incremental,
+    minhash_index_write,
+)
+from .similarity import quantize_embeddings, quantized_cosine_topk
+from .clusters import leakage_free_split
+from .governance import corpus_datasheet
 from .relational import top_n_per_group, union_sources, pivot_counts, conditional_agg, salted_join
 from .asof import asof_join
 from .governance import write_autodetect_log, append_run_log
 
 __all__ = [
+    "bigram_lm_scores",
+    "pmi_collocations",
+    "dedup_lines_within_doc",
+    "carve_blocks",
+    "quality_blend",
+    "global_prefix_sum",
+    "rolling_zscore_anomalies",
+    "c4_quality_filter",
+    "c4_clean",
+    "synth_pages",
+    "bm25_topk",
+    "document_postings",
+    "validate_expectations",
+    "linear_trend",
+    "theil_sen_trend",
+    "boilerplate_line_excision",
+    "dedup_minhash_incremental",
+    "minhash_index_write",
+    "quantize_embeddings",
+    "quantized_cosine_topk",
+    "leakage_free_split",
+    "corpus_datasheet",
     "top_n_per_group",
     "salted_join",
     "asof_join",
