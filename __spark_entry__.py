@@ -2962,6 +2962,18 @@ def qx21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx39_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic column profiler (capability row 130): every orders
+    column's nulls / exact distinct / typed min-max / decimal-exact
+    mean from ONE aggregate over one scan — the profile that seeds an
+    expectation suite. DuckDB replays column-for-column."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        profile_columns,
+    )
+
+    return profile_columns(_t(spark, sf_dir, "orders")).orderBy("col")
+
+
 def qx38_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-rank quality-signal fusion (capability row 129):
     heuristic quality, char entropy and token count each map to
@@ -3441,6 +3453,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx36_leakage_split": qx36_leakage_split,
         "qx37_expectations": qx37_expectations,
         "qx38_quality_blend": qx38_quality_blend,
+        "qx39_column_profile": qx39_column_profile,
         "qx31_product_profit": qx31_product_profit,
     }
 
@@ -3674,6 +3687,42 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         ORDER BY d.doc_id
     """
+
+    # qx39: per-column profile replay (orders schema known statically).
+    prof_rows = []
+    for c, kind in (
+        ("o_orderkey", "num"), ("o_custkey", "num"),
+        ("o_orderstatus", "str"), ("o_totalprice", "num"),
+        ("o_orderdate", "str"), ("o_orderpriority", "str"),
+    ):
+        if kind == "num":
+            mm = (f"CAST(MIN(CAST({c} AS DOUBLE)) AS DOUBLE), "
+                  f"CAST(MAX(CAST({c} AS DOUBLE)) AS DOUBLE), "
+                  f"CASE WHEN COUNT({c}) > 0 THEN "
+                  f"round(CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE)"
+                  f" / COUNT({c}), 6) END, "
+                  f"CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)")
+        else:
+            mm = ("CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+                  "CAST(NULL AS DOUBLE), "
+                  f"MIN(CAST({c} AS VARCHAR)), MAX(CAST({c} AS VARCHAR))")
+        prof_rows.append(
+            f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls, "
+            f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mm} FROM orders"
+        )
+    body = "\nUNION ALL\n".join(prof_rows)
+    sql["qx39_column_profile"] = (
+        "SELECT col, n_rows, n_nulls, n_distinct, "
+        "c5 AS min_num, c6 AS max_num, c7 AS mean, "
+        "c8 AS min_str, c9 AS max_str FROM ("
+        + body.replace(
+            "AS n_distinct, ", "AS n_distinct, ", 1
+        )
+        + ") t(col, n_rows, n_nulls, n_distinct, c5, c6, c7, c8, c9)"
+        " ORDER BY col"
+    )
 
     # qx38: cut points via quantile_cont, bucket = #cuts <= x, blend.
     q38_fracs = ", ".join(str(i / 10) for i in range(1, 10))

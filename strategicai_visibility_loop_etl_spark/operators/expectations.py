@@ -126,3 +126,72 @@ def validate_expectations(df: DataFrame, rules: list[dict]) -> DataFrame:
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out.orderBy("rule_id")
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, out_decimals: int = 6
+) -> DataFrame:
+    """Per-column profile — the table summary that seeds an
+    expectation suite (profile once, turn the observed ranges/null
+    rates into ``validate_expectations`` rules). One aggregate over
+    one scan for ALL columns. Output: (col, n_rows, n_nulls,
+    n_distinct, min_num, max_num, mean, min_str, max_str) — numeric
+    columns fill the ``_num``/``mean`` side, everything else the
+    ``_str`` side (typed columns, not a stringified union: numeric
+    rendering differs across engines and would break hash parity).
+    n_distinct is exact (count_distinct — swap approx_count_distinct
+    at 100 TB, same plan shape).
+    """
+    cols = cols or df.columns
+    numeric = {
+        c
+        for c, t in df.dtypes
+        if t in ("tinyint", "smallint", "int", "bigint", "float", "double")
+        or t.startswith("decimal")
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__null{i}"))
+        aggs.append(F.countDistinct(col).alias(f"__dist{i}"))
+        if c in numeric:
+            aggs.append(F.min(col.cast("double")).alias(f"__min{i}"))
+            aggs.append(F.max(col.cast("double")).alias(f"__max{i}"))
+            aggs.append(
+                F.sum(col.cast("decimal(28,6)")).alias(f"__sum{i}")
+            )
+        else:
+            aggs.append(F.min(col.cast("string")).alias(f"__min{i}"))
+            aggs.append(F.max(col.cast("string")).alias(f"__max{i}"))
+    row = df.agg(*aggs)
+    reports = []
+    for i, c in enumerate(cols):
+        is_num = c in numeric
+        nn = F.col("__n") - F.col(f"__null{i}")
+        null_d = F.lit(None).cast("double")
+        null_s = F.lit(None).cast("string")
+        mean = (
+            F.when(
+                nn > 0,
+                F.round(F.col(f"__sum{i}").cast("double") / nn, out_decimals),
+            )
+            if is_num
+            else null_d
+        )
+        reports.append(
+            row.select(
+                F.lit(c).alias("col"),
+                F.col("__n").cast("long").alias("n_rows"),
+                F.col(f"__null{i}").cast("long").alias("n_nulls"),
+                F.col(f"__dist{i}").cast("long").alias("n_distinct"),
+                (F.col(f"__min{i}") if is_num else null_d).alias("min_num"),
+                (F.col(f"__max{i}") if is_num else null_d).alias("max_num"),
+                mean.alias("mean"),
+                (null_s if is_num else F.col(f"__min{i}")).alias("min_str"),
+                (null_s if is_num else F.col(f"__max{i}")).alias("max_str"),
+            )
+        )
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out

@@ -64,3 +64,24 @@ def test_unknown_rule_raises(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError, match="unknown row-level rule"):
         validate_expectations(df, [{"rule": "nope", "col": "id"}]).collect()
+
+
+def test_profile_columns_known_values(spark):
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2.0, "a"), (2, None, "b"), (2, 6.0, None), (3, 4.0, "a")],
+        "id long, v double, s string",
+    )
+    got = {r["col"]: r.asDict() for r in profile_columns(df).collect()}
+    assert got["id"] == dict(
+        col="id", n_rows=4, n_nulls=0, n_distinct=3,
+        min_num=1.0, max_num=3.0, mean=2.0, min_str=None, max_str=None,
+    )
+    assert got["v"]["n_nulls"] == 1 and got["v"]["mean"] == 4.0
+    assert got["s"] == dict(
+        col="s", n_rows=4, n_nulls=1, n_distinct=2,
+        min_num=None, max_num=None, mean=None, min_str="a", max_str="b",
+    )
