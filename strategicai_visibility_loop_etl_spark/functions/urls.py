@@ -209,11 +209,17 @@ def host_suffixes(host: Column, max_labels: int = 8) -> Column:
     subdomain-match key set: ``a.b.example.com`` →
     [a.b.example.com, b.example.com, example.com, com]. Bounded at the
     last ``max_labels`` labels so adversarial 100-label hosts can't
-    blow up the explode. NULL host → empty array."""
+    blow up the explode — but the FULL host itself is always included
+    (prepended when truncation would drop it), so an exact blocklist/
+    allowlist entry for a deep host still matches. NULL host → empty
+    array."""
     labels = F.split(host, r"\.")
     n = F.size(labels)
     idx = F.sequence(F.greatest(F.lit(1), n - F.lit(max_labels - 1)), n)
     out = F.transform(
         idx, lambda i: F.array_join(F.slice(labels, i, n - i + 1), ".")
+    )
+    out = F.when(n > F.lit(max_labels), F.concat(F.array(host), out)).otherwise(
+        out
     )
     return F.when(host.isNull(), F.array().cast("array<string>")).otherwise(out)

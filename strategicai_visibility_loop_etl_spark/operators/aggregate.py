@@ -195,7 +195,8 @@ def theil_sen_trend(
     Determinism: slopes are DECIMAL y-deltas over integral x-deltas,
     rounded per pair before the median; the exact interpolated median
     matches DuckDB's ``quantile_cont`` bit-for-bit. Groups with < 2
-    distinct x yield NULL.
+    distinct x produce no pairs and are OMITTED from the output
+    (left-join back on the group key to materialize NULL rows).
     """
     a = df.select(
         *group_cols,

@@ -822,8 +822,11 @@ def dedup_minhash_incremental(
     distribution, so ``"auto"`` sees the same skew the batch run
     would. Returns canonical (id_a < id_b) pairs where at least one
     side is new; ``update_index=True`` appends the new signatures to
-    the index afterwards (making the call idempotent-per-batch is the
-    caller's batch-id ledger concern — see ``streaming/sink.py``).
+    the index afterwards — anti-joined against ids already present, so
+    a re-crawled document id can never create duplicate (id, sig)
+    index rows (which would fan out ambiguous pairs in later batches).
+    Making the call idempotent-per-batch is the caller's batch-id
+    ledger concern — see ``streaming/sink.py``.
 
     Equivalence contract (pytest-asserted): identical to running the
     full batch path over archive+batch and keeping the pairs that
@@ -841,7 +844,10 @@ def dedup_minhash_incremental(
     if update_index:
         # force pair computation BEFORE the index mutates under it
         pairs = pairs.localCheckpoint()
-        new_sig.write.mode("append").parquet(index_path)
+        # re-crawled ids must not duplicate in the index: the stored
+        # signature stays authoritative, the batch's copy is dropped
+        fresh = new_sig.join(old_sig.select("id"), "id", "left_anti")
+        fresh.write.mode("append").parquet(index_path)
     return pairs
 
 

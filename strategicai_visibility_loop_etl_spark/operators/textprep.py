@@ -888,7 +888,9 @@ def bigram_lm_scores(
 
     Per document: the mean −log S over its token transitions
     (positions 2..n) and ``sb_ppl = exp`` of it; docs with < 2 tokens
-    have no transitions and score NULL. Unigrams unseen in training
+    have no transitions and are OMITTED from the output (left-join the
+    result back on the id to materialize NULL rows if the full corpus
+    spine is needed). Unigrams unseen in training
     (never, when scoring the training corpus itself) back off to 1/N.
 
     Plan shape: ONE corpus pass total. Map-side, each document's token

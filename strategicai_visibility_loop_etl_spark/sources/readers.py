@@ -284,7 +284,15 @@ def read_warc_lite(spark: SparkSession, path: str) -> DataFrame:
         F.regexp_extract_all(hb, F.lit(r"(?m)^[\w-]+:([^\n]*)$"), 1),
         lambda v: F.trim(v),
     )
-    hdrs = F.map_from_arrays(keys, vals)
+    # WARC legally repeats header keys (e.g. WARC-Concurrent-To), but
+    # Spark's default mapKeyDedupPolicy=EXCEPTION would fail the whole
+    # read on a duplicate — keep the FIRST occurrence of each key
+    # (header blocks are tiny, the O(n²) array_position is fine).
+    ents = F.zip_with(keys, vals, lambda k, v: F.struct(k.alias("key"), v.alias("value")))
+    first = F.filter(
+        ents, lambda e, i: F.array_position(keys, e["key"]) == i + F.lit(1)
+    )
+    hdrs = F.map_from_entries(first)
     return (
         raw.filter(F.length(F.trim(rec)) > 0)
         .select(hdrs.alias("headers"), payload.alias("payload"))

@@ -44,6 +44,18 @@ _KEY = "__eo_key"
 _SEP = "\x1f"
 
 
+def _merge_key(key_cols: list[str]):
+    """Null-safe composite merge key: each component renders as
+    ``v<value>`` or ``n`` for NULL, so (NULL, x) and ('', x) can never
+    collide into one upsert key (plain concat_ws renders NULL as the
+    empty string)."""
+    parts = [
+        F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n"))
+        for c in key_cols
+    ]
+    return F.concat_ws(_SEP, *parts)
+
+
 def _ledger_dir(target_dir: str) -> str:
     return os.path.join(target_dir, "_applied")
 
@@ -76,13 +88,13 @@ def exactly_once_upsert(
     if os.path.exists(marker):
         return  # this batch already committed — redelivery no-ops
     spark = batch_df.sparkSession
-    batch = batch_df.withColumn(_KEY, F.concat_ws(_SEP, *key_cols))
+    batch = batch_df.withColumn(_KEY, _merge_key(key_cols))
     current = read_latest(spark, target_dir)
     if current is None:
         merged = batch
     else:
         merged = upsert(
-            current.withColumn(_KEY, F.concat_ws(_SEP, *key_cols)),
+            current.withColumn(_KEY, _merge_key(key_cols)),
             batch,
             _KEY,
         )

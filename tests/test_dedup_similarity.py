@@ -424,6 +424,42 @@ def test_minhash_incremental_index_update(spark, tmp_path):
     assert (2, 3) in {(r["id_a"], r["id_b"]) for r in p2}
 
 
+def test_minhash_incremental_recrawled_id_no_index_dup(spark, tmp_path):
+    """A re-crawled doc_id in a later batch must NOT duplicate its
+    (id, sig) row in the index — duplicates would fan out ambiguous
+    pair rows in every subsequent batch (ADVICE r7)."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        minhash_index_write,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    idx = str(tmp_path / "idx")
+    d0 = spark.createDataFrame(
+        [(1, base), (2, base + " tail")], "doc_id long, text string"
+    )
+    minhash_index_write(d0, idx)
+
+    # batch re-crawls id 1 (same text) and adds a new id 3
+    batch = spark.createDataFrame(
+        [(1, base), (3, base + " tail two")], "doc_id long, text string"
+    )
+    dedup_minhash_incremental(
+        batch, idx, threshold=0.5, max_bucket=100, update_index=True
+    ).collect()
+    sig = spark.read.parquet(idx)
+    counts = {r["id"]: r["n"] for r in
+              sig.groupBy("id").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {1: 1, 2: 1, 3: 1}  # id 1 not duplicated, id 3 appended
+
+    # next batch still pairs cleanly (one row per candidate pair)
+    nxt = spark.createDataFrame([(4, base)], "doc_id long, text string")
+    p = dedup_minhash_incremental(nxt, idx, threshold=0.5, max_bucket=100)
+    rows = [(r["id_a"], r["id_b"]) for r in p.collect()]
+    assert len(rows) == len(set(rows))  # no fan-out duplicates
+    assert (1, 4) in set(rows)
+
+
 def test_quantized_ann_recall_vs_float(spark, sf_dir):
     """Int8-quantized cosine ranking approximates the float path:
     high top-5 overlap, and the quantization error is bounded."""

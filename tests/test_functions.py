@@ -370,7 +370,11 @@ def test_host_suffixes_chain_and_cap(spark):
     assert got[0] == ["a.b.example.com", "b.example.com", "example.com", "com"]
     assert got[1] == ["com"]
     assert got[2] == []
-    assert len(got[3]) == 8 and got[3][-1] == "com"  # capped at 8 labels
+    # capped at the last 8 labels PLUS the full host itself — an exact
+    # blocklist entry for a deep host must still match (ADVICE r7)
+    deep = ".".join(f"l{i}" for i in range(12)) + ".example.com"
+    assert len(got[3]) == 9 and got[3][0] == deep and got[3][-1] == "com"
+    assert deep in got[3]
 
 
 def test_char_entropy_matches_python(spark):

@@ -440,3 +440,31 @@ def test_read_warc_lite(spark, tmp_path):
     assert rows["request"]["content_length"] is None
     # ANSI-safe garbled length -> NULL, not a throw
     assert rows["metadata"]["content_length"] is None
+
+
+def test_read_warc_lite_duplicate_header_keys(spark, tmp_path):
+    """WARC legally repeats header keys (WARC-Concurrent-To); the read
+    must keep the first occurrence rather than throw under Spark's
+    default mapKeyDedupPolicy=EXCEPTION (ADVICE r7)."""
+    from strategicai_visibility_loop_etl_spark.sources.readers import (
+        read_warc_lite,
+    )
+
+    warc = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: https://example.com/dup\r\n"
+        "WARC-Concurrent-To: <urn:uuid:1>\r\n"
+        "WARC-Concurrent-To: <urn:uuid:2>\r\n"
+        "Content-Length: 2\r\n"
+        "\r\n"
+        "ok\n"
+    )
+    p = tmp_path / "dup.warc"
+    p.write_text(warc, encoding="utf-8")
+    rows = read_warc_lite(spark, str(p)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["target_uri"] == "https://example.com/dup"
+    assert r["headers"]["WARC-Concurrent-To"] == "<urn:uuid:1>"  # first wins
+    assert r["content_length"] == 2

@@ -506,3 +506,28 @@ def test_dedup_on_arrival_stream(spark, tmp_path):
         for r in spark.read.parquet(f"{prs2}/v{bid}").collect():
             got2.add((r["id_a"], r["id_b"]))
     assert got2 == full
+
+
+def test_exactly_once_upsert_null_key_not_empty_string(spark, tmp_path):
+    """(NULL, x) and ('', x) are DIFFERENT merge keys: plain concat_ws
+    renders NULL as '' and would collide them into one upsert row
+    (ADVICE r7). The null-marker key must keep both."""
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        exactly_once_upsert,
+        read_latest,
+    )
+
+    target = str(tmp_path / "nullkey")
+    b0 = spark.createDataFrame(
+        [(None, "x", 1.0), ("", "x", 2.0), ("a", "x", 3.0)],
+        "k1 string, k2 string, v double",
+    )
+    exactly_once_upsert(b0, 0, target, ["k1", "k2"])
+    state = read_latest(spark, target).collect()
+    assert len(state) == 3, "NULL and '' keys collided"
+
+    # an update addressed to the '' key must not touch the NULL row
+    b1 = spark.createDataFrame([("", "x", 20.0)], "k1 string, k2 string, v double")
+    exactly_once_upsert(b1, 1, target, ["k1", "k2"])
+    got = {(r["k1"], r["k2"]): r["v"] for r in read_latest(spark, target).collect()}
+    assert got == {(None, "x"): 1.0, ("", "x"): 20.0, ("a", "x"): 3.0}
