@@ -825,8 +825,15 @@ def dedup_minhash_incremental(
     the index afterwards — anti-joined against ids already present, so
     a re-crawled document id can never create duplicate (id, sig)
     index rows (which would fan out ambiguous pairs in later batches).
-    Making the call idempotent-per-batch is the caller's batch-id
-    ledger concern — see ``streaming/sink.py``.
+
+    The index is keyed by id and ASSUMES IMMUTABLE CONTENT PER ID: if
+    a re-crawled id arrives with changed text, the STORED signature
+    stays authoritative and later batches keep comparing against the
+    old content. To refresh a mutated document, delete-and-reinsert
+    (rewrite the index without the id, then re-ingest) or use a
+    versioned id (``id@crawl_date``). Making the call
+    idempotent-per-batch is the caller's batch-id ledger concern —
+    see ``streaming/sink.py``.
 
     Equivalence contract (pytest-asserted): identical to running the
     full batch path over archive+batch and keeping the pairs that

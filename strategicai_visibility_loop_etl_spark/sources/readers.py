@@ -265,7 +265,10 @@ def read_warc_lite(spark: SparkSession, path: str) -> DataFrame:
 
     Columns: ``warc_type``, ``target_uri``, ``warc_date``,
     ``content_length`` (long, NULL if absent/garbled), ``headers``
-    (map<string,string>, every header verbatim), ``payload``.
+    (map<string,string>, FIRST occurrence per key — WARC legally
+    repeats keys such as ``WARC-Concurrent-To``, and later values of
+    a repeated key are dropped; use ``read_warc_gz`` for full
+    multi-value header structs), ``payload``.
 
     Real WARC adds gzip member framing and digest/continuation
     semantics; this reader deliberately stops at the record/header/

@@ -42,17 +42,23 @@ from .events import streaming_visibility_update
 
 _KEY = "__eo_key"
 _SEP = "\x1f"
+_ESC = "\x10"
 
 
 def _merge_key(key_cols: list[str]):
-    """Null-safe composite merge key: each component renders as
+    """Injective composite merge key: each component renders as
     ``v<value>`` or ``n`` for NULL, so (NULL, x) and ('', x) can never
     collide into one upsert key (plain concat_ws renders NULL as the
-    empty string)."""
-    parts = [
-        F.coalesce(F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n"))
-        for c in key_cols
-    ]
+    empty string). Component values are escaped before joining —
+    ``\\x10`` doubles, ``\\x1f`` becomes ``\\x10\\x1f`` — so a value
+    that CONTAINS the separator cannot forge another tuple's key
+    (e.g. ('a\\x1fvb',) vs ('a','b'))."""
+    parts = []
+    for c in key_cols:
+        v = F.col(c).cast("string")
+        v = F.regexp_replace(v, _ESC, _ESC + _ESC)
+        v = F.regexp_replace(v, _SEP, _ESC + _SEP)
+        parts.append(F.coalesce(F.concat(F.lit("v"), v), F.lit("n")))
     return F.concat_ws(_SEP, *parts)
 
 
@@ -176,7 +182,16 @@ def dedup_on_arrival_batch(
     same paths with identical content; the ledger marker commits both
     atomically at the end. The index reader unions committed batch
     directories, so a crash at any point either replays to an
-    identical state or leaves the batch invisible."""
+    identical state or leaves the batch invisible.
+
+    A doc_id already present in the committed index (a re-crawled
+    document) is anti-joined OUT of the batch before anything is
+    written or compared: its stored signature stays authoritative
+    (content per id is assumed immutable, as in
+    ``dedup_minhash_incremental``), its pairs were emitted when first
+    seen, and no duplicate (id, sig) index rows can fan out ambiguous
+    pairs in later batches. Deterministic on replay because only
+    committed predecessor batches are visible to the anti-join."""
     from ..operators.dedup import (
         incremental_pairs_from_signatures,
         minhash_signatures,
@@ -187,11 +202,14 @@ def dedup_on_arrival_batch(
         return  # redelivery of a committed batch: no-op
     spark = batch_df.sparkSession
     sig_dir = os.path.join(index_dir, f"b{batch_id}")
-    minhash_signatures(
-        batch_df, text_col, id_col, k, num_hashes
-    ).write.mode("overwrite").parquet(sig_dir)
-    new_sig = spark.read.parquet(sig_dir)
     old_sig = read_signature_index(spark, index_dir)
+    batch_sig = minhash_signatures(batch_df, text_col, id_col, k, num_hashes)
+    if old_sig is not None:
+        batch_sig = batch_sig.join(
+            old_sig.select("id"), "id", "left_anti"
+        )
+    batch_sig.write.mode("overwrite").parquet(sig_dir)
+    new_sig = spark.read.parquet(sig_dir)
     pairs = incremental_pairs_from_signatures(
         new_sig, old_sig, num_hashes, bands, threshold, max_bucket
     )

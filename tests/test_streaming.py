@@ -531,3 +531,78 @@ def test_exactly_once_upsert_null_key_not_empty_string(spark, tmp_path):
     exactly_once_upsert(b1, 1, target, ["k1", "k2"])
     got = {(r["k1"], r["k2"]): r["v"] for r in read_latest(spark, target).collect()}
     assert got == {(None, "x"): 1.0, ("", "x"): 20.0, ("a", "x"): 3.0}
+
+
+def test_merge_key_separator_injection_proof(spark, tmp_path):
+    """A key VALUE containing the \\x1f separator must not forge
+    another tuple's composite key (ADVICE r8): ('a\\x1fvb', 'c') and
+    ('a', 'b\\x1fvc') previously rendered identically. Component
+    escaping makes the key injective."""
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        exactly_once_upsert,
+        read_latest,
+    )
+
+    target = str(tmp_path / "sepkey")
+    rows = [
+        ("a\x1fvb", "c", 1.0),
+        ("a", "b\x1fvc", 2.0),
+        ("a\x10", "b", 3.0),   # escape char itself must round-trip
+        ("a", "\x10b", 4.0),
+    ]
+    b0 = spark.createDataFrame(rows, "k1 string, k2 string, v double")
+    exactly_once_upsert(b0, 0, target, ["k1", "k2"])
+    state = read_latest(spark, target).collect()
+    assert len(state) == 4, "separator-containing key values collided"
+
+    # an update addressed to one colliding twin must not touch the other
+    b1 = spark.createDataFrame(
+        [("a\x1fvb", "c", 10.0)], "k1 string, k2 string, v double"
+    )
+    exactly_once_upsert(b1, 1, target, ["k1", "k2"])
+    got = {(r["k1"], r["k2"]): r["v"] for r in read_latest(spark, target).collect()}
+    assert got[("a\x1fvb", "c")] == 10.0
+    assert got[("a", "b\x1fvc")] == 2.0
+
+
+def test_dedup_on_arrival_recrawled_id_single_index_row(spark, tmp_path):
+    """A doc_id re-crawled in a LATER micro-batch must not duplicate
+    its (id, sig) row in the unioned signature index (ADVICE r8 —
+    same fan-out failure dedup_minhash_incremental guards against):
+    the stored signature stays authoritative, the re-seen copy is
+    anti-joined out before the batch writes its b{id} directory."""
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        committed_batches,
+        dedup_on_arrival_batch,
+        read_signature_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = str(tmp_path / "idx")
+    prs = str(tmp_path / "pairs")
+    dedup_on_arrival_batch(
+        mk([(1, base), (2, base + " tail")]), 0, idx, prs,
+        threshold=0.5, max_bucket=100,
+    )
+    # batch 1 re-crawls doc 1 (same content) alongside a new near-dup
+    dedup_on_arrival_batch(
+        mk([(1, base), (3, base + " extra")]), 1, idx, prs,
+        threshold=0.5, max_bucket=100,
+    )
+    sig = read_signature_index(spark, idx)
+    counts = {r["id"]: r["n"] for r in sig.groupBy("id").count().withColumnRenamed("count", "n").collect()}
+    assert counts == {1: 1, 2: 1, 3: 1}, f"duplicate index rows: {counts}"
+
+    # pairs stay duplicate-free and still cover new-vs-archive
+    got = []
+    for bid in committed_batches(idx):
+        got += [
+            (r["id_a"], r["id_b"])
+            for r in spark.read.parquet(f"{prs}/v{bid}").collect()
+        ]
+    assert len(got) == len(set(got)), "duplicate pair rows fanned out"
+    assert (1, 3) in got
