@@ -2852,6 +2852,40 @@ def qx17_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# qx40 batched-round BPE: the production-vocabulary trainer shape —
+# each round greedily keeps up to _QX40_BATCH mutually symbol-disjoint
+# top pairs (from the top _QX40_POOL candidates) and applies them in
+# ONE projection, so a 32k-merge vocabulary is ~32k/batch Spark jobs
+# instead of 32k. Disjointness keeps the batch exact (see bpe_train).
+_QX40_MERGES = 24
+_QX40_BATCH = 4
+_QX40_POOL = 16
+
+
+def qx40_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-round BPE training (capability row 105's scale path):
+    24 merges learned in rounds of up to 4 mutually symbol-disjoint
+    pairs per candidate collect — the job-count fix that makes
+    production merge counts feasible (one aggregate + one model-sized
+    collect per ROUND, not per merge). DuckDB replays the identical
+    algorithm: per round a ranked candidate CTE, a recursive-CTE
+    greedy disjoint walk, and the same batched literal replaces."""
+    from strategicai_visibility_loop_etl_spark.operators.bpe import (
+        bpe_merges_df,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("text")
+    merges = bpe_train(
+        docs,
+        n_merges=_QX40_MERGES,
+        batch_size=_QX40_BATCH,
+        candidate_pool=_QX40_POOL,
+        stage_path=f"{_SIG_STAGE}/bpe_words40",
+    )
+    return bpe_merges_df(spark, merges).orderBy("merge_rank")
+
+
 # qx18 blocklist: two registrable entries (block the host and every
 # subdomain) plus one deep entry (blocks only the www. variant).
 _QX18_BLOCK = [
@@ -3455,6 +3489,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx38_quality_blend": qx38_quality_blend,
         "qx39_column_profile": qx39_column_profile,
         "qx31_product_profit": qx31_product_profit,
+        "qx40_bpe_train_batched": qx40_bpe_train_batched,
     }
 
 
@@ -4096,6 +4131,81 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST(len(toks) AS BIGINT) AS n_bpe,
                array_to_string(toks, ' ') AS encoded
         FROM e ORDER BY doc_id
+    """
+
+    # qx40: batched-round BPE replay. Per round: pair counts, ranked
+    # top-_QX40_POOL candidates, a RECURSIVE-CTE greedy walk keeping
+    # up to _QX40_BATCH mutually symbol-disjoint pairs (lhs/rhs/merged
+    # all unused), then the batch's literal replaces applied in one
+    # pass (missing kr slots no-op via an impossible triple-separator
+    # pattern — single/double separators are the only ones that occur
+    # in a wrapped symbol string). Rounds unroll to _QX40_MERGES: every
+    # non-empty round yields >= 1 merge so coverage is guaranteed, and
+    # Spark's remaining-merges cap on the last round is a PREFIX of the
+    # uncapped greedy walk, so the global LIMIT reproduces it exactly.
+    c40 = [
+        f"""cw0 AS MATERIALIZED (
+            SELECT CAST(COUNT(*) AS BIGINT) AS cnt, string_split(w, '') AS syms
+            FROM (SELECT unnest({_toks(bpe_norm)}) AS w FROM documents)
+            WHERE w <> '' GROUP BY w
+        )"""
+    ]
+    for r in range(1, _QX40_MERGES + 1):
+        c40.append(f"""cp{r} AS MATERIALIZED (
+            SELECT pr[1] AS a, pr[2] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+            FROM (SELECT cnt,
+                         unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+                             AS pr
+                  FROM cw{r - 1})
+            GROUP BY a, b
+        )""")
+        c40.append(f"""cc{r} AS MATERIALIZED (
+            SELECT a, b, c,
+                   row_number() OVER (ORDER BY c DESC, a ASC, b ASC) AS rn
+            FROM cp{r} QUALIFY rn <= {_QX40_POOL}
+        )""")
+        c40.append(f"""cs{r} AS MATERIALIZED (
+            WITH RECURSIVE g(step, used, a, b, c) AS (
+                (SELECT 1, [a, b, a || b], a, b, c FROM cc{r}
+                 ORDER BY rn LIMIT 1)
+                UNION ALL
+                SELECT g.step + 1, g.used || [p.a, p.b, p.a || p.b],
+                       p.a, p.b, p.c
+                FROM g JOIN cc{r} p ON p.rn = (
+                    SELECT min(q.rn) FROM cc{r} q
+                    WHERE NOT list_has_any(g.used, [q.a, q.b, q.a || q.b]))
+                WHERE g.step < {_QX40_BATCH}
+            )
+            SELECT step AS kr, a, b, c FROM g
+        )""")
+        expr = f"{S} || array_to_string(syms, {SS}) || {S}"
+        for kk in range(1, _QX40_BATCH + 1):
+            pat = (
+                f"coalesce((SELECT {S} || a || {SS} || b || {S} "
+                f"FROM cs{r} WHERE kr = {kk}), repeat(chr(31), 3))"
+            )
+            rep = (
+                f"coalesce((SELECT {S} || a || b || {S} "
+                f"FROM cs{r} WHERE kr = {kk}), '')"
+            )
+            expr = f"replace({expr}, {pat}, {rep})"
+        c40.append(f"""cw{r} AS MATERIALIZED (
+            SELECT cnt, string_split(trim({expr}, chr(31)), {SS}) AS syms
+            FROM cw{r - 1}
+        )""")
+    c40_rows = " UNION ALL ".join(
+        f"SELECT {r} AS rnd, kr, a, b, c FROM cs{r}"
+        for r in range(1, _QX40_MERGES + 1)
+    )
+    c40_ctes = ",\n".join(c40)
+    sql["qx40_bpe_train_batched"] = f"""
+        WITH {c40_ctes}
+        SELECT CAST(row_number() OVER (ORDER BY rnd, kr) - 1 AS INT)
+                   AS merge_rank,
+               a AS lhs, b AS rhs, a || b AS merged,
+               CAST(c AS BIGINT) AS pair_count
+        FROM ({c40_rows})
+        ORDER BY merge_rank LIMIT {_QX40_MERGES}
     """
 
     bl_vals = ", ".join(f"('{d}')" for d in _QX18_BLOCK)

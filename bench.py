@@ -151,28 +151,58 @@ def main() -> None:
     except OSError:
         load_1m = None
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "total wall seconds for all registered queries "
-                    f"(noop sink, min of {reps} passes)"
-                ),
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": reps,
-                "failures": failures,
-                "transient_errors": transient,
-                "queries_fast_sums": fast_timings,
-                "queries_extra": extra_timings,
-                "load_avg_1m": load_1m,
-                "regressions": _regressions(timings, sf),
-            }
-        )
-    )
+    result = {
+        "metric": (
+            "total wall seconds for all registered queries "
+            f"(noop sink, min of {reps} passes)"
+        ),
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": reps,
+        "failures": failures,
+        "transient_errors": transient,
+        "queries_fast_sums": fast_timings,
+        "queries_extra": extra_timings,
+        "load_avg_1m": load_1m,
+        "regressions": _regressions(timings, sf),
+    }
+    print(json.dumps(result))
+    # The driver's stdout capture window has truncated the line before
+    # (BENCH_r08 lost every query before q46), so ALSO persist the full
+    # JSON in-repo: logs/bench_r{N}.json, N = next round number implied
+    # by the committed BENCH_r*.json artifacts. Re-runs within a round
+    # overwrite (latest wins).
+    _persist(result)
     spark.stop()
+
+
+def _persist(result: dict) -> None:
+    import glob
+    import re
+    import datetime
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    n = (max(rounds) if rounds else 0) + 1
+    out_dir = os.path.join(here, "logs")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"bench_r{n:02d}.json")
+    try:
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(
+                {**result, "ts": datetime.datetime.now(datetime.UTC).isoformat()},
+                fh,
+                indent=1,
+            )
+        print(f"full bench JSON -> {path}", file=sys.stderr)
+    except OSError as exc:  # never let persistence kill the bench line
+        print(f"bench persist failed: {exc}", file=sys.stderr)
 
 
 def _prev_round_queries(sf):
@@ -182,10 +212,23 @@ def _prev_round_queries(sf):
     object (which stores the line inside a ``tail`` string).
     """
     import glob
+    import re
 
     best = None
     here = os.path.dirname(os.path.abspath(__file__))
-    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    # logs/bench_r*.json are the complete self-written files; the
+    # driver's BENCH_r*.json may hold only a truncated `tail`. Order by
+    # (round, completeness) so the newest round wins and, within a
+    # round, the full file beats the truncated capture.
+    cands = []
+    for pri, pat in enumerate(
+        ("BENCH_r*.json", os.path.join("logs", "bench_r*.json"))
+    ):
+        for p in glob.glob(os.path.join(here, pat)):
+            m = re.search(r"r(\d+)\.json$", p)
+            if m:
+                cands.append((int(m.group(1)), pri, p))
+    for _, _, p in sorted(cands):
         try:
             with open(p) as fh:
                 d = json.load(fh)
@@ -201,7 +244,7 @@ def _prev_round_queries(sf):
             except json.JSONDecodeError:
                 continue
         if isinstance(inner.get("queries"), dict) and inner.get("sf") == sf:
-            best = inner["queries"]  # sorted glob -> last = newest round
+            best = inner["queries"]  # sorted -> last = newest round
     return best
 
 

@@ -70,6 +70,27 @@ def _unwrap(wrapped: Column) -> Column:
     )
 
 
+def _greedy_disjoint(rows, limit: int) -> list[tuple[str, str, int]]:
+    """Greedy maximal SYMBOL-DISJOINT pair set from a rank-ordered
+    candidate list: walk down by (count DESC, left, right), keep a pair
+    iff none of {lhs, rhs, lhs+rhs} was used by an already-KEPT pair,
+    stop at ``limit``. Disjointness (including the merged symbol) is
+    what makes a whole batch of merges apply simultaneously with the
+    sequential trainer's semantics — see ``bpe_train``."""
+    used: set[str] = set()
+    out: list[tuple[str, str, int]] = []
+    for row in rows:
+        a, b = row["a"], row["b"]
+        syms = {a, b, a + b}
+        if used & syms:
+            continue
+        used |= syms
+        out.append((a, b, int(row["c"])))
+        if len(out) >= limit:
+            break
+    return out
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int = 20,
@@ -77,6 +98,9 @@ def bpe_train(
     min_count: int = 1,
     stage_path: str | None = None,
     checkpoint_every: int = 6,
+    batch_size: int = 1,
+    candidate_pool: int | None = None,
+    stats_out: dict | None = None,
 ) -> list[dict]:
     """Learn ``n_merges`` BPE merges from a corpus; returns the ordered
     merge table as a model-sized list of dicts
@@ -85,11 +109,40 @@ def bpe_train(
     Scale shape: the corpus shuffles ONCE (word counts, staged when
     ``stage_path`` is given so rounds never re-scan the corpus); every
     round shuffles only (symbol-pair, partial count) rows from the
-    word table and collects exactly one row. Lineage over the evolving
-    symbol column is cut every ``checkpoint_every`` rounds.
+    word table and collects a model-sized candidate slice. Lineage over
+    the evolving symbol column is cut every ``checkpoint_every``
+    rounds.
+
+    ``batch_size`` batches merge rounds for production vocabularies:
+    with the classic one-merge-per-round loop a 32k-merge vocabulary is
+    32k Spark jobs, the trainer's real scale ceiling. Each batched
+    round collects the top ``candidate_pool`` pairs (default
+    ``max(4*batch_size, 16)``) by (count DESC, lhs, rhs), greedily
+    keeps up to ``batch_size`` MUTUALLY SYMBOL-DISJOINT pairs
+    (:func:`_greedy_disjoint` — no kept pair shares lhs/rhs/merged
+    with another kept pair), and applies them all in ONE projection.
+    Disjointness makes the batch exact, not approximate:
+
+    - selection-time counts stay correct for every kept pair (a merge
+      only perturbs counts of pairs sharing one of its symbols);
+    - the chained literal replaces can neither create nor destroy one
+      another's matches (a new adjacency always involves a freshly
+      merged symbol, which no other kept pair references), so in-batch
+      application order is irrelevant and equals applying the kept
+      merges sequentially.
+
+    The resulting merge LIST therefore feeds :func:`bpe_encode`
+    unchanged. ``batch_size=1`` is exactly the textbook sequential
+    trainer (the round's single survivor is the global argmax). The
+    batched selection is a deterministic function of the pair counts,
+    so a SQL oracle replays it with a ranked candidate CTE + recursive
+    greedy walk (see ``__spark_entry__.qx40``).
     """
     if n_merges <= 0:
         raise ValueError("bpe_train needs n_merges > 0")
+    if batch_size <= 0:
+        raise ValueError("bpe_train needs batch_size > 0")
+    pool = candidate_pool if candidate_pool is not None else max(4 * batch_size, 16)
     words = (
         df.select(F.explode(_clean_words(text_col)).alias("w"))
         .filter(F.col("w") != "")
@@ -106,7 +159,8 @@ def bpe_train(
         state = state.localCheckpoint(eager=False)
 
     merges: list[dict] = []
-    for r in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
         n = F.size("syms")
         pair = F.explode(
             F.arrays_zip(
@@ -114,34 +168,39 @@ def bpe_train(
                 F.slice("syms", 2, n - 1).alias("b"),
             )
         )
-        best = (
+        cand = (
             state.select("cnt", pair.alias("p"))
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.sum("cnt").alias("c"))
             .orderBy(F.desc("c"), "a", "b")
-            .limit(1)
+            .limit(pool)
             .collect()
         )
-        if not best:
+        batch = _greedy_disjoint(cand, min(batch_size, n_merges - len(merges)))
+        if not batch:
             break  # every word is a single symbol already
-        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
-        merges.append(
-            {
-                "merge_rank": r,
-                "lhs": a,
-                "rhs": b,
-                "merged": a + b,
-                "pair_count": c,
-            }
-        )
-        replaced = F.replace(
-            _wrap(F.col("syms")),
-            F.lit(SEP + a + SEP + SEP + b + SEP),
-            F.lit(SEP + a + b + SEP),
-        )
+        replaced = _wrap(F.col("syms"))
+        for a, b, c in batch:
+            merges.append(
+                {
+                    "merge_rank": len(merges),
+                    "lhs": a,
+                    "rhs": b,
+                    "merged": a + b,
+                    "pair_count": c,
+                }
+            )
+            replaced = F.replace(
+                replaced,
+                F.lit(SEP + a + SEP + SEP + b + SEP),
+                F.lit(SEP + a + b + SEP),
+            )
         state = state.select("cnt", _unwrap(replaced).alias("syms"))
-        if (r + 1) % checkpoint_every == 0:
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             state = state.localCheckpoint(eager=False)
+    if stats_out is not None:
+        stats_out["rounds"] = rounds  # == Spark job rounds, not merges
     return merges
 
 

@@ -377,6 +377,57 @@ def _run_doc_family(args, timed, corpus) -> None:
 
     timed("carve_blocks", _carve)
 
+    # Batched BPE at a production-ish merge count: 2,000 merges must
+    # train in a BOUNDED number of Spark rounds (one candidate collect
+    # per round, not per merge — the qx16 sequential loop would be
+    # 2,000 jobs here). checkpoint_every=1 keeps each round's plan at
+    # one batch of replaces (256 chained replaces is already at the
+    # codegen comfort limit; stacking 6 rounds of them would not be).
+    from strategicai_visibility_loop_etl_spark.operators.bpe import (
+        bpe_train,
+    )
+
+    def _bpe_batched():
+        # The synthetic corpus has only ~58 distinct words — a real
+        # vocabulary ceiling of ~214 merges. Enrich it determin-
+        # istically (per-doc hex suffix on every token -> ~40k distinct
+        # words) so the gate exercises a production-sized merge count;
+        # the TRAINER sees a normal word-frequency table either way.
+        rich = corpus.select(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split(F.col("text"), r"\s+"),
+                    lambda w: F.concat(
+                        w, F.lit("_"), F.hex(F.col("doc_id") % 677)
+                    ),
+                ),
+            ).alias("text")
+        )
+        stats: dict = {}
+        merges = bpe_train(
+            rich,
+            n_merges=2000,
+            batch_size=256,
+            candidate_pool=1024,
+            min_count=2,
+            stage_path=os.path.join(args.stage, "bpe_words"),
+            checkpoint_every=1,
+            stats_out=stats,
+        )
+        assert len(merges) == 2000, len(merges)
+        assert [m["merge_rank"] for m in merges] == list(range(2000))
+        # multi-char subwords must actually form (sanity on content)
+        deep = sum(1 for m in merges if len(m["merged"]) >= 4)
+        assert deep > 0, "no multi-char subwords after 2000 merges"
+        return {
+            "merges": len(merges),
+            "rounds": stats["rounds"],
+            "len4_subwords": deep,
+        }
+
+    timed("bpe_batched_2000", _bpe_batched)
+
     # BM25 over the full corpus: the posting index is one explode+agg
     # (staged); 200 queries score via broadcast — the corpus-sized
     # side must never re-shuffle per query batch.
