@@ -694,8 +694,10 @@ def q38_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``F.median``/``F.percentile`` are the exact (not approx) forms —
     they match DuckDB's ``median``/``quantile_cont`` bit-for-bit
     because both sort and linearly interpolate. At 100 TB you'd reach
-    for ``percentile_approx`` (mergeable sketch, no global sort); the
-    exact form here doubles as that sketch's accuracy oracle."""
+    for ``percentile_approx`` (mergeable sketch, no global sort); that
+    swap is EXERCISED with asserted rank-error bounds in
+    ``tests/test_approx_percentiles.py``, with this exact form as its
+    accuracy oracle."""
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         _rd(F.median("l_extendedprice"), 6).alias("median_price"),

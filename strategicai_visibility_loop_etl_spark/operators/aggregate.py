@@ -46,24 +46,36 @@ def quantile_buckets(
     value_col: str,
     group_cols: list[str],
     probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-group quantile discretization: cut each group's values at
-    its own exact quantiles, return the per-bucket histogram
+    its own quantiles, return the per-bucket histogram
     (group…, bucket, n, min_v, max_v) with bucket = #cutpoints below
     the value + 1 (values ≤ q25 land in bucket 1).
 
-    Two passes over the fact: one sort-based exact-percentile aggregate
-    for the cutpoints (the oracle-exact form — at 100 TB swap in
-    ``percentile_approx``, a mergeable sketch with no per-group buffer),
-    then the tiny (group, cutpoints) dim broadcasts back and the bucket
-    assignment is a codegen'd comparison chain — no second wide shuffle
-    beyond the histogram's own hash aggregate.
+    Two passes over the fact: one percentile aggregate for the
+    cutpoints, then the tiny (group, cutpoints) dim broadcasts back
+    and the bucket assignment is a codegen'd comparison chain — no
+    second wide shuffle beyond the histogram's own hash aggregate.
+
+    ``approx=False`` is the sort-based exact interpolated form (the
+    DuckDB oracle's ``quantile_cont``). ``approx=True`` swaps in
+    ``percentile_approx`` — a mergeable KLL-style sketch with no
+    per-group sort buffer, the 100 TB default; cut points then carry a
+    rank error ≤ n/``accuracy`` per group (tolerance-tested in
+    ``tests/test_approx_percentiles.py``). The plan shape is identical
+    either way.
     """
     val = F.col(value_col).cast("double")
     base = df.select(*group_cols, val.alias("__v"))
-    cuts = base.groupBy(*group_cols).agg(
-        F.percentile("__v", F.array(*[F.lit(p) for p in probs])).alias("__cuts")
+    parr = F.array(*[F.lit(p) for p in probs])
+    cut_expr = (
+        F.percentile_approx("__v", parr, F.lit(accuracy))
+        if approx
+        else F.percentile("__v", parr)
     )
+    cuts = base.groupBy(*group_cols).agg(cut_expr.alias("__cuts"))
     joined = base.join(F.broadcast(cuts), list(group_cols))
     bucket = F.lit(1)
     for i in range(len(probs)):

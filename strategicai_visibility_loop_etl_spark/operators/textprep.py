@@ -1057,6 +1057,8 @@ def quality_blend(
     id_col: str = "doc_id",
     n_buckets: int = 10,
     out_decimals: int = 6,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Percentile-rank fusion of quality signals: each signal maps to
     its corpus quantile bucket (0..n_buckets−1) and the blend is the
@@ -1066,23 +1068,30 @@ def quality_blend(
 
     Scale shape: NO global sort (a per-signal percent_rank would be
     one corpus sort each). Instead one aggregate computes each
-    signal's interior cut points — exact interpolated percentiles
-    here (the ``quantile_cont`` parity q38 established; at 100 TB
-    swap in ``percentile_approx``, same plan shape) — and a broadcast
-    1-row cross join carries them back; the bucket index is
-    ``#cuts ≤ x``, a pure array expression. One scan + one
-    model-sized aggregate total, any number of signals.
+    signal's interior cut points — and a broadcast 1-row cross join
+    carries them back; the bucket index is ``#cuts ≤ x``, a pure
+    array expression. One scan + one model-sized aggregate total,
+    any number of signals.
+
+    ``approx=False`` computes exact interpolated percentiles (the
+    ``quantile_cont`` parity q38 established). ``approx=True`` is the
+    100 TB form: ``percentile_approx``'s mergeable sketch, identical
+    plan shape, cut points within rank error n/``accuracy`` — so a
+    row's bucket can differ from exact by at most 1 when
+    ``accuracy >= n_buckets`` (tolerance-tested in
+    ``tests/test_approx_percentiles.py``).
 
     Rows with a NULL signal get NULL for that bucket and are excluded
     from the blend mean (blend NULL only if ALL signals are NULL).
     """
     fracs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.agg(
-        *[
-            F.percentile(F.col(c), F.lit(fracs)).alias(f"__cut_{c}")
-            for c in signal_cols
-        ]
-    )
+
+    def _cut(c: str):
+        if approx:
+            return F.percentile_approx(F.col(c), F.lit(fracs), F.lit(accuracy))
+        return F.percentile(F.col(c), F.lit(fracs))
+
+    cuts = df.agg(*[_cut(c).alias(f"__cut_{c}") for c in signal_cols])
     out = df.join(F.broadcast(cuts))
     bexprs = {
         c: F.when(
