@@ -44,8 +44,10 @@ from .retrieval import bm25_topk, document_postings
 from .expectations import validate_expectations
 from .aggregate import linear_trend, theil_sen_trend
 from .dedup import (
+    boilerplate_excision_incremental,
     boilerplate_line_excision,
     dedup_minhash_incremental,
+    line_df_index_write,
     minhash_index_write,
 )
 from .similarity import quantize_embeddings, quantized_cosine_topk
@@ -72,7 +74,9 @@ __all__ = [
     "linear_trend",
     "theil_sen_trend",
     "boilerplate_line_excision",
+    "boilerplate_excision_incremental",
     "dedup_minhash_incremental",
+    "line_df_index_write",
     "minhash_index_write",
     "quantize_embeddings",
     "quantized_cosine_topk",

@@ -29,6 +29,8 @@ expression and an Arrow pandas UDF in our bake-off).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -734,6 +736,23 @@ def boilerplate_line_excision(
     is the 64-bit xxhash of the trimmed line (collision odds the same
     as ExactSubstr's gram hashing; the oracle replays from strings).
     """
+    base, pos = _line_tables(df, text_col, id_col)
+    pos = _stage_roundtrip(pos, stage_path)
+    boiler = (
+        pos.select("id", "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("__dfc"))
+        .filter(F.col("__dfc") >= min_df)
+        .select("lh")
+    )
+    return _excise_hit_lines(base, pos, boiler, id_col)
+
+
+def _line_tables(df: DataFrame, text_col: str, id_col: str):
+    """(base, pos) for line-level ops: ``base`` keeps each doc's
+    trimmed non-empty line array + count, ``pos`` is the shuffled
+    (id, pos, line-hash) table — line TEXT never shuffles."""
     lines_tbl = df.select(
         F.col(id_col).alias("id"),
         F.filter(
@@ -748,15 +767,14 @@ def boilerplate_line_excision(
     pos = base.select(
         "id", F.posexplode("__lines").alias("pos", "l")
     ).select("id", "pos", F.xxhash64("l").alias("lh"))
-    pos = _stage_roundtrip(pos, stage_path)
-    boiler = (
-        pos.select("id", "lh")
-        .distinct()
-        .groupBy("lh")
-        .agg(F.count("*").alias("__dfc"))
-        .filter(F.col("__dfc") >= min_df)
-        .select("lh")
-    )
+    return base, pos
+
+
+def _excise_hit_lines(
+    base: DataFrame, pos: DataFrame, boiler: DataFrame, id_col: str
+) -> DataFrame:
+    """Fold boilerplate line-hash hits back per doc and excise by
+    position — the shared tail of the batch and incremental paths."""
     hits = (
         pos.join(boiler, "lh")
         .groupBy("id")
@@ -774,6 +792,114 @@ def boilerplate_line_excision(
         F.size("__hits").cast("long").alias("n_removed"),
         F.array_join(kept, "\n").alias("clean_text"),
     )
+
+
+def line_df_index_write(
+    df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build (or bulk-extend) the persistent line-frequency index that
+    :func:`boilerplate_excision_incremental` excises against. Layout
+    under ``index_path``:
+
+    - ``lines/`` — APPEND-ONLY partial (lh, cnt) document-frequency
+      rows; readers resolve the true df with one sum per line hash.
+      Append-only is what makes updates safe on an object store (no
+      read-modify-write of a live table); compact on schedule by
+      rewriting the folded aggregate, like any merge-on-read table.
+    - ``ids/`` — append-only (id) rows of every indexed document, the
+      re-crawl guard (same content-immutability contract as the
+      MinHash signature index).
+    """
+    _base, pos = _line_tables(df, text_col, id_col)
+    partial = (
+        pos.select("id", "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("cnt"))
+    )
+    partial.write.mode("append").parquet(os.path.join(index_path, "lines"))
+    df.select(F.col(id_col).alias("id")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "ids"))
+
+
+def boilerplate_excision_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_index: bool = False,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Cross-document boilerplate excision for an INCOMING BATCH
+    against the accumulated corpus, without re-reading archived text —
+    the incremental-MinHash economics (capability row 119) applied to
+    line excision: a daily crawl increment at 100 TB cannot recompute
+    corpus-wide line document-frequency from scratch.
+
+    Only the batch is split to lines; the archive contributes ONE
+    number per line hash (its stored df), semi-join-pruned to hashes
+    that actually occur in the batch, so per-batch work scales with
+    the batch plus the touched slice of the index. A line in a new
+    document is excised when archive df + batch df ≥ ``min_df``.
+
+    Re-crawled ids (already in ``ids/``) are dropped up front: their
+    cleaned output was produced when first seen, and counting their
+    lines again would inflate df by one per re-crawl. The index
+    assumes IMMUTABLE CONTENT PER ID — refresh a mutated document by
+    delete-and-reinsert or a versioned id, as with the MinHash index.
+    ``update_index=True`` appends the batch's partial (lh, cnt) rows
+    and its ids AFTER forcing the excision result, so the output can
+    never observe its own update.
+
+    Equivalence contract (pytest-asserted, the row-119 pattern):
+    identical to running :func:`boilerplate_line_excision` over
+    archive ∪ batch and keeping the batch's rows.
+    """
+    spark = new_docs.sparkSession
+    ids_idx = spark.read.parquet(os.path.join(index_path, "ids"))
+    lines_partials = spark.read.parquet(os.path.join(index_path, "lines"))
+    fresh = new_docs.join(
+        ids_idx.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    base, pos = _line_tables(fresh, text_col, id_col)
+    pos = _stage_roundtrip(pos, stage_path)
+    batch_cnt = (
+        pos.select("id", "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("__cnt_new"))
+    )
+    archive_df = (
+        lines_partials.join(batch_cnt.select("lh"), "lh", "left_semi")
+        .groupBy("lh")
+        .agg(F.sum("cnt").alias("__dfc_old"))
+    )
+    boiler = (
+        batch_cnt.join(archive_df, "lh", "left")
+        .filter(
+            F.col("__cnt_new") + F.coalesce("__dfc_old", F.lit(0))
+            >= min_df
+        )
+        .select("lh")
+    )
+    out = _excise_hit_lines(base, pos, boiler, id_col)
+    if update_index:
+        # force the excision BEFORE appending: the plan reads the same
+        # lines/ dir the append extends, and a late scan must not see
+        # the batch's own partials
+        out = out.localCheckpoint()
+        batch_cnt.select("lh", F.col("__cnt_new").alias("cnt")).write.mode(
+            "append"
+        ).parquet(os.path.join(index_path, "lines"))
+        fresh.select(F.col(id_col).alias("id")).distinct().write.mode(
+            "append"
+        ).parquet(os.path.join(index_path, "ids"))
+    return out
 
 
 def minhash_index_write(

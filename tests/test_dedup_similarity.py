@@ -513,3 +513,115 @@ def test_quantize_embeddings_codes_and_zero_vector(spark):
     assert got[1]["qvec"] == [64, -127, 32]  # round(.5/(1/127))=63.5->64
     assert abs(got[1]["scale"] - 1.0 / 127) < 1e-9
     assert got[2]["qvec"] == [0, 0, 0] and got[2]["scale"] == 0.0
+
+
+def test_boilerplate_incremental_equivalence_to_full(spark, tmp_path):
+    """The persistent line-df index path equals the full batch
+    recompute restricted to the new docs (the row-119 equivalence
+    contract, applied to cross-doc line excision)."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_excision_incremental,
+        boilerplate_line_excision,
+        line_df_index_write,
+    )
+
+    nav = "home | products | contact"
+    cookie = "we use cookies to improve your experience"
+    archive = [
+        (1, f"{nav}\nunique page one body\nfooter (c) corp"),
+        (2, f"{nav}\nanother body entirely\nfooter (c) corp"),
+        (3, "standalone page with no shared lines at all"),
+    ]
+    batch = [
+        # nav + footer hit via ARCHIVE df alone; cookie becomes
+        # boilerplate only because BOTH new docs carry it (batch df)
+        (10, f"{nav}\n{cookie}\nnew page alpha\nfooter (c) corp"),
+        (11, f"{cookie}\nnew page beta"),
+        (12, None),  # null text: survives as empty
+    ]
+    schema = "doc_id long, text string"
+    arch_df = spark.createDataFrame(archive, schema)
+    batch_df = spark.createDataFrame(batch, schema)
+
+    idx = str(tmp_path / "lineidx")
+    line_df_index_write(arch_df, idx)
+
+    inc = {
+        r["doc_id"]: r
+        for r in boilerplate_excision_incremental(
+            batch_df, idx, min_df=2
+        ).collect()
+    }
+    full = {
+        r["doc_id"]: r
+        for r in boilerplate_line_excision(
+            arch_df.unionByName(batch_df), min_df=2
+        ).collect()
+        if r["doc_id"] >= 10
+    }
+    assert set(inc) == set(full) == {10, 11, 12}
+    for i in inc:
+        for c in ("n_lines", "n_removed", "clean_text"):
+            assert inc[i][c] == full[i][c], (i, c, inc[i][c], full[i][c])
+    # the cookie line was excised though the ARCHIVE never saw it
+    assert cookie not in inc[10]["clean_text"]
+    assert inc[10]["n_removed"] == 3  # nav, cookie, footer
+
+
+def test_boilerplate_incremental_index_update_and_recrawl(spark, tmp_path):
+    """update_index accumulates batch partials; a re-crawled id is
+    dropped from output and cannot inflate any line's df; two
+    sequential batches equal one combined batch."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_excision_incremental,
+        boilerplate_line_excision,
+        line_df_index_write,
+    )
+
+    promo = "subscribe to our newsletter"
+    schema = "doc_id long, text string"
+    arch = spark.createDataFrame([(1, f"{promo}\nseed body")], schema)
+    idx = str(tmp_path / "lineidx2")
+    line_df_index_write(arch, idx)
+
+    b1 = spark.createDataFrame([(2, f"{promo}\nbatch one body")], schema)
+    out1 = boilerplate_excision_incremental(
+        b1, idx, min_df=2, update_index=True
+    ).collect()
+    assert {r["doc_id"] for r in out1} == {2}
+    assert promo not in out1[0]["clean_text"]  # archive df 1 + batch 1
+
+    # batch 2 re-crawls id 2 (dropped) and adds id 3
+    b2 = spark.createDataFrame(
+        [(2, f"{promo}\nbatch one body"), (3, f"{promo}\nbatch two body")],
+        schema,
+    )
+    out2 = {r["doc_id"]: r for r in boilerplate_excision_incremental(
+        b2, idx, min_df=2, update_index=True
+    ).collect()}
+    assert set(out2) == {3}, "re-crawled id must not re-emit"
+    assert promo not in out2[3]["clean_text"]
+
+    # index df for the promo line == 3 distinct docs, not 4
+    lines = spark.read.parquet(f"{idx}/lines")
+    got_df = {
+        r["lh"]: r["s"]
+        for r in lines.groupBy("lh").agg(F.sum("cnt").alias("s")).collect()
+    }
+    import pyspark.sql.functions as _F
+    promo_lh = spark.createDataFrame([(promo,)], "l string").select(
+        _F.xxhash64("l").alias("lh")
+    ).first()["lh"]
+    assert got_df[promo_lh] == 3, got_df[promo_lh]
+
+    # accumulated results == full recompute over everything (fresh ids)
+    all_docs = arch.unionByName(b1).unionByName(
+        spark.createDataFrame([(3, f"{promo}\nbatch two body")], schema)
+    )
+    full = {
+        r["doc_id"]: r
+        for r in boilerplate_line_excision(all_docs, min_df=2).collect()
+    }
+    for r in out1:
+        assert r["clean_text"] == full[r["doc_id"]]["clean_text"]
+    assert out2[3]["clean_text"] == full[3]["clean_text"]

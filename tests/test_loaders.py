@@ -468,3 +468,121 @@ def test_read_warc_lite_duplicate_header_keys(spark, tmp_path):
     assert r["target_uri"] == "https://example.com/dup"
     assert r["headers"]["WARC-Concurrent-To"] == "<urn:uuid:1>"  # first wins
     assert r["content_length"] == 2
+
+
+def _warc_record(headers: list[tuple[str, str]], payload: bytes,
+                 digest: bool = True, corrupt_digest: bool = False):
+    """One spec-shaped WARC/1.0 record as bytes (CRLF framing,
+    Content-Length + optional sha1 block digest)."""
+    import base64
+    import hashlib
+
+    hs = list(headers)
+    hs.append(("Content-Length", str(len(payload))))
+    if digest:
+        h = hashlib.sha1(payload if not corrupt_digest else payload + b"X")
+        hs.append(
+            ("WARC-Block-Digest",
+             "sha1:" + base64.b32encode(h.digest()).decode("ascii"))
+        )
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode() for k, v in hs
+    )
+    return head + b"\r\n" + payload + b"\r\n\r\n"
+
+
+def test_read_warc_gz_multi_member_digests_and_repeated_headers(
+    spark, tmp_path
+):
+    """Real-WARC gzip ingest: per-record gzip members, sha1 block
+    digest verification, EVERY occurrence of repeated headers
+    preserved, binary payloads intact."""
+    import gzip
+
+    from strategicai_visibility_loop_etl_spark.sources.readers import (
+        read_warc_gz,
+    )
+
+    r1 = _warc_record(
+        [("WARC-Type", "response"),
+         ("WARC-Target-URI", "http://a.example/x"),
+         ("WARC-Date", "2026-01-01T00:00:00Z"),
+         ("WARC-Concurrent-To", "<urn:uuid:1111>"),
+         ("WARC-Concurrent-To", "<urn:uuid:2222>")],
+        b"HTTP/1.1 200 OK\r\n\r\nhello \xff\xfe binary body",
+    )
+    r2 = _warc_record(
+        [("WARC-Type", "request"),
+         ("WARC-Target-URI", "http://a.example/x"),
+         ("WARC-Date", "2026-01-01T00:00:01Z")],
+        b"GET /x HTTP/1.1",
+        corrupt_digest=True,
+    )
+    r3 = _warc_record(
+        [("WARC-Type", "metadata"),
+         ("WARC-Target-URI", "http://b.example/y"),
+         ("WARC-Date", "2026-01-01T00:00:02Z")],
+        b"no digest here",
+        digest=False,
+    )
+    # each record its own gzip member (the CC wire format), two files
+    f1 = tmp_path / "seg-00000.warc.gz"
+    f1.write_bytes(gzip.compress(r1) + gzip.compress(r2))
+    f2 = tmp_path / "seg-00001.warc.gz"
+    f2.write_bytes(gzip.compress(r3))
+
+    out = read_warc_gz(spark, str(tmp_path / "*.warc.gz"))
+    rows = {r["warc_type"]: r for r in out.collect()}
+    assert set(rows) == {"response", "request", "metadata"}
+
+    resp = rows["response"]
+    assert resp["digest_ok"] is True
+    assert bytes(resp["payload"]).endswith(b"binary body")
+    assert b"\xff\xfe" in bytes(resp["payload"])
+    cc = [h["value"] for h in resp["headers"]
+          if h["key"] == "WARC-Concurrent-To"]
+    assert cc == ["<urn:uuid:1111>", "<urn:uuid:2222>"], cc
+    assert resp["content_length"] == len(
+        b"HTTP/1.1 200 OK\r\n\r\nhello \xff\xfe binary body"
+    )
+
+    assert rows["request"]["digest_ok"] is False   # corrupted digest
+    assert rows["metadata"]["digest_ok"] is None   # no digest header
+    assert rows["metadata"]["src_file"].endswith("seg-00001.warc.gz")
+
+    # plan: Arrow-batched mapInPandas over whole files, never
+    # row-at-a-time Python
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_read_warc_gz_truncated_member_keeps_complete_records(
+    spark, tmp_path
+):
+    """A truncated final gzip member (killed crawler mid-write) must
+    not poison the file: complete records still parse."""
+    import gzip
+
+    from strategicai_visibility_loop_etl_spark.sources.readers import (
+        read_warc_gz,
+    )
+
+    good = _warc_record(
+        [("WARC-Type", "response"),
+         ("WARC-Target-URI", "http://ok.example/")],
+        b"intact payload",
+    )
+    bad = gzip.compress(
+        _warc_record([("WARC-Type", "response")], b"lost payload")
+    )
+    f = tmp_path / "trunc.warc.gz"
+    f.write_bytes(gzip.compress(good) + bad[: len(bad) // 2])
+
+    rows = read_warc_gz(spark, str(f)).collect()
+    uris = [r["target_uri"] for r in rows]
+    assert "http://ok.example/" in uris
+    for r in rows:
+        if r["target_uri"] == "http://ok.example/":
+            assert bytes(r["payload"]) == b"intact payload"
+            assert r["digest_ok"] is True

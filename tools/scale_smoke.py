@@ -326,6 +326,54 @@ def _run_doc_family(args, timed, corpus) -> None:
 
     timed("boilerplate_excision", _boiler_lines)
 
+    # Incremental line excision vs the persistent (line-hash, df)
+    # index: 90% of the pages become the archive's index, the last 10%
+    # arrive as a crawl increment — the increment's excision must be
+    # IDENTICAL to the full-corpus recompute restricted to those docs
+    # (the row-119 equivalence contract at scale). Only the batch is
+    # ever split to lines here; the archive contributes its stored df.
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_excision_incremental,
+        line_df_index_write,
+    )
+
+    def _boiler_incremental():
+        import shutil
+
+        is_batch = F.abs(F.xxhash64("doc_id")) % 10 == 0
+        archive = pages.filter(~is_batch)
+        batch = pages.filter(is_batch)
+        idx = os.path.join(args.stage, "line_idx")
+        shutil.rmtree(idx, ignore_errors=True)
+        line_df_index_write(archive, idx, text_col="page")
+        inc = boilerplate_excision_incremental(
+            batch, idx, min_df=2, text_col="page",
+            stage_path=os.path.join(args.stage, "bl_inc"),
+        )
+        full = boilerplate_line_excision(
+            pages, min_df=2, text_col="page",
+            stage_path=os.path.join(args.stage, "bl_full"),
+        ).join(batch.select("doc_id"), "doc_id", "left_semi")
+
+        def digest(df):
+            # hash sum as decimal(38,0): a long sum of 64-bit hashes
+            # overflows under ANSI mode
+            return df.agg(
+                F.count("*").alias("docs"),
+                F.sum("n_removed").alias("removed"),
+                F.sum(
+                    F.xxhash64("clean_text").cast("decimal(38,0)")
+                ).alias("content_hash"),
+            ).first()
+
+        di, df_ = digest(inc), digest(full)
+        assert (di["docs"], di["removed"], di["content_hash"]) == (
+            df_["docs"], df_["removed"], df_["content_hash"]
+        ), (di, df_)
+        return {"batch_docs": di["docs"], "removed": int(di["removed"])}
+
+    timed("boilerplate_incremental", _boiler_incremental)
+
     # Stupid-Backoff bigram LM: same order-independence gate as the
     # unigram — the 20k identical docs must score bit-identically
     # regardless of partitioning (the DECIMAL per-transition sum).
