@@ -47,8 +47,10 @@ from .dedup import (
     boilerplate_excision_incremental,
     boilerplate_line_excision,
     dedup_minhash_incremental,
+    exactsubstr_incremental,
     line_df_index_write,
     minhash_index_write,
+    substr_gram_index_write,
 )
 from .similarity import quantize_embeddings, quantized_cosine_topk
 from .clusters import leakage_free_split
@@ -76,8 +78,10 @@ __all__ = [
     "boilerplate_line_excision",
     "boilerplate_excision_incremental",
     "dedup_minhash_incremental",
+    "exactsubstr_incremental",
     "line_df_index_write",
     "minhash_index_write",
+    "substr_gram_index_write",
     "quantize_embeddings",
     "quantized_cosine_topk",
     "leakage_free_split",

@@ -613,6 +613,26 @@ def exactsubstr_dedup(
     distinct documents — a sentence pasted twice inside one document is
     excised too, matching the suffix-array behavior.
     """
+    base, pos = _gram_tables(df, k, text_col, id_col)
+    # Both the dup-set aggregate and the hit join consume `pos`;
+    # unstaged, Catalyst expands it into TWO scan+NGram+explode
+    # subtrees (the corpus tokenizes and explodes twice). Staging
+    # materializes the positional hashes once — at 100 TB that halves
+    # the dominant map-side cost.
+    pos = _stage_roundtrip(pos, stage_path)
+    dup = (
+        pos.groupBy("gh")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") > 1)
+        .select("gh")
+    )
+    return _excise_hit_spans(base, pos, dup, k, id_col)
+
+
+def _gram_tables(df: DataFrame, k: int, text_col: str, id_col: str):
+    """(base, pos) for ExactSubstr-family ops: ``base`` keeps each
+    doc's token array + count, ``pos`` is the shuffled positional
+    (id, pos, gram-hash) table — gram STRINGS never shuffle."""
     from pyspark.ml.feature import NGram  # noqa: PLC0415 (JVM-side, pure-plan)
 
     toks = df.select(
@@ -628,18 +648,15 @@ def exactsubstr_dedup(
     pos = grams.select("id", F.posexplode("__g").alias("pos", "g")).select(
         "id", "pos", F.xxhash64("g").alias("gh")
     )
-    # Both the dup-set aggregate and the hit join consume `pos`;
-    # unstaged, Catalyst expands it into TWO scan+NGram+explode
-    # subtrees (the corpus tokenizes and explodes twice). Staging
-    # materializes the positional hashes once — at 100 TB that halves
-    # the dominant map-side cost.
-    pos = _stage_roundtrip(pos, stage_path)
-    dup = (
-        pos.groupBy("gh")
-        .agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") > 1)
-        .select("gh")
-    )
+    return base, pos
+
+
+def _excise_hit_spans(
+    base: DataFrame, pos: DataFrame, dup: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Fold duplicated-gram hits back per doc, merge [p, p+k) islands
+    into maximal spans and excise — the shared tail of the batch and
+    incremental ExactSubstr paths."""
     hits = (
         pos.join(dup, "gh")
         .groupBy("id")
@@ -704,6 +721,92 @@ def exactsubstr_dedup(
         (F.col("__n") - x["n_kept"]).cast("long").alias("n_removed"),
         x["clean"].alias("clean_text"),
     )
+
+
+def substr_gram_index_write(
+    df: DataFrame,
+    index_path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Build (or bulk-extend) the persistent k-gram OCCURRENCE index
+    that :func:`exactsubstr_incremental` excises against. Same layout
+    discipline as :func:`line_df_index_write`: append-only
+    ``grams/`` (gh, cnt) partials — cnt counts occurrences, not
+    documents, matching ExactSubstr's duplication semantics — plus the
+    append-only ``ids/`` re-crawl guard. Readers fold partials with
+    one sum per gram hash; compact on schedule."""
+    _base, pos = _gram_tables(df, k, text_col, id_col)
+    partial = pos.groupBy("gh").agg(F.count("*").alias("cnt"))
+    partial.write.mode("append").parquet(os.path.join(index_path, "grams"))
+    df.select(F.col(id_col).alias("id")).distinct().write.mode(
+        "append"
+    ).parquet(os.path.join(index_path, "ids"))
+
+
+def exactsubstr_incremental(
+    new_docs: DataFrame,
+    index_path: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_index: bool = False,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """ExactSubstr excision for an INCOMING BATCH against the
+    accumulated corpus without re-tokenizing archived text — the last
+    member of the incremental-dedup family (MinHash row 119, line
+    excision row 132, now substring excision row 104's scale
+    companion). A batch position is a hit when its k-gram's archive
+    occurrences + batch occurrences ≥ 2, i.e. the gram also appears
+    ANYWHERE in the accumulated corpus or at least twice within the
+    batch — exactly the full recompute's duplication test restricted
+    to batch rows.
+
+    Only the batch explodes to positional grams; the archive
+    contributes one stored occurrence count per gram hash,
+    semi-join-pruned to hashes the batch actually contains. Re-crawled
+    ids are anti-joined out (immutable-content contract, as in the
+    other indexes); ``update_index=True`` appends the batch's (gh,
+    cnt) partials and ids AFTER forcing the excision result.
+
+    Equivalence contract (pytest-asserted): identical to
+    :func:`exactsubstr_dedup` over archive ∪ batch restricted to the
+    batch's documents.
+    """
+    spark = new_docs.sparkSession
+    ids_idx = spark.read.parquet(os.path.join(index_path, "ids"))
+    gram_partials = spark.read.parquet(os.path.join(index_path, "grams"))
+    fresh = new_docs.join(
+        ids_idx.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+    base, pos = _gram_tables(fresh, k, text_col, id_col)
+    pos = _stage_roundtrip(pos, stage_path)
+    batch_cnt = pos.groupBy("gh").agg(F.count("*").alias("__cnt_new"))
+    archive_cnt = (
+        gram_partials.join(batch_cnt.select("gh"), "gh", "left_semi")
+        .groupBy("gh")
+        .agg(F.sum("cnt").alias("__cnt_old"))
+    )
+    dup = (
+        batch_cnt.join(archive_cnt, "gh", "left")
+        .filter(
+            F.col("__cnt_new") + F.coalesce("__cnt_old", F.lit(0)) > 1
+        )
+        .select("gh")
+    )
+    out = _excise_hit_spans(base, pos, dup, k, id_col)
+    if update_index:
+        # force before append: the plan reads the same grams/ dir
+        out = out.localCheckpoint()
+        batch_cnt.select("gh", F.col("__cnt_new").alias("cnt")).write.mode(
+            "append"
+        ).parquet(os.path.join(index_path, "grams"))
+        fresh.select(F.col(id_col).alias("id")).distinct().write.mode(
+            "append"
+        ).parquet(os.path.join(index_path, "ids"))
+    return out
 
 
 def boilerplate_line_excision(

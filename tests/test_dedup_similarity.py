@@ -625,3 +625,99 @@ def test_boilerplate_incremental_index_update_and_recrawl(spark, tmp_path):
     for r in out1:
         assert r["clean_text"] == full[r["doc_id"]]["clean_text"]
     assert out2[3]["clean_text"] == full[3]["clean_text"]
+
+
+def test_exactsubstr_incremental_equivalence_to_full(spark, tmp_path):
+    """The persistent k-gram occurrence index path equals the full
+    ExactSubstr recompute restricted to the new docs — archive-dup
+    spans, batch-internal dup spans and within-doc repeats all excise
+    identically."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup,
+        exactsubstr_incremental,
+        substr_gram_index_write,
+    )
+
+    boiler = "accept all cookies or manage preferences in settings now ok"
+    archive = [
+        (1, f"alpha unique opening words here {boiler} tail one two"),
+        (2, "totally unrelated archive document with its own words"),
+    ]
+    batch = [
+        # hits via ARCHIVE occurrences alone
+        (10, f"fresh intro before the banner {boiler} and a fresh close"),
+        # dup only WITHIN the batch (10 & 11 share a long span)
+        (11, "common batch sentence repeated across two new documents "
+             "plus unique suffix eleven"),
+        (12, "common batch sentence repeated across two new documents "
+             "plus unique suffix twelve"),
+        (13, "wholly unique new document nothing shared with anything"),
+        (14, None),
+    ]
+    schema = "doc_id long, text string"
+    arch_df = spark.createDataFrame(archive, schema)
+    batch_df = spark.createDataFrame(batch, schema)
+
+    idx = str(tmp_path / "gramidx")
+    substr_gram_index_write(arch_df, idx, k=5)
+
+    inc = {
+        r["doc_id"]: r
+        for r in exactsubstr_incremental(batch_df, idx, k=5).collect()
+    }
+    full = {
+        r["doc_id"]: r
+        for r in exactsubstr_dedup(
+            arch_df.unionByName(batch_df), k=5
+        ).collect()
+        if r["doc_id"] >= 10
+    }
+    assert set(inc) == set(full) == {10, 11, 12, 13, 14}
+    for i in inc:
+        for c in ("n_tokens", "n_spans", "n_removed", "clean_text"):
+            assert inc[i][c] == full[i][c], (i, c, inc[i][c], full[i][c])
+    assert boiler not in inc[10]["clean_text"]       # archive-driven
+    assert inc[11]["n_removed"] > 0                  # batch-internal dup
+    assert inc[13]["n_removed"] == 0                 # untouched
+
+
+def test_exactsubstr_incremental_index_update_and_recrawl(spark, tmp_path):
+    """update_index accumulates occurrence partials; a re-crawled id
+    is dropped and cannot double its grams' counts; a later batch sees
+    earlier batches' grams as archive."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_incremental,
+        substr_gram_index_write,
+    )
+
+    span = "the same eight token span repeated across crawl increments"
+    schema = "doc_id long, text string"
+    arch = spark.createDataFrame([(1, f"seed {span} seed tail")], schema)
+    idx = str(tmp_path / "gramidx2")
+    substr_gram_index_write(arch, idx, k=5)
+
+    b1 = spark.createDataFrame([(2, f"first batch {span} first end")], schema)
+    out1 = exactsubstr_incremental(
+        b1, idx, k=5, update_index=True
+    ).collect()
+    assert out1[0]["n_removed"] > 0  # span present in archive
+
+    # batch 2 re-crawls id 2 and adds id 3; id 2 must not re-emit and
+    # id 3 must still hit the span via index accumulated through b1
+    b2 = spark.createDataFrame(
+        [(2, f"first batch {span} first end"),
+         (3, f"second batch {span} second end")],
+        schema,
+    )
+    out2 = {r["doc_id"]: r for r in exactsubstr_incremental(
+        b2, idx, k=5, update_index=True
+    ).collect()}
+    assert set(out2) == {3}
+    assert out2[3]["n_removed"] > 0
+
+    # occurrence count for a span gram: one per distinct doc (1, 2, 3)
+    import pyspark.sql.functions as _F
+    grams = spark.read.parquet(f"{idx}/grams")
+    top = grams.groupBy("gh").agg(_F.sum("cnt").alias("s")) \
+        .agg(_F.max("s").alias("m")).first()["m"]
+    assert top == 3, top

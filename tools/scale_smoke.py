@@ -374,6 +374,49 @@ def _run_doc_family(args, timed, corpus) -> None:
 
     timed("boilerplate_incremental", _boiler_incremental)
 
+    # Incremental ExactSubstr vs the persistent k-gram occurrence
+    # index — same 90/10 split and equivalence digest as the line-
+    # excision gate, one level down (spans, not lines).
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup as _es_full,
+        exactsubstr_incremental,
+        substr_gram_index_write,
+    )
+
+    def _exactsubstr_incremental():
+        import shutil
+
+        is_batch = F.abs(F.xxhash64("doc_id")) % 10 == 0
+        archive = corpus.filter(~is_batch)
+        batch = corpus.filter(is_batch)
+        idx = os.path.join(args.stage, "gram_idx")
+        shutil.rmtree(idx, ignore_errors=True)
+        substr_gram_index_write(archive, idx, k=8)
+        inc = exactsubstr_incremental(
+            batch, idx, k=8,
+            stage_path=os.path.join(args.stage, "es_inc"),
+        )
+        full = _es_full(
+            corpus, k=8, stage_path=os.path.join(args.stage, "es_full")
+        ).join(batch.select("doc_id"), "doc_id", "left_semi")
+
+        def digest(df):
+            return df.agg(
+                F.count("*").alias("docs"),
+                F.sum("n_removed").alias("removed"),
+                F.sum(
+                    F.xxhash64("clean_text").cast("decimal(38,0)")
+                ).alias("content_hash"),
+            ).first()
+
+        di, df_ = digest(inc), digest(full)
+        assert (di["docs"], di["removed"], di["content_hash"]) == (
+            df_["docs"], df_["removed"], df_["content_hash"]
+        ), (di, df_)
+        return {"batch_docs": di["docs"], "removed": int(di["removed"])}
+
+    timed("exactsubstr_incremental", _exactsubstr_incremental)
+
     # Stupid-Backoff bigram LM: same order-independence gate as the
     # unigram — the 20k identical docs must score bit-identically
     # regardless of partitioning (the DECIMAL per-transition sum).
