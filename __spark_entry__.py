@@ -3384,6 +3384,65 @@ def qx25_boilerplate_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx41_boilerplate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-doc line excision (capability row 132):
+    archive pages (doc_id % 10 != 0) build the persistent append-only
+    (line-hash, df) index; the batch (doc_id % 10 == 0) excises
+    against stored counts only — archived text is never re-split.
+    The operator's contract is equality with the full recompute
+    restricted to the batch, so DuckDB replays qx25's full-path SQL
+    filtered to the batch predicate."""
+    import shutil  # noqa: PLC0415
+
+    from strategicai_visibility_loop_etl_spark.operators.c4 import synth_pages
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_excision_incremental,
+        line_df_index_write,
+    )
+
+    pages = synth_pages(_t(spark, sf_dir, "documents"))
+    idx = f"{_SIG_STAGE}/lineidx41"
+    shutil.rmtree(idx, ignore_errors=True)  # idempotent across reps
+    line_df_index_write(
+        pages.filter(F.col("doc_id") % 10 != 0), idx, text_col="page"
+    )
+    return boilerplate_excision_incremental(
+        pages.filter(F.col("doc_id") % 10 == 0),
+        idx,
+        min_df=2,
+        text_col="page",
+        stage_path=f"{_SIG_STAGE}/bli41",
+    ).orderBy("doc_id")
+
+
+def qx42_exactsubstr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr excision (capability row 135): archive
+    docs build the persistent (gram-hash, occurrence-cnt) index; the
+    batch excises where archive + batch occurrences ≥ 2. DuckDB
+    replays qx15's full-path SQL restricted to the batch — the
+    operator's declared equivalence contract, here enforced by the
+    driver-style rows+schema+hash compare."""
+    import shutil  # noqa: PLC0415
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_incremental,
+        substr_gram_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = f"{_SIG_STAGE}/gramidx42"
+    shutil.rmtree(idx, ignore_errors=True)  # idempotent across reps
+    substr_gram_index_write(
+        docs.filter(F.col("doc_id") % 10 != 0), idx, k=8
+    )
+    return exactsubstr_incremental(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        idx,
+        k=8,
+        stage_path=f"{_SIG_STAGE}/esi42",
+    ).orderBy("doc_id")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3492,6 +3551,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx39_column_profile": qx39_column_profile,
         "qx31_product_profit": qx31_product_profit,
         "qx40_bpe_train_batched": qx40_bpe_train_batched,
+        "qx41_boilerplate_incremental": qx41_boilerplate_incremental,
+        "qx42_exactsubstr_incremental": qx42_exactsubstr_incremental,
     }
 
 
@@ -4958,6 +5019,21 @@ def extra_oracle_sql() -> dict[str, str]:
         WHERE g.cur IS NOT NULL AND g.c >= 5
         ORDER BY pmi DESC, pair_count DESC, w1, w2
         LIMIT 100
+    """
+
+    # qx41/qx42: the incremental excision paths (persistent line-df /
+    # gram-occurrence indexes). The operators' contract is "identical
+    # to the full recompute restricted to the batch" — so the oracle
+    # IS the full-path SQL filtered to the batch predicate (doc_id %
+    # 10 = 0, replayable in both engines; the split keys archive and
+    # batch ids disjoint, so the re-crawl anti-join is a no-op here).
+    sql["qx41_boilerplate_incremental"] = f"""
+        SELECT * FROM ({sql["qx25_boilerplate_excision"]})
+        WHERE doc_id % 10 = 0 ORDER BY doc_id
+    """
+    sql["qx42_exactsubstr_incremental"] = f"""
+        SELECT * FROM ({sql["qx15_exactsubstr"]})
+        WHERE doc_id % 10 = 0 ORDER BY doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.
