@@ -46,6 +46,7 @@ from .aggregate import linear_trend, theil_sen_trend
 from .dedup import (
     boilerplate_excision_incremental,
     boilerplate_line_excision,
+    compact_count_index,
     dedup_minhash_incremental,
     exactsubstr_incremental,
     line_df_index_write,
@@ -77,6 +78,7 @@ __all__ = [
     "theil_sen_trend",
     "boilerplate_line_excision",
     "boilerplate_excision_incremental",
+    "compact_count_index",
     "dedup_minhash_incremental",
     "exactsubstr_incremental",
     "line_df_index_write",

@@ -929,6 +929,46 @@ def line_df_index_write(
     ).parquet(os.path.join(index_path, "ids"))
 
 
+def compact_count_index(
+    spark,
+    index_path: str,
+    sub: str,
+    key_col: str,
+) -> int:
+    """Fold an append-only (key, cnt) partial index — ``lines/`` of the
+    line-df index or ``grams/`` of the gram index — into one aggregated
+    file set: read partials, sum per key, write to a temp sibling, then
+    atomically swap directories. Keeps reader cost O(distinct keys)
+    after arbitrarily many batch appends; run on schedule exactly like
+    any merge-on-read table's compaction. Returns the compacted row
+    count.
+
+    The swap is two renames (live → trash, tmp → live) — the same
+    local-FS/HDFS rename discipline as the streaming ledger
+    (``streaming/sink.py``); on an object store route it through the
+    table format's commit instead. Callers must not run compaction
+    concurrently with an ``update_index`` append.
+    """
+    import shutil
+    import uuid
+
+    live = os.path.join(index_path, sub)
+    partials = spark.read.parquet(live)
+    folded = partials.groupBy(key_col).agg(F.sum("cnt").alias("cnt"))
+    tag = uuid.uuid4().hex[:8]
+    tmp = os.path.join(index_path, f"_{sub}_compact_{tag}")
+    folded.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    trash = os.path.join(index_path, f"_{sub}_old_{tag}")
+    os.rename(live, trash)
+    os.rename(tmp, live)
+    shutil.rmtree(trash, ignore_errors=True)
+    # drop the session's cached file listing for the swapped path, or
+    # the next reader resolves the pre-compaction part files
+    spark.catalog.refreshByPath(live)
+    return n
+
+
 def boilerplate_excision_incremental(
     new_docs: DataFrame,
     index_path: str,

@@ -721,3 +721,47 @@ def test_exactsubstr_incremental_index_update_and_recrawl(spark, tmp_path):
     top = grams.groupBy("gh").agg(_F.sum("cnt").alias("s")) \
         .agg(_F.max("s").alias("m")).first()["m"]
     assert top == 3, top
+
+
+def test_compact_count_index_preserves_results(spark, tmp_path):
+    """Compaction folds N batch-append partial files into one
+    aggregated set with identical excision behavior before and after
+    (and strictly fewer rows when keys repeat across appends)."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_excision_incremental,
+        compact_count_index,
+        line_df_index_write,
+    )
+
+    promo = "subscribe to our newsletter"
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "cidx")
+    # three appends, each re-counting the promo line once
+    for i in range(3):
+        line_df_index_write(
+            spark.createDataFrame([(i, f"{promo}\nbody {i}")], schema), idx
+        )
+    before = spark.read.parquet(f"{idx}/lines")
+    n_before = before.count()
+    # fold driver-side BEFORE compaction deletes the partial files
+    want = {
+        r["lh"]: r["s"]
+        for r in before.groupBy("lh").agg(F.sum("cnt").alias("s")).collect()
+    }
+
+    probe = spark.createDataFrame([(99, f"{promo}\nprobe body")], schema)
+    out_before = boilerplate_excision_incremental(
+        probe, idx, min_df=2
+    ).first()
+
+    n = compact_count_index(spark, idx, "lines", "lh")
+    after = spark.read.parquet(f"{idx}/lines")
+    assert after.count() == n < n_before  # promo's 3 partials folded
+    got = {r["lh"]: r["cnt"] for r in after.collect()}
+    assert got == want
+
+    out_after = boilerplate_excision_incremental(
+        probe, idx, min_df=2
+    ).first()
+    assert out_after["clean_text"] == out_before["clean_text"]
+    assert promo not in out_after["clean_text"]
