@@ -248,3 +248,121 @@ def start_dedup_on_arrival_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_line_index(spark: SparkSession, index_dir: str):
+    """(folded line-df frame, ids frame) from the COMMITTED batches of
+    a streaming line-excision index — ledger-resolved like
+    :func:`read_signature_index`; both None before the first commit."""
+    ids = committed_batches(index_dir)
+    if not ids:
+        return None, None
+    lines = spark.read.parquet(
+        *[os.path.join(index_dir, f"b{i}", "lines") for i in ids]
+    )
+    seen = spark.read.parquet(
+        *[os.path.join(index_dir, f"b{i}", "ids") for i in ids]
+    )
+    return lines, seen
+
+
+def line_excision_on_arrival_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """foreachBatch body: incremental cross-doc line excision with the
+    ledgered exactly-once protocol — the streaming twin of
+    ``boilerplate_excision_incremental``, as ``dedup_on_arrival_batch``
+    is of ``dedup_minhash_incremental``. Each micro-batch excises
+    against the line document-frequencies ACCUMULATED over committed
+    predecessors plus its own, writes cleaned docs to
+    ``out_dir/v{batch_id}`` and its (line-hash, cnt) partials + ids to
+    ``index_dir/b{batch_id}``, then commits both atomically.
+
+    Semantics are arrival-prefix semantics: a document is cleaned with
+    the df known AT its arrival (a line that only becomes boilerplate
+    in a later crawl does not retroactively clean earlier output) —
+    the standard contract for clean-on-ingest pipelines. Re-crawled
+    ids are anti-joined out (immutable-content assumption); replay of
+    a committed batch no-ops, replay of an uncommitted one rebuilds
+    byte-identical state because only committed predecessors are
+    visible.
+    """
+    from ..operators.dedup import _excise_hit_lines, _line_tables
+
+    marker = os.path.join(_ledger_dir(index_dir), str(batch_id))
+    if os.path.exists(marker):
+        return  # redelivery of a committed batch: no-op
+    spark = batch_df.sparkSession
+    lines_idx, seen_ids = read_line_index(spark, index_dir)
+    fresh = batch_df
+    if seen_ids is not None:
+        fresh = batch_df.join(
+            seen_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
+    base, pos = _line_tables(fresh, text_col, id_col)
+    batch_dir = os.path.join(index_dir, f"b{batch_id}")
+    batch_cnt = (
+        pos.select("id", "lh")
+        .distinct()
+        .groupBy("lh")
+        .agg(F.count("*").alias("cnt"))
+    )
+    batch_cnt.write.mode("overwrite").parquet(
+        os.path.join(batch_dir, "lines")
+    )
+    fresh.select(F.col(id_col).alias("id")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(batch_dir, "ids"))
+    staged_cnt = spark.read.parquet(os.path.join(batch_dir, "lines"))
+    total = staged_cnt.withColumnRenamed("cnt", "__cnt_new")
+    if lines_idx is not None:
+        old = (
+            lines_idx.join(total.select("lh"), "lh", "left_semi")
+            .groupBy("lh")
+            .agg(F.sum("cnt").alias("__cnt_old"))
+        )
+        total = total.join(old, "lh", "left")
+    else:
+        total = total.withColumn("__cnt_old", F.lit(None).cast("long"))
+    boiler = total.filter(
+        F.col("__cnt_new") + F.coalesce("__cnt_old", F.lit(0)) >= min_df
+    ).select("lh")
+    out = _excise_hit_lines(base, pos, boiler, id_col)
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{batch_id}"))
+    os.makedirs(_ledger_dir(index_dir), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(f"b{batch_id}")
+    os.replace(tmp, marker)  # atomic commit of output + index
+
+
+def start_line_excision_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Streaming crawl ingest with clean-on-arrival line excision:
+    every arriving micro-batch is cleaned against all boilerplate seen
+    before it and contributes its lines to the index for the next
+    batch. Read accumulated output via ``out_dir/v*`` filtered through
+    ``committed_batches(index_dir)``."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        line_excision_on_arrival_batch(
+            batch_df, batch_id, index_dir, out_dir, **kwargs
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

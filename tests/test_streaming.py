@@ -606,3 +606,87 @@ def test_dedup_on_arrival_recrawled_id_single_index_row(spark, tmp_path):
         ]
     assert len(got) == len(set(got)), "duplicate pair rows fanned out"
     assert (1, 3) in got
+
+
+def test_line_excision_on_arrival_stream(spark, tmp_path):
+    """Streaming clean-on-arrival line excision: each batch cleans
+    with the df accumulated through its own arrival (prefix
+    semantics), redelivery no-ops, re-crawled ids are dropped, and
+    the real streaming wiring reproduces the manual protocol."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_line_excision,
+    )
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        committed_batches,
+        line_excision_on_arrival_batch,
+        start_line_excision_stream,
+    )
+
+    nav = "home | products | contact"
+    docs = [
+        (1, f"{nav}\nfirst page body"),
+        (2, f"{nav}\nsecond page body"),      # nav df hits 2 here
+        (3, "standalone page no shared lines"),
+        (4, f"{nav}\nfourth page body"),
+    ]
+    schema = "doc_id long, text string"
+    batches = [docs[0:1], docs[1:3], docs[3:4]]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    idx = str(tmp_path / "lidx")
+    out = str(tmp_path / "lout")
+    for bid, rows in enumerate(batches):
+        line_excision_on_arrival_batch(mk(rows), bid, idx, out, min_df=2)
+    assert committed_batches(idx) == [0, 1, 2]
+
+    got = {}
+    for bid in committed_batches(idx):
+        for r in spark.read.parquet(f"{out}/v{bid}").collect():
+            got[r["doc_id"]] = r
+    assert set(got) == {1, 2, 3, 4}
+    # prefix semantics: doc 1 arrived when nav was unique -> kept;
+    # docs 2 and 4 arrived when nav df >= 2 -> excised
+    assert nav in got[1]["clean_text"]
+    assert nav not in got[2]["clean_text"]
+    assert nav not in got[4]["clean_text"]
+    assert got[3]["n_removed"] == 0
+    # each batch equals the batch-incremental contract: full recompute
+    # over everything ARRIVED SO FAR restricted to that batch
+    prefix = boilerplate_line_excision(mk(docs[0:3]), min_df=2)
+    want2 = {r["doc_id"]: r for r in prefix.collect() if r["doc_id"] in (2, 3)}
+    for i in (2, 3):
+        assert got[i]["clean_text"] == want2[i]["clean_text"]
+
+    # redelivery of batch 1 (and a re-crawl of doc 2 inside a NEW
+    # batch id) must not duplicate index rows or outputs
+    line_excision_on_arrival_batch(mk(batches[1]), 1, idx, out, min_df=2)
+    line_excision_on_arrival_batch(
+        mk([(2, f"{nav}\nsecond page body"), (5, "fresh fifth page")]),
+        9, idx, out, min_df=2,
+    )
+    v9 = {r["doc_id"] for r in spark.read.parquet(f"{out}/v9").collect()}
+    assert v9 == {5}, "re-crawled id re-emitted"
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        read_line_index,
+    )
+    _lines, seen = read_line_index(spark, idx)
+    ids = sorted(r["id"] for r in seen.collect())
+    assert ids == [1, 2, 3, 4, 5]
+
+    # real streaming wiring: same docs through a parquet stream
+    src = str(tmp_path / "src")
+    mk(docs).coalesce(1).write.mode("overwrite").parquet(src)
+    idx2, out2 = str(tmp_path / "lidx2"), str(tmp_path / "lout2")
+    q = start_line_excision_stream(
+        spark.readStream.schema(schema).parquet(src),
+        idx2, out2, str(tmp_path / "ck"), min_df=2,
+    )
+    q.processAllAvailable()
+    q.stop()
+    total = sum(
+        spark.read.parquet(f"{out2}/v{b}").count()
+        for b in committed_batches(idx2)
+    )
+    assert total == len(docs)
