@@ -366,3 +366,104 @@ def start_line_excision_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def read_gram_index(spark: SparkSession, index_dir: str):
+    """(folded gram-count frame, ids frame) from the COMMITTED batches
+    of a streaming ExactSubstr index; both None before the first
+    commit."""
+    ids = committed_batches(index_dir)
+    if not ids:
+        return None, None
+    grams = spark.read.parquet(
+        *[os.path.join(index_dir, f"b{i}", "grams") for i in ids]
+    )
+    seen = spark.read.parquet(
+        *[os.path.join(index_dir, f"b{i}", "ids") for i in ids]
+    )
+    return grams, seen
+
+
+def exactsubstr_on_arrival_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_dir: str,
+    out_dir: str,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """foreachBatch body: ExactSubstr excision-on-arrival with the
+    ledgered exactly-once protocol — the streaming twin of
+    ``exactsubstr_incremental``, completing the batch/incremental/
+    streaming matrix for the substring granularity (MinHash and line
+    excision have the same three forms). A batch position is excised
+    when its k-gram's occurrences across committed predecessors plus
+    the batch itself reach two; arrival-prefix semantics, re-crawl
+    guard and replay behavior exactly as
+    ``line_excision_on_arrival_batch``."""
+    from ..operators.dedup import _excise_hit_spans, _gram_tables
+
+    marker = os.path.join(_ledger_dir(index_dir), str(batch_id))
+    if os.path.exists(marker):
+        return  # redelivery of a committed batch: no-op
+    spark = batch_df.sparkSession
+    grams_idx, seen_ids = read_gram_index(spark, index_dir)
+    fresh = batch_df
+    if seen_ids is not None:
+        fresh = batch_df.join(
+            seen_ids.withColumnRenamed("id", id_col), id_col, "left_anti"
+        )
+    base, pos = _gram_tables(fresh, k, text_col, id_col)
+    batch_dir = os.path.join(index_dir, f"b{batch_id}")
+    batch_cnt = pos.groupBy("gh").agg(F.count("*").alias("cnt"))
+    batch_cnt.write.mode("overwrite").parquet(
+        os.path.join(batch_dir, "grams")
+    )
+    fresh.select(F.col(id_col).alias("id")).distinct().write.mode(
+        "overwrite"
+    ).parquet(os.path.join(batch_dir, "ids"))
+    total = spark.read.parquet(
+        os.path.join(batch_dir, "grams")
+    ).withColumnRenamed("cnt", "__cnt_new")
+    if grams_idx is not None:
+        old = (
+            grams_idx.join(total.select("gh"), "gh", "left_semi")
+            .groupBy("gh")
+            .agg(F.sum("cnt").alias("__cnt_old"))
+        )
+        total = total.join(old, "gh", "left")
+    else:
+        total = total.withColumn("__cnt_old", F.lit(None).cast("long"))
+    dup = total.filter(
+        F.col("__cnt_new") + F.coalesce("__cnt_old", F.lit(0)) > 1
+    ).select("gh")
+    out = _excise_hit_spans(base, pos, dup, k, id_col)
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{batch_id}"))
+    os.makedirs(_ledger_dir(index_dir), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(f"b{batch_id}")
+    os.replace(tmp, marker)  # atomic commit of output + index
+
+
+def start_exactsubstr_stream(
+    docs_stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    **kwargs,
+):
+    """Streaming crawl ingest with ExactSubstr excision-on-arrival."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        exactsubstr_on_arrival_batch(
+            batch_df, batch_id, index_dir, out_dir, **kwargs
+        )
+
+    return (
+        docs_stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

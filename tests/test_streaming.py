@@ -690,3 +690,75 @@ def test_line_excision_on_arrival_stream(spark, tmp_path):
         for b in committed_batches(idx2)
     )
     assert total == len(docs)
+
+
+def test_exactsubstr_on_arrival_stream(spark, tmp_path):
+    """Streaming ExactSubstr-on-arrival: spans excise with the gram
+    occurrences accumulated through each batch's arrival; prefix
+    semantics, redelivery no-op, re-crawl guard."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup,
+    )
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        committed_batches,
+        exactsubstr_on_arrival_batch,
+        start_exactsubstr_stream,
+    )
+
+    span = "accept all cookies or manage preferences in settings now ok"
+    docs = [
+        (1, f"first page unique opening {span} first tail"),
+        (2, f"second page other body {span} second tail"),
+        (3, "nothing shared with anything at all here truly"),
+        (4, f"fourth page {span} fourth tail"),
+    ]
+    schema = "doc_id long, text string"
+    batches = [docs[0:1], docs[1:3], docs[3:4]]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    idx, out = str(tmp_path / "gidx"), str(tmp_path / "gout")
+    for bid, rows in enumerate(batches):
+        exactsubstr_on_arrival_batch(mk(rows), bid, idx, out, k=5)
+    assert committed_batches(idx) == [0, 1, 2]
+    got = {}
+    for bid in committed_batches(idx):
+        for r in spark.read.parquet(f"{out}/v{bid}").collect():
+            got[r["doc_id"]] = r
+    # prefix semantics: doc 1's span was unique at arrival; 2 and 4 hit
+    assert got[1]["n_removed"] == 0
+    assert got[2]["n_removed"] > 0 and span not in got[2]["clean_text"]
+    assert got[4]["n_removed"] > 0
+    assert got[3]["n_removed"] == 0
+    # batch 1 equals the incremental contract vs everything so far
+    want = {
+        r["doc_id"]: r
+        for r in exactsubstr_dedup(mk(docs[0:3]), k=5).collect()
+    }
+    assert got[2]["clean_text"] == want[2]["clean_text"]
+
+    # redelivery no-op + re-crawl guard
+    exactsubstr_on_arrival_batch(mk(batches[1]), 1, idx, out, k=5)
+    exactsubstr_on_arrival_batch(
+        mk([(2, docs[1][1]), (5, "fresh fifth page entirely new words")]),
+        9, idx, out, k=5,
+    )
+    v9 = {r["doc_id"] for r in spark.read.parquet(f"{out}/v9").collect()}
+    assert v9 == {5}
+
+    # streaming wiring
+    src = str(tmp_path / "src")
+    mk(docs).coalesce(1).write.mode("overwrite").parquet(src)
+    idx2, out2 = str(tmp_path / "gidx2"), str(tmp_path / "gout2")
+    q = start_exactsubstr_stream(
+        spark.readStream.schema(schema).parquet(src),
+        idx2, out2, str(tmp_path / "ck2"), k=5,
+    )
+    q.processAllAvailable()
+    q.stop()
+    total = sum(
+        spark.read.parquet(f"{out2}/v{b}").count()
+        for b in committed_batches(idx2)
+    )
+    assert total == len(docs)
