@@ -4192,9 +4192,11 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                CAST(len(words) AS BIGINT) AS n_words,
                CAST(len(toks) AS BIGINT) AS n_bpe,
-               array_to_string(toks, ' ') AS encoded
+               coalesce(array_to_string(toks, ' '), '') AS encoded
         FROM e ORDER BY doc_id
     """
+    # ^ same array_to_string([])-is-NULL guard as qx25, for the
+    # zero-word-document case
 
     # qx40: batched-round BPE replay. Per round: pair counts, ranked
     # top-_QX40_POOL candidates, a RECURSIVE-CTE greedy walk keeping
@@ -4977,13 +4979,16 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT f.doc_id,
                CAST(len(lines) AS BIGINT) AS n_lines,
                coalesce(nrem, 0) AS n_removed,
-               array_to_string(
+               coalesce(array_to_string(
                    list_filter(lines, (l, i) ->
                        NOT list_contains(coalesce(idxs, []), i)),
-                   chr(10)) AS clean_text
+                   chr(10)), '') AS clean_text
         FROM f LEFT JOIN hits ON hits.doc_id = f.doc_id
         ORDER BY f.doc_id
     """
+    # ^ coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+    # array_join([]) is '' — bites exactly when a page is FULLY
+    # boilerplate (first occurs at sf0.1's duplicate density)
 
     # qx23: PMI as a sum of logs over the same sentinel-pair counts.
     sql["qx23_pmi_collocations"] = f"""
