@@ -4475,10 +4475,17 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM sc GROUP BY doc_id
         )
         SELECT doc_id, n_transitions,
-               round(-CAST(sl AS DOUBLE) / n_transitions, 6) AS neg_logscore,
-               round(exp(round(-CAST(sl AS DOUBLE) / n_transitions, 6)), 4)
-                   AS sb_ppl
-        FROM agg ORDER BY doc_id
+               nls AS neg_logscore,
+               round(exp(nls), 4) AS sb_ppl
+        FROM (
+            SELECT doc_id, n_transitions,
+                   -- exact integer half-up of log-micros / n: engine-
+                   -- independent where round(double,6) is not (the
+                   -- operator does the same arithmetic)
+                   ((2 * CAST(-sl * 1000000 AS BIGINT) + n_transitions)
+                    // (2 * n_transitions)) / 1000000.0 AS nls
+            FROM agg
+        ) ORDER BY doc_id
     """
 
     # qx22: replay page scaffolding (pure integer arithmetic on

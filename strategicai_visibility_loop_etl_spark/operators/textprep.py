@@ -960,8 +960,22 @@ def bigram_lm_scores(
             F.sum(F.col("tf").cast("decimal(18,0)") * F.col("logs")).alias("__sl"),
         )
     )
-    nls = F.round(-F.col("__sl").cast("double") / F.col("n_transitions"), 6)
-    return scored.select(
+    # The per-doc mean rounds in EXACT INTEGER arithmetic: __sl is a
+    # scale-6 decimal, so -__sl*1e6 is an exact BIGINT of log-micros
+    # and half-up rounding of micros/n is (2x + n) div (2n) — bit-
+    # identical in any engine. round(double, 6) here instead would
+    # diverge across engines when the true quotient sits exactly on a
+    # half boundary (Spark rounds the double's full binary expansion,
+    # DuckDB rounds a scaled multiply — observed on 1 doc in 5,000 at
+    # sf0.1).
+    withx = scored.withColumn(
+        "__x", (-F.col("__sl") * 1_000_000).cast("long")
+    )
+    nls = (
+        F.expr("(2 * __x + n_transitions) div (2 * n_transitions)")
+        / F.lit(1000000.0)
+    )
+    return withx.select(
         F.col("id").alias(id_col),
         F.col("n_transitions").cast("long").alias("n_transitions"),
         nls.alias("neg_logscore"),
