@@ -3443,6 +3443,30 @@ def qx42_exactsubstr_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx43_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with ADC scoring (capability row 136,
+    FAISS-PQ shape, Jégou et al. 2011): 64-dim embeddings compress to
+    m=8 sub-codebook codes (ksub=16, trained Spark-side in one corpus
+    pass per Lloyd iteration); queries score against the code table
+    through a broadcast lookup table of DECIMAL-rounded subspace dot
+    products — the corpus vectors are never touched at query time.
+    The codebook stages to parquet and the DuckDB oracle replays
+    slicing, argmin encoding (same ``(-2·x·c)+c·c`` comparison score),
+    LUT construction, the exact decimal ADC sum, and the ranking."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(
+        emb, queries_df, k=5, m=8, ksub=16, iters=2,
+        stage_path=f"{_SIG_STAGE}/pq43",
+    )
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3553,6 +3577,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx40_bpe_train_batched": qx40_bpe_train_batched,
         "qx41_boilerplate_incremental": qx41_boilerplate_incremental,
         "qx42_exactsubstr_incremental": qx42_exactsubstr_incremental,
+        "qx43_pq_ann": qx43_pq_ann,
     }
 
 
@@ -4683,6 +4708,73 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT query_id, CAST(rank AS INT) AS rank, vec_id, qcosine
         FROM rk WHERE rank <= 5 ORDER BY query_id, rank
     '''
+
+    # qx43: PQ/ADC replay over the staged codebook — slicing, argmin
+    # encoding (same (-2·x·c)+c·c comparison score and cluster
+    # tie-break), DECIMAL(28,9) LUT terms via the round_c multiply
+    # form, exact decimal ADC sums, then the ranking window. The
+    # sequential-fold dot kernels match list_dot_product bit-for-bit.
+    sql["qx43_pq_ann"] = f"""
+        WITH books AS (
+            SELECT sub, cluster, centroid
+            FROM read_parquet('{_SIG_STAGE}/pq43/books/*.parquet')
+        ),
+        subs AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ),
+        csub AS (
+            SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS subvec
+            FROM c, subs
+        ),
+        codes AS (
+            SELECT vec_id, sub,
+                   (SELECT b.cluster FROM books b WHERE b.sub = csub.sub
+                    ORDER BY (-2 * list_dot_product(csub.subvec, b.centroid))
+                             + list_dot_product(b.centroid, b.centroid),
+                             b.cluster
+                    LIMIT 1) AS code
+            FROM csub
+        ),
+        qsub AS (
+            SELECT query_id, sqrt(list_dot_product(qv, qv)) AS qn, sub,
+                   list_slice(qv, sub*8 + 1, sub*8 + 8) AS qsubvec
+            FROM q, subs
+        ),
+        lut AS (
+            SELECT query_id, qn, sub, b.cluster,
+                   CAST(round(list_dot_product(qsubvec, b.centroid) * 1e9)
+                        / 1e9 AS DECIMAL(28,9)) AS entry,
+                   CAST(round(list_dot_product(b.centroid, b.centroid) * 1e9)
+                        / 1e9 AS DECIMAL(28,9)) AS cn2_term
+            FROM qsub JOIN books b USING (sub)
+        ),
+        agg AS (
+            SELECT query_id, vec_id, SUM(entry) AS adot,
+                   SUM(cn2_term) AS cn2, any_value(qn) AS qn
+            FROM codes JOIN lut
+              ON codes.sub = lut.sub AND codes.code = lut.cluster
+            GROUP BY query_id, vec_id
+        ),
+        s AS (
+            SELECT query_id, vec_id,
+                   CASE WHEN sqrt(CAST(cn2 AS DOUBLE)) * qn > 0
+                        THEN round((CAST(adot AS DOUBLE)
+                                    / (sqrt(CAST(cn2 AS DOUBLE)) * qn)) * 1e6)
+                             / 1e6
+                        ELSE 0.0 END AS pq_cosine
+            FROM agg
+        )
+        SELECT query_id, CAST(rank AS INT) AS rank, vec_id, pq_cosine FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY pq_cosine DESC, vec_id) AS rank
+            FROM s
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.
     sql["qx33_theil_sen"] = '''

@@ -53,7 +53,7 @@ from .dedup import (
     minhash_index_write,
     substr_gram_index_write,
 )
-from .similarity import quantize_embeddings, quantized_cosine_topk
+from .similarity import pq_topk, quantize_embeddings, quantized_cosine_topk
 from .clusters import leakage_free_split
 from .governance import corpus_datasheet
 from .relational import top_n_per_group, union_sources, pivot_counts, conditional_agg, salted_join
@@ -84,6 +84,7 @@ __all__ = [
     "line_df_index_write",
     "minhash_index_write",
     "substr_gram_index_write",
+    "pq_topk",
     "quantize_embeddings",
     "quantized_cosine_topk",
     "leakage_free_split",

@@ -707,3 +707,217 @@ def quantized_cosine_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, F.col("rank").cast("int").alias("rank"), corpus_id, "qcosine")
     )
+
+
+def _train_pq_codebooks(
+    corpus: DataFrame,
+    m: int,
+    ksub: int,
+    iters: int,
+    corpus_id: str,
+    corpus_vec: str,
+    dim: int,
+) -> np.ndarray:
+    """Per-subspace Lloyd k-means codebooks, (m, ksub, dsub) float64.
+
+    ALL ``m`` subspaces train together in ONE corpus pass per
+    iteration: the vector slices into an array of m subvectors
+    (pure codegen ``slice``), ``posexplode`` yields (sub, subvec)
+    rows, an Arrow-batched argmin assigns each subvector against its
+    own frozen codebook, and per-(sub, cluster, dim) SUM/COUNT
+    partial-aggregates map-side — the collect is bounded by model
+    size (m·ksub·dsub rows), never corpus size. Init is the
+    deterministic hash-sample: the ksub corpus vectors with smallest
+    ``xxhash64(id)`` seed every subspace with their corresponding
+    slices (no ``rand()``, reproducible across partitionings). Empty
+    clusters keep their previous centroid.
+    """
+    dsub = dim // m
+    init_rows = (
+        corpus.select(F.col(corpus_vec).alias("v"), F.col(corpus_id).alias("i"))
+        .withColumn("__o", F.xxhash64(F.col("i")))
+        .orderBy("__o", "i")
+        .limit(ksub)
+        .collect()
+    )
+    # (m, ksub, dsub): subspace s initialized from slice s of the sample.
+    books = np.asarray(
+        [[list(r["v"])[s * dsub : (s + 1) * dsub] for r in init_rows] for s in range(m)],
+        dtype=np.float64,
+    )
+
+    slices = F.array(
+        *[F.slice(F.col(corpus_vec), s * dsub + 1, dsub) for s in range(m)]
+    )
+    sliced = corpus.select(F.posexplode(slices).alias("sub", "subvec"))
+
+    for _ in range(iters):
+        frozen = books.copy()
+
+        @pandas_udf("int")
+        def assign_udf(subs: pd.Series, vecs: pd.Series) -> pd.Series:
+            if len(vecs) == 0:
+                return pd.Series([], dtype="int32")
+            out = np.empty(len(vecs), dtype="int32")
+            subs_np = subs.to_numpy()
+            mat = np.asarray(list(vecs), dtype=np.float64)
+            for s in np.unique(subs_np):
+                mask = subs_np == s
+                sub_mat = mat[mask]
+                cb = frozen[s]
+                d2 = (sub_mat * sub_mat).sum(1, keepdims=True) - 2.0 * (
+                    sub_mat @ cb.T
+                ) + (cb * cb).sum(1)
+                out[mask] = d2.argmin(axis=1).astype("int32")
+            return pd.Series(out)
+
+        stats = (
+            sliced.select(
+                F.col("sub"),
+                assign_udf(F.col("sub"), F.col("subvec")).alias("cluster"),
+                F.col("subvec"),
+            )
+            .select("sub", "cluster", F.posexplode("subvec").alias("dim", "x"))
+            .groupBy("sub", "cluster", "dim")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        nxt = books.copy()
+        counts = np.zeros((m, ksub))
+        for r in stats:
+            nxt[r["sub"], r["cluster"], r["dim"]] = r["s"] / r["n"]
+            counts[r["sub"], r["cluster"]] = r["n"]
+        books = np.where(counts[:, :, None] > 0, nxt, books)
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via product quantization + ADC
+    (FAISS-PQ shape) — the memory-bound serving path of the ANN
+    family (brute q25 / hyperplane-LSH q29 / IVF q50 / int8 qx34):
+    each corpus vector compresses to ``m`` sub-codebook codes
+    (m bytes at ksub ≤ 256 — 32× smaller than float32 at dsub = 8),
+    and query scoring never touches the original vectors, only the
+    code table and a per-query lookup table of subspace dot products.
+
+    Spark-first shape, every stage relational:
+    - encode: slice → posexplode (sub, subvec) → broadcast-join the
+      (m·ksub)-row codebook → per-(id, sub) ``min_by`` argmin with the
+      IVF comparison score ``(-2·x·c) + c·c`` (the ``x·x`` term is
+      constant under the argmin). ONE shuffle of m·N skinny rows;
+      at 100 TB the code table IS the index — write it once, scans
+      thereafter read m ints per vector instead of the vector.
+    - ADC lookup table: queries × codebook (broadcast, model-sized):
+      entry(q, sub, cluster) = dot(q_sub, centroid), plus the
+      centroid's own squared norm for the corpus-norm approximation
+      ‖x‖² ≈ Σ_sub ‖c_sel‖².
+    - score: code rows join the broadcast LUT on (sub, cluster) and
+      SUM the m entries per (query, id). Every LUT term routes through
+      ``round_c(·, 9)`` → DECIMAL(28,9) BEFORE the sum, so the m-term
+      accumulation is exact and partitioning-independent (the
+      ``_dsum`` discipline) and the rounded term is engine-identical;
+      approx cosine = adot / (√cn2 · ‖q‖), one final double division.
+    - per-query top-k window, ties broken by id.
+
+    ``stage_path`` materializes the codebook (``{stage_path}/books``)
+    and the DuckDB oracle replays encode + LUT + ADC ranking over it
+    bit-for-bit (sequential-fold dot kernels match list_dot_product).
+    Approximation quality (recall vs exact brute force) is
+    tolerance-tested, not oracle-gated — PQ is lossy by design.
+    """
+    from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
+
+    head = corpus.select(corpus_vec).first()
+    dim = len(head[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+
+    books = _train_pq_codebooks(corpus, m, ksub, iters, corpus_id, corpus_vec, dim)
+    spark = corpus.sparkSession
+    book_df = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(m)
+            for c in range(ksub)
+        ],
+        "sub int, cluster int, centroid array<double>",
+    )
+    if stage_path is not None:
+        book_df = _stage_roundtrip(book_df, f"{stage_path}/books")
+
+    slices = F.array(
+        *[F.slice(F.col(corpus_vec), s * dsub + 1, dsub) for s in range(m)]
+    )
+    sliced = corpus.select(
+        F.col(corpus_id), F.posexplode(slices).alias("sub", "subvec")
+    )
+    enc_score = (F.lit(-2) * dot_arrow(F.col("subvec"), F.col("centroid"))) + dot_arrow(
+        F.col("centroid"), F.col("centroid")
+    )
+    codes = (
+        sliced.join(F.broadcast(book_df), "sub")
+        .select(F.col(corpus_id), F.col("sub"), F.col("cluster"), enc_score.alias("__s"))
+        .groupBy(corpus_id, "sub")
+        .agg(F.min_by("cluster", F.struct("__s", "cluster")).alias("code"))
+    )
+
+    q_slices = F.array(
+        *[F.slice(F.col(query_vec), s * dsub + 1, dsub) for s in range(m)]
+    )
+    q_sliced = queries.select(
+        F.col(query_id),
+        l2_norm_arrow(F.col(query_vec)).alias("__qn"),
+        F.posexplode(q_slices).alias("sub", "qsubvec"),
+    )
+    lut = (
+        q_sliced.join(F.broadcast(book_df), "sub")
+        .select(
+            F.col(query_id),
+            F.col("__qn"),
+            F.col("sub"),
+            F.col("cluster"),
+            round_c(dot_arrow(F.col("qsubvec"), F.col("centroid")), 9)
+            .cast("decimal(28,9)")
+            .alias("entry"),
+            round_c(dot_arrow(F.col("centroid"), F.col("centroid")), 9)
+            .cast("decimal(28,9)")
+            .alias("cn2_term"),
+        )
+    )
+
+    agg = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["cluster"]),
+        )
+        .groupBy(query_id, corpus_id)
+        .agg(
+            F.sum("entry").alias("__adot"),
+            F.sum("cn2_term").alias("__cn2"),
+            F.first("__qn").alias("__qn"),
+        )
+    )
+    denom = F.sqrt(F.col("__cn2").cast("double")) * F.col("__qn")
+    cos = F.when(
+        denom > 0, round_c(F.col("__adot").cast("double") / denom, 6)
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy(query_id).orderBy(F.col("pq_cosine").desc(), F.col(corpus_id))
+    return (
+        agg.select(query_id, corpus_id, cos.alias("pq_cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, F.col("rank").cast("int").alias("rank"), corpus_id, "pq_cosine")
+    )
