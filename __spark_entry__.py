@@ -3467,6 +3467,35 @@ def qx43_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx44_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (capability row 137): token-blocked
+    candidate generation + levenshtein verify over part names, with
+    planted single-character-deletion typos (p_partkey < 50 →
+    id+1000000, 3rd char dropped — pure substr arithmetic both
+    engines replay). ``max_block`` pinned above the corpus so the
+    skew guard never prunes at test scale (the oracle models no
+    pruning, the q51 convention)."""
+    from strategicai_visibility_loop_etl_spark.operators.linkage import (
+        fuzzy_match_pairs,
+    )
+
+    part = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 400).select(
+        F.col("p_partkey").alias("id"), F.col("p_name").alias("name")
+    )
+    typos = part.filter(F.col("id") < 50).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.concat(F.substring("name", 1, 2), F.substring("name", 4, 1000)).alias(
+            "name"
+        ),
+    )
+    return fuzzy_match_pairs(
+        part.unionByName(typos),
+        max_dist=2,
+        min_sim=0.8,
+        max_block=10_000_000,
+    ).orderBy("id_a", "id_b")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3578,6 +3607,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx41_boilerplate_incremental": qx41_boilerplate_incremental,
         "qx42_exactsubstr_incremental": qx42_exactsubstr_incremental,
         "qx43_pq_ann": qx43_pq_ann,
+        "qx44_fuzzy_match": qx44_fuzzy_match,
     }
 
 
@@ -4774,6 +4804,53 @@ def extra_oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY pq_cosine DESC, vec_id) AS rank
             FROM s
         ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    # qx44: fuzzy linkage replay — normalize, plant the same substr
+    # typos, token-block (no pruning at pinned cap), levenshtein +
+    # multiply-form similarity rounding. DuckDB's levenshtein is the
+    # same classic DP as Spark's.
+    sql["qx44_fuzzy_match"] = """
+        WITH base AS (
+            SELECT p_partkey AS id, p_name AS name FROM part
+            WHERE p_partkey < 400
+        ),
+        planted AS (
+            SELECT id, name FROM base
+            UNION ALL
+            SELECT id + 1000000 AS id,
+                   concat(substr(name, 1, 2), substr(name, 4, 1000)) AS name
+            FROM base WHERE id < 50
+        ),
+        spine AS (
+            SELECT id,
+                   lower(trim(regexp_replace(name, '\\s+', ' ', 'g'))) AS norm
+            FROM planted
+            WHERE name IS NOT NULL
+              AND lower(trim(regexp_replace(name, '\\s+', ' ', 'g'))) <> ''
+        ),
+        toks AS (
+            SELECT id, unnest(list_distinct(string_split(norm, ' '))) AS tok
+            FROM spine
+        ),
+        cand AS (
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+        ),
+        scored AS (
+            SELECT c.id_a, c.id_b, sa.norm AS name_a, sb.norm AS name_b,
+                   CAST(levenshtein(sa.norm, sb.norm) AS INT) AS dist,
+                   round((1.0 - CAST(levenshtein(sa.norm, sb.norm) AS DOUBLE)
+                          / greatest(length(sa.norm), length(sb.norm), 1))
+                         * 1e6) / 1e6 AS similarity
+            FROM cand c
+            JOIN spine sa ON c.id_a = sa.id
+            JOIN spine sb ON c.id_b = sb.id
+        )
+        SELECT id_a, id_b, name_a, name_b, dist, similarity
+        FROM scored
+        WHERE dist <= 2 AND similarity >= 0.8
+        ORDER BY id_a, id_b
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

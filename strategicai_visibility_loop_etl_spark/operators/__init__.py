@@ -53,6 +53,7 @@ from .dedup import (
     minhash_index_write,
     substr_gram_index_write,
 )
+from .linkage import fuzzy_match_pairs
 from .similarity import pq_topk, quantize_embeddings, quantized_cosine_topk
 from .clusters import leakage_free_split
 from .governance import corpus_datasheet
@@ -84,6 +85,7 @@ __all__ = [
     "line_df_index_write",
     "minhash_index_write",
     "substr_gram_index_write",
+    "fuzzy_match_pairs",
     "pq_topk",
     "quantize_embeddings",
     "quantized_cosine_topk",

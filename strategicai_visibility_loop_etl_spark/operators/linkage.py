@@ -1,0 +1,102 @@
+"""Fuzzy record linkage / entity resolution: token blocking + edit
+distance.
+
+The duplicate-listing problem the visibility domain hits constantly —
+the same product/page appearing under slightly different names
+("cold widget" / "cld widget" / "cold  widget") — and the
+entity-resolution shape a training-data pipeline needs for metadata
+tables (author names, site titles, product catalogs). Reference has
+no analog (its dedup is URL-exact); this generalizes the dedup family
+(SURVEY §2 rows 28-32) from text shingles to short-string edit
+distance.
+
+Scale shape: candidate generation is TOKEN BLOCKING over an inverted
+index — two records become a candidate pair iff they share ≥1
+non-hot token — so the corpus never self-joins all-pairs; the
+verification (`levenshtein`) runs only on candidates and is
+JVM-codegen (no UDF anywhere). Hot tokens (shared by more than
+``max_block`` records) are dropped from blocking via the same
+data-driven skew guard as the LSH family (``resolve_max_bucket``) —
+a stopword-like token ("widget") otherwise makes one block
+quadratic. A pair whose EVERY shared token is hot is missed, exactly
+like a hot-shingle pair in ``ngram_jaccard_pairs``; the guard's cap
+is data-driven and documented there.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_c
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    name_col: str = "name",
+    id_col: str = "id",
+    max_dist: int = 2,
+    min_sim: float = 0.8,
+    max_block: int | str = "auto",
+) -> DataFrame:
+    """(id_a, id_b, name_a, name_b, dist, similarity) for every pair
+    sharing a non-hot blocking token with edit distance ≤ ``max_dist``
+    AND normalized similarity ≥ ``min_sim``.
+
+    - normalize: lower, trim, collapse internal whitespace — the
+      canonical string both the blocking and the distance see.
+    - block: explode DISTINCT tokens per record, drop tokens held by
+      more than ``max_block`` records (data-driven ``"auto"`` cap via
+      ``resolve_max_bucket``), self-join the inverted index on token
+      with ``id_a < id_b``, collapse multi-token co-candidates with a
+      grouped count (a pure hash aggregate, no DISTINCT sort).
+    - verify: join the (id, norm) spine back on both sides (ids only
+      travel through the blocking shuffle, never the strings), then
+      ``levenshtein`` + ``similarity = 1 − dist/greatest(|a|,|b|)``,
+      both engine-portable expressions (DuckDB's levenshtein is the
+      same classic DP), similarity through ``round_c``.
+
+    Null/empty names can't block (no tokens) and drop out, as in the
+    shingle family. At 100 TB: the inverted index is the only
+    corpus-wide shuffle; blocks are bounded by the cap, candidates by
+    Σ_block C(n,2), and verification is candidate-sized.
+    """
+    from .dedup import resolve_max_bucket  # noqa: PLC0415 (sibling module)
+
+    norm = F.lower(F.trim(F.regexp_replace(F.col(name_col), r"\s+", " ")))
+    spine = df.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
+        F.col("norm").isNotNull() & (F.col("norm") != "")
+    )
+    toks = spine.select(
+        "id", F.explode(F.array_distinct(F.split(F.col("norm"), " "))).alias("tok")
+    )
+
+    posting_sizes = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    cap = resolve_max_bucket(posting_sizes, max_block)
+    hot = posting_sizes.filter(F.col("n") > cap)
+    pruned = toks.join(F.broadcast(hot.select("tok")), "tok", "left_anti")
+
+    a = pruned.select(F.col("tok"), F.col("id").alias("id_a"))
+    b = pruned.select(F.col("tok"), F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__shared_toks"))
+        .select("id_a", "id_b")
+    )
+
+    na = spine.select(F.col("id").alias("id_a"), F.col("norm").alias("name_a"))
+    nb = spine.select(F.col("id").alias("id_b"), F.col("norm").alias("name_b"))
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    sim = F.lit(1.0) - dist.cast("double") / F.greatest(
+        F.length("name_a"), F.length("name_b"), F.lit(1)
+    ).cast("double")
+    return (
+        cand.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("dist", dist.cast("int"))
+        .withColumn("similarity", round_c(sim, 6))
+        .filter((F.col("dist") <= max_dist) & (F.col("similarity") >= min_sim))
+        .select("id_a", "id_b", "name_a", "name_b", "dist", "similarity")
+    )
