@@ -3496,6 +3496,22 @@ def qx44_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def qx45_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (capability row 138,
+    Conneau et al. 2020 §3.1): w_d ∝ n_d^0.5 over document sources,
+    rates derived corpus-side (DECIMAL-exact normalizer, clamped ppm)
+    and applied through the pure-key Knuth hash filter. DuckDB
+    replays counts, pow, normalization, clamping and the hash."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        temperature_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_sample(
+        docs, alpha=0.5, k=300, key_col="doc_id", domain_col="source"
+    ).select("doc_id", "source", "lang").orderBy("doc_id")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3608,6 +3624,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx42_exactsubstr_incremental": qx42_exactsubstr_incremental,
         "qx43_pq_ann": qx43_pq_ann,
         "qx44_fuzzy_match": qx44_fuzzy_match,
+        "qx45_temperature_sample": qx45_temperature_sample,
     }
 
 
@@ -4851,6 +4868,39 @@ def extra_oracle_sql() -> dict[str, str]:
         FROM scored
         WHERE dist <= 2 AND similarity >= 0.8
         ORDER BY id_a, id_b
+    """
+
+    # qx45: temperature sampling replay — counts, n^alpha through the
+    # multiply-form rounding into DECIMAL(28,6), exact normalizer sum,
+    # the identically-sequenced double rate expression, the clamp, and
+    # the Knuth hash filter (qx14's hash SQL).
+    sql["qx45_temperature_sample"] = f"""
+        WITH n AS (
+            SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n,
+                   CAST(round(pow(CAST(n AS DOUBLE), 0.5) * 1e6) / 1e6
+                        AS DECIMAL(28,6)) AS pa
+            FROM n
+        ),
+        t AS (SELECT SUM(pa) AS tot FROM w),
+        r AS (
+            SELECT w.source,
+                   CAST(least(CAST(1000000 AS BIGINT),
+                              greatest(CAST(1 AS BIGINT),
+                                       CAST(floor({1_000_000.0 * 300!r}
+                                                  * (CAST(pa AS DOUBLE)
+                                                     / CAST(tot AS DOUBLE))
+                                                  / n) AS BIGINT)))
+                        AS INT) AS rate_ppm
+            FROM w, t
+        )
+        SELECT d.doc_id, d.source, d.lang
+        FROM documents d JOIN r USING (source)
+        WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000
+              < r.rate_ppm
+        ORDER BY d.doc_id
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

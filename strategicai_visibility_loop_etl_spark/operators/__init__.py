@@ -28,6 +28,7 @@ from .sketch import (
     approx_heavy_hitters,
 )
 from .textprep import (
+    temperature_sample,
     weighted_sample_k,
     build_vocab,
     encode_tokens,
@@ -87,6 +88,7 @@ __all__ = [
     "substr_gram_index_write",
     "fuzzy_match_pairs",
     "pq_topk",
+    "temperature_sample",
     "quantize_embeddings",
     "quantized_cosine_topk",
     "leakage_free_split",

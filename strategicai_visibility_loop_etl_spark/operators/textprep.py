@@ -690,6 +690,59 @@ def mixture_sample(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    k: int,
+    key_col: str,
+    domain_col: str = "source",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual-T5 /
+    XLM-R exponential-smoothing regime, Conneau et al. 2020 §3.1):
+    domain ``d`` is sampled with weight ``w_d ∝ n_d^α``, α ∈ (0, 1]
+    — α = 1 reproduces natural proportions, α → 0 flattens toward
+    uniform, upweighting low-resource domains WITHOUT a hand-written
+    target table (the complementary operator to ``mixture_sample``,
+    which takes explicit DoReMi-style targets).
+
+    The weights derive from the corpus itself: one domain-cardinality
+    aggregate (model-sized), ``n^α`` per domain rounded through
+    ``round_c(·,6)`` → DECIMAL(28,6) so the normalizing sum is exact
+    and partitioning-independent, a 1-row broadcast total, then the
+    same clamped ppm rate + ``hash_sample`` pure-key filter as
+    ``mixture_sample`` — the corpus never shuffles, keep decisions
+    are stable under re-runs, and a larger ``k`` yields a per-domain
+    superset. Every arithmetic step is written identically in the
+    SQL twin (pow's ≤1-ulp engine drift is absorbed by the 1e-6
+    rounding grid)."""
+    if k <= 0 or not 0 < alpha <= 1:
+        raise ValueError("temperature_sample needs k > 0 and 0 < alpha <= 1")
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    pa = round_c(
+        F.pow(F.col("__n").cast("double"), F.lit(float(alpha))), 6
+    ).cast("decimal(28,6)")
+    weighted = counts.select(domain_col, "__n", pa.alias("__pa"))
+    total = weighted.agg(F.sum("__pa").alias("__tot"))
+    rates = weighted.crossJoin(F.broadcast(total)).select(
+        domain_col,
+        F.least(
+            F.lit(1_000_000).cast("bigint"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(
+                    F.lit(1_000_000.0 * k)
+                    * (F.col("__pa").cast("double") / F.col("__tot").cast("double"))
+                    / F.col("__n")
+                ),
+            ),
+        ).cast("int").alias("rate_ppm"),
+    )
+    return hash_sample(
+        df, rates, key_col=key_col, stratum_col=domain_col,
+        rate_col="rate_ppm", denom=1_000_000,
+    )
+
+
 def _adjacent_pair_events(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

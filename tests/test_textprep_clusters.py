@@ -678,3 +678,46 @@ def test_global_prefix_sum_conserves_rows_under_skewed_ids(spark):
         assert r["__before"] == run, (r["id"], r["__before"], run)
         run += r["n"]
     assert run == sum((i % 7) + 1 for i in ids)
+
+
+def test_temperature_sample_flattens_and_superset(spark):
+    """Temperature sampling (capability row 138): alpha=1 reproduces
+    natural proportions; alpha<1 upweights the small domain relative
+    to natural (its sampling RATE exceeds the large domain's); a
+    larger k keeps every previously sampled row; invalid params
+    raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        temperature_sample,
+    )
+
+    # 1800 docs in 'big', 200 in 'small' — a 9:1 skew.
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1800, "big").otherwise("small").alias("source"),
+    )
+    k = 400
+    t_half = temperature_sample(docs, alpha=0.5, k=k, key_col="doc_id")
+    c_half = {r["source"]: r["n"] for r in
+              t_half.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # Natural share of 'small' is 10%; alpha=0.5 lifts its weight to
+    # sqrt(200)/(sqrt(1800)+sqrt(200)) = 25%. Per-domain sampling rate
+    # must therefore be strictly higher for the small domain.
+    assert c_half["small"] / 200 > c_half["big"] / 1800
+    # alpha=1 tracks natural proportions: both domains sampled at the
+    # same rate (k/N each, same ppm rate -> roughly proportional).
+    t_one = temperature_sample(docs, alpha=1.0, k=k, key_col="doc_id")
+    c_one = {r["source"]: r["n"] for r in
+             t_one.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert abs(c_one["big"] / 1800 - c_one["small"] / 200) < 0.1
+    # Superset stability in k.
+    bigger = temperature_sample(docs, alpha=0.5, k=2 * k, key_col="doc_id")
+    assert {r["doc_id"] for r in t_half.collect()} <= {
+        r["doc_id"] for r in bigger.collect()
+    }
+    with _pytest.raises(ValueError):
+        temperature_sample(docs, alpha=0.0, k=10, key_col="doc_id")
+    with _pytest.raises(ValueError):
+        temperature_sample(docs, alpha=1.5, k=10, key_col="doc_id")
