@@ -3512,6 +3512,25 @@ def qx45_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "lang").orderBy("doc_id")
 
 
+def qx46_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (capability row 139):
+    train on 90% of documents (doc_id % 10 != 0), score the held-out
+    10% — exercising the unseen-bigram interpolation and
+    unseen-context fallback paths a same-corpus score never hits.
+    DuckDB replays the model tables (bigram/context/diversity
+    counts), the smoothed continuation distribution, the per-
+    transition DECIMAL log-probs and the integer half-up mean."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        kneser_ney_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return kneser_ney_scores(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+    ).orderBy("doc_id")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3625,6 +3644,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx43_pq_ann": qx43_pq_ann,
         "qx44_fuzzy_match": qx44_fuzzy_match,
         "qx45_temperature_sample": qx45_temperature_sample,
+        "qx46_kneser_ney": qx46_kneser_ney,
     }
 
 
@@ -4901,6 +4921,88 @@ def extra_oracle_sql() -> dict[str, str]:
         WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296) % 1000000
               < r.rate_ppm
         ORDER BY d.doc_id
+    """
+
+    # qx46: interpolated Kneser-Ney replay — model tables from the
+    # train split's distinct-bigram table, add-one-smoothed
+    # continuation distribution, identical branch structure and
+    # division sequencing, qx21's DECIMAL log + integer-mean tail.
+    sql["qx46_kneser_ney"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        ptr AS (
+            SELECT pr[1] AS prev, pr[2] AS cur
+            FROM (SELECT doc_id,
+                         unnest(list_zip(toks[1:len(toks)-1],
+                                         toks[2:len(toks)])) AS pr
+                  FROM t WHERE doc_id % 10 != 0)
+        ),
+        tr AS MATERIALIZED (
+            SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM ptr GROUP BY prev, cur
+        ),
+        ctx AS (
+            SELECT prev, CAST(SUM(c2) AS BIGINT) AS cvdot,
+                   CAST(COUNT(*) AS BIGINT) AS n1fwd
+            FROM tr GROUP BY prev
+        ),
+        back AS (
+            SELECT cur, CAST(COUNT(*) AS BIGINT) AS n1back
+            FROM tr GROUP BY cur
+        ),
+        s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1all FROM tr),
+        s2 AS (
+            SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab FROM (
+                SELECT prev AS tok FROM tr
+                UNION ALL SELECT cur AS tok FROM tr
+            )
+        ),
+        ptf AS (
+            SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id, pr[1] AS prev, pr[2] AS cur
+                FROM (SELECT doc_id,
+                             unnest(list_zip(toks[1:len(toks)-1],
+                                             toks[2:len(toks)])) AS pr
+                      FROM t WHERE doc_id % 10 = 0)
+            ) GROUP BY doc_id, prev, cur
+        ),
+        sc AS (
+            SELECT ptf.doc_id, ptf.tf,
+                   CAST(round(ln(
+                       (CASE WHEN c.cvdot IS NOT NULL
+                             THEN greatest(CAST(coalesce(tr.c2, 0) AS DOUBLE)
+                                           - 0.75, 0.0)
+                                  / CAST(c.cvdot AS DOUBLE)
+                             ELSE 0.0 END)
+                       + (CASE WHEN c.cvdot IS NOT NULL
+                               THEN 0.75 * CAST(c.n1fwd AS DOUBLE)
+                                    / CAST(c.cvdot AS DOUBLE)
+                               ELSE 1.0 END)
+                         * (CAST(coalesce(b.n1back, 0) + 1 AS DOUBLE)
+                            / CAST(s1.n1all + s2.vocab + 1 AS DOUBLE))
+                   ), 6) AS DECIMAL(18,6)) AS logp
+            FROM ptf
+            LEFT JOIN tr ON tr.prev = ptf.prev AND tr.cur = ptf.cur
+            LEFT JOIN ctx c ON c.prev = ptf.prev
+            LEFT JOIN back b ON b.cur = ptf.cur
+            CROSS JOIN s1 CROSS JOIN s2
+        ),
+        agg AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_transitions,
+                   SUM(CAST(tf AS DECIMAL(18,0)) * logp) AS sl
+            FROM sc GROUP BY doc_id
+        )
+        SELECT doc_id, n_transitions,
+               nlp AS neg_logprob,
+               round(exp(nlp), 4) AS kn_ppl
+        FROM (
+            SELECT doc_id, n_transitions,
+                   ((2 * CAST(-sl * 1000000 AS BIGINT) + n_transitions)
+                    // (2 * n_transitions)) / 1000000.0 AS nlp
+            FROM agg
+        ) ORDER BY doc_id
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

@@ -28,6 +28,7 @@ from .sketch import (
     approx_heavy_hitters,
 )
 from .textprep import (
+    kneser_ney_scores,
     temperature_sample,
     weighted_sample_k,
     build_vocab,
@@ -87,6 +88,7 @@ __all__ = [
     "minhash_index_write",
     "substr_gram_index_write",
     "fuzzy_match_pairs",
+    "kneser_ney_scores",
     "pq_topk",
     "temperature_sample",
     "quantize_embeddings",

@@ -1036,6 +1036,114 @@ def bigram_lm_scores(
     )
 
 
+def kneser_ney_scores(
+    df: DataFrame,
+    train: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount: float = 0.75,
+    logs_decimals: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram perplexity scoring (Kneser &
+    Ney 1995; the CCNet/KenLM filtering regime) — the smoothed member
+    of the LM-quality family (unigram qx11, Stupid Backoff qx21):
+
+        P(w|v) = max(c(vw) − D, 0)/c(v·)
+                 + D·N1+(v·)/c(v·) · Pcont(w)
+        Pcont(w) = (N1+(·w) + 1) / (N1+(··) + V + 1)
+
+    with fixed discount ``D``; the continuation distribution is
+    add-one smoothed over the vocabulary (V = distinct train tokens
+    participating in transitions, +1 OOV mass) so held-out tokens
+    never produce log 0. A context unseen in training
+    (c(v·) = 0) falls back to ``Pcont(w)`` alone (λ = 1). Unlike
+    Stupid Backoff this is a true interpolated probability — the
+    continuation mass is added for SEEN bigrams too, which is what
+    makes KN the stronger held-out scorer.
+
+    ``train`` and ``df`` may differ (the held-out-scoring shape) or
+    be the same corpus. Model tables are plain hash aggregates over
+    the shared adjacent-pair foundation — bigram counts, context
+    totals and both N1+ diversity counts all come from the SAME
+    distinct-bigram table (one groupBy each, model-sized); the two
+    scalars (distinct bigram types, vocabulary) ride a broadcast
+    1-row frame. Scoring joins the per-doc transition vector against
+    the model (AQE broadcasts small models). Per-transition log-probs
+    round to DECIMAL before the tf-weighted exact sum; the per-doc
+    mean uses the same integer half-up arithmetic as
+    ``bigram_lm_scores`` — partitioning- and engine-independent.
+    Docs with < 2 tokens have no transitions and are omitted, as in
+    ``bigram_lm_scores``.
+    """
+    d_lit = F.lit(float(discount))
+    tr = (
+        _adjacent_pair_events(train, text_col, id_col)
+        .filter(F.col("cur").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c2"))
+    )
+    ctx = tr.groupBy("prev").agg(
+        F.sum("c2").alias("cvdot"), F.count("*").alias("n1fwd")
+    )
+    back = tr.groupBy("cur").agg(F.count("*").alias("n1back"))
+    scalars = tr.agg(F.count("*").alias("n1all")).crossJoin(
+        tr.select(F.col("prev").alias("tok"))
+        .union(tr.select(F.col("cur").alias("tok")))
+        .agg(F.count_distinct("tok").alias("vocab"))
+    )
+
+    ptf = (
+        _adjacent_pair_events(df, text_col, id_col)
+        .filter(F.col("cur").isNotNull())
+        .groupBy("id", "prev", "cur")
+        .agg(F.count("*").alias("tf"))
+    )
+    pcont = (F.coalesce(F.col("n1back"), F.lit(0)) + 1).cast("double") / (
+        F.col("n1all") + F.col("vocab") + 1
+    ).cast("double")
+    main = F.when(
+        F.col("cvdot").isNotNull(),
+        F.greatest(
+            F.coalesce(F.col("c2"), F.lit(0)).cast("double") - d_lit, F.lit(0.0)
+        )
+        / F.col("cvdot").cast("double"),
+    ).otherwise(F.lit(0.0))
+    lam = F.when(
+        F.col("cvdot").isNotNull(),
+        d_lit * F.col("n1fwd").cast("double") / F.col("cvdot").cast("double"),
+    ).otherwise(F.lit(1.0))
+    dec = f"decimal(18,{logs_decimals})"
+    scored = (
+        ptf.join(tr, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .join(back, "cur", "left")
+        .crossJoin(F.broadcast(scalars.select("n1all", "vocab")))
+        .select(
+            "id",
+            "tf",
+            F.round(F.log(main + lam * pcont), logs_decimals)
+            .cast(dec)
+            .alias("logp"),
+        )
+        .groupBy("id")
+        .agg(
+            F.sum("tf").alias("n_transitions"),
+            F.sum(F.col("tf").cast("decimal(18,0)") * F.col("logp")).alias("__sl"),
+        )
+    )
+    withx = scored.withColumn("__x", (-F.col("__sl") * 1_000_000).cast("long"))
+    nlp = (
+        F.expr("(2 * __x + n_transitions) div (2 * n_transitions)")
+        / F.lit(1000000.0)
+    )
+    return withx.select(
+        F.col("id").alias(id_col),
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        nlp.alias("neg_logprob"),
+        F.round(F.exp(nlp), 4).alias("kn_ppl"),
+    )
+
+
 def carve_blocks(
     df: DataFrame,
     block_tokens: int = 128,

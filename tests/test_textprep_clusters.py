@@ -721,3 +721,39 @@ def test_temperature_sample_flattens_and_superset(spark):
         temperature_sample(docs, alpha=0.0, k=10, key_col="doc_id")
     with _pytest.raises(ValueError):
         temperature_sample(docs, alpha=1.5, k=10, key_col="doc_id")
+
+
+def test_kneser_ney_hand_computed_pin(spark):
+    """Interpolated KN (capability row 139) against a by-hand model:
+    train {'a b a c', 'b a b'} -> tr{(a,b):2,(b,a):2,(a,c):1},
+    ctx{a:(3,2), b:(2,1)}, N1+(..)=3, V=3, Pcont = (n1back+1)/7.
+    Scoring exercises seen-bigram interpolation, unseen-bigram
+    backoff, and the unseen-context fallback."""
+    import math
+
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        kneser_ney_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a c"), (2, "b a b")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "a b x"), (20, "z q"), (30, "a")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in kneser_ney_scores(score, train).collect()}
+
+    p_ab = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (2 / 7)   # seen bigram
+    p_bx = 0.0 + (0.75 * 1 / 2) * (1 / 7)              # unseen bigram, seen ctx
+    exp_10 = -(round(math.log(p_ab), 6) + round(math.log(p_bx), 6)) / 2
+    assert abs(got[10]["neg_logprob"] - exp_10) < 2e-6
+    assert got[10]["n_transitions"] == 2
+
+    p_zq = 1 / 7                                       # unseen context -> Pcont
+    assert abs(got[20]["neg_logprob"] - (-round(math.log(p_zq), 6))) < 2e-6
+    assert abs(got[20]["kn_ppl"] - round(math.exp(got[20]["neg_logprob"]), 4)) < 1e-9
+
+    assert 30 not in got                               # <2 tokens omitted
+    # Interpolation really fires for seen bigrams: the KN probability
+    # exceeds the pure discounted ML term.
+    assert p_ab > (2 - 0.75) / 3
