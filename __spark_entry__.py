@@ -3531,6 +3531,45 @@ def qx46_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx47_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (capability row 140): 5 power iterations
+    over a manufactured host graph — nodes = documents; every id with
+    id%7≠0 emits 1..3 hash-arithmetic edges (the qx22/qx24
+    manufacture-the-defect pattern, replayable integer arithmetic),
+    id%7=0 nodes are dangling. DECIMAL(28,12) contributions make the
+    fixed arithmetic engine-exact; DuckDB unrolls the identical
+    iterations."""
+    from strategicai_visibility_loop_etl_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    total = docs.agg(F.count("*").alias("__n"))
+    edges = (
+        docs.filter(F.col("id") % 7 != 0)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("id") % 3 + 1)
+            ).alias("j"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("id").alias("src"),
+            F.pmod(
+                F.pmod(
+                    F.col("id") * F.lit(2654435761) + F.col("j") * F.lit(40503),
+                    F.lit(4294967296),
+                ),
+                F.col("__n"),
+            ).alias("dst"),
+        )
+    )
+    pr = pagerank(docs, edges, damping=0.85, iters=5)
+    return pr.select(
+        F.col("id").alias("doc_id"),
+        F.col("rank").cast("double").alias("pagerank"),
+    ).orderBy("doc_id")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3645,6 +3684,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx44_fuzzy_match": qx44_fuzzy_match,
         "qx45_temperature_sample": qx45_temperature_sample,
         "qx46_kneser_ney": qx46_kneser_ney,
+        "qx47_pagerank": qx47_pagerank,
     }
 
 
@@ -5003,6 +5043,65 @@ def extra_oracle_sql() -> dict[str, str]:
                     // (2 * n_transitions)) / 1000000.0 AS nlp
             FROM agg
         ) ORDER BY doc_id
+    """
+
+    # qx47: PageRank replay — the same 5 power iterations unrolled as
+    # CTEs (generated below), identical literals ((1-d) computed in
+    # Python so both engines see the same double), multiply-form
+    # DECIMAL(28,12) rounding of every contribution and rank.
+    _pr_d = 0.85
+    _pr_base = repr(1.0 - _pr_d)
+    _pr_iters = []
+    _prev = "r0"
+    for _t_ in range(1, 6):
+        _pr_iters.append(f"""
+        c{_t_} AS (
+            SELECT e.dst AS id,
+                   SUM(CAST(round((CAST(r.rank AS DOUBLE) / e.deg) * 1e12)
+                            / 1e12 AS DECIMAL(28,12))) AS inflow
+            FROM e JOIN {_prev} r ON r.id = e.src GROUP BY e.dst
+        ),
+        dg{_t_} AS (
+            SELECT coalesce(SUM(r.rank), CAST(0 AS DECIMAL(28,12))) AS dg
+            FROM {_prev} r WHERE r.id NOT IN (SELECT src FROM e)
+        ),
+        r{_t_} AS (
+            SELECT n.id,
+                   CAST(round(({_pr_base} / CAST(t.n AS DOUBLE)
+                               + {_pr_d!r} * (CAST(coalesce(c.inflow,
+                                     CAST(0 AS DECIMAL(28,12))) AS DOUBLE)
+                                 + CAST(d.dg AS DOUBLE)
+                                   / CAST(t.n AS DOUBLE))) * 1e12)
+                        / 1e12 AS DECIMAL(28,12)) AS rank
+            FROM n LEFT JOIN c{_t_} c USING (id)
+            CROSS JOIN dg{_t_} d CROSS JOIN t
+        )""")
+        _prev = f"r{_t_}"
+    sql["qx47_pagerank"] = f"""
+        WITH n AS (SELECT doc_id AS id FROM documents),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM n),
+        ed AS (
+            SELECT id AS src, unnest(range(1, 2 + id % 3)) AS j
+            FROM n WHERE id % 7 <> 0
+        ),
+        e0 AS (
+            SELECT src,
+                   ((src * 2654435761 + j * 40503) % 4294967296) % t.n AS dst
+            FROM ed, t
+        ),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM e0 GROUP BY src),
+        e AS MATERIALIZED (
+            SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src)
+        ),
+        r0 AS (
+            SELECT n.id,
+                   CAST(round((1.0 / CAST(t.n AS DOUBLE)) * 1e12) / 1e12
+                        AS DECIMAL(28,12)) AS rank
+            FROM n, t
+        ),{",".join(_pr_iters)}
+        SELECT id AS doc_id, CAST(rank AS DOUBLE) AS pagerank
+        FROM r5 ORDER BY doc_id
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

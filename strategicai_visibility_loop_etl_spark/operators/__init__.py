@@ -55,6 +55,7 @@ from .dedup import (
     minhash_index_write,
     substr_gram_index_write,
 )
+from .graph import pagerank
 from .linkage import fuzzy_match_pairs
 from .similarity import pq_topk, quantize_embeddings, quantized_cosine_topk
 from .clusters import leakage_free_split
@@ -88,6 +89,7 @@ __all__ = [
     "minhash_index_write",
     "substr_gram_index_write",
     "fuzzy_match_pairs",
+    "pagerank",
     "kneser_ney_scores",
     "pq_topk",
     "temperature_sample",

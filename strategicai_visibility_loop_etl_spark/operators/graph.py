@@ -1,0 +1,109 @@
+"""Distributed link analysis: PageRank over an edge table.
+
+The host/page authority signal a 100 TB crawl pipeline ranks its
+frontier with (the Common Crawl host-graph regime — PageRank /
+harmonic-centrality over hosts decides what gets crawled and what a
+quality-weighted training mix upweights). Reference has no analog;
+this adds the iterative link-analysis member to the graph family
+(connected components, `operators/clusters.py`).
+
+Spark-first shape: classic power iteration as relational algebra —
+each iteration is one join (ranks → out-edges), one hash aggregate
+(inflow per destination), a 1-row dangling-mass aggregate, and a
+projection. No Pregel library, no RDDs. Every per-edge contribution
+and every new rank routes through the multiply-form rounding into
+DECIMAL(28,12), so sums are exact and the fixed-point is
+partitioning- AND engine-independent — a DuckDB twin unrolling the
+same iterations reproduces every rank bit-for-bit.
+
+Per-iteration ``localCheckpoint`` is the Pregel barrier: the ranks
+frame feeds two consumers per iteration (contributions + dangling
+mass) and the next iteration besides — without the cut, iteration
+``t`` re-executes the whole lineage ``2^t`` times. At cluster scale
+this is where a real checkpoint (or a staged parquet round-trip)
+goes; the cadence is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_c
+
+_DEC = "decimal(28,12)"
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(id, rank DECIMAL(28,12)) after ``iters`` power iterations.
+
+    - ``nodes`` is the FULL vertex set (one row per id): vertices
+      with no out-edges are dangling — their mass redistributes
+      uniformly; vertices absent from the edge list entirely still
+      hold rank.
+    - rank update: r'(v) = (1−d)/N + d·(Σ_{u→v} r(u)/outdeg(u)
+      + dangling/N); parallel edges contribute once each.
+    - N never hits the driver: the node count rides a broadcast 1-row
+      frame, so the operator is a pure plan (no count() action).
+    - exactness: per-edge contributions and new ranks round via
+      ``round_c(·,12)`` → DECIMAL(28,12) before any SUM, making each
+      iteration's fixed arithmetic reproducible anywhere.
+    """
+    n1 = nodes.select(F.col(id_col).alias("id"))
+    total = n1.agg(F.count("*").alias("__n"))
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
+    # (src, dst, deg) is loop-invariant; checkpoint once so the edge
+    # scan + deg aggregate doesn't replay per iteration.
+    edged = e.join(outdeg, "src").localCheckpoint(eager=False)
+
+    ranks = (
+        n1.crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            round_c(F.lit(1.0) / F.col("__n").cast("double"), 12)
+            .cast(_DEC)
+            .alias("rank"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    base = F.lit(1.0 - damping)
+    for _ in range(iters):
+        contrib = (
+            edged.join(ranks.withColumnRenamed("id", "src"), "src")
+            .select(
+                F.col("dst").alias("id"),
+                round_c(
+                    F.col("rank").cast("double") / F.col("__deg"), 12
+                )
+                .cast(_DEC)
+                .alias("__c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("__c").alias("__inflow"))
+        )
+        dangling = (
+            ranks.join(outdeg.withColumnRenamed("src", "id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0).cast(_DEC)).alias("__dg"))
+        )
+        nd = F.col("__n").cast("double")
+        val = base / nd + F.lit(float(damping)) * (
+            F.coalesce(F.col("__inflow"), F.lit(0).cast(_DEC)).cast("double")
+            + F.col("__dg").cast("double") / nd
+        )
+        ranks = (
+            n1.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(total))
+            .select("id", round_c(val, 12).cast(_DEC).alias("rank"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks

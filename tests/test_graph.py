@@ -1,0 +1,50 @@
+"""PageRank (capability row 140): power-iteration semantics, mass
+conservation, dangling redistribution, determinism."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.operators.graph import pagerank
+
+
+def test_pagerank_cycle_and_star(spark):
+    nodes2 = spark.createDataFrame([(0,), (1,)], "id long")
+    cyc = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(nodes2, cyc, iters=3).collect()}
+    assert got[0] == got[1] == Decimal("0.500000000000")
+
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    star = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], "src long, dst long"
+    )
+    r = {x["id"]: float(x["rank"]) for x in pagerank(nodes, star, iters=5).collect()}
+    # Center absorbs the leaves' mass; leaves only hold base + their
+    # share of the center's dangling redistribution.
+    assert r[0] > 0.5 and all(r[0] > r[i] for i in range(1, 5))
+    assert abs(sum(r.values()) - 1.0) < 1e-9          # mass conserved
+
+
+def test_pagerank_no_edges_uniform_and_deterministic(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    empty = spark.createDataFrame([], "src long, dst long")
+    r = {x["id"]: x["rank"] for x in pagerank(nodes, empty, iters=3).collect()}
+    # All-dangling graph: the uniform distribution is the fixed point.
+    assert set(r.values()) == {Decimal("0.250000000000")}
+
+    # Determinism under different shuffle partitioning.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0)], "src long, dst long"
+    )
+    a = sorted(map(tuple, pagerank(nodes, edges, iters=4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank(
+                nodes.repartition(7), edges.repartition(5), iters=4
+            ).collect(),
+        )
+    )
+    assert a == b
