@@ -586,3 +586,43 @@ def test_read_warc_gz_truncated_member_keeps_complete_records(
         if r["target_uri"] == "http://ok.example/":
             assert bytes(r["payload"]) == b"intact payload"
             assert r["digest_ok"] is True
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    """Dynamic partition overwrite (capability row 141): re-writing
+    one day's partition replaces only that partition; static mode
+    truncates the root; the session flag is restored afterward;
+    partition filters prune at the file listing."""
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.sources.sinks import write_partitioned
+
+    path = str(tmp_path / "days")
+    full = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0), (4, "d3", 40.0)],
+        "id long, day string, v double",
+    )
+    write_partitioned(full, path, ["day"])
+    assert spark.read.parquet(path).count() == 4
+
+    # Re-load ONLY d2 with corrected data: d1/d3 must survive.
+    fixed_d2 = spark.createDataFrame([(3, "d2", 99.0)], "id long, day string, v double")
+    write_partitioned(fixed_d2, path, ["day"])
+    got = {(r["id"], r["day"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 99.0), (4, "d3", 40.0)}
+
+    # Session flag restored (not left 'dynamic' for other writers).
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "STATIC"
+    ).lower() == "static"
+
+    # Partition pruning reaches the listing, not just the row filter.
+    plan = (
+        spark.read.parquet(path).filter(F.col("day") == "d1")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [isnotnull(day" in plan
+
+    # Static mode is the explicit truncate-everything opt-in.
+    write_partitioned(fixed_d2, path, ["day"], dynamic_overwrite=False)
+    assert spark.read.parquet(path).count() == 1
