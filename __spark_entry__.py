@@ -3570,6 +3570,50 @@ def qx47_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx48_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index search (capability row 142): centroids
+    train once on the archive (vec_id % 10 != 0) and stage; the full
+    corpus arrives as two ledger-committed batches through
+    ``ann_index_on_arrival_batch``; queries probe the ACCUMULATED
+    index. The DuckDB oracle replays assignment (same argmin score
+    over the staged centroids), probing and re-rank over every
+    vector — checking the end state of the arrival protocol equals a
+    from-scratch build."""
+    import shutil  # noqa: PLC0415
+
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        ivf_centroids_write,
+        ivf_search_index,
+    )
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        ann_index_on_arrival_batch,
+        read_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent_path = f"{_SIG_STAGE}/annx48/cents"
+    cent_df = ivf_centroids_write(
+        emb.filter(F.col("vec_id") % 10 != 0), cent_path,
+        n_centroids=16, iters=2,
+    )
+    idx = f"{_SIG_STAGE}/annx48/idx"
+    shutil.rmtree(idx, ignore_errors=True)  # idempotent across reps
+    ann_index_on_arrival_batch(
+        emb.filter(F.col("vec_id") % 2 == 0), 0, idx, cent_path
+    )
+    ann_index_on_arrival_batch(
+        emb.filter(F.col("vec_id") % 2 == 1), 1, idx, cent_path
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_search_index(
+        read_ann_index(spark, idx), queries_df, cent_df, k=5, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3685,6 +3729,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx45_temperature_sample": qx45_temperature_sample,
         "qx46_kneser_ney": qx46_kneser_ney,
         "qx47_pagerank": qx47_pagerank,
+        "qx48_ann_index_search": qx48_ann_index_search,
     }
 
 
@@ -5102,6 +5147,59 @@ def extra_oracle_sql() -> dict[str, str]:
         ),{",".join(_pr_iters)}
         SELECT id AS doc_id, CAST(rank AS DOUBLE) AS pagerank
         FROM r5 ORDER BY doc_id
+    """
+
+    # qx48: incremental-ANN end-state replay — assignment argmin over
+    # the STAGED frozen centroids for every vector (equals the union
+    # of the committed arrival batches because assignment is a pure
+    # function of vec × centroids and the batch split is disjoint),
+    # then q50's probe + exact-cosine re-rank.
+    _x48_sc = ("(-2 * list_dot_product(c.cv, ct.centroid))"
+               " + list_dot_product(ct.centroid, ct.centroid)")
+    _x48_sq = ("(-2 * list_dot_product(q.qv, ct.centroid))"
+               " + list_dot_product(ct.centroid, ct.centroid)")
+    sql["qx48_ann_index_search"] = f"""
+        WITH cent AS (
+            SELECT cluster, centroid
+            FROM read_parquet('{_SIG_STAGE}/annx48/cents/*.parquet')
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ),
+        ca AS (
+            SELECT vec_id, cv,
+                   (SELECT ct.cluster FROM cent ct
+                    ORDER BY {_x48_sc}, ct.cluster LIMIT 1) AS cluster
+            FROM c
+        ),
+        pr AS (
+            SELECT query_id, qv, cluster FROM (
+                SELECT q.query_id, q.qv, ct.cluster,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_x48_sq}, ct.cluster) AS rn
+                FROM q, cent ct
+            ) WHERE rn <= 4
+        ),
+        s AS (
+            SELECT pr.query_id, ca.vec_id,
+                   round(CASE WHEN sqrt(list_dot_product(cv, cv))
+                                   * sqrt(list_dot_product(qv, qv)) > 0
+                              THEN list_dot_product(cv, qv)
+                                   / (sqrt(list_dot_product(cv, cv))
+                                      * sqrt(list_dot_product(qv, qv)))
+                              ELSE 0.0 END, 6) AS cosine
+            FROM pr JOIN ca USING (cluster)
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM s
+        ) WHERE rank <= 5 ORDER BY query_id, rank
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

@@ -57,7 +57,14 @@ from .dedup import (
 )
 from .graph import pagerank
 from .linkage import fuzzy_match_pairs
-from .similarity import pq_topk, quantize_embeddings, quantized_cosine_topk
+from .similarity import (
+    ivf_assign,
+    ivf_centroids_write,
+    ivf_search_index,
+    pq_topk,
+    quantize_embeddings,
+    quantized_cosine_topk,
+)
 from .clusters import leakage_free_split
 from .governance import corpus_datasheet
 from .relational import top_n_per_group, union_sources, pivot_counts, conditional_agg, salted_join
@@ -89,6 +96,9 @@ __all__ = [
     "minhash_index_write",
     "substr_gram_index_write",
     "fuzzy_match_pairs",
+    "ivf_assign",
+    "ivf_centroids_write",
+    "ivf_search_index",
     "pagerank",
     "kneser_ney_scores",
     "pq_topk",

@@ -177,19 +177,81 @@ def ivf_topk(
     if stage_path is not None:
         cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
 
-    score = (F.lit(-2) * dot_arrow(F.col(corpus_vec), F.col("centroid"))) + dot_arrow(
+    assigned = ivf_assign(corpus, cent_df, corpus_id, corpus_vec)
+    return ivf_search_index(
+        assigned, queries, cent_df, k, n_probe, corpus_id, corpus_vec,
+        query_id, query_vec,
+    )
+
+
+def ivf_centroids_write(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Train the IVF coarse quantizer ONCE on an initial corpus and
+    persist it — the frozen-centroid regime every incremental ANN
+    index runs in (FAISS's train-once/add-forever contract): arriving
+    batches assign against these centroids map-side; retraining is a
+    scheduled rebuild, not a per-batch event. Returns the staged
+    (cluster, centroid) table read back from parquet."""
+    from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
+
+    cents = _train_ivf_centroids(corpus, n_centroids, iters, corpus_id, corpus_vec)
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    )
+    return _stage_roundtrip(cent_df, path)
+
+
+def ivf_assign(
+    df: DataFrame,
+    cent_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, cluster) nearest-centroid assignment: broadcast the
+    model-sized centroid table, score with the comparison form
+    ``(-2·x·c) + c·c`` (the ``x·x`` term is constant under the
+    argmin), reduce with a map-side-partial ``min_by`` — the corpus
+    never shuffles ×n_centroids, and the assignment output IS the
+    inverted index (write it bucketed by cluster at scale)."""
+    score = (F.lit(-2) * dot_arrow(F.col(vec_col), F.col("centroid"))) + dot_arrow(
         F.col("centroid"), F.col("centroid")
     )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cent_df))
-        .select(F.col(corpus_id), F.col(corpus_vec), F.col("cluster"), score.alias("__s"))
-        .groupBy(corpus_id)
+    return (
+        df.crossJoin(F.broadcast(cent_df))
+        .select(F.col(id_col), F.col(vec_col), F.col("cluster"), score.alias("__s"))
+        .groupBy(id_col)
         .agg(
             F.min_by("cluster", F.struct("__s", "cluster")).alias("cluster"),
-            F.first(corpus_vec).alias(corpus_vec),
+            F.first(vec_col).alias(vec_col),
         )
     )
 
+
+def ivf_search_index(
+    index_df: DataFrame,
+    queries: DataFrame,
+    cent_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Probe + exact re-rank over a PREBUILT (id, vec, cluster)
+    inverted index — the serving-time half of IVF, shared by
+    ``ivf_topk`` (fresh assignment) and the incremental index path
+    (accumulated committed batches). Each query probes its
+    ``n_probe`` closest centroids (same comparison score and cluster
+    tie-break as assignment) and exact cosine re-ranks inside the
+    probed lists only."""
     q_score = (F.lit(-2) * dot_arrow(F.col(query_vec), F.col("centroid"))) + dot_arrow(
         F.col("centroid"), F.col("centroid")
     )
@@ -202,7 +264,7 @@ def ivf_topk(
         .select(query_id, query_vec, "cluster")
     )
 
-    scored = assigned.join(F.broadcast(probes), "cluster").select(
+    scored = index_df.join(F.broadcast(probes), "cluster").select(
         F.col(query_id),
         F.col(corpus_id),
         round_c(cosine_arrow(F.col(corpus_vec), F.col(query_vec)), 6).alias("cosine"),

@@ -762,3 +762,91 @@ def test_exactsubstr_on_arrival_stream(spark, tmp_path):
         for b in committed_batches(idx2)
     )
     assert total == len(docs)
+
+
+def test_ann_index_on_arrival_stream(spark, tmp_path):
+    """ANN index maintenance on arrival (capability row 142): batches
+    assign against frozen centroids and join the committed index;
+    search over the accumulated index EQUALS a from-scratch
+    assignment of the full corpus under the same centroids;
+    redelivery no-ops; a re-delivered vec_id keeps its stored
+    assignment; the real writeStream wiring commits the same state."""
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids_write,
+        ivf_search_index,
+    )
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        ann_index_on_arrival_batch,
+        committed_batches,
+        read_ann_index,
+        start_ann_index_stream,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cent_path = str(tmp_path / "cents")
+    cent_df = ivf_centroids_write(emb, cent_path, n_centroids=8, iters=2)
+
+    idx = str(tmp_path / "annidx")
+    batches = [
+        emb.filter(F.col("vec_id") % 3 == i) for i in range(3)
+    ]
+    for bid, b in enumerate(batches):
+        ann_index_on_arrival_batch(b, bid, idx, cent_path)
+    assert committed_batches(idx) == [0, 1, 2]
+    acc = read_ann_index(spark, idx)
+    assert acc.count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = sorted(
+        map(tuple, ivf_search_index(acc, queries, cent_df, k=5, n_probe=3).collect())
+    )
+    full = sorted(
+        map(
+            tuple,
+            ivf_search_index(
+                ivf_assign(emb, cent_df), queries, cent_df, k=5, n_probe=3
+            ).collect(),
+        )
+    )
+    assert got == full  # accumulated index == from-scratch assignment
+
+    # Redelivery of a committed batch: no-op (marker short-circuit).
+    ann_index_on_arrival_batch(batches[1], 1, idx, cent_path)
+    assert read_ann_index(spark, idx).count() == emb.count()
+
+    # A re-delivered id (even with a DIFFERENT vector) never duplicates
+    # its index row; the stored assignment stays authoritative.
+    mutated = batches[0].withColumn(
+        "embedding", F.transform("embedding", lambda x: x + F.lit(1.0))
+    )
+    ann_index_on_arrival_batch(mutated, 3, idx, cent_path)
+    acc2 = read_ann_index(spark, idx)
+    assert acc2.count() == emb.count()
+    assert acc2.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+    # Real writeStream wiring delivers the same committed state.
+    src = str(tmp_path / "vec_src")
+    emb.coalesce(1).write.mode("overwrite").parquet(src)
+    idx2 = str(tmp_path / "annidx2")
+    q = start_ann_index_stream(
+        spark.readStream.schema("vec_id long, embedding array<double>").parquet(src),
+        idx2, cent_path, str(tmp_path / "ckpt_ann"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    got2 = sorted(
+        map(
+            tuple,
+            ivf_search_index(
+                read_ann_index(spark, idx2), queries, cent_df, k=5, n_probe=3
+            ).collect(),
+        )
+    )
+    assert got2 == full
