@@ -3614,6 +3614,27 @@ def qx48_ann_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def qx49_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with residual encoding + exact re-rank (capability row
+    143, the FAISS IndexIVFPQ+refine composition): coarse quantizer →
+    product-quantized residuals inside probed lists → decimal-exact
+    ADC candidate cut → exact cosine on the rerank pool only. Both
+    codebooks stage; DuckDB replays assignment, residuals, encoding,
+    the ADC sum, the candidate cut and the re-rank end-to-end."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        emb, queries_df, k=5, n_centroids=16, n_probe=4, m=8, ksub=16,
+        iters=2, rerank=32, stage_path=f"{_SIG_STAGE}/ivfpq49",
+    ).orderBy("query_id", "rank")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3730,6 +3751,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx46_kneser_ney": qx46_kneser_ney,
         "qx47_pagerank": qx47_pagerank,
         "qx48_ann_index_search": qx48_ann_index_search,
+        "qx49_ivfpq": qx49_ivfpq,
     }
 
 
@@ -5194,6 +5216,117 @@ def extra_oracle_sql() -> dict[str, str]:
                                       * sqrt(list_dot_product(qv, qv)))
                               ELSE 0.0 END, 6) AS cosine
             FROM pr JOIN ca USING (cluster)
+        )
+        SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+            FROM s
+        ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    # qx49: IVF-PQ end-to-end replay — coarse argmin over staged
+    # centroids, residuals via list_zip subtraction (bit-identical to
+    # zip_with), residual-slice argmin over the staged sub-codebooks,
+    # DECIMAL(28,9) ADC terms through the multiply-form rounding,
+    # exact-decimal candidate ordering, exact-cosine re-rank.
+    sql["qx49_ivfpq"] = f"""
+        WITH cent AS (
+            SELECT cluster, centroid
+            FROM read_parquet('{_SIG_STAGE}/ivfpq49/centroids/*.parquet')
+        ),
+        books AS (
+            SELECT sub, code, centroid
+            FROM read_parquet('{_SIG_STAGE}/ivfpq49/books/*.parquet')
+        ),
+        subs AS (SELECT CAST(range AS INT) AS sub FROM range(8)),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ),
+        ca AS (
+            SELECT vec_id, cv,
+                   (SELECT ct.cluster FROM cent ct
+                    ORDER BY (-2 * list_dot_product(c.cv, ct.centroid))
+                             + list_dot_product(ct.centroid, ct.centroid),
+                             ct.cluster LIMIT 1) AS cluster
+            FROM c
+        ),
+        res AS (
+            SELECT ca.vec_id, ca.cluster,
+                   list_transform(list_zip(ca.cv, ct.centroid),
+                                  p -> p[1] - p[2]) AS rvec
+            FROM ca JOIN cent ct USING (cluster)
+        ),
+        rsub AS (
+            SELECT vec_id, cluster, sub,
+                   list_slice(rvec, sub*8 + 1, sub*8 + 8) AS subvec
+            FROM res, subs
+        ),
+        codes AS (
+            SELECT vec_id, cluster, sub,
+                   (SELECT b.code FROM books b WHERE b.sub = rsub.sub
+                    ORDER BY (-2 * list_dot_product(rsub.subvec, b.centroid))
+                             + list_dot_product(b.centroid, b.centroid),
+                             b.code LIMIT 1) AS code
+            FROM rsub
+        ),
+        pr AS (
+            SELECT query_id, qv, cluster FROM (
+                SELECT q.query_id, q.qv, ct.cluster,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY (-2 * list_dot_product(q.qv, ct.centroid))
+                                    + list_dot_product(ct.centroid, ct.centroid),
+                                    ct.cluster) AS rn
+                FROM q, cent ct
+            ) WHERE rn <= 4
+        ),
+        qres AS (
+            SELECT pr.query_id, pr.cluster,
+                   CAST(round(list_dot_product(pr.qv, ct.centroid) * 1e9)
+                        / 1e9 AS DECIMAL(28,9)) AS qc,
+                   list_transform(list_zip(pr.qv, ct.centroid),
+                                  p -> p[1] - p[2]) AS qrvec
+            FROM pr JOIN cent ct USING (cluster)
+        ),
+        lut AS (
+            SELECT qres.query_id, qres.cluster, qres.qc, subs.sub, b.code,
+                   CAST(round(list_dot_product(
+                            list_slice(qres.qrvec, subs.sub*8 + 1,
+                                       subs.sub*8 + 8),
+                            b.centroid) * 1e9)
+                        / 1e9 AS DECIMAL(28,9)) AS entry
+            FROM qres, subs
+            JOIN books b ON b.sub = subs.sub
+        ),
+        approx AS (
+            SELECT l.query_id, cd.vec_id,
+                   any_value(l.qc) + SUM(l.entry) AS adot
+            FROM codes cd JOIN lut l
+              ON cd.cluster = l.cluster AND cd.sub = l.sub
+                 AND cd.code = l.code
+            GROUP BY l.query_id, cd.vec_id
+        ),
+        cand AS (
+            SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY adot DESC, vec_id) AS rn
+                FROM approx
+            ) WHERE rn <= 32
+        ),
+        s AS (
+            SELECT cand.query_id, cand.vec_id,
+                   round(CASE WHEN sqrt(list_dot_product(c.cv, c.cv))
+                                   * sqrt(list_dot_product(q.qv, q.qv)) > 0
+                              THEN list_dot_product(c.cv, q.qv)
+                                   / (sqrt(list_dot_product(c.cv, c.cv))
+                                      * sqrt(list_dot_product(q.qv, q.qv)))
+                              ELSE 0.0 END, 6) AS cosine
+            FROM cand JOIN c USING (vec_id) JOIN q USING (query_id)
         )
         SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM (
             SELECT *, row_number() OVER (

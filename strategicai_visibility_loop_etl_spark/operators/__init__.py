@@ -61,6 +61,7 @@ from .similarity import (
     ivf_assign,
     ivf_centroids_write,
     ivf_search_index,
+    ivfpq_topk,
     pq_topk,
     quantize_embeddings,
     quantized_cosine_topk,
@@ -99,6 +100,7 @@ __all__ = [
     "ivf_assign",
     "ivf_centroids_write",
     "ivf_search_index",
+    "ivfpq_topk",
     "pagerank",
     "kneser_ney_scores",
     "pq_topk",

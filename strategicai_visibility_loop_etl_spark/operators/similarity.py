@@ -983,3 +983,182 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, F.col("rank").cast("int").alias("rank"), corpus_id, "pq_cosine")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    rerank: int = 32,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    stage_path: str | None = None,
+) -> DataFrame:
+    """IVF-PQ with residual encoding and exact re-rank — the
+    composition FAISS ships as its billion-vector default
+    (IndexIVFPQ + refine): a coarse quantizer limits the search to
+    ``n_probe`` inverted lists, product-quantized RESIDUALS
+    (vec − assigned centroid) give an 8-byte-per-vector approximate
+    score inside the probed lists, and only the ``rerank`` best
+    approximate candidates per query touch their original vectors for
+    the exact cosine top-k.
+
+    Composes the family's existing staged pieces — the coarse
+    quantizer is ``ivf_assign`` against ``_train_ivf_centroids``
+    output, the sub-codebooks are ``_train_pq_codebooks`` over the
+    residual frame (residuals concentrate near zero, which is WHY
+    PQ-on-residuals beats PQ-on-vectors at equal bits) — and keeps
+    every stage relational:
+
+    - approximate score: q·x ≈ q·c + Σ_sub LUT(q, cluster, sub,
+      code), the LUT being dot products of the query's per-cluster
+      residual slices against the sub-codebooks (model-sized,
+      broadcast). Every term routes ``round_c(·,9)`` → DECIMAL(28,9)
+      before the sum — candidate selection is exact-arithmetic and
+      therefore engine/partitioning-deterministic.
+    - candidate cut: top-``rerank`` per query by (approx score, id).
+    - re-rank: candidates join their original vectors (id-keyed spine
+      join — the ONLY stage that reads vectors at query time), exact
+      cosine, top-k.
+
+    ``stage_path`` stages centroids and codebooks; the DuckDB oracle
+    replays assignment, residuals, encoding, the decimal ADC sum, the
+    candidate cut and the re-rank end-to-end.
+    """
+    from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
+
+    head = corpus.select(corpus_vec).first()
+    dim = len(head[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    spark = corpus.sparkSession
+
+    cents = _train_ivf_centroids(corpus, n_centroids, iters, corpus_id, corpus_vec)
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    )
+    if stage_path is not None:
+        cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
+
+    assigned = ivf_assign(corpus, cent_df, corpus_id, corpus_vec)
+    resid = assigned.join(F.broadcast(cent_df), "cluster").select(
+        F.col(corpus_id),
+        F.col("cluster"),
+        F.zip_with(F.col(corpus_vec), F.col("centroid"), lambda a, b: a - b).alias(
+            "rvec"
+        ),
+    )
+
+    books = _train_pq_codebooks(resid, m, ksub, iters, corpus_id, "rvec", dim)
+    book_df = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(m)
+            for c in range(ksub)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+    if stage_path is not None:
+        book_df = _stage_roundtrip(book_df, f"{stage_path}/books")
+
+    r_slices = F.array(
+        *[F.slice(F.col("rvec"), s * dsub + 1, dsub) for s in range(m)]
+    )
+    enc_score = (F.lit(-2) * dot_arrow(F.col("subvec"), F.col("centroid"))) + dot_arrow(
+        F.col("centroid"), F.col("centroid")
+    )
+    codes = (
+        resid.select(
+            F.col(corpus_id), F.col("cluster"),
+            F.posexplode(r_slices).alias("sub", "subvec"),
+        )
+        .join(F.broadcast(book_df), "sub")
+        .select(
+            F.col(corpus_id), F.col("cluster"), F.col("sub"),
+            F.col("code"), enc_score.alias("__s"),
+        )
+        .groupBy(corpus_id, "cluster", "sub")
+        .agg(F.min_by("code", F.struct("__s", "code")).alias("code"))
+    )
+
+    # Query side: probe n_probe lists (same argmin form as ivf_topk),
+    # then the per-(query, probed-cluster) residual LUT.
+    q_score = (F.lit(-2) * dot_arrow(F.col(query_vec), F.col("centroid"))) + dot_arrow(
+        F.col("centroid"), F.col("centroid")
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("__s"), F.col("cluster"))
+    probes = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .select(F.col(query_id), F.col(query_vec), F.col("cluster"), q_score.alias("__s"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id, query_vec, "cluster")
+    )
+    qres = probes.join(F.broadcast(cent_df), "cluster").select(
+        F.col(query_id),
+        F.col("cluster"),
+        round_c(dot_arrow(F.col(query_vec), F.col("centroid")), 9)
+        .cast("decimal(28,9)")
+        .alias("__qc"),
+        F.zip_with(F.col(query_vec), F.col("centroid"), lambda a, b: a - b).alias(
+            "qrvec"
+        ),
+    )
+    qr_slices = F.array(
+        *[F.slice(F.col("qrvec"), s * dsub + 1, dsub) for s in range(m)]
+    )
+    lut = (
+        qres.select(
+            F.col(query_id), F.col("cluster"), F.col("__qc"),
+            F.posexplode(qr_slices).alias("sub", "qsubvec"),
+        )
+        .join(F.broadcast(book_df), "sub")
+        .select(
+            F.col(query_id), F.col("cluster"), F.col("__qc"),
+            F.col("sub"), F.col("code"),
+            round_c(dot_arrow(F.col("qsubvec"), F.col("centroid")), 9)
+            .cast("decimal(28,9)")
+            .alias("entry"),
+        )
+    )
+
+    approx = (
+        codes.join(F.broadcast(lut), ["cluster", "sub", "code"])
+        .groupBy(query_id, corpus_id)
+        .agg(
+            (F.first("__qc") + F.sum("entry")).alias("__adot"),
+        )
+    )
+    wc = Window.partitionBy(query_id).orderBy(F.col("__adot").desc(), F.col(corpus_id))
+    cand = (
+        approx.withColumn("__rn", F.row_number().over(wc))
+        .filter(F.col("__rn") <= rerank)
+        .select(query_id, corpus_id)
+    )
+
+    spine = corpus.select(F.col(corpus_id), F.col(corpus_vec))
+    qspine = queries.select(F.col(query_id), F.col(query_vec))
+    w = Window.partitionBy(query_id).orderBy(F.col("cosine").desc(), F.col(corpus_id))
+    return (
+        cand.join(spine, corpus_id)
+        .join(F.broadcast(qspine), query_id)
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            round_c(cosine_arrow(F.col(corpus_vec), F.col(query_vec)), 6).alias(
+                "cosine"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "cosine", "rank")
+    )

@@ -801,3 +801,48 @@ def test_pq_topk_recall_self_match_and_determinism(spark):
     assert first == run()
     with _pytest.raises(ValueError, match="not divisible"):
         pq_topk(emb, queries, k=5, m=3, ksub=8, iters=1).collect()
+
+
+def test_ivfpq_recall_beats_flat_pq_and_determinism(spark):
+    """IVF-PQ (capability row 143): the residual-encode + exact-
+    re-rank composition recalls at least as well as flat PQ at equal
+    code budget, finds each query's own vector at rank 1, reproduces
+    exactly across runs, and validates dim % m."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_topk,
+    )
+
+    emb = _embeddings(spark)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in knn_cosine_topk(emb, queries, k=5).collect()
+    }
+    run = lambda: sorted(
+        map(
+            tuple,
+            ivfpq_topk(
+                emb, queries, k=5, n_centroids=8, n_probe=4, m=2, ksub=8,
+                rerank=20,
+            ).collect(),
+        )
+    )
+    first = run()
+    got = {(q, v) for q, v, _, _ in first}
+    assert all((qid, qid) in got for qid in range(5))  # self-match present
+    recall = len(exact & got) / len(exact)
+    pq_only = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk(emb, queries, k=5, m=2, ksub=8).collect()
+    }
+    pq_recall = len(exact & pq_only) / len(exact)
+    assert recall >= pq_recall, (recall, pq_recall)
+    assert recall >= 0.6, f"IVF-PQ recall too low: {recall}"
+    assert first == run()
+    with _pytest.raises(ValueError, match="not divisible"):
+        ivfpq_topk(emb, queries, m=3).collect()
