@@ -3635,6 +3635,34 @@ def qx49_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def qx50_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable count-min frequency sketch (capability row 144):
+    per-event-type shard sketches over user_id, merged by SUM,
+    point-estimated by MIN — the frequency companion of qx05's HLL
+    shard-distinct. Sketch and probe cells stage (hashing Spark-side,
+    the LSH convention); DuckDB replays merge + estimation from the
+    staged tables."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        _stage_roundtrip,
+    )
+    from strategicai_visibility_loop_etl_spark.operators.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_shard_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sk = _stage_roundtrip(
+        cms_shard_sketches(ev, "user_id", "event_type", width=256, depth=4),
+        f"{_SIG_STAGE}/cms50/sketch",
+    )
+    queries_df = ev.filter(F.col("user_id") < 50)
+    return cms_estimate(
+        cms_merge(sk), queries_df, "user_id", width=256, depth=4,
+        stage_path=f"{_SIG_STAGE}/cms50/probes",
+    ).orderBy("value")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3752,6 +3780,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx47_pagerank": qx47_pagerank,
         "qx48_ann_index_search": qx48_ann_index_search,
         "qx49_ivfpq": qx49_ivfpq,
+        "qx50_cms_freq": qx50_cms_freq,
     }
 
 
@@ -5333,6 +5362,25 @@ def extra_oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
             FROM s
         ) WHERE rank <= 5 ORDER BY query_id, rank
+    """
+
+    # qx50 (extra): CMS replay from staged tables — merge is SUM over
+    # counters, estimate is MIN over the probe's depth rows; the
+    # xxhash64 slot assignment stays Spark-side (staged), the LSH
+    # convention.
+    sql["qx50_cms_freq"] = f"""
+        WITH sk AS (
+            SELECT shard, row, slot, cnt
+            FROM read_parquet('{_SIG_STAGE}/cms50/sketch/*.parquet')
+        ),
+        pc AS (
+            SELECT value, row, slot
+            FROM read_parquet('{_SIG_STAGE}/cms50/probes/*.parquet')
+        ),
+        m AS (SELECT row, slot, SUM(cnt) AS cnt FROM sk GROUP BY row, slot)
+        SELECT pc.value, CAST(MIN(m.cnt) AS BIGINT) AS est
+        FROM m JOIN pc USING (row, slot)
+        GROUP BY pc.value ORDER BY value
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

@@ -230,3 +230,86 @@ def approx_heavy_hitters(
     return sk.select(F.explode("tk").alias("e")).select(
         F.col("e.item").alias("token"), F.col("e.count").alias("approx_count")
     )
+
+
+def cms_shard_sketches(
+    df: DataFrame,
+    value_col: str,
+    shard_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Per-shard count-min sketches as LONG tables:
+    (shard, row, slot, cnt) with ``slot = xxhash64(value, row-seed)
+    mod width`` — the mergeable FREQUENCY companion of the HLL
+    distinct sketches (Cormode & Muthukrishnan 2005): each shard/day
+    folds its raw values into depth×width counters ONE aggregate
+    deep, later frequency questions merge counter tables by summing
+    (never rescanning raw data), and a point estimate is the MIN over
+    the ``depth`` rows — an overestimate by at most εN with
+    ε = e/width at the standard δ = e^−depth confidence.
+
+    Relational by construction: the sketch is rows, not an opaque
+    binary — merging is a groupBy SUM (partial-aggregable, any
+    subset of shards), estimation a small join, and both replay in
+    any SQL engine. ``weight_col`` folds weighted counts (e.g. token
+    tf) at no extra pass."""
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    return (
+        df.select(F.col(shard_col).alias("shard"), F.col(value_col).alias("__v"),
+                  w.alias("__w"), rows)
+        .select(
+            "shard",
+            "row",
+            F.pmod(F.xxhash64(F.col("__v"), F.col("row")), F.lit(width)).alias("slot"),
+            F.col("__w"),
+        )
+        .groupBy("shard", "row", "slot")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_merge(sketches: DataFrame) -> DataFrame:
+    """Merge per-shard sketches into one (row, slot, cnt) table — a
+    plain SUM over counters, exact w.r.t. the sketch semantics (the
+    merged sketch equals the sketch of the concatenated data, a
+    property the pytest pins cell-for-cell)."""
+    return sketches.groupBy("row", "slot").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    merged: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Point-frequency estimates for a (small, broadcast) query set
+    against a merged sketch: (value, est) with
+    est = min over rows of the value's counter. Never under-estimates
+    the true count; over-estimates by at most εN with probability
+    1−δ (tolerance-tested). ``stage_path`` stages the probe cells so
+    an oracle can replay merge + min from staged tables (the hashes
+    themselves stay Spark-side, the LSH-family convention)."""
+    from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
+
+    probes = queries.select(F.col(value_col).alias("value")).distinct()
+    probe_cells = probes.select(
+        "value",
+        F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("row"),
+    ).select(
+        "value",
+        "row",
+        F.pmod(F.xxhash64(F.col("value"), F.col("row")), F.lit(width)).alias("slot"),
+    )
+    probe_cells = _stage_roundtrip(probe_cells, stage_path)
+    return (
+        merged.join(F.broadcast(probe_cells), ["row", "slot"])
+        .groupBy("value")
+        .agg(F.min("cnt").alias("est"))
+    )

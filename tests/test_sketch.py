@@ -295,3 +295,57 @@ def test_vocab_and_encoding_roundtrip(spark):
     assert rows[(3, 0)] == -1 or rows[(3, 0)] in v.values()
     n_doc1 = len([k for k in rows if k[0] == 1])
     assert n_doc1 == 6 and set(k[1] for k in rows if k[0] == 1) == set(range(6))
+
+
+def test_cms_never_underestimates_and_merge_exact(spark):
+    """Count-min sketch (capability row 144): estimates are lower-
+    bounded by true counts and within eN above; merging per-shard
+    sketches equals sketching the concatenated data CELL-FOR-CELL;
+    weighted counts fold in one pass."""
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_shard_sketches,
+    )
+
+    # Skewed stream: value v appears (v % 37 + 1) * 3 times across 2 shards.
+    rows = []
+    true = {}
+    for v in range(200):
+        n = (v % 37 + 1) * 3
+        true[f"k{v}"] = n
+        for i in range(n):
+            rows.append((f"k{v}", "s0" if i % 2 == 0 else "s1"))
+    df = spark.createDataFrame(rows, "value string, shard string")
+    WIDTH, DEPTH = 512, 4
+    sk = cms_shard_sketches(df, "value", "shard", width=WIDTH, depth=DEPTH)
+    merged = cms_merge(sk)
+
+    queries = df.select("value").distinct()
+    est = {r["value"]: r["est"] for r in
+           cms_estimate(merged, queries, "value", width=WIDTH, depth=DEPTH).collect()}
+    n_total = len(rows)
+    eps = 2.718281828 / WIDTH
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, f"{k}: underestimate {est[k]} < {t}"
+        assert est[k] <= t + eps * n_total * 3, f"{k}: wildly over"
+
+    # Merge == sketch-of-union, cell for cell.
+    direct = cms_shard_sketches(
+        df.withColumn("shard", F.lit("all")), "value", "shard",
+        width=WIDTH, depth=DEPTH,
+    ).select("row", "slot", "cnt")
+    assert sorted(map(tuple, cms_merge(sk).collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+    # Weighted fold: doubling every row's weight doubles every cell.
+    wdf = df.withColumn("w", F.lit(2))
+    wsk = cms_merge(cms_shard_sketches(wdf, "value", "shard", width=WIDTH,
+                                       depth=DEPTH, weight_col="w"))
+    doubled = {(r["row"], r["slot"]): r["cnt"] for r in wsk.collect()}
+    base = {(r["row"], r["slot"]): r["cnt"] for r in merged.collect()}
+    assert doubled == {k: 2 * v for k, v in base.items()}
