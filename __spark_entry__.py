@@ -5378,8 +5378,9 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_SIG_STAGE}/cms50/probes/*.parquet')
         ),
         m AS (SELECT row, slot, SUM(cnt) AS cnt FROM sk GROUP BY row, slot)
-        SELECT pc.value, CAST(MIN(m.cnt) AS BIGINT) AS est
-        FROM m JOIN pc USING (row, slot)
+        SELECT pc.value,
+               CAST(MIN(coalesce(m.cnt, 0)) AS BIGINT) AS est
+        FROM pc LEFT JOIN m USING (row, slot)
         GROUP BY pc.value ORDER BY value
     """
 

@@ -60,9 +60,13 @@ def pagerank(
     n1 = nodes.select(F.col(id_col).alias("id"))
     total = n1.agg(F.count("*").alias("__n"))
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    outdeg = e.groupBy("src").agg(F.count("*").alias("__deg"))
-    # (src, dst, deg) is loop-invariant; checkpoint once so the edge
-    # scan + deg aggregate doesn't replay per iteration.
+    # Both loop-invariant frames checkpoint once: edged feeds every
+    # iteration's contribution join, outdeg every iteration's dangling
+    # anti-join — without BOTH cuts the edge scan + deg aggregate
+    # replays per iteration.
+    outdeg = (
+        e.groupBy("src").agg(F.count("*").alias("__deg")).localCheckpoint(eager=False)
+    )
     edged = e.join(outdeg, "src").localCheckpoint(eager=False)
 
     ranks = (

@@ -140,6 +140,39 @@ def _train_ivf_centroids(
     return cents
 
 
+def _centroid_df(spark, cents: np.ndarray) -> DataFrame:
+    """(cluster, centroid) model table from a trained (k, dim) array —
+    the single construction shared by every IVF consumer so the
+    staged schema can never drift between them."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
+        "cluster int, centroid array<double>",
+    )
+
+
+def _codebook_df(spark, books: np.ndarray, code_col: str) -> DataFrame:
+    """(sub, <code_col>, centroid) model table from trained
+    (m, ksub_eff, dsub) PQ codebooks; iterates the ACTUAL trained
+    shape, so a corpus smaller than ``ksub`` degrades to fewer codes
+    instead of indexing out of bounds."""
+    m, ksub_eff = books.shape[0], books.shape[1]
+    return spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in books[s, c]])
+            for s in range(m)
+            for c in range(ksub_eff)
+        ],
+        f"sub int, {code_col} int, centroid array<double>",
+    )
+
+
+def _subspace_slices(col, m: int, dsub: int):
+    """Array of the m contiguous dsub-length slices of a vector —
+    the one slicing arithmetic every PQ stage (train, encode, LUT)
+    must agree on."""
+    return F.array(*[F.slice(col, s * dsub + 1, dsub) for s in range(m)])
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -169,11 +202,7 @@ def ivf_topk(
     from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
 
     cents = _train_ivf_centroids(corpus, n_centroids, iters, corpus_id, corpus_vec)
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
-        "cluster int, centroid array<double>",
-    )
+    cent_df = _centroid_df(corpus.sparkSession, cents)
     if stage_path is not None:
         cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
 
@@ -201,11 +230,7 @@ def ivf_centroids_write(
     from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
 
     cents = _train_ivf_centroids(corpus, n_centroids, iters, corpus_id, corpus_vec)
-    cent_df = corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
-        "cluster int, centroid array<double>",
-    )
-    return _stage_roundtrip(cent_df, path)
+    return _stage_roundtrip(_centroid_df(corpus.sparkSession, cents), path)
 
 
 def ivf_assign(
@@ -808,10 +833,11 @@ def _train_pq_codebooks(
         dtype=np.float64,
     )
 
-    slices = F.array(
-        *[F.slice(F.col(corpus_vec), s * dsub + 1, dsub) for s in range(m)]
+    sliced = corpus.select(
+        F.posexplode(_subspace_slices(F.col(corpus_vec), m, dsub)).alias(
+            "sub", "subvec"
+        )
     )
-    sliced = corpus.select(F.posexplode(slices).alias("sub", "subvec"))
 
     for _ in range(iters):
         frozen = books.copy()
@@ -845,7 +871,7 @@ def _train_pq_codebooks(
             .collect()
         )
         nxt = books.copy()
-        counts = np.zeros((m, ksub))
+        counts = np.zeros(books.shape[:2])
         for r in stats:
             nxt[r["sub"], r["cluster"], r["dim"]] = r["s"] / r["n"]
             counts[r["sub"], r["cluster"]] = r["n"]
@@ -908,23 +934,15 @@ def pq_topk(
     dsub = dim // m
 
     books = _train_pq_codebooks(corpus, m, ksub, iters, corpus_id, corpus_vec, dim)
-    spark = corpus.sparkSession
-    book_df = spark.createDataFrame(
-        [
-            (s, c, [float(x) for x in books[s, c]])
-            for s in range(m)
-            for c in range(ksub)
-        ],
-        "sub int, cluster int, centroid array<double>",
-    )
+    book_df = _codebook_df(corpus.sparkSession, books, "cluster")
     if stage_path is not None:
         book_df = _stage_roundtrip(book_df, f"{stage_path}/books")
 
-    slices = F.array(
-        *[F.slice(F.col(corpus_vec), s * dsub + 1, dsub) for s in range(m)]
-    )
     sliced = corpus.select(
-        F.col(corpus_id), F.posexplode(slices).alias("sub", "subvec")
+        F.col(corpus_id),
+        F.posexplode(_subspace_slices(F.col(corpus_vec), m, dsub)).alias(
+            "sub", "subvec"
+        ),
     )
     enc_score = (F.lit(-2) * dot_arrow(F.col("subvec"), F.col("centroid"))) + dot_arrow(
         F.col("centroid"), F.col("centroid")
@@ -936,13 +954,12 @@ def pq_topk(
         .agg(F.min_by("cluster", F.struct("__s", "cluster")).alias("code"))
     )
 
-    q_slices = F.array(
-        *[F.slice(F.col(query_vec), s * dsub + 1, dsub) for s in range(m)]
-    )
     q_sliced = queries.select(
         F.col(query_id),
         l2_norm_arrow(F.col(query_vec)).alias("__qn"),
-        F.posexplode(q_slices).alias("sub", "qsubvec"),
+        F.posexplode(_subspace_slices(F.col(query_vec), m, dsub)).alias(
+            "sub", "qsubvec"
+        ),
     )
     lut = (
         q_sliced.join(F.broadcast(book_df), "sub")
@@ -1042,37 +1059,28 @@ def ivfpq_topk(
     spark = corpus.sparkSession
 
     cents = _train_ivf_centroids(corpus, n_centroids, iters, corpus_id, corpus_vec)
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
-        "cluster int, centroid array<double>",
-    )
+    cent_df = _centroid_df(spark, cents)
     if stage_path is not None:
         cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
 
     assigned = ivf_assign(corpus, cent_df, corpus_id, corpus_vec)
+    # Materialization barrier: resid feeds the codebook-init collect,
+    # every Lloyd training pass AND the encode — without the cut, the
+    # corpus×centroids assignment subtree re-executes per consumer.
     resid = assigned.join(F.broadcast(cent_df), "cluster").select(
         F.col(corpus_id),
         F.col("cluster"),
         F.zip_with(F.col(corpus_vec), F.col("centroid"), lambda a, b: a - b).alias(
             "rvec"
         ),
-    )
+    ).localCheckpoint(eager=False)
 
     books = _train_pq_codebooks(resid, m, ksub, iters, corpus_id, "rvec", dim)
-    book_df = spark.createDataFrame(
-        [
-            (s, c, [float(x) for x in books[s, c]])
-            for s in range(m)
-            for c in range(ksub)
-        ],
-        "sub int, code int, centroid array<double>",
-    )
+    book_df = _codebook_df(spark, books, "code")
     if stage_path is not None:
         book_df = _stage_roundtrip(book_df, f"{stage_path}/books")
 
-    r_slices = F.array(
-        *[F.slice(F.col("rvec"), s * dsub + 1, dsub) for s in range(m)]
-    )
+    r_slices = _subspace_slices(F.col("rvec"), m, dsub)
     enc_score = (F.lit(-2) * dot_arrow(F.col("subvec"), F.col("centroid"))) + dot_arrow(
         F.col("centroid"), F.col("centroid")
     )
@@ -1113,9 +1121,7 @@ def ivfpq_topk(
             "qrvec"
         ),
     )
-    qr_slices = F.array(
-        *[F.slice(F.col("qrvec"), s * dsub + 1, dsub) for s in range(m)]
-    )
+    qr_slices = _subspace_slices(F.col("qrvec"), m, dsub)
     lut = (
         qres.select(
             F.col(query_id), F.col("cluster"), F.col("__qc"),

@@ -293,9 +293,13 @@ def cms_estimate(
     against a merged sketch: (value, est) with
     est = min over rows of the value's counter. Never under-estimates
     the true count; over-estimates by at most εN with probability
-    1−δ (tolerance-tested). ``stage_path`` stages the probe cells so
-    an oracle can replay merge + min from staged tables (the hashes
-    themselves stay Spark-side, the LSH-family convention)."""
+    1−δ (tolerance-tested). Probe cells LEFT-join the counter table —
+    an untouched (row, slot) cell counts as 0, so a never-inserted
+    value whose probe hits an empty cell correctly estimates 0 and
+    every queried value yields exactly one output row. ``stage_path``
+    stages the probe cells so an oracle can replay merge + min from
+    staged tables (the hashes themselves stay Spark-side, the
+    LSH-family convention)."""
     from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
 
     probes = queries.select(F.col(value_col).alias("value")).distinct()
@@ -309,7 +313,7 @@ def cms_estimate(
     )
     probe_cells = _stage_roundtrip(probe_cells, stage_path)
     return (
-        merged.join(F.broadcast(probe_cells), ["row", "slot"])
+        probe_cells.join(merged, ["row", "slot"], "left")
         .groupBy("value")
-        .agg(F.min("cnt").alias("est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
     )

@@ -349,3 +349,29 @@ def test_cms_never_underestimates_and_merge_exact(spark):
     doubled = {(r["row"], r["slot"]): r["cnt"] for r in wsk.collect()}
     base = {(r["row"], r["slot"]): r["cnt"] for r in merged.collect()}
     assert doubled == {k: 2 * v for k, v in base.items()}
+
+
+def test_cms_absent_value_estimates_zero(spark):
+    """Regression (round-9 review): a never-inserted value whose probe
+    hits an untouched cell must estimate 0 and still yield a row —
+    the inner-join form dropped it or inflated it."""
+    from strategicai_visibility_loop_etl_spark.operators.sketch import (
+        cms_estimate,
+        cms_merge,
+        cms_shard_sketches,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "s0")] * 5 + [("b", "s0")] * 2, "value string, shard string"
+    )
+    merged = cms_merge(cms_shard_sketches(df, "value", "shard", width=64, depth=4))
+    probes = spark.createDataFrame(
+        [("a",), ("never_seen_1",), ("never_seen_2",)], "value string"
+    )
+    est = {r["value"]: r["est"] for r in
+           cms_estimate(merged, probes, "value", width=64, depth=4).collect()}
+    assert set(est) == {"a", "never_seen_1", "never_seen_2"}  # no dropped probes
+    assert est["a"] >= 5
+    # With 64*4 cells and 2 distinct inserted values, at least one of a
+    # fresh value's 4 probe rows hits an empty cell -> exact 0.
+    assert est["never_seen_1"] == 0 and est["never_seen_2"] == 0

@@ -764,7 +764,7 @@ def test_exactsubstr_on_arrival_stream(spark, tmp_path):
     assert total == len(docs)
 
 
-def test_ann_index_on_arrival_stream(spark, tmp_path):
+def test_ann_index_on_arrival_stream(spark, sf_dir, tmp_path):
     """ANN index maintenance on arrival (capability row 142): batches
     assign against frozen centroids and join the committed index;
     search over the accumulated index EQUALS a from-scratch
@@ -785,7 +785,7 @@ def test_ann_index_on_arrival_stream(spark, tmp_path):
         start_ann_index_stream,
     )
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     cent_path = str(tmp_path / "cents")
