@@ -3663,6 +3663,22 @@ def qx50_cms_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("value")
 
 
+def qx51_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift (capability row 145):
+    add-one-smoothed KL(P_source ‖ P_corpus) + Pearson chi-square
+    over the full vocabulary, absent-vocab mass entering through
+    closed-form corrections (no groups × vocab cross join). Every
+    ln/ratio term rounds to DECIMAL before SUM; DuckDB replays the
+    identical expression sequence term-for-term."""
+    from strategicai_visibility_loop_etl_spark.operators.drift import (
+        token_distribution_drift,
+    )
+
+    return token_distribution_drift(
+        _t(spark, sf_dir, "documents"), group_col="source", text_col="text"
+    )
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3781,6 +3797,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx48_ann_index_search": qx48_ann_index_search,
         "qx49_ivfpq": qx49_ivfpq,
         "qx50_cms_freq": qx50_cms_freq,
+        "qx51_token_drift": qx51_token_drift,
     }
 
 
@@ -5382,6 +5399,70 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST(MIN(coalesce(m.cnt, 0)) AS BIGINT) AS est
         FROM pc LEFT JOIN m USING (row, slot)
         GROUP BY pc.value ORDER BY value
+    """
+
+    # qx51: drift replay — the same two hash aggregates, the same
+    # term-rounded log/ratio DECIMAL sums, the same closed-form
+    # absent-mass corrections; expression sequencing mirrors
+    # operators/drift.py line-for-line.
+    _x51_pg = "(CAST(c_t + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))"
+    _x51_ps = "(CAST(c_st + 1 AS DOUBLE) / CAST(n_s + v AS DOUBLE))"
+    _x51_exp = f"(CAST(n_s AS DOUBLE) * {_x51_pg})"
+    sql["qx51_token_drift"] = f"""
+        WITH tok AS (
+            SELECT source AS grp, unnest({_toks(norm_text)}) AS token
+            FROM documents
+        ),
+        gc AS (
+            SELECT grp, token, CAST(COUNT(*) AS BIGINT) AS c_st
+            FROM tok GROUP BY grp, token
+        ),
+        g AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS c_t
+            FROM tok GROUP BY token
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS v,
+                   CAST(SUM(c_t) AS BIGINT) AS n
+            FROM g
+        ),
+        gterms AS (
+            SELECT token, c_t, v, n,
+                   CAST(round({_x51_pg}, 15) AS DECIMAL(38,15)) AS pg_r,
+                   CAST(round(ln({_x51_pg}), 12) AS DECIMAL(38,12)) AS lpg_r
+            FROM g, tot
+        ),
+        gstats AS (
+            SELECT v, n, SUM(lpg_r) AS g_lpg, SUM(pg_r) AS g_pg
+            FROM gterms GROUP BY v, n
+        ),
+        ns AS (
+            SELECT grp, CAST(SUM(c_st) AS BIGINT) AS n_s FROM gc GROUP BY grp
+        ),
+        present AS (
+            SELECT gc.grp, ns.n_s,
+                   CAST(COUNT(*) AS BIGINT) AS v_s,
+                   SUM(CAST(round({_x51_ps} * ln({_x51_ps} / {_x51_pg}), 12)
+                            AS DECIMAL(38,12))) AS s_kl,
+                   SUM(lpg_r) AS s_lpg,
+                   SUM(pg_r) AS s_pg,
+                   SUM(CAST(round((CAST(c_st AS DOUBLE) - {_x51_exp})
+                                  * (CAST(c_st AS DOUBLE) - {_x51_exp})
+                                  / {_x51_exp}, 9)
+                            AS DECIMAL(38,9))) AS s_chi
+            FROM gc JOIN gterms USING (token) JOIN ns USING (grp)
+            GROUP BY gc.grp, ns.n_s
+        )
+        SELECT grp AS source, n_s AS n_tokens, v_s AS distinct_terms,
+               round(CAST(s_kl AS DOUBLE)
+                     + (1.0 / CAST(n_s + v AS DOUBLE))
+                       * (CAST(v - v_s AS DOUBLE)
+                              * ln(1.0 / CAST(n_s + v AS DOUBLE))
+                          - CAST(g_lpg - s_lpg AS DOUBLE)), 9) AS kl,
+               round(CAST(s_chi AS DOUBLE)
+                     + CAST(n_s AS DOUBLE) * CAST(g_pg - s_pg AS DOUBLE), 6)
+                   AS chi2
+        FROM present, gstats ORDER BY source
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

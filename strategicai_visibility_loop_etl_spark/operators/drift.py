@@ -1,0 +1,155 @@
+"""Corpus distribution drift: per-group token-distribution divergence.
+
+The mixture-health check a 100 TB training-data pipeline runs per
+ingest wave: how far has each source's (or each snapshot's) token
+distribution drifted from the corpus-wide distribution?  KL divergence
+with add-one smoothing is the standard monitor (and the quantity
+DoReMi/DSIR-style mixture tuning consumes); Pearson's chi-square is
+the classical homogeneity test over the same contingency table.
+Reference has no analog; this extends the governance family
+(`operators/governance.py` datasheet, `operators/expectations.py`
+gate) with the distribution-level signal.
+
+Spark-first shape, and the part that matters at scale: the smoothed
+KL and chi-square are defined over the FULL vocabulary — every group
+must account for vocab terms it never saw.  The naive plan is a
+``groups × vocab`` cross join (ruinous: thousands of sources × 1e8
+terms).  Both statistics instead split into a present-term sum plus a
+CLOSED-FORM absent-mass correction built from three global scalars,
+so the plan is: one explode, two hash aggregates, one token-keyed
+join, one per-group aggregate, one broadcast of a 1-row globals
+frame.  No cross join, no collect, no UDF.
+
+    KL(P_s‖P_g)  = Σ_present p_s·ln(p_s/p_g)
+                   + p_0·[(V−V_s)·ln p_0 − (Σ_vocab ln p_g − Σ_present ln p_g)]
+    chi²         = Σ_present (c_st − n_s·p_g)²/(n_s·p_g)
+                   + n_s·(Σ_vocab p_g − Σ_present p_g)
+
+with p_s=(c_st+1)/(n_s+V), p_g=(c_t+1)/(N+V), p_0=1/(n_s+V) the
+smoothed probability of an unseen term.
+
+Determinism across engines: every ln/ratio term is rounded via the
+multiply-form ``round_c`` and cast to DECIMAL before any SUM, so the
+per-group statistics are partitioning- AND engine-independent — a
+DuckDB twin replaying the identical expression sequence reproduces
+every output bit-for-bit (the qx11/qx23 log-sum discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_c
+from ..functions.text import tokens
+
+
+def token_distribution_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(group, n_tokens, distinct_terms, kl, chi2) per group.
+
+    - ``kl``: add-one-smoothed KL(P_group ‖ P_corpus) over the full
+      corpus vocabulary, rounded to 9 decimals.
+    - ``chi2``: Pearson chi-square of the group's token counts
+      against expected counts ``n_s·p_g`` under the smoothed corpus
+      distribution, rounded to 6 decimals.
+    - Absent-vocab mass enters through the closed forms above — the
+      plan never materializes (group, absent-term) rows.
+    - Groups whose text normalizes to empty contribute no token rows
+      and are absent from the output (same omission contract as the
+      LM scorers).
+    """
+    tok = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+
+    # Per-(group, token) and per-token counts: two hash aggregates.
+    gc = tok.groupBy("grp", "token").agg(F.count("*").alias("c_st"))
+    g = tok.groupBy("token").agg(F.count("*").alias("c_t"))
+
+    # Corpus-level scalars ride a broadcast 1-row frame (no collect).
+    tot = g.agg(
+        F.count("*").alias("v"),
+        F.sum("c_t").alias("n"),
+    )
+
+    # Per-token corpus terms, computed ONCE on the token table: the
+    # smoothed corpus probability and its log, term-rounded so both
+    # the present-term sums and the global sums are engine-exact.
+    pg = (F.col("c_t") + 1).cast("double") / (F.col("n") + F.col("v")).cast(
+        "double"
+    )
+    gterms = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "token",
+            "c_t",
+            "v",
+            "n",
+            round_c(pg, 15).cast("decimal(38,15)").alias("pg_r"),
+            round_c(F.log(pg), 12).cast("decimal(38,12)").alias("lpg_r"),
+        )
+    )
+
+    glob = F.broadcast(
+        gterms.groupBy("v", "n").agg(
+            F.sum("lpg_r").alias("g_lpg"),
+            F.sum("pg_r").alias("g_pg"),
+        )
+    )
+
+    # Per-group totals first (n_s), then the present-term sums off the
+    # token-keyed join — big-big hash join on token, both sides
+    # already token-partitioned by their aggregates.
+    ns = gc.groupBy("grp").agg(F.sum("c_st").alias("n_s"))
+    j = gc.join(gterms, "token").join(F.broadcast(ns), "grp")
+
+    ps = (F.col("c_st") + 1).cast("double") / (
+        F.col("n_s") + F.col("v")
+    ).cast("double")
+    pg_j = (F.col("c_t") + 1).cast("double") / (
+        F.col("n") + F.col("v")
+    ).cast("double")
+    exp_ct = F.col("n_s").cast("double") * pg_j
+    present = j.groupBy("grp", "n_s").agg(
+        F.count("*").alias("v_s"),
+        F.sum(round_c(ps * F.log(ps / pg_j), 12).cast("decimal(38,12)")).alias(
+            "s_kl"
+        ),
+        F.sum("lpg_r").alias("s_lpg"),
+        F.sum("pg_r").alias("s_pg"),
+        F.sum(
+            round_c(
+                (F.col("c_st").cast("double") - exp_ct)
+                * (F.col("c_st").cast("double") - exp_ct)
+                / exp_ct,
+                9,
+            ).cast("decimal(38,9)")
+        ).alias("s_chi"),
+    )
+
+    p0 = F.lit(1.0) / (F.col("n_s") + F.col("v")).cast("double")
+    absent_kl = p0 * (
+        (F.col("v") - F.col("v_s")).cast("double") * F.log(p0)
+        - (F.col("g_lpg") - F.col("s_lpg")).cast("double")
+    )
+    absent_chi = F.col("n_s").cast("double") * (
+        F.col("g_pg") - F.col("s_pg")
+    ).cast("double")
+    return (
+        present.crossJoin(glob)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n_s").alias("n_tokens"),
+            F.col("v_s").alias("distinct_terms"),
+            round_c(F.col("s_kl").cast("double") + absent_kl, 9).alias("kl"),
+            round_c(F.col("s_chi").cast("double") + absent_chi, 6).alias(
+                "chi2"
+            ),
+        )
+        .orderBy(group_col)
+    )
