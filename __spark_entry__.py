@@ -3679,6 +3679,27 @@ def qx51_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx52_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget domain quota sampling (capability row 146): a
+    450-document budget allocated across sources ∝ sqrt(n_d) with
+    largest-remainder rounding, each domain keeping its `quota`
+    longest documents. DuckDB replays weights, floors, remainders,
+    the deficit window, and the per-domain rank filter."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        domain_quota_sample,
+    )
+
+    return domain_quota_sample(
+        _t(spark, sf_dir, "documents"),
+        budget=450,
+        key_col="doc_id",
+        domain_col="source",
+        order_col="n_chars",
+        alpha=0.5,
+        min_keep=1,
+    ).orderBy("source", "pick_rank")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3798,6 +3819,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx49_ivfpq": qx49_ivfpq,
         "qx50_cms_freq": qx50_cms_freq,
         "qx51_token_drift": qx51_token_drift,
+        "qx52_domain_quota": qx52_domain_quota,
     }
 
 
@@ -5463,6 +5485,52 @@ def extra_oracle_sql() -> dict[str, str]:
                      + CAST(n_s AS DOUBLE) * CAST(g_pg - s_pg AS DOUBLE), 6)
                    AS chi2
         FROM present, gstats ORDER BY source
+    """
+
+    # qx52: quota replay — identical weight/floor/remainder doubles,
+    # the same whole-frame deficit window, the same per-domain rank
+    # filter; sequencing mirrors textprep.domain_quota_sample.
+    _x52_ideal = "(450.0 * (CAST(pa AS DOUBLE) / CAST(tot AS DOUBLE)))"
+    sql["qx52_domain_quota"] = f"""
+        WITH counts AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT source, n,
+                   CAST(round(pow(CAST(n AS DOUBLE), 0.5), 9)
+                        AS DECIMAL(38,9)) AS pa
+            FROM counts
+        ),
+        t AS (SELECT SUM(pa) AS tot FROM w),
+        b AS (
+            SELECT source, n,
+                   CAST(floor({_x52_ideal}) AS BIGINT) AS base,
+                   {_x52_ideal} - floor({_x52_ideal}) AS rem
+            FROM w, t
+        ),
+        qt AS (
+            SELECT source, n,
+                   CAST(LEAST(n, GREATEST(1,
+                        base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END))
+                        AS BIGINT) AS quota
+            FROM (
+                SELECT source, n, base,
+                       GREATEST(0, 450 - SUM(base) OVER ()) AS deficit,
+                       row_number() OVER (ORDER BY rem DESC, source) AS rk
+                FROM b
+            )
+        )
+        SELECT d.source, d.doc_id, d.n_chars, qt.quota, d.pick_rank
+        FROM (
+            SELECT source, doc_id, n_chars,
+                   CAST(row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY n_chars DESC, doc_id) AS BIGINT) AS pick_rank
+            FROM documents
+        ) d JOIN qt USING (source)
+        WHERE d.pick_rank <= qt.quota
+        ORDER BY d.source, d.pick_rank
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

@@ -743,6 +743,110 @@ def temperature_sample(
     )
 
 
+def domain_quota_sample(
+    df: DataFrame,
+    budget: int,
+    key_col: str,
+    domain_col: str = "source",
+    order_col: str = "n_chars",
+    alpha: float = 0.5,
+    min_keep: int = 1,
+) -> DataFrame:
+    """Exact-budget per-domain quota enforcement (the Dolma/RefinedWeb
+    mix-construction step): allocate a TOTAL document budget across
+    domains proportionally to ``n_d^α`` with largest-remainder
+    rounding (so quotas sum exactly to ``budget``), then keep each
+    domain's best ``quota`` documents by ``order_col``.  The
+    complementary operator to ``temperature_sample``: that one is
+    rate-based (expected counts, pure-hash keep), this one is
+    exact-count (rank-based, deterministic cardinality) — the form a
+    curated-release pipeline needs when the datasheet promises "N
+    documents, X% per source".
+
+    Scale shape: the allocation frame is ONE ROW PER DOMAIN
+    (model-sized — the single-partition windows over it are free);
+    the corpus-side work is one broadcast join of the quota table
+    plus one per-domain rank window — a per-partition sort after one
+    shuffle on the domain key, never a global sort (the quota is a
+    column, so WindowGroupLimit can't prune here; at 100 TB the
+    shuffle could additionally pre-filter on a broadcast max-quota
+    literal to regain the group-limit prune).  No collect, no cross
+    join.
+
+    Determinism: ``n^α`` rounds through ``round_c(·,9)`` → DECIMAL
+    before the normalizing sum; the ideal/floor/remainder arithmetic
+    is written identically in the SQL twin; remainder ties break by
+    domain name, keep ties by ``key_col``.
+
+    Output: (domain, key, order, quota, pick_rank) for kept rows.
+    """
+    if budget <= 0 or not 0 < alpha <= 1 or min_keep < 0:
+        raise ValueError(
+            "domain_quota_sample needs budget > 0, 0 < alpha <= 1, "
+            "min_keep >= 0"
+        )
+    counts = df.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    pa = round_c(
+        F.pow(F.col("__n").cast("double"), F.lit(float(alpha))), 9
+    ).cast("decimal(38,9)")
+    weighted = counts.select(domain_col, "__n", pa.alias("__pa"))
+    total = weighted.agg(F.sum("__pa").alias("__tot"))
+    ideal = F.lit(float(budget)) * (
+        F.col("__pa").cast("double") / F.col("__tot").cast("double")
+    )
+    based = (
+        weighted.crossJoin(F.broadcast(total))
+        .select(
+            domain_col,
+            "__n",
+            F.floor(ideal).cast("bigint").alias("__base"),
+            (ideal - F.floor(ideal)).alias("__rem"),
+        )
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrank = Window.orderBy(F.col("__rem").desc(), F.col(domain_col))
+    quotas = based.select(
+        domain_col,
+        "__n",
+        "__base",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.lit(budget) - F.sum("__base").over(wall),
+        ).alias("__deficit"),
+        F.row_number().over(wrank).cast("bigint").alias("__rk"),
+    ).select(
+        domain_col,
+        "__n",
+        F.least(
+            F.col("__n"),
+            F.greatest(
+                F.lit(min_keep).cast("bigint"),
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__deficit"), 1)
+                .otherwise(0)
+                .cast("bigint"),
+            ),
+        ).alias("quota"),
+    )
+    wpick = Window.partitionBy(domain_col).orderBy(
+        F.col(order_col).desc(), F.col(key_col)
+    )
+    return (
+        df.select(domain_col, key_col, order_col)
+        .join(F.broadcast(quotas.select(domain_col, "quota")), domain_col)
+        .select(
+            domain_col,
+            key_col,
+            order_col,
+            "quota",
+            F.row_number().over(wpick).cast("bigint").alias("pick_rank"),
+        )
+        .filter(F.col("pick_rank") <= F.col("quota"))
+    )
+
+
 def _adjacent_pair_events(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:

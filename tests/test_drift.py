@@ -1,0 +1,109 @@
+"""Unit tests for corpus drift metrics and domain quota sampling —
+hand-computed invariants; the sf-scale DuckDB oracle checks live in
+test_oracle (qx51/qx52)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from strategicai_visibility_loop_etl_spark.operators.drift import (
+    token_distribution_drift,
+)
+from strategicai_visibility_loop_etl_spark.operators.textprep import (
+    domain_quota_sample,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_drift_identical_groups_near_zero(spark):
+    # Two groups with IDENTICAL token distributions: drift comes only
+    # from smoothing scale, so KL is tiny and chi2 is ~0.
+    rows = [(i, f"s{i % 2}", "alpha beta gamma alpha") for i in range(20)]
+    out = {r["source"]: r for r in token_distribution_drift(_docs(spark, rows)).collect()}
+    assert set(out) == {"s0", "s1"}
+    for r in out.values():
+        assert r["n_tokens"] == 40
+        assert r["distinct_terms"] == 3
+        assert 0.0 <= r["kl"] < 1e-3
+        # add-one smoothing shifts expected counts slightly off the
+        # observed ones even for identical distributions, so chi2 is
+        # small but not zero.
+        assert 0.0 <= r["chi2"] < 0.1
+
+
+def test_drift_divergent_group_ranks_higher(spark):
+    # base dominates the corpus (30 docs vs 3), so the corpus
+    # distribution ≈ base's and the all-omega minority group must
+    # show much larger divergence on both statistics.
+    rows = [(i, "base", "alpha beta gamma delta") for i in range(30)]
+    rows += [(100 + i, "skew", "omega omega omega omega") for i in range(3)]
+    out = {r["source"]: r for r in token_distribution_drift(_docs(spark, rows)).collect()}
+    assert out["skew"]["kl"] > out["base"]["kl"] > 0.0
+    assert out["skew"]["chi2"] > out["base"]["chi2"]
+    # KL is finite despite 'omega' never appearing in base and vice
+    # versa — the smoothing + closed-form absent mass handles it.
+    assert all(math.isfinite(r["kl"]) for r in out.values())
+
+
+def test_drift_empty_and_null_text_groups_omitted(spark):
+    rows = [(1, "a", "x y z"), (2, "b", ""), (3, "c", None)]
+    out = token_distribution_drift(_docs(spark, rows)).collect()
+    assert [r["source"] for r in out] == ["a"]
+
+
+def _qdocs(spark, sizes):
+    rows = []
+    i = 0
+    for src, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, src, i % 7 + 1))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+
+def test_quota_sums_exactly_to_budget(spark):
+    df = _qdocs(spark, {"a": 40, "b": 10, "c": 50})
+    out = domain_quota_sample(df, budget=30, key_col="doc_id", order_col="n_chars")
+    got = out.groupBy("source").count().collect()
+    assert sum(r["count"] for r in got) == 30
+    # sqrt-proportional: a and c get more than b but b is not starved.
+    by = {r["source"]: r["count"] for r in got}
+    assert by["c"] >= by["a"] > by["b"] >= 1
+
+
+def test_quota_caps_at_domain_size_when_budget_exceeds_corpus(spark):
+    df = _qdocs(spark, {"a": 3, "b": 2})
+    out = domain_quota_sample(df, budget=50, key_col="doc_id", order_col="n_chars")
+    assert out.count() == 5  # every doc kept, no domain over-allocated
+
+
+def test_quota_min_keep_floor_and_determinism(spark):
+    df = _qdocs(spark, {"big": 96, "tiny": 2})
+    out = domain_quota_sample(
+        df, budget=4, key_col="doc_id", order_col="n_chars", min_keep=1
+    )
+    by = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    assert by.get("tiny", 0) >= 1  # min_keep floor holds
+    # Deterministic picks: re-running yields the identical kept set.
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in domain_quota_sample(
+            df, budget=4, key_col="doc_id", order_col="n_chars", min_keep=1
+        ).collect()
+    )
+    assert a == b
+
+
+def test_quota_rejects_bad_args(spark):
+    df = _qdocs(spark, {"a": 2})
+    with pytest.raises(ValueError):
+        domain_quota_sample(df, budget=0, key_col="doc_id")
+    with pytest.raises(ValueError):
+        domain_quota_sample(df, budget=5, key_col="doc_id", alpha=1.5)
