@@ -3700,6 +3700,58 @@ def qx52_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "pick_rank")
 
 
+def qx53_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle counting (capability row 147): the
+    qx47 manufactured-graph pattern — ring edges (i, i+1) and
+    (i, i+2) guarantee a triangle per vertex; hash-arithmetic extras
+    add irregular closures — then the node-iterator algorithm with
+    degree orientation. Pure integer arithmetic; DuckDB replays edge
+    manufacture, canonicalization, orientation, wedge build and
+    closure row-for-row."""
+    from strategicai_visibility_loop_etl_spark.operators.graph import (
+        triangle_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    total = docs.agg(F.count("*").alias("__n"))
+    ring = (
+        docs.crossJoin(F.broadcast(total))
+        .select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.array(
+                    F.pmod(F.col("id") + 1, F.col("__n")),
+                    F.pmod(F.col("id") + 2, F.col("__n")),
+                )
+            ).alias("dst"),
+        )
+    )
+    hashed = (
+        docs.filter(F.col("id") % 3 != 0)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.lit(2).cast("bigint"))
+            ).alias("j"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("id").alias("src"),
+            F.pmod(
+                F.pmod(
+                    F.col("id") * F.lit(2654435761) + F.col("j") * F.lit(40503),
+                    F.lit(4294967296),
+                ),
+                F.col("__n"),
+            ).alias("dst"),
+        )
+    )
+    tc = triangle_count(ring.unionAll(hashed))
+    return tc.select(
+        F.col("id").alias("doc_id"), "triangles"
+    ).orderBy("doc_id")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3820,6 +3872,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx50_cms_freq": qx50_cms_freq,
         "qx51_token_drift": qx51_token_drift,
         "qx52_domain_quota": qx52_domain_quota,
+        "qx53_triangle_count": qx53_triangle_count,
     }
 
 
@@ -5531,6 +5584,72 @@ def extra_oracle_sql() -> dict[str, str]:
         ) d JOIN qt USING (source)
         WHERE d.pick_rank <= qt.quota
         ORDER BY d.source, d.pick_rank
+    """
+
+    # qx53: triangle replay — same edge manufacture as the Spark
+    # side, then canonicalize → degree → orient → wedge → close,
+    # mirroring operators/graph.py triangle_count exactly.
+    sql["qx53_triangle_count"] = """
+        WITH nn AS (SELECT doc_id AS id FROM documents),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn),
+        ring AS (
+            SELECT id AS s, (id + 1) % t.n AS d FROM nn, t
+            UNION ALL
+            SELECT id AS s, (id + 2) % t.n AS d FROM nn, t
+        ),
+        he AS (
+            SELECT id AS s,
+                   ((id * 2654435761 + j * 40503) % 4294967296) % t.n AS d
+            FROM (SELECT id, unnest(range(1, 3)) AS j
+                  FROM nn WHERE id % 3 <> 0), t
+        ),
+        e AS (
+            SELECT s, d FROM (
+                SELECT s, d FROM ring UNION ALL SELECT s, d FROM he
+            ) WHERE s <> d
+        ),
+        canon AS (
+            SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM e
+        ),
+        deg AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT a AS id FROM canon
+                UNION ALL SELECT b AS id FROM canon
+            ) GROUP BY id
+        ),
+        o AS (
+            SELECT CASE WHEN ta.deg < tb.deg
+                             OR (ta.deg = tb.deg AND canon.a < canon.b)
+                        THEN canon.a ELSE canon.b END AS u,
+                   CASE WHEN ta.deg < tb.deg
+                             OR (ta.deg = tb.deg AND canon.a < canon.b)
+                        THEN canon.b ELSE canon.a END AS v,
+                   CASE WHEN ta.deg < tb.deg
+                             OR (ta.deg = tb.deg AND canon.a < canon.b)
+                        THEN tb.deg ELSE ta.deg END AS dv
+            FROM canon
+            JOIN deg ta ON ta.id = canon.a
+            JOIN deg tb ON tb.id = canon.b
+        ),
+        wedges AS (
+            SELECT e1.u, e1.v AS lo, e2.v AS hi
+            FROM o e1 JOIN o e2 ON e1.u = e2.u
+            WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)
+        ),
+        tri AS (
+            SELECT w.u, w.lo, w.hi
+            FROM wedges w JOIN o ON o.u = w.lo AND o.v = w.hi
+        ),
+        pc AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+                SELECT u AS id FROM tri
+                UNION ALL SELECT lo AS id FROM tri
+                UNION ALL SELECT hi AS id FROM tri
+            ) GROUP BY id
+        )
+        SELECT deg.id AS doc_id,
+               CAST(coalesce(pc.triangles, 0) AS BIGINT) AS triangles
+        FROM deg LEFT JOIN pc USING (id) ORDER BY doc_id
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

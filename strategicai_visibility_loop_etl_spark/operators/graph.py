@@ -111,3 +111,95 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected graph:
+    (id, triangles) for every vertex incident to ≥1 edge.
+
+    The node-iterator-with-degree-orientation algorithm — the
+    standard distributed formulation (Cohen 2009; the GraphX /
+    Spark-adopted shape).  Edges canonicalize to (a<b) with
+    self-loops and parallels dropped; each edge then orients from
+    its (degree, id)-smaller endpoint to the larger.  Wedges form
+    only at an edge's TAIL, so per-vertex wedge fan-out is bounded
+    by out-degree ≤ O(√m) even on power-law graphs — the join
+    volume is O(m^1.5) instead of Σ deg² (a hub with degree 10⁶
+    would otherwise emit 10¹² wedges).  Closing the wedge is one
+    hash join back against the oriented edge list; every triangle
+    is produced exactly once (its orientation-minimal vertex is the
+    unique wedge center).
+
+    All-relational: two hash aggregates (degrees, final counts),
+    three hash joins (orientation decoration, wedge build, wedge
+    close), one explode of 3 rows per triangle.  Pure integer
+    arithmetic — a DuckDB twin replays it row-for-row.  Residual
+    tail skew in the wedge join is AQE-split territory; the
+    orientation already removed the quadratic hub blow-up.
+    """
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).filter(F.col("s") != F.col("d"))
+    canon = (
+        e.select(
+            F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("a").alias("id"))
+        .unionAll(canon.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    dec = (
+        canon.join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = dec.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    e1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("dv").alias("dx")
+    )
+    e2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("dv").alias("dy")
+    )
+    # e1 × e2 on the shared tail yields each neighbor pair twice;
+    # keeping only orientation-order (x before y) enumerates every
+    # wedge once, already ordered to match the closing edge's (u, v).
+    wedges = (
+        e1.join(e2, "u")
+        .filter(
+            (F.col("dx") < F.col("dy"))
+            | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+        )
+        .select("u", F.col("x").alias("lo"), F.col("y").alias("hi"))
+    )
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("lo"), F.col("v").alias("hi")),
+        ["lo", "hi"],
+    )
+    return (
+        tris.select(
+            F.explode(F.array("u", "lo", "hi")).alias("id")
+        )
+        .groupBy("id")
+        .agg(F.count("*").alias("triangles"))
+        .join(deg.select("id"), "id", "right")
+        .select(
+            "id",
+            F.coalesce(F.col("triangles"), F.lit(0).cast("bigint")).alias(
+                "triangles"
+            ),
+        )
+    )

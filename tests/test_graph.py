@@ -48,3 +48,41 @@ def test_pagerank_no_edges_uniform_and_deterministic(spark):
         )
     )
     assert a == b
+
+
+def test_triangle_count_known_graph(spark):
+    from strategicai_visibility_loop_etl_spark.operators.graph import (
+        triangle_count,
+    )
+
+    # K4 on {0,1,2,3} (4 triangles, each vertex in 3) plus a pendant
+    # vertex 4 (0 triangles) plus a disconnected edge 5-6.  Edges
+    # given in mixed directions with duplicates and a self-loop —
+    # canonicalization must absorb all of it.
+    edges = spark.createDataFrame(
+        [
+            (0, 1), (1, 0), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+            (3, 2),  # duplicate reversed
+            (4, 0),  # pendant
+            (5, 6),  # disconnected edge
+            (2, 2),  # self-loop
+        ],
+        "src long, dst long",
+    )
+    out = {r["id"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0, 5: 0, 6: 0}
+    # Global count: each triangle attributed to exactly 3 vertices.
+    assert sum(out.values()) == 3 * 4
+
+
+def test_triangle_count_partitioning_independence(spark):
+    from strategicai_visibility_loop_etl_spark.operators.graph import (
+        triangle_count,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 11, (i * 7 + 3) % 11) for i in range(40)], "src long, dst long"
+    )
+    a = sorted(map(tuple, triangle_count(edges).collect()))
+    b = sorted(map(tuple, triangle_count(edges.repartition(13)).collect()))
+    assert a == b
