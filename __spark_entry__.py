@@ -3752,6 +3752,22 @@ def qx53_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx54_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile (capability row 148): the heaviest
+    event-type keys with integer share-ppm, ceil-division salt
+    factors against a 100-rows-per-bucket target, and the global
+    skew ratio — the planning measurement feeding the salted join
+    (row 41). All integer arithmetic except the single rounded
+    ratio; DuckDB replays it directly."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        key_skew_profile,
+    )
+
+    return key_skew_profile(
+        _t(spark, sf_dir, "events"), "event_type", target_rows=100, top_k=10
+    )
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3873,6 +3889,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx51_token_drift": qx51_token_drift,
         "qx52_domain_quota": qx52_domain_quota,
         "qx53_triangle_count": qx53_triangle_count,
+        "qx54_key_skew": qx54_key_skew,
     }
 
 
@@ -5650,6 +5667,30 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT deg.id AS doc_id,
                CAST(coalesce(pc.triangles, 0) AS BIGINT) AS triangles
         FROM deg LEFT JOIN pc USING (id) ORDER BY doc_id
+    """
+
+    # qx54: skew-profile replay — integer floor-division shares and
+    # ceil-division salt factors, one rounded ratio.
+    sql["qx54_key_skew"] = """
+        WITH counts AS (
+            SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(cnt) AS BIGINT) AS max_cnt
+            FROM counts
+        )
+        SELECT key, cnt,
+               CAST((cnt * 1000000) // n_rows AS BIGINT) AS share_ppm,
+               CAST((cnt + 100 - 1) // 100 AS BIGINT) AS salt_factor,
+               n_rows, n_keys,
+               round(CAST(max_cnt AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+                   AS skew_ratio
+        FROM (SELECT * FROM counts ORDER BY cnt DESC, key LIMIT 10), tot
+        ORDER BY cnt DESC, key
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

@@ -195,3 +195,70 @@ def profile_columns(
     for rep in reports[1:]:
         out = out.unionByName(rep)
     return out
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    target_rows: int = 1_000_000,
+    top_k: int = 10,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnosis: the measurement that decides
+    whether a key needs salting (``salted_join``,
+    `operators/relational.py`) or AQE skew-split before a 100 TB
+    shuffle.  Returns the ``top_k`` heaviest keys with corpus-wide
+    context:
+
+      (key, cnt, share_ppm, salt_factor, n_rows, n_keys, skew_ratio)
+
+    - ``share_ppm``: the key's share of all rows, integer ppm
+      (floor division — exact, no doubles).
+    - ``salt_factor``: ``ceil(cnt / target_rows)`` via integer
+      arithmetic — the number of salt buckets that caps each
+      sub-partition at ``target_rows`` rows.
+    - ``skew_ratio``: heaviest key over mean rows-per-key; > ~4 is
+      the usual act-on-it threshold.
+
+    Scale shape: one hash aggregate over the keys, a 1-row global
+    aggregate, and a global top-k that compiles to
+    TakeOrderedAndProject (heap per partition + driver merge of k
+    rows — no global sort, no full-table collect).  Reference has no
+    analog; this is the planning companion of capability row 41.
+    """
+    if target_rows <= 0 or top_k <= 0:
+        raise ValueError("key_skew_profile needs target_rows > 0, top_k > 0")
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("key")).limit(top_k)
+    from ..functions.numeric import round_c
+
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.expr("cnt * 1000000 DIV n_rows").cast("bigint").alias(
+                "share_ppm"
+            ),
+            F.expr(f"(cnt + {int(target_rows)} - 1) DIV {int(target_rows)}")
+            .cast("bigint")
+            .alias("salt_factor"),
+            "n_rows",
+            "n_keys",
+            round_c(
+                F.col("max_cnt").cast("double")
+                / (
+                    F.col("n_rows").cast("double")
+                    / F.col("n_keys").cast("double")
+                ),
+                6,
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("key"))
+    )

@@ -85,3 +85,33 @@ def test_profile_columns_known_values(spark):
         col="s", n_rows=4, n_nulls=1, n_distinct=2,
         min_num=None, max_num=None, mean=None, min_str="a", max_str="b",
     )
+
+
+def test_key_skew_profile_known_counts(spark):
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        key_skew_profile,
+    )
+
+    # 'hot' 70 rows, 'warm' 25, 'cold' 5 -> n_rows=100, n_keys=3.
+    rows = [("hot",)] * 70 + [("warm",)] * 25 + [("cold",)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, "k", target_rows=30, top_k=2).collect()
+    assert [(r["key"], r["cnt"]) for r in out] == [("hot", 70), ("warm", 25)]
+    hot = out[0]
+    assert hot["share_ppm"] == 700000
+    assert hot["salt_factor"] == 3  # ceil(70/30)
+    assert out[1]["salt_factor"] == 1
+    assert hot["n_rows"] == 100 and hot["n_keys"] == 3
+    assert abs(hot["skew_ratio"] - 70 / (100 / 3)) < 1e-9
+
+
+def test_key_skew_profile_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        key_skew_profile,
+    )
+
+    df = spark.createDataFrame([("a",)], "k string")
+    with _pytest.raises(ValueError):
+        key_skew_profile(df, "k", target_rows=0)
