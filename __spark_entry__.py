@@ -3768,6 +3768,34 @@ def qx54_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx55_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus MinHash containment (capability row 149): the
+    even/odd doc_id halves sketched as corpus-level 64-hash minima
+    (staged, the LSH convention), Jaccard estimated by agreement
+    fraction, with the exact distinct-shingle Jaccard as the audit
+    twin in the same row. DuckDB replays the estimate from the
+    staged minima and the exact leg from raw text."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        _stage_roundtrip,
+    )
+    from strategicai_visibility_loop_etl_spark.operators.sketch import (
+        corpus_exact_jaccard,
+        corpus_minhash_estimate,
+        corpus_minhash_sketch,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    sk = _stage_roundtrip(
+        corpus_minhash_sketch(a, "a").unionAll(corpus_minhash_sketch(b, "b")),
+        f"{_SIG_STAGE}/cmh55",
+    )
+    est = corpus_minhash_estimate(sk, "a", "b", num_hashes=64)
+    exact = corpus_exact_jaccard(a, b)
+    return est.crossJoin(F.broadcast(exact))
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3890,6 +3918,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx52_domain_quota": qx52_domain_quota,
         "qx53_triangle_count": qx53_triangle_count,
         "qx54_key_skew": qx54_key_skew,
+        "qx55_corpus_overlap": qx55_corpus_overlap,
     }
 
 
@@ -5691,6 +5720,57 @@ def extra_oracle_sql() -> dict[str, str]:
                    AS skew_ratio
         FROM (SELECT * FROM counts ORDER BY cnt DESC, key LIMIT 10), tot
         ORDER BY cnt DESC, key
+    """
+
+    # qx55: overlap replay — agreement estimate from the STAGED
+    # corpus minima (hashes stay Spark-side, the LSH convention);
+    # the exact-Jaccard leg replays shingling from raw text with
+    # q22's k=3 gram expression.
+    sql["qx55_corpus_overlap"] = f"""
+        WITH sk AS (
+            SELECT corpus, i, minv
+            FROM read_parquet('{_SIG_STAGE}/cmh55/*.parquet')
+        ),
+        est AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_hashes,
+                   CAST(SUM(CASE WHEN a.minv = b.minv THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_agree
+            FROM (SELECT i, minv FROM sk WHERE corpus = 'a') a
+            JOIN (SELECT i, minv FROM sk WHERE corpus = 'b') b USING (i)
+        ),
+        t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                       AS sh
+            FROM t WHERE len(toks) >= 3
+        ),
+        ga AS (
+            SELECT DISTINCT g FROM (
+                SELECT unnest(sh) AS g FROM s WHERE doc_id % 2 = 0
+            )
+        ),
+        gb AS (
+            SELECT DISTINCT g FROM (
+                SELECT unnest(sh) AS g FROM s WHERE doc_id % 2 = 1
+            )
+        ),
+        xa AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_a FROM ga),
+        xb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_b FROM gb),
+        xi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_inter
+               FROM ga JOIN gb USING (g))
+        SELECT est.n_hashes, est.n_agree,
+               round(CAST(n_agree AS DOUBLE) / CAST(n_hashes AS DOUBLE), 6)
+                   AS est_jaccard,
+               n_a, n_b, n_inter,
+               CAST(n_a + n_b - n_inter AS BIGINT) AS n_union,
+               round(CAST(n_inter AS DOUBLE)
+                     / CAST(n_a + n_b - n_inter AS DOUBLE), 6)
+                   AS exact_jaccard
+        FROM est, xa, xb, xi
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

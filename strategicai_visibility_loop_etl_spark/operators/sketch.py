@@ -317,3 +317,118 @@ def cms_estimate(
         .groupBy("value")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
     )
+
+
+def corpus_minhash_sketch(
+    df: DataFrame,
+    label: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Corpus-LEVEL MinHash signature in long form: (corpus, i, minv)
+    — ``num_hashes`` rows, hash ``i`` = min over the corpus's shingle
+    multiset of ``xxhash64(shingle, seed=i)`` (min over the multiset
+    equals min over the set, so no distinct pass is spent).
+
+    The corpus-comparison member of the mergeable-sketch family
+    (HLL qx05, CMS qx50): two sketches of the SAME corpus split
+    merge by per-``i`` MIN, and two corpora's sketches estimate
+    their shingle-set Jaccard — the release-vs-release overlap /
+    contamination dashboard number a 100 TB pipeline cannot afford
+    to compute exactly.  One explode + one 64-way map-side MIN
+    aggregate per corpus; the signature is 64 rows regardless of
+    corpus size.
+    """
+    ex = exploded_shingles(df, text_col, id_col, k)
+    agg = ex.groupBy().agg(
+        *[
+            F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), F.col(f"__h{i}").alias("minv")
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return agg.select(F.explode(pairs).alias("p")).select(
+        F.lit(label).alias("corpus"),
+        F.col("p.i").alias("i"),
+        F.col("p.minv").alias("minv"),
+    )
+
+
+def corpus_minhash_estimate(
+    sketches: DataFrame,
+    label_a: str,
+    label_b: str,
+    num_hashes: int,
+) -> DataFrame:
+    """1-row (n_hashes, n_agree, est_jaccard) from two staged
+    corpus sketches: the classic single-permutation estimator —
+    agreement fraction of the per-hash minima.  Model-sized join
+    (num_hashes rows per side)."""
+    a = sketches.filter(F.col("corpus") == label_a).select(
+        "i", F.col("minv").alias("ma")
+    )
+    b = sketches.filter(F.col("corpus") == label_b).select(
+        "i", F.col("minv").alias("mb")
+    )
+    return (
+        a.join(b, "i")
+        .agg(
+            F.count("*").alias("n_hashes"),
+            F.sum(
+                F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)
+            ).cast("bigint").alias("n_agree"),
+        )
+        .select(
+            "n_hashes",
+            "n_agree",
+            round_c(
+                F.col("n_agree").cast("double")
+                / F.col("n_hashes").cast("double"),
+                6,
+            ).alias("est_jaccard"),
+        )
+    )
+
+
+def corpus_exact_jaccard(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """1-row (n_a, n_b, n_inter, n_union, exact_jaccard) over the two
+    corpora's DISTINCT shingle sets — the verification twin of the
+    sketch estimate (run it at audit scale; the sketch is the 100 TB
+    path).  Distinct + one set-intersection join."""
+    a = exploded_shingles(df_a, text_col, id_col, k).select("g").distinct()
+    b = exploded_shingles(df_b, text_col, id_col, k).select("g").distinct()
+    na = a.agg(F.count("*").alias("n_a"))
+    nb = b.agg(F.count("*").alias("n_b"))
+    ni = a.join(b, "g").agg(F.count("*").alias("n_inter"))
+    return (
+        na.crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(ni))
+        .select(
+            "n_a",
+            "n_b",
+            "n_inter",
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter")).alias("n_union"),
+            round_c(
+                F.col("n_inter").cast("double")
+                / (
+                    F.col("n_a") + F.col("n_b") - F.col("n_inter")
+                ).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )

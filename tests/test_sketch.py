@@ -375,3 +375,53 @@ def test_cms_absent_value_estimates_zero(spark):
     # With 64*4 cells and 2 distinct inserted values, at least one of a
     # fresh value's 4 probe rows hits an empty cell -> exact 0.
     assert est["never_seen_1"] == 0 and est["never_seen_2"] == 0
+
+
+def test_corpus_minhash_sketch_is_mergeable(spark):
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.sketch import (
+        corpus_minhash_sketch,
+    )
+
+    rows = [(i, f"tok{i % 9} tok{(i + 1) % 9} tok{(i + 2) % 9} tok{i % 4}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    whole = {
+        (r["i"],): r["minv"]
+        for r in corpus_minhash_sketch(df, "w", num_hashes=16).collect()
+    }
+    s1 = corpus_minhash_sketch(df.filter(F.col("doc_id") < 20), "w", num_hashes=16)
+    s2 = corpus_minhash_sketch(df.filter(F.col("doc_id") >= 20), "w", num_hashes=16)
+    merged = {
+        (r["i"],): r["mn"]
+        for r in s1.unionAll(s2).groupBy("i").agg(F.min("minv").alias("mn")).collect()
+    }
+    assert whole == merged
+
+
+def test_corpus_minhash_estimate_identical_and_disjoint(spark):
+    from strategicai_visibility_loop_etl_spark.operators.sketch import (
+        corpus_exact_jaccard,
+        corpus_minhash_estimate,
+        corpus_minhash_sketch,
+    )
+
+    same = [(i, "alpha beta gamma delta epsilon") for i in range(5)]
+    disj = [(i, f"zeta{i} eta{i} theta{i} iota{i} kappa{i}") for i in range(5)]
+    d_same = spark.createDataFrame(same, "doc_id long, text string")
+    d_disj = spark.createDataFrame(disj, "doc_id long, text string")
+
+    sk = corpus_minhash_sketch(d_same, "a", num_hashes=32).unionAll(
+        corpus_minhash_sketch(d_same, "b", num_hashes=32)
+    )
+    r = corpus_minhash_estimate(sk, "a", "b", num_hashes=32).collect()[0]
+    assert r["n_agree"] == 32 and r["est_jaccard"] == 1.0
+
+    sk2 = corpus_minhash_sketch(d_same, "a", num_hashes=32).unionAll(
+        corpus_minhash_sketch(d_disj, "b", num_hashes=32)
+    )
+    r2 = corpus_minhash_estimate(sk2, "a", "b", num_hashes=32).collect()[0]
+    ex2 = corpus_exact_jaccard(d_same, d_disj).collect()[0]
+    assert ex2["n_inter"] == 0 and ex2["exact_jaccard"] == 0.0
+    assert r2["est_jaccard"] == 0.0  # disjoint shingle sets never agree
