@@ -3796,6 +3796,44 @@ def qx55_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(exact))
 
 
+def qx56_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host link-graph extraction (capability row 150): documents get
+    integer-arithmetic-manufactured anchors (1-3 well-formed hrefs
+    to hash-chosen hosts, plus a schemeless junk href on every 5th
+    doc that url_host must reject), then the real regex extraction +
+    authority parse + edge aggregation. The oracle predicts the
+    graph from the same arithmetic — any extraction or host-parse
+    defect diverges."""
+    from strategicai_visibility_loop_etl_spark.operators.graph import link_graph
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    anchors = F.transform(
+        F.sequence(F.lit(1).cast("bigint"), did % 3 + 1),
+        lambda j: F.concat(
+            F.lit('<a href="https://host'),
+            ((did * 13 + j * 7) % 12).cast("string"),
+            F.lit('.example/p'),
+            j.cast("string"),
+            F.lit('">x</a>'),
+        ),
+    )
+    pages = docs.select(
+        F.concat(
+            F.lit("host"), (did % 12).cast("string"), F.lit(".example")
+        ).alias("src_host"),
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.array_join(anchors, " "),
+            F.when(
+                did % 5 == 0, F.lit(' <a href="not a url">y</a>')
+            ).otherwise(F.lit("")),
+        ).alias("page"),
+    )
+    return link_graph(pages).orderBy("src_host", "dst_host")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3919,6 +3957,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx53_triangle_count": qx53_triangle_count,
         "qx54_key_skew": qx54_key_skew,
         "qx55_corpus_overlap": qx55_corpus_overlap,
+        "qx56_link_graph": qx56_link_graph,
     }
 
 
@@ -5771,6 +5810,24 @@ def extra_oracle_sql() -> dict[str, str]:
                      / CAST(n_a + n_b - n_inter AS DOUBLE), 6)
                    AS exact_jaccard
         FROM est, xa, xb, xi
+    """
+
+    # qx56: link-graph replay — the oracle PREDICTS the edge list
+    # from the anchor-manufacture arithmetic (q18's known-output
+    # pattern): well-formed hrefs land on hash-chosen hosts, the
+    # schemeless junk href on every 5th doc must be absent.
+    sql["qx56_link_graph"] = """
+        WITH l AS (
+            SELECT 'host' || CAST(doc_id % 12 AS VARCHAR) || '.example'
+                       AS src_host,
+                   'host' || CAST((doc_id * 13 + j * 7) % 12 AS VARCHAR)
+                       || '.example' AS dst_host
+            FROM (SELECT doc_id, unnest(range(1, doc_id % 3 + 2)) AS j
+                  FROM documents)
+        )
+        SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+        FROM l GROUP BY src_host, dst_host
+        ORDER BY src_host, dst_host
     """
 
     # qx33: Theil-Sen — pairwise slopes + exact interpolated median.

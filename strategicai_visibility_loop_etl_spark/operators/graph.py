@@ -203,3 +203,41 @@ def triangle_count(
             ),
         )
     )
+
+
+def link_graph(
+    pages: DataFrame,
+    src_host_col: str = "src_host",
+    text_col: str = "page",
+) -> DataFrame:
+    """Host-level link graph from crawled page HTML:
+    (src_host, dst_host, n_links) — the extraction step that feeds
+    ``pagerank`` in a crawl-frontier / host-authority pipeline
+    (Common Crawl's host-graph regime).
+
+    Pure codegen: ``regexp_extract_all`` pulls every ``href="..."``
+    value map-side, ``url_host`` (`functions/urls.py`) parses the
+    authority with the same semantics the visibility normalizer
+    uses, unparseable targets (no scheme/authority) drop via the
+    NULL filter, and one hash aggregate produces edge weights.  No
+    UDF, no collect; the explode fans out by links-per-page (tens),
+    not corpus size.
+    """
+    links = pages.select(
+        F.col(src_host_col).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(r'href="([^"]*)"'), F.lit(1)
+            )
+        ).alias("__href"),
+    )
+    from ..functions.urls import url_host
+
+    return (
+        links.select(
+            "src_host", url_host(F.col("__href")).alias("dst_host")
+        )
+        .filter(F.col("dst_host").isNotNull())
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+    )

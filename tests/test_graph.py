@@ -86,3 +86,25 @@ def test_triangle_count_partitioning_independence(spark):
     a = sorted(map(tuple, triangle_count(edges).collect()))
     b = sorted(map(tuple, triangle_count(edges.repartition(13)).collect()))
     assert a == b
+
+
+def test_link_graph_extraction_and_host_parse(spark):
+    from strategicai_visibility_loop_etl_spark.operators.graph import link_graph
+
+    pages = spark.createDataFrame(
+        [
+            # two links to b.example (one with port+userinfo), one to c
+            ("a.example",
+             'x <a href="https://b.example/p1">l</a> '
+             '<a href="http://user@B.Example.:8080/p2">l</a> '
+             '<a href="https://c.example/">l</a>'),
+            # junk hrefs only: schemeless, empty, fragment
+            ("a.example", '<a href="not a url">j</a> <a href="">j</a> '
+                          '<a href="/rel/path">j</a>'),
+            ("b.example", 'no links at all'),
+        ],
+        "src_host string, page string",
+    )
+    out = {(r["src_host"], r["dst_host"]): r["n_links"]
+           for r in link_graph(pages).collect()}
+    assert out == {("a.example", "b.example"): 2, ("a.example", "c.example"): 1}
