@@ -3834,6 +3834,40 @@ def qx56_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_graph(pages).orderBy("src_host", "dst_host")
 
 
+def qx57_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous LPA communities (capability row 151): a
+    block-structured manufactured graph — dense hash edges inside
+    25-node blocks, one bridge per block — then 4 deterministic LPA
+    rounds (mode label, smallest-label ties). Integer-only; the
+    DuckDB oracle unrolls identical rounds."""
+    from strategicai_visibility_loop_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    total = docs.agg(F.count("*").alias("__n"))
+    did = F.col("id")
+    base = (did - did % 25)
+    intra = docs.select(
+        did.alias("src"),
+        F.explode(
+            F.array(
+                base + (did * 7 + 3) % 25,
+                base + (did * 7 + 6) % 25,
+            )
+        ).alias("dst"),
+    )
+    bridge = (
+        docs.filter(did % 25 == 0)
+        .crossJoin(F.broadcast(total))
+        .select(did.alias("src"), F.pmod(did + 25, F.col("__n")).alias("dst"))
+    )
+    lp = label_propagation(docs, intra.unionAll(bridge), iters=4)
+    return lp.select(
+        F.col("id").alias("doc_id"), "label"
+    ).orderBy("doc_id")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3958,6 +3992,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx54_key_skew": qx54_key_skew,
         "qx55_corpus_overlap": qx55_corpus_overlap,
         "qx56_link_graph": qx56_link_graph,
+        "qx57_label_propagation": qx57_label_propagation,
     }
 
 
@@ -6192,6 +6227,53 @@ def extra_oracle_sql() -> dict[str, str]:
     sql["qx42_exactsubstr_incremental"] = f"""
         SELECT * FROM ({sql["qx15_exactsubstr"]})
         WHERE doc_id % 10 = 0 ORDER BY doc_id
+    """
+
+    # qx57: LPA replay — unrolled synchronous rounds (prev-CTE name
+    # advanced each loop).  The inner join onto the existing-node
+    # label table drops edges into doc_id gaps exactly like the Spark
+    # operator's label join; ties break (cnt DESC, label ASC) in both.
+    lpa_steps = []
+    lpa_prev = "l0"
+    for _i in range(1, 5):
+        lpa_steps.append(f"""
+        n{_i} AS (
+            SELECT u.s AS id, l.label AS nl, COUNT(*) AS cnt
+            FROM und u JOIN {lpa_prev} l ON u.d = l.id
+            GROUP BY u.s, l.label
+        ),
+        t{_i} AS (
+            SELECT id, nl FROM (
+                SELECT id, nl, row_number() OVER (
+                    PARTITION BY id ORDER BY cnt DESC, nl) AS rn
+                FROM n{_i})
+            WHERE rn = 1
+        ),
+        l{_i} AS (
+            SELECT p.id, coalesce(t.nl, p.label) AS label
+            FROM {lpa_prev} p LEFT JOIN t{_i} t ON p.id = t.id
+        )""")
+        lpa_prev = f"l{_i}"
+    sql["qx57_label_propagation"] = f"""
+        WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        e AS (
+            SELECT id AS s, (id - id % 25) + (id * 7 + 3) % 25 AS d
+            FROM nodes
+            UNION ALL
+            SELECT id, (id - id % 25) + (id * 7 + 6) % 25 FROM nodes
+            UNION ALL
+            SELECT id, (id + 25) % n FROM nodes, tot WHERE id % 25 = 0
+        ),
+        und AS (
+            SELECT DISTINCT s, d FROM (
+                SELECT s, d FROM e WHERE s <> d
+                UNION ALL
+                SELECT d, s FROM e WHERE s <> d)
+        ),
+        l0 AS (SELECT id, id AS label FROM nodes),
+        {','.join(lpa_steps)}
+        SELECT id AS doc_id, label FROM {lpa_prev} ORDER BY doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

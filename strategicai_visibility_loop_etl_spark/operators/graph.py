@@ -26,7 +26,7 @@ goes; the cadence is identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_c
@@ -241,3 +241,76 @@ def link_graph(
         .groupBy("src_host", "dst_host")
         .agg(F.count("*").alias("n_links"))
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 4,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection:
+    (id, label) after ``iters`` rounds — the cheap community signal
+    over a host/near-dup graph (Raghavan et al. 2007; the GraphX
+    LPA shape).  Distinct from connected components
+    (`operators/clusters.py`): CC merges everything reachable, LPA
+    partitions a connected graph into densely-linked communities.
+
+    Determinism (LPA is notoriously order-sensitive; this variant is
+    not): updates are fully synchronous, every node adopts the MODE
+    of its neighbors' labels with ties broken by the smallest label,
+    and isolated nodes keep their own.  Pure integer relational
+    algebra — join, count, row_number — so a DuckDB twin unrolling
+    the same rounds reproduces every label exactly.
+
+    Per-iteration shape: one join (labels → undirected edge list),
+    one (node, label) hash aggregate, one per-node top-1 window
+    (WindowGroupLimit prunes to the argmax row), a left join back to
+    the vertex spine, and a ``localCheckpoint`` barrier (the
+    pagerank cadence — without it round ``t`` replays the whole
+    lineage).
+    """
+    n1 = nodes.select(F.col(id_col).alias("id"))
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    und = (
+        e.filter(F.col("s") != F.col("d"))
+        .select("s", "d")
+        .unionAll(e.filter(F.col("s") != F.col("d")).select(
+            F.col("d").alias("s"), F.col("s").alias("d")
+        ))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = n1.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=False
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("cnt").desc(), F.col("nl")
+    )
+    for _ in range(iters):
+        neigh = (
+            und.join(
+                labels.select(
+                    F.col("id").alias("d"), F.col("label").alias("nl")
+                ),
+                "d",
+            )
+            .groupBy(F.col("s").alias("id"), "nl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        top = (
+            neigh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("nl").alias("new_label"))
+        )
+        labels = (
+            labels.join(top, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -88,6 +88,51 @@ def test_triangle_count_partitioning_independence(spark):
     assert a == b
 
 
+def test_label_propagation_two_communities(spark):
+    from strategicai_visibility_loop_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    # Two triangles {0,1,2} and {3,4,5} joined by one bridge 2-3,
+    # plus an isolated node 6.  Hand-unrolled synchronous rounds
+    # (mode, smallest-label ties) converge to labels 0 / 2 by round
+    # 3; the isolated node keeps its own label.
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)],
+        "src long, dst long",
+    )
+    got = {r["id"]: r["label"]
+           for r in label_propagation(nodes, edges, iters=4).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2, 6: 6}
+    # Intermediate round check (round 2 of the hand unroll).
+    got2 = {r["id"]: r["label"]
+            for r in label_propagation(nodes, edges, iters=2).collect()}
+    assert got2 == {0: 0, 1: 0, 2: 0, 3: 3, 4: 2, 5: 2, 6: 6}
+
+
+def test_label_propagation_partitioning_independence(spark):
+    from strategicai_visibility_loop_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    edges = spark.createDataFrame(
+        [(i % 20, (i * 7 + 3) % 20) for i in range(60)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, label_propagation(nodes, edges, iters=3).collect()))
+    b = sorted(
+        map(
+            tuple,
+            label_propagation(
+                nodes.repartition(7), edges.repartition(5), iters=3
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
 def test_link_graph_extraction_and_host_parse(spark):
     from strategicai_visibility_loop_etl_spark.operators.graph import link_graph
 
