@@ -3868,6 +3868,22 @@ def qx57_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx58_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley channel attribution (capability row 152): the
+    four non-conversion event types as touch channels, 'purchase' as
+    the conversion; set-coalition worth with exact integer/DECIMAL
+    numerators, one double division by n! at the end. DuckDB replays
+    the identical lattice and weight arithmetic."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        shapley_attribution,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return shapley_attribution(
+        ev, ["click", "error", "signup", "view"], "purchase"
+    ).orderBy("channel")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -3993,6 +4009,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx55_corpus_overlap": qx55_corpus_overlap,
         "qx56_link_graph": qx56_link_graph,
         "qx57_label_propagation": qx57_label_propagation,
+        "qx58_shapley_attribution": qx58_shapley_attribution,
     }
 
 
@@ -6274,6 +6291,55 @@ def extra_oracle_sql() -> dict[str, str]:
         l0 AS (SELECT id, id AS label FROM nodes),
         {','.join(lpa_steps)}
         SELECT id AS doc_id, label FROM {lpa_prev} ORDER BY doc_id
+    """
+
+    # qx58: Shapley attribution — identical lattice: per-user touch
+    # masks, cumulative worth via superset explode, signed factorial
+    # weights (n=4: w(s)=s!(3-s)! = [6,2,2,6]), one /24 at the end.
+    sql["qx58_shapley_attribution"] = """
+        WITH conv AS (
+            SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS conv_n,
+                   SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS conv_v
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        touched AS (
+            SELECT user_id AS u,
+                   SUM(DISTINCT CASE event_type
+                       WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                       WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END) AS mask
+            FROM events
+            WHERE event_type IN ('click','error','signup','view')
+            GROUP BY user_id
+        ),
+        per_set AS (
+            SELECT COALESCE(mask, 0) AS mask,
+                   SUM(conv_n) AS t_n, SUM(conv_v) AS t_v
+            FROM conv LEFT JOIN touched USING (u) GROUP BY 1
+        ),
+        sup AS (
+            SELECT mask, t_n, t_v, unnest(range(0, 16)) AS b FROM per_set
+        ),
+        v AS (
+            SELECT mask | b AS s, SUM(t_n) AS v_n, SUM(t_v) AS v_v
+            FROM sup WHERE (b & mask) = 0 GROUP BY 1
+        ),
+        terms AS (
+            SELECT ch.channel,
+                   CASE WHEN (v.s & ch.bit) <> 0
+                        THEN list_extract([6,2,2,6], bit_count(v.s))
+                        ELSE -list_extract([6,2,2,6], bit_count(v.s) + 1)
+                   END AS w,
+                   v.v_n, v.v_v
+            FROM v CROSS JOIN (VALUES (1,'click'),(2,'error'),
+                                      (4,'signup'),(8,'view'))
+                AS ch(bit, channel)
+        )
+        SELECT channel,
+               round(CAST(SUM(CAST(w * v_n AS DECIMAL(38,0))) AS DOUBLE)
+                     / 24, 6) AS shapley_conversions,
+               round(CAST(SUM(CAST(w AS DECIMAL(38,6)) * v_v) AS DOUBLE)
+                     / 24, 6) AS shapley_value
+        FROM terms GROUP BY channel ORDER BY channel
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

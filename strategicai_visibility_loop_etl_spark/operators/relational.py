@@ -180,3 +180,134 @@ def conditional_agg(
     aggregate, map-side partial agg."""
     aggs = [F.sum(F.when(cond, F.col(cond_col))).alias(name) for name, cond in conditions.items()]
     return df.groupBy(group_col).agg(*aggs)
+
+
+def shapley_attribution(
+    events: DataFrame,
+    channels: Sequence[str],
+    conversion_type: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact Shapley-value channel attribution (the set-coalition
+    marketing formulation, Shapley 1953 / Zhao et al. 2018): one row
+    per channel with ``shapley_conversions`` and ``shapley_value`` —
+    each channel's fair share of conversion count and value.
+
+    Worth function: ``v(S)`` = conversions from users whose touched
+    channel set ``T ⊆ S`` (cumulative coalition worth; users touching
+    no channel form the baseline ``v(∅)``, attributed to nobody), and
+    ``φ_i = Σ_{S∌i} |S|!(n−|S|−1)!/n! · [v(S∪i) − v(S)]``, so
+    ``Σ_i φ_i = v(N) − v(∅)`` exactly (efficiency axiom — pinned in
+    pytest).  Timestamp-free by design: touch sets, not paths, so no
+    engine-dependent within-timestamp ordering can change the answer.
+
+    Shape at 100 TB: ONE wide shuffle (the per-user hash aggregates,
+    both keyed on ``user_col`` — AQE reuses the exchange); everything
+    after is model-sized: ≤2^n observed-set rows exploded to the
+    2^n-subset lattice (explode + hash agg, NO join, no
+    CartesianProduct), then a posexplode over the n channels.
+    Numerators stay EXACT: integer weights ``s!(n−1−s)!`` times
+    per-set counts/DECIMAL sums, one double division by ``n!`` at the
+    very end through ``round_c`` — partitioning- and engine-exact.
+    ``n`` is capped at 16 (the lattice is 2^n; marketing channel sets
+    are single digits).
+    """
+    import math
+
+    from ..functions.numeric import round_c
+
+    n = len(channels)
+    if not 1 <= n <= 16:
+        raise ValueError(f"need 1..16 channels, got {n}")
+    if len(set(channels)) != n or conversion_type in set(channels):
+        raise ValueError("channels must be unique and exclude the conversion type")
+
+    full = (1 << n) - 1
+    bit_of = F.lit(None)
+    for i, c in enumerate(channels):
+        bit_of = F.when(F.col("ch") == c, F.lit(1 << i)).otherwise(bit_of)
+
+    touched = (
+        events.filter(F.col(type_col).isin(list(channels)))
+        .select(F.col(user_col).alias("u"), F.col(type_col).alias("ch"))
+        .distinct()
+        .groupBy("u")
+        .agg(F.sum(bit_of).alias("mask"))
+    )
+    conv = (
+        events.filter(F.col(type_col) == conversion_type)
+        .select(F.col(user_col).alias("u"), F.col(value_col).alias("v"))
+        .groupBy("u")
+        .agg(
+            F.count("*").alias("conv_n"),
+            F.sum(round_c(F.col("v"), 6).cast("decimal(28,6)")).alias("conv_v"),
+        )
+    )
+    per_set = (
+        conv.join(touched, "u", "left")
+        .select(
+            F.coalesce(F.col("mask"), F.lit(0)).alias("mask"), "conv_n", "conv_v"
+        )
+        .groupBy("mask")
+        .agg(F.sum("conv_n").alias("t_n"), F.sum("conv_v").alias("t_v"))
+    )
+    # Cumulative worth v(S) = Σ_{T ⊆ S} t(T): explode each observed
+    # set to its supersets (T | b for every b in the complement).
+    v_table = (
+        per_set.select(
+            "mask",
+            "t_n",
+            "t_v",
+            F.explode(
+                F.filter(
+                    F.sequence(F.lit(0), F.lit(full)),
+                    lambda b: b.bitwiseAND(F.col("mask")) == 0,
+                )
+            ).alias("b"),
+        )
+        .groupBy(F.col("mask").bitwiseOR(F.col("b")).alias("s"))
+        .agg(F.sum("t_n").alias("v_n"), F.sum("t_v").alias("v_v"))
+    )
+    # Signed weight per (S, channel): +w(|S|−1) if i∈S else −w(|S|),
+    # with w(s) = s!(n−1−s)! so φ_i·n! = Σ_S signed(S,i)·v(S) exactly.
+    w_arr = F.array(
+        *[
+            F.lit(math.factorial(s) * math.factorial(n - 1 - s))
+            for s in range(n)
+        ]
+    )
+    pc = F.bit_count(F.col("s"))
+    # shiftleft needs a literal shift — index a literal bit array by
+    # the channel position instead (element_at is 1-based).
+    bit_arr = F.array(*[F.lit(1 << i) for i in range(n)])
+    member = F.col("s").bitwiseAND(F.element_at(bit_arr, F.col("i") + F.lit(1))) != 0
+    signed = F.when(member, F.element_at(w_arr, pc)).otherwise(
+        -F.element_at(w_arr, pc + F.lit(1))
+    )
+    nfact = float(math.factorial(n))
+    return (
+        v_table.select(
+            "s",
+            "v_n",
+            "v_v",
+            F.posexplode(F.array(*[F.lit(c) for c in channels])).alias(
+                "i", "channel"
+            ),
+        )
+        .select(
+            "channel",
+            (signed * F.col("v_n")).cast("decimal(38,0)").alias("num_n"),
+            (signed * F.col("v_v")).cast("decimal(38,6)").alias("num_v"),
+        )
+        .groupBy("channel")
+        .agg(
+            round_c(F.sum("num_n").cast("double") / nfact, 6).alias(
+                "shapley_conversions"
+            ),
+            round_c(F.sum("num_v").cast("double") / nfact, 6).alias(
+                "shapley_value"
+            ),
+        )
+    )

@@ -157,3 +157,64 @@ def test_sessionize_streaming_matches_batch(spark, tmp_path):
     # the first (closed) session of every user must have been emitted
     closed_first = {k for k in batch_keys if k[2] == 3}
     assert closed_first <= got_keys
+
+
+def test_shapley_attribution_hand_example(spark):
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        shapley_attribution,
+    )
+
+    # u1 touches A and buys 10; u2 touches A+B and buys 2+3; u3
+    # touches nothing and buys 7 (baseline mass, attributed to
+    # nobody); u4 touches B and never buys.  Hand Shapley (n=2):
+    # phi_A = ([v(A)-v(0)] + [v(AB)-v(B)])/2 = (1+3)/2 = 2 convs,
+    # (10+15)/2 = 12.5 value; phi_B = (0+2)/2 = 1 conv, (0+5)/2 = 2.5.
+    rows = [
+        (1, "A", 0.0), (1, "buy", 10.0),
+        (2, "A", 0.0), (2, "B", 0.0), (2, "buy", 2.0), (2, "buy", 3.0),
+        (3, "buy", 7.0),
+        (4, "B", 0.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, value double")
+    got = {
+        r["channel"]: (r["shapley_conversions"], r["shapley_value"])
+        for r in shapley_attribution(ev, ["A", "B"], "buy").collect()
+    }
+    assert got == {"A": (2.0, 12.5), "B": (1.0, 2.5)}
+
+
+def test_shapley_efficiency_axiom_and_partition_independence(spark):
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        shapley_attribution,
+    )
+
+    # Pseudo-random touch/conversion data over 3 channels: the
+    # Shapley shares must sum exactly to v(N) - v(empty) (efficiency
+    # axiom), and the answer must not depend on partitioning.
+    ev = (
+        spark.range(600)
+        .select(
+            (F.col("id") % 40).alias("user_id"),
+            F.element_at(
+                F.array(*[F.lit(c) for c in ["A", "B", "C", "buy"]]),
+                ((F.col("id") * 7 + 3) % 4 + 1).cast("int"),
+            ).alias("event_type"),
+            (F.col("id") % 13).cast("double").alias("value"),
+        )
+    )
+    res = shapley_attribution(ev, ["A", "B", "C"], "buy")
+    tot = res.agg(
+        F.sum("shapley_conversions").alias("n"), F.sum("shapley_value").alias("v")
+    ).collect()[0]
+    # v(N): all conversions from users touching >=0 channels minus
+    # v(empty): conversions from users touching none.
+    conv = ev.filter(F.col("event_type") == "buy")
+    touched_users = ev.filter(F.col("event_type") != "buy").select("user_id").distinct()
+    v_full = conv.count()
+    v_empty = conv.join(touched_users, "user_id", "left_anti").count()
+    assert abs(tot["n"] - (v_full - v_empty)) < 1e-6
+    a = sorted(map(tuple, res.collect()))
+    b = sorted(map(tuple, shapley_attribution(ev.repartition(17), ["A", "B", "C"], "buy").collect()))
+    assert a == b
