@@ -3884,6 +3884,20 @@ def qx58_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("channel")
 
 
+def qx59_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band/row planner (capability row 153): S-curve error mass
+    for every factorization b·r = 64 at threshold 0.5 — powers as
+    left-fold IEEE multiplies (never pow), per-point DECIMAL(18,9)
+    rounding, exact integral sums. DuckDB replays via list_reduce."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        lsh_band_plan,
+    )
+
+    return lsh_band_plan(spark, n_hashes=64, threshold=0.5, grid=100).orderBy(
+        "b"
+    )
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4010,6 +4024,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx56_link_graph": qx56_link_graph,
         "qx57_label_propagation": qx57_label_propagation,
         "qx58_shapley_attribution": qx58_shapley_attribution,
+        "qx59_lsh_band_plan": qx59_lsh_band_plan,
     }
 
 
@@ -6340,6 +6355,49 @@ def extra_oracle_sql() -> dict[str, str]:
                round(CAST(SUM(CAST(w AS DECIMAL(38,6)) * v_v) AS DOUBLE)
                      / 24, 6) AS shapley_value
         FROM terms GROUP BY channel ORDER BY channel
+    """
+
+    # qx59: LSH planner replay — identical left-fold multiplies via
+    # list_reduce; i stays INTEGER to match Spark's int cast.
+    sql["qx59_lsh_band_plan"] = """
+        WITH pairs AS (
+            SELECT CAST(b AS INTEGER) AS b, CAST(64 // b AS INTEGER) AS r
+            FROM (SELECT unnest([1,2,4,8,16,32,64]) AS b)
+        ),
+        g AS (
+            SELECT CAST(i AS INTEGER) AS i, CAST(i AS DOUBLE) / 100 AS s
+            FROM (SELECT unnest(range(1, 100)) AS i)
+        ),
+        c AS (
+            SELECT b, r, i,
+                   list_reduce(list_transform(range(1, r + 1), x -> s),
+                               (a, x) -> a * x) AS sr
+            FROM pairs CROSS JOIN g
+        ),
+        p AS (
+            SELECT b, r, i,
+                   CAST(round(1.0 - list_reduce(
+                            list_transform(range(1, b + 1), x -> 1.0 - sr),
+                            (a, x) -> a * x), 9) AS DECIMAL(18,9)) AS pd
+            FROM c
+        ),
+        areas AS (
+            SELECT b, r,
+                   round(CAST(SUM(CASE WHEN i < 50 THEN pd ELSE 0 END)
+                              AS DOUBLE) / 100, 6) AS fp_area,
+                   round(CAST(SUM(CASE WHEN i >= 50
+                                  THEN CAST(1 AS DECIMAL(18,9)) - pd
+                                  ELSE 0 END) AS DOUBLE) / 100, 6) AS fn_area
+            FROM p GROUP BY b, r
+        ),
+        tot AS (
+            SELECT b, r, fp_area, fn_area,
+                   round(fp_area + fn_area, 6) AS total_error
+            FROM areas
+        )
+        SELECT b, r, fp_area, fn_area, total_error,
+               total_error = MIN(total_error) OVER () AS recommended
+        FROM tot ORDER BY b
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -1183,3 +1183,89 @@ def incremental_pairs_from_signatures(
         .filter(F.col("jaccard_est") >= threshold)
         .select("id_a", "id_b", "jaccard_est")
     )
+
+
+def lsh_band_plan(
+    spark,
+    n_hashes: int = 64,
+    threshold: float = 0.5,
+    grid: int = 100,
+) -> DataFrame:
+    """LSH band/row planner: score every factorization ``b·r =
+    n_hashes`` of a MinHash signature by its S-curve error mass and
+    flag the best — the planning step production LSH (datasketch's
+    ``_optimal_param``, Leskovec/Rajaraman/Ullman ch.3) runs before
+    paying for ``minhash_lsh_pairs`` at corpus scale.
+
+    Collision probability for a pair at Jaccard ``s`` under (b, r)
+    banding is ``p(s) = 1 − (1 − s^r)^b``.  ``fp_area`` integrates
+    ``p`` below ``threshold`` (pairs LSH surfaces that it shouldn't),
+    ``fn_area`` integrates ``1 − p`` above it (pairs it misses), on a
+    ``grid``-point midpoint rule; ``recommended`` marks the minimal
+    ``fp_area + fn_area``.
+
+    Engine-exactness: powers are evaluated as LEFT-FOLD REPEATED IEEE
+    MULTIPLIES (Spark ``aggregate``, DuckDB ``list_reduce``) — never
+    ``pow()``, whose libm implementations differ by ulps across
+    engines; each ``p`` rounds to DECIMAL(18,9) before the exact
+    integral sums.  Model-sized throughout (divisor count × grid
+    rows) — the broadcast nested-loop cross of two literal frames is
+    the legitimate scalar-frame exception to the no-cartesian rule.
+    """
+    if n_hashes < 1 or not 0.0 < threshold < 1.0:
+        raise ValueError("need n_hashes >= 1 and 0 < threshold < 1")
+    pairs = [
+        (b, n_hashes // b) for b in range(1, n_hashes + 1) if n_hashes % b == 0
+    ]
+    base = spark.createDataFrame(pairs, "b int, r int")
+    g = spark.range(1, grid).select(
+        F.col("id").cast("int").alias("i"),
+        (F.col("id").cast("double") / grid).alias("s"),
+    )
+    t_i = round(threshold * grid)
+    sr = F.aggregate(
+        F.sequence(F.lit(1), F.col("r")),
+        F.lit(1.0),
+        lambda acc, _: acc * F.col("s"),
+    )
+    curve = base.crossJoin(F.broadcast(g)).withColumn("sr", sr)
+    p = F.lit(1.0) - F.aggregate(
+        F.sequence(F.lit(1), F.col("b")),
+        F.lit(1.0),
+        lambda acc, _: acc * (F.lit(1.0) - F.col("sr")),
+    )
+    scored = curve.select(
+        "b",
+        "r",
+        "i",
+        round_c(p, 9).cast("decimal(18,9)").alias("pd"),
+    )
+    one = F.lit(1).cast("decimal(18,9)")
+    areas = scored.groupBy("b", "r").agg(
+        round_c(
+            F.sum(F.when(F.col("i") < t_i, F.col("pd")).otherwise(F.lit(0)))
+            .cast("double")
+            / grid,
+            6,
+        ).alias("fp_area"),
+        round_c(
+            F.sum(
+                F.when(F.col("i") >= t_i, one - F.col("pd")).otherwise(F.lit(0))
+            )
+            .cast("double")
+            / grid,
+            6,
+        ).alias("fn_area"),
+    )
+    total = F.col("fp_area") + F.col("fn_area")
+    return areas.select(
+        "b",
+        "r",
+        "fp_area",
+        "fn_area",
+        round_c(total, 6).alias("total_error"),
+    ).withColumn(
+        "recommended",
+        F.col("total_error")
+        == F.min("total_error").over(Window.partitionBy()),
+    )

@@ -851,3 +851,35 @@ def test_ivfpq_recall_beats_flat_pq_and_determinism(spark):
     assert first == run()
     with _pytest.raises(ValueError, match="not divisible"):
         ivfpq_topk(emb, queries, m=3).collect()
+
+
+def test_lsh_band_plan_exact_and_recommendation(spark):
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        lsh_band_plan,
+    )
+
+    # n_hashes=1 has the single factorization (1,1) where p(s) = s:
+    # fp = sum(0.01..0.49)/100 = 0.1225, fn = sum(0.50..0.01)/100
+    # over s >= 0.5 = 0.1275 — exact decimal arithmetic.
+    one = lsh_band_plan(spark, n_hashes=1, threshold=0.5).collect()
+    assert len(one) == 1
+    r = one[0]
+    assert (r["b"], r["r"], r["recommended"]) == (1, 1, True)
+    assert r["fp_area"] == 0.1225 and r["fn_area"] == 0.1275
+
+    # 64 hashes at t=0.5: every row factors 64, the recommended row
+    # carries the minimal total error, and extreme bandings are worse
+    # than the middle (b=1 all-AND misses near-dups; b=64 all-OR
+    # floods false positives).
+    plan = lsh_band_plan(spark, n_hashes=64, threshold=0.5).collect()
+    by_b = {r["b"]: r for r in plan}
+    assert set(by_b) == {1, 2, 4, 8, 16, 32, 64}
+    assert all(r["b"] * r["r"] == 64 for r in plan)
+    best = min(plan, key=lambda r: r["total_error"])
+    assert by_b[best["b"]]["recommended"]
+    assert all(
+        r["total_error"] >= best["total_error"] for r in plan
+    )
+    assert best["total_error"] < by_b[1]["total_error"]
+    assert best["total_error"] < by_b[64]["total_error"]
+    assert best["b"] in {8, 16}  # the textbook sweet spot for t=0.5
