@@ -3898,6 +3898,32 @@ def qx59_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx60_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa labeling QA (capability row 154): three
+    deterministic pseudo-raters per document — rater j agrees with
+    the base category doc_id % 7 when (doc_id·(j+3)) % 5 < 3, else
+    drifts to (doc_id % 7 + j + 1) % 7 — then the exact-integer
+    kappa. DuckDB replays the manufacture and the statistic."""
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        rater_agreement,
+    )
+
+    d = F.col("doc_id")
+    j = F.col("j")
+    labels = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(2))).alias("j"))
+        .select(
+            F.col("doc_id").alias("item_id"),
+            j.alias("rater_id"),
+            F.when((d * (j + 3)) % 5 < 3, d % 7)
+            .otherwise((d % 7 + j + 1) % 7)
+            .alias("category"),
+        )
+    )
+    return rater_agreement(labels)
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4025,6 +4051,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx57_label_propagation": qx57_label_propagation,
         "qx58_shapley_attribution": qx58_shapley_attribution,
         "qx59_lsh_band_plan": qx59_lsh_band_plan,
+        "qx60_rater_agreement": qx60_rater_agreement,
     }
 
 
@@ -6398,6 +6425,57 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT b, r, fp_area, fn_area, total_error,
                total_error = MIN(total_error) OVER () AS recommended
         FROM tot ORDER BY b
+    """
+
+    # qx60: Fleiss' kappa replay — same manufacture, same exact
+    # integer sums, same round-then-derive sequencing (kappa from the
+    # ROUNDED p_bar/p_e, as the operator computes it).
+    sql["qx60_rater_agreement"] = """
+        WITH labels AS (
+            SELECT doc_id AS item, j AS rater,
+                   CASE WHEN (doc_id * (j + 3)) % 5 < 3 THEN doc_id % 7
+                        ELSE (doc_id % 7 + j + 1) % 7 END AS cat
+            FROM (SELECT doc_id, unnest(range(0, 3)) AS j FROM documents)
+        ),
+        per_ic AS (
+            SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS n_ic
+            FROM (SELECT DISTINCT item, rater, cat FROM labels)
+            GROUP BY item, cat
+        ),
+        per_i AS (
+            SELECT item, SUM(n_ic) AS n_i, SUM(n_ic * n_ic) AS sq_i
+            FROM per_ic GROUP BY item
+        ),
+        nmax AS (SELECT MAX(n_i) AS n FROM per_i),
+        kept AS (
+            SELECT item, sq_i, n FROM per_i, nmax WHERE n_i = n
+        ),
+        g1 AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+                   CAST(SUM(sq_i) AS BIGINT) AS a_sum,
+                   CAST(MAX(n) AS BIGINT) AS n
+            FROM kept
+        ),
+        s_c AS (
+            SELECT cat, CAST(SUM(n_ic) AS DECIMAL(38,0)) AS s_c
+            FROM per_ic JOIN kept USING (item) GROUP BY cat
+        ),
+        g2 AS (SELECT SUM(s_c * s_c) AS b_sum FROM s_c),
+        raw AS (
+            SELECT n_items, n,
+                   round((CAST(a_sum AS DOUBLE)
+                          - CAST(n_items AS DOUBLE) * CAST(n AS DOUBLE))
+                         / (CAST(n_items AS DOUBLE) * CAST(n AS DOUBLE)
+                            * (CAST(n AS DOUBLE) - 1.0)), 6) AS p_bar,
+                   round(CAST(b_sum AS DOUBLE)
+                         / ((CAST(n_items AS DOUBLE) * CAST(n AS DOUBLE))
+                            * (CAST(n_items AS DOUBLE) * CAST(n AS DOUBLE))),
+                         6) AS p_e
+            FROM g1, g2
+        )
+        SELECT n_items, n AS n_raters, p_bar, p_e,
+               round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
+        FROM raw
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -204,3 +204,85 @@ def corpus_datasheet(
         )
         .orderBy("metric")
     )
+
+
+def rater_agreement(
+    labels,
+    item_col: str = "item_id",
+    rater_col: str = "rater_id",
+    cat_col: str = "category",
+):
+    """Fleiss' kappa inter-rater agreement (Fleiss 1971) over an
+    (item, rater, category) label table — the labeling-QA gate a
+    training-data pipeline runs over human or ensemble-classifier
+    annotations before trusting them as supervision.
+
+    One row out: ``n_items``, ``n_raters``, ``p_bar`` (mean observed
+    per-item agreement), ``p_e`` (chance agreement from the marginal
+    category distribution) and ``kappa = (p̄ − p_e)/(1 − p_e)``.
+    Fleiss assumes a CONSTANT rater count per item: ``n`` is taken as
+    the max per-item count and items rated by fewer (or duplicate
+    (item, rater) pairs collapsing below it) are dropped —
+    ``n_items`` reports what survived, so a silent partial panel is
+    visible in the output.
+
+    Every intermediate stays an exact integer — A = Σ_i Σ_c n_ic²,
+    S_c = Σ_i n_ic (squared through DECIMAL(38,0): S_c² overflows
+    BIGINT at corpus scale) — with the three divisions done in
+    IEEE double at the very end through ``round_c``, so the statistic
+    is partitioning- and engine-exact.  Shape: two hash aggregates
+    keyed on the item (AQE reuses the exchange), one model-sized
+    per-category aggregate, 1-row broadcasts — no window, no sort.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import round_c
+
+    per_ic = (
+        labels.select(
+            F.col(item_col).alias("item"),
+            F.col(rater_col).alias("rater"),
+            F.col(cat_col).alias("cat"),
+        )
+        .distinct()
+        .groupBy("item", "cat")
+        .agg(F.count("*").alias("n_ic"))
+    )
+    per_i = per_ic.groupBy("item").agg(
+        F.sum("n_ic").alias("n_i"),
+        F.sum(F.col("n_ic") * F.col("n_ic")).alias("sq_i"),
+    )
+    n_row = per_i.agg(F.max("n_i").alias("n"))
+    kept = per_i.crossJoin(F.broadcast(n_row)).filter(F.col("n_i") == F.col("n"))
+    g1 = kept.agg(
+        F.count("*").alias("n_items"),
+        F.sum("sq_i").alias("a_sum"),
+        F.max("n").alias("n"),
+    )
+    s_c = (
+        per_ic.join(kept.select("item"), "item")
+        .groupBy("cat")
+        .agg(F.sum("n_ic").cast("decimal(38,0)").alias("s_c"))
+    )
+    g2 = s_c.agg(F.sum(F.col("s_c") * F.col("s_c")).alias("b_sum"))
+    nn = F.col("n_items").cast("double") * F.col("n").cast("double")
+    p_bar = (F.col("a_sum").cast("double") - nn) / (
+        nn * (F.col("n").cast("double") - F.lit(1.0))
+    )
+    p_e = F.col("b_sum").cast("double") / (nn * nn)
+    return (
+        g1.crossJoin(F.broadcast(g2))
+        .withColumn("p_bar", round_c(p_bar, 6))
+        .withColumn("p_e", round_c(p_e, 6))
+        .select(
+            "n_items",
+            F.col("n").alias("n_raters"),
+            "p_bar",
+            "p_e",
+            round_c(
+                (F.col("p_bar") - F.col("p_e"))
+                / (F.lit(1.0) - F.col("p_e")),
+                6,
+            ).alias("kappa"),
+        )
+    )

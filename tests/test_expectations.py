@@ -115,3 +115,36 @@ def test_key_skew_profile_rejects_bad_args(spark):
     df = spark.createDataFrame([("a",)], "k string")
     with _pytest.raises(ValueError):
         key_skew_profile(df, "k", target_rows=0)
+
+
+def test_fleiss_kappa_hand_example(spark):
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        rater_agreement,
+    )
+
+    # item 1: both raters say A -> P_1 = 1; item 2: split A/B -> P_2
+    # = 0. p_bar = 0.5; S_A=3, S_B=1 over Nn=4 -> p_e = 0.75^2 +
+    # 0.25^2 = 0.625; kappa = (0.5-0.625)/0.375 = -1/3.
+    rows = [(1, "r1", "A"), (1, "r2", "A"), (2, "r1", "A"), (2, "r2", "B")]
+    ev = spark.createDataFrame(rows, "item_id long, rater_id string, category string")
+    r = rater_agreement(ev).collect()[0]
+    assert (r["n_items"], r["n_raters"]) == (2, 2)
+    assert (r["p_bar"], r["p_e"], r["kappa"]) == (0.5, 0.625, -0.333333)
+
+
+def test_fleiss_kappa_perfect_and_partial_panels(spark):
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        rater_agreement,
+    )
+
+    # Perfect agreement over 3 raters -> kappa == 1; item 30 has only
+    # one rater and is dropped (n_items == 2, not 3); duplicate
+    # (item, rater, category) rows collapse.
+    rows = [
+        (10, "a", "X"), (10, "b", "X"), (10, "c", "X"), (10, "c", "X"),
+        (20, "a", "Y"), (20, "b", "Y"), (20, "c", "Y"),
+        (30, "a", "X"),
+    ]
+    ev = spark.createDataFrame(rows, "item_id long, rater_id string, category string")
+    r = rater_agreement(ev).collect()[0]
+    assert (r["n_items"], r["n_raters"], r["p_bar"], r["kappa"]) == (2, 3, 1.0, 1.0)
