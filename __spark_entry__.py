@@ -3924,6 +3924,44 @@ def qx60_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rater_agreement(labels)
 
 
+def qx61_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme evaluation (capability row 155): qx44's part
+    corpus with planted typos — 3rd char dropped for even ids (breaks
+    the 4-char prefix block), 8th char dropped for odd ids (preserves
+    it) — scored against the planted truth pairs under a
+    substring(1,4) blocking key. Non-trivial completeness by
+    construction; DuckDB replays manufacture, blocking and metrics."""
+    from strategicai_visibility_loop_etl_spark.operators.linkage import (
+        blocking_quality,
+    )
+
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 400)
+        .select(F.col("p_partkey").alias("id"), F.col("p_name").alias("name"))
+    )
+    typos = part.filter(F.col("id") < 50).select(
+        (F.col("id") + 1000000).alias("id"),
+        F.when(
+            F.col("id") % 2 == 0,
+            F.concat(
+                F.substring("name", 1, 2), F.substring("name", 4, 1000000)
+            ),
+        )
+        .otherwise(
+            F.concat(F.substring("name", 1, 7), F.substring("name", 9, 1000000))
+        )
+        .alias("name"),
+    )
+    records = part.unionByName(typos).select(
+        "id", F.substring("name", 1, 4).alias("block_key")
+    )
+    truth = part.filter(F.col("id") < 50).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1000000).alias("id_b")
+    )
+    return blocking_quality(records, truth)
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4052,6 +4090,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx58_shapley_attribution": qx58_shapley_attribution,
         "qx59_lsh_band_plan": qx59_lsh_band_plan,
         "qx60_rater_agreement": qx60_rater_agreement,
+        "qx61_blocking_quality": qx61_blocking_quality,
     }
 
 
@@ -6476,6 +6515,61 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT n_items, n AS n_raters, p_bar, p_e,
                round((p_bar - p_e) / (1.0 - p_e), 6) AS kappa
         FROM raw
+    """
+
+    # qx61: blocking-quality replay — same typo manufacture, same
+    # prefix blocking, same exact pair counts and end-stage divisions.
+    sql["qx61_blocking_quality"] = """
+        WITH part0 AS (
+            SELECT p_partkey AS id, p_name AS name FROM part
+            WHERE p_partkey < 400
+        ),
+        typos AS (
+            SELECT id + 1000000 AS id,
+                   CASE WHEN id % 2 = 0
+                        THEN substr(name, 1, 2) || substr(name, 4, 1000000)
+                        ELSE substr(name, 1, 7) || substr(name, 9, 1000000)
+                   END AS name
+            FROM part0 WHERE id < 50
+        ),
+        records AS (
+            SELECT id, substr(name, 1, 4) AS k FROM part0
+            UNION ALL
+            SELECT id, substr(name, 1, 4) AS k FROM typos
+        ),
+        keyed AS (SELECT DISTINCT k, id AS i FROM records),
+        cand AS (
+            SELECT DISTINCT a.i AS id_a, b.i AS id_b
+            FROM keyed a JOIN keyed b ON a.k = b.k AND a.i < b.i
+        ),
+        truth AS (
+            SELECT id AS id_a, id + 1000000 AS id_b FROM part0 WHERE id < 50
+        ),
+        g AS (
+            SELECT (SELECT CAST(COUNT(DISTINCT i) AS BIGINT) FROM keyed)
+                       AS n_records,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM cand)
+                       AS candidate_pairs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM truth)
+                       AS truth_pairs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+                    WHERE EXISTS (SELECT 1 FROM cand c
+                                  WHERE c.id_a = t.id_a
+                                    AND c.id_b = t.id_b))
+                       AS truth_covered,
+                   CAST(0 AS BIGINT) AS oversize_blocks
+        )
+        SELECT n_records, candidate_pairs, truth_pairs, truth_covered,
+               oversize_blocks,
+               round(1.0 - CAST(candidate_pairs AS DOUBLE)
+                     / (CAST(n_records AS DOUBLE)
+                        * (CAST(n_records AS DOUBLE) - 1.0) / 2.0), 6)
+                   AS reduction_ratio,
+               round(CAST(truth_covered AS DOUBLE)
+                     / CAST(truth_pairs AS DOUBLE), 6) AS pairs_completeness,
+               round(CAST(truth_covered AS DOUBLE)
+                     / CAST(candidate_pairs AS DOUBLE), 6) AS pairs_quality
+        FROM g
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

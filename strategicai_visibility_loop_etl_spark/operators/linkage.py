@@ -100,3 +100,92 @@ def fuzzy_match_pairs(
         .filter((F.col("dist") <= max_dist) & (F.col("similarity") >= min_sim))
         .select("id_a", "id_b", "name_a", "name_b", "dist", "similarity")
     )
+
+
+def blocking_quality(
+    records: DataFrame,
+    truth_pairs: DataFrame,
+    id_col: str = "id",
+    key_col: str = "block_key",
+    max_block: int = 100_000,
+) -> DataFrame:
+    """Blocking-scheme evaluation (Christen 2012 ch.7): one row of
+    the three standard metrics a linkage pipeline reads before
+    trusting a blocking key at corpus scale —
+
+    - ``reduction_ratio`` = 1 − |candidates| / C(N,2): how much of
+      the all-pairs quadratic the key eliminated;
+    - ``pairs_completeness`` = recall of ground-truth matches inside
+      the candidate set (a truth pair outside it can NEVER be linked);
+    - ``pairs_quality`` = precision — truth pairs per candidate.
+
+    ``records`` may carry MULTIPLE keys per id (multi-key blocking);
+    candidate pairs are the DISTINCT co-blocked (a < b) pairs.
+    Blocks larger than ``max_block`` are excluded from pair
+    generation (the LSH hot-bucket guard — one stopword block is
+    otherwise quadratic) and surfaced in ``oversize_blocks``; the
+    metrics then describe the GUARDED scheme, which is what runs.
+
+    Counts stay exact integers; the three ratios are IEEE-double
+    divisions at the end through ``round_c``.  Shape: one key-keyed
+    self-join bounded by the guard, hash aggregates, two broadcast
+    1-row frames; truth containment is a broadcast-able semi-join on
+    the canonicalized pair.
+    """
+    ids = records.select(F.col(id_col).alias("i")).distinct()
+    keyed = records.select(
+        F.col(key_col).alias("k"), F.col(id_col).alias("i")
+    ).distinct()
+    sizes = keyed.groupBy("k").agg(F.count("*").alias("c"))
+    ok_keys = sizes.filter(F.col("c") <= max_block).select("k")
+    kept = keyed.join(ok_keys, "k")
+    cand = (
+        kept.alias("a")
+        .join(kept.alias("b"), "k")
+        .filter(F.col("a.i") < F.col("b.i"))
+        .select(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"))
+        .distinct()
+    )
+    truth = (
+        truth_pairs.select(
+            F.least(F.col("id_a"), F.col("id_b")).alias("id_a"),
+            F.greatest(F.col("id_a"), F.col("id_b")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+        .distinct()
+    )
+    g_n = ids.agg(F.count("*").alias("n_records"))
+    g_c = cand.agg(F.count("*").alias("candidate_pairs"))
+    g_t = truth.agg(F.count("*").alias("truth_pairs"))
+    g_cov = (
+        truth.join(cand, ["id_a", "id_b"], "left_semi")
+        .agg(F.count("*").alias("truth_covered"))
+    )
+    g_over = sizes.filter(F.col("c") > max_block).agg(
+        F.count("*").alias("oversize_blocks")
+    )
+    n_d = F.col("n_records").cast("double")
+    total = n_d * (n_d - F.lit(1.0)) / F.lit(2.0)
+    cand_d = F.col("candidate_pairs").cast("double")
+    return (
+        g_n.crossJoin(F.broadcast(g_c))
+        .crossJoin(F.broadcast(g_t))
+        .crossJoin(F.broadcast(g_cov))
+        .crossJoin(F.broadcast(g_over))
+        .select(
+            "n_records",
+            "candidate_pairs",
+            "truth_pairs",
+            "truth_covered",
+            "oversize_blocks",
+            round_c(F.lit(1.0) - cand_d / total, 6).alias("reduction_ratio"),
+            round_c(
+                F.col("truth_covered").cast("double")
+                / F.col("truth_pairs").cast("double"),
+                6,
+            ).alias("pairs_completeness"),
+            round_c(
+                F.col("truth_covered").cast("double") / cand_d, 6
+            ).alias("pairs_quality"),
+        )
+    )

@@ -69,3 +69,42 @@ def test_fuzzy_match_hot_token_guard(spark):
         ).collect()
     }
     assert (3, 4) in got_all
+
+
+def test_blocking_quality_hand_example(spark):
+    from strategicai_visibility_loop_etl_spark.operators.linkage import (
+        blocking_quality,
+    )
+
+    # Block A = {1,2,3}, block B = {4}: candidates (1,2),(1,3),(2,3)
+    # of C(4,2)=6 total -> RR = 0.5.  Truth {(1,2),(4,1)}: one of two
+    # covered -> PC = 0.5; PQ = 1/3.
+    recs = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B")], "id long, block_key string"
+    )
+    truth = spark.createDataFrame([(1, 2), (4, 1)], "id_a long, id_b long")
+    r = blocking_quality(recs, truth).collect()[0]
+    assert (r["n_records"], r["candidate_pairs"], r["truth_pairs"],
+            r["truth_covered"], r["oversize_blocks"]) == (4, 3, 2, 1, 0)
+    assert (r["reduction_ratio"], r["pairs_completeness"],
+            r["pairs_quality"]) == (0.5, 0.5, 0.333333)
+
+
+def test_blocking_quality_multikey_and_oversize_guard(spark):
+    from strategicai_visibility_loop_etl_spark.operators.linkage import (
+        blocking_quality,
+    )
+
+    # Multi-key: (1,2) co-blocked under BOTH keys counts once.  With
+    # max_block=2 the size-3 block is excluded and reported; the pair
+    # (1,2) survives via the small block.
+    recs = spark.createDataFrame(
+        [(1, "big"), (2, "big"), (3, "big"), (1, "small"), (2, "small")],
+        "id long, block_key string",
+    )
+    truth = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    r = blocking_quality(recs, truth, max_block=2).collect()[0]
+    assert (r["candidate_pairs"], r["oversize_blocks"]) == (1, 1)
+    assert r["pairs_completeness"] == 0.0
+    r2 = blocking_quality(recs, truth, max_block=10).collect()[0]
+    assert (r2["candidate_pairs"], r2["truth_covered"]) == (3, 1)
