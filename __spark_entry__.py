@@ -3962,6 +3962,22 @@ def qx61_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocking_quality(records, truth)
 
 
+def qx62_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed event counts (capability row 156):
+    per-event-type trending weight 2^(−age_days/14) against the
+    newest event, via the shared integer weight table — both engines
+    embed identical 10^18-scaled literals, so the aggregate is exact
+    integer arithmetic end to end."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        decayed_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return decayed_counts(
+        ev, ["event_type"], half_life_days=14, max_age_days=400
+    ).orderBy("event_type")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4091,6 +4107,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx59_lsh_band_plan": qx59_lsh_band_plan,
         "qx60_rater_agreement": qx60_rater_agreement,
         "qx61_blocking_quality": qx61_blocking_quality,
+        "qx62_decayed_counts": qx62_decayed_counts,
     }
 
 
@@ -6570,6 +6587,35 @@ def extra_oracle_sql() -> dict[str, str]:
                round(CAST(truth_covered AS DOUBLE)
                      / CAST(candidate_pairs AS DOUBLE), 6) AS pairs_quality
         FROM g
+    """
+
+    # qx62: decayed counts — the SAME integer weight table the Spark
+    # plan embeds (shared decay_weights_ppq helper), so both engines
+    # run identical exact-integer arithmetic.
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        decay_weights_ppq,
+    )
+
+    w14 = ",".join(str(w) for w in decay_weights_ppq(14, 400))
+    sql["qx62_decayed_counts"] = f"""
+        WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS a FROM events),
+        per_age AS (
+            SELECT event_type,
+                   date_diff('day', CAST(ts AS DATE), a) AS age,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM events, anchor GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type, cnt,
+                   CAST(cnt AS DECIMAL(38,0))
+                       * (CASE WHEN age <= 400
+                          THEN list_extract([{w14}], age + 1)
+                          ELSE 0 END) AS scaled
+            FROM per_age
+        )
+        SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events,
+               round(CAST(SUM(scaled) AS DOUBLE) / 1e18, 6) AS decayed_count
+        FROM s GROUP BY event_type ORDER BY event_type
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -120,3 +120,83 @@ def rolling_zscore_anomalies(
         z.alias("z"),
         F.coalesce(F.abs(z) > z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def decay_weights_ppq(half_life_days: int, max_age_days: int) -> list[int]:
+    """Integer decay-weight table: ``round(2^(−d/h) · 10^18)`` for
+    d = 0..max_age_days — the one place the irrational decay curve
+    is evaluated, so the Spark plan and any replaying oracle embed
+    THE SAME integer literals and the aggregate stays exact-integer
+    arithmetic (no ``pow`` in either engine's plan)."""
+    if half_life_days < 1 or max_age_days < 0:
+        raise ValueError("need half_life_days >= 1 and max_age_days >= 0")
+    scale = 10**18
+    return [
+        int(round(2.0 ** (-d / half_life_days) * scale))
+        for d in range(max_age_days + 1)
+    ]
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    half_life_days: int = 7,
+    max_age_days: int = 400,
+) -> DataFrame:
+    """Exponentially time-decayed counts per key — the "trending"
+    primitive (what's hot NOW, not cumulatively): each event weighs
+    ``2^(−age_days / half_life_days)`` relative to the newest event
+    in the frame, so a key's decayed count halves every half-life of
+    silence.
+
+    Exactness: the decay curve is pre-tabulated as INTEGER
+    10^18-scaled weights (``decay_weights_ppq``) indexed by whole-day
+    age — no ``pow``/``exp`` in the plan, every product and sum an
+    exact integer (DECIMAL(38,0)), one double division at the end
+    through ``round_c``.  Events older than ``max_age_days`` weigh
+    exactly 0 (2^(−400/7) ≈ 1e-18 is already below the table's
+    resolution — the cutoff is the numerics, made explicit).
+
+    Shape at 100 TB: ONE shuffle — the (key, age) hash aggregate
+    (map-side partial combine collapses each partition to at most
+    |keys|·|days| rows first); the anchor date rides a broadcast
+    1-row aggregate; the weight lookup is an array literal
+    ``element_at``.  Output: key columns, ``n_events``,
+    ``decayed_count``.
+    """
+    weights = decay_weights_ppq(half_life_days, max_age_days)
+    w_arr = F.array(*[F.lit(w).cast("long") for w in weights])
+    anchor = df.agg(F.max(F.to_date(F.col(ts_col))).alias("__anchor"))
+    per_age = (
+        df.crossJoin(F.broadcast(anchor))
+        .select(
+            *key_cols,
+            F.datediff(F.col("__anchor"), F.to_date(F.col(ts_col))).alias(
+                "age"
+            ),
+        )
+        .groupBy(*key_cols, "age")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = F.when(
+        F.col("age") <= max_age_days, F.element_at(w_arr, F.col("age") + 1)
+    ).otherwise(F.lit(0).cast("long"))
+    from ..functions.numeric import round_c
+
+    return (
+        per_age.select(
+            *key_cols,
+            "cnt",
+            # cast BEFORE the multiply: cnt(long) x 10^18-scale weight
+            # overflows BIGINT; decimal multiply is exact.
+            (F.col("cnt").cast("decimal(38,0)") * w).alias("scaled"),
+        )
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            round_c(
+                F.sum("scaled").cast("double") / F.lit(1e18), 6
+            ).alias("decayed_count"),
+        )
+    )

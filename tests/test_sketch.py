@@ -425,3 +425,39 @@ def test_corpus_minhash_estimate_identical_and_disjoint(spark):
     ex2 = corpus_exact_jaccard(d_same, d_disj).collect()[0]
     assert ex2["n_inter"] == 0 and ex2["exact_jaccard"] == 0.0
     assert r2["est_jaccard"] == 0.0  # disjoint shingle sets never agree
+
+
+def test_decayed_counts_exact_dyadic_ages(spark):
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        decayed_counts,
+        decay_weights_ppq,
+    )
+
+    # Ages 0 / 7 / 14 with half-life 7 weigh exactly 1 / 0.5 / 0.25
+    # (dyadic -> the integer table is exact): a = 1.75, b = 1.0.
+    rows = [
+        ("a", "2024-03-01 12:00:00"),
+        ("a", "2024-02-23 01:00:00"),
+        ("a", "2024-02-16 23:00:00"),
+        ("b", "2024-03-01 00:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "k string, ts string").selectExpr(
+        "k", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    got = {r["k"]: (r["n_events"], r["decayed_count"])
+           for r in decayed_counts(ev, ["k"], half_life_days=7).collect()}
+    assert got == {"a": (3, 1.75), "b": (1, 1.0)}
+
+    # Beyond max_age_days the weight is exactly zero.
+    old = spark.createDataFrame(
+        [("a", "2024-03-01 00:00:00"), ("a", "2020-01-01 00:00:00")],
+        "k string, ts string",
+    ).selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    r = decayed_counts(old, ["k"], half_life_days=7, max_age_days=400).collect()[0]
+    assert (r["n_events"], r["decayed_count"]) == (2, 1.0)
+
+    # Weight table sanity: monotone nonincreasing, exact at dyadic
+    # points, zero only from numerics.
+    w = decay_weights_ppq(7, 28)
+    assert w[0] == 10**18 and w[7] * 2 == 10**18 and w[14] * 4 == 10**18
+    assert all(x >= y for x, y in zip(w, w[1:]))
