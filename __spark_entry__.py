@@ -3978,6 +3978,48 @@ def qx62_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def qx63_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incoming anchor-text index (capability row 157): qx56's
+    manufactured pages with arithmetic anchor TEXTS ('anchor' ||
+    (doc_id+j)%5), a rejected junk href on every 5th doc and a
+    whitespace-only anchor on every 7th — then the real extraction +
+    top-3-per-host aggregation. The oracle predicts the index from
+    the same arithmetic."""
+    from strategicai_visibility_loop_etl_spark.operators.graph import (
+        anchor_text_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    anchors = F.transform(
+        F.sequence(F.lit(1).cast("bigint"), did % 3 + 1),
+        lambda j: F.concat(
+            F.lit('<a href="https://host'),
+            ((did * 13 + j * 7) % 12).cast("string"),
+            F.lit('.example/p'),
+            j.cast("string"),
+            F.lit('">Anchor'),
+            ((did + j) % 5).cast("string"),
+            F.lit("</a>"),
+        ),
+    )
+    pages = docs.select(
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.array_join(anchors, " "),
+            F.when(
+                did % 5 == 0, F.lit(' <a href="not a url">junk</a>')
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.lit(' <a href="https://host0.example/">  </a>'),
+            ).otherwise(F.lit("")),
+        ).alias("page")
+    )
+    return anchor_text_index(pages, top_k=3).orderBy("dst_host", "rank")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4108,6 +4150,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx60_rater_agreement": qx60_rater_agreement,
         "qx61_blocking_quality": qx61_blocking_quality,
         "qx62_decayed_counts": qx62_decayed_counts,
+        "qx63_anchor_text_index": qx63_anchor_text_index,
     }
 
 
@@ -6616,6 +6659,33 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events,
                round(CAST(SUM(scaled) AS DOUBLE) / 1e18, 6) AS decayed_count
         FROM s GROUP BY event_type ORDER BY event_type
+    """
+
+    # qx63: anchor-index replay — the oracle PREDICTS the (host,
+    # anchor) counts from the manufacture arithmetic (junk href and
+    # whitespace anchor contribute nothing), then replays the top-3.
+    sql["qx63_anchor_text_index"] = """
+        WITH l AS (
+            SELECT 'host' || CAST((doc_id * 13 + j * 7) % 12 AS VARCHAR)
+                       || '.example' AS dst_host,
+                   'anchor' || CAST((doc_id + j) % 5 AS VARCHAR) AS anchor
+            FROM (SELECT doc_id, unnest(range(1, doc_id % 3 + 2)) AS j
+                  FROM documents)
+        ),
+        counted AS (
+            SELECT dst_host, anchor, CAST(COUNT(*) AS BIGINT) AS n_refs
+            FROM l GROUP BY dst_host, anchor
+        ),
+        ranked AS (
+            SELECT dst_host, anchor, n_refs,
+                   CAST(row_number() OVER (
+                       PARTITION BY dst_host
+                       ORDER BY n_refs DESC, anchor) AS INTEGER) AS rank
+            FROM counted
+        )
+        SELECT dst_host, anchor, n_refs, rank
+        FROM ranked WHERE rank <= 3
+        ORDER BY dst_host, rank
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -314,3 +314,51 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def anchor_text_index(
+    pages: DataFrame,
+    text_col: str = "page",
+    top_k: int = 3,
+) -> DataFrame:
+    """Incoming anchor-text index: for each link TARGET host, the
+    ``top_k`` most frequent anchor texts pointing at it —
+    (dst_host, anchor, n_refs, rank).  Anchor text is how the web
+    describes a page (the classic retrieval/quality signal: anchors
+    feed document expansion and host-quality scoring in web-corpus
+    pipelines), and it lives on the SOURCE page, so building the
+    index is exactly this inverted aggregation.
+
+    Pure codegen, same family as ``link_graph``: one
+    ``regexp_extract_all`` over ``<a href="...">text</a>`` pairs
+    map-side (fan-out = links per page, not corpus size), authority
+    parse via ``url_host`` (unparseable targets drop), anchors
+    lower-cased/trimmed with empties dropped, one (host, anchor)
+    hash aggregate, then a per-host top-k window — WindowGroupLimit
+    prunes to k rows per host below the shuffle.  Ties break by
+    anchor text, so ranks are engine-deterministic.
+    """
+    pat = r'<a href="([^"]*)">([^<]*)</a>'
+    from ..functions.urls import url_host
+
+    raw = pages.select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))
+        ).alias("__m")
+    ).select(
+        url_host(F.regexp_extract(F.col("__m"), pat, 1)).alias("dst_host"),
+        F.lower(F.trim(F.regexp_extract(F.col("__m"), pat, 2))).alias(
+            "anchor"
+        ),
+    )
+    counted = (
+        raw.filter(F.col("dst_host").isNotNull() & (F.col("anchor") != ""))
+        .groupBy("dst_host", "anchor")
+        .agg(F.count("*").alias("n_refs"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n_refs").desc(), F.col("anchor")
+    )
+    return counted.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )

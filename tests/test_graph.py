@@ -153,3 +153,32 @@ def test_link_graph_extraction_and_host_parse(spark):
     out = {(r["src_host"], r["dst_host"]): r["n_links"]
            for r in link_graph(pages).collect()}
     assert out == {("a.example", "b.example"): 2, ("a.example", "c.example"): 1}
+
+
+def test_anchor_text_index_extraction_normalize_topk(spark):
+    from strategicai_visibility_loop_etl_spark.operators.graph import (
+        anchor_text_index,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            # b.example referenced twice as "Docs", once as "home";
+            # junk href and whitespace-only anchor must drop.
+            ('x <a href="https://b.example/p1">Docs</a> '
+             '<a href="https://b.example/p2">docs </a> '
+             '<a href="https://b.example/">home</a> '
+             '<a href="not a url">junk</a> '
+             '<a href="https://c.example/">  </a>',),
+            ('<a href="https://b.example/p3">guide</a> '
+             '<a href="https://c.example/1">API</a>',),
+        ],
+        "page string",
+    )
+    out = [(r["dst_host"], r["anchor"], r["n_refs"], r["rank"])
+           for r in anchor_text_index(pages, top_k=2)
+           .orderBy("dst_host", "rank").collect()]
+    assert out == [
+        ("b.example", "docs", 2, 1),
+        ("b.example", "guide", 1, 2),   # 'guide' < 'home' tie-break
+        ("c.example", "api", 1, 1),
+    ]
