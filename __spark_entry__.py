@@ -4020,6 +4020,44 @@ def qx63_anchor_text_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_index(pages, top_k=3).orderBy("dst_host", "rank")
 
 
+def qx64_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (capability row 158): 3 mutual-
+    reinforcement rounds with L1 normalization over qx47's
+    manufactured host graph (id%7=0 nodes are pure sinks — authority
+    only). DECIMAL(28,12) discipline; DuckDB unrolls identical
+    rounds."""
+    from strategicai_visibility_loop_etl_spark.operators.graph import hits
+
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    total = docs.agg(F.count("*").alias("__n"))
+    edges = (
+        docs.filter(F.col("id") % 7 != 0)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.col("id") % 3 + 1)
+            ).alias("j"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("id").alias("src"),
+            F.pmod(
+                F.pmod(
+                    F.col("id") * F.lit(2654435761) + F.col("j") * F.lit(40503),
+                    F.lit(4294967296),
+                ),
+                F.col("__n"),
+            ).alias("dst"),
+        )
+    )
+    h = hits(docs, edges, iters=3)
+    return h.select(
+        F.col("id").alias("doc_id"),
+        F.col("hub").cast("double").alias("hub"),
+        F.col("authority").cast("double").alias("authority"),
+    ).orderBy("doc_id")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4151,6 +4189,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx61_blocking_quality": qx61_blocking_quality,
         "qx62_decayed_counts": qx62_decayed_counts,
         "qx63_anchor_text_index": qx63_anchor_text_index,
+        "qx64_hits": qx64_hits,
     }
 
 
@@ -6686,6 +6725,75 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT dst_host, anchor, n_refs, rank
         FROM ranked WHERE rank <= 3
         ORDER BY dst_host, rank
+    """
+
+    # qx64: HITS replay — unrolled auth-then-hub rounds with L1
+    # normalization (prev-CTE names advanced each loop); DISTINCT
+    # edges mirror the operator's dedup.
+    _hx_steps = []
+    _hx_prev = "h0"
+    for _t_ in range(1, 4):
+        _hx_steps.append(f"""
+        ar{_t_} AS (
+            SELECT n.id, coalesce(s.sc, CAST(0 AS DECIMAL(28,12))) AS score
+            FROM n LEFT JOIN (
+                SELECT e.dst AS id, SUM(h.score) AS sc
+                FROM e JOIN {_hx_prev} h ON h.id = e.src GROUP BY e.dst
+            ) s USING (id)
+        ),
+        atot{_t_} AS (
+            SELECT coalesce(SUM(score), CAST(0 AS DECIMAL(28,12))) AS t
+            FROM ar{_t_}
+        ),
+        a{_t_} AS (
+            SELECT id,
+                   CASE WHEN t.t = 0 THEN CAST(0 AS DECIMAL(28,12))
+                        ELSE CAST(round((CAST(score AS DOUBLE)
+                                         / CAST(t.t AS DOUBLE)) * 1e12)
+                                  / 1e12 AS DECIMAL(28,12)) END AS score
+            FROM ar{_t_}, atot{_t_} t
+        ),
+        hr{_t_} AS (
+            SELECT n.id, coalesce(s.sc, CAST(0 AS DECIMAL(28,12))) AS score
+            FROM n LEFT JOIN (
+                SELECT e.src AS id, SUM(a.score) AS sc
+                FROM e JOIN a{_t_} a ON a.id = e.dst GROUP BY e.src
+            ) s USING (id)
+        ),
+        htot{_t_} AS (
+            SELECT coalesce(SUM(score), CAST(0 AS DECIMAL(28,12))) AS t
+            FROM hr{_t_}
+        ),
+        h{_t_} AS (
+            SELECT id,
+                   CASE WHEN t.t = 0 THEN CAST(0 AS DECIMAL(28,12))
+                        ELSE CAST(round((CAST(score AS DOUBLE)
+                                         / CAST(t.t AS DOUBLE)) * 1e12)
+                                  / 1e12 AS DECIMAL(28,12)) END AS score
+            FROM hr{_t_}, htot{_t_} t
+        )""")
+        _hx_prev = f"h{_t_}"
+    sql["qx64_hits"] = f"""
+        WITH n AS (SELECT doc_id AS id FROM documents),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM n),
+        ed AS (
+            SELECT id AS src, unnest(range(1, 2 + id % 3)) AS j
+            FROM n WHERE id % 7 <> 0
+        ),
+        e AS MATERIALIZED (
+            SELECT DISTINCT src,
+                   ((src * 2654435761 + j * 40503) % 4294967296) % t.n AS dst
+            FROM ed, t
+        ),
+        h0 AS (
+            SELECT n.id,
+                   CAST(round((1.0 / CAST(t.n AS DOUBLE)) * 1e12) / 1e12
+                        AS DECIMAL(28,12)) AS score
+            FROM n, t
+        ),{",".join(_hx_steps)}
+        SELECT h.id AS doc_id, CAST(h.score AS DOUBLE) AS hub,
+               CAST(a.score AS DOUBLE) AS authority
+        FROM h3 h JOIN a3 a USING (id) ORDER BY doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -362,3 +362,103 @@ def anchor_text_index(
     return counted.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= top_k
     )
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = 4,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999): (id, hub DECIMAL,
+    authority DECIMAL) after ``iters`` mutual-reinforcement rounds —
+    the directional complement of ``pagerank`` (a page can be a great
+    DIRECTORY without being a great DESTINATION; link-analysis
+    pipelines read both).
+
+    Update per round (classic order): authority'(v) = Σ_{u→v} hub(u)
+    then hub'(u) = Σ_{u→v} authority'(v), each L1-normalized (sum =
+    1; the usual L2 needs sqrt, which is not engine-exact — L1
+    preserves the ranking and keeps the arithmetic closed).  Nodes
+    with no in-edges get authority 0; no out-edges, hub 0; parallel
+    edges contribute once each (deduped).
+
+    Exactness is the `pagerank` contract: every score routes
+    ``round_c(·,12)`` → DECIMAL(28,12) before any SUM, sums are exact
+    decimals, the normalizing division is one IEEE double op from
+    already-agreed values — so any partitioning and a DuckDB
+    unrolled twin land bit-identically.  Per round: two
+    co-partitioned joins + two hash aggregates on the edge list, two
+    1-row broadcast normalizers, localCheckpoint barriers (lineage
+    otherwise replays 2^t).
+    """
+    n1 = nodes.select(F.col(id_col).alias("id"))
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    total = n1.agg(F.count("*").alias("__n"))
+    init = (
+        n1.crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            round_c(F.lit(1.0) / F.col("__n").cast("double"), 12)
+            .cast(_DEC)
+            .alias("score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hubs = init
+    auths = init
+
+    def _norm(scores: DataFrame) -> DataFrame:
+        tot = scores.agg(
+            F.coalesce(F.sum("score"), F.lit(0).cast(_DEC)).alias("__t")
+        )
+        return (
+            scores.crossJoin(F.broadcast(tot))
+            .select(
+                "id",
+                F.when(F.col("__t") == 0, F.lit(0).cast(_DEC))
+                .otherwise(
+                    round_c(
+                        F.col("score").cast("double")
+                        / F.col("__t").cast("double"),
+                        12,
+                    ).cast(_DEC)
+                )
+                .alias("score"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    for _ in range(iters):
+        auths = _norm(
+            n1.join(
+                e.join(hubs.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("score").alias("__s")),
+                "id",
+                "left",
+            ).select(
+                "id", F.coalesce(F.col("__s"), F.lit(0).cast(_DEC)).alias("score")
+            )
+        )
+        hubs = _norm(
+            n1.join(
+                e.join(auths.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("score").alias("__s")),
+                "id",
+                "left",
+            ).select(
+                "id", F.coalesce(F.col("__s"), F.lit(0).cast(_DEC)).alias("score")
+            )
+        )
+    return (
+        hubs.withColumnRenamed("score", "hub")
+        .join(auths.withColumnRenamed("score", "authority"), "id")
+    )

@@ -182,3 +182,35 @@ def test_anchor_text_index_extraction_normalize_topk(spark):
         ("b.example", "guide", 1, 2),   # 'guide' < 'home' tie-break
         ("c.example", "api", 1, 1),
     ]
+
+
+def test_hits_star_hub_authority_split(spark):
+    from strategicai_visibility_loop_etl_spark.operators.graph import hits
+
+    # Star 1..4 -> 0: node 0 is the pure authority (1.0), the leaves
+    # are equal hubs (0.25 each); converged after one round.
+    nodes = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 5)], "src long, dst long"
+    )
+    got = {r["id"]: (float(r["hub"]), float(r["authority"]))
+           for r in hits(nodes, edges, iters=3).collect()}
+    assert got[0] == (0.0, 1.0)
+    for i in range(1, 5):
+        assert got[i] == (0.25, 0.0)
+
+
+def test_hits_partitioning_independence_and_l1_norm(spark):
+    from strategicai_visibility_loop_etl_spark.operators.graph import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edges = spark.createDataFrame(
+        [(i % 12, (i * 5 + 2) % 12) for i in range(40)], "src long, dst long"
+    )
+    a = sorted(map(tuple, hits(nodes, edges, iters=3).collect()))
+    b = sorted(map(tuple, hits(
+        nodes.repartition(7), edges.repartition(5), iters=3).collect()))
+    assert a == b
+    hub_sum = sum(float(x[1]) for x in a)
+    auth_sum = sum(float(x[2]) for x in a)
+    assert abs(hub_sum - 1.0) < 1e-9 and abs(auth_sum - 1.0) < 1e-9
