@@ -4058,6 +4058,19 @@ def qx64_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx65_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint profile (capability row 159): MOSS
+    char-5-gram / window-4 sliding minima over every document, with
+    the order-free checksum the oracle verifies. Pure projection —
+    the polynomial rolling hash keeps both engines bit-identical."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, k=5, window=4).orderBy("doc_id")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4190,6 +4203,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx62_decayed_counts": qx62_decayed_counts,
         "qx63_anchor_text_index": qx63_anchor_text_index,
         "qx64_hits": qx64_hits,
+        "qx65_winnowing": qx65_winnowing,
     }
 
 
@@ -6794,6 +6808,47 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT h.id AS doc_id, CAST(h.score AS DOUBLE) AS hub,
                CAST(a.score AS DOUBLE) AS authority
         FROM h3 h JOIN a3 a USING (id) ORDER BY doc_id
+    """
+
+    # qx65: winnowing replay — identical polynomial gram hashes
+    # (reduce starts at the first element; ascii < mod, so the
+    # missing leading 0-fold step is a no-op), 1-based inclusive
+    # slices for the window minima.
+    sql["qx65_winnowing"] = r"""
+        WITH t AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(coalesce(text, '')),
+                        '\s+', ' ', 'g')) AS norm
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, GREATEST(length(norm) - 4, 0) + 1),
+                       i -> list_reduce(
+                           list_transform(range(0, 5),
+                               c -> CAST(ascii(substr(norm, CAST(i + c AS INTEGER), 1))
+                                         AS BIGINT)),
+                           (a, x) -> (a * 31 + x) % 1000000007)) AS h
+            FROM t
+        ),
+        f AS (
+            SELECT doc_id, len(h) AS n_grams,
+                   list_distinct(list_transform(range(4, len(h) + 1),
+                       p -> list_min(h[CAST(p - 3 AS INTEGER)
+                                       : CAST(p AS INTEGER)]))) AS fps
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(n_grams AS INTEGER) AS n_grams,
+               CAST(len(fps) AS INTEGER) AS n_fingerprints,
+               CAST(coalesce(list_aggregate(fps, 'sum'), 0) AS BIGINT)
+                   AS fp_checksum,
+               CASE WHEN n_grams > 0
+                    THEN round(CAST(len(fps) AS DOUBLE)
+                               / CAST(n_grams AS DOUBLE), 6)
+                    ELSE 0.0 END AS fp_density
+        FROM f ORDER BY doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

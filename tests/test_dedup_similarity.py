@@ -883,3 +883,55 @@ def test_lsh_band_plan_exact_and_recommendation(spark):
     assert best["total_error"] < by_b[1]["total_error"]
     assert best["total_error"] < by_b[64]["total_error"]
     assert best["b"] in {8, 16}  # the textbook sweet spot for t=0.5
+
+
+def test_winnowing_guarantee_and_reference_values(spark):
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    # k=5, window=4: any shared substring of length >= 8 guarantees a
+    # shared fingerprint.  Docs 1 and 2 share a 20-char run inside
+    # different prefixes/suffixes; doc 3 is unrelated.
+    shared = "the quick brown fox jumps"
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "omega " + shared + " zeta"),
+            (3, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=5, window=4, exploded=True)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+
+    # Python reference implementation on the normalized string (the
+    # inputs are already lowercase single-spaced -> normalize is
+    # identity here): exact n_grams / n_fingerprints / checksum.
+    def ref(s, k=5, w=4):
+        hs = []
+        for i in range(len(s) - k + 1):
+            a = 0
+            for ch in s[i:i + k]:
+                a = (a * 31 + ord(ch)) % 1_000_000_007
+            hs.append(a)
+        fps = {min(hs[p - w + 1:p + 1]) for p in range(w - 1, len(hs))}
+        return len(hs), len(fps), sum(fps)
+
+    prof = {r["doc_id"]: (r["n_grams"], r["n_fingerprints"], r["fp_checksum"])
+            for r in winnow_fingerprints(docs, k=5, window=4).collect()}
+    texts = {
+        1: "alpha beta " + shared + " gamma delta",
+        2: "omega " + shared + " zeta",
+        3: "completely different content with no overlap at all",
+    }
+    for d, t in texts.items():
+        assert prof[d] == ref(t), f"doc {d}"
+
+    # Degenerate: text shorter than k -> zero grams, zero density.
+    tiny = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
+    r = winnow_fingerprints(tiny, k=5, window=4).collect()[0]
+    assert (r["n_grams"], r["n_fingerprints"], r["fp_density"]) == (0, 0, 0.0)

@@ -196,3 +196,19 @@ def test_q52_line_dedup_no_cartesian_no_broadcast_of_common(spark, sf_dir):
     plan = _plan(entrymod.q52_line_dedup(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan or "HashAggregate" in plan
+
+
+def test_winnowing_profile_is_shuffle_free(spark, sf_dir):
+    """The winnowing fingerprint profile is a pure projection — gram
+    hashing, window minima and the checksum all evaluate per row.
+    Any Exchange means a 100 TB corpus shuffles for no reason; the
+    scan must also prune to (doc_id, text)."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(winnow_fingerprints(docs, k=5, window=4))
+    assert "Exchange" not in plan, plan[:2000]
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read and "source" not in read, read
