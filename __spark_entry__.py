@@ -4071,6 +4071,29 @@ def qx65_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=5, window=4).orderBy("doc_id")
 
 
+def qx66_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD robust outliers (capability row 160): events values with
+    planted spikes — every 97th event's value scaled ×25 — flagged
+    per event type by the |robust z| > 3.5 rule. Exact medians both
+    engines; the oracle replays the identical sequencing."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        mad_outliers,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_id") % 97 == 0, F.col("value") * 25
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return mad_outliers(ev, ["event_type"], "value", k=3.5).orderBy(
+        "event_id"
+    )
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4204,6 +4227,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx63_anchor_text_index": qx63_anchor_text_index,
         "qx64_hits": qx64_hits,
         "qx65_winnowing": qx65_winnowing,
+        "qx66_mad_outliers": qx66_mad_outliers,
     }
 
 
@@ -6849,6 +6873,37 @@ def extra_oracle_sql() -> dict[str, str]:
                                / CAST(n_grams AS DOUBLE), 6)
                     ELSE 0.0 END AS fp_density
         FROM f ORDER BY doc_id
+    """
+
+    # qx66: MAD outliers — identical spike manufacture, exact medians
+    # (Spark F.median == DuckDB median bit-for-bit), same flag and
+    # score sequencing including the MAD=0 degenerate branch.
+    sql["qx66_mad_outliers"] = """
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 97 = 0 THEN value * 25
+                        ELSE value END AS value
+            FROM events
+        ),
+        med AS (
+            SELECT event_type, median(value) AS group_median
+            FROM ev GROUP BY event_type
+        ),
+        dev AS (
+            SELECT ev.*, m.group_median,
+                   abs(ev.value - m.group_median) AS d
+            FROM ev JOIN med m USING (event_type)
+        ),
+        mad AS (
+            SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type
+        )
+        SELECT event_id, event_type, value, group_median, mad,
+               CASE WHEN mad > 0
+                    THEN round(d / (1.4826 * mad), 6) END AS robust_z
+        FROM dev JOIN mad USING (event_type)
+        WHERE CASE WHEN mad = 0 THEN d > 0
+                   ELSE d > 3.5 * (1.4826 * mad) END
+        ORDER BY event_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -239,3 +239,57 @@ def theil_sen_trend(
             "ts_slope",
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outliers by Median Absolute Deviation
+    (Hampel / Iglewicz-Hoaglin, the |robust z| > 3.5 rule): flags
+    rows where |x − median| > k · 1.4826 · MAD — the metric-anomaly
+    gate that, unlike the mean/std z-score
+    (`timeseries.rolling_zscore_anomalies`), does not let the
+    outliers inflate their own threshold (a z-score needs ~30% junk
+    before it stops flagging; MAD's breakdown point is 50%).
+
+    Returns the flagged rows with ``group_median``, ``mad`` and
+    ``robust_z = round_c(|x−med| / (1.4826·MAD), 6)``.  Degenerate
+    groups (MAD = 0: over half the values identical) flag ANY
+    deviating row with ``robust_z`` NULL — silently dropping them
+    would hide exactly the frozen-metric pathology MAD exists to
+    catch.
+
+    Shape: two exact per-group medians (sort-based — the q38
+    contract; at 100 TB swap ``percentile_approx``, exercised with
+    bounds in ``tests/test_approx_percentiles.py``) on the SAME
+    group key — one wide shuffle reused across both aggregates and
+    the two co-partitioned join-backs.  ``F.median`` matches DuckDB's
+    ``median`` bit-for-bit (both sort + interpolate), so the flag
+    boundary itself is engine-exact.
+    """
+    from ..functions.numeric import round_c
+
+    med = df.groupBy(*group_cols).agg(
+        F.median(value_col).alias("group_median")
+    )
+    dev = df.join(med, group_cols).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("group_median"))
+    )
+    mad = dev.groupBy(*group_cols).agg(F.median("__dev").alias("mad"))
+    scale = F.lit(1.4826) * F.col("mad")
+    flagged = dev.join(mad, group_cols).filter(
+        F.when(F.col("mad") == 0, F.col("__dev") > 0).otherwise(
+            F.col("__dev") > F.lit(k) * scale
+        )
+    )
+    return flagged.select(
+        *df.columns,
+        "group_median",
+        "mad",
+        F.when(
+            F.col("mad") > 0, round_c(F.col("__dev") / scale, 6)
+        ).alias("robust_z"),
+    )

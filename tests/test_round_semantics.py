@@ -206,3 +206,26 @@ def test_theil_sen_robust_to_outlier(spark):
     # degenerate: single point -> NULL slope, zero pairs -> absent
     one = spark.createDataFrame([("b", 1, 1.0)], "g string, x int, y double")
     assert theil_sen_trend(one, ["g"], "x", "y").collect() == []
+
+
+def test_mad_outliers_hand_example_and_degenerate(spark):
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        mad_outliers,
+    )
+
+    # Group b: sorted [10,12,14,16,18,1000] -> median 15, deviations
+    # [5,3,1,1,3,985] -> MAD 3; only 985 > 3.5*1.4826*3 = 15.57.
+    # Group a: MAD = 0 (4 of 5 identical) -> degenerate branch flags
+    # the deviating row with robust_z NULL.
+    rows = [("a", i, 1.0) for i in range(4)] + [("a", 4, 100.0)]
+    rows += [("b", 10, 10.0), ("b", 11, 12.0), ("b", 12, 14.0),
+             ("b", 13, 16.0), ("b", 14, 18.0), ("b", 15, 1000.0)]
+    df = spark.createDataFrame(rows, "g string, rid long, value double")
+    out = {(r["g"], r["rid"]): (r["group_median"], r["mad"], r["robust_z"])
+           for r in mad_outliers(df, ["g"], "value").collect()}
+    assert set(out) == {("a", 4), ("b", 15)}
+    assert out[("a", 4)] == (1.0, 0.0, None)
+    med, mad, rz = out[("b", 15)]
+    assert (med, mad) == (15.0, 3.0)
+    import math
+    assert rz == math.floor(985.0 / (1.4826 * 3.0) * 1e6 + 0.5) / 1e6
