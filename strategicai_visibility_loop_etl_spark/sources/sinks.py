@@ -179,3 +179,87 @@ def write_partitioned(
             spark.conf.set(key, prev)
         else:
             spark.conf.unset(key)
+
+
+def hilbert_value(xcol, ycol, bits: int = 16):
+    """2-D Hilbert curve index of two columns pre-normalized to
+    ``[0, 2^bits)`` — pure codegen: a ``bits``-step fold carrying
+    (d, x, y) through the classic xy2d quadrant-rotation recurrence.
+
+    Why offer it next to ``zorder_value``: the Hilbert curve is the
+    space-filling curve with TRUE adjacency — every consecutive pair
+    of curve positions is grid-adjacent (|Δx|+|Δy| = 1, pinned in
+    pytest), where Z-order takes long diagonal jumps at quadrant
+    boundaries. Same shuffle shape, better locality → tighter
+    COMBINED per-file min/max spans at equal file counts. 2-D only by design
+    (higher dimensions need Gray-code state tables; ``zorder_value``
+    remains the n-D tool) — and 2-D is the common layout pair
+    (time × key, host × path).
+    """
+    from pyspark.sql import functions as F
+
+    steps = F.array(*[F.lit(1 << i).cast("long") for i in range(bits - 1, -1, -1)])
+    init = F.struct(
+        F.lit(0).cast("long").alias("d"),
+        xcol.cast("long").alias("x"),
+        ycol.cast("long").alias("y"),
+    )
+
+    def step(acc, s):
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        d2 = acc["d"] + s * s * (rx * 3).bitwiseXOR(ry)
+        # rotate the quadrant: only when ry == 0; mirror when rx == 1,
+        # then swap x/y.
+        fx = F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
+        fy = F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
+        nx = F.when(ry == 0, fy).otherwise(acc["x"])
+        ny = F.when(ry == 0, fx).otherwise(acc["y"])
+        return F.struct(d2.alias("d"), nx.alias("x"), ny.alias("y"))
+
+    return F.aggregate(steps, init, step, lambda acc: acc["d"])
+
+
+def write_hilbert(
+    df: DataFrame,
+    path: str,
+    cluster_cols: Sequence[str],
+    bits: int = 16,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet clustered by the 2-D Hilbert index of ``cluster_cols``
+    — ``write_zordered`` with the better curve: same single
+    range-exchange + intra-partition sort shape, same min-max
+    normalization via one scalar aggregate, tighter COMBINED
+    per-file spans (the sink test asserts Hilbert's normalized span
+    summed over both dimensions ≤ Z-order's at equal file counts;
+    per-dimension spans trade off between the curves)."""
+    from pyspark.sql import functions as F
+
+    if len(cluster_cols) != 2:
+        raise ValueError(
+            "write_hilbert clusters exactly 2 columns (use write_zordered for n-D)"
+        )
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cluster_cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cluster_cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cluster_cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1
+        scaled.append(
+            ((F.col(c) - F.lit(mn)) * F.lit(top) / F.lit(span)).cast("long")
+        )
+    keyed = df.withColumn("__h", hilbert_value(scaled[0], scaled[1], bits))
+    if num_files:
+        keyed = keyed.repartitionByRange(num_files, "__h")
+    else:
+        keyed = keyed.repartitionByRange("__h")
+    keyed.sortWithinPartitions("__h").drop("__h").write.mode(mode).parquet(path)
