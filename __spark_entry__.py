@@ -6553,7 +6553,7 @@ def extra_oracle_sql() -> dict[str, str]:
                 AS ch(bit, channel)
         )
         SELECT channel,
-               round(CAST(SUM(CAST(w * v_n AS DECIMAL(38,0))) AS DOUBLE)
+               round(CAST(SUM(CAST(w AS DECIMAL(38,0)) * v_n) AS DOUBLE)
                      / 24, 6) AS shapley_conversions,
                round(CAST(SUM(CAST(w AS DECIMAL(38,6)) * v_v) AS DOUBLE)
                      / 24, 6) AS shapley_value
@@ -6613,18 +6613,26 @@ def extra_oracle_sql() -> dict[str, str]:
                         ELSE (doc_id % 7 + j + 1) % 7 END AS cat
             FROM (SELECT doc_id, unnest(range(0, 3)) AS j FROM documents)
         ),
+        triples AS (SELECT DISTINCT item, rater, cat FROM labels),
         per_ic AS (
             SELECT item, cat, CAST(COUNT(*) AS BIGINT) AS n_ic
-            FROM (SELECT DISTINCT item, rater, cat FROM labels)
-            GROUP BY item, cat
+            FROM triples GROUP BY item, cat
         ),
-        per_i AS (
-            SELECT item, SUM(n_ic) AS n_i, SUM(n_ic * n_ic) AS sq_i
-            FROM per_ic GROUP BY item
+        votes AS (
+            SELECT item, CAST(COUNT(*) AS BIGINT) AS n_i,
+                   CAST(COUNT(DISTINCT rater) AS BIGINT) AS n_r
+            FROM triples GROUP BY item
         ),
-        nmax AS (SELECT MAX(n_i) AS n FROM per_i),
+        sq AS (
+            SELECT item, SUM(n_ic * n_ic) AS sq_i FROM per_ic GROUP BY item
+        ),
+        valid AS (
+            SELECT v.item, v.n_i, s.sq_i
+            FROM votes v JOIN sq s USING (item) WHERE v.n_i = v.n_r
+        ),
+        nmax AS (SELECT MAX(n_i) AS n FROM valid),
         kept AS (
-            SELECT item, sq_i, n FROM per_i, nmax WHERE n_i = n
+            SELECT item, sq_i, n FROM valid, nmax WHERE n_i = n
         ),
         g1 AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_items,

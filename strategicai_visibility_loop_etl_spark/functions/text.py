@@ -115,19 +115,26 @@ def lang_id_expr(col: Column) -> Column:
     return best
 
 
-def fingerprint64(col: Column) -> Column:
-    """Polynomial rolling hash of the normalized text (mod 1e9+7).
+def char_fold_hash(col: Column) -> Column:
+    """Polynomial rolling hash of a raw string (mod 1e9+7).
 
     acc = (acc * 31 + ascii(char)) mod 1_000_000_007, folded left over
     the characters. Stays within int64 (acc < 1e9+7, *31 + 255 << 2^63)
-    so Spark and the SQL oracle agree bit-for-bit.
+    so Spark and the SQL oracle agree bit-for-bit.  The ONE hash
+    convention shared by ``fingerprint64`` and the winnowing gram
+    hashes — change it here or nowhere.
     """
-    chars = F.split(normalized_text(col), "")
     return F.aggregate(
-        chars,
+        F.split(col, ""),
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * F.lit(_FP_BASE) + F.ascii(ch)) % F.lit(_FP_MOD),
     )
+
+
+def fingerprint64(col: Column) -> Column:
+    """``char_fold_hash`` of the normalized text — the document-level
+    fingerprint tier."""
+    return char_fold_hash(normalized_text(col))
 
 
 def shingles(col: Column, k: int = 3) -> Column:

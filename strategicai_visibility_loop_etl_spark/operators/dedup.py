@@ -1200,8 +1200,9 @@ def lsh_band_plan(
     Collision probability for a pair at Jaccard ``s`` under (b, r)
     banding is ``p(s) = 1 − (1 − s^r)^b``.  ``fp_area`` integrates
     ``p`` below ``threshold`` (pairs LSH surfaces that it shouldn't),
-    ``fn_area`` integrates ``1 − p`` above it (pairs it misses), on a
-    ``grid``-point midpoint rule; ``recommended`` marks the minimal
+    ``fn_area`` integrates ``1 − p`` above it (pairs it misses), as
+    an endpoint-sample sum over the grid − 1 interior points
+    s = i/grid, i ∈ 1..grid−1; ``recommended`` marks the minimal
     ``fp_area + fn_area``.
 
     Engine-exactness: powers are evaluated as LEFT-FOLD REPEATED IEEE
@@ -1301,27 +1302,21 @@ def winnow_fingerprints(
     lambda variable, not a re-evaluated O(L·k) build.
     """
     from ..functions.exprs import flet
-    from ..functions.text import _FP_BASE, _FP_MOD, normalized_text
+    from ..functions.text import char_fold_hash, normalized_text
 
     if k < 1 or window < 1:
         raise ValueError("need k >= 1 and window >= 1")
 
     norm = normalized_text(F.col(text_col))
 
-    def _gram_hash(g: Column) -> Column:
-        return F.aggregate(
-            F.split(g, ""),
-            F.lit(0).cast("long"),
-            lambda acc, ch: (acc * F.lit(_FP_BASE) + F.ascii(ch))
-            % F.lit(_FP_MOD),
-        )
-
     def body(nrm: Column) -> Column:
         npos = F.length(nrm) - F.lit(k - 1)
         idx = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
             F.array().cast("array<int>")
         )
-        harr = F.transform(idx, lambda i: _gram_hash(nrm.substr(i, F.lit(k))))
+        harr = F.transform(
+            idx, lambda i: char_fold_hash(nrm.substr(i, F.lit(k)))
+        )
 
         def wins(h: Column) -> Column:
             nh = F.size(h)

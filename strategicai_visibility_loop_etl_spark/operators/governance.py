@@ -220,11 +220,13 @@ def rater_agreement(
     One row out: ``n_items``, ``n_raters``, ``p_bar`` (mean observed
     per-item agreement), ``p_e`` (chance agreement from the marginal
     category distribution) and ``kappa = (p̄ − p_e)/(1 − p_e)``.
-    Fleiss assumes a CONSTANT rater count per item: ``n`` is taken as
-    the max per-item count and items rated by fewer (or duplicate
-    (item, rater) pairs collapsing below it) are dropped —
-    ``n_items`` reports what survived, so a silent partial panel is
-    visible in the output.
+    Fleiss assumes a CONSTANT rater count per item, one vote each:
+    items where any rater cast conflicting categories are dropped
+    first (their vote count exceeds their distinct-rater count — and
+    would otherwise inflate the panel size and evict every clean
+    item), then ``n`` is the max per-item count among valid items and
+    short-panel items are dropped — ``n_items`` reports what
+    survived, so a silent partial panel is visible in the output.
 
     Every intermediate stays an exact integer — A = Σ_i Σ_c n_ic²,
     S_c = Σ_i n_ic (squared through DECIMAL(38,0): S_c² overflows
@@ -238,22 +240,26 @@ def rater_agreement(
 
     from ..functions.numeric import round_c
 
-    per_ic = (
-        labels.select(
-            F.col(item_col).alias("item"),
-            F.col(rater_col).alias("rater"),
-            F.col(cat_col).alias("cat"),
-        )
-        .distinct()
-        .groupBy("item", "cat")
-        .agg(F.count("*").alias("n_ic"))
+    triples = labels.select(
+        F.col(item_col).alias("item"),
+        F.col(rater_col).alias("rater"),
+        F.col(cat_col).alias("cat"),
+    ).distinct()
+    per_ic = triples.groupBy("item", "cat").agg(F.count("*").alias("n_ic"))
+    # Panel integrity: a rater casting CONFLICTING categories for one
+    # item inflates that item's vote count — without the
+    # votes == distinct-raters check, one such item would raise n and
+    # silently drop every correctly-rated item from the panel.
+    votes = triples.groupBy("item").agg(
+        F.count("*").alias("n_i"),
+        F.count_distinct(F.col("rater")).alias("n_r"),
     )
-    per_i = per_ic.groupBy("item").agg(
-        F.sum("n_ic").alias("n_i"),
-        F.sum(F.col("n_ic") * F.col("n_ic")).alias("sq_i"),
+    sq = per_ic.groupBy("item").agg(
+        F.sum(F.col("n_ic") * F.col("n_ic")).alias("sq_i")
     )
-    n_row = per_i.agg(F.max("n_i").alias("n"))
-    kept = per_i.crossJoin(F.broadcast(n_row)).filter(F.col("n_i") == F.col("n"))
+    valid = votes.filter(F.col("n_i") == F.col("n_r")).join(sq, "item")
+    n_row = valid.agg(F.max("n_i").alias("n"))
+    kept = valid.crossJoin(F.broadcast(n_row)).filter(F.col("n_i") == F.col("n"))
     g1 = kept.agg(
         F.count("*").alias("n_items"),
         F.sum("sq_i").alias("a_sum"),

@@ -274,12 +274,10 @@ def label_propagation(
     """
     n1 = nodes.select(F.col(id_col).alias("id"))
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    ef = e.filter(F.col("s") != F.col("d"))
     und = (
-        e.filter(F.col("s") != F.col("d"))
-        .select("s", "d")
-        .unionAll(e.filter(F.col("s") != F.col("d")).select(
-            F.col("d").alias("s"), F.col("s").alias("d")
-        ))
+        ef.select("s", "d")
+        .unionAll(ef.select(F.col("d").alias("s"), F.col("s").alias("d")))
         .distinct()
         .localCheckpoint(eager=False)
     )

@@ -298,7 +298,9 @@ def shapley_attribution(
         )
         .select(
             "channel",
-            (signed * F.col("v_n")).cast("decimal(38,0)").alias("num_n"),
+            # cast BEFORE the multiply: |signed| reaches (n-1)! and a
+            # BIGINT product overflows at corpus scale (ANSI throws).
+            (signed.cast("decimal(38,0)") * F.col("v_n")).alias("num_n"),
             (signed * F.col("v_v")).cast("decimal(38,6)").alias("num_v"),
         )
         .groupBy("channel")

@@ -101,6 +101,44 @@ def zorder_value(cols: Sequence, bits: int = 16):
     return z
 
 
+def _write_curve_clustered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    key_fn,
+    bits: int,
+    num_files: int | None,
+    mode: str,
+) -> None:
+    """Shared body of the space-filling-curve sinks: min-max-normalize
+    ``cols`` to ``bits`` bits via ONE scalar aggregate (broadcast
+    literals, no window), compute the curve key with ``key_fn``,
+    range-partition on it (the only shuffle), sort within partitions,
+    write."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = (mx - mn) or 1
+        scaled.append(
+            ((F.col(c) - F.lit(mn)) * F.lit(top) / F.lit(span)).cast("long")
+        )
+    keyed = df.withColumn("__curve", key_fn(scaled))
+    if num_files:
+        keyed = keyed.repartitionByRange(num_files, "__curve")
+    else:
+        keyed = keyed.repartitionByRange("__curve")
+    keyed.sortWithinPartitions("__curve").drop("__curve").write.mode(
+        mode
+    ).parquet(path)
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -123,26 +161,10 @@ def write_zordered(
     the sink tests: per-file value ranges shrink ~√files per dimension
     vs an unclustered write.
     """
-    from pyspark.sql import functions as F
-
-    stats = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in zorder_cols],
-        *[F.max(c).alias(f"mx_{c}") for c in zorder_cols],
-    ).first()
-    top = (1 << bits) - 1
-    scaled = []
-    for c in zorder_cols:
-        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-        span = (mx - mn) or 1
-        scaled.append(
-            ((F.col(c) - F.lit(mn)) * F.lit(top) / F.lit(span)).cast("long")
-        )
-    keyed = df.withColumn("__z", zorder_value(scaled, bits))
-    if num_files:
-        keyed = keyed.repartitionByRange(num_files, "__z")
-    else:
-        keyed = keyed.repartitionByRange("__z")
-    keyed.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+    _write_curve_clustered(
+        df, path, zorder_cols, lambda sc: zorder_value(sc, bits), bits,
+        num_files, mode,
+    )
 
 
 def write_partitioned(
@@ -239,27 +261,11 @@ def write_hilbert(
     per-file spans (the sink test asserts Hilbert's normalized span
     summed over both dimensions ≤ Z-order's at equal file counts;
     per-dimension spans trade off between the curves)."""
-    from pyspark.sql import functions as F
-
     if len(cluster_cols) != 2:
         raise ValueError(
             "write_hilbert clusters exactly 2 columns (use write_zordered for n-D)"
         )
-    stats = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in cluster_cols],
-        *[F.max(c).alias(f"mx_{c}") for c in cluster_cols],
-    ).first()
-    top = (1 << bits) - 1
-    scaled = []
-    for c in cluster_cols:
-        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
-        span = (mx - mn) or 1
-        scaled.append(
-            ((F.col(c) - F.lit(mn)) * F.lit(top) / F.lit(span)).cast("long")
-        )
-    keyed = df.withColumn("__h", hilbert_value(scaled[0], scaled[1], bits))
-    if num_files:
-        keyed = keyed.repartitionByRange(num_files, "__h")
-    else:
-        keyed = keyed.repartitionByRange("__h")
-    keyed.sortWithinPartitions("__h").drop("__h").write.mode(mode).parquet(path)
+    _write_curve_clustered(
+        df, path, cluster_cols,
+        lambda sc: hilbert_value(sc[0], sc[1], bits), bits, num_files, mode,
+    )

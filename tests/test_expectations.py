@@ -148,3 +148,22 @@ def test_fleiss_kappa_perfect_and_partial_panels(spark):
     ev = spark.createDataFrame(rows, "item_id long, rater_id string, category string")
     r = rater_agreement(ev).collect()[0]
     assert (r["n_items"], r["n_raters"], r["p_bar"], r["kappa"]) == (2, 3, 1.0, 1.0)
+
+
+def test_fleiss_kappa_conflicting_rater_cannot_poison_panel(spark):
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        rater_agreement,
+    )
+
+    # Rater r1 casts TWO categories for item 1 (vote count 3 >
+    # distinct raters 2): that item must be dropped as invalid, NOT
+    # raise the panel size to 3 and evict every clean 2-rater item.
+    rows = [
+        (1, "r1", "A"), (1, "r1", "B"), (1, "r2", "A"),
+        (2, "r1", "A"), (2, "r2", "A"),
+        (3, "r1", "X"), (3, "r2", "Y"),
+    ]
+    ev = spark.createDataFrame(rows, "item_id long, rater_id string, category string")
+    r = rater_agreement(ev).collect()[0]
+    assert (r["n_items"], r["n_raters"]) == (2, 2)
+    assert r["p_bar"] == 0.5  # item 2 agrees, item 3 splits
