@@ -4094,6 +4094,21 @@ def qx66_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx67_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (capability row 162):
+    document lengths re-expressed on the pooled length distribution —
+    rank/count windows, exact pooled order-statistic interpolation.
+    DuckDB replays the identical expression sequence."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        quantile_normalize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "n_chars")
+    return quantile_normalize(docs, "source", "n_chars").orderBy(
+        "source", "n_chars", "normalized_score"
+    )
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4228,6 +4243,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx64_hits": qx64_hits,
         "qx65_winnowing": qx65_winnowing,
         "qx66_mad_outliers": qx66_mad_outliers,
+        "qx67_quantile_normalize": qx67_quantile_normalize,
     }
 
 
@@ -6912,6 +6928,46 @@ def extra_oracle_sql() -> dict[str, str]:
         WHERE CASE WHEN mad = 0 THEN d > 0
                    ELSE d > 3.5 * (1.4826 * mad) END
         ORDER BY event_id
+    """
+
+    # qx67: quantile normalization — identical rank/count windows,
+    # identical pooled order-statistic interpolation (pos = r·(N−1),
+    # lo = floor+1, hi = min(lo+1, N), v = vlo + (vhi−vlo)·frac).
+    sql["qx67_quantile_normalize"] = """
+        WITH d AS (SELECT source, n_chars FROM documents),
+        ranked AS (
+            SELECT source, n_chars,
+                   rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM d
+        ),
+        pooled AS (
+            SELECT row_number() OVER (ORDER BY n_chars, source) AS i,
+                   n_chars AS v
+            FROM d
+        ),
+        np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM d),
+        k AS (
+            SELECT source, n_chars,
+                   (CASE WHEN n = 1 THEN 0.0
+                         ELSE CAST(rk - 1 AS DOUBLE)
+                              / CAST(n - 1 AS DOUBLE) END)
+                       * CAST(np - 1 AS DOUBLE) AS pos
+            FROM ranked, np
+        ),
+        j AS (
+            SELECT source, n_chars,
+                   CAST(floor(pos) AS BIGINT) + 1 AS lo,
+                   pos - floor(pos) AS frac
+            FROM k
+        )
+        SELECT j.source, j.n_chars,
+               round(vl.v + (vh.v - vl.v) * j.frac, 6) AS normalized_score
+        FROM j
+        CROSS JOIN np
+        JOIN pooled vl ON vl.i = j.lo
+        JOIN pooled vh ON vh.i = LEAST(j.lo + 1, np.np)
+        ORDER BY source, n_chars, normalized_score
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

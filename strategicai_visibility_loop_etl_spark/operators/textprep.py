@@ -1398,3 +1398,79 @@ def quality_blend(
         *[b.alias(f"{c}_bucket") for c, b in bexprs.items()],
         blend.alias("blend"),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    source_col: str,
+    score_col: str,
+    out_col: str = "normalized_score",
+) -> DataFrame:
+    """Cross-source quantile normalization: map each score to the
+    POOLED distribution's value at its within-source quantile —
+    ``out = Q_pool(F_source(x))`` — so scores from scorers with
+    different calibrations (one clusters at 0.9, another at 0.4)
+    become comparable before fusion (the microarray-normalization
+    classic, Bolstad et al. 2003, applied to quality scores; the
+    distribution-alignment step `blend_quality_signals` assumes).
+
+    Exact arithmetic both engines: within-source quantile is
+    ``(rank−1)/(n−1)`` from explicit ``rank()``/``count()`` windows
+    (NOT ``percent_rank`` — its single-row edge is engine-defined;
+    n = 1 pins to 0), the pooled quantile function interpolates
+    between the two neighboring order statistics exactly like
+    ``percentile_cont``, and every step is the same IEEE expression
+    in the DuckDB twin.
+
+    Shape: one per-source window (shuffle on source), ONE global sort
+    for the pooled order statistics, two index-keyed join-backs.  The
+    global sort is the exact form's cost — at 100 TB swap the pooled
+    quantile function for ``percentile_approx`` cut points (the
+    row-129 pattern; same alignment, mergeable sketch, no global
+    sort), keeping this exact form as its accuracy oracle.
+    """
+    src_w = Window.partitionBy(source_col).orderBy(score_col)
+    n_w = Window.partitionBy(source_col)
+    ranked = df.select(
+        source_col,
+        score_col,
+        F.rank().over(src_w).alias("__rk"),
+        F.count("*").over(n_w).alias("__n"),
+    )
+    r = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
+        (F.col("__rk") - 1).cast("double") / (F.col("__n") - 1).cast("double")
+    )
+
+    pool_w = Window.orderBy(score_col, source_col)
+    pooled = df.select(source_col, score_col).select(
+        F.row_number().over(pool_w).alias("__i"),
+        F.col(score_col).alias("__v"),
+    )
+    n_pool = pooled.agg(F.count("*").alias("__np"))
+
+    pos = r * (F.col("__np") - 1).cast("double")
+    lo = F.floor(pos).cast("long") + 1
+    frac = pos - F.floor(pos)
+    keyed = (
+        ranked.crossJoin(F.broadcast(n_pool))
+        .withColumn("__lo", lo)
+        .withColumn("__hi", F.least(lo + 1, F.col("__np")))
+        .withColumn("__frac", frac)
+    )
+    vlo = pooled.select(F.col("__i").alias("__lo"), F.col("__v").alias("__vlo"))
+    vhi = pooled.select(F.col("__i").alias("__hi"), F.col("__v").alias("__vhi"))
+    from ..functions.numeric import round_c
+
+    return (
+        keyed.join(vlo, "__lo")
+        .join(vhi, "__hi")
+        .select(
+            source_col,
+            score_col,
+            round_c(
+                F.col("__vlo")
+                + (F.col("__vhi") - F.col("__vlo")) * F.col("__frac"),
+                6,
+            ).alias(out_col),
+        )
+    )

@@ -757,3 +757,30 @@ def test_kneser_ney_hand_computed_pin(spark):
     # Interpolation really fires for seen bigrams: the KN probability
     # exceeds the pure discounted ML term.
     assert p_ab > (2 - 0.75) / 3
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        quantile_normalize,
+    )
+
+    # A=[1,2,3], B=[10,20,30], pooled=[1,2,3,10,20,30]: after
+    # normalization BOTH sources map to [1, 6.5, 30] — min->pool min,
+    # median->interpolated pool median, max->pool max. That identical
+    # image IS quantile normalization's contract.
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0),
+            ("B", 10.0), ("B", 20.0), ("B", 30.0)]
+    df = spark.createDataFrame(rows, "source string, score double")
+    out = {}
+    for r in quantile_normalize(df, "source", "score").collect():
+        out.setdefault(r["source"], []).append(r["normalized_score"])
+    assert sorted(out["A"]) == [1.0, 6.5, 30.0]
+    assert sorted(out["B"]) == [1.0, 6.5, 30.0]
+
+    # Single-row source pins to quantile 0 (pool minimum), not NaN.
+    one = spark.createDataFrame(
+        [("A", 5.0), ("A", 7.0), ("B", 99.0)], "source string, score double"
+    )
+    got = {(r["source"], r["score"]): r["normalized_score"]
+           for r in quantile_normalize(one, "source", "score").collect()}
+    assert got[("B", 99.0)] == 5.0
