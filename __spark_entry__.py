@@ -4109,6 +4109,32 @@ def qx67_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx68_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness crawl-frontier scheduling (capability row 163):
+    manufactured URLs (12 hosts, one URL per doc) sharded by the
+    replayable host hash with 3-per-round crawl-delay rounds. DuckDB
+    replays the hash, the window and the round arithmetic."""
+    from strategicai_visibility_loop_etl_spark.operators.domains import (
+        crawl_frontier_shards,
+    )
+
+    d = F.col("doc_id")
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://host"),
+            (d % 12).cast("string"),
+            F.lit(".example/p"),
+            d.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("host"), (d % 12).cast("string"), F.lit(".example")
+        ).alias("host"),
+    )
+    return crawl_frontier_shards(
+        urls, n_shards=4, per_host_per_round=3
+    ).orderBy("host", "seq")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4244,6 +4270,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx65_winnowing": qx65_winnowing,
         "qx66_mad_outliers": qx66_mad_outliers,
         "qx67_quantile_normalize": qx67_quantile_normalize,
+        "qx68_crawl_frontier": qx68_crawl_frontier,
     }
 
 
@@ -6968,6 +6995,34 @@ def extra_oracle_sql() -> dict[str, str]:
         JOIN pooled vl ON vl.i = j.lo
         JOIN pooled vh ON vh.i = LEAST(j.lo + 1, np.np)
         ORDER BY source, n_chars, normalized_score
+    """
+
+    # qx68: crawl frontier — the polynomial host hash replays in SQL
+    # (the hash is positive, so % == pmod), then the same window +
+    # integer round arithmetic.
+    sql["qx68_crawl_frontier"] = """
+        WITH u AS (
+            SELECT 'https://host' || CAST(doc_id % 12 AS VARCHAR)
+                       || '.example/p' || CAST(doc_id AS VARCHAR) AS url,
+                   'host' || CAST(doc_id % 12 AS VARCHAR) || '.example'
+                       AS host
+            FROM documents
+        ),
+        h AS (
+            SELECT url, host,
+                   CAST(list_reduce(
+                       list_transform(range(1, length(host) + 1),
+                           i -> CAST(ascii(substr(host,
+                                CAST(i AS INTEGER), 1)) AS BIGINT)),
+                       (a, x) -> (a * 31 + x) % 1000000007) % 4
+                       AS INTEGER) AS shard,
+                   CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY url) AS INTEGER) AS seq
+            FROM u
+        )
+        SELECT url, host, shard, seq,
+               CAST((seq - 1) // 3 AS INTEGER) AS fetch_round
+        FROM h ORDER BY host, seq
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

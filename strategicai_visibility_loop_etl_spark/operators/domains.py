@@ -92,3 +92,52 @@ def domain_filter(
         blocked = _matched_hosts(out, dim, include_subdomains)
         out = out.join(blocked, _HOST, "left_anti")
     return out.drop(_HOST)
+
+
+def crawl_frontier_shards(
+    urls: DataFrame,
+    n_shards: int,
+    per_host_per_round: int = 1,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: assign every URL a
+    fetch ``shard`` and ``fetch_round`` such that (a) ALL of a host's
+    URLs land in one shard — two workers never hit the same host
+    concurrently — and (b) a host contributes at most
+    ``per_host_per_round`` URLs per round — the crawl-delay contract,
+    expressed as data (the Heritrix/Nutch frontier-partitioning
+    regime, as relational assignment instead of queue state).
+
+    ``shard`` is the repo's polynomial char hash of the host mod
+    ``n_shards`` (DuckDB-replayable, unlike xxhash64 — and host-hash
+    sharding is exactly how a URL column repartitions for polite
+    fetching at 100 TB); ``seq`` orders a host's URLs
+    deterministically by URL string; ``fetch_round`` is
+    ``(seq−1) // per_host_per_round``.  One window keyed on the host
+    (= one shuffle) and pure integer arithmetic — hash-exact in both
+    engines.
+
+    A shard's round-r workload is ≤ (hosts in shard) ×
+    ``per_host_per_round``; skewed hosts lengthen their OWN tail of
+    rounds instead of blocking other hosts (the politeness invariant
+    pytest asserts).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import char_fold_hash
+
+    if n_shards < 1 or per_host_per_round < 1:
+        raise ValueError("need n_shards >= 1 and per_host_per_round >= 1")
+    w = Window.partitionBy(host_col).orderBy(url_col)
+    return urls.select(
+        url_col,
+        host_col,
+        F.pmod(char_fold_hash(F.col(host_col)), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+        F.row_number().over(w).alias("seq"),
+    ).withColumn(
+        "fetch_round",
+        F.floor((F.col("seq") - 1) / per_host_per_round).cast("int"),
+    )

@@ -135,3 +135,39 @@ def test_cli_domain_flags(tmp_path, spark):
     clean = spark.read.parquet(str(out_dir / "clean"))
     hosts = {r["url"].split("/")[2] for r in clean.select("url").collect()}
     assert hosts == {"src0.example.com", "src2.example.com"}
+
+
+def test_crawl_frontier_politeness_invariants(spark):
+    from strategicai_visibility_loop_etl_spark.operators.domains import (
+        crawl_frontier_shards,
+    )
+
+    rows = [(f"https://{h}/p{i}", h)
+            for h in ("a.com", "b.com", "c.net")
+            for i in range(5)] + [("https://big.org/x%d" % i, "big.org")
+                                  for i in range(12)]
+    df = spark.createDataFrame(rows, "url string, host string")
+    out = crawl_frontier_shards(df, n_shards=4, per_host_per_round=2).collect()
+
+    # (a) one shard per host; (b) per host per round <= 2; (c) a
+    # skewed host lengthens its own rounds, not others'.
+    shard_of, per_round = {}, {}
+    for r in out:
+        shard_of.setdefault(r["host"], set()).add(r["shard"])
+        per_round[(r["host"], r["fetch_round"])] = (
+            per_round.get((r["host"], r["fetch_round"]), 0) + 1
+        )
+    assert all(len(s) == 1 for s in shard_of.values())
+    assert all(v <= 2 for v in per_round.values())
+    rounds = {h: max(r for (hh, r) in per_round if hh == h)
+              for h in shard_of}
+    assert rounds["big.org"] == 5 and rounds["a.com"] == 2
+
+    # Determinism: seq ordered by url within host.
+    a_urls = sorted([r["url"] for r in out if r["host"] == "a.com"])
+    seqs = {r["url"]: r["seq"] for r in out if r["host"] == "a.com"}
+    assert [seqs[u] for u in a_urls] == [1, 2, 3, 4, 5]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        crawl_frontier_shards(df, n_shards=0)
