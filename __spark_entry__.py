@@ -4135,6 +4135,19 @@ def qx68_crawl_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host", "seq")
 
 
+def qx69_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (capability row 164): embeddings reduced
+    64 → 16 dims with the hash-derived ±1 sign matrix (xor-fold mix,
+    no materialized matrix, 1/√16 = 0.25 exact). DuckDB replays the
+    hash, signs and exact decimal sums."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        random_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return random_project(emb, out_dim=16, seed=42).orderBy("vec_id", "j")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4271,6 +4284,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx66_mad_outliers": qx66_mad_outliers,
         "qx67_quantile_normalize": qx67_quantile_normalize,
         "qx68_crawl_frontier": qx68_crawl_frontier,
+        "qx69_random_projection": qx69_random_projection,
     }
 
 
@@ -7023,6 +7037,46 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT url, host, shard, seq,
                CAST((seq - 1) // 3 AS INTEGER) AS fetch_round
         FROM h ORDER BY host, seq
+    """
+
+    # qx69: JL projection replay — identical integer hash (mods keep
+    # every intermediate < 2^32), identical xor-fold sign bit,
+    # DECIMAL(28,9) per-term rounding, exact sums, ×0.25 at the end.
+    sql["qx69_random_projection"] = """
+        WITH e0 AS (
+            SELECT vec_id, embedding,
+                   unnest(range(0, len(embedding))) AS i
+            FROM embeddings WHERE vec_id < 100
+        ),
+        e AS (
+            SELECT vec_id, i,
+                   CAST(embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE) AS x
+            FROM e0
+        ),
+        c AS (
+            SELECT vec_id, i, x, unnest(range(0, 16)) AS j FROM e
+        ),
+        hashed AS (
+            SELECT vec_id, j, x,
+                   ((xor(h1, h1 >> 13) * 40503) % 4294967296) AS h2
+            FROM (
+                SELECT vec_id, j, x,
+                       ((i * 2654435761 + j * 40503 + 42 * 97)
+                        % 4294967296) AS h1
+                FROM c
+            )
+        ),
+        terms AS (
+            SELECT vec_id, j,
+                   CAST(round(x * (CASE WHEN (xor(h2 >> 16, h2 >> 5) & 1) = 0
+                                        THEN 1.0 ELSE -1.0 END), 9)
+                        AS DECIMAL(28,9)) AS t
+            FROM hashed
+        )
+        SELECT vec_id, CAST(j AS INTEGER) AS j,
+               round(CAST(SUM(t) AS DOUBLE) * 0.25, 6) AS value
+        FROM terms GROUP BY vec_id, j
+        ORDER BY vec_id, j
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

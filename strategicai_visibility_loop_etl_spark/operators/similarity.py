@@ -1168,3 +1168,70 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "cosine", "rank")
     )
+
+
+def random_project(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    (Achlioptas 2003): ``y_j = (1/√out_dim) · Σ_i x_i · s_ij`` —
+    the dimensionality-reduction tool of the vector family (rows
+    124/143 shrink BITS per component; this shrinks COMPONENTS,
+    the standard pre-step before LSH/clustering when d is large).
+
+    The sign matrix is never materialized: ``s_ij`` derives from the
+    qx47-style integer hash arithmetic of (i, j, seed) — replayable
+    in any engine, no RNG state, any worker can recompute any entry
+    (THE property that lets the projection run map-side at 100 TB
+    with zero broadcast).  Per-term products round to DECIMAL(28,9)
+    before the exact per-(id, j) sums, and the 1/√out_dim factor is
+    one driver-computed double literal — so the projection is
+    partitioning- and engine-exact.
+
+    Shape: explode (id, i, x_i) × out_dim sign terms → ONE hash
+    aggregate on (id, j).  Output long-form (id, j, value) — the
+    shape downstream aggregates/joins want; pivot to arrays at the
+    edge if needed.
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    inv = 1.0 / (out_dim ** 0.5)
+    comp = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("i", "x"),
+    ).select(
+        id_col,
+        "i",
+        F.col("x").cast("double").alias("x"),
+        F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("j"),
+    )
+    # xor-fold mix: a bare linear form mod 2 degenerates to parity of
+    # i+j (a rank-1 sign matrix that destroys the JL property — the
+    # distance-band test catches it); the shift-xor steps give real
+    # avalanche while every intermediate stays < 2^32 (no overflow).
+    h = F.pmod(
+        F.col("i") * F.lit(2654435761) + F.col("j") * F.lit(40503)
+        + F.lit(seed * 97),
+        F.lit(4294967296),
+    )
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = F.pmod(h * F.lit(40503), F.lit(4294967296))
+    bit = F.shiftright(h, 16).bitwiseXOR(F.shiftright(h, 5)).bitwiseAND(
+        F.lit(1)
+    )
+    sign = F.when(bit == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return (
+        comp.select(
+            id_col,
+            "j",
+            round_c(F.col("x") * sign, 9).cast("decimal(28,9)").alias("t"),
+        )
+        .groupBy(id_col, "j")
+        .agg(
+            round_c(F.sum("t").cast("double") * F.lit(inv), 6).alias("value")
+        )
+    )

@@ -935,3 +935,47 @@ def test_winnowing_guarantee_and_reference_values(spark):
     tiny = spark.createDataFrame([(9, "ab")], "doc_id long, text string")
     r = winnow_fingerprints(tiny, k=5, window=4).collect()[0]
     assert (r["n_grams"], r["n_fingerprints"], r["fp_density"]) == (0, 0, 0.0)
+
+
+def test_random_projection_jl_distance_preservation(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        random_project,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sub = emb.filter(F.col("vec_id") < 12)
+    proj = random_project(sub, out_dim=32).collect()
+    orig = {r["vec_id"]: list(r["embedding"]) for r in sub.collect()}
+    pv = {}
+    for r in proj:
+        pv.setdefault(r["vec_id"], {})[r["j"]] = r["value"]
+    assert all(len(v) == 32 for v in pv.values())
+
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ids = sorted(orig)
+    ratios = []
+    for a in ids:
+        for b in ids:
+            if a < b:
+                d0 = dist(orig[a], orig[b])
+                d1 = dist([pv[a][j] for j in range(32)],
+                          [pv[b][j] for j in range(32)])
+                if d0 > 0:
+                    ratios.append(d1 / d0)
+    # JL with a +-1 matrix at out_dim=32: distances preserved in
+    # expectation; a loose band catches sign-matrix or scaling bugs
+    # (a missing 1/sqrt(k) shows up as ratio ~5.7).
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.7 < mean_ratio < 1.3, mean_ratio
+    assert all(0.6 < r < 1.4 for r in ratios), (min(ratios), max(ratios))
+
+    # Determinism across partitionings.
+    a = sorted(map(tuple, random_project(sub, 8).collect()))
+    b = sorted(map(tuple, random_project(sub.repartition(7), 8).collect()))
+    assert a == b
