@@ -4148,6 +4148,29 @@ def qx69_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_project(emb, out_dim=16, seed=42).orderBy("vec_id", "j")
 
 
+def qx70_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval consolidation (capability row 165):
+    hash-manufactured spans per event type — starts (event_id·7)%1000,
+    lengths 1..50, so long spans swallow later short ones — merged
+    with the running-max island test. DuckDB replays the identical
+    windows."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        merge_intervals,
+    )
+
+    e = F.col("event_id")
+    spans = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        ((e * 7) % 1000).alias("start"),
+        ((e * 7) % 1000 + e % 50 + 1).alias("end"),
+    )
+    return (
+        merge_intervals(spans, ["event_type"], tiebreak_cols=["event_id"])
+        .orderBy("event_type", "start")
+    )
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4285,6 +4308,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx67_quantile_normalize": qx67_quantile_normalize,
         "qx68_crawl_frontier": qx68_crawl_frontier,
         "qx69_random_projection": qx69_random_projection,
+        "qx70_merge_intervals": qx70_merge_intervals,
     }
 
 
@@ -7077,6 +7101,43 @@ def extra_oracle_sql() -> dict[str, str]:
                round(CAST(SUM(t) AS DOUBLE) * 0.25, 6) AS value
         FROM terms GROUP BY vec_id, j
         ORDER BY vec_id, j
+    """
+
+    # qx70: interval merge — same manufacture, same running-max
+    # island test (rows unbounded-preceding..1-preceding) and running
+    # island-id sum, same (key, island) aggregate.
+    sql["qx70_merge_intervals"] = """
+        WITH spans AS (
+            SELECT event_type, event_id,
+                   (event_id * 7) % 1000 AS s,
+                   (event_id * 7) % 1000 + event_id % 50 + 1 AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT event_type, event_id, s, e,
+                   CASE WHEN MAX(e) OVER (
+                            PARTITION BY event_type ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                          OR s > MAX(e) OVER (
+                            PARTITION BY event_type ORDER BY s, e, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                        THEN 1 ELSE 0 END AS is_new
+            FROM spans
+        ),
+        islands AS (
+            SELECT event_type, s, e,
+                   SUM(is_new) OVER (
+                       PARTITION BY event_type ORDER BY s, e, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS island
+            FROM flagged
+        )
+        SELECT event_type, MIN(s) AS start, MAX(e) AS "end",
+               CAST(COUNT(*) AS BIGINT) AS n_merged
+        FROM islands GROUP BY event_type, island
+        ORDER BY event_type, start
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -198,3 +198,63 @@ def incremental_ingest(
             .alias("status"),
         )
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+    min_gap: int = 0,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge overlapping / near-adjacent intervals per key (the
+    gaps-and-islands consolidation): intervals whose gap to the
+    running coverage is ≤ ``min_gap`` fuse into one island —
+    (keys, start, end, n_merged).  The span-consolidation primitive
+    under session stitching, redaction-span flattening, crawl-window
+    coalescing and SCD2 cleanup (complements `scd2_intervals`, which
+    BUILDS intervals; this normalizes them).
+
+    Correctness detail: the island test compares each start against
+    the RUNNING MAX of prior ends (one window, rows unbounded
+    preceding to 1 preceding), not the previous row's end — a long
+    interval swallowing short later ones breaks the lag-based
+    shortcut.  Island ids are a running SUM of new-island flags over
+    the same ordering, so the whole operator is two window passes +
+    one hash aggregate on (key, island) — a single shuffle on the
+    key (window and aggregate share it).  Everything stays in the
+    input's numeric/timestamp type — engine-exact.  When duplicate
+    (start, end) spans can occur within a key, pass ``tiebreak_cols``
+    (a unique key) to make the window ordering TOTAL: the merged
+    RESULT is tie-order independent in one engine, but a replaying
+    oracle evaluates the flag and island windows in separate passes
+    and ambiguous ties can split one island's duplicates across two.
+    """
+    order_cols = [start_col, end_col, *(tiebreak_cols or [])]
+    w_order = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    prior_end = F.max(end_col).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            prior_end.isNull()
+            | (F.col(start_col) > prior_end + F.lit(min_gap)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        flagged.groupBy(*key_cols, "__island")
+        .agg(
+            F.min(start_col).alias(start_col),
+            F.max(end_col).alias(end_col),
+            F.count("*").alias("n_merged"),
+        )
+        .drop("__island")
+    )

@@ -784,3 +784,34 @@ def test_quantile_normalize_aligns_distributions(spark):
     got = {(r["source"], r["score"]): r["normalized_score"]
            for r in quantile_normalize(one, "source", "score").collect()}
     assert got[("B", 99.0)] == 5.0
+
+
+def test_merge_intervals_swallowing_and_min_gap(spark):
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        merge_intervals,
+    )
+
+    # Key a: [1,100] swallows [5,10] and [20,30]; [150,160] separate
+    # (gap 50 > min_gap 0); the lag-based shortcut would wrongly
+    # split at [20,30] because the PREVIOUS row ends at 10.
+    # Key b: [1,2] and [4,5] merge only when min_gap >= 2.
+    rows = [
+        ("a", 1, 100), ("a", 5, 10), ("a", 20, 30), ("a", 150, 160),
+        ("b", 1, 2), ("b", 4, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, start long, end long")
+    out0 = sorted(
+        map(tuple, merge_intervals(df, ["k"]).collect())
+    )
+    assert out0 == [
+        ("a", 1, 100, 3), ("a", 150, 160, 1),
+        ("b", 1, 2, 1), ("b", 4, 5, 1),
+    ]
+    out2 = sorted(
+        map(tuple, merge_intervals(df, ["k"], min_gap=2).collect())
+    )
+    assert ("b", 1, 5, 2) in out2 and ("a", 1, 100, 3) in out2
+
+    # Partitioning independence.
+    a = sorted(map(tuple, merge_intervals(df.repartition(7), ["k"]).collect()))
+    assert a == out0
