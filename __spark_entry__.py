@@ -4171,6 +4171,22 @@ def qx70_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx71_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-group percentiles (capability row 166):
+    quantity-weighted price quartiles per return flag — type-1 lower
+    weighted quantile over collapsed distinct values. DuckDB replays
+    the cumulative-weight windows and threshold exactly."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        weighted_percentiles,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return weighted_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity",
+        ps=[0.25, 0.5, 0.9],
+    ).orderBy("l_returnflag", "p")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4309,6 +4325,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx68_crawl_frontier": qx68_crawl_frontier,
         "qx69_random_projection": qx69_random_projection,
         "qx70_merge_intervals": qx70_merge_intervals,
+        "qx71_weighted_percentiles": qx71_weighted_percentiles,
     }
 
 
@@ -7138,6 +7155,31 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS n_merged
         FROM islands GROUP BY event_type, island
         ORDER BY event_type, start
+    """
+
+    # qx71: weighted percentiles — identical value collapse,
+    # cumulative-weight window and p·W double threshold.
+    sql["qx71_weighted_percentiles"] = """
+        WITH wv AS (
+            SELECT l_returnflag AS k, l_extendedprice AS v,
+                   SUM(CAST(round(l_quantity, 6) AS DECIMAL(28,6))) AS w
+            FROM lineitem GROUP BY l_returnflag, l_extendedprice
+        ),
+        cum AS (
+            SELECT k, v,
+                   SUM(w) OVER (PARTITION BY k ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw,
+                   SUM(w) OVER (PARTITION BY k) AS tw
+            FROM wv
+        ),
+        q AS (
+            SELECT k, v, cw, tw, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS p FROM cum
+        )
+        SELECT k AS l_returnflag, p, MIN(v) AS value
+        FROM q
+        WHERE CAST(cw AS DOUBLE) >= p * CAST(tw AS DOUBLE)
+        GROUP BY k, p ORDER BY k, p
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

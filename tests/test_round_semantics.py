@@ -229,3 +229,34 @@ def test_mad_outliers_hand_example_and_degenerate(spark):
     assert (med, mad) == (15.0, 3.0)
     import math
     assert rz == math.floor(985.0 / (1.4826 * 3.0) * 1e6 + 0.5) / 1e6
+
+
+def test_weighted_percentiles_hand_example(spark):
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        weighted_percentiles,
+    )
+
+    # values 1(w=1), 2(w=1), 10(w=5): W=7. p=0.5 -> target 3.5 ->
+    # first cumw>=3.5 is 10; p=0.25 -> target 1.75 -> value 2;
+    # p=2/7 exactly hits cumw=2 at value 2 (boundary inclusive).
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 10.0, 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    got = {r["p"]: r["value"]
+           for r in weighted_percentiles(df, ["k"], "v", "w",
+                                         ps=[0.25, 2.0 / 7.0, 0.5, 1.0]).collect()}
+    assert got[0.25] == 2.0
+    assert got[2.0 / 7.0] == 2.0
+    assert got[0.5] == 10.0
+    assert got[1.0] == 10.0
+
+    # Duplicate values collapse: 2 appearing twice w=1 each behaves
+    # like one value with w=2.
+    rows2 = [("g", 2.0, 1.0), ("g", 2.0, 1.0), ("g", 5.0, 2.0)]
+    df2 = spark.createDataFrame(rows2, "k string, v double, w double")
+    got2 = {r["p"]: r["value"]
+            for r in weighted_percentiles(df2, ["k"], "v", "w", ps=[0.5]).collect()}
+    assert got2[0.5] == 2.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        weighted_percentiles(df, ["k"], "v", "w", ps=[0.0])
