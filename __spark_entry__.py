@@ -4187,6 +4187,26 @@ def qx71_weighted_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag", "p")
 
 
+def qx72_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS test (capability row 167): click values vs view
+    values with a planted ×1.15 shift on the view side — integer-
+    exact supremum, IEEE-exact critical value. DuckDB replays the
+    cumulative CDF comparison identically."""
+    from strategicai_visibility_loop_etl_spark.operators.drift import ks_test
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(["click", "view"])
+    ).select(
+        "event_type",
+        F.when(
+            F.col("event_type") == "view", F.col("value") * 1.15
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return ks_test(ev, "event_type", "value", "click", "view")
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4326,6 +4346,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx69_random_projection": qx69_random_projection,
         "qx70_merge_intervals": qx70_merge_intervals,
         "qx71_weighted_percentiles": qx71_weighted_percentiles,
+        "qx72_ks_test": qx72_ks_test,
     }
 
 
@@ -7180,6 +7201,60 @@ def extra_oracle_sql() -> dict[str, str]:
         FROM q
         WHERE CAST(cw AS DOUBLE) >= p * CAST(tw AS DOUBLE)
         GROUP BY k, p ORDER BY k, p
+    """
+
+    # qx72: KS test — identical manufacture, identical integer
+    # supremum (cca·nb − ccb·na) and sqrt-based critical value (IEEE
+    # sqrt is correctly rounded, so even the boundary replays).
+    sql["qx72_ks_test"] = """
+        WITH ev AS (
+            SELECT event_type,
+                   CASE WHEN event_type = 'view' THEN value * 1.15
+                        ELSE value END AS v
+            FROM events WHERE event_type IN ('click', 'view')
+        ),
+        per_v AS (
+            SELECT v,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS ca,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                       AS cb
+            FROM ev GROUP BY v
+        ),
+        tot AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS na,
+                   CAST(SUM(cb) AS BIGINT) AS nb
+            FROM per_v
+        ),
+        cum AS (
+            SELECT SUM(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cca,
+                   SUM(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS ccb
+            FROM per_v
+        ),
+        agg AS (
+            SELECT MAX(abs(CAST(cca AS DECIMAL(38,0)) * nb
+                           - CAST(ccb AS DECIMAL(38,0)) * na)) AS d_num,
+                   MAX(na) AS n_a, MAX(nb) AS n_b
+            FROM cum, tot
+        )
+        SELECT n_a, n_b,
+               round(CAST(d_num AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+                   AS ks_stat,
+               round(1.358 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+                   AS critical,
+               round(CAST(d_num AS DOUBLE)
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+               > round(1.358 * sqrt((CAST(n_a AS DOUBLE)
+                     + CAST(n_b AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
+                   AS reject
+        FROM agg
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -37,7 +37,7 @@ every output bit-for-bit (the qx11/qx23 log-sum discipline).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import round_c
@@ -152,4 +152,72 @@ def token_distribution_drift(
             ),
         )
         .orderBy(group_col)
+    )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    alpha_coeff: float = 1.358,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between two groups' value
+    distributions: one row of (n_a, n_b, ks_stat, critical, reject)
+    — the numeric-metric companion of `token_distribution_drift`
+    (that answers "did the vocabulary shift", this answers "did a
+    METRIC's distribution shift" — score drift between two scorer
+    versions, latency drift between two crawls).
+
+    Exactness: the supremum |F_a − F_b| is computed as an INTEGER —
+    max |cca·nb − ccb·na| over the cumulative counts at each distinct
+    value — with one double division at the end, so the statistic is
+    bit-identical across engines and partitionings.  ``critical`` is
+    the large-sample threshold c(α)·√((n_a+n_b)/(n_a·n_b)) with
+    c(0.05) = 1.358 (Smirnov); IEEE requires sqrt to be correctly
+    rounded, so even the rejection boundary replays exactly.
+
+    Shape: one (value) hash aggregate with per-side conditional
+    counts, one cumulative window over distinct values (a global
+    sort of the DISTINCT value set — exact form; at 100 TB bin the
+    values first, the row-68 bucketing, and run the same statistic
+    over the binned CDF), two broadcast totals.
+    """
+    tagged = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).alias("v"),
+        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
+    )
+    per_v = tagged.groupBy("v").agg(
+        F.sum("ia").alias("ca"),
+        F.sum(F.lit(1) - F.col("ia")).alias("cb"),
+    )
+    tot = per_v.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    cum_w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("ca").over(cum_w).alias("cca"),
+        F.sum("cb").over(cum_w).alias("ccb"),
+    )
+    num = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(
+                F.col("cca").cast("decimal(38,0)") * F.col("nb")
+                - F.col("ccb").cast("decimal(38,0)") * F.col("na")
+            )
+        ).alias("d_num"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+    )
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    ks = F.col("d_num").cast("double") / (na_d * nb_d)
+    crit = F.lit(alpha_coeff) * F.sqrt((na_d + nb_d) / (na_d * nb_d))
+    return num.select(
+        "n_a",
+        "n_b",
+        round_c(ks, 6).alias("ks_stat"),
+        round_c(crit, 6).alias("critical"),
+        (round_c(ks, 6) > round_c(crit, 6)).alias("reject"),
     )

@@ -107,3 +107,35 @@ def test_quota_rejects_bad_args(spark):
         domain_quota_sample(df, budget=0, key_col="doc_id")
     with pytest.raises(ValueError):
         domain_quota_sample(df, budget=5, key_col="doc_id", alpha=1.5)
+
+
+def test_ks_test_known_values_and_identical_distributions(spark):
+    from strategicai_visibility_loop_etl_spark.operators.drift import ks_test
+
+    # A=[1,2,3,4], B=[3,4,5,6]: D = |F_A - F_B| peaks at x=2 with
+    # 2/4 - 0 = 0.5 (hand-computed; integer form 8/16).
+    rows = [(v, "a") for v in (1.0, 2.0, 3.0, 4.0)] + [
+        (v, "b") for v in (3.0, 4.0, 5.0, 6.0)
+    ]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = ks_test(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks_stat"]) == (4, 4, 0.5)
+    assert r["reject"] == bool(0.5 > r["critical"])
+
+    # Identical samples: D == 0, never rejected.
+    same = spark.createDataFrame(
+        [(float(i % 7), g) for g in ("a", "b") for i in range(50)],
+        "v double, g string",
+    )
+    r2 = ks_test(same, "g", "v", "a", "b").collect()[0]
+    assert r2["ks_stat"] == 0.0 and not r2["reject"]
+
+    # A clear planted shift on real-ish sizes rejects at 5%.
+    import random
+    shifted = spark.createDataFrame(
+        [(float(i % 100), "a") for i in range(300)]
+        + [(float(i % 100) + 30.0, "b") for i in range(300)],
+        "v double, g string",
+    )
+    r3 = ks_test(shifted, "g", "v", "a", "b").collect()[0]
+    assert r3["reject"] and r3["ks_stat"] > r3["critical"]
