@@ -4207,6 +4207,29 @@ def qx72_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_test(ev, "event_type", "value", "click", "view")
 
 
+def qx73_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (capability row 168): event values
+    clipped to the exact per-type [p05, p95] band. DuckDB replays
+    quantile_cont + least/greatest identically."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        winsorize,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return (
+        winsorize(ev, ["event_type"], "value", 0.05, 0.95)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            _rd(F.col("p_lo"), 6).alias("p_lo"),
+            _rd(F.col("p_hi"), 6).alias("p_hi"),
+            _rd(F.col("value_winsorized"), 6).alias("value_winsorized"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def qx24_intradoc_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repeated-line removal (capability row 113):
     qx22's deterministic pages get hash-selected lines re-appended
@@ -4347,6 +4370,7 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx70_merge_intervals": qx70_merge_intervals,
         "qx71_weighted_percentiles": qx71_weighted_percentiles,
         "qx72_ks_test": qx72_ks_test,
+        "qx73_winsorize": qx73_winsorize,
     }
 
 
@@ -7255,6 +7279,22 @@ def extra_oracle_sql() -> dict[str, str]:
                      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))), 6)
                    AS reject
         FROM agg
+    """
+
+    # qx73: winsorization — quantile_cont bounds + least/greatest.
+    sql["qx73_winsorize"] = """
+        WITH b AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.05) AS p_lo,
+                   quantile_cont(value, 0.95) AS p_hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round(b.p_lo, 6) AS p_lo, round(b.p_hi, 6) AS p_hi,
+               round(LEAST(GREATEST(e.value, b.p_lo), b.p_hi), 6)
+                   AS value_winsorized
+        FROM events e JOIN b USING (event_type)
+        ORDER BY event_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -360,3 +360,37 @@ def weighted_percentiles(
         .groupBy(*group_cols, "p")
         .agg(F.min("v").alias("value"))
     )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` into the group's
+    exact [p_lower, p_upper] percentile band — the heavy-tail taming
+    step before means/regressions on web metrics, where a handful of
+    viral outliers otherwise own the average (clipping PRESERVES the
+    row with a bounded value, where trimming/MAD-filtering drops it —
+    use `mad_outliers` to FLAG, this to KEEP).
+
+    Adds ``p_lo``, ``p_hi`` and the clipped ``<value>_winsorized``
+    next to every original column.  Percentiles are the exact
+    interpolated form (`F.percentile` == DuckDB `quantile_cont`
+    bit-for-bit — the q38 contract; swap `percentile_approx` at
+    100 TB, exercised in test_approx_percentiles); the clip is
+    least/greatest, engine-exact.  One group-key aggregate + one
+    broadcast-able join-back.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    bounds = df.groupBy(*group_cols).agg(
+        F.percentile(value_col, lower).alias("p_lo"),
+        F.percentile(value_col, upper).alias("p_hi"),
+    )
+    return df.join(bounds, list(group_cols)).withColumn(
+        f"{value_col}_winsorized",
+        F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")),
+    )

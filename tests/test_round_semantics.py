@@ -260,3 +260,24 @@ def test_weighted_percentiles_hand_example(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         weighted_percentiles(df, ["k"], "v", "w", ps=[0.0])
+
+
+def test_winsorize_clips_to_exact_band(spark):
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        winsorize,
+    )
+
+    # values 0..10: p10 = 1.0, p90 = 9.0 (exact interpolated) ->
+    # 0 clips up to 1, 10 clips down to 9, interior unchanged.
+    df = spark.createDataFrame(
+        [("g", float(i)) for i in range(11)], "k string, v double"
+    )
+    out = {r["v"]: (r["p_lo"], r["p_hi"], r["v_winsorized"])
+           for r in winsorize(df, ["k"], "v", 0.1, 0.9).collect()}
+    assert out[0.0] == (1.0, 9.0, 1.0)
+    assert out[10.0] == (1.0, 9.0, 9.0)
+    assert out[5.0] == (1.0, 9.0, 5.0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        winsorize(df, ["k"], "v", 0.9, 0.1)
