@@ -316,10 +316,11 @@ def weighted_percentiles(
     decimals.  Negative weights are undefined (weighted quantiles
     need a monotone CDF) — caller contract.
 
-    Shape: one (group, value) hash aggregate + one cumulative window
-    + the ps explode (model-sized literal array) + one min aggregate,
-    all sharing the group-key shuffle.  Long output (group, p,
-    value).  At 100 TB with high-cardinality values, pre-bucket
+    Shape: TWO exchanges — the (group, value) collapse aggregate
+    partitions on the composite key, then the cumulative window
+    re-partitions on the group alone — plus the ps explode
+    (model-sized literal array) and a min aggregate on the window's
+    partitioning.  Long output (group, p, value).  At 100 TB with high-cardinality values, pre-bucket
     values (row-68 quantile buckets) before the window.
     """
     from ..functions.numeric import round_c
@@ -390,7 +391,12 @@ def winsorize(
         F.percentile(value_col, lower).alias("p_lo"),
         F.percentile(value_col, upper).alias("p_hi"),
     )
-    return df.join(bounds, list(group_cols)).withColumn(
-        f"{value_col}_winsorized",
+    # greatest/least skip NULLs, which would FABRICATE p_lo for a
+    # missing metric — preserve NULL instead (mad_outliers parity).
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
         F.least(F.greatest(F.col(value_col), F.col("p_lo")), F.col("p_hi")),
+    )
+    return df.join(bounds, list(group_cols)).withColumn(
+        f"{value_col}_winsorized", clipped
     )

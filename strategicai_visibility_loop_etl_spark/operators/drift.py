@@ -214,10 +214,16 @@ def ks_test(
     nb_d = F.col("n_b").cast("double")
     ks = F.col("d_num").cast("double") / (na_d * nb_d)
     crit = F.lit(alpha_coeff) * F.sqrt((na_d + nb_d) / (na_d * nb_d))
+    # An absent group (typo'd label, over-filtered slice) must read
+    # as "no data" (NULL stat/reject, n visible as 0), never as a
+    # quiet "no drift" from a divide-by-zero NaN row.
+    has_data = (F.coalesce(F.col("n_a"), F.lit(0)) > 0) & (
+        F.coalesce(F.col("n_b"), F.lit(0)) > 0
+    )
     return num.select(
-        "n_a",
-        "n_b",
-        round_c(ks, 6).alias("ks_stat"),
-        round_c(crit, 6).alias("critical"),
-        (round_c(ks, 6) > round_c(crit, 6)).alias("reject"),
+        F.coalesce(F.col("n_a"), F.lit(0).cast("long")).alias("n_a"),
+        F.coalesce(F.col("n_b"), F.lit(0).cast("long")).alias("n_b"),
+        F.when(has_data, round_c(ks, 6)).alias("ks_stat"),
+        F.when(has_data, round_c(crit, 6)).alias("critical"),
+        F.when(has_data, round_c(ks, 6) > round_c(crit, 6)).alias("reject"),
     )

@@ -210,7 +210,8 @@ def merge_intervals(
 ) -> DataFrame:
     """Merge overlapping / near-adjacent intervals per key (the
     gaps-and-islands consolidation): intervals whose gap to the
-    running coverage is ≤ ``min_gap`` fuse into one island —
+    running coverage is ≤ ``min_gap`` fuse into one island (non-zero gaps require
+    numeric bounds; timestamp intervals merge with the default 0) —
     (keys, start, end, n_merged).  The span-consolidation primitive
     under session stitching, redaction-span flattening, crawl-window
     coalescing and SCD2 cleanup (complements `scd2_intervals`, which
@@ -236,11 +237,14 @@ def merge_intervals(
     prior_end = F.max(end_col).over(
         w_order.rowsBetween(Window.unboundedPreceding, -1)
     )
+    # min_gap == 0 must not synthesize an arithmetic add: TIMESTAMP +
+    # INT is a type error, and timestamp intervals are a named use
+    # case (non-zero gaps need numeric bounds — documented).
+    gap_end = prior_end if min_gap == 0 else prior_end + F.lit(min_gap)
     flagged = df.withColumn(
         "__new",
         F.when(
-            prior_end.isNull()
-            | (F.col(start_col) > prior_end + F.lit(min_gap)),
+            prior_end.isNull() | (F.col(start_col) > gap_end),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn(

@@ -1431,11 +1431,11 @@ def quantile_normalize(
     """
     src_w = Window.partitionBy(source_col).orderBy(score_col)
     n_w = Window.partitionBy(source_col)
-    ranked = df.select(
-        source_col,
-        score_col,
-        F.rank().over(src_w).alias("__rk"),
-        F.count("*").over(n_w).alias("__n"),
+    # Keep EVERY input column: callers need row identity (doc_id) to
+    # use the normalized score — a (source, score)-only output would
+    # duplicate documents on join-back whenever scores tie.
+    ranked = df.withColumn("__rk", F.rank().over(src_w)).withColumn(
+        "__n", F.count("*").over(n_w)
     )
     r = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
         (F.col("__rk") - 1).cast("double") / (F.col("__n") - 1).cast("double")
@@ -1465,8 +1465,7 @@ def quantile_normalize(
         keyed.join(vlo, "__lo")
         .join(vhi, "__hi")
         .select(
-            source_col,
-            score_col,
+            *df.columns,
             round_c(
                 F.col("__vlo")
                 + (F.col("__vhi") - F.col("__vlo")) * F.col("__frac"),

@@ -139,3 +139,14 @@ def test_ks_test_known_values_and_identical_distributions(spark):
     )
     r3 = ks_test(shifted, "g", "v", "a", "b").collect()[0]
     assert r3["reject"] and r3["ks_stat"] > r3["critical"]
+
+
+def test_ks_test_absent_group_reads_as_no_data(spark):
+    from strategicai_visibility_loop_etl_spark.operators.drift import ks_test
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "a")], "v double, g string"
+    )
+    r = ks_test(df, "g", "v", "a", "typo").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (2, 0)
+    assert r["ks_stat"] is None and r["reject"] is None

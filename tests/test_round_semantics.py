@@ -281,3 +281,17 @@ def test_winsorize_clips_to_exact_band(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         winsorize(df, ["k"], "v", 0.9, 0.1)
+
+
+def test_winsorize_preserves_null_values(spark):
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        winsorize,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None)],
+        "k string, v double",
+    )
+    out = {r["v"]: r["v_winsorized"]
+           for r in winsorize(df, ["k"], "v", 0.1, 0.9).collect()}
+    assert out[None] is None  # missing metric stays missing

@@ -815,3 +815,37 @@ def test_merge_intervals_swallowing_and_min_gap(spark):
     # Partitioning independence.
     a = sorted(map(tuple, merge_intervals(df.repartition(7), ["k"]).collect()))
     assert a == out0
+
+
+def test_merge_intervals_timestamps(spark):
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        merge_intervals,
+    )
+
+    rows = [
+        ("a", "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+        ("a", "2024-01-01 00:30:00", "2024-01-01 02:00:00"),
+        ("a", "2024-01-01 05:00:00", "2024-01-01 06:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "k string, start string, end string").select(
+        "k", F.col("start").cast("timestamp").alias("start"),
+        F.col("end").cast("timestamp").alias("end"),
+    )
+    out = merge_intervals(df, ["k"]).orderBy("start").collect()
+    assert len(out) == 2 and out[0]["n_merged"] == 2
+
+
+def test_quantile_normalize_keeps_row_identity(spark):
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        quantile_normalize,
+    )
+
+    # Two docs in one source share a score: output must keep doc_id
+    # and stay one row per input row (no join-back duplication).
+    rows = [(1, "A", 5.0), (2, "A", 5.0), (3, "B", 7.0)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = quantile_normalize(df, "source", "score").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
+    assert {r["doc_id"]: r["score"] for r in out}[3] == 7.0
