@@ -115,20 +115,33 @@ def lang_id_expr(col: Column) -> Column:
     return best
 
 
-def char_fold_hash(col: Column) -> Column:
-    """Polynomial rolling hash of a raw string (mod 1e9+7).
+def code_fold_hash(codes: Column) -> Column:
+    """Polynomial rolling hash of an int array (mod 1e9+7).
 
-    acc = (acc * 31 + ascii(char)) mod 1_000_000_007, folded left over
-    the characters. Stays within int64 (acc < 1e9+7, *31 + 255 << 2^63)
-    so Spark and the SQL oracle agree bit-for-bit.  The ONE hash
-    convention shared by ``fingerprint64`` and the winnowing gram
-    hashes — change it here or nowhere.
+    acc = (acc * 31 + code) mod 1_000_000_007, folded left. Stays
+    within int64 (acc < 1e9+7, *31 + 255 << 2^63) so Spark and the
+    SQL oracle agree bit-for-bit.  The ONE hash convention shared by
+    ``fingerprint64``/``char_fold_hash`` and the winnowing gram
+    hashes — change it here or nowhere.  Taking CODES (not a string)
+    lets hot callers pre-compute the char-code array once per row
+    and hash many slices of it without re-splitting strings.
     """
     return F.aggregate(
-        F.split(col, ""),
+        codes,
         F.lit(0).cast("long"),
-        lambda acc, ch: (acc * F.lit(_FP_BASE) + F.ascii(ch)) % F.lit(_FP_MOD),
+        lambda acc, c: (acc * F.lit(_FP_BASE) + c) % F.lit(_FP_MOD),
     )
+
+
+def char_codes(col: Column) -> Column:
+    """array<int> of ascii codes — the pre-split input to
+    ``code_fold_hash`` for callers hashing many substrings."""
+    return F.transform(F.split(col, ""), F.ascii)
+
+
+def char_fold_hash(col: Column) -> Column:
+    """``code_fold_hash`` over a raw string's char codes."""
+    return code_fold_hash(char_codes(col))
 
 
 def fingerprint64(col: Column) -> Column:

@@ -1302,20 +1302,23 @@ def winnow_fingerprints(
     lambda variable, not a re-evaluated O(L·k) build.
     """
     from ..functions.exprs import flet
-    from ..functions.text import char_fold_hash, normalized_text
+    from ..functions.text import char_codes, code_fold_hash, normalized_text
 
     if k < 1 or window < 1:
         raise ValueError("need k >= 1 and window >= 1")
 
     norm = normalized_text(F.col(text_col))
 
-    def body(nrm: Column) -> Column:
-        npos = F.length(nrm) - F.lit(k - 1)
+    def body(codes: Column) -> Column:
+        npos = F.size(codes) - F.lit(k - 1)
         idx = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
             F.array().cast("array<int>")
         )
+        # hash SLICES of the once-per-row code array — substr+split
+        # per position re-ran a regex split per gram and benched 2x
+        # slower at sf0.1 (8.6s -> 4.3s min-of-3).
         harr = F.transform(
-            idx, lambda i: char_fold_hash(nrm.substr(i, F.lit(k)))
+            idx, lambda i: code_fold_hash(F.slice(codes, i, k))
         )
 
         def wins(h: Column) -> Column:
@@ -1335,7 +1338,7 @@ def winnow_fingerprints(
 
         return flet(harr, wins)
 
-    base = df.select(F.col(id_col), flet(norm, body).alias("__p"))
+    base = df.select(F.col(id_col), flet(char_codes(norm), body).alias("__p"))
     if exploded:
         return base.select(
             id_col, F.explode(F.col("__p.fps")).alias("fp")
