@@ -1405,6 +1405,9 @@ def quantile_normalize(
     source_col: str,
     score_col: str,
     out_col: str = "normalized_score",
+    approx: bool = False,
+    n_cuts: int = 201,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Cross-source quantile normalization: map each score to the
     POOLED distribution's value at its within-source quantile —
@@ -1424,10 +1427,13 @@ def quantile_normalize(
 
     Shape: one per-source window (shuffle on source), ONE global sort
     for the pooled order statistics, two index-keyed join-backs.  The
-    global sort is the exact form's cost — at 100 TB swap the pooled
-    quantile function for ``percentile_approx`` cut points (the
-    row-129 pattern; same alignment, mergeable sketch, no global
-    sort), keeping this exact form as its accuracy oracle.
+    global sort is the exact form's cost — ``approx=True`` is the
+    100 TB form and is EXERCISED with asserted tolerance in
+    ``tests/test_approx_percentiles.py``: the pooled quantile
+    function becomes ``n_cuts`` ``percentile_approx`` cut points (a
+    mergeable sketch, no global sort; the row-129 pattern) and each
+    within-source quantile interpolates between neighboring cuts —
+    the exact form is its accuracy oracle.
     """
     src_w = Window.partitionBy(source_col).orderBy(score_col)
     n_w = Window.partitionBy(source_col)
@@ -1440,6 +1446,27 @@ def quantile_normalize(
     r = F.when(F.col("__n") == 1, F.lit(0.0)).otherwise(
         (F.col("__rk") - 1).cast("double") / (F.col("__n") - 1).cast("double")
     )
+
+    if approx:
+        ps = [i / (n_cuts - 1) for i in range(n_cuts)]
+        cuts = df.agg(
+            F.percentile_approx(
+                score_col, F.array(*[F.lit(p_) for p_ in ps]), accuracy
+            ).alias("__cuts")
+        )
+        posx = r * (n_cuts - 1)
+        lox = F.floor(posx).cast("int")
+        fracx = posx - F.floor(posx)
+        vlo_x = F.element_at(F.col("__cuts"), lox + 1).cast("double")
+        vhi_x = F.element_at(
+            F.col("__cuts"), F.least(lox + F.lit(2), F.lit(n_cuts))
+        ).cast("double")
+        from ..functions.numeric import round_c as _rc
+
+        return ranked.crossJoin(F.broadcast(cuts)).select(
+            *df.columns,
+            _rc(vlo_x + (vhi_x - vlo_x) * fracx, 6).alias(out_col),
+        )
 
     pool_w = Window.orderBy(score_col, source_col)
     pooled = df.select(source_col, score_col).select(

@@ -197,3 +197,70 @@ def test_scoring_approx_median_leg(spark):
     lo, hi = _rank_envelope(vals, 0.5, 1.0 / 10_000)
     assert lo <= a <= hi, (a, lo, hi, e)
     assert approx.columns == exact.columns
+
+
+def test_quantile_normalize_approx_leg_tracks_exact(spark, sf_dir):
+    """qx67's docstring promises the percentile_approx cut-point form
+    at 100 TB — run it and bound its error against the exact form."""
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        quantile_normalize,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+    )
+    exact = {r["doc_id"]: r["normalized_score"]
+             for r in quantile_normalize(docs, "source", "score").collect()}
+    approx = {r["doc_id"]: r["normalized_score"]
+              for r in quantile_normalize(
+                  docs, "source", "score", approx=True, n_cuts=101
+              ).collect()}
+    assert set(exact) == set(approx)
+    vals = sorted(exact.values())
+    rng = vals[-1] - vals[0]
+    diffs = [abs(approx[k] - exact[k]) for k in exact]
+    # 101 cuts on this distribution: every row within a few percent
+    # of range, mean much tighter (cut interpolation error).
+    assert max(diffs) <= rng * 0.10, max(diffs)
+    assert sum(diffs) / len(diffs) <= rng * 0.02
+
+    # Alignment property survives: per-source normalized MEANS are
+    # pulled together vs the raw per-source means.
+    import statistics
+    raw, nrm = {}, {}
+    for r in docs.collect():
+        raw.setdefault(r["source"], []).append(float(r["score"]))
+    for r in quantile_normalize(
+        docs, "source", "score", approx=True, n_cuts=101
+    ).collect():
+        nrm.setdefault(r["source"], []).append(r["normalized_score"])
+    raw_spread = statistics.pstdev([statistics.mean(v) for v in raw.values()])
+    nrm_spread = statistics.pstdev([statistics.mean(v) for v in nrm.values()])
+    assert nrm_spread <= raw_spread * 1.05
+
+
+def test_ks_test_binned_leg_bounds_exact(spark, sf_dir):
+    """qx72's docstring promises the binned-CDF form at 100 TB — run
+    it and assert the coarsening bound D_binned <= D_exact with a
+    bounded gap."""
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.drift import ks_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("event_type").isin(["click", "view"])
+    ).select(
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("value") * 1.15)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    exact = ks_test(ev, "event_type", "value", "click", "view").collect()[0]
+    for bins, gap in ((1000, 0.02), (100, 0.06)):
+        b = ks_test(ev, "event_type", "value", "click", "view",
+                    bins=bins).collect()[0]
+        assert b["ks_stat"] <= exact["ks_stat"] + 1e-9, (bins, b["ks_stat"])
+        assert exact["ks_stat"] - b["ks_stat"] <= gap, (bins, b["ks_stat"])
+        assert (b["n_a"], b["n_b"]) == (exact["n_a"], exact["n_b"])
