@@ -7218,12 +7218,15 @@ def extra_oracle_sql() -> dict[str, str]:
                    SUM(w) OVER (PARTITION BY k) AS tw
             FROM wv
         ),
-        q AS (
-            SELECT k, v, cw, tw, unnest([0.25::DOUBLE, 0.5::DOUBLE, 0.9::DOUBLE]) AS p FROM cum
-        )
+        ps(p, num, den) AS (
+            VALUES (0.25::DOUBLE, 1::BIGINT, 4::BIGINT),
+                   (0.5::DOUBLE, 1::BIGINT, 2::BIGINT),
+                   (0.9::DOUBLE, 9::BIGINT, 10::BIGINT)
+        ),
+        q AS (SELECT k, v, cw, tw, p, num, den FROM cum CROSS JOIN ps)
         SELECT k AS l_returnflag, p, MIN(v) AS value
         FROM q
-        WHERE CAST(cw AS DOUBLE) >= p * CAST(tw AS DOUBLE)
+        WHERE cw * den >= num * tw
         GROUP BY k, p ORDER BY k, p
     """
 
@@ -7235,7 +7238,9 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CASE WHEN event_type = 'view' THEN value * 1.15
                         ELSE value END AS v
-            FROM events WHERE event_type IN ('click', 'view')
+            FROM events
+            WHERE event_type IN ('click', 'view')
+              AND value IS NOT NULL
         ),
         per_v AS (
             SELECT v,

@@ -312,8 +312,14 @@ def weighted_percentiles(
     order-free); values COLLAPSE to (group, value) first so the
     cumulative window has no duplicate-tie ambiguity (the qx70
     lesson, eliminated structurally here rather than tie-broken);
-    the p·W threshold is one IEEE-double comparison from exact
-    decimals.  Negative weights are undefined (weighted quantiles
+    the p·W threshold stays in DECIMAL end to end — each p is read
+    as the exact rational num/den of its decimal literal and the
+    test is ``cw·den ≥ num·tw`` on exact decimal products, so a
+    threshold landing exactly on a cumulative-weight boundary selects
+    the correct order statistic even when total weight exceeds 2^53
+    (a double compare could pick the adjacent value there). Exact
+    while W·den < 10^32 (decimal(38,6) product headroom) — beyond
+    astronomical.  Negative weights are undefined (weighted quantiles
     need a monotone CDF) — caller contract.
 
     Shape: TWO exchanges — the (group, value) collapse aggregate
@@ -346,18 +352,31 @@ def weighted_percentiles(
         .alias("cw"),
         F.sum("w").over(full_w).alias("tw"),
     )
+    from fractions import Fraction
+
+    # Each p as the exact rational of its decimal literal, so the
+    # threshold compare below never leaves decimal arithmetic.
+    fracs = [Fraction(str(float(p))) for p in ps]
+    p_structs = [
+        F.struct(
+            F.lit(float(p)).alias("p"),
+            F.lit(int(fr.numerator)).alias("num"),
+            F.lit(int(fr.denominator)).alias("den"),
+        )
+        for p, fr in zip(ps, fracs)
+    ]
     return (
         cum.select(
             *group_cols,
             "v",
             "cw",
             "tw",
-            F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p"),
+            F.explode(F.array(*p_structs)).alias("pp"),
         )
         .filter(
-            F.col("cw").cast("double")
-            >= F.col("p") * F.col("tw").cast("double")
+            F.col("cw") * F.col("pp.den") >= F.col("pp.num") * F.col("tw")
         )
+        .select(*group_cols, "v", F.col("pp.p").alias("p"))
         .groupBy(*group_cols, "p")
         .agg(F.min("v").alias("value"))
     )

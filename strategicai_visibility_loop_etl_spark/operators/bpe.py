@@ -75,8 +75,10 @@ def _greedy_disjoint(rows, limit: int) -> list[tuple[str, str, int]]:
     candidate list: walk down by (count DESC, left, right), keep a pair
     iff none of {lhs, rhs, lhs+rhs} was used by an already-KEPT pair,
     stop at ``limit``. Disjointness (including the merged symbol) is
-    what makes a whole batch of merges apply simultaneously with the
-    sequential trainer's semantics — see ``bpe_train``."""
+    what makes the kept pairs IN-BATCH order-independent — applying
+    them in any order within one round yields the same symbol table
+    (see ``bpe_train`` for what that does and does not guarantee
+    versus the one-merge-per-round trainer)."""
     used: set[str] = set()
     out: list[tuple[str, str, int]] = []
     for row in rows:
@@ -121,21 +123,30 @@ def bpe_train(
     keeps up to ``batch_size`` MUTUALLY SYMBOL-DISJOINT pairs
     (:func:`_greedy_disjoint` — no kept pair shares lhs/rhs/merged
     with another kept pair), and applies them all in ONE projection.
-    Disjointness makes the batch exact, not approximate:
+    Disjointness buys IN-BATCH order-independence:
 
     - selection-time counts stay correct for every kept pair (a merge
       only perturbs counts of pairs sharing one of its symbols);
     - the chained literal replaces can neither create nor destroy one
       another's matches (a new adjacency always involves a freshly
       merged symbol, which no other kept pair references), so in-batch
-      application order is irrelevant and equals applying the kept
-      merges sequentially.
+      application order is irrelevant — any order of the KEPT merges
+      yields the same post-round symbol table.
 
-    The resulting merge LIST therefore feeds :func:`bpe_encode`
-    unchanged. ``batch_size=1`` is exactly the textbook sequential
-    trainer (the round's single survivor is the global argmax). The
-    batched selection is a deterministic function of the pair counts,
-    so a SQL oracle replays it with a ranked candidate CTE + recursive
+    With ``batch_size > 1`` this is a DISTINCT deterministic
+    algorithm, not the textbook sequential trainer: after a round's
+    top merge, the sequential argmax may be a pair involving the
+    freshly merged symbol, which batching defers to a later round —
+    so the learned merge SEQUENCE (and for some corpora the final
+    merge set) can differ from ``batch_size=1`` on the same input.
+    Tests pin the batched path against a batched Python reference of
+    the same algorithm, not against the sequential trainer. The
+    resulting merge list still feeds :func:`bpe_encode` unchanged
+    (encode only needs a rank-ordered merge table).
+    ``batch_size=1`` is exactly the textbook sequential trainer (the
+    round's single survivor is the global argmax). The batched
+    selection is a deterministic function of the pair counts, so a
+    SQL oracle replays it with a ranked candidate CTE + recursive
     greedy walk (see ``__spark_entry__.qx40``).
     """
     if n_merges <= 0:

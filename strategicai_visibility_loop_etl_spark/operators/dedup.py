@@ -776,6 +776,7 @@ def exactsubstr_incremental(
     batch's documents.
     """
     spark = new_docs.sparkSession
+    recover_count_index(index_path, "grams")
     ids_idx = spark.read.parquet(os.path.join(index_path, "ids"))
     gram_partials = spark.read.parquet(os.path.join(index_path, "grams"))
     fresh = new_docs.join(
@@ -929,6 +930,50 @@ def line_df_index_write(
     ).parquet(os.path.join(index_path, "ids"))
 
 
+def recover_count_index(index_path: str, sub: str) -> None:
+    """Crash recovery for :func:`compact_count_index`'s two-rename
+    swap. Idempotent and cheap (one directory listing); called at
+    compaction entry and by the incremental readers, so a compaction
+    that died between its renames never strands the index:
+
+    - live present → any leftover ``_{sub}_compact_*`` /
+      ``_{sub}_old_*`` sibling is stale (crash before the swap, or
+      after it completed but before trash removal) — delete it.
+    - live missing + a compact dir with ``_SUCCESS`` → the crash hit
+      between ``rename(live, trash)`` and ``rename(tmp, live)``:
+      promote the fully-written compacted dir (it folds the same
+      rows), then drop the trash.
+    - live missing + only an old dir → the compacted dir was lost
+      too (partial write, no ``_SUCCESS``): restore the pre-compaction
+      directory — nothing is ever deleted before a replacement is
+      live.
+    """
+    import shutil
+
+    live = os.path.join(index_path, sub)
+    compact_pre, old_pre = f"_{sub}_compact_", f"_{sub}_old_"
+    try:
+        entries = sorted(os.listdir(index_path))
+    except FileNotFoundError:
+        return
+    # Promote a complete compacted dir first — it is the newest
+    # equivalent state; only fall back to the old dir if none exists.
+    for name in entries:
+        full = os.path.join(index_path, name)
+        if name.startswith(compact_pre):
+            if not os.path.exists(live) and os.path.exists(
+                os.path.join(full, "_SUCCESS")
+            ):
+                os.rename(full, live)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(old_pre):
+            if not os.path.exists(live):
+                os.rename(full, live)
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+
+
 def compact_count_index(
     spark,
     index_path: str,
@@ -946,12 +991,17 @@ def compact_count_index(
     The swap is two renames (live → trash, tmp → live) — the same
     local-FS/HDFS rename discipline as the streaming ledger
     (``streaming/sink.py``); on an object store route it through the
-    table format's commit instead. Callers must not run compaction
-    concurrently with an ``update_index`` append.
+    table format's commit instead. A crash between the two renames is
+    recoverable: :func:`recover_count_index` (run here on entry and by
+    every incremental reader) promotes the fully-written compacted dir
+    or restores the old one, so no state is ever stranded. Callers
+    must not run compaction concurrently with an ``update_index``
+    append.
     """
     import shutil
     import uuid
 
+    recover_count_index(index_path, sub)
     live = os.path.join(index_path, sub)
     partials = spark.read.parquet(live)
     folded = partials.groupBy(key_col).agg(F.sum("cnt").alias("cnt"))
@@ -1004,6 +1054,7 @@ def boilerplate_excision_incremental(
     archive ∪ batch and keeping the batch's rows.
     """
     spark = new_docs.sparkSession
+    recover_count_index(index_path, "lines")
     ids_idx = spark.read.parquet(os.path.join(index_path, "ids"))
     lines_partials = spark.read.parquet(os.path.join(index_path, "lines"))
     fresh = new_docs.join(

@@ -187,8 +187,17 @@ def ks_test(
     buckets (min/max from one broadcast aggregate) and the SAME
     statistic runs over the binned CDF; coarsening can only shrink
     the supremum, so D_binned ∈ [D_exact − within-bin mass, D_exact].
+
+    NULL metrics are excluded up front in BOTH legs — a NULL carries
+    no distribution information, and without the filter the two legs
+    would disagree (the exact leg would keep NULL as its own CDF
+    point while ``least(floor(NULL), bins-1)`` would silently bin it
+    into the top bucket, inflating the upper tail).
     """
-    tagged = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+    tagged = df.filter(
+        F.col(group_col).isin([group_a, group_b])
+        & F.col(value_col).isNotNull()
+    ).select(
         F.col(value_col).alias("v"),
         F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("ia"),
     )

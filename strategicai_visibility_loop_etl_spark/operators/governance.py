@@ -228,6 +228,14 @@ def rater_agreement(
     short-panel items are dropped — ``n_items`` reports what
     survived, so a silent partial panel is visible in the output.
 
+    Degenerate panels read as NULL, never Inf/NaN (the ks_test
+    "no data reads as NULL" convention): a single-rater panel
+    (n = 1) has no within-item agreement to measure, so ``p_bar``
+    and ``kappa`` are NULL; a panel whose rounded chance agreement
+    reaches 1.0 (every vote in one category) leaves kappa's
+    denominator at zero, so ``kappa`` is NULL while ``p_bar``/``p_e``
+    stay visible.
+
     Every intermediate stays an exact integer — A = Σ_i Σ_c n_ic²,
     S_c = Σ_i n_ic (squared through DECIMAL(38,0): S_c² overflows
     BIGINT at corpus scale) — with the three divisions done in
@@ -276,19 +284,29 @@ def rater_agreement(
         nn * (F.col("n").cast("double") - F.lit(1.0))
     )
     p_e = F.col("b_sum").cast("double") / (nn * nn)
+    # Degenerate-panel guards (NULL, never Inf/NaN): p_bar's
+    # denominator nn*(n-1) is zero when the panel is a single rater
+    # (n == 1) or empty (n_items == 0, where n is NULL anyway); the
+    # kappa denominator 1 - p_e is zero when rounded p_e hits 1.0.
+    measurable = (F.col("n_items") > 0) & (F.col("n") > 1)
     return (
         g1.crossJoin(F.broadcast(g2))
-        .withColumn("p_bar", round_c(p_bar, 6))
-        .withColumn("p_e", round_c(p_e, 6))
+        .withColumn("p_bar", F.when(measurable, round_c(p_bar, 6)))
+        .withColumn(
+            "p_e", F.when(F.col("n_items") > 0, round_c(p_e, 6))
+        )
         .select(
             "n_items",
             F.col("n").alias("n_raters"),
             "p_bar",
             "p_e",
-            round_c(
-                (F.col("p_bar") - F.col("p_e"))
-                / (F.lit(1.0) - F.col("p_e")),
-                6,
+            F.when(
+                F.col("p_e") < 1.0,
+                round_c(
+                    (F.col("p_bar") - F.col("p_e"))
+                    / (F.lit(1.0) - F.col("p_e")),
+                    6,
+                ),
             ).alias("kappa"),
         )
     )

@@ -979,3 +979,69 @@ def test_random_projection_jl_distance_preservation(spark):
     a = sorted(map(tuple, random_project(sub, 8).collect()))
     b = sorted(map(tuple, random_project(sub.repartition(7), 8).collect()))
     assert a == b
+
+
+def test_compact_count_index_crash_recovery(spark, tmp_path):
+    """A compaction that dies between its two renames must not strand
+    the index: recover_count_index (run by compaction entry and every
+    incremental reader) promotes the fully-written compacted dir, or
+    restores the old dir when no complete replacement exists, and
+    sweeps stale leftovers when live is intact."""
+    import os
+    import shutil
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_excision_incremental,
+        compact_count_index,
+        line_df_index_write,
+        recover_count_index,
+    )
+
+    promo = "subscribe to our newsletter"
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "ridx")
+    for i in range(3):
+        line_df_index_write(
+            spark.createDataFrame([(i, f"{promo}\nbody {i}")], schema), idx
+        )
+    live = os.path.join(idx, "lines")
+    probe = spark.createDataFrame([(99, f"{promo}\nprobe body")], schema)
+    want = boilerplate_excision_incremental(probe, idx, min_df=2).first()
+
+    # Crash scenario 1: between rename(live, trash) and
+    # rename(tmp, live) — live missing, complete compact dir present.
+    compact_count_index(spark, idx, "lines", "lh")  # writes folded live
+    shutil.copytree(live, os.path.join(idx, "_lines_compact_deadbeef"))
+    os.rename(live, os.path.join(idx, "_lines_old_deadbeef"))
+    # the reader itself recovers (no explicit recover call needed)
+    got = boilerplate_excision_incremental(probe, idx, min_df=2).first()
+    assert got["clean_text"] == want["clean_text"]
+    assert os.path.exists(live)
+    assert not os.path.exists(os.path.join(idx, "_lines_old_deadbeef"))
+
+    # Crash scenario 2: tmp was written WITHOUT _SUCCESS (partial
+    # write) and live was already renamed away — restore the old dir.
+    spark.catalog.refreshByPath(live)
+    partial = os.path.join(idx, "_lines_compact_0badf00d")
+    shutil.copytree(live, partial)
+    os.remove(os.path.join(partial, "_SUCCESS"))
+    os.rename(live, os.path.join(idx, "_lines_old_0badf00d"))
+    recover_count_index(idx, "lines")
+    assert os.path.exists(live)
+    assert not os.path.exists(partial)  # incomplete tmp swept
+    spark.catalog.refreshByPath(live)
+    got2 = boilerplate_excision_incremental(probe, idx, min_df=2).first()
+    assert got2["clean_text"] == want["clean_text"]
+
+    # Crash scenario 3: live intact, stale leftovers — swept, and the
+    # next compaction (which recovers on entry) still folds correctly.
+    shutil.copytree(live, os.path.join(idx, "_lines_compact_aa11aa11"))
+    shutil.copytree(live, os.path.join(idx, "_lines_old_bb22bb22"))
+    line_df_index_write(
+        spark.createDataFrame([(7, f"{promo}\nbody 7")], schema), idx
+    )
+    compact_count_index(spark, idx, "lines", "lh")
+    leftovers = [d for d in os.listdir(idx) if d.startswith("_lines_")]
+    assert leftovers == []
+    got3 = boilerplate_excision_incremental(probe, idx, min_df=2).first()
+    assert got3["clean_text"] == want["clean_text"]

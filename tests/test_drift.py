@@ -150,3 +150,34 @@ def test_ks_test_absent_group_reads_as_no_data(spark):
     r = ks_test(df, "g", "v", "a", "typo").collect()[0]
     assert (r["n_a"], r["n_b"]) == (2, 0)
     assert r["ks_stat"] is None and r["reject"] is None
+
+
+def test_ks_test_null_metrics_excluded_in_both_legs(spark):
+    """NULL metric rows carry no distribution information and must be
+    excluded consistently: before the fix the exact leg kept NULL as
+    its own CDF point while the binned leg's least(floor(NULL),
+    bins-1) silently routed NULLs into the TOP bucket, so the two
+    legs disagreed and NULLs inflated the upper tail."""
+    from strategicai_visibility_loop_etl_spark.operators.drift import ks_test
+
+    clean = [(float(v), "a") for v in (1, 2, 3, 4)] + [
+        (float(v), "b") for v in (3, 4, 5, 6)
+    ]
+    base = spark.createDataFrame(clean, "v double, g string")
+    # NULLs planted asymmetrically (3 on side b, 1 on side a) — if
+    # they leaked into either leg, counts and D would both move.
+    noisy = spark.createDataFrame(
+        clean + [(None, "b")] * 3 + [(None, "a")],
+        "v double, g string",
+    )
+    for bins in (None, 4):
+        r0 = ks_test(base, "g", "v", "a", "b", bins=bins).collect()[0]
+        r1 = ks_test(noisy, "g", "v", "a", "b", bins=bins).collect()[0]
+        assert (r1["n_a"], r1["n_b"]) == (r0["n_a"], r0["n_b"]) == (4, 4)
+        assert r1["ks_stat"] == r0["ks_stat"]
+    # all-NULL side reads as no data, not as an empty-vs-full verdict
+    only_null = spark.createDataFrame(
+        [(1.0, "a"), (None, "b")], "v double, g string"
+    )
+    r = ks_test(only_null, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (1, 0) and r["ks_stat"] is None

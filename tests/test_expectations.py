@@ -167,3 +167,45 @@ def test_fleiss_kappa_conflicting_rater_cannot_poison_panel(spark):
     r = rater_agreement(ev).collect()[0]
     assert (r["n_items"], r["n_raters"]) == (2, 2)
     assert r["p_bar"] == 0.5  # item 2 agrees, item 3 splits
+
+
+def test_fleiss_kappa_degenerate_panels_read_as_null(spark):
+    """Degenerate panels must read as NULL (the ks_test no-data
+    convention), never Inf/NaN: a single-rater panel (n == 1) zeroes
+    p_bar's denominator nn*(n-1); unanimous single-category voting
+    drives rounded p_e to 1.0 and zeroes kappa's denominator."""
+    import math
+
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        rater_agreement,
+    )
+
+    # n == 1: every item rated by exactly one rater.
+    solo = spark.createDataFrame(
+        [(1, "r1", "A"), (2, "r1", "B"), (3, "r1", "A")],
+        "item_id long, rater_id string, category string",
+    )
+    r = rater_agreement(solo).collect()[0]
+    assert (r["n_items"], r["n_raters"]) == (3, 1)
+    assert r["p_bar"] is None and r["kappa"] is None
+    assert r["p_e"] is not None and not math.isnan(r["p_e"])
+
+    # p_e == 1: two raters, every vote in the single category.
+    unanimous = spark.createDataFrame(
+        [(1, "r1", "A"), (1, "r2", "A"), (2, "r1", "A"), (2, "r2", "A")],
+        "item_id long, rater_id string, category string",
+    )
+    r2 = rater_agreement(unanimous).collect()[0]
+    assert (r2["n_items"], r2["n_raters"], r2["p_bar"], r2["p_e"]) == (
+        2, 2, 1.0, 1.0,
+    )
+    assert r2["kappa"] is None  # 0/0, visible as no-signal not NaN
+
+    # empty panel: no valid items at all (conflicting sole rater)
+    empty = spark.createDataFrame(
+        [(1, "r1", "A"), (1, "r1", "B")],
+        "item_id long, rater_id string, category string",
+    )
+    r3 = rater_agreement(empty).collect()[0]
+    assert r3["n_items"] == 0
+    assert r3["p_bar"] is None and r3["p_e"] is None and r3["kappa"] is None

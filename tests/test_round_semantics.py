@@ -295,3 +295,27 @@ def test_winsorize_preserves_null_values(spark):
     out = {r["v"]: r["v_winsorized"]
            for r in winsorize(df, ["k"], "v", 0.1, 0.9).collect()}
     assert out[None] is None  # missing metric stays missing
+
+
+def test_weighted_percentiles_exact_decimal_boundary(spark):
+    """The p·W threshold compares in exact decimal (cw·den ≥ num·tw),
+    not doubles: at total weight past 2^53 a threshold landing exactly
+    on a cumulative-weight boundary must still select the boundary
+    value. Constructed so cw(v=1)·10 == tw exactly (select v=1.0)
+    while the old double compare rounds cw down and p·tw up and picks
+    the adjacent order statistic (v=2.0)."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        weighted_percentiles,
+    )
+
+    # per-row weights stay double-exact through round_c (w·10^6 is
+    # representable); the decimal SUM then builds the huge totals:
+    # v=1 total = 10^16+1, v=2 total = 9·10^16+9, W = 10^17+10.
+    rows = [("k", 1.0, 10**15)] * 10 + [("k", 1.0, 1)]
+    rows += [("k", 2.0, 9 * 10**15)] * 10 + [("k", 2.0, 9)]
+    df = spark.createDataFrame(rows, "k string, v double, w long")
+    got = {
+        r["p"]: r["value"]
+        for r in weighted_percentiles(df, ["k"], "v", "w", ps=[0.1]).collect()
+    }
+    assert got == {0.1: 1.0}
