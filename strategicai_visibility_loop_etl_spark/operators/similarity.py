@@ -1045,8 +1045,14 @@ def ivfpq_topk(
       join — the ONLY stage that reads vectors at query time), exact
       cosine, top-k.
 
-    ``stage_path`` stages centroids and codebooks; the DuckDB oracle
-    replays assignment, residuals, encoding, the decimal ADC sum, the
+    ``stage_path`` stages centroids, codebooks AND the code table —
+    the codes write Hive-partitioned by cluster (``write_partitioned``,
+    row 141) and the query re-reads ONLY the probed lists via a
+    PartitionFilters-pruned scan (the probe set is ≤ n_centroids
+    distinct ints, a model-sized collect), so unprobed clusters never
+    even reach the file listing — the FAISS inverted-list read
+    pattern expressed as partition pruning. The DuckDB oracle replays
+    assignment, residuals, encoding, the decimal ADC sum, the
     candidate cut and the re-rank end-to-end.
     """
     from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
@@ -1111,6 +1117,30 @@ def ivfpq_topk(
         .filter(F.col("__rn") <= n_probe)
         .select(query_id, query_vec, "cluster")
     )
+    if stage_path is not None:
+        # Cluster-partitioned code-table layout (the row-141 sink
+        # applied to this row): codes stage Hive-partitioned by
+        # cluster, and the query reads back only the PROBED lists —
+        # the probe set is at most n_centroids distinct ints
+        # (model-sized collect, same class as the codebook collects),
+        # so the IN-filter lands in PartitionFilters and unprobed
+        # clusters never reach the file listing. Without this the ADC
+        # join is still CORRECT (the LUT join drops unprobed rows)
+        # but scans every code row; at 100 TB the probed fraction is
+        # n_probe/n_centroids of the bytes.
+        from ..sources.sinks import write_partitioned  # noqa: PLC0415
+
+        write_partitioned(codes, f"{stage_path}/codes", ["cluster"])
+        probed = sorted(
+            r["cluster"]
+            for r in probes.select("cluster").distinct().collect()
+        )
+        keep = F.col("cluster").isin(probed) if probed else F.lit(False)
+        codes = (
+            spark.read.parquet(f"{stage_path}/codes")
+            .filter(keep)
+            .select(corpus_id, "cluster", "sub", "code")
+        )
     qres = probes.join(F.broadcast(cent_df), "cluster").select(
         F.col(query_id),
         F.col("cluster"),

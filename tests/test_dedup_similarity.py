@@ -1045,3 +1045,54 @@ def test_compact_count_index_crash_recovery(spark, tmp_path):
     assert leftovers == []
     got3 = boilerplate_excision_incremental(probe, idx, min_df=2).first()
     assert got3["clean_text"] == want["clean_text"]
+
+
+def test_ivfpq_codes_stage_partitioned_and_pruned(spark, sf_dir, tmp_path):
+    """Staged IVF-PQ codes lay out Hive-partitioned by cluster and the
+    query re-reads ONLY the probed inverted lists: the probe IN-filter
+    must reach PartitionFilters (planning-time file pruning, the
+    row-141 pin applied to row 143), and the pruned path must return
+    bit-identical top-k to the unstaged in-memory plan."""
+    import os
+
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    kw = dict(k=5, n_centroids=8, n_probe=2, m=8, ksub=8, iters=1, rerank=16)
+    plain = ivfpq_topk(emb, qs, **kw).collect()
+    staged_df = ivfpq_topk(emb, qs, **kw, stage_path=str(tmp_path / "st"))
+    staged = staged_df.collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, plain), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, staged), key=lambda t: (t[0], t[3])
+    )
+
+    # layout: one directory per non-empty cluster
+    parts = {
+        d
+        for d in os.listdir(tmp_path / "st" / "codes")
+        if d.startswith("cluster=")
+    }
+    assert parts, "codes not Hive-partitioned by cluster"
+
+    # pruning: the codes scan carries the probe set in
+    # PartitionFilters — unprobed lists are dropped at file listing.
+    plan = staged_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan[:2000]
+    seg = plan.split("PartitionFilters")[1][:300]
+    assert "cluster" in seg and "IN" in seg.upper(), seg
+    # the probe set is bounded by n_queries * n_probe distinct lists
+    import re
+
+    m_in = re.search(r"cluster[^ ]* IN \(([^)]*)\)", plan)
+    assert m_in, seg
+    probed = {int(x) for x in m_in.group(1).split(",")}
+    assert len(probed) <= 3 * 2
