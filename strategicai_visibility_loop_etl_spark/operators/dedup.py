@@ -1044,7 +1044,11 @@ def boilerplate_excision_incremental(
     cleaned output was produced when first seen, and counting their
     lines again would inflate df by one per re-crawl. The index
     assumes IMMUTABLE CONTENT PER ID — refresh a mutated document by
-    delete-and-reinsert or a versioned id, as with the MinHash index.
+    delete-and-reinsert or a versioned id (the MinHash index has a
+    first-class ``refresh=True`` mode because its rows are
+    REPLACEABLE per id; a count index would additionally need the
+    old content's per-id contribution to subtract, which this layout
+    deliberately does not store).
     ``update_index=True`` appends the batch's partial (lh, cnt) rows
     and its ids AFTER forcing the excision result, so the output can
     never observe its own update.
@@ -1113,6 +1117,65 @@ def minhash_index_write(
     ).parquet(index_path)
 
 
+def read_minhash_index(spark, index_path: str) -> DataFrame:
+    """Merge-on-read view of the signature index: one (id, sig) row
+    per id. A never-refreshed index (no ``seq`` column) passes
+    through without a shuffle; once any ``refresh=True`` batch has
+    written versioned rows, the highest-``seq`` signature wins per id
+    (legacy rows read as seq 0 via schema merge) — one id-keyed
+    aggregate over the index, the price of mutability. Fold it back
+    to one physical row per id on schedule with
+    :func:`compact_minhash_index`."""
+    raw = spark.read.option("mergeSchema", "true").parquet(index_path)
+    if "seq" not in raw.columns:
+        return raw
+    seq = F.coalesce(F.col("seq"), F.lit(0)).cast("long")
+    return (
+        raw.select("id", "sig", seq.alias("__seq"))
+        .groupBy("id")
+        .agg(F.max_by("sig", F.col("__seq")).alias("sig"))
+    )
+
+
+def compact_minhash_index(spark, index_path: str) -> int:
+    """Fold a refreshed (versioned) signature index back to one
+    physical row per id — latest signature, max seq KEPT so later
+    refreshes keep monotone versions. Same two-rename swap +
+    crash-recovery discipline as :func:`compact_count_index`
+    (:func:`recover_count_index` over the parent directory works
+    unchanged because the naming convention is shared). Returns the
+    compacted row count."""
+    import shutil
+    import uuid
+
+    norm = index_path.rstrip("/")
+    parent, base = os.path.split(norm)
+    recover_count_index(parent, base)
+    raw = spark.read.option("mergeSchema", "true").parquet(norm)
+    if "seq" not in raw.columns:
+        raw = raw.withColumn("seq", F.lit(0).cast("long"))
+    seq = F.coalesce(F.col("seq"), F.lit(0)).cast("long")
+    folded = (
+        raw.select("id", "sig", seq.alias("seq"))
+        .groupBy("id")
+        .agg(
+            F.max_by("sig", F.col("seq")).alias("sig"),
+            F.max("seq").alias("seq"),
+        )
+        .select("id", "sig", "seq")
+    )
+    tag = uuid.uuid4().hex[:8]
+    tmp = os.path.join(parent, f"_{base}_compact_{tag}")
+    folded.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    trash = os.path.join(parent, f"_{base}_old_{tag}")
+    os.rename(norm, trash)
+    os.rename(tmp, norm)
+    shutil.rmtree(trash, ignore_errors=True)
+    spark.catalog.refreshByPath(norm)
+    return n
+
+
 def dedup_minhash_incremental(
     new_docs: DataFrame,
     index_path: str,
@@ -1125,6 +1188,7 @@ def dedup_minhash_incremental(
     max_bucket: int | str = 2000,
     update_index: bool = False,
     stage_path: str | None = None,
+    refresh: bool = False,
 ) -> DataFrame:
     """Near-dup pairs for an INCOMING BATCH against an existing
     signature index, without touching archived text: the operational
@@ -1146,12 +1210,18 @@ def dedup_minhash_incremental(
     a re-crawled document id can never create duplicate (id, sig)
     index rows (which would fan out ambiguous pairs in later batches).
 
-    The index is keyed by id and ASSUMES IMMUTABLE CONTENT PER ID: if
-    a re-crawled id arrives with changed text, the STORED signature
+    By default the index ASSUMES IMMUTABLE CONTENT PER ID: if a
+    re-crawled id arrives with changed text, the STORED signature
     stays authoritative and later batches keep comparing against the
-    old content. To refresh a mutated document, delete-and-reinsert
-    (rewrite the index without the id, then re-ingest) or use a
-    versioned id (``id@crawl_date``). Making the call
+    old content. ``refresh=True`` is the mutable-content mode: the
+    batch's signatures REPLACE the stored ones for every id in the
+    batch — stale archive rows are excluded from pair generation, and
+    ``update_index`` appends the whole batch as VERSIONED rows
+    (``seq`` = stored max + 1; readers resolve latest-per-id through
+    :func:`read_minhash_index`, fold physically on schedule with
+    :func:`compact_minhash_index`). Equivalence contract for refresh
+    (pytest-asserted): the pairs equal a fresh-corpus run where the
+    archive never contained the stale content. Making the call
     idempotent-per-batch is the caller's batch-id ledger concern —
     see ``streaming/sink.py``.
 
@@ -1164,17 +1234,41 @@ def dedup_minhash_incremental(
         minhash_signatures(new_docs, text_col, id_col, k, num_hashes),
         stage_path,
     )
-    old_sig = spark.read.parquet(index_path)
+    old_sig = read_minhash_index(spark, index_path)
+    archive = (
+        old_sig.join(new_sig.select("id"), "id", "left_anti")
+        if refresh
+        else old_sig
+    )
     pairs = incremental_pairs_from_signatures(
-        new_sig, old_sig, num_hashes, bands, threshold, max_bucket
+        new_sig, archive, num_hashes, bands, threshold, max_bucket
     )
     if update_index:
         # force pair computation BEFORE the index mutates under it
         pairs = pairs.localCheckpoint()
-        # re-crawled ids must not duplicate in the index: the stored
-        # signature stays authoritative, the batch's copy is dropped
-        fresh = new_sig.join(old_sig.select("id"), "id", "left_anti")
-        fresh.write.mode("append").parquet(index_path)
+        if refresh:
+            # every batch id's signature becomes authoritative: append
+            # versioned rows one seq past the stored max (one bounded
+            # aggregate over the raw index — a single long).
+            raw = spark.read.option("mergeSchema", "true").parquet(
+                index_path
+            )
+            if "seq" in raw.columns:
+                top = raw.agg(
+                    F.max(F.coalesce(F.col("seq"), F.lit(0)))
+                ).first()[0]
+                nxt = int(top or 0) + 1
+            else:
+                nxt = 1
+            new_sig.withColumn("seq", F.lit(nxt).cast("long")).write.mode(
+                "append"
+            ).parquet(index_path)
+        else:
+            # re-crawled ids must not duplicate in the index: the
+            # stored signature stays authoritative, the batch's copy
+            # is dropped
+            fresh = new_sig.join(old_sig.select("id"), "id", "left_anti")
+            fresh.write.mode("append").parquet(index_path)
     return pairs
 
 

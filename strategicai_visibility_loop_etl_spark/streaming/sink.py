@@ -147,16 +147,34 @@ def start_visibility_upsert_stream(
 
 
 def read_signature_index(
-    spark: SparkSession, index_dir: str
+    spark: SparkSession, index_dir: str, latest: bool = False
 ) -> DataFrame | None:
     """The accumulated (id, sig) index: the union of every COMMITTED
     batch's signature directory (ledger-resolved — a crashed batch's
-    orphan directory is invisible)."""
+    orphan directory is invisible). ``latest=True`` is the
+    mutable-content (refresh) view: the batch id IS the version, so
+    the highest committed batch's signature wins per id — one
+    id-keyed aggregate, deterministic on replay because redelivered
+    batches overwrite their own directory with identical content."""
     ids = committed_batches(index_dir)
     if not ids:
         return None
     paths = [os.path.join(index_dir, f"b{i}") for i in ids]
-    return spark.read.parquet(*paths)
+    if not latest:
+        return spark.read.parquet(*paths)
+    from functools import reduce  # noqa: PLC0415
+
+    parts = [
+        spark.read.parquet(p).withColumn(
+            "__seq", F.lit(int(i)).cast("long")
+        )
+        for i, p in zip(ids, paths)
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), parts)
+    return (
+        union.groupBy("id")
+        .agg(F.max_by("sig", F.col("__seq")).alias("sig"))
+    )
 
 
 def dedup_on_arrival_batch(
@@ -171,6 +189,7 @@ def dedup_on_arrival_batch(
     bands: int = 16,
     threshold: float = 0.7,
     max_bucket: int | str = 2000,
+    refresh: bool = False,
 ) -> None:
     """foreachBatch body: incremental MinHash dedup-on-arrival with
     the ledgered exactly-once protocol. Each micro-batch is shingled
@@ -184,14 +203,19 @@ def dedup_on_arrival_batch(
     directories, so a crash at any point either replays to an
     identical state or leaves the batch invisible.
 
-    A doc_id already present in the committed index (a re-crawled
-    document) is anti-joined OUT of the batch before anything is
-    written or compared: its stored signature stays authoritative
-    (content per id is assumed immutable, as in
+    By default a doc_id already present in the committed index (a
+    re-crawled document) is anti-joined OUT of the batch before
+    anything is written or compared: its stored signature stays
+    authoritative (content per id is assumed immutable, as in
     ``dedup_minhash_incremental``), its pairs were emitted when first
     seen, and no duplicate (id, sig) index rows can fan out ambiguous
-    pairs in later batches. Deterministic on replay because only
-    committed predecessor batches are visible to the anti-join."""
+    pairs in later batches. ``refresh=True`` is the mutable-content
+    mode: the batch's signatures become authoritative for every id it
+    carries — the batch directory number IS the version, readers
+    resolve latest-per-id (``read_signature_index(latest=True)``),
+    and the stale archive rows are excluded from this batch's pair
+    generation. Deterministic on replay either way because only
+    committed predecessor batches are visible."""
     from ..operators.dedup import (
         incremental_pairs_from_signatures,
         minhash_signatures,
@@ -202,16 +226,19 @@ def dedup_on_arrival_batch(
         return  # redelivery of a committed batch: no-op
     spark = batch_df.sparkSession
     sig_dir = os.path.join(index_dir, f"b{batch_id}")
-    old_sig = read_signature_index(spark, index_dir)
+    old_sig = read_signature_index(spark, index_dir, latest=refresh)
     batch_sig = minhash_signatures(batch_df, text_col, id_col, k, num_hashes)
-    if old_sig is not None:
+    if old_sig is not None and not refresh:
         batch_sig = batch_sig.join(
             old_sig.select("id"), "id", "left_anti"
         )
     batch_sig.write.mode("overwrite").parquet(sig_dir)
     new_sig = spark.read.parquet(sig_dir)
+    archive = old_sig
+    if refresh and old_sig is not None:
+        archive = old_sig.join(new_sig.select("id"), "id", "left_anti")
     pairs = incremental_pairs_from_signatures(
-        new_sig, old_sig, num_hashes, bands, threshold, max_bucket
+        new_sig, archive, num_hashes, bands, threshold, max_bucket
     )
     pairs.write.mode("overwrite").parquet(
         os.path.join(pairs_dir, f"v{batch_id}")

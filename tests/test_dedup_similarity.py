@@ -1096,3 +1096,109 @@ def test_ivfpq_codes_stage_partitioned_and_pruned(spark, sf_dir, tmp_path):
     assert m_in, seg
     probed = {int(x) for x in m_in.group(1).split(",")}
     assert len(probed) <= 3 * 2
+
+
+def test_minhash_refresh_replaces_stale_content(spark, sf_dir, tmp_path):
+    """refresh=True is the mutable-content mode (the round-9 verdict's
+    item 3): a re-crawled id whose text CHANGED produces the same
+    pairs as a fresh corpus that never contained the stale content,
+    and after update_index later batches compare against the NEW
+    signature — while the default (immutable) mode keeps the stored
+    signature authoritative."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        compact_minhash_index,
+        dedup_minhash_incremental,
+        dedup_minhash_lsh,
+        minhash_index_write,
+        read_minhash_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    archive = docs.filter(F.col("doc_id") < 400)
+    idx = str(tmp_path / "mh_refresh")
+    minhash_index_write(archive, idx)
+
+    # the re-crawl: doc 7 now carries doc 11's text (a mutation that
+    # flips its near-dup neighborhood), doc 9000 is brand new.
+    moved = docs.filter(F.col("doc_id") == 11).first()["text"]
+    batch = spark.createDataFrame(
+        [(7, moved), (9000, moved + " trailing revision")],
+        "doc_id long, text string",
+    )
+    pairs = dedup_minhash_incremental(
+        batch, idx, threshold=0.5, max_bucket=10_000,
+        update_index=True, refresh=True,
+    ).collect()
+
+    # oracle: full LSH over the corpus AS IF doc 7 always had the new
+    # text, restricted to pairs involving the batch ids.
+    fresh_corpus = archive.filter(F.col("doc_id") != 7).unionByName(batch)
+    full = dedup_minhash_lsh(
+        fresh_corpus, threshold=0.5, max_bucket=10_000
+    ).collect()
+    batch_ids = {7, 9000}
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard_est"])
+        for r in full
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+    got = {(r["id_a"], r["id_b"], r["jaccard_est"]) for r in pairs}
+    assert got == want
+    assert any(7 in (a, b) and 11 in (a, b) for a, b, _ in got), (
+        "mutated doc must pair with its NEW neighborhood"
+    )
+
+    # the index now resolves doc 7 to the refreshed signature: a next
+    # batch near-dup of the NEW text pairs with 7 ...
+    probe_new = spark.createDataFrame(
+        [(9001, moved + " tiny tail")], "doc_id long, text string"
+    )
+    p2 = dedup_minhash_incremental(
+        probe_new, idx, threshold=0.5, max_bucket=10_000
+    ).collect()
+    assert any({r["id_a"], r["id_b"]} == {7, 9001} for r in p2)
+
+    # ... and compaction folds versions without changing resolution.
+    latest_before = {
+        r["id"]: r["sig"] for r in read_minhash_index(spark, idx).collect()
+    }
+    n = compact_minhash_index(spark, idx)
+    latest_after = {
+        r["id"]: r["sig"] for r in read_minhash_index(spark, idx).collect()
+    }
+    assert latest_after == latest_before and n == len(latest_before)
+
+
+def test_minhash_default_mode_keeps_stored_signature(spark, tmp_path):
+    """Control for the refresh test: without refresh, a re-crawled id
+    with changed text neither rewrites the index nor re-pairs — the
+    stored signature stays authoritative for later batches."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        dedup_minhash_incremental,
+        minhash_index_write,
+        read_minhash_index,
+    )
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "one two three four five six seven eight nine ten eleven"
+    idx = str(tmp_path / "mh_imm")
+    minhash_index_write(
+        spark.createDataFrame([(1, a)], "doc_id long, text string"), idx
+    )
+    # re-crawl id 1 with UNRELATED text b; immutable mode drops it
+    dedup_minhash_incremental(
+        spark.createDataFrame([(1, b)], "doc_id long, text string"),
+        idx, threshold=0.5, max_bucket=100, update_index=True,
+    ).collect()
+    # a near-dup of the ORIGINAL text still pairs with 1
+    p = dedup_minhash_incremental(
+        spark.createDataFrame(
+            [(2, a + " tail")], "doc_id long, text string"
+        ),
+        idx, threshold=0.5, max_bucket=100,
+    ).collect()
+    assert any({r["id_a"], r["id_b"]} == {1, 2} for r in p)
+    # the re-crawl appended nothing: the index still holds only id 1
+    assert read_minhash_index(spark, idx).count() == 1

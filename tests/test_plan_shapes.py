@@ -212,3 +212,43 @@ def test_winnowing_profile_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, plan[:2000]
     read = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "lang" not in read and "source" not in read, read
+
+
+def test_anomaly_rank_window_has_explicit_partition(spark):
+    """The priority_rank window must carry a (constant) partition spec:
+    the slice is bounded by .limit() so single-partition execution is
+    safe, but the bound is now EXPLICIT in the plan — no
+    'WindowExec: No Partition Defined' hazard warning, and a refactor
+    that drops the limit still can't silently widen an unpartitioned
+    global sort."""
+    from strategicai_visibility_loop_etl_spark.operators.anomaly import (
+        anomaly_ctr_underperf,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            ("https://e.com/a", 1.0, 0.05, 1000.0, 40.0, 10.0),
+            ("https://e.com/b", 2.0, 0.02, 2000.0, 90.0, 20.0),
+            ("https://e.com/c", 3.0, 0.01, 500.0, 12.0, 5.0),
+        ],
+        "url string, position double, ctr double, impressions double,"
+        " missed_clicks double, clicks double",
+    )
+    out = anomaly_ctr_underperf(scored, {"scoring": {}})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    # the Window node's partition spec survives optimization (a bare
+    # literal would be folded away by EliminateWindowPartitions): a
+    # partitioned Window renders three bracket lists (functions,
+    # PARTITION SPEC, ordering) where the unpartitioned hazard form
+    # renders only two.
+    import re
+
+    win_line = next(ln for ln in plan.splitlines() if "Window [" in ln)
+    assert re.search(
+        r"\], \[\S*_w0#\d+\S*\], \[missed_clicks", win_line
+    ), win_line
+    # ranking semantics unchanged
+    rows = out.orderBy("priority_rank").collect()
+    assert [r["priority_rank"] for r in rows] == [1, 2, 3]
+    assert rows[0]["missed_clicks"] == 90.0

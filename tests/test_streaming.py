@@ -850,3 +850,56 @@ def test_ann_index_on_arrival_stream(spark, sf_dir, tmp_path):
         )
     )
     assert got2 == full
+
+
+def test_dedup_on_arrival_refresh_mode(spark, tmp_path):
+    """Streaming content-refresh: with refresh=True a re-crawled id's
+    NEW signature becomes authoritative (batch dir = version,
+    latest-per-id read), its pairs reflect the new content, and
+    redelivery still no-ops."""
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        committed_batches,
+        dedup_on_arrival_batch,
+        read_signature_index,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+    b = "completely different text about gardening tulips rich dark soil"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = str(tmp_path / "idx")
+    prs = str(tmp_path / "pairs")
+    kw = dict(threshold=0.5, max_bucket=100, refresh=True)
+    # batch 0: docs 1 (text a) and 3 (text b)
+    dedup_on_arrival_batch(mk([(1, a), (3, b)]), 0, idx, prs, **kw)
+    # batch 1: doc 1 RE-CRAWLED with text b (mutation) — must pair
+    # with 3 (its new neighborhood), not with its old self
+    dedup_on_arrival_batch(mk([(1, b + " tail")]), 1, idx, prs, **kw)
+    p1 = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(f"{prs}/v1").collect()
+    }
+    assert p1 == {(1, 3)}
+
+    # latest view resolves id 1 to the batch-1 signature
+    latest = read_signature_index(spark, idx, latest=True)
+    assert latest.count() == 2
+    # batch 2: near-dup of the NEW text pairs with both 1 and 3; a
+    # near-dup of the OLD text pairs with NEITHER
+    dedup_on_arrival_batch(
+        mk([(9, b + " tail tweak"), (8, a + " tail")]), 2, idx, prs, **kw
+    )
+    p2 = {
+        (r["id_a"], r["id_b"])
+        for r in spark.read.parquet(f"{prs}/v2").collect()
+    }
+    assert (1, 9) in p2 and (3, 9) in p2
+    assert not any(8 in pr for pr in p2), p2
+
+    # redelivery of the refresh batch: identical overwrite, no-op
+    before = sorted(committed_batches(idx))
+    dedup_on_arrival_batch(mk([(1, b + " tail")]), 1, idx, prs, **kw)
+    assert sorted(committed_batches(idx)) == before
+    assert read_signature_index(spark, idx, latest=True).count() == 4
