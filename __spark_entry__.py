@@ -4296,6 +4296,192 @@ def qx22_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def qx74_agg_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (capability row 169): two
+    disjoint deltas of the events table build mergeable
+    (cnt, decimal sum, min, max) states; merging the states and
+    finalizing equals aggregating the union — the daily-rollup shape
+    where yesterday's state is never recomputed. DuckDB replays
+    split, state, merge and finalize with the same decimal sums."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    a = agg_state(ev.filter(F.col("event_id") % 2 == 0), ["event_type"], "value")
+    b = agg_state(ev.filter(F.col("event_id") % 2 == 1), ["event_type"], "value")
+    m = finalize_agg(merge_agg_states(a, b))
+    return m.select(
+        "event_type",
+        "cnt",
+        _rd(F.col("sum").cast("double"), 6).alias("sum_v"),
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+        F.col("avg").alias("avg_v"),
+    ).orderBy("event_type")
+
+
+def qx75_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship (capability row 170): documents
+    pair to their decade root (a deterministic star graph), collapse
+    to entities via connected components, and each entity emits one
+    golden row whose attributes are the latest non-null value by a
+    total (recency, id) order. DuckDB replays components in closed
+    form (the star graph's component IS the decade) and survivorship
+    via arg_max FILTER."""
+    from strategicai_visibility_loop_etl_spark.operators.linkage import (
+        golden_record,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    records = docs.select(
+        F.col("doc_id").alias("id"),
+        (F.col("n_chars") * F.lit(10_000_000) + F.col("doc_id")).alias("ts"),
+        F.when(F.col("doc_id") % 3 != 0, F.col("lang")).alias("lang"),
+        F.col("source"),
+        F.col("n_chars"),
+    )
+    pairs = docs.filter(F.col("doc_id") % 10 != 0).select(
+        (F.col("doc_id") - F.col("doc_id") % 10).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+    )
+    return golden_record(
+        records, pairs, id_col="id", ts_col="ts",
+        attr_cols=["lang", "source", "n_chars"],
+    ).orderBy("entity_id")
+
+
+def qx76_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log replay with tombstones (capability row 171): events
+    become a change log (key = user bucket, version = event_id, error
+    events are deletes); one max-by-version pass yields final state —
+    out-of-order and redelivered entries are absorbed by
+    construction. DuckDB replays with arg_max."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        cdc_apply,
+    )
+
+    log = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 200).alias("k"),
+        F.col("event_id").alias("version"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        "value",
+        "event_type",
+    )
+    return cdc_apply(log, ["k"], "version", "op").orderBy("k")
+
+
+def qx77_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type EWMA smoothing of the daily value series (capability
+    row 172): decimal-exact daily sums feed the alpha=0.5 recurrence;
+    DuckDB replays the identical IEEE recurrence with a recursive CTE
+    over per-group step numbers."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    daily = (
+        _ev(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("tus DIV 86400000000").alias("day"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(_rd(F.col("value"), 6).cast("decimal(28,6)")).alias("__s")
+        )
+        .select(
+            "event_type", "day", _rd(F.col("__s").cast("double"), 6).alias("x")
+        )
+    )
+    out = ewma_smooth(daily, ["event_type"], "day", "x", alpha=0.5)
+    return out.select(
+        "event_type",
+        "day",
+        "x",
+        _rd(F.col("ewma"), 6).alias("ewma"),
+        _rd(F.col("residual"), 6).alias("residual"),
+    ).orderBy("event_type", "day")
+
+
+def qx78_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (capability row 173): users
+    are baskets, event types are items; support, both confidences and
+    lift per canonical pair. DuckDB replays the distinct collapse,
+    the bounded self-join and the ratio arithmetic."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        basket_affinity,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return basket_affinity(
+        ev, "user_id", "event_type", max_basket=100
+    ).orderBy("item_a", "item_b")
+
+
+def qx79_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-centroid cosine matrix (capability row 174): per-label
+    mean embeddings (decimal-exact component sums) and their pairwise
+    cosines — the embedding-drift audit between corpus slices. DuckDB
+    replays components, dot products and norms in exact decimal."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        centroid_similarity,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return centroid_similarity(emb, "label").orderBy("group_a", "group_b")
+
+
+def qx80_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey Markov chain (capability row 175): per-user event
+    sequences ordered by (time, event_id) yield the empirical
+    first-order transition matrix with row-normalized probabilities.
+    DuckDB replays the lead window under the identical total order."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        markov_transitions,
+    )
+
+    ev = _ev(spark, sf_dir).select("user_id", "tus", "event_id", "event_type")
+    return markov_transitions(
+        ev, "user_id", "tus", "event_type", tiebreak_col="event_id"
+    ).orderBy("from_state", "to_state")
+
+
+def qx81_code_prose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing score (capability row 176): every 7th
+    document gets a deterministic code block appended, then the
+    heuristic scores structural-symbol density, code line endings,
+    indentation and keyword density — the router a mixed crawl runs
+    before prose-only cleaning. DuckDB replays every regex count."""
+    from strategicai_visibility_loop_etl_spark.functions.text import code_score
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\ndef f(x):\n  y = [x];\n  return y;\nclass A {\n  int v = 0;\n}"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return docs.select(
+        "doc_id",
+        code_score(F.col("text")).alias("score"),
+        (code_score(F.col("text")) >= 0.2).alias("is_code"),
+    ).orderBy("doc_id")
+
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -4371,6 +4557,14 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx71_weighted_percentiles": qx71_weighted_percentiles,
         "qx72_ks_test": qx72_ks_test,
         "qx73_winsorize": qx73_winsorize,
+        "qx74_agg_state_merge": qx74_agg_state_merge,
+        "qx75_golden_record": qx75_golden_record,
+        "qx76_cdc_apply": qx76_cdc_apply,
+        "qx77_ewma": qx77_ewma,
+        "qx78_basket_affinity": qx78_basket_affinity,
+        "qx79_centroid_similarity": qx79_centroid_similarity,
+        "qx80_markov_transitions": qx80_markov_transitions,
+        "qx81_code_prose": qx81_code_prose,
     }
 
 
@@ -7301,6 +7495,252 @@ def extra_oracle_sql() -> dict[str, str]:
         FROM events e JOIN b USING (event_type)
         ORDER BY event_id
     """
+
+    # qx74: state-merge replay — identical decimal sums per delta,
+    # identical merge arithmetic, identical finalize division.
+    sql["qx74_agg_state_merge"] = """
+        WITH a AS (
+            SELECT event_type, COUNT(value) AS cnt,
+                   SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS s,
+                   MIN(value) AS mn, MAX(value) AS mx
+            FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+        ),
+        b AS (
+            SELECT event_type, COUNT(value) AS cnt,
+                   SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS s,
+                   MIN(value) AS mn, MAX(value) AS mx
+            FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+        ),
+        u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+        m AS (
+            SELECT event_type, SUM(cnt) AS cnt, SUM(s) AS s,
+                   MIN(mn) AS mn, MAX(mx) AS mx
+            FROM u GROUP BY event_type
+        )
+        SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+               round(CAST(s AS DOUBLE), 6) AS sum_v,
+               mn AS min_v, mx AS max_v,
+               round(CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE), 6) AS avg_v
+        FROM m ORDER BY event_type
+    """
+
+    # qx75: the manufactured pair graph is a star to the decade root,
+    # so each record's component is doc_id - doc_id % 10 in closed
+    # form; survivorship = arg_max over the total (ts) order with a
+    # non-null FILTER per attribute.
+    sql["qx75_golden_record"] = """
+        WITH rec AS (
+            SELECT doc_id AS id,
+                   n_chars * 10000000 + doc_id AS ts,
+                   CASE WHEN doc_id % 3 != 0 THEN lang END AS lang,
+                   source, n_chars,
+                   doc_id - doc_id % 10 AS entity
+            FROM documents
+        )
+        SELECT MIN(id) AS entity_id,
+               CAST(COUNT(*) AS BIGINT) AS n_records,
+               arg_max(lang, ts) FILTER (lang IS NOT NULL) AS lang,
+               arg_max(source, ts) FILTER (source IS NOT NULL) AS source,
+               arg_max(n_chars, ts) FILTER (n_chars IS NOT NULL) AS n_chars
+        FROM rec GROUP BY entity ORDER BY entity_id
+    """
+
+    # qx76: CDC compaction replay — arg_max per payload column under
+    # the same (unique per key) version order.
+    sql["qx76_cdc_apply"] = """
+        WITH log AS (
+            SELECT user_id % 200 AS k, event_id AS version,
+                   CASE WHEN event_type = 'error' THEN 'delete'
+                        ELSE 'upsert' END AS op,
+                   value, event_type
+            FROM events
+        ),
+        w AS (
+            SELECT k,
+                   arg_max(op, version) AS op,
+                   arg_max(value, version) AS value,
+                   arg_max(event_type, version) AS event_type,
+                   MAX(version) AS version
+            FROM log GROUP BY k
+        )
+        SELECT k, value, event_type, version
+        FROM w WHERE op = 'upsert' ORDER BY k
+    """
+
+    # qx77: the EWMA recurrence replayed literally — a recursive CTE
+    # steps rn -> rn+1 computing 0.5*x + 0.5*s (the same two IEEE
+    # multiplies and add as the Spark fold), daily x from the same
+    # decimal sum.
+    sql["qx77_ewma"] = """
+        WITH RECURSIVE daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
+                         AS DOUBLE), 6) AS x
+            FROM events GROUP BY event_type, day
+        ),
+        seq AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY day) AS rn
+            FROM daily
+        ),
+        r AS (
+            SELECT event_type, day, x, rn, x AS s,
+                   CAST(NULL AS DOUBLE) AS resid
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT seq.event_type, seq.day, seq.x, seq.rn,
+                   0.5 * seq.x + 0.5 * r.s,
+                   seq.x - r.s
+            FROM r JOIN seq ON seq.event_type = r.event_type
+                           AND seq.rn = r.rn + 1
+        )
+        SELECT event_type, day, x, round(s, 6) AS ewma,
+               round(resid, 6) AS residual
+        FROM r ORDER BY event_type, day
+    """
+
+    # qx78: basket mining replay — same distinct collapse, same
+    # bounded self-join, same round arithmetic.
+    sql["qx78_basket_affinity"] = """
+        WITH bi AS (
+            SELECT DISTINCT user_id AS b, event_type AS i FROM events
+        ),
+        kept AS (
+            SELECT b, i FROM bi QUALIFY
+                COUNT(*) OVER (PARTITION BY b) <= 100
+        ),
+        tot AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM kept),
+        itemn AS (SELECT i, CAST(COUNT(*) AS DOUBLE) AS cnt FROM kept GROUP BY i),
+        pairs AS (
+            SELECT l.i AS item_a, r.i AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS pair_n
+            FROM kept l JOIN kept r ON l.b = r.b AND l.i < r.i
+            GROUP BY l.i, r.i
+        )
+        SELECT item_a, item_b, pair_n,
+               round(pair_n / tot.n, 6) AS support,
+               round(pair_n / na.cnt, 6) AS conf_a_to_b,
+               round(pair_n / nb.cnt, 6) AS conf_b_to_a,
+               round(pair_n * tot.n / (na.cnt * nb.cnt), 6) AS lift
+        FROM pairs
+        JOIN itemn na ON na.i = pairs.item_a
+        JOIN itemn nb ON nb.i = pairs.item_b
+        CROSS JOIN tot
+        ORDER BY item_a, item_b
+    """
+
+    # qx79: centroid cosine replay — same 9-decimal component means,
+    # DECIMAL(18,9) products summed exactly, sqrt/divide at the end.
+    sql["qx79_centroid_similarity"] = """
+        WITH ex AS (
+            SELECT label AS g, i AS dim,
+                   CAST(embedding[i] AS DOUBLE) AS x
+            FROM embeddings, unnest(range(1, len(embedding) + 1)) t(i)
+        ),
+        comp AS (
+            SELECT g, dim,
+                   CAST(round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) / COUNT(*), 9) AS DECIMAL(18,9)) AS c
+            FROM ex GROUP BY g, dim
+        ),
+        dots AS (
+            SELECT a.g AS group_a, b.g AS group_b,
+                   SUM(a.c * b.c) AS dot
+            FROM comp a JOIN comp b ON a.dim = b.dim AND a.g < b.g
+            GROUP BY a.g, b.g
+        ),
+        norms AS (SELECT g, SUM(c * c) AS n2 FROM comp GROUP BY g)
+        SELECT group_a, group_b,
+               CASE WHEN sqrt(CAST(na.n2 AS DOUBLE))
+                         * sqrt(CAST(nb.n2 AS DOUBLE)) > 0
+                    THEN round(CAST(dot AS DOUBLE)
+                         / (sqrt(CAST(na.n2 AS DOUBLE))
+                            * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+                    ELSE 0.0 END AS cosine
+        FROM dots
+        JOIN norms na ON na.g = dots.group_a
+        JOIN norms nb ON nb.g = dots.group_b
+        ORDER BY group_a, group_b
+    """
+
+    # qx80: transition matrix replay — lead under the identical
+    # (tus, event_id) total order.
+    sql["qx80_markov_transitions"] = """
+        WITH steps AS (
+            SELECT event_type AS from_state,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS to_state
+            FROM events
+        ),
+        trans AS (
+            SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+            FROM steps WHERE to_state IS NOT NULL
+            GROUP BY from_state, to_state
+        ),
+        tots AS (
+            SELECT from_state, SUM(n) AS tot FROM trans GROUP BY from_state
+        )
+        SELECT from_state, to_state, n,
+               round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS prob
+        FROM trans JOIN tots USING (from_state)
+        ORDER BY from_state, to_state
+    """
+
+    # qx81: the code-score components replayed with RE2: symbol
+    # density via regexp_replace, per-line signals via list_filter
+    # over the newline split, keyword count via regexp_extract_all.
+    _x81_text = (
+        "CASE WHEN doc_id % 7 = 0 THEN text || chr(10) || 'def f(x):'"
+        " || chr(10) || '  y = [x];' || chr(10) || '  return y;'"
+        " || chr(10) || 'class A {' || chr(10) || '  int v = 0;'"
+        " || chr(10) || '}' ELSE text END"
+    )
+    _x81_kw = (
+        "\\b(def|return|import|const|var|function|class|if|else"
+        "|for|while|void|int|public)\\b"
+    )
+    sql["qx81_code_prose"] = f"""
+        WITH t AS (
+            SELECT doc_id, coalesce({_x81_text}, '') AS s FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(length(regexp_replace(s, '\\s', '', 'g'))
+                        AS DOUBLE) AS n_nonspace,
+                   CAST(length(regexp_replace(s, '[^{{}}\\[\\]();=<>]',
+                        '', 'g')) AS DOUBLE) AS n_sym,
+                   CAST(len(string_split(s, chr(10))) AS DOUBLE) AS n_lines,
+                   CAST(len(list_filter(string_split(s, chr(10)),
+                        l -> regexp_matches(l, '[;{{}}]\\s*$')))
+                        AS DOUBLE) AS n_endsym,
+                   CAST(len(list_filter(string_split(s, chr(10)),
+                        l -> regexp_matches(l, '^(  |\t)')))
+                        AS DOUBLE) AS n_indent,
+                   CAST(len(list_filter(regexp_split_to_array(s, '\\s+'),
+                        w -> w != ''))  AS DOUBLE) AS n_tok,
+                   CAST(len(regexp_extract_all(s, '{_x81_kw}'))
+                        AS DOUBLE) AS n_kw
+            FROM t
+        ),
+        sc AS (
+            SELECT doc_id,
+                   round((
+                     LEAST(1.0, (CASE WHEN n_nonspace > 0
+                                 THEN n_sym / n_nonspace ELSE 0.0 END) / 0.12)
+                   + LEAST(1.0, (CASE WHEN n_lines > 0
+                                 THEN n_endsym / n_lines ELSE 0.0 END) / 0.3)
+                   + LEAST(1.0, (CASE WHEN n_lines > 0
+                                 THEN n_indent / n_lines ELSE 0.0 END) / 0.3)
+                   + LEAST(1.0, (CASE WHEN n_tok > 0
+                                 THEN n_kw / n_tok ELSE 0.0 END) / 0.15)
+                   ) / 4.0, 6) AS score
+            FROM m
+        )
+        SELECT doc_id, score, score >= 0.2 AS is_code
+        FROM sc ORDER BY doc_id
+    """
+
 
     # qx05 intentionally absent: HLL estimates are engine-specific.
     return sql

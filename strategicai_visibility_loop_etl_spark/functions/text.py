@@ -320,3 +320,65 @@ def char_entropy(col: Column, decimals: int = 6) -> Column:
         F.split(norm, "")
     )
     return flet(cs, body)
+
+
+def code_score(col: Column) -> Column:
+    """Heuristic code-vs-prose score in [0, 1] — the cheap classifier
+    a training-data pipeline runs to ROUTE documents (code wants
+    different cleaning/dedup than prose; a prose-only corpus wants
+    code dropped) before any expensive model-based filter.
+
+    Components (equal quarters, each saturated at a natural ceiling):
+
+    - structural-symbol density: ``{}[]();=<>`` chars per non-space
+      char, /0.12 capped at 1 (prose sits near 0, real code 0.05-0.2);
+    - semicolon/brace line endings: fraction of lines ending in
+      ``;``, ``{`` or ``}``, /0.3 capped;
+    - indented lines: fraction starting with 2+ spaces or a tab,
+      /0.3 capped;
+    - keyword hits: ``def|return|import|const|var|function|class|
+      if|else|for|while|void|int|public`` per whitespace token,
+      /0.15 capped.
+
+    RAW text (no normalization — indentation and line structure ARE
+    the signal). 0.0 for empty. Every pattern is RE2-and-Java
+    compatible (no lookaround), so DuckDB replays each count exactly;
+    the blend rounds through one double expression, identical in both
+    engines.
+    """
+    s = F.coalesce(col.cast("string"), F.lit(""))
+    n_nonspace = F.length(F.regexp_replace(s, r"\s", "")).cast("double")
+    n_sym = F.length(
+        F.regexp_replace(s, r"[^{}\[\]();=<>]", "")
+    ).cast("double")
+    lines = F.split(s, "\n")
+    n_lines = F.size(lines).cast("double")
+    n_endsym = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"[;{}]\s*$"))
+    ).cast("double")
+    n_indent = F.size(
+        F.filter(lines, lambda ln: ln.rlike(r"^(  |\t)"))
+    ).cast("double")
+    n_tok = F.size(
+        F.filter(F.split(s, r"\s+"), lambda t: t != "")
+    ).cast("double")
+    n_kw = F.regexp_count(
+        s,
+        F.lit(
+            r"\b(def|return|import|const|var|function|class|if|else"
+            r"|for|while|void|int|public)\b"
+        ),
+    ).cast("double")
+    sat = lambda num, den, ceil: F.least(  # noqa: E731
+        F.lit(1.0),
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)) / F.lit(ceil),
+    )
+    score = (
+        sat(n_sym, n_nonspace, 0.12)
+        + sat(n_endsym, n_lines, 0.3)
+        + sat(n_indent, n_lines, 0.3)
+        + sat(n_kw, n_tok, 0.15)
+    ) / F.lit(4.0)
+    from .numeric import round_c  # noqa: PLC0415
+
+    return round_c(score, 6)

@@ -189,3 +189,66 @@ def blocking_quality(
             ).alias("pairs_quality"),
         )
     )
+
+
+def golden_record(
+    records: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    ts_col: str = "ts",
+    attr_cols: list[str] | None = None,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Survivorship consolidation — the step AFTER matching that every
+    entity-resolution pipeline needs: matched pairs (from
+    :func:`fuzzy_match_pairs` or any dedup family member) collapse
+    into entities via connected components, and each entity emits ONE
+    golden row where every attribute is the LATEST NON-NULL value
+    across the entity's records (ties on ``ts_col`` break by max
+    ``id_col`` — a total order, so the output is
+    partitioning-deterministic).
+
+    Output: (entity_id = min member id, n_records, <attr_cols...>).
+    Records that appear in no pair are singleton entities and pass
+    through unchanged. NULL-only attributes stay NULL (visible as
+    missing, never fabricated — the winsorize/ks_test convention).
+
+    Scale shape: components over the PAIR graph only (near-dup pair
+    volume, not corpus volume), one broadcast-able id→entity map
+    joined to the record spine, then ONE hash aggregate with
+    ``max_by(attr, (ts, id)) FILTER (attr IS NOT NULL)`` per attribute
+    — no window, no per-entity explode. DuckDB replays with
+    ``arg_max(...) FILTER``.
+    """
+    from .clusters import connected_components  # noqa: PLC0415
+
+    if attr_cols is None:
+        attr_cols = [
+            c for c in records.columns if c not in (id_col, ts_col)
+        ]
+    comp = connected_components(pairs, src=src, dst=dst).withColumnRenamed(
+        "id", id_col
+    )
+    tagged = records.join(comp, id_col, "left").withColumn(
+        "__entity", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    ord_expr = f"struct({ts_col}, {id_col})"
+    aggs = [
+        F.min(id_col).alias("entity_id_min"),
+        F.count(F.lit(1)).alias("n_records"),
+    ] + [
+        F.expr(
+            f"max_by({c}, {ord_expr}) FILTER (WHERE {c} IS NOT NULL)"
+        ).alias(c)
+        for c in attr_cols
+    ]
+    return (
+        tagged.groupBy("__entity")
+        .agg(*aggs)
+        .select(
+            F.col("entity_id_min").alias("entity_id"),
+            "n_records",
+            *attr_cols,
+        )
+    )

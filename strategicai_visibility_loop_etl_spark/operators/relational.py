@@ -313,3 +313,131 @@ def shapley_attribution(
             ),
         )
     )
+
+
+def basket_affinity(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_n: int = 1,
+    max_basket: int = 100,
+) -> DataFrame:
+    """Market-basket co-occurrence mining: canonical item pairs with
+    support, both directional confidences and lift — the
+    transaction-level association view that PMI collocations (row
+    112) give for adjacent tokens. Baskets are whatever groups
+    ``basket_col`` (users, sessions, orders); presence is binary
+    (distinct item per basket).
+
+    Skew guard (the LSH ``max_bucket`` discipline): a basket with
+    more than ``max_basket`` distinct items is DROPPED before pairing
+    — one bot session touching every item otherwise contributes
+    O(items²) pairs. Denominators count the KEPT baskets, so every
+    reported ratio is consistent within the mined universe.
+
+    Scale shape: one distinct collapse, one per-basket size aggregate
+    + filter, one self-join on the basket key (bounded fan-out ≤
+    max_basket per basket), two hash aggregates, one broadcast of the
+    1-row basket total. All ratios round through the C-semantics
+    ``round_c`` so DuckDB replays bit-for-bit.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    if max_basket < 2:
+        raise ValueError("max_basket must be >= 2")
+    bi = df.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    sizes = bi.groupBy("b").agg(F.count(F.lit(1)).alias("__n"))
+    kept = bi.join(
+        sizes.filter(F.col("__n") <= max_basket).select("b"), "b"
+    )
+    total = kept.select("b").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    item_n = kept.groupBy("i").agg(F.count(F.lit(1)).alias("item_n"))
+    pairs = (
+        kept.alias("l")
+        .join(kept.alias("r"), "b")
+        .filter(F.col("l.i") < F.col("r.i"))
+        .groupBy(
+            F.col("l.i").alias("item_a"), F.col("r.i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair_n)
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    pn = F.col("pair_n").cast("double")
+    tot = F.col("n_baskets").cast("double")
+    return (
+        pairs.join(
+            item_n.select(F.col("i").alias("item_a"), F.col("item_n").alias("na")),
+            "item_a",
+        )
+        .join(
+            item_n.select(F.col("i").alias("item_b"), F.col("item_n").alias("nb")),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            round_c(pn / tot, 6).alias("support"),
+            round_c(pn / na, 6).alias("conf_a_to_b"),
+            round_c(pn / nb, 6).alias("conf_b_to_a"),
+            round_c(pn * tot / (na * nb), 6).alias("lift"),
+        )
+    )
+
+
+def markov_transitions(
+    df: DataFrame,
+    seq_col: str,
+    time_col: str,
+    state_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """First-order Markov transition estimation over event sequences:
+    per-``seq_col`` journeys ordered by ``time_col`` yield
+    (from_state, to_state) steps; output each pair's count and the
+    row-normalized transition probability P(to|from). The
+    journey-structure companion of :func:`funnel_steps` (that checks
+    ONE prescribed order; this estimates the full empirical chain —
+    the input a removal-effect attribution or next-step model
+    consumes).
+
+    ``tiebreak_col`` completes the total order for same-timestamp
+    events (the qx70 lesson: windowed oracles need a total order or
+    tie rows split differently per engine).
+
+    Scale shape: one per-sequence window (partitioned by the sequence
+    key — millions of short journeys parallelize; no global sort),
+    two hash aggregates, one broadcast-able from-state total join.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    order = [F.col(time_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(seq_col).orderBy(*order)
+    steps = (
+        df.select(
+            F.col(seq_col), *order, F.col(state_col).alias("from_state")
+        )
+        .withColumn("to_state", F.lead("from_state").over(w))
+        .filter(F.col("to_state").isNotNull())
+    )
+    trans = steps.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = trans.groupBy("from_state").agg(F.sum("n").alias("__tot"))
+    return trans.join(totals, "from_state").select(
+        "from_state",
+        "to_state",
+        "n",
+        round_c(
+            F.col("n").cast("double") / F.col("__tot").cast("double"), 6
+        ).alias("prob"),
+    )

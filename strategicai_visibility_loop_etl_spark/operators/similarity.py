@@ -1265,3 +1265,115 @@ def random_project(
             round_c(F.sum("t").cast("double") * F.lit(inv), 6).alias("value")
         )
     )
+
+
+def _centroid_components(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(group, dim, c) long-form per-group mean components: each input
+    component routes ``round_c(·,9)`` → DECIMAL(28,9) before the sum
+    (order-free exact, the family convention), one division at the
+    end, result re-rounded to 9 — so the component table is
+    partitioning- and engine-deterministic. One posexplode + hash
+    aggregate keyed (group, dim); vectors shuffle as scalar
+    components, never as arrays."""
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("dim", "x")
+    )
+    per = ex.groupBy(group_col, "dim").agg(
+        F.sum(round_c(F.col("x"), 9).cast("decimal(28,9)")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return per.select(
+        group_col,
+        "dim",
+        round_c(
+            F.col("s").cast("double") / F.col("n").cast("double"), 9
+        ).alias("c"),
+    )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group mean embedding as an array column (group, centroid),
+    assembled from :func:`_centroid_components` — model-sized output
+    (one row per group)."""
+    return (
+        _centroid_components(df, group_col, vec_col)
+        .groupBy(group_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("c")))
+                ),
+                lambda e: e["c"],
+            ).alias("centroid")
+        )
+    )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine similarity between GROUP CENTROIDS — the
+    embedding-drift audit ("how close are source A's documents to
+    source B's in embedding space?") and the cluster-overlap check
+    before merging corpora. Output: canonical (group_a < group_b,
+    cosine) — k·(k−1)/2 rows for k groups, model-sized by
+    construction, so the pairwise join is the CORRECT plan here (k
+    centroids, not corpus rows; the all-pairs ban applies to
+    row-level vectors, which never pair in this operator).
+
+    Exact arithmetic end-to-end: components are 9-decimal-rounded
+    means (see :func:`_centroid_components`), dot products and norms
+    sum DECIMAL(18,9) products exactly (order-free), and the final
+    cosine is two IEEE sqrt/divide steps — so DuckDB replays the
+    whole similarity matrix bit-for-bit without any float-fold
+    order sensitivity."""
+    comp = _centroid_components(df, group_col, vec_col).select(
+        F.col(group_col).alias("g"),
+        "dim",
+        F.col("c").cast("decimal(18,9)").alias("c"),
+    )
+    pairs = (
+        comp.alias("a")
+        .join(comp.alias("b"), "dim")
+        .filter(F.col("a.g") < F.col("b.g"))
+        .groupBy(
+            F.col("a.g").alias("group_a"), F.col("b.g").alias("group_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("__dot"))
+    )
+    norms = comp.groupBy("g").agg(
+        F.sum(F.col("c") * F.col("c")).alias("__n2")
+    )
+    denom = F.sqrt(F.col("__na").cast("double")) * F.sqrt(
+        F.col("__nb").cast("double")
+    )
+    return (
+        pairs.join(
+            norms.select(F.col("g").alias("group_a"), F.col("__n2").alias("__na")),
+            "group_a",
+        )
+        .join(
+            norms.select(F.col("g").alias("group_b"), F.col("__n2").alias("__nb")),
+            "group_b",
+        )
+        .select(
+            "group_a",
+            "group_b",
+            F.when(
+                denom > 0,
+                round_c(F.col("__dot").cast("double") / denom, 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("cosine"),
+        )
+    )

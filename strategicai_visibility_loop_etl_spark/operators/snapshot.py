@@ -262,3 +262,106 @@ def merge_intervals(
         )
         .drop("__island")
     )
+
+
+def cdc_apply(
+    log: DataFrame,
+    key_cols: list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+    upsert_op: str = "upsert",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Replay a CDC change log to final table state in ONE pass: for
+    each key the highest-``version_col`` entry wins; if that entry is
+    a delete the key is absent from the output, otherwise its payload
+    columns survive. Generalizes :func:`upsert` (base + one delta)
+    to a full multi-version log WITH tombstones — the Debezium/binlog
+    compaction shape: out-of-order delivery and redelivered duplicates
+    are both absorbed because max-by-version is order- and
+    duplicate-insensitive (an exact redelivery changes nothing).
+
+    Caller contract: ``(key, version)`` identifies one operation —
+    two DIFFERENT ops sharing a key+version have no defined winner
+    (same as any log-compaction semantics). One hash aggregate on the
+    key, no window, no sort; payload travels as a struct through a
+    single ``max_by``. DuckDB replays with ``arg_max``.
+    """
+    payload = [
+        c for c in log.columns
+        if c not in (*key_cols, version_col, op_col)
+    ]
+    winner = log.groupBy(*key_cols).agg(
+        F.max_by(
+            F.struct(F.col(op_col).alias("__op"), *payload),
+            F.col(version_col),
+        ).alias("__w"),
+        F.max(version_col).alias(version_col),
+    )
+    return (
+        winner.filter(F.col("__w.__op") == upsert_op)
+        .select(
+            *key_cols,
+            *[F.col(f"__w.{c}").alias(c) for c in payload],
+            version_col,
+        )
+    )
+
+
+def agg_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Mergeable aggregate STATE for incremental materialized-view
+    maintenance: (group..., cnt, sum DECIMAL(28,6), min, max). The
+    decimal sum is order-free exact, so merging partial states is
+    bit-identical to aggregating the union — the property
+    :func:`merge_agg_states` and the pytest equivalence gate rely on.
+    At 100 TB this is the daily-rollup shape: yesterday's state is
+    never recomputed, today's delta folds in with one model-free
+    aggregate over state rows (state cardinality = group count, not
+    row count)."""
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    v = F.col(value_col)
+    return df.groupBy(*group_cols).agg(
+        F.count(v).alias("cnt"),
+        F.sum(round_c(v, 6).cast("decimal(28,6)")).alias("sum"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    )
+
+
+def merge_agg_states(*states: DataFrame) -> DataFrame:
+    """Fold any number of :func:`agg_state` tables into one: counts
+    and sums add, min/max combine — associative, commutative, exact
+    (decimal sums), so ANY merge tree of shards/days equals the
+    from-scratch aggregate of the union."""
+    from functools import reduce  # noqa: PLC0415
+
+    union = reduce(lambda a, b: a.unionByName(b), states)
+    keys = [c for c in union.columns if c not in ("cnt", "sum", "min", "max")]
+    return union.groupBy(*keys).agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+
+
+def finalize_agg(state: DataFrame) -> DataFrame:
+    """Render an :func:`agg_state` table for consumption: adds ``avg``
+    (sum/cnt in IEEE double through one division, NULL on empty
+    groups) next to the mergeable fields."""
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    return state.withColumn(
+        "avg",
+        F.when(
+            F.col("cnt") > 0,
+            round_c(
+                F.col("sum").cast("double") / F.col("cnt").cast("double"), 6
+            ),
+        ),
+    )

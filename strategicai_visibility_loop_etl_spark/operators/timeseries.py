@@ -200,3 +200,90 @@ def decayed_counts(
             ).alias("decayed_count"),
         )
     )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-group exponentially weighted moving average:
+    ``s_0 = x_0; s_t = α·x_t + (1−α)·s_{t−1}`` over the group's series
+    ordered by ``time_col`` — the standard smoother for metric
+    dashboards and drift monitors, complementing the window-mean in
+    q33 (EWMA never forgets a level shift slowly the way a fixed
+    window does) and the half-life counts in ``decayed_counts``
+    (those decay EVENT MASS; this smooths a METRIC SERIES).
+
+    Output: one row per input point with ``ewma`` and ``residual``
+    (= value − previous smoothed level, the one-step-ahead surprise —
+    NULL at the series head where no level exists yet).
+
+    Exactness: the recurrence is evaluated as literally
+    ``α·x + (1−α)·s`` — two IEEE multiplies and one add per step, in
+    series order — so any engine replaying the same recurrence
+    (DuckDB: a recursive CTE over per-group step numbers) is
+    bit-identical; no pow/exp anywhere.
+
+    Scale shape: ONE hash aggregate collects each group's series
+    (sorted in-row, a model-free per-group array bounded by the
+    series length — days/weeks per key, NOT corpus rows), one linear
+    array fold computes every prefix level, one explode restores row
+    form. Sequential state is group-local by construction, so groups
+    parallelize perfectly; at 100 TB the bound to watch is points per
+    group (e.g. 3 years of days = ~1.1k), never group count.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    a = F.lit(float(alpha))
+    one_m = F.lit(1.0 - float(alpha))
+    series = (
+        df.groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(value_col).cast("double").alias("x"),
+                    )
+                )
+            ).alias("__pts")
+        )
+    )
+    folded = F.aggregate(
+        F.col("__pts"),
+        F.array().cast(
+            "array<struct<t:" + dict(df.dtypes)[time_col] + ","
+            "x:double,s:double,r:double>>"
+        ),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    e["t"].alias("t"),
+                    e["x"].alias("x"),
+                    F.when(F.size(acc) == 0, e["x"])
+                    .otherwise(
+                        a * e["x"] + one_m * F.element_at(acc, -1)["s"]
+                    )
+                    .alias("s"),
+                    F.when(
+                        F.size(acc) > 0,
+                        e["x"] - F.element_at(acc, -1)["s"],
+                    ).alias("r"),
+                )
+            ),
+        ),
+    )
+    return (
+        series.select(*group_cols, F.explode(folded).alias("__e"))
+        .select(
+            *group_cols,
+            F.col("__e.t").alias(time_col),
+            F.col("__e.x").alias(value_col),
+            F.col("__e.s").alias("ewma"),
+            F.col("__e.r").alias("residual"),
+        )
+    )

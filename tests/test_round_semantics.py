@@ -319,3 +319,158 @@ def test_weighted_percentiles_exact_decimal_boundary(spark):
         for r in weighted_percentiles(df, ["k"], "v", "w", ps=[0.1]).collect()
     }
     assert got == {0.1: 1.0}
+
+
+def test_ewma_smooth_recurrence_and_validation(spark):
+    """EWMA (capability row 172): hand-checked recurrence, per-group
+    independence, general alpha, and the series head's NULL residual."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, 20.0), ("k", 3, 10.0), ("j", 5, 4.0)],
+        "g string, t int, v double",
+    )
+    out = {
+        (r["g"], r["t"]): r
+        for r in ewma_smooth(df, ["g"], "t", "v", alpha=0.5).collect()
+    }
+    assert out[("k", 1)]["ewma"] == 10.0
+    assert out[("k", 2)]["ewma"] == 15.0      # .5*20 + .5*10
+    assert out[("k", 3)]["ewma"] == 12.5      # .5*10 + .5*15
+    assert out[("k", 1)]["residual"] is None  # no prior level
+    assert out[("k", 2)]["residual"] == 10.0
+    assert out[("j", 5)]["ewma"] == 4.0       # group independence
+
+    # general alpha: s2 = .25*20 + .75*10
+    a25 = {
+        r["t"]: r["ewma"]
+        for r in ewma_smooth(
+            df.filter(F.col("g") == "k"), ["g"], "t", "v", alpha=0.25
+        ).collect()
+    }
+    assert a25[2] == 0.25 * 20.0 + 0.75 * 10.0
+
+    with _pytest.raises(ValueError):
+        ewma_smooth(df, ["g"], "t", "v", alpha=0.0)
+
+
+def test_basket_affinity_math_and_skew_guard(spark):
+    """Market-basket mining (capability row 173): hand-checked
+    support/confidence/lift, duplicate events collapse to binary
+    presence, and an over-wide basket is dropped from the universe."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        basket_affinity,
+    )
+
+    rows = (
+        [(1, "x"), (1, "y"), (1, "x"),      # dup (1,x) collapses
+         (2, "x"), (2, "y"),
+         (3, "x"),
+         (4, "z")]
+    )
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket_affinity(df, "b", "i").collect()
+    }
+    # n_baskets = 4; x in 3, y in 2, (x,y) in 2
+    r = out[("x", "y")]
+    assert r["pair_n"] == 2
+    assert r["support"] == 0.5
+    assert r["conf_a_to_b"] == round(2 / 3, 6)
+    assert r["conf_b_to_a"] == 1.0
+    assert r["lift"] == round(2 * 4 / (3 * 2), 6)
+
+    # skew guard: a 3-item basket vanishes with max_basket=2, and the
+    # denominators shrink consistently with it
+    wide = spark.createDataFrame(
+        rows + [(9, "x"), (9, "y"), (9, "w")], "b long, i string"
+    )
+    capped = {
+        (r["item_a"], r["item_b"]): r
+        for r in basket_affinity(wide, "b", "i", max_basket=2).collect()
+    }
+    assert ("x", "w") not in capped and ("w", "y") not in capped
+    assert capped[("x", "y")]["pair_n"] == 2
+    assert capped[("x", "y")]["support"] == 0.5  # still 4 kept baskets
+
+
+def test_markov_transitions_total_order_and_probs(spark):
+    """Markov chain estimation (capability row 175): transitions
+    follow the (time, tiebreak) total order; probabilities
+    row-normalize; single-event users contribute nothing."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        markov_transitions,
+    )
+
+    rows = [
+        (1, 10, 1, "a"), (1, 20, 2, "b"), (1, 20, 3, "c"),  # tie: id order
+        (2, 5, 4, "a"), (2, 6, 5, "c"),
+        (3, 1, 6, "z"),
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, eid long, s string")
+    out = {
+        (r["from_state"], r["to_state"]): r
+        for r in markov_transitions(df, "u", "t", "s", "eid").collect()
+    }
+    assert out[("a", "b")]["n"] == 1
+    assert out[("b", "c")]["n"] == 1   # the tie resolved b (eid 2) -> c (eid 3)
+    assert out[("a", "c")]["n"] == 1
+    assert ("z", "z") not in out
+    assert out[("a", "b")]["prob"] == 0.5 and out[("a", "c")]["prob"] == 0.5
+
+
+def test_centroid_similarity_hand_example(spark):
+    """Centroid cosine matrix (capability row 174): orthogonal and
+    identical groups read 0 and 1; a zero-vector group reads 0 (not
+    NaN)."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        centroid_similarity,
+        group_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("gx", [2.0, 0.0]), ("gx", [4.0, 0.0]),   # centroid (3, 0)
+            ("gy", [0.0, 5.0]),                        # centroid (0, 5)
+            ("gz", [6.0, 0.0]),                        # centroid (6, 0)
+            ("g0", [0.0, 0.0]),                        # zero centroid
+        ],
+        "g string, embedding array<double>",
+    )
+    cents = {r["g"]: r["centroid"] for r in group_centroids(df, "g").collect()}
+    assert cents["gx"] == [3.0, 0.0] and cents["gy"] == [0.0, 5.0]
+    sims = {
+        (r["group_a"], r["group_b"]): r["cosine"]
+        for r in centroid_similarity(df, "g").collect()
+    }
+    assert sims[("gx", "gz")] == 1.0
+    assert sims[("gx", "gy")] == 0.0
+    assert sims[("g0", "gx")] == 0.0  # degenerate norm reads 0, never NaN
+
+
+def test_code_score_discriminates_and_handles_edge_cases(spark):
+    """Code-vs-prose router (capability row 176): real code scores far
+    above prose; empty/NULL score 0."""
+    from strategicai_visibility_loop_etl_spark.functions.text import code_score
+
+    df = spark.createDataFrame(
+        [
+            (1, "def main(x):\n  y = [x];\n  return y;\nclass A {\n  int v = 0;\n}"),
+            (2, "The quick brown fox jumps over the lazy dog and keeps "
+                "running through the quiet field toward the river."),
+            (3, ""),
+            (4, None),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["cs"]
+        for r in df.select("id", code_score(F.col("text")).alias("cs")).collect()
+    }
+    assert got[1] > 0.5 and got[2] < 0.05
+    assert got[3] == 0.0 and got[4] == 0.0

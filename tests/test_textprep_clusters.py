@@ -849,3 +849,122 @@ def test_quantile_normalize_keeps_row_identity(spark):
     out = quantile_normalize(df, "source", "score").collect()
     assert sorted(r["doc_id"] for r in out) == [1, 2, 3]
     assert {r["doc_id"]: r["score"] for r in out}[3] == 7.0
+
+
+def test_agg_state_merge_equals_union_aggregate(spark, sf_dir):
+    """Incremental MV maintenance (capability row 169): any merge tree
+    of per-delta states equals the from-scratch aggregate of the
+    union — exactness carried by the decimal sums."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    deltas = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    merged = finalize_agg(
+        merge_agg_states(*[agg_state(d, ["event_type"], "value") for d in deltas])
+    )
+    direct = finalize_agg(agg_state(ev, ["event_type"], "value"))
+    key = lambda r: r["event_type"]  # noqa: E731
+    got = sorted(map(tuple, merged.collect()), key=lambda t: t[0])
+    want = sorted(map(tuple, direct.collect()), key=lambda t: t[0])
+    assert got == want
+    # nested merge tree: merge(merge(a,b), c) == merge(a,b,c)
+    s0, s1, s2 = [agg_state(d, ["event_type"], "value") for d in deltas]
+    nested = finalize_agg(merge_agg_states(merge_agg_states(s0, s1), s2))
+    assert sorted(map(tuple, nested.collect()), key=lambda t: t[0]) == want
+
+
+def test_agg_state_empty_delta_and_null_values(spark):
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        agg_state,
+        finalize_agg,
+        merge_agg_states,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None)], "k string, v double"
+    )
+    empty = base.filter(F.lit(False))
+    merged = finalize_agg(
+        merge_agg_states(
+            agg_state(base, ["k"], "v"), agg_state(empty, ["k"], "v")
+        )
+    ).collect()
+    rows = {r["k"]: r for r in merged}
+    assert rows["a"]["cnt"] == 2 and rows["a"]["avg"] == 1.5
+    # a NULL-only group is visible with cnt 0 and NULL stats, never 0/0
+    assert rows["b"]["cnt"] == 0 and rows["b"]["avg"] is None
+    assert rows["b"]["min"] is None and rows["b"]["max"] is None
+
+
+def test_cdc_apply_tombstones_order_and_redelivery(spark):
+    """CDC replay (capability row 171): the max-version entry wins per
+    key regardless of arrival order; tombstoned keys vanish; exact
+    redelivery (duplicated rows) changes nothing."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        cdc_apply,
+    )
+
+    rows = [
+        # key 1: upsert v1, upsert v3, delete v2 (out of order) -> v3 wins
+        (1, 3, "upsert", 30.0),
+        (1, 1, "upsert", 10.0),
+        (1, 2, "delete", None),
+        # key 2: upsert v1, delete v5 -> absent
+        (2, 1, "upsert", 20.0),
+        (2, 5, "delete", None),
+        # key 3: single upsert
+        (3, 7, "upsert", 70.0),
+    ]
+    log = spark.createDataFrame(
+        rows, "k long, version long, op string, value double"
+    )
+    out = {r["k"]: r for r in cdc_apply(log, ["k"]).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["value"] == 30.0 and out[1]["version"] == 3
+    assert out[3]["value"] == 70.0
+    # redelivery: duplicating the whole log is a no-op
+    out2 = {r["k"]: r for r in cdc_apply(log.unionAll(log), ["k"]).collect()}
+    assert {k: (v["value"], v["version"]) for k, v in out.items()} == {
+        k: (v["value"], v["version"]) for k, v in out2.items()
+    }
+
+
+def test_golden_record_survivorship(spark):
+    """Entity survivorship (capability row 170): latest non-null wins
+    per attribute under the (ts, id) total order; singletons pass
+    through; all-null attributes stay NULL."""
+    from strategicai_visibility_loop_etl_spark.operators.linkage import (
+        golden_record,
+    )
+
+    records = spark.createDataFrame(
+        [
+            # entity {1,2,3}: newest (ts=3) has NULL name -> name from ts=2
+            (1, 1, "alpha", "x.com"),
+            (2, 2, "beta", None),
+            (3, 3, None, "z.com"),
+            # singleton
+            (9, 5, "solo", None),
+            # entity {10, 11}: all names NULL
+            (10, 1, None, "a.com"),
+            (11, 2, None, "b.com"),
+        ],
+        "id long, ts long, name string, domain string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["entity_id"]: r for r in golden_record(records, pairs).collect()}
+    assert set(out) == {1, 9, 10}
+    assert out[1]["n_records"] == 3
+    assert out[1]["name"] == "beta"      # latest non-null
+    assert out[1]["domain"] == "z.com"   # latest overall is non-null here
+    assert out[9]["n_records"] == 1 and out[9]["name"] == "solo"
+    assert out[10]["name"] is None       # never fabricated
+    assert out[10]["domain"] == "b.com"
