@@ -729,6 +729,7 @@ def substr_gram_index_write(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    store_details: bool = False,
 ) -> None:
     """Build (or bulk-extend) the persistent k-gram OCCURRENCE index
     that :func:`exactsubstr_incremental` excises against. Same layout
@@ -736,13 +737,25 @@ def substr_gram_index_write(
     ``grams/`` (gh, cnt) partials — cnt counts occurrences, not
     documents, matching ExactSubstr's duplication semantics — plus the
     append-only ``ids/`` re-crawl guard. Readers fold partials with
-    one sum per gram hash; compact on schedule."""
+    one sum per gram hash; compact on schedule.
+
+    ``store_details=True`` additionally writes per-document
+    (id, gh, cnt, seq) rows to ``details/`` — what ``refresh=True``
+    subtracts when a re-crawled document's content changed. OPT-IN
+    because per-doc gram detail is O(tokens) per document (≈ the size
+    of the gram table itself — unlike the line index, whose per-doc
+    line-hash arrays are near-free); enable it only on corpora that
+    actually re-crawl with mutation."""
     _base, pos = _gram_tables(df, k, text_col, id_col)
     partial = pos.groupBy("gh").agg(F.count("*").alias("cnt"))
     partial.write.mode("append").parquet(os.path.join(index_path, "grams"))
     df.select(F.col(id_col).alias("id")).distinct().write.mode(
         "append"
     ).parquet(os.path.join(index_path, "ids"))
+    if store_details:
+        pos.groupBy("id", "gh").agg(F.count("*").alias("cnt")).select(
+            "id", "gh", "cnt", F.lit(0).cast("long").alias("seq")
+        ).write.mode("append").parquet(os.path.join(index_path, "details"))
 
 
 def exactsubstr_incremental(
@@ -753,6 +766,7 @@ def exactsubstr_incremental(
     id_col: str = "doc_id",
     update_index: bool = False,
     stage_path: str | None = None,
+    refresh: bool = False,
 ) -> DataFrame:
     """ExactSubstr excision for an INCOMING BATCH against the
     accumulated corpus without re-tokenizing archived text — the last
@@ -767,21 +781,54 @@ def exactsubstr_incremental(
     Only the batch explodes to positional grams; the archive
     contributes one stored occurrence count per gram hash,
     semi-join-pruned to hashes the batch actually contains. Re-crawled
-    ids are anti-joined out (immutable-content contract, as in the
-    other indexes); ``update_index=True`` appends the batch's (gh,
-    cnt) partials and ids AFTER forcing the excision result.
+    ids are anti-joined out by default (immutable-content contract);
+    ``refresh=True`` is the mutable-content mode and requires an
+    index written with ``store_details=True`` — the re-crawled ids'
+    latest per-doc (gh, cnt) detail rows subtract from the archive
+    view and append as negative partials, exactly the line-index
+    refresh protocol (net grams/ sum per gh == current corpus
+    occurrences). ``update_index=True`` appends the batch's (gh,
+    cnt) partials and ids AFTER forcing the excision result (plus
+    versioned detail rows when the index stores details).
 
     Equivalence contract (pytest-asserted): identical to
     :func:`exactsubstr_dedup` over archive ∪ batch restricted to the
-    batch's documents.
+    batch's documents — for refresh, over the corpus with the
+    re-crawled ids' stale content replaced.
     """
     spark = new_docs.sparkSession
     recover_count_index(index_path, "grams")
     ids_idx = spark.read.parquet(os.path.join(index_path, "ids"))
     gram_partials = spark.read.parquet(os.path.join(index_path, "grams"))
-    fresh = new_docs.join(
-        ids_idx.withColumnRenamed("id", id_col), id_col, "left_anti"
-    )
+    details_path = os.path.join(index_path, "details")
+    has_details = os.path.isdir(details_path)
+    stale_cnt = None
+    details = None
+    if refresh:
+        if not has_details:
+            raise ValueError(
+                "refresh requires an index written with "
+                "store_details=True (no details/ directory found)"
+            )
+        fresh = new_docs
+        details = spark.read.option("mergeSchema", "true").parquet(
+            details_path
+        )
+        touched = details.join(
+            new_docs.select(F.col(id_col).alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        latest_seq = touched.groupBy("id").agg(F.max("seq").alias("seq"))
+        stale_cnt = (
+            touched.join(latest_seq, ["id", "seq"])
+            .groupBy("gh")
+            .agg(F.sum("cnt").alias("__stale"))
+        )
+    else:
+        fresh = new_docs.join(
+            ids_idx.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
     base, pos = _gram_tables(fresh, k, text_col, id_col)
     pos = _stage_roundtrip(pos, stage_path)
     batch_cnt = pos.groupBy("gh").agg(F.count("*").alias("__cnt_new"))
@@ -790,6 +837,17 @@ def exactsubstr_incremental(
         .groupBy("gh")
         .agg(F.sum("cnt").alias("__cnt_old"))
     )
+    if stale_cnt is not None:
+        archive_cnt = (
+            archive_cnt.join(stale_cnt, "gh", "left")
+            .select(
+                "gh",
+                (
+                    F.col("__cnt_old")
+                    - F.coalesce(F.col("__stale"), F.lit(0))
+                ).alias("__cnt_old"),
+            )
+        )
     dup = (
         batch_cnt.join(archive_cnt, "gh", "left")
         .filter(
@@ -801,12 +859,30 @@ def exactsubstr_incremental(
     if update_index:
         # force before append: the plan reads the same grams/ dir
         out = out.localCheckpoint()
+        if stale_cnt is not None:
+            stale_cnt.select(
+                "gh", (-F.col("__stale")).alias("cnt")
+            ).write.mode("append").parquet(
+                os.path.join(index_path, "grams")
+            )
         batch_cnt.select("gh", F.col("__cnt_new").alias("cnt")).write.mode(
             "append"
         ).parquet(os.path.join(index_path, "grams"))
-        fresh.select(F.col(id_col).alias("id")).distinct().write.mode(
-            "append"
-        ).parquet(os.path.join(index_path, "ids"))
+        new_only = fresh.select(F.col(id_col).alias("id")).distinct().join(
+            ids_idx.select("id"), "id", "left_anti"
+        )
+        new_only.write.mode("append").parquet(
+            os.path.join(index_path, "ids")
+        )
+        if has_details:
+            if refresh:
+                top = details.agg(F.max("seq")).first()[0]
+                nxt = int(top or 0) + 1
+            else:
+                nxt = 0
+            pos.groupBy("id", "gh").agg(F.count("*").alias("cnt")).select(
+                "id", "gh", "cnt", F.lit(nxt).cast("long").alias("seq")
+            ).write.mode("append").parquet(details_path)
     return out
 
 
@@ -913,21 +989,32 @@ def line_df_index_write(
       Append-only is what makes updates safe on an object store (no
       read-modify-write of a live table); compact on schedule by
       rewriting the folded aggregate, like any merge-on-read table.
-    - ``ids/`` — append-only (id) rows of every indexed document, the
-      re-crawl guard (same content-immutability contract as the
-      MinHash signature index).
+    - ``ids/`` — append-only (id, lhs, seq) rows: the re-crawl guard
+      PLUS each document's distinct line hashes (``lhs``, sorted) —
+      the per-id contribution that makes ``refresh=True`` possible
+      (subtracting a mutated document's old lines needs to know what
+      they were; storing the hash set costs one array per doc, a few
+      hundred bytes, nothing like storing text). ``seq`` versions
+      refreshed ids, latest wins (the MinHash index convention).
+      Indexes written before this layout carry bare (id) rows; they
+      anti-join fine but are not refresh-capable (refresh raises).
     """
     _base, pos = _line_tables(df, text_col, id_col)
-    partial = (
-        pos.select("id", "lh")
-        .distinct()
-        .groupBy("lh")
-        .agg(F.count("*").alias("cnt"))
-    )
+    distinct_lh = pos.select("id", "lh").distinct()
+    partial = distinct_lh.groupBy("lh").agg(F.count("*").alias("cnt"))
     partial.write.mode("append").parquet(os.path.join(index_path, "lines"))
-    df.select(F.col(id_col).alias("id")).distinct().write.mode(
-        "append"
-    ).parquet(os.path.join(index_path, "ids"))
+    details = distinct_lh.groupBy("id").agg(
+        F.sort_array(F.collect_set("lh")).alias("lhs")
+    )
+    # every id is recorded, even line-less docs (empty lhs), so the
+    # re-crawl guard stays complete
+    df.select(F.col(id_col).alias("id")).distinct().join(
+        details, "id", "left"
+    ).select(
+        "id",
+        F.coalesce("lhs", F.array().cast("array<long>")).alias("lhs"),
+        F.lit(0).cast("long").alias("seq"),
+    ).write.mode("append").parquet(os.path.join(index_path, "ids"))
 
 
 def recover_count_index(index_path: str, sub: str) -> None:
@@ -1027,6 +1114,7 @@ def boilerplate_excision_incremental(
     id_col: str = "doc_id",
     update_index: bool = False,
     stage_path: str | None = None,
+    refresh: bool = False,
 ) -> DataFrame:
     """Cross-document boilerplate excision for an INCOMING BATCH
     against the accumulated corpus, without re-reading archived text —
@@ -1040,43 +1128,95 @@ def boilerplate_excision_incremental(
     the batch plus the touched slice of the index. A line in a new
     document is excised when archive df + batch df ≥ ``min_df``.
 
-    Re-crawled ids (already in ``ids/``) are dropped up front: their
-    cleaned output was produced when first seen, and counting their
-    lines again would inflate df by one per re-crawl. The index
-    assumes IMMUTABLE CONTENT PER ID — refresh a mutated document by
-    delete-and-reinsert or a versioned id (the MinHash index has a
-    first-class ``refresh=True`` mode because its rows are
-    REPLACEABLE per id; a count index would additionally need the
-    old content's per-id contribution to subtract, which this layout
-    deliberately does not store).
-    ``update_index=True`` appends the batch's partial (lh, cnt) rows
-    and its ids AFTER forcing the excision result, so the output can
-    never observe its own update.
+    By default re-crawled ids (already in ``ids/``) are dropped up
+    front: their cleaned output was produced when first seen, and
+    counting their lines again would inflate df by one per re-crawl
+    (immutable-content contract). ``refresh=True`` is the
+    mutable-content mode: a re-crawled id's NEW content replaces its
+    old contribution — the stored per-id line-hash set (``ids/``
+    detail rows, latest version per id) yields NEGATIVE (lh, −1)
+    corrections, so the archive df consulted for this batch excludes
+    the stale lines exactly, and ``update_index`` appends the
+    negative partials + the batch's positive partials + versioned id
+    detail rows. The count invariant this preserves: the net
+    lines/ sum per lh always equals the number of CURRENT document
+    versions containing that line. Refresh requires detail-bearing
+    id rows (indexes written before the detail layout raise).
+    ``update_index=True`` appends AFTER forcing the excision result,
+    so the output can never observe its own update.
 
     Equivalence contract (pytest-asserted, the row-119 pattern):
     identical to running :func:`boilerplate_line_excision` over
-    archive ∪ batch and keeping the batch's rows.
+    archive ∪ batch and keeping the batch's rows — where for refresh
+    the "archive" is the corpus WITHOUT the re-crawled ids' stale
+    content.
     """
     spark = new_docs.sparkSession
     recover_count_index(index_path, "lines")
-    ids_idx = spark.read.parquet(os.path.join(index_path, "ids"))
-    lines_partials = spark.read.parquet(os.path.join(index_path, "lines"))
-    fresh = new_docs.join(
-        ids_idx.withColumnRenamed("id", id_col), id_col, "left_anti"
+    ids_idx = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(index_path, "ids")
     )
+    lines_partials = spark.read.parquet(os.path.join(index_path, "lines"))
+    stale_cnt = None
+    if refresh:
+        fresh = new_docs
+        if "lhs" not in ids_idx.columns:
+            raise ValueError(
+                "index has no per-id line details (pre-detail layout); "
+                "refresh requires an index written by line_df_index_write "
+                "of this version"
+            )
+        seq = (
+            F.coalesce(F.col("seq"), F.lit(0)).cast("long")
+            if "seq" in ids_idx.columns
+            else F.lit(0).cast("long")
+        )
+        touched = ids_idx.select("id", "lhs", seq.alias("__seq")).join(
+            new_docs.select(F.col(id_col).alias("id")).distinct(),
+            "id",
+            "left_semi",
+        )
+        latest = touched.groupBy("id").agg(
+            F.max_by("lhs", F.col("__seq")).alias("lhs")
+        )
+        if latest.filter(F.col("lhs").isNull()).limit(1).count() > 0:
+            raise ValueError(
+                "refresh hit id rows without line details (written "
+                "before the detail layout); delete-and-reinsert those ids"
+            )
+        stale_cnt = (
+            latest.select(F.explode("lhs").alias("lh"))
+            .groupBy("lh")
+            .agg(F.count("*").alias("__stale"))
+        )
+    else:
+        fresh = new_docs.join(
+            ids_idx.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
     base, pos = _line_tables(fresh, text_col, id_col)
     pos = _stage_roundtrip(pos, stage_path)
-    batch_cnt = (
-        pos.select("id", "lh")
-        .distinct()
-        .groupBy("lh")
-        .agg(F.count("*").alias("__cnt_new"))
+    distinct_lh = pos.select("id", "lh").distinct()
+    batch_cnt = distinct_lh.groupBy("lh").agg(
+        F.count("*").alias("__cnt_new")
     )
     archive_df = (
         lines_partials.join(batch_cnt.select("lh"), "lh", "left_semi")
         .groupBy("lh")
         .agg(F.sum("cnt").alias("__dfc_old"))
     )
+    if stale_cnt is not None:
+        # stale lines of re-crawled ids leave the archive view: the
+        # stored net count minus the latest per-id contribution
+        archive_df = (
+            archive_df.join(stale_cnt, "lh", "left")
+            .select(
+                "lh",
+                (
+                    F.col("__dfc_old")
+                    - F.coalesce(F.col("__stale"), F.lit(0))
+                ).alias("__dfc_old"),
+            )
+        )
     boiler = (
         batch_cnt.join(archive_df, "lh", "left")
         .filter(
@@ -1091,12 +1231,37 @@ def boilerplate_excision_incremental(
         # lines/ dir the append extends, and a late scan must not see
         # the batch's own partials
         out = out.localCheckpoint()
+        if stale_cnt is not None:
+            # negative corrections first conceptually; physically both
+            # are appends and readers only ever see the SUM
+            stale_cnt.select(
+                "lh", (-F.col("__stale")).alias("cnt")
+            ).write.mode("append").parquet(
+                os.path.join(index_path, "lines")
+            )
         batch_cnt.select("lh", F.col("__cnt_new").alias("cnt")).write.mode(
             "append"
         ).parquet(os.path.join(index_path, "lines"))
-        fresh.select(F.col(id_col).alias("id")).distinct().write.mode(
-            "append"
-        ).parquet(os.path.join(index_path, "ids"))
+        if refresh:
+            raw_seq = (
+                F.coalesce(F.col("seq"), F.lit(0))
+                if "seq" in ids_idx.columns
+                else F.lit(0)
+            )
+            top = ids_idx.agg(F.max(raw_seq)).first()[0]
+            nxt = int(top or 0) + 1
+        else:
+            nxt = 0
+        details = distinct_lh.groupBy("id").agg(
+            F.sort_array(F.collect_set("lh")).alias("lhs")
+        )
+        fresh.select(F.col(id_col).alias("id")).distinct().join(
+            details, "id", "left"
+        ).select(
+            "id",
+            F.coalesce("lhs", F.array().cast("array<long>")).alias("lhs"),
+            F.lit(nxt).cast("long").alias("seq"),
+        ).write.mode("append").parquet(os.path.join(index_path, "ids"))
     return out
 
 

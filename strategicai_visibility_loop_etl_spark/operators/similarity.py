@@ -194,10 +194,15 @@ def ivf_topk(
     DuckDB oracle so the argmin and probe ranks agree bit-for-bit.
     Assignment reduces map-side (``min_by`` partial agg) — the corpus
     never shuffles ×n_centroids. ``stage_path`` materializes the
-    centroid table (``{stage_path}/centroids``) for the oracle replay.
-
-    At 100 TB the assignment output IS the index: write it bucketed by
-    ``cluster`` once, and per-query work touches only probed lists.
+    centroid table (``{stage_path}/centroids``) for the oracle replay
+    AND the inverted lists themselves, Hive-partitioned by cluster
+    (``{stage_path}/lists`` via ``write_partitioned``): the search
+    then re-reads ONLY the probed lists through a
+    PartitionFilters-pruned scan (probe set ≤ n_centroids distinct
+    ints, a model-sized collect sharing :func:`_probe_lists` with the
+    search join so pruning can never disagree with probing). At
+    100 TB that makes per-query list reads n_probe/n_centroids of the
+    index bytes — the same layout contract as the IVF-PQ code table.
     """
     from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
 
@@ -207,6 +212,23 @@ def ivf_topk(
         cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
 
     assigned = ivf_assign(corpus, cent_df, corpus_id, corpus_vec)
+    if stage_path is not None:
+        from ..sources.sinks import write_partitioned  # noqa: PLC0415
+
+        write_partitioned(assigned, f"{stage_path}/lists", ["cluster"])
+        probed = sorted(
+            r["cluster"]
+            for r in _probe_lists(queries, cent_df, n_probe, query_id, query_vec)
+            .select("cluster")
+            .distinct()
+            .collect()
+        )
+        keep = F.col("cluster").isin(probed) if probed else F.lit(False)
+        assigned = (
+            corpus.sparkSession.read.parquet(f"{stage_path}/lists")
+            .filter(keep)
+            .select(corpus_id, corpus_vec, "cluster")
+        )
     return ivf_search_index(
         assigned, queries, cent_df, k, n_probe, corpus_id, corpus_vec,
         query_id, query_vec,
@@ -259,6 +281,32 @@ def ivf_assign(
     )
 
 
+def _probe_lists(
+    queries: DataFrame,
+    cent_df: DataFrame,
+    n_probe: int,
+    query_id: str,
+    query_vec: str,
+) -> DataFrame:
+    """(query, query_vec, cluster) — each query's ``n_probe`` closest
+    inverted lists under the shared comparison score
+    ``(-2·q·c) + c·c`` with the cluster tie-break. THE single probe
+    definition: the search join and the partition-pruned list read
+    must agree on it exactly, or pruning could drop a list the search
+    would touch."""
+    q_score = (F.lit(-2) * dot_arrow(F.col(query_vec), F.col("centroid"))) + dot_arrow(
+        F.col("centroid"), F.col("centroid")
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("__s"), F.col("cluster"))
+    return (
+        queries.crossJoin(F.broadcast(cent_df))
+        .select(F.col(query_id), F.col(query_vec), F.col("cluster"), q_score.alias("__s"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id, query_vec, "cluster")
+    )
+
+
 def ivf_search_index(
     index_df: DataFrame,
     queries: DataFrame,
@@ -277,17 +325,7 @@ def ivf_search_index(
     ``n_probe`` closest centroids (same comparison score and cluster
     tie-break as assignment) and exact cosine re-ranks inside the
     probed lists only."""
-    q_score = (F.lit(-2) * dot_arrow(F.col(query_vec), F.col("centroid"))) + dot_arrow(
-        F.col("centroid"), F.col("centroid")
-    )
-    wq = Window.partitionBy(query_id).orderBy(F.col("__s"), F.col("cluster"))
-    probes = (
-        queries.crossJoin(F.broadcast(cent_df))
-        .select(F.col(query_id), F.col(query_vec), F.col("cluster"), q_score.alias("__s"))
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= n_probe)
-        .select(query_id, query_vec, "cluster")
-    )
+    probes = _probe_lists(queries, cent_df, n_probe, query_id, query_vec)
 
     scored = index_df.join(F.broadcast(probes), "cluster").select(
         F.col(query_id),

@@ -1202,3 +1202,225 @@ def test_minhash_default_mode_keeps_stored_signature(spark, tmp_path):
     assert any({r["id_a"], r["id_b"]} == {1, 2} for r in p)
     # the re-crawl appended nothing: the index still holds only id 1
     assert read_minhash_index(spark, idx).count() == 1
+
+
+def test_ivf_lists_stage_partitioned_and_pruned(spark, sf_dir, tmp_path):
+    """Staged IVF inverted lists lay out Hive-partitioned by cluster
+    and the search re-reads only probed lists (the row-143 layout
+    contract applied to row 61): PartitionFilters carries the probe
+    set, results identical to the unstaged plan."""
+    import os
+    import re
+
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    kw = dict(k=5, n_centroids=8, n_probe=2, iters=1)
+    plain = ivf_topk(emb, qs, **kw).collect()
+    staged_df = ivf_topk(emb, qs, **kw, stage_path=str(tmp_path / "st"))
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, staged_df.collect()))
+    assert any(
+        d.startswith("cluster=")
+        for d in os.listdir(tmp_path / "st" / "lists")
+    )
+    plan = staged_df._jdf.queryExecution().executedPlan().toString()
+    m_in = re.search(r"PartitionFilters: \[[^\]]*cluster[^\]]*IN \(([^)]*)\)", plan)
+    assert m_in, plan[:2000]
+    assert len({int(x) for x in m_in.group(1).split(",")}) <= 3 * 2
+
+
+def test_line_excision_refresh_replaces_stale_content(spark, tmp_path):
+    """Line-index content refresh (the count-index half of the
+    round-9 verdict's item 3): a re-crawled id's OLD lines leave the
+    document-frequency view via stored per-id details + negative
+    partials, so excision equals a fresh corpus that never held the
+    stale text — and the immutable-mode control shows the stale count
+    would have flipped the outcome."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_excision_incremental,
+        boilerplate_line_excision,
+        line_df_index_write,
+    )
+
+    schema = "doc_id long, text string"
+    archive_rows = [
+        (1, "body one\nunique line a"),
+        (2, "stale promo\nbody two"),
+        (3, "body three\nunique line b"),
+    ]
+    batch_rows = [
+        (2, "fresh promo\nnew body two"),   # re-crawl, content changed
+        (7, "stale promo\nbody seven"),     # new doc carrying the OLD promo
+        (8, "fresh promo\nbody eight"),     # new doc carrying the NEW promo
+    ]
+    archive = spark.createDataFrame(archive_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+
+    idx = str(tmp_path / "ref_idx")
+    line_df_index_write(archive, idx)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in boilerplate_excision_incremental(
+            batch, idx, min_df=2, update_index=True, refresh=True
+        ).collect()
+    }
+    # oracle: full recompute over the corpus AS IF doc 2 always had
+    # the new text, restricted to batch ids
+    corrected = spark.createDataFrame(
+        [archive_rows[0], archive_rows[2]] + batch_rows, schema
+    )
+    want = {
+        r["doc_id"]: r["clean_text"]
+        for r in boilerplate_line_excision(corrected, min_df=2).collect()
+        if r["doc_id"] in (2, 7, 8)
+    }
+    assert got == want
+    # the stale promo now has df 1 (only doc 7) -> KEPT; the fresh
+    # promo has df 2 (docs 2, 8) -> excised
+    assert "stale promo" in got[7]
+    assert "fresh promo" not in got[2] and "fresh promo" not in got[8]
+
+    # net-count invariant: lines/ sums equal the corrected corpus df
+    import collections
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        _line_tables,
+    )
+
+    net = {
+        r["lh"]: r["s"]
+        for r in spark.read.parquet(f"{idx}/lines")
+        .groupBy("lh").agg(F.sum("cnt").alias("s")).collect()
+        if r["s"] != 0
+    }
+    _, pos = _line_tables(corrected, "text", "doc_id")
+    want_net = collections.Counter(
+        (r["lh"])
+        for r in pos.select("id", "lh").distinct().collect()
+    )
+    assert net == dict(want_net)
+
+    # CONTROL: the immutable-mode run on an identical index counts the
+    # stale copy, so 'stale promo' reaches df 2 and is (wrongly, had
+    # the content really changed) excised from doc 7
+    idx2 = str(tmp_path / "imm_idx")
+    line_df_index_write(archive, idx2)
+    ctl = {
+        r["doc_id"]: r["clean_text"]
+        for r in boilerplate_excision_incremental(
+            batch, idx2, min_df=2
+        ).collect()
+    }
+    assert 2 not in ctl  # re-crawl dropped entirely in immutable mode
+    assert "stale promo" not in ctl[7]
+
+
+def test_line_excision_refresh_requires_detail_layout(spark, tmp_path):
+    """A pre-detail index (bare id rows) anti-joins fine but cannot
+    refresh — the operator raises instead of silently double-counting."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_excision_incremental,
+        _line_tables,
+    )
+
+    schema = "doc_id long, text string"
+    archive = spark.createDataFrame([(1, "promo\nbody one")], schema)
+    idx = str(tmp_path / "legacy_idx")
+    _, pos = _line_tables(archive, "text", "doc_id")
+    pos.select("id", "lh").distinct().groupBy("lh").agg(
+        F.count("*").alias("cnt")
+    ).write.parquet(f"{idx}/lines")
+    archive.select(F.col("doc_id").alias("id")).write.parquet(f"{idx}/ids")
+
+    batch = spark.createDataFrame([(1, "promo\nnew body")], schema)
+    # immutable mode still works on the legacy layout
+    assert boilerplate_excision_incremental(batch, idx, min_df=2).count() == 0
+    with _pytest.raises(ValueError, match="detail"):
+        boilerplate_excision_incremental(batch, idx, min_df=2, refresh=True)
+
+
+def test_exactsubstr_refresh_replaces_stale_content(spark, tmp_path):
+    """Gram-index content refresh (opt-in details): a re-crawled id's
+    old gram occurrences subtract via the stored per-doc detail, so
+    excision equals the corpus with the stale content replaced; a
+    detail-less index refuses to refresh."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup,
+        exactsubstr_incremental,
+        substr_gram_index_write,
+    )
+
+    stale_run = "alpha beta gamma delta epsilon zeta eta theta"
+    fresh_run = "one two three four five six seven eight"
+    schema = "doc_id long, text string"
+    archive_rows = [
+        (1, "unique opener " + " ".join(f"w{i}" for i in range(10))),
+        (2, stale_run + " tail words here for doc two"),
+    ]
+    batch_rows = [
+        (2, fresh_run + " rewritten content entirely"),
+        (7, stale_run + " appearing again in doc seven"),
+        (8, fresh_run + " appearing again in doc eight"),
+    ]
+    archive = spark.createDataFrame(archive_rows, schema)
+    batch = spark.createDataFrame(batch_rows, schema)
+
+    idx = str(tmp_path / "gr_idx")
+    substr_gram_index_write(archive, idx, k=8, store_details=True)
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in exactsubstr_incremental(
+            batch, idx, k=8, update_index=True, refresh=True
+        ).collect()
+    }
+    corrected = spark.createDataFrame(
+        [archive_rows[0]] + batch_rows, schema
+    )
+    want = {
+        r["doc_id"]: r["clean_text"]
+        for r in exactsubstr_dedup(corrected, k=8).collect()
+        if r["doc_id"] in (2, 7, 8)
+    }
+    assert got == want
+    # doc 7's stale_run is now UNIQUE (old doc-2 copy subtracted) ...
+    assert "alpha beta gamma" in got[7]
+    # ... while fresh_run duplicates across docs 2 and 8
+    assert "one two three" not in got[8]
+
+    # net-count invariant against the corrected corpus
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        _gram_tables,
+    )
+
+    net = {
+        r["gh"]: r["s"]
+        for r in spark.read.parquet(f"{idx}/grams")
+        .groupBy("gh").agg(F.sum("cnt").alias("s")).collect()
+        if r["s"] != 0
+    }
+    _, pos = _gram_tables(corrected, 8, "text", "doc_id")
+    want_net = {
+        r["gh"]: r["c"]
+        for r in pos.groupBy("gh").agg(F.count("*").alias("c")).collect()
+    }
+    assert net == want_net
+
+    # detail-less index refuses refresh
+    idx2 = str(tmp_path / "nodet_idx")
+    substr_gram_index_write(archive, idx2, k=8)
+    with _pytest.raises(ValueError, match="store_details"):
+        exactsubstr_incremental(batch, idx2, k=8, refresh=True)
+    # and immutable mode still works there
+    assert exactsubstr_incremental(batch, idx2, k=8).count() == 2
