@@ -7545,8 +7545,12 @@ def extra_oracle_sql() -> dict[str, str]:
         FROM rec GROUP BY entity ORDER BY entity_id
     """
 
-    # qx76: CDC compaction replay — arg_max per payload column under
-    # the same (unique per key) version order.
+    # qx76: CDC compaction replay — the winner's WHOLE payload rides
+    # one struct through arg_max (arg_max on a bare column SKIPS rows
+    # whose value is NULL, which would resurrect a stale version's
+    # payload when the winning upsert carries NULL; a struct is never
+    # NULL, matching Spark's max_by(struct(...)) winner-row
+    # semantics).
     sql["qx76_cdc_apply"] = """
         WITH log AS (
             SELECT user_id % 200 AS k, event_id AS version,
@@ -7557,14 +7561,14 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         w AS (
             SELECT k,
-                   arg_max(op, version) AS op,
-                   arg_max(value, version) AS value,
-                   arg_max(event_type, version) AS event_type,
+                   arg_max(struct_pack(op := op, v := value,
+                                       et := event_type),
+                           version) AS win,
                    MAX(version) AS version
             FROM log GROUP BY k
         )
-        SELECT k, value, event_type, version
-        FROM w WHERE op = 'upsert' ORDER BY k
+        SELECT k, win.v AS value, win.et AS event_type, version
+        FROM w WHERE win.op = 'upsert' ORDER BY k
     """
 
     # qx77: the EWMA recurrence replayed literally — a recursive CTE
@@ -7604,6 +7608,7 @@ def extra_oracle_sql() -> dict[str, str]:
     sql["qx78_basket_affinity"] = """
         WITH bi AS (
             SELECT DISTINCT user_id AS b, event_type AS i FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         ),
         kept AS (
             SELECT b, i FROM bi QUALIFY
@@ -7706,18 +7711,18 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         m AS (
             SELECT doc_id,
-                   CAST(length(regexp_replace(s, '\\s', '', 'g'))
+                   CAST(length(regexp_replace(s, '[ \t\n\f\r]', '', 'g'))
                         AS DOUBLE) AS n_nonspace,
                    CAST(length(regexp_replace(s, '[^{{}}\\[\\]();=<>]',
                         '', 'g')) AS DOUBLE) AS n_sym,
                    CAST(len(string_split(s, chr(10))) AS DOUBLE) AS n_lines,
                    CAST(len(list_filter(string_split(s, chr(10)),
-                        l -> regexp_matches(l, '[;{{}}]\\s*$')))
+                        l -> regexp_matches(l, '[;{{}}][ \t\r\f]*$')))
                         AS DOUBLE) AS n_endsym,
                    CAST(len(list_filter(string_split(s, chr(10)),
                         l -> regexp_matches(l, '^(  |\t)')))
                         AS DOUBLE) AS n_indent,
-                   CAST(len(list_filter(regexp_split_to_array(s, '\\s+'),
+                   CAST(len(list_filter(regexp_split_to_array(s, '[ \t\n\f\r]+'),
                         w -> w != ''))  AS DOUBLE) AS n_tok,
                    CAST(len(regexp_extract_all(s, '{_x81_kw}'))
                         AS DOUBLE) AS n_kw

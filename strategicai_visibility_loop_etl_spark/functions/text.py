@@ -342,25 +342,29 @@ def code_score(col: Column) -> Column:
 
     RAW text (no normalization — indentation and line structure ARE
     the signal). 0.0 for empty. Every pattern is RE2-and-Java
-    compatible (no lookaround), so DuckDB replays each count exactly;
-    the blend rounds through one double expression, identical in both
-    engines.
+    compatible (no lookaround, and whitespace is the EXPLICIT class
+    ``[ \\t\\n\\f\\r]`` — Java's ``\\s`` includes vertical tab where
+    RE2's does not, so a bare ``\\s`` would silently diverge from a
+    SQL replay on documents containing one), so DuckDB replays each
+    count exactly; the blend rounds through one double expression,
+    identical in both engines.
     """
+    ws = "[ \t\n\f\r]"
     s = F.coalesce(col.cast("string"), F.lit(""))
-    n_nonspace = F.length(F.regexp_replace(s, r"\s", "")).cast("double")
+    n_nonspace = F.length(F.regexp_replace(s, ws, "")).cast("double")
     n_sym = F.length(
         F.regexp_replace(s, r"[^{}\[\]();=<>]", "")
     ).cast("double")
     lines = F.split(s, "\n")
     n_lines = F.size(lines).cast("double")
     n_endsym = F.size(
-        F.filter(lines, lambda ln: ln.rlike(r"[;{}]\s*$"))
+        F.filter(lines, lambda ln: ln.rlike(r"[;{}][ \t\r\f]*$"))
     ).cast("double")
     n_indent = F.size(
         F.filter(lines, lambda ln: ln.rlike(r"^(  |\t)"))
     ).cast("double")
     n_tok = F.size(
-        F.filter(F.split(s, r"\s+"), lambda t: t != "")
+        F.filter(F.split(s, ws + "+"), lambda t: t != "")
     ).cast("double")
     n_kw = F.regexp_count(
         s,

@@ -28,8 +28,8 @@ def anomaly_ctr_underperf(
     ``limit`` rows. Pass ``limit=None`` only for small slices.
 
     The rank window partitions on a CONSTANT-BY-CONSTRUCTION key
-    (``missed_clicks * 0`` — every surviving row passed the
-    ``missed_clicks > 0`` filter, so the key is 0.0 for all of them;
+    (``nanvl(missed_clicks * 0, 0.0)`` — 0.0 for every surviving row
+    including NaN/Infinity metrics, since NaN > 0 passes the filter;
     a foldable literal would be optimized away by
     EliminateWindowPartitions) rather than nothing: execution is
     identical (one partition either way — safe because the ``.limit``
@@ -43,9 +43,13 @@ def anomaly_ctr_underperf(
     if limit is not None:
         # TakeOrdered path: no global sort materialization.
         under = under.orderBy(F.col("missed_clicks").desc(), F.col("url")).limit(limit)
-    w = Window.partitionBy(F.col("missed_clicks") * F.lit(0)).orderBy(
-        F.col("missed_clicks").desc(), F.col("url")
-    )
+    # nanvl: missed_clicks * 0 is NaN for NaN/Infinity inputs (and
+    # NaN > 0 passes the filter above), which would split the window
+    # into a second partition and duplicate ranks — nanvl folds every
+    # row back to the single 0.0 partition while staying non-foldable.
+    w = Window.partitionBy(
+        F.nanvl(F.col("missed_clicks") * F.lit(0), F.lit(0.0))
+    ).orderBy(F.col("missed_clicks").desc(), F.col("url"))
     return under.withColumn("priority_rank", F.row_number().over(w)).withColumn(
         "intent_note", F.lit("")  # analyst triage column (reference :972)
     )

@@ -814,11 +814,25 @@ def exactsubstr_incremental(
         details = spark.read.option("mergeSchema", "true").parquet(
             details_path
         )
-        touched = details.join(
-            new_docs.select(F.col(id_col).alias("id")).distinct(),
-            "id",
-            "left_semi",
+        batch_ids = new_docs.select(F.col(id_col).alias("id")).distinct()
+        # every INDEXED batch id must have detail rows — an id written
+        # before store_details=True was enabled has a stale
+        # contribution nobody can subtract, and skipping it silently
+        # would double-count (the boilerplate sibling's raise, applied
+        # to the mixed-history case)
+        undetailed = (
+            batch_ids.join(ids_idx.select("id"), "id", "left_semi")
+            .join(details.select("id"), "id", "left_anti")
+            .limit(1)
+            .count()
         )
+        if undetailed:
+            raise ValueError(
+                "refresh hit indexed ids without detail rows (written "
+                "before store_details=True); delete-and-reinsert those "
+                "ids or rebuild the index with details"
+            )
+        touched = details.join(batch_ids, "id", "left_semi")
         latest_seq = touched.groupBy("id").agg(F.max("seq").alias("seq"))
         stale_cnt = (
             touched.join(latest_seq, ["id", "seq"])
@@ -1017,15 +1031,13 @@ def line_df_index_write(
     ).write.mode("append").parquet(os.path.join(index_path, "ids"))
 
 
-def recover_count_index(index_path: str, sub: str) -> None:
+def recover_count_index(index_path: str, sub: str, sweep: bool = False) -> None:
     """Crash recovery for :func:`compact_count_index`'s two-rename
     swap. Idempotent and cheap (one directory listing); called at
-    compaction entry and by the incremental readers, so a compaction
-    that died between its renames never strands the index:
+    compaction entry (``sweep=True``) and by the incremental readers
+    (``sweep=False``), so a compaction that died between its renames
+    never strands the index:
 
-    - live present → any leftover ``_{sub}_compact_*`` /
-      ``_{sub}_old_*`` sibling is stale (crash before the swap, or
-      after it completed but before trash removal) — delete it.
     - live missing + a compact dir with ``_SUCCESS`` → the crash hit
       between ``rename(live, trash)`` and ``rename(tmp, live)``:
       promote the fully-written compacted dir (it folds the same
@@ -1034,6 +1046,20 @@ def recover_count_index(index_path: str, sub: str) -> None:
       too (partial write, no ``_SUCCESS``): restore the pre-compaction
       directory — nothing is ever deleted before a replacement is
       live.
+    - live present → leftovers are stale (crash before the swap, or
+      after it completed but before trash removal). Only the
+      COMPACTOR deletes them (``sweep=True``): a reader must never
+      rmtree a sibling, because a live-present + compact-dir-present
+      state is indistinguishable from an IN-FLIGHT compaction that
+      just wrote its tmp — a reader deleting it would crash the
+      compactor mid-swap. Readers are mutation-free whenever a live
+      directory exists.
+
+    Concurrency contract: recovery handles CRASHED compactions; a
+    reader racing a LIVE compaction is excluded the same way
+    concurrent appends are (the live dir vanishes for an instant
+    between the two renames — schedule compaction off the read path,
+    as with any merge-on-read table).
     """
     import shutil
 
@@ -1052,12 +1078,12 @@ def recover_count_index(index_path: str, sub: str) -> None:
                 os.path.join(full, "_SUCCESS")
             ):
                 os.rename(full, live)
-            else:
+            elif sweep:
                 shutil.rmtree(full, ignore_errors=True)
         elif name.startswith(old_pre):
             if not os.path.exists(live):
                 os.rename(full, live)
-            else:
+            elif sweep:
                 shutil.rmtree(full, ignore_errors=True)
 
 
@@ -1088,7 +1114,7 @@ def compact_count_index(
     import shutil
     import uuid
 
-    recover_count_index(index_path, sub)
+    recover_count_index(index_path, sub, sweep=True)
     live = os.path.join(index_path, sub)
     partials = spark.read.parquet(live)
     folded = partials.groupBy(key_col).agg(F.sum("cnt").alias("cnt"))
@@ -1315,7 +1341,7 @@ def compact_minhash_index(spark, index_path: str) -> int:
 
     norm = index_path.rstrip("/")
     parent, base = os.path.split(norm)
-    recover_count_index(parent, base)
+    recover_count_index(parent, base, sweep=True)
     raw = spark.read.option("mergeSchema", "true").parquet(norm)
     if "seq" not in raw.columns:
         raw = raw.withColumn("seq", F.lit(0).cast("long"))

@@ -329,6 +329,12 @@ def basket_affinity(
     ``basket_col`` (users, sessions, orders); presence is binary
     (distinct item per basket).
 
+    NULL basket keys and NULL items are excluded up front: a NULL
+    basket is "no transaction", not a transaction of its own (the
+    ks_test NULL convention — and without the explicit filter the
+    Spark inner join would drop them while a SQL window oracle would
+    keep them, a silent engine divergence).
+
     Skew guard (the LSH ``max_bucket`` discipline): a basket with
     more than ``max_basket`` distinct items is DROPPED before pairing
     — one bot session touching every item otherwise contributes
@@ -345,9 +351,13 @@ def basket_affinity(
 
     if max_basket < 2:
         raise ValueError("max_basket must be >= 2")
-    bi = df.select(
-        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-    ).distinct()
+    bi = (
+        df.filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .distinct()
+    )
     sizes = bi.groupBy("b").agg(F.count(F.lit(1)).alias("__n"))
     kept = bi.join(
         sizes.filter(F.col("__n") <= max_basket).select("b"), "b"

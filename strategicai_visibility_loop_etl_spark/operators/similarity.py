@@ -212,16 +212,20 @@ def ivf_topk(
         cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
 
     assigned = ivf_assign(corpus, cent_df, corpus_id, corpus_vec)
+    probes = None
     if stage_path is not None:
         from ..sources.sinks import write_partitioned  # noqa: PLC0415
 
         write_partitioned(assigned, f"{stage_path}/lists", ["cluster"])
+        # computed ONCE (lineage cut): the pruning collect and the
+        # search join share the same probe table instead of re-running
+        # the queries×centroids assignment per consumer
+        probes = _probe_lists(
+            queries, cent_df, n_probe, query_id, query_vec
+        ).localCheckpoint(eager=False)
         probed = sorted(
             r["cluster"]
-            for r in _probe_lists(queries, cent_df, n_probe, query_id, query_vec)
-            .select("cluster")
-            .distinct()
-            .collect()
+            for r in probes.select("cluster").distinct().collect()
         )
         keep = F.col("cluster").isin(probed) if probed else F.lit(False)
         assigned = (
@@ -231,7 +235,7 @@ def ivf_topk(
         )
     return ivf_search_index(
         assigned, queries, cent_df, k, n_probe, corpus_id, corpus_vec,
-        query_id, query_vec,
+        query_id, query_vec, probes=probes,
     )
 
 
@@ -317,6 +321,7 @@ def ivf_search_index(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    probes: DataFrame | None = None,
 ) -> DataFrame:
     """Probe + exact re-rank over a PREBUILT (id, vec, cluster)
     inverted index — the serving-time half of IVF, shared by
@@ -324,8 +329,12 @@ def ivf_search_index(
     (accumulated committed batches). Each query probes its
     ``n_probe`` closest centroids (same comparison score and cluster
     tie-break as assignment) and exact cosine re-ranks inside the
-    probed lists only."""
-    probes = _probe_lists(queries, cent_df, n_probe, query_id, query_vec)
+    probed lists only. A caller that already computed the probe table
+    (:func:`_probe_lists` — e.g. to prune a partitioned list read)
+    passes it in so the queries×centroids assignment runs once, not
+    twice."""
+    if probes is None:
+        probes = _probe_lists(queries, cent_df, n_probe, query_id, query_vec)
 
     scored = index_df.join(F.broadcast(probes), "cluster").select(
         F.col(query_id),
@@ -1142,19 +1151,9 @@ def ivfpq_topk(
         .agg(F.min_by("code", F.struct("__s", "code")).alias("code"))
     )
 
-    # Query side: probe n_probe lists (same argmin form as ivf_topk),
-    # then the per-(query, probed-cluster) residual LUT.
-    q_score = (F.lit(-2) * dot_arrow(F.col(query_vec), F.col("centroid"))) + dot_arrow(
-        F.col("centroid"), F.col("centroid")
-    )
-    wq = Window.partitionBy(query_id).orderBy(F.col("__s"), F.col("cluster"))
-    probes = (
-        queries.crossJoin(F.broadcast(cent_df))
-        .select(F.col(query_id), F.col(query_vec), F.col("cluster"), q_score.alias("__s"))
-        .withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= n_probe)
-        .select(query_id, query_vec, "cluster")
-    )
+    # Query side: probe n_probe lists (the shared _probe_lists argmin
+    # form), then the per-(query, probed-cluster) residual LUT.
+    probes = _probe_lists(queries, cent_df, n_probe, query_id, query_vec)
     if stage_path is not None:
         # Cluster-partitioned code-table layout (the row-141 sink
         # applied to this row): codes stage Hive-partitioned by
@@ -1169,6 +1168,9 @@ def ivfpq_topk(
         from ..sources.sinks import write_partitioned  # noqa: PLC0415
 
         write_partitioned(codes, f"{stage_path}/codes", ["cluster"])
+        # lineage cut so the pruning collect and the downstream LUT
+        # build share one probe computation
+        probes = probes.localCheckpoint(eager=False)
         probed = sorted(
             r["cluster"]
             for r in probes.select("cluster").distinct().collect()

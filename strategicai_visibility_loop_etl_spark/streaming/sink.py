@@ -215,7 +215,14 @@ def dedup_on_arrival_batch(
     resolve latest-per-id (``read_signature_index(latest=True)``),
     and the stale archive rows are excluded from this batch's pair
     generation. Deterministic on replay either way because only
-    committed predecessor batches are visible."""
+    committed predecessor batches are visible.
+
+    The two modes must not mix on one index: once any refresh batch
+    commits (a ``_refresh_mode`` marker records it), the committed
+    dirs can hold several versioned rows per id, and a non-refresh
+    call's raw-union read would fan out ambiguous pairs — so it
+    raises instead. Refresh calls on a never-refreshed index are
+    always safe (version resolution over unique ids is a no-op)."""
     from ..operators.dedup import (
         incremental_pairs_from_signatures,
         minhash_signatures,
@@ -224,6 +231,12 @@ def dedup_on_arrival_batch(
     marker = os.path.join(_ledger_dir(index_dir), str(batch_id))
     if os.path.exists(marker):
         return  # redelivery of a committed batch: no-op
+    mode_marker = os.path.join(_ledger_dir(index_dir), "_refresh_mode")
+    if not refresh and os.path.exists(mode_marker):
+        raise ValueError(
+            "index has committed refresh batches (versioned rows per "
+            "id); call dedup_on_arrival_batch with refresh=True"
+        )
     spark = batch_df.sparkSession
     sig_dir = os.path.join(index_dir, f"b{batch_id}")
     old_sig = read_signature_index(spark, index_dir, latest=refresh)
@@ -244,6 +257,12 @@ def dedup_on_arrival_batch(
         os.path.join(pairs_dir, f"v{batch_id}")
     )
     os.makedirs(_ledger_dir(index_dir), exist_ok=True)
+    if refresh and not os.path.exists(mode_marker):
+        # recorded BEFORE the batch commits: if we crash in between,
+        # the batch is invisible but the index is already (vacuously)
+        # marked — the safe direction
+        with open(mode_marker, "w", encoding="utf-8") as fh:
+            fh.write("refresh")
     tmp = marker + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(f"b{batch_id}")

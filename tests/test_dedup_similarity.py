@@ -1013,10 +1013,14 @@ def test_compact_count_index_crash_recovery(spark, tmp_path):
     compact_count_index(spark, idx, "lines", "lh")  # writes folded live
     shutil.copytree(live, os.path.join(idx, "_lines_compact_deadbeef"))
     os.rename(live, os.path.join(idx, "_lines_old_deadbeef"))
-    # the reader itself recovers (no explicit recover call needed)
+    # the reader itself recovers (no explicit recover call needed);
+    # the stale trash dir survives until a compactor sweep — readers
+    # never delete siblings
     got = boilerplate_excision_incremental(probe, idx, min_df=2).first()
     assert got["clean_text"] == want["clean_text"]
     assert os.path.exists(live)
+    assert os.path.exists(os.path.join(idx, "_lines_old_deadbeef"))
+    recover_count_index(idx, "lines", sweep=True)
     assert not os.path.exists(os.path.join(idx, "_lines_old_deadbeef"))
 
     # Crash scenario 2: tmp was written WITHOUT _SUCCESS (partial
@@ -1028,7 +1032,11 @@ def test_compact_count_index_crash_recovery(spark, tmp_path):
     os.rename(live, os.path.join(idx, "_lines_old_0badf00d"))
     recover_count_index(idx, "lines")
     assert os.path.exists(live)
-    assert not os.path.exists(partial)  # incomplete tmp swept
+    # the incomplete tmp survives the (non-destructive) reader pass
+    # and is swept by the next compactor entry
+    assert os.path.exists(partial)
+    recover_count_index(idx, "lines", sweep=True)
+    assert not os.path.exists(partial)
     spark.catalog.refreshByPath(live)
     got2 = boilerplate_excision_incremental(probe, idx, min_df=2).first()
     assert got2["clean_text"] == want["clean_text"]
@@ -1424,3 +1432,73 @@ def test_exactsubstr_refresh_replaces_stale_content(spark, tmp_path):
         exactsubstr_incremental(batch, idx2, k=8, refresh=True)
     # and immutable mode still works there
     assert exactsubstr_incremental(batch, idx2, k=8).count() == 2
+
+
+def test_exactsubstr_refresh_mixed_history_raises(spark, tmp_path):
+    """An id indexed BEFORE store_details=True has no subtractable
+    contribution: refresh must raise on it rather than silently
+    double-count (detail rows exist for other ids, so the dir-level
+    check alone is not enough)."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_incremental,
+        substr_gram_index_write,
+    )
+
+    schema = "doc_id long, text string"
+    early = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")], schema
+    )
+    later = spark.createDataFrame(
+        [(2, "one two three four five six seven eight nine")], schema
+    )
+    idx = str(tmp_path / "mix_idx")
+    substr_gram_index_write(early, idx, k=8)                      # no details
+    substr_gram_index_write(later, idx, k=8, store_details=True)  # details
+    # refreshing the detailed id works
+    out = exactsubstr_incremental(
+        spark.createDataFrame([(2, "fresh text entirely new words here ok")], schema),
+        idx, k=8, refresh=True,
+    )
+    assert out.count() == 1
+    # refreshing the pre-detail id raises
+    with _pytest.raises(ValueError, match="detail"):
+        exactsubstr_incremental(
+            spark.createDataFrame([(1, "changed content")], schema),
+            idx, k=8, refresh=True,
+        )
+
+
+def test_recover_count_index_reader_is_nondestructive(spark, tmp_path):
+    """A READER's recovery pass must never delete a sibling dir while
+    live exists — a live-present + compact-dir state is
+    indistinguishable from an in-flight compaction; only the
+    compactor (sweep=True) removes stale leftovers."""
+    import os
+    import shutil
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        boilerplate_excision_incremental,
+        line_df_index_write,
+        recover_count_index,
+    )
+
+    promo = "subscribe to our newsletter"
+    schema = "doc_id long, text string"
+    idx = str(tmp_path / "nd_idx")
+    line_df_index_write(
+        spark.createDataFrame([(1, f"{promo}\nbody")], schema), idx
+    )
+    live = os.path.join(idx, "lines")
+    inflight = os.path.join(idx, "_lines_compact_inflight1")
+    shutil.copytree(live, inflight)
+    # reader-path recovery (sweep=False default): in-flight tmp intact
+    recover_count_index(idx, "lines")
+    assert os.path.isdir(inflight)
+    probe = spark.createDataFrame([(9, f"{promo}\nprobe")], schema)
+    boilerplate_excision_incremental(probe, idx, min_df=2).collect()
+    assert os.path.isdir(inflight)  # reading didn't destroy it either
+    # compactor-path recovery sweeps it
+    recover_count_index(idx, "lines", sweep=True)
+    assert not os.path.exists(inflight)

@@ -252,3 +252,25 @@ def test_anomaly_rank_window_has_explicit_partition(spark):
     rows = out.orderBy("priority_rank").collect()
     assert [r["priority_rank"] for r in rows] == [1, 2, 3]
     assert rows[0]["missed_clicks"] == 90.0
+
+
+def test_anomaly_rank_survives_nan_metric(spark):
+    """A NaN missed_clicks row (NaN > 0 is true in Spark) must not
+    split the constant-key window into a second partition and
+    duplicate ranks."""
+    from strategicai_visibility_loop_etl_spark.operators.anomaly import (
+        anomaly_ctr_underperf,
+    )
+
+    scored = spark.createDataFrame(
+        [
+            ("https://e.com/a", 1.0, 0.05, 1000.0, 40.0, 10.0),
+            ("https://e.com/b", 2.0, 0.02, 2000.0, float("nan"), 20.0),
+            ("https://e.com/c", 3.0, 0.01, 500.0, 12.0, 5.0),
+        ],
+        "url string, position double, ctr double, impressions double,"
+        " missed_clicks double, clicks double",
+    )
+    rows = anomaly_ctr_underperf(scored, {"scoring": {}}).collect()
+    ranks = sorted(r["priority_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1)), ranks

@@ -474,3 +474,21 @@ def test_code_score_discriminates_and_handles_edge_cases(spark):
     }
     assert got[1] > 0.5 and got[2] < 0.05
     assert got[3] == 0.0 and got[4] == 0.0
+
+
+def test_basket_affinity_null_keys_excluded(spark):
+    """NULL basket keys / items are 'no transaction' — excluded from
+    pairs AND denominators (engine-divergence guard: an inner join
+    drops NULL keys where a SQL window would keep them)."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        basket_affinity,
+    )
+
+    rows = [(1, "x"), (1, "y"), (2, "x"), (2, "y"), (None, "x"), (2, None)]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = basket_affinity(df, "b", "i").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"], r["pair_n"]) == ("x", "y", 2)
+    assert r["support"] == 1.0  # 2 kept baskets, NULL basket not counted
+    assert r["conf_a_to_b"] == 1.0 and r["lift"] == 1.0

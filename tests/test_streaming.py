@@ -903,3 +903,36 @@ def test_dedup_on_arrival_refresh_mode(spark, tmp_path):
     dedup_on_arrival_batch(mk([(1, b + " tail")]), 1, idx, prs, **kw)
     assert sorted(committed_batches(idx)) == before
     assert read_signature_index(spark, idx, latest=True).count() == 4
+
+
+def test_dedup_on_arrival_mode_mixing_raises(spark, tmp_path):
+    """Once a refresh batch commits, a non-refresh call on the same
+    index must raise — its raw-union read would fan out ambiguous
+    pairs from the versioned duplicate rows."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        dedup_on_arrival_batch,
+    )
+
+    a = "the quick brown fox jumps over the lazy dog near the river bank"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    idx = str(tmp_path / "idx")
+    prs = str(tmp_path / "pairs")
+    dedup_on_arrival_batch(
+        mk([(1, a)]), 0, idx, prs, threshold=0.5, max_bucket=100,
+        refresh=True,
+    )
+    with _pytest.raises(ValueError, match="refresh"):
+        dedup_on_arrival_batch(
+            mk([(2, a + " tail")]), 1, idx, prs,
+            threshold=0.5, max_bucket=100,
+        )
+    # refresh-mode continuation still works
+    dedup_on_arrival_batch(
+        mk([(2, a + " tail")]), 1, idx, prs, threshold=0.5,
+        max_bucket=100, refresh=True,
+    )

@@ -968,3 +968,20 @@ def test_golden_record_survivorship(spark):
     assert out[9]["n_records"] == 1 and out[9]["name"] == "solo"
     assert out[10]["name"] is None       # never fabricated
     assert out[10]["domain"] == "b.com"
+
+
+def test_cdc_apply_null_payload_winner_is_not_resurrected(spark):
+    """A winning upsert whose payload is NULL must output NULL — not
+    resurrect a stale version's value (the arg_max-skips-NULL trap
+    the DuckDB oracle works around with a struct)."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        cdc_apply,
+    )
+
+    log = spark.createDataFrame(
+        [(1, 1, "upsert", 10.0), (1, 2, "upsert", None)],
+        "k long, version long, op string, value double",
+    )
+    out = cdc_apply(log, ["k"]).collect()
+    assert len(out) == 1
+    assert out[0]["value"] is None and out[0]["version"] == 2
