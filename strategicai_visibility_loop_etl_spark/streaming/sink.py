@@ -597,3 +597,87 @@ def start_ann_index_stream(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def agg_state_on_arrival_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    group_cols: list[str],
+    value_col: str,
+) -> None:
+    """foreachBatch body: streaming incremental materialized-view
+    maintenance with the ledgered exactly-once protocol — the
+    streaming twin of ``operators.snapshot.agg_state`` /
+    ``merge_agg_states``, as the dedup sinks are of their batch APIs.
+    Each micro-batch writes ITS OWN mergeable state (cnt, decimal
+    sum, min, max per group) to ``state_dir/b{batch_id}``; the
+    marker commits it. Because states merge exactly (decimal sums),
+    the reader's fold over committed batches equals the from-scratch
+    aggregate over every committed row — redelivery overwrites the
+    same directory with identical content and replays to identical
+    state.
+
+    Per-batch cost: ONE aggregate over the batch (group-count-sized
+    output), never a read of prior state — the write path is O(batch)
+    regardless of history, and the merge cost moves to readers (who
+    fold state rows, not raw rows). Compact on schedule by rewriting
+    a folded ``b*`` directory if batch count grows unwieldy.
+    """
+    from ..operators.snapshot import agg_state  # noqa: PLC0415
+
+    marker = os.path.join(_ledger_dir(state_dir), str(batch_id))
+    if os.path.exists(marker):
+        return  # redelivery of a committed batch: no-op
+    agg_state(batch_df, group_cols, value_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(state_dir, f"b{batch_id}"))
+    os.makedirs(_ledger_dir(state_dir), exist_ok=True)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(f"b{batch_id}")
+    os.replace(tmp, marker)
+
+
+def read_agg_state(
+    spark: SparkSession, state_dir: str, finalize: bool = True
+) -> DataFrame | None:
+    """Fold every COMMITTED batch state into the current aggregate
+    view (one re-aggregate over state rows — group-count × batches,
+    not raw rows). ``finalize=True`` adds ``avg``; None before any
+    commit."""
+    from ..operators.snapshot import finalize_agg, merge_agg_states
+
+    ids = committed_batches(state_dir)
+    if not ids:
+        return None
+    states = [
+        spark.read.parquet(os.path.join(state_dir, f"b{i}")) for i in ids
+    ]
+    merged = merge_agg_states(*states)
+    return finalize_agg(merged) if finalize else merged
+
+
+def start_agg_state_stream(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    value_col: str,
+):
+    """Streaming rollup maintenance: every arriving micro-batch folds
+    into the persistent mergeable state; ``read_agg_state`` serves
+    the always-current aggregate. Returns the started
+    StreamingQuery."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        agg_state_on_arrival_batch(
+            batch_df, batch_id, state_dir, group_cols, value_col
+        )
+
+    return (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -936,3 +936,65 @@ def test_dedup_on_arrival_mode_mixing_raises(spark, tmp_path):
         mk([(2, a + " tail")]), 1, idx, prs, threshold=0.5,
         max_bucket=100, refresh=True,
     )
+
+
+def test_agg_state_on_arrival_equals_full_aggregate(spark, sf_dir, tmp_path):
+    """Streaming incremental MV maintenance: per-batch mergeable
+    states fold to exactly the from-scratch aggregate of every
+    committed row; redelivery no-ops; an uncommitted (torn) batch is
+    invisible; the real streaming wiring delivers the same protocol."""
+    import os
+    import shutil
+
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        agg_state,
+        finalize_agg,
+    )
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        agg_state_on_arrival_batch,
+        committed_batches,
+        read_agg_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    sd = str(tmp_path / "state")
+    for bid, b in enumerate(batches):
+        agg_state_on_arrival_batch(b, bid, sd, ["event_type"], "value")
+    assert committed_batches(sd) == [0, 1, 2]
+
+    got = sorted(map(tuple, read_agg_state(spark, sd).collect()))
+    want = sorted(
+        map(tuple, finalize_agg(agg_state(ev, ["event_type"], "value")).collect())
+    )
+    assert got == want
+
+    # redelivery no-ops (even with DIFFERENT content — marker wins)
+    agg_state_on_arrival_batch(batches[0].limit(1), 0, sd, ["event_type"], "value")
+    assert sorted(map(tuple, read_agg_state(spark, sd).collect())) == want
+
+    # a torn batch (data dir, no marker) is invisible
+    shutil.copytree(os.path.join(sd, "b2"), os.path.join(sd, "b7"))
+    assert sorted(map(tuple, read_agg_state(spark, sd).collect())) == want
+
+    # real streaming wiring: replay the same rows through a rate-free
+    # file stream and compare
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        start_agg_state_stream,
+    )
+
+    src = str(tmp_path / "src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src)
+    )
+    sd2 = str(tmp_path / "state2")
+    q = start_agg_state_stream(
+        stream, sd2, str(tmp_path / "ckpt"), ["event_type"], "value"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got2 = sorted(map(tuple, read_agg_state(spark, sd2).collect()))
+    assert got2 == want
