@@ -4482,6 +4482,68 @@ def qx81_code_prose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def qx82_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (capability row 181): (event_type, user_id)
+    quasi-identifier combinations seen by fewer than 5 events are
+    re-identification risks; rarest first. DuckDB replays GROUP BY +
+    HAVING."""
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        k_anonymity_violations,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
+    return k_anonymity_violations(ev, ["event_type", "user_id"], k=5)
+
+
+def qx83_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-sessionization metrics (capability row 182): per-user
+    sessions split at 1-hour gaps under the (tus, event_id) total
+    order; duration, event count, bounce flag and decimal-exact value
+    sum per session. DuckDB replays the lag/running-sum windows."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        sessionize_metrics,
+    )
+
+    ev = _ev(spark, sf_dir).select("user_id", "tus", "event_id", "value")
+    out = sessionize_metrics(
+        ev, "user_id", "tus", gap=3_600_000_000,
+        tiebreak_col="event_id", value_col="value",
+    )
+    return out.select(
+        "user_id",
+        "session_no",
+        "session_start",
+        "session_end",
+        "duration",
+        "n_events",
+        "bounce",
+        _rd(F.col("value_sum").cast("double"), 6).alias("value_sum"),
+    ).orderBy("user_id", "session_no")
+
+
+def qx84_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer coverage audit (capability row 183): qx16's trained
+    merges encode every 5th document; per-source fertility (BPE
+    tokens per word) and chars-per-token from exact long sums. DuckDB
+    replays training, encoding AND the audit aggregation."""
+    from strategicai_visibility_loop_etl_spark.operators.bpe import (
+        bpe_audit,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    merges = bpe_train(
+        docs.select("text"),
+        n_merges=_QX16_MERGES,
+        stage_path=f"{_SIG_STAGE}/bpe_words84",
+    )
+    enc = bpe_encode(docs.filter(F.col("doc_id") % 5 == 0), merges)
+    enc = enc.join(docs.select("doc_id", "source"), "doc_id")
+    return bpe_audit(enc, "source").orderBy("source")
+
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -4565,6 +4627,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx79_centroid_similarity": qx79_centroid_similarity,
         "qx80_markov_transitions": qx80_markov_transitions,
         "qx81_code_prose": qx81_code_prose,
+        "qx82_k_anonymity": qx82_k_anonymity,
+        "qx83_sessionize": qx83_sessionize,
+        "qx84_token_audit": qx84_token_audit,
     }
 
 
@@ -7744,6 +7809,95 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, score, score >= 0.2 AS is_code
         FROM sc ORDER BY doc_id
+    """
+
+
+    # qx82: GROUP BY + HAVING replay.
+    sql["qx82_k_anonymity"] = """
+        SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, user_id
+        HAVING COUNT(*) < 5
+        ORDER BY n, event_type, user_id
+    """
+
+    # qx83: lag/running-sum sessionization under the identical
+    # (tus, event_id) total order; decimal value sums.
+    sql["qx83_sessionize"] = """
+        WITH ev AS (
+            SELECT user_id, epoch_us(ts) AS tus, event_id, value
+            FROM events
+        ),
+        flagged AS (
+            SELECT *,
+                   CASE WHEN tus - lag(tus) OVER w > 3600000000
+                        THEN 1 ELSE 0 END AS nw
+            FROM ev
+            WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ),
+        sess AS (
+            SELECT *,
+                   SUM(nw) OVER (PARTITION BY user_id
+                       ORDER BY tus, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS session_no
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+               MIN(tus) AS session_start,
+               MAX(tus) AS session_end,
+               MAX(tus) - MIN(tus) AS duration,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               COUNT(*) = 1 AS bounce,
+               round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
+                     AS DOUBLE), 6) AS value_sum
+        FROM sess GROUP BY user_id, session_no
+        ORDER BY user_id, session_no
+    """
+
+    # qx84: qx17's train+encode replay feeding the audit aggregation
+    # (exact long sums, two IEEE divisions).
+    sql["qx84_token_audit"] = f"""
+        WITH {train_ctes},
+        bm AS (SELECT {bm_cols}),
+        d AS (
+            SELECT doc_id, {_toks(bpe_norm)} AS words
+            FROM documents WHERE doc_id % 5 = 0
+        ),
+        e AS (
+            SELECT doc_id, words,
+                   flatten(list_transform(words,
+                       w -> string_split(trim({enc_expr}, chr(31)), {SS})
+                   )) AS toks
+            FROM d CROSS JOIN bm
+        ),
+        j AS (
+            SELECT e.doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   CAST(len(toks) AS BIGINT) AS n_bpe,
+                   CAST(length(replace(
+                       coalesce(array_to_string(toks, ' '), ''), ' ', ''))
+                       AS BIGINT) AS chars,
+                   documents.source
+            FROM e JOIN documents ON e.doc_id = documents.doc_id
+        ),
+        g AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS words_total,
+                   CAST(SUM(n_bpe) AS BIGINT) AS tokens_total,
+                   CAST(SUM(chars) AS BIGINT) AS chars_total
+            FROM j GROUP BY source
+        )
+        SELECT source, n_docs, words_total, tokens_total, chars_total,
+               CASE WHEN words_total > 0
+                    THEN round(CAST(tokens_total AS DOUBLE)
+                               / CAST(words_total AS DOUBLE), 6) END
+                   AS fertility,
+               CASE WHEN tokens_total > 0
+                    THEN round(CAST(chars_total AS DOUBLE)
+                               / CAST(tokens_total AS DOUBLE), 6) END
+                   AS chars_per_token
+        FROM g ORDER BY source
     """
 
 

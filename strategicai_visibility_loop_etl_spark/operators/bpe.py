@@ -414,3 +414,49 @@ def _bpe_encode_broadcast(
         e["n_bpe"].alias("n_bpe"),
         e["encoded"].alias("encoded"),
     )
+
+
+def bpe_audit(
+    encoded: DataFrame,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Tokenizer coverage audit over :func:`bpe_encode` output — the
+    acceptance report a tokenizer ships with: per group (or one
+    global row) document/word/token/char totals, FERTILITY (BPE
+    tokens per word — the subword-splitting rate; 1.0 = every word in
+    vocabulary) and CHARS PER TOKEN (compression — bytes a token is
+    worth, the cost driver of a context window).
+
+    Pure aggregation over encode output columns (chars recovered by
+    stripping the token stream's separators — conservation is the
+    encode contract, smoke-gated), one hash aggregate; exact long
+    sums, two final IEEE divisions through ``round_c``.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    chars = F.length(F.replace(F.col("encoded"), F.lit(" "), F.lit("")))
+    keys = [F.col(group_col)] if group_col else []
+    base = encoded.select(
+        *keys,
+        F.col("n_words"),
+        F.col("n_bpe"),
+        chars.cast("long").alias("__chars"),
+    )
+    g = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("words_total"),
+        F.sum("n_bpe").alias("tokens_total"),
+        F.sum("__chars").alias("chars_total"),
+    )
+    wt = F.col("words_total").cast("double")
+    tt = F.col("tokens_total").cast("double")
+    ct = F.col("chars_total").cast("double")
+    return g.select(
+        *([group_col] if group_col else []),
+        "n_docs",
+        "words_total",
+        "tokens_total",
+        "chars_total",
+        F.when(wt > 0, round_c(tt / wt, 6)).alias("fertility"),
+        F.when(tt > 0, round_c(ct / tt, 6)).alias("chars_per_token"),
+    )

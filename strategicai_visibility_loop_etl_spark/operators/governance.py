@@ -310,3 +310,57 @@ def rater_agreement(
             ).alias("kappa"),
         )
     )
+
+
+def k_anonymity_violations(
+    df,
+    quasi_cols: list[str],
+    k: int = 5,
+):
+    """k-anonymity audit over quasi-identifier columns: every
+    quasi-identifier combination shared by FEWER than ``k`` rows is a
+    re-identification risk (Sweeney 2002) — the privacy gate a
+    training-data pipeline runs before releasing event logs or
+    user-derived metadata. Returns the violating combinations with
+    their group sizes (ascending — rarest, riskiest first).
+
+    One hash aggregate + one filter; NULL quasi values group as their
+    own combination (a NULL zip code is itself identifying when rare).
+    Companion :func:`k_anonymize` SUPPRESSES the violating rows —
+    suppression (not generalization) because it is lossless about
+    what it keeps and needs no domain hierarchy.
+    """
+    from pyspark.sql import functions as F
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") < k)
+        .orderBy("n", *quasi_cols)
+    )
+
+
+def k_anonymize(df, quasi_cols: list[str], k: int = 5):
+    """Suppression form of the k-anonymity gate: drop every row whose
+    quasi-identifier combination has fewer than ``k`` occurrences —
+    the output is k-anonymous over ``quasi_cols`` by construction.
+    One aggregate + one broadcast-able semi join on the combination;
+    no window."""
+    from pyspark.sql import functions as F
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    safe = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= k)
+        .select(*quasi_cols)
+    )
+    # null-safe semi join: NULL quasi values are legitimate groups
+    cond = None
+    for c in quasi_cols:
+        t = df[c].eqNullSafe(safe[c])
+        cond = t if cond is None else (cond & t)
+    return df.join(safe, cond, "left_semi")

@@ -352,3 +352,128 @@ def extract_image_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(op, schema=IMAGE_META_SCHEMA)
+
+
+def perceptual_hashes(
+    df: DataFrame,
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """64-bit average-hash (aHash) per image: decode → grayscale 8×8
+    grid → bit b set iff cell b is above the grid mean → packed
+    BIGINT. The standard cheap perceptual fingerprint (near-identical
+    images differ in a few bits; crops/rewrites diverge) — the IMAGE
+    member of the dedup family's fingerprint column.
+
+    Decode rides the module's seam: the real branch grayscales
+    through the codec when one is installed; the deterministic fake
+    (sha256-derived grid) keeps the full plumbing — schema, packing,
+    banding, Hamming verify — testable in codec-less environments,
+    where "near-dup" degenerates to exact-payload (the fake grid is
+    avalanche). One Arrow-batched projection, no shuffle.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_decoder and not pil_available():
+                raise DecodeNotAvailable("no media codec in this environment")
+
+            def grid(p: bytes) -> list[float]:
+                if use_fake_decoder:
+                    # sha512: 64 digest bytes — one per grid cell
+                    # (_fake_feature's sha256 only covers 32 dims)
+                    dg = hashlib.sha512(p or b"").digest()
+                    return [dg[i] / 255.0 for i in range(64)]
+                img = decode_image(p).convert("L").resize((8, 8))
+                return [v / 255.0 for v in img.getdata()]
+
+            def ahash(p: bytes) -> int:
+                g = grid(p)
+                mean = sum(g) / len(g)
+                bits = 0
+                for i, v in enumerate(g):
+                    if v > mean:
+                        bits |= 1 << i
+                # two's-complement into signed 64-bit (Spark BIGINT)
+                return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": pdf["payload"].map(
+                        lambda p: ahash(p or b"")
+                    ).astype("int64"),
+                }
+            )
+
+    return df.mapInPandas(op, schema="media_id long, phash long")
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_bucket: int = 10_000,
+    use_fake_decoder: bool = True,
+) -> DataFrame:
+    """Image near-duplicate pairs by banded perceptual-hash Hamming
+    join — the SimHash protocol (row 32) applied to the image
+    modality: the 64-bit aHash splits into ``bands`` equal chunks; a
+    candidate pair shares at least one chunk (pigeonhole-complete for
+    hamming ≤ bands−1), verified with ``bit_count(xor) ≤
+    max_hamming``. Hot chunks above ``max_bucket`` members are
+    dropped (the LSH skew guard — a black-image cluster otherwise
+    goes quadratic). Everything after the hash projection is
+    JVM-side: chunk explode, bucket join, bit_count verify.
+    """
+    if not 1 <= bands <= 64 or 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole completeness needs max_hamming < bands "
+            f"(got hamming {max_hamming}, bands {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    ph = perceptual_hashes(df, use_fake_decoder=use_fake_decoder)
+    chunks = ph.select(
+        "media_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select("media_id", "phash", F.col("c.band"), F.col("c.key"))
+    sizes = chunks.groupBy("band", "key").agg(F.count("*").alias("n"))
+    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select(
+        "band", "key"
+    )
+    kept = chunks.join(ok, ["band", "key"])
+    a = kept.select(
+        "band", "key",
+        F.col("media_id").alias("id_a"), F.col("phash").alias("__pa"),
+    )
+    b = kept.select(
+        "band", "key",
+        F.col("media_id").alias("id_b"), F.col("phash").alias("__pb"),
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.bit_count(
+                F.col("__pa").bitwiseXOR(F.col("__pb"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -451,3 +451,62 @@ def markov_transitions(
             F.col("n").cast("double") / F.col("__tot").cast("double"), 6
         ).alias("prob"),
     )
+
+
+def sessionize_metrics(
+    df: DataFrame,
+    seq_col: str,
+    time_col: str,
+    gap: int,
+    tiebreak_col: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Batch gap-sessionization with per-session metrics: events more
+    than ``gap`` time units apart start a new session; each session
+    emits (session key, start, end, duration, n_events, bounce) plus
+    the value sum when ``value_col`` is given — the batch companion of
+    the streaming gap sessionizer (row 43) and the native
+    session_window aggregate (row 78), for when sessions feed further
+    BATCH relational work (funnels, Markov chains, retention).
+
+    Session ids are a running sum of new-session flags under a TOTAL
+    (time, tiebreak) per-sequence order (the qx70 lesson); ``gap``
+    compares in the raw units of ``time_col`` (pass epoch micros for
+    wall-clock gaps). Shape: two per-sequence windows (lag + running
+    sum — one partitioning, reused) and one (sequence, session) hash
+    aggregate; millions of short journeys parallelize on the sequence
+    key, no global sort anywhere.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    order = [F.col(time_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(seq_col).orderBy(*order)
+    flagged = df.withColumn(
+        "__new",
+        F.when(
+            F.col(time_col) - F.lag(time_col).over(w) > gap, 1
+        ).otherwise(0),
+    ).withColumn(
+        "__sess",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    aggs = [
+        F.min(time_col).alias("session_start"),
+        F.max(time_col).alias("session_end"),
+        (F.max(time_col) - F.min(time_col)).alias("duration"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)) == 1).alias("bounce"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(
+                round_c(F.col(value_col), 6).cast("decimal(28,6)")
+            ).alias("value_sum")
+        )
+    return flagged.groupBy(
+        F.col(seq_col), F.col("__sess").alias("session_no")
+    ).agg(*aggs)

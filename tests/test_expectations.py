@@ -209,3 +209,43 @@ def test_fleiss_kappa_degenerate_panels_read_as_null(spark):
     r3 = rater_agreement(empty).collect()[0]
     assert r3["n_items"] == 0
     assert r3["p_bar"] is None and r3["p_e"] is None and r3["kappa"] is None
+
+
+def test_k_anonymity_violations_and_suppression(spark):
+    """k-anonymity gate (capability row 181): rare quasi combinations
+    surface rarest-first; suppression leaves a k-anonymous table; NULL
+    quasi values are their own (potentially rare) combination;
+    k < 2 rejected."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        k_anonymity_violations,
+        k_anonymize,
+    )
+
+    rows = (
+        [("NL", "1011", i) for i in range(5)]
+        + [("NL", "1012", 100)]              # size 1 -> violation
+        + [("BE", "2000", 200), ("BE", "2000", 201)]  # size 2 -> violation
+        + [(None, "9999", 300)]              # NULL group, size 1
+    )
+    df = spark.createDataFrame(rows, "country string, zip string, uid long")
+    v = k_anonymity_violations(df, ["country", "zip"], k=3).collect()
+    assert [(r["country"], r["zip"], r["n"]) for r in v] == [
+        (None, "9999", 1), ("NL", "1012", 1), ("BE", "2000", 2),
+    ]
+    safe = k_anonymize(df, ["country", "zip"], k=3)
+    assert safe.count() == 5
+    assert k_anonymity_violations(safe, ["country", "zip"], k=3).count() == 0
+    # NULL groups CAN survive when large enough (null-safe semi join)
+    nulls = spark.createDataFrame(
+        [(None, "x", i) for i in range(4)],
+        "country string, zip string, uid long",
+    )
+    widened = k_anonymize(df.unionByName(nulls), ["country"], k=5)
+    # country=NL has 6 rows (>=5) and country=None has 5 rows (>=5,
+    # null-safe grouping); BE (2) drops
+    kept = {(r["country"]) for r in widened.collect()}
+    assert kept == {"NL", None} and widened.count() == 11
+    with _pytest.raises(ValueError):
+        k_anonymity_violations(df, ["country"], k=1)

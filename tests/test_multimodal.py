@@ -234,3 +234,75 @@ def test_extract_image_meta_dataframe(spark):
     assert (got[2]["mime"], got[2]["width"], got[2]["height"]) == ("image/jpeg", 192, 128)
     assert got[3]["mime"] is None and got[3]["width"] is None
     assert got[4]["n_bytes"] == 0 and got[4]["mime"] is None
+
+
+def test_perceptual_hash_neardup_protocol(spark):
+    """Image near-dup (capability row 180): identical payloads pair at
+    Hamming 0; unrelated payloads (avalanche fake grids) never pair;
+    the banded join is pigeonhole-complete for hamming <= bands-1;
+    parameter validation raises; plan is Arrow-batched, never
+    row-at-a-time."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.multimodal import (
+        image_neardup_pairs,
+        perceptual_hashes,
+    )
+
+    rows = [
+        (1, b"imagebytes-A", {"mime": "image/png"}),
+        (2, b"imagebytes-A", {"mime": "image/png"}),   # exact dup of 1
+        (3, b"imagebytes-B", {"mime": "image/png"}),
+        (4, b"imagebytes-B", {"mime": "image/png"}),   # exact dup of 3
+        (5, b"imagebytes-C", {"mime": "image/png"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, meta map<string,string>"
+    )
+    ph = {r["media_id"]: r["phash"] for r in perceptual_hashes(df).collect()}
+    assert ph[1] == ph[2] and ph[3] == ph[4] and ph[1] != ph[3]
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(df, max_hamming=3, bands=4).collect()
+    }
+    assert pairs.get((1, 2)) == 0 and pairs.get((3, 4)) == 0
+    assert all({a, b} in ({1, 2}, {3, 4}) for a, b in pairs)
+
+    # python reference pack for the fake grid — pins bit packing
+    import hashlib as _h
+
+    g = [_h.sha512(b"imagebytes-A").digest()[i] / 255.0 for i in range(64)]
+    mean = sum(g) / len(g)
+    bits = 0
+    for i, v in enumerate(g):
+        if v > mean:
+            bits |= 1 << i
+    want = bits - (1 << 64) if bits >= (1 << 63) else bits
+    assert ph[1] == want
+
+    with _pytest.raises(ValueError, match="divide"):
+        image_neardup_pairs(df, bands=5)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(df, max_hamming=4, bands=4)
+
+    plan = image_neardup_pairs(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_perceptual_hash_hot_bucket_guard(spark):
+    """A constant-image flood (every chunk bucket hot) is dropped by
+    the max_bucket guard instead of going quadratic."""
+    from pyspark.sql import functions as F
+
+    from strategicai_visibility_loop_etl_spark.operators.multimodal import (
+        image_neardup_pairs,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("media_id"),
+        F.lit(b"same-bytes").alias("payload"),
+        F.create_map(F.lit("mime"), F.lit("image/png")).alias("meta"),
+    )
+    assert image_neardup_pairs(df, max_bucket=100).count() == 0

@@ -492,3 +492,66 @@ def test_basket_affinity_null_keys_excluded(spark):
     assert (r["item_a"], r["item_b"], r["pair_n"]) == ("x", "y", 2)
     assert r["support"] == 1.0  # 2 kept baskets, NULL basket not counted
     assert r["conf_a_to_b"] == 1.0 and r["lift"] == 1.0
+
+
+def test_sessionize_metrics_hand_example(spark):
+    """Gap sessionization (capability row 182): gap strictly greater
+    than the threshold starts a new session; ties resolve by the
+    tiebreak; bounce flags single-event sessions; decimal value sums."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        sessionize_metrics,
+    )
+
+    rows = [
+        (1, 0, 1, 1.0), (1, 50, 2, 2.0),     # session 0 (gap 50 <= 100)
+        (1, 151, 3, 4.0),                     # gap 101 > 100 -> session 1
+        (1, 251, 4, 8.0),                     # gap 100 == gap -> SAME session
+        (2, 10, 5, 1.5),                      # lone event -> bounce
+    ]
+    df = spark.createDataFrame(rows, "u long, t long, eid long, v double")
+    out = {
+        (r["u"], r["session_no"]): r
+        for r in sessionize_metrics(
+            df, "u", "t", gap=100, tiebreak_col="eid", value_col="v"
+        ).collect()
+    }
+    assert set(out) == {(1, 0), (1, 1), (2, 0)}
+    s0 = out[(1, 0)]
+    assert (s0["n_events"], s0["duration"], s0["bounce"]) == (2, 50, False)
+    assert float(s0["value_sum"]) == 3.0
+    s1 = out[(1, 1)]
+    assert (s1["n_events"], s1["session_start"], s1["session_end"]) == (2, 151, 251)
+    assert out[(2, 0)]["bounce"] is True
+
+
+def test_bpe_audit_totals(spark):
+    """Tokenizer audit (capability row 183): totals, fertility and
+    chars-per-token from encode output; empty docs keep NULL-free
+    zero rows via the count guards."""
+    from strategicai_visibility_loop_etl_spark.operators.bpe import (
+        bpe_audit,
+        bpe_encode,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "low low lower"), (2, "lowest low"), (3, "")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=3)
+    enc = bpe_encode(df, merges)
+    row = bpe_audit(enc).collect()[0]
+    want_words = sum(len(t.split()) for t in ("low low lower", "lowest low", ""))
+    assert row["n_docs"] == 3 and row["words_total"] == want_words
+    assert row["chars_total"] == len("lowlowlower") + len("lowestlow")
+    assert row["fertility"] == round(row["tokens_total"] / want_words, 6)
+    # grouped form
+    enc_g = enc.join(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "b")], "doc_id long, src string"
+        ),
+        "doc_id",
+    )
+    by = {r["src"]: r for r in bpe_audit(enc_g, "src").collect()}
+    assert by["a"]["n_docs"] == 1 and by["b"]["n_docs"] == 2
+    assert by["b"]["words_total"] == 2  # empty doc contributes 0 words
