@@ -7817,7 +7817,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
         FROM events GROUP BY event_type, user_id
         HAVING COUNT(*) < 5
-        ORDER BY n, event_type, user_id
+        ORDER BY n, event_type NULLS FIRST, user_id NULLS FIRST
     """
 
     # qx83: lag/running-sum sessionization under the identical

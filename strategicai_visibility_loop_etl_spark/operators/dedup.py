@@ -513,14 +513,30 @@ def simhash_pairs(
     hashed: DataFrame,
     max_hamming: int = 3,
     max_bucket: int | str = 2000,
+    bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs from a ``(id, h)`` SimHash table.
+    """Near-dup pairs from a ``(id, h)`` 64-bit fingerprint table —
+    the banded-Hamming protocol shared by text SimHash and the image
+    perceptual hash (``multimodal.image_neardup_pairs`` delegates
+    here on its (media_id, phash) projection).
 
-    Pigeonhole bucketing: split the 64-bit hash into 4 × 16-bit chunks;
-    any pair within distance 3 agrees exactly on ≥ 1 chunk, so
-    candidates = pairs sharing (chunk_idx, chunk_value).
+    Pigeonhole bucketing: split the 64-bit hash into ``bands`` equal
+    chunks; any pair within Hamming distance ``bands − 1`` agrees
+    exactly on ≥ 1 chunk, so candidates = pairs sharing
+    (chunk_idx, chunk_value). ``max_hamming`` must stay below
+    ``bands`` for that completeness guarantee. NULL fingerprints
+    (quarantined undecodable members) are excluded.
     """
-    chunks = hashed.select(
+    if not 1 <= bands <= 64 or 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    if max_hamming >= bands:
+        raise ValueError(
+            "pigeonhole completeness needs max_hamming < bands "
+            f"(got hamming {max_hamming}, bands {bands})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = hashed.filter(F.col("h").isNotNull()).select(
         "id",
         "h",
         F.explode(
@@ -528,9 +544,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("ci"),
-                        F.shiftright(F.col("h"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                        F.shiftright(F.col("h"), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
                     )
-                    for i in range(4)
+                    for i in range(bands)
                 ]
             )
         ).alias("c"),

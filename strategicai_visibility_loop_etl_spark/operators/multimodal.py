@@ -366,10 +366,15 @@ def perceptual_hashes(
 
     Decode rides the module's seam: the real branch grayscales
     through the codec when one is installed; the deterministic fake
-    (sha256-derived grid) keeps the full plumbing — schema, packing,
-    banding, Hamming verify — testable in codec-less environments,
-    where "near-dup" degenerates to exact-payload (the fake grid is
-    avalanche). One Arrow-batched projection, no shuffle.
+    (sha512-derived grid — 64 digest bytes, one per cell) keeps the
+    full plumbing — schema, packing, banding, Hamming verify —
+    testable in codec-less environments, where "near-dup" degenerates
+    to exact-payload (the fake grid is avalanche). An undecodable
+    payload (NULL/empty/corrupt bytes) QUARANTINES as a NULL phash —
+    the module convention (extract_image_meta, resize) — because a
+    web-crawl image corpus always contains corrupt members and one
+    must never abort the job. One Arrow-batched projection, no
+    shuffle.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -377,17 +382,29 @@ def perceptual_hashes(
             if not use_fake_decoder and not pil_available():
                 raise DecodeNotAvailable("no media codec in this environment")
 
-            def grid(p: bytes) -> list[float]:
+            def grid(p: bytes) -> list[float] | None:
+                if not p:
+                    # absent/empty payload: undecodable in ANY mode —
+                    # quarantine (a fake hash of b"" would instead
+                    # cluster every NULL payload into one fake dup)
+                    return None
                 if use_fake_decoder:
                     # sha512: 64 digest bytes — one per grid cell
                     # (_fake_feature's sha256 only covers 32 dims)
-                    dg = hashlib.sha512(p or b"").digest()
+                    dg = hashlib.sha512(p).digest()
                     return [dg[i] / 255.0 for i in range(64)]
-                img = decode_image(p).convert("L").resize((8, 8))
+                try:
+                    img = decode_image(p).convert("L").resize((8, 8))
+                except DecodeNotAvailable:
+                    raise
+                except Exception:
+                    return None  # corrupt member: quarantine, not abort
                 return [v / 255.0 for v in img.getdata()]
 
-            def ahash(p: bytes) -> int:
+            def ahash(p: bytes):
                 g = grid(p)
+                if g is None:
+                    return None
                 mean = sum(g) / len(g)
                 bits = 0
                 for i, v in enumerate(g):
@@ -399,9 +416,7 @@ def perceptual_hashes(
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "phash": pdf["payload"].map(
-                        lambda p: ahash(p or b"")
-                    ).astype("int64"),
+                    "phash": pdf["payload"].map(ahash).astype("Int64"),
                 }
             )
 
@@ -412,68 +427,34 @@ def image_neardup_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     bands: int = 4,
-    max_bucket: int = 10_000,
+    max_bucket: int | str = 10_000,
     use_fake_decoder: bool = True,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Image near-duplicate pairs by banded perceptual-hash Hamming
-    join — the SimHash protocol (row 32) applied to the image
-    modality: the 64-bit aHash splits into ``bands`` equal chunks; a
-    candidate pair shares at least one chunk (pigeonhole-complete for
-    hamming ≤ bands−1), verified with ``bit_count(xor) ≤
-    max_hamming``. Hot chunks above ``max_bucket`` members are
-    dropped (the LSH skew guard — a black-image cluster otherwise
-    goes quadratic). Everything after the hash projection is
-    JVM-side: chunk explode, bucket join, bit_count verify.
+    join — the text-SimHash protocol (row 32) applied verbatim to the
+    image modality: the hash table delegates to
+    ``dedup.simhash_pairs`` (shared chunk explode, data-driven
+    ``max_bucket`` hot-bucket guard incl. ``"auto"``, ``bit_count``
+    verify — ONE implementation of the protocol, two fingerprint
+    producers). Quarantined (NULL-phash) members never pair.
+
+    The hash projection is the expensive leg in real-decoder mode
+    (one decode per image): ``stage_path`` materializes the (id,
+    phash) table to parquet; without it the table is lineage-cut with
+    ``localCheckpoint`` so the decoder still runs ONCE, not once per
+    plan consumer (the bucket-size aggregate and both self-join
+    sides).
     """
-    if not 1 <= bands <= 64 or 64 % bands != 0:
-        raise ValueError("bands must divide 64")
-    if max_hamming >= bands:
-        raise ValueError(
-            "pigeonhole completeness needs max_hamming < bands "
-            f"(got hamming {max_hamming}, bands {bands})"
-        )
-    width = 64 // bands
-    mask = (1 << width) - 1
-    ph = perceptual_hashes(df, use_fake_decoder=use_fake_decoder)
-    chunks = ph.select(
-        "media_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned(F.col("phash"), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("c"),
-    ).select("media_id", "phash", F.col("c.band"), F.col("c.key"))
-    sizes = chunks.groupBy("band", "key").agg(F.count("*").alias("n"))
-    ok = sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket)).select(
-        "band", "key"
+    from .dedup import _stage_roundtrip, simhash_pairs  # noqa: PLC0415
+
+    ph = perceptual_hashes(df, use_fake_decoder=use_fake_decoder).select(
+        F.col("media_id").alias("id"), F.col("phash").alias("h")
     )
-    kept = chunks.join(ok, ["band", "key"])
-    a = kept.select(
-        "band", "key",
-        F.col("media_id").alias("id_a"), F.col("phash").alias("__pa"),
-    )
-    b = kept.select(
-        "band", "key",
-        F.col("media_id").alias("id_b"), F.col("phash").alias("__pb"),
-    )
-    return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.bit_count(
-                F.col("__pa").bitwiseXOR(F.col("__pb"))
-            ).alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+    if stage_path is not None:
+        ph = _stage_roundtrip(ph, stage_path)
+    else:
+        ph = ph.localCheckpoint(eager=False)
+    return simhash_pairs(
+        ph, max_hamming=max_hamming, max_bucket=max_bucket, bands=bands
     )

@@ -621,41 +621,139 @@ def agg_state_on_arrival_batch(
     Per-batch cost: ONE aggregate over the batch (group-count-sized
     output), never a read of prior state — the write path is O(batch)
     regardless of history, and the merge cost moves to readers (who
-    fold state rows, not raw rows). Compact on schedule by rewriting
-    a folded ``b*`` directory if batch count grows unwieldy.
+    fold state rows, not raw rows). :func:`compact_agg_state` folds
+    the accumulated batch states behind an atomic manifest when the
+    batch count grows unwieldy.
+
+    The (group_cols, value_col) configuration is recorded in a
+    ``_schema`` ledger marker on the first commit; a later stream
+    pointed at the same ``state_dir`` with a DIFFERENT configuration
+    raises instead of silently folding incompatible sums (the states
+    share one physical schema, so nothing downstream would catch it).
     """
+    import json  # noqa: PLC0415
+
     from ..operators.snapshot import agg_state  # noqa: PLC0415
 
     marker = os.path.join(_ledger_dir(state_dir), str(batch_id))
     if os.path.exists(marker):
         return  # redelivery of a committed batch: no-op
+    cfg = {"group_cols": list(group_cols), "value_col": value_col}
+    cfg_marker = os.path.join(_ledger_dir(state_dir), "_schema")
+    if os.path.exists(cfg_marker):
+        with open(cfg_marker, encoding="utf-8") as fh:
+            stored = json.load(fh)
+        if stored != cfg:
+            raise ValueError(
+                f"state_dir was built with {stored}, got {cfg}: "
+                "incompatible aggregate states must not fold together"
+            )
     agg_state(batch_df, group_cols, value_col).write.mode(
         "overwrite"
     ).parquet(os.path.join(state_dir, f"b{batch_id}"))
     os.makedirs(_ledger_dir(state_dir), exist_ok=True)
+    if not os.path.exists(cfg_marker):
+        # recorded before the batch commits — the safe direction
+        with open(cfg_marker, "w", encoding="utf-8") as fh:
+            json.dump(cfg, fh)
     tmp = marker + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(f"b{batch_id}")
     os.replace(tmp, marker)
 
 
+def _agg_state_dirs(state_dir: str) -> list[str]:
+    """The directories the current aggregate view folds over: the
+    fold-manifest dir (when :func:`compact_agg_state` has run) plus
+    every committed batch dir NEWER than the fold horizon — older
+    batch markers stay in the ledger purely for redelivery no-ops."""
+    import json  # noqa: PLC0415
+
+    ids = committed_batches(state_dir)
+    manifest = os.path.join(state_dir, "_fold")
+    if not os.path.exists(manifest):
+        return [os.path.join(state_dir, f"b{i}") for i in ids]
+    with open(manifest, encoding="utf-8") as fh:
+        m = json.load(fh)
+    dirs = [os.path.join(state_dir, m["dir"])]
+    dirs += [
+        os.path.join(state_dir, f"b{i}") for i in ids if i > m["upto"]
+    ]
+    return dirs
+
+
 def read_agg_state(
     spark: SparkSession, state_dir: str, finalize: bool = True
 ) -> DataFrame | None:
-    """Fold every COMMITTED batch state into the current aggregate
-    view (one re-aggregate over state rows — group-count × batches,
-    not raw rows). ``finalize=True`` adds ``avg``; None before any
-    commit."""
+    """Fold the current aggregate view (one re-aggregate over state
+    rows — group-count × surviving-dirs, not raw rows): the fold
+    manifest's compacted state plus every newer committed batch.
+    ``finalize=True`` adds ``avg``; None before any commit."""
     from ..operators.snapshot import finalize_agg, merge_agg_states
 
-    ids = committed_batches(state_dir)
-    if not ids:
+    dirs = _agg_state_dirs(state_dir)
+    if not dirs:
         return None
-    states = [
-        spark.read.parquet(os.path.join(state_dir, f"b{i}")) for i in ids
-    ]
+    states = [spark.read.parquet(d) for d in dirs]
     merged = merge_agg_states(*states)
     return finalize_agg(merged) if finalize else merged
+
+
+def compact_agg_state(spark: SparkSession, state_dir: str) -> int:
+    """Fold the accumulated per-batch states behind one ATOMIC
+    manifest commit — the agg-state analog of
+    ``compact_minhash_index``, shaped for the ledgered layout (batch
+    dirs can never be renamed away in place, because their markers
+    must keep absorbing redeliveries forever):
+
+    1. merge every currently-referenced state dir into a fresh fold
+       dir ``f<tag>`` (never a ``b*`` name — fold dirs can't collide
+       with future batch ids);
+    2. commit by ``os.replace`` of the ``_fold`` manifest (dir name +
+       the highest batch id it covers) — the single atomic step;
+    3. best-effort delete of the superseded dirs (the previous fold
+       dir and covered ``b*`` dirs). A crash before (2) leaves an
+       orphan fold dir no reader references; after (2), readers
+       already resolve through the new manifest and the leftovers are
+       garbage swept by the NEXT compaction.
+
+    Batch markers are never touched: a redelivered pre-compaction
+    batch still finds its marker and no-ops. Returns the folded row
+    count."""
+    import json  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+    import uuid  # noqa: PLC0415
+
+    from ..operators.snapshot import merge_agg_states  # noqa: PLC0415
+
+    ids = committed_batches(state_dir)
+    dirs = _agg_state_dirs(state_dir)
+    if not dirs:
+        return 0
+    # sweep fold dirs no manifest references (crashed prior attempts)
+    referenced = {os.path.basename(d) for d in dirs}
+    for name in os.listdir(state_dir):
+        if (
+            name.startswith("f")
+            and name not in referenced
+            and os.path.isdir(os.path.join(state_dir, name))
+        ):
+            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+    folded = merge_agg_states(*[spark.read.parquet(d) for d in dirs])
+    tag = uuid.uuid4().hex[:8]
+    fold_dir = f"f{tag}"
+    folded.write.mode("overwrite").parquet(
+        os.path.join(state_dir, fold_dir)
+    )
+    n = spark.read.parquet(os.path.join(state_dir, fold_dir)).count()
+    manifest = os.path.join(state_dir, "_fold")
+    tmp = manifest + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump({"dir": fold_dir, "upto": max(ids)}, fh)
+    os.replace(tmp, manifest)  # the atomic commit
+    for d in dirs:  # superseded: old fold dir + covered batch dirs
+        shutil.rmtree(d, ignore_errors=True)
+    return n
 
 
 def start_agg_state_stream(

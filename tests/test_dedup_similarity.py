@@ -1502,3 +1502,24 @@ def test_recover_count_index_reader_is_nondestructive(spark, tmp_path):
     # compactor-path recovery sweeps it
     recover_count_index(idx, "lines", sweep=True)
     assert not os.path.exists(inflight)
+
+
+def test_simhash_pairs_null_fingerprints_quarantined(spark):
+    """NULL fingerprints (undecodable media quarantined upstream) are
+    excluded from banding — they can neither pair nor poison a
+    bucket; bands parameter validates."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    hashed = spark.createDataFrame(
+        [(1, 42), (2, 42), (3, None), (4, None)], "id long, h long"
+    )
+    pairs = simhash_pairs(hashed, max_hamming=0, max_bucket=100).collect()
+    assert [(r["id_a"], r["id_b"], r["hamming"]) for r in pairs] == [(1, 2, 0)]
+    with _pytest.raises(ValueError, match="divide"):
+        simhash_pairs(hashed, bands=7)
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(hashed, max_hamming=4, bands=4)

@@ -998,3 +998,73 @@ def test_agg_state_on_arrival_equals_full_aggregate(spark, sf_dir, tmp_path):
     q.stop()
     got2 = sorted(map(tuple, read_agg_state(spark, sd2).collect()))
     assert got2 == want
+
+
+def test_agg_state_compaction_and_schema_guard(spark, sf_dir, tmp_path):
+    """Fold-manifest compaction: the folded view equals the full
+    aggregate, post-compaction batches keep folding in, redelivery of
+    a pre-compaction batch still no-ops, a crashed fold attempt
+    (orphan f-dir, no manifest) is invisible and swept, and a
+    reconfigured stream pointed at the same state_dir raises."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        agg_state,
+        finalize_agg,
+    )
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        agg_state_on_arrival_batch,
+        compact_agg_state,
+        read_agg_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    parts = [ev.filter(F.col("event_id") % 4 == i) for i in range(4)]
+    sd = str(tmp_path / "state")
+    for bid in range(3):
+        agg_state_on_arrival_batch(parts[bid], bid, sd, ["event_type"], "value")
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    upto3 = snap(
+        finalize_agg(
+            agg_state(
+                ev.filter(F.col("event_id") % 4 < 3), ["event_type"], "value"
+            )
+        )
+    )
+    # crashed fold attempt: orphan f-dir without a manifest — invisible
+    shutil.copytree(os.path.join(sd, "b0"), os.path.join(sd, "fdeadbeef"))
+    assert snap(read_agg_state(spark, sd)) == upto3
+
+    n = compact_agg_state(spark, sd)
+    assert n == len(upto3)
+    assert snap(read_agg_state(spark, sd)) == upto3
+    assert not os.path.exists(os.path.join(sd, "fdeadbeef"))  # swept
+    assert not os.path.exists(os.path.join(sd, "b0"))  # superseded
+
+    # redelivery of a compacted-away batch: marker survives -> no-op
+    agg_state_on_arrival_batch(parts[0], 0, sd, ["event_type"], "value")
+    assert snap(read_agg_state(spark, sd)) == upto3
+
+    # a post-compaction batch folds in on top of the manifest
+    agg_state_on_arrival_batch(parts[3], 3, sd, ["event_type"], "value")
+    full = snap(finalize_agg(agg_state(ev, ["event_type"], "value")))
+    assert snap(read_agg_state(spark, sd)) == full
+
+    # second compaction folds manifest + new batch
+    compact_agg_state(spark, sd)
+    assert snap(read_agg_state(spark, sd)) == full
+
+    # reconfigured stream on the same dir raises
+    with _pytest.raises(ValueError, match="incompatible"):
+        agg_state_on_arrival_batch(
+            parts[0].withColumnRenamed("value", "v2"), 9, sd,
+            ["event_type"], "v2",
+        )
