@@ -7648,9 +7648,11 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type, day
         ),
         seq AS (
+            -- NULL x excluded before the recurrence (all-NULL days):
+            -- mirrors ewma_smooth's NULL-exclusion filter exactly
             SELECT *, row_number() OVER (
                 PARTITION BY event_type ORDER BY day) AS rn
-            FROM daily
+            FROM daily WHERE x IS NOT NULL
         ),
         r AS (
             SELECT event_type, day, x, rn, x AS s,

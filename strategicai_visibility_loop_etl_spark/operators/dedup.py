@@ -1334,7 +1334,15 @@ def read_minhash_index(spark, index_path: str) -> DataFrame:
     (legacy rows read as seq 0 via schema merge) — one id-keyed
     aggregate over the index, the price of mutability. Fold it back
     to one physical row per id on schedule with
-    :func:`compact_minhash_index`."""
+    :func:`compact_minhash_index`.
+
+    Runs the shared two-rename crash recovery first (mutation-free,
+    ``sweep=False``) — the same discipline as the grams/lines count
+    index readers — so a :func:`compact_minhash_index` that died
+    between its renames never strands the index for readers."""
+    norm = index_path.rstrip("/")
+    parent, base = os.path.split(norm)
+    recover_count_index(parent, base, sweep=False)
     raw = spark.read.option("mergeSchema", "true").parquet(index_path)
     if "seq" not in raw.columns:
         return raw

@@ -233,13 +233,22 @@ def golden_record(
     tagged = records.join(comp, id_col, "left").withColumn(
         "__entity", F.coalesce(F.col("component"), F.col(id_col))
     )
-    ord_expr = f"struct({ts_col}, {id_col})"
+
+    def _bq(name: str) -> str:
+        # backquote an identifier for F.expr (doubling embedded
+        # backticks, the Spark escape) so column names with spaces,
+        # dashes or reserved words parse as identifiers, never as
+        # expressions
+        inner = name.replace("`", "``")
+        return f"`{inner}`"
+
+    ord_expr = f"struct({_bq(ts_col)}, {_bq(id_col)})"
     aggs = [
         F.min(id_col).alias("entity_id_min"),
         F.count(F.lit(1)).alias("n_records"),
     ] + [
         F.expr(
-            f"max_by({c}, {ord_expr}) FILTER (WHERE {c} IS NOT NULL)"
+            f"max_by({_bq(c)}, {ord_expr}) FILTER (WHERE {_bq(c)} IS NOT NULL)"
         ).alias(c)
         for c in attr_cols
     ]

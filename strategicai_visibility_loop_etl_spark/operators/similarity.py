@@ -216,7 +216,15 @@ def ivf_topk(
     if stage_path is not None:
         from ..sources.sinks import write_partitioned  # noqa: PLC0415
 
-        write_partitioned(assigned, f"{stage_path}/lists", ["cluster"])
+        # STATIC overwrite (full truncate): the staged lists are a
+        # complete snapshot of THIS corpus/centroid assignment, so a
+        # reused stage_path must not keep partitions for clusters the
+        # new assignment left empty — dynamic overwrite would, and the
+        # pruned re-read would silently feed stale rows into top-k
+        write_partitioned(
+            assigned, f"{stage_path}/lists", ["cluster"],
+            dynamic_overwrite=False,
+        )
         # computed ONCE (lineage cut): the pruning collect and the
         # search join share the same probe table instead of re-running
         # the queries×centroids assignment per consumer
@@ -1167,7 +1175,13 @@ def ivfpq_topk(
         # n_probe/n_centroids of the bytes.
         from ..sources.sinks import write_partitioned  # noqa: PLC0415
 
-        write_partitioned(codes, f"{stage_path}/codes", ["cluster"])
+        # STATIC overwrite (full truncate), as with the IVF lists: a
+        # reused stage_path with a re-trained codebook/corpus must not
+        # keep stale partitions for now-empty clusters
+        write_partitioned(
+            codes, f"{stage_path}/codes", ["cluster"],
+            dynamic_overwrite=False,
+        )
         # lineage cut so the pruning collect and the downstream LUT
         # build share one probe computation
         probes = probes.localCheckpoint(eager=False)

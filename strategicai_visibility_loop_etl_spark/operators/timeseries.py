@@ -219,7 +219,11 @@ def ewma_smooth(
 
     Output: one row per input point with ``ewma`` and ``residual``
     (= value − previous smoothed level, the one-step-ahead surprise —
-    NULL at the series head where no level exists yet).
+    NULL at the series head where no level exists yet). Rows whose
+    ``value_col`` is NULL are excluded before the series forms (the
+    repo's NULL-exclusion convention — ks_test, basket_affinity): the
+    recurrence has no NULL-absorbing step, so a gap simply skips to
+    the next observation instead of poisoning the series tail.
 
     Exactness: the recurrence is evaluated as literally
     ``α·x + (1−α)·s`` — two IEEE multiplies and one add per step, in
@@ -239,8 +243,14 @@ def ewma_smooth(
         raise ValueError("alpha must be in (0, 1]")
     a = F.lit(float(alpha))
     one_m = F.lit(1.0 - float(alpha))
+    # NULL values are EXCLUDED before the series collects (the
+    # ks_test/basket_affinity convention): a single NULL x would make
+    # s NULL at that step and a*x + (1-a)*NULL poisons every later
+    # ewma/residual in the group — the documented DuckDB recurrence
+    # filters identically.
     series = (
-        df.groupBy(*group_cols)
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
         .agg(
             F.sort_array(
                 F.collect_list(

@@ -730,15 +730,30 @@ def compact_agg_state(spark: SparkSession, state_dir: str) -> int:
     dirs = _agg_state_dirs(state_dir)
     if not dirs:
         return 0
-    # sweep fold dirs no manifest references (crashed prior attempts)
+    # sweep leftovers of crashed prior attempts: fold dirs no manifest
+    # references, AND committed batch dirs already covered by the
+    # manifest horizon (a crash during step 3's deletion orphans them;
+    # they are never in a later referenced set, so without this they
+    # leak forever — readers resolve through the manifest and never
+    # see i <= upto dirs, so removal is safe)
     referenced = {os.path.basename(d) for d in dirs}
+    manifest_path = os.path.join(state_dir, "_fold")
+    upto = -1
+    if os.path.exists(manifest_path):
+        with open(manifest_path, encoding="utf-8") as fh:
+            upto = json.load(fh)["upto"]
     for name in os.listdir(state_dir):
-        if (
-            name.startswith("f")
-            and name not in referenced
-            and os.path.isdir(os.path.join(state_dir, name))
-        ):
-            shutil.rmtree(os.path.join(state_dir, name), ignore_errors=True)
+        full = os.path.join(state_dir, name)
+        if name in referenced or not os.path.isdir(full):
+            continue
+        orphan_fold = name.startswith("f")
+        covered_batch = (
+            name.startswith("b")
+            and name[1:].isdigit()
+            and int(name[1:]) <= upto
+        )
+        if orphan_fold or covered_batch:
+            shutil.rmtree(full, ignore_errors=True)
     folded = merge_agg_states(*[spark.read.parquet(d) for d in dirs])
     tag = uuid.uuid4().hex[:8]
     fold_dir = f"f{tag}"

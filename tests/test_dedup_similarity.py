@@ -1523,3 +1523,74 @@ def test_simhash_pairs_null_fingerprints_quarantined(spark):
         simhash_pairs(hashed, bands=7)
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(hashed, max_hamming=4, bands=4)
+
+
+def test_read_minhash_index_runs_crash_recovery(spark, tmp_path):
+    """read_minhash_index (and through it dedup_minhash_incremental)
+    must run the shared two-rename crash recovery: a
+    compact_minhash_index that died between rename(live, trash) and
+    rename(tmp, live) leaves no live dir, and without recovery every
+    reader fails until another compaction."""
+    import os
+    import shutil
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        compact_minhash_index,
+        minhash_index_write,
+        read_minhash_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i} with shared words") for i in range(4)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "midx")
+    minhash_index_write(docs, idx)
+    compact_minhash_index(spark, idx)
+    want = sorted(map(tuple, read_minhash_index(spark, idx).collect()))
+
+    # crash between the two renames: live gone, complete compact dir
+    shutil.copytree(idx, str(tmp_path / "_midx_compact_deadbeef"))
+    os.rename(idx, str(tmp_path / "_midx_old_deadbeef"))
+    got = sorted(map(tuple, read_minhash_index(spark, idx).collect()))
+    assert got == want
+    assert os.path.exists(idx)
+    # the reader pass is non-destructive: trash survives for the
+    # compactor's sweep
+    assert os.path.exists(str(tmp_path / "_midx_old_deadbeef"))
+
+
+def test_ivf_stage_path_reuse_truncates_stale_lists(spark, sf_dir, tmp_path):
+    """Re-staging at the same stage_path with a different corpus must
+    fully replace the inverted lists: dynamic partition overwrite
+    would keep partitions for clusters the new assignment left empty,
+    and the pruned re-read would feed stale ids into top-k."""
+    import pyspark.sql.functions as SF
+
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", SF.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = emb.filter(SF.col("vec_id") < 3).select(
+        SF.col("vec_id").alias("query_id"),
+        SF.col("embedding").alias("query_vec"),
+    )
+    st = str(tmp_path / "st")
+    # first stage: full corpus across 8 clusters
+    ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2, iters=1,
+             stage_path=st).collect()
+    # second stage at the SAME path: a small disjoint corpus in fewer
+    # clusters — every old list partition must be gone
+    sub = emb.filter(SF.col("vec_id") >= 3).limit(12)
+    sub_ids = {r["vec_id"] for r in sub.select("vec_id").collect()}
+    got = ivf_topk(sub, qs, k=5, n_centroids=2, n_probe=2, iters=1,
+                   stage_path=st)
+    assert all(r["vec_id"] in sub_ids for r in got.collect())
+    staged_ids = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{st}/lists").select("vec_id").collect()
+    }
+    assert staged_ids == sub_ids  # no stale rows from the first corpus

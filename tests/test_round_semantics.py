@@ -555,3 +555,25 @@ def test_bpe_audit_totals(spark):
     by = {r["src"]: r for r in bpe_audit(enc_g, "src").collect()}
     assert by["a"]["n_docs"] == 1 and by["b"]["n_docs"] == 2
     assert by["b"]["words_total"] == 2  # empty doc contributes 0 words
+
+
+def test_ewma_smooth_excludes_null_values(spark):
+    """A NULL observation must not poison the series tail (the repo's
+    NULL-exclusion convention): the recurrence skips to the next
+    non-NULL point, and the NULL row never appears in the output."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 1, 10.0), ("k", 2, None), ("k", 3, 20.0), ("k", 4, 30.0)],
+        "g string, t long, v double",
+    )
+    out = {
+        r["t"]: r for r in ewma_smooth(df, ["g"], "t", "v", alpha=0.5).collect()
+    }
+    assert set(out) == {1, 3, 4}           # NULL row excluded
+    assert out[1]["ewma"] == 10.0
+    assert out[3]["ewma"] == 15.0          # .5*20 + .5*10 — not NULL
+    assert out[4]["ewma"] == 22.5
+    assert out[4]["residual"] == 15.0      # 30 - 15

@@ -1068,3 +1068,53 @@ def test_agg_state_compaction_and_schema_guard(spark, sf_dir, tmp_path):
             parts[0].withColumnRenamed("value", "v2"), 9, sd,
             ["event_type"], "v2",
         )
+
+
+def test_compact_agg_state_sweeps_orphaned_covered_batches(
+    spark, sf_dir, tmp_path
+):
+    """A crash during compaction step 3 (deleting superseded dirs) can
+    orphan covered b* dirs: they are never in a later run's referenced
+    set, so the entry sweep must remove any committed batch dir whose
+    id <= the manifest horizon — otherwise an unbounded disk leak."""
+    import os
+    import shutil
+
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        agg_state_on_arrival_batch,
+        compact_agg_state,
+        read_agg_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    parts = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    sd = str(tmp_path / "state")
+    for bid in range(2):
+        agg_state_on_arrival_batch(parts[bid], bid, sd, ["event_type"], "value")
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    backup = str(tmp_path / "b0_backup")
+    shutil.copytree(os.path.join(sd, "b0"), backup)
+    compact_agg_state(spark, sd)
+    want = snap(read_agg_state(spark, sd))
+    # simulate the step-3 crash: a covered batch dir reappears
+    shutil.copytree(backup, os.path.join(sd, "b0"))
+    # readers resolve through the manifest — the orphan is invisible
+    assert snap(read_agg_state(spark, sd)) == want
+    # a later batch arrives, then the NEXT compaction's entry sweep
+    # removes the orphan (it is <= the manifest horizon)
+    agg_state_on_arrival_batch(parts[2], 2, sd, ["event_type"], "value")
+    compact_agg_state(spark, sd)
+    assert not os.path.exists(os.path.join(sd, "b0"))
+    full = snap(read_agg_state(spark, sd))
+    # and the folded view still equals the full aggregate
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        agg_state,
+        finalize_agg,
+    )
+
+    assert full == snap(finalize_agg(agg_state(ev, ["event_type"], "value")))

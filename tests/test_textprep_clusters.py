@@ -985,3 +985,31 @@ def test_cdc_apply_null_payload_winner_is_not_resurrected(spark):
     out = cdc_apply(log, ["k"]).collect()
     assert len(out) == 1
     assert out[0]["value"] is None and out[0]["version"] == 2
+
+
+def test_golden_record_quotes_awkward_column_names(spark):
+    """Attribute/ts/id names with spaces, dashes or reserved words
+    must survive the F.expr interpolation (identifiers are backquoted;
+    'order' would otherwise fail analysis, 'full name' would parse as
+    two tokens)."""
+    from strategicai_visibility_loop_etl_spark.operators.linkage import (
+        golden_record,
+    )
+
+    records = (
+        spark.createDataFrame(
+            [
+                (1, 1, "alpha", "x.com"),
+                (2, 2, None, "y.com"),
+            ],
+            "id long, ts long, name string, domain string",
+        )
+        .withColumnRenamed("name", "full name")
+        .withColumnRenamed("domain", "e-mail")
+        .withColumnRenamed("ts", "order")
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    out = golden_record(records, pairs, ts_col="order").collect()
+    assert len(out) == 1
+    assert out[0]["full name"] == "alpha"   # latest non-null
+    assert out[0]["e-mail"] == "y.com"
