@@ -4544,6 +4544,110 @@ def qx84_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _doc_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The qx47/qx53 manufactured document graph: ring edges (i, i±1),
+    (i, i±2) plus hash-arithmetic extras for 2/3 of nodes — shared by
+    every graph-family query so oracles replay one edge recipe."""
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    total = docs.agg(F.count("*").alias("__n"))
+    ring = (
+        docs.crossJoin(F.broadcast(total))
+        .select(
+            F.col("id").alias("src"),
+            F.explode(
+                F.array(
+                    F.pmod(F.col("id") + 1, F.col("__n")),
+                    F.pmod(F.col("id") + 2, F.col("__n")),
+                )
+            ).alias("dst"),
+        )
+    )
+    hashed = (
+        docs.filter(F.col("id") % 3 != 0)
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1).cast("bigint"), F.lit(2).cast("bigint"))
+            ).alias("j"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("id").alias("src"),
+            F.pmod(
+                F.pmod(
+                    F.col("id") * F.lit(2654435761) + F.col("j") * F.lit(40503),
+                    F.lit(4294967296),
+                ),
+                F.col("__n"),
+            ).alias("dst"),
+        )
+    )
+    return ring.unionAll(hashed)
+
+
+def qx85_token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-vector cosine near-dup pairs (capability row 184):
+    AllPairs-style inverted-index similarity join over the word
+    3-gram profile (the unigram vocabulary is 31 tokens — every term
+    saturates; the 3-gram space discriminates). Exact BIGINT dot
+    products over sqrt-of-integer norms replay bit-for-bit in
+    DuckDB."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        token_cosine_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_cosine_pairs(
+        docs, threshold=0.5, max_df=1000, k=3
+    ).orderBy("id_a", "id_b")
+
+
+def qx86_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (capability row 185) over the shared
+    manufactured document graph: 8 fixed peel rounds at k=5 (the
+    fixture converges in ≤5 — peeling is idempotent at the fixpoint,
+    so the fixed-unroll form equals the converged core; pytest pins
+    the equivalence). DuckDB unrolls the identical 8 rounds."""
+    from strategicai_visibility_loop_etl_spark.operators.graph import k_core
+
+    out = k_core(_doc_graph_edges(spark, sf_dir), k=5, iters=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "core_degree"
+    ).orderBy("doc_id")
+
+
+def qx87_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (capability row 186): does
+    p_type -> p_brand hold in the part dim? Every violating type with
+    its distinct-brand count and min/max witness brands. One hash
+    aggregate; DuckDB replays GROUP BY + HAVING."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        fd_violations,
+    )
+
+    part = _t(spark, sf_dir, "part").select("p_type", "p_brand")
+    return fd_violations(part, ["p_type"], "p_brand")
+
+
+def qx88_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (capability row 187): event-type/user
+    equivalence classes where every event lands in ONE value band
+    (floor(value/100)) leak the sensitive attribute even where
+    k-anonymity passes (qx82's companion gate — raw doubles are
+    near-unique, so the band is what an attacker actually learns).
+    DuckDB replays GROUP BY + HAVING on COUNT(DISTINCT)."""
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        l_diversity_violations,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "user_id",
+        F.floor(F.col("value") / F.lit(100.0)).cast("long").alias("band"),
+    )
+    return l_diversity_violations(ev, ["event_type", "user_id"], "band", l=2)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -4630,6 +4734,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx82_k_anonymity": qx82_k_anonymity,
         "qx83_sessionize": qx83_sessionize,
         "qx84_token_audit": qx84_token_audit,
+        "qx85_token_cosine": qx85_token_cosine,
+        "qx86_k_core": qx86_k_core,
+        "qx87_fd_violations": qx87_fd_violations,
+        "qx88_l_diversity": qx88_l_diversity,
     }
 
 
@@ -7902,6 +8010,121 @@ def extra_oracle_sql() -> dict[str, str]:
         FROM g ORDER BY source
     """
 
+
+    # qx85: the AllPairs inverted-index cosine join replayed — same
+    # 3-gram terms, same df-prune, exact BIGINT dots, sqrt-of-integer
+    # norms, one final IEEE division.
+    sql["qx85_token_cosine"] = f"""
+        WITH toks AS (
+            SELECT doc_id AS id, {_toks(norm_text)} AS t FROM documents
+        ),
+        grams AS (
+            SELECT id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tok
+            FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        ),
+        postings AS (
+            SELECT id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM grams WHERE length(tok) >= 1 GROUP BY id, tok
+        ),
+        dfc AS (SELECT tok, COUNT(*) AS n FROM postings GROUP BY tok),
+        pruned AS (
+            SELECT p.id, p.tok, p.tf FROM postings p
+            JOIN dfc USING (tok) WHERE dfc.n <= 1000
+        ),
+        norms AS (
+            SELECT id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+            FROM pruned GROUP BY id
+        ),
+        dots AS (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+            FROM pruned a JOIN pruned b
+              ON a.tok = b.tok AND a.id < b.id
+            GROUP BY a.id, b.id
+        )
+        SELECT id_a, id_b,
+               round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.id = id_a
+        JOIN norms nb ON nb.id = id_b
+        WHERE CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.5
+        ORDER BY id_a, id_b
+    """
+
+    # qx86: the identical 8 fixed peel rounds unrolled (JOIN-restricted
+    # per round; the prev-CTE name advances each loop — the qx47
+    # discipline). Peeling is idempotent at the fixpoint, so rounds
+    # beyond convergence are no-ops in both engines.
+    _kc_prev = "e0"
+    _kc_rounds = []
+    for _i in range(1, 9):
+        _kc_rounds.append(f"""
+        d{_i} AS (
+            SELECT id, COUNT(*) AS deg FROM (
+                SELECT a AS id FROM {_kc_prev}
+                UNION ALL SELECT b AS id FROM {_kc_prev}
+            ) GROUP BY id
+        ),
+        k{_i} AS (SELECT id FROM d{_i} WHERE deg >= 5),
+        e{_i} AS MATERIALIZED (
+            SELECT e.a, e.b FROM {_kc_prev} e
+            JOIN k{_i} ka ON ka.id = e.a
+            JOIN k{_i} kb ON kb.id = e.b
+        )""")
+        _kc_prev = f"e{_i}"
+    sql["qx86_k_core"] = f"""
+        WITH nn AS (SELECT doc_id AS id FROM documents),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn),
+        ring AS (
+            SELECT id AS s, (id + 1) % t.n AS d FROM nn, t
+            UNION ALL
+            SELECT id AS s, (id + 2) % t.n AS d FROM nn, t
+        ),
+        he AS (
+            SELECT id AS s,
+                   ((id * 2654435761 + j * 40503) % 4294967296) % t.n AS d
+            FROM (SELECT id, unnest(range(1, 3)) AS j
+                  FROM nn WHERE id % 3 <> 0), t
+        ),
+        e AS (
+            SELECT s, d FROM (
+                SELECT s, d FROM ring UNION ALL SELECT s, d FROM he
+            ) WHERE s <> d
+        ),
+        e0 AS MATERIALIZED (
+            SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM e
+        ),{",".join(_kc_rounds)}
+        SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM (
+            SELECT a AS id FROM {_kc_prev}
+            UNION ALL SELECT b AS id FROM {_kc_prev}
+        ) GROUP BY id ORDER BY doc_id
+    """
+
+    # qx87: one GROUP BY + HAVING with min/max witnesses.
+    sql["qx87_fd_violations"] = """
+        SELECT p_type,
+               CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_distinct_rhs,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(p_brand) AS rhs_min,
+               MAX(p_brand) AS rhs_max
+        FROM part GROUP BY p_type
+        HAVING COUNT(DISTINCT p_brand) > 1
+        ORDER BY n_distinct_rhs DESC, p_type
+    """
+
+    # qx88: the l-diversity gate — COUNT(DISTINCT) excludes NULL
+    # sensitive values in both engines.
+    sql["qx88_l_diversity"] = """
+        SELECT event_type, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT CAST(floor(value / 100.0) AS BIGINT))
+                    AS BIGINT) AS n_sensitive
+        FROM events GROUP BY event_type, user_id
+        HAVING COUNT(DISTINCT CAST(floor(value / 100.0) AS BIGINT)) < 2
+        ORDER BY n_sensitive, n,
+                 event_type NULLS FIRST, user_id NULLS FIRST
+    """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.
     return sql

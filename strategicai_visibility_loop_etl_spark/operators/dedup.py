@@ -1724,3 +1724,111 @@ def winnow_fingerprints(
             ),
         ).otherwise(F.lit(0.0)),
     )
+
+
+def token_posting_lists(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+) -> DataFrame:
+    """(id, tok, tf) — one row per distinct term per document with its
+    in-document term frequency. The inverted-index building block
+    under :func:`token_cosine_pairs`; tokenization is the shared
+    whitespace-normalized split (``functions.text.normalized_text``)
+    so every token-level operator and its oracle agree. ``k > 1``
+    uses word k-grams as the terms (MLlib ``NGram``, the
+    :func:`exploded_shingles` kernel WITH multiplicity kept — cosine
+    needs tf, Jaccard does not): on small-vocabulary corpora
+    unigram df saturates (every term in most documents) and the
+    k-gram profile is what actually discriminates."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.split(
+            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("__toks"),
+    )
+    if k == 1:
+        terms = toks.select("id", F.explode("__toks").alias("tok"))
+    else:
+        from pyspark.ml.feature import NGram  # noqa: PLC0415 (pure-plan)
+
+        grams = NGram(n=k, inputCol="__toks", outputCol="__sh").transform(toks)
+        terms = grams.select("id", F.explode("__sh").alias("tok"))
+    return (
+        terms.filter(F.length("tok") >= 1)
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def token_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    max_df: int | str = 1000,
+    k: int = 1,
+    stage_path: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs by TOKEN-VECTOR cosine ≥ threshold — the
+    bag-of-words member of the dedup family (AllPairs-style inverted
+    index similarity join, Bayardo et al. 2007 shape): where the
+    k-gram Jaccard (row 30) keys on word ORDER and MinHash/SimHash
+    approximate, this scores exact cosine over term-frequency
+    vectors, catching paraphrase-ish near-dups whose token multiset
+    survives reordering.
+
+    Similarity space: tokens whose DOCUMENT FREQUENCY exceeds
+    ``max_df`` (the hot/stop terms — "the", boilerplate tokens) are
+    excluded from the metric itself (df-based pruning, the standard
+    AllPairs discipline: stop terms carry no discriminative signal
+    and their posting lists are exactly the quadratic-blowup skew the
+    max_bucket guards exist for). ``max_df="auto"`` resolves the cap
+    from the posting-size distribution like the LSH family.
+
+    Exactness: tf are integers; the pair dot product is an exact
+    BIGINT sum; each norm is ``sqrt`` of an exact integer (IEEE sqrt
+    is correctly rounded); cosine = one multiply + one divide from
+    those — every step replays bit-for-bit in DuckDB.
+
+    Scale shape: one tokenize+count aggregate, one posting-size
+    aggregate (hot set travels by broadcast), the inverted-index
+    self-join grouped to (id_a, id_b) — per-term fan-out bounded by
+    cap², the LSH economics — then two broadcast-able norm
+    join-backs. ``stage_path`` materializes the pruned postings once
+    (they feed the self-join twice and the norm aggregate).
+
+    ``k > 1`` scores cosine over the word-k-gram profile instead of
+    unigrams (see :func:`token_posting_lists`) — the plagiarism-
+    detection form, and the only discriminative one on corpora whose
+    unigram vocabulary is tiny relative to the document count.
+    """
+    postings = token_posting_lists(df, text_col, id_col, k)
+    posting_sizes = postings.groupBy("tok").agg(F.count("*").alias("n"))
+    cap = resolve_max_bucket(posting_sizes, max_df)
+    hot = posting_sizes.filter(F.col("n") > cap)
+    pruned = _stage_roundtrip(
+        postings.join(F.broadcast(hot.select("tok")), "tok", "left_anti"),
+        stage_path,
+    )
+
+    norms = pruned.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf")).cast("double")).alias("norm")
+    )
+    a = pruned.select("tok", F.col("id").alias("id_a"), F.col("tf").alias("tf_a"))
+    b = pruned.select("tok", F.col("id").alias("id_b"), F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    cos = F.col("dot").cast("double") / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        dots.join(norms.select(F.col("id").alias("id_a"), F.col("norm").alias("norm_a")), "id_a")
+        .join(norms.select(F.col("id").alias("id_b"), F.col("norm").alias("norm_b")), "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", round_c(F.col("cosine"), 6).alias("cosine"))
+    )

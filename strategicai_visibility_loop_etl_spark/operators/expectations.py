@@ -262,3 +262,40 @@ def key_skew_profile(
         )
         .orderBy(F.col("cnt").desc(), F.col("key"))
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    lhs_cols: list[str],
+    rhs_col: str,
+) -> DataFrame:
+    """Functional-dependency audit: report every ``lhs_cols``
+    combination that maps to MORE than one distinct ``rhs_col`` value
+    — the data-quality check behind "is this column derivable from
+    that key?" (candidate-key discovery, denormalization drift, dim
+    tables whose attribute silently forked). The gate companion to
+    :func:`validate_expectations`: expectations check VALUES, this
+    checks STRUCTURE.
+
+    Output per violating combination: the lhs columns,
+    ``n_distinct_rhs``, ``n_rows``, and the min/max conflicting rhs
+    values as witnesses (enough to eyeball the fork without a second
+    scan). NULL rhs values are excluded from the distinct count
+    (SQL's countDistinct convention — an unknown value is not
+    evidence of a fork); NULL lhs combinations group as themselves.
+
+    Scale shape: ONE hash aggregate on the lhs key (count-distinct
+    expands to the standard two-phase partial aggregate) + a filter.
+    No window, no self-join.
+    """
+    return (
+        df.groupBy(*lhs_cols)
+        .agg(
+            F.countDistinct(rhs_col).alias("n_distinct_rhs"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(rhs_col).alias("rhs_min"),
+            F.max(rhs_col).alias("rhs_max"),
+        )
+        .filter(F.col("n_distinct_rhs") > 1)
+        .orderBy(F.desc("n_distinct_rhs"), *lhs_cols)
+    )

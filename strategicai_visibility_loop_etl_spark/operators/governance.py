@@ -364,3 +364,38 @@ def k_anonymize(df, quasi_cols: list[str], k: int = 5):
         t = df[c].eqNullSafe(safe[c])
         cond = t if cond is None else (cond & t)
     return df.join(safe, cond, "left_semi")
+
+
+def l_diversity_violations(
+    df,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,  # noqa: E741 - the literature's name
+):
+    """l-diversity audit — the attribute-disclosure companion of
+    :func:`k_anonymity_violations` (Machanavajjhala et al. 2007):
+    a quasi-identifier combination can be k-anonymous yet still leak
+    ("every 41-zip male in the release has cancer") when its
+    equivalence class holds fewer than ``l`` DISTINCT sensitive
+    values. Returns the violating combinations with their group size
+    and distinct-sensitive count (least diverse first).
+
+    NULL sensitive values are excluded from the diversity count (an
+    unknown diagnosis is not a diverse one); NULL quasi values group
+    as their own combination, as in the k-anonymity gate. One hash
+    aggregate + filter — run both gates off one pass by reusing the
+    same quasi grouping upstream if needed.
+    """
+    from pyspark.sql import functions as F
+
+    if l < 2:
+        raise ValueError("l must be >= 2")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(sensitive_col).alias("n_sensitive"),
+        )
+        .filter(F.col("n_sensitive") < l)
+        .orderBy("n_sensitive", "n", *quasi_cols)
+    )

@@ -460,3 +460,83 @@ def hits(
         hubs.withColumnRenamed("score", "hub")
         .join(auths.withColumnRenamed("score", "authority"), "id")
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int | None = None,
+) -> DataFrame:
+    """k-core decomposition membership: iteratively PEEL nodes whose
+    degree (in the surviving subgraph) is below ``k`` until a fixpoint
+    — the standard graph-mining density filter (Seidman 1983), and the
+    web-graph hygiene step next to :func:`pagerank`/:func:`hits`: link
+    farms and orphan chains peel away while genuinely interconnected
+    hosts survive.
+
+    Output: ``(id, core_degree)`` — the surviving nodes with their
+    degree inside the final subgraph. With ``iters=None`` (default)
+    peeling runs to convergence, so every ``core_degree >= k`` (the
+    k-core property). With ``iters=n`` EXACTLY n peel rounds run —
+    the replayable form a fixed-unroll SQL oracle can follow; the
+    last round's survivors may still hold degree < k if n rounds were
+    not enough (documented, not hidden — tests pin the fixture's
+    convergence round count).
+
+    Scale shape (per round): one degree hash aggregate over the
+    surviving edges + two semi joins restricting edge endpoints —
+    all key-partitioned, no windows, no collects. Convergence is a
+    scalar ``count()`` action per round (the connected-components
+    discipline) and each round's edge set is ``localCheckpoint``-cut
+    so lineage never snowballs. Rounds needed = peeling depth
+    (degeneracy ordering layers), typically tens on web graphs —
+    NOT diameter-bound like label propagation.
+
+    Self-loops are dropped and parallel edges collapse before
+    peeling (degree = distinct-neighbor count, matching
+    :func:`triangle_count`'s canonicalization).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).filter(F.col("s") != F.col("d"))
+    cur = (
+        e.select(
+            F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def _degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("id"))
+            .unionAll(ed.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    def _peel_once(ed: DataFrame) -> DataFrame:
+        keep = _degrees(ed).filter(F.col("deg") >= k).select("id")
+        return (
+            ed.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+
+    if iters is not None:
+        for _ in range(iters):
+            cur = _peel_once(cur)
+    else:
+        prev = cur.count()
+        while True:
+            cur = _peel_once(cur)
+            n = cur.count()
+            if n == prev:
+                break
+            prev = n
+    return _degrees(cur).withColumnRenamed("deg", "core_degree")

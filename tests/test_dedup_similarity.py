@@ -1594,3 +1594,49 @@ def test_ivf_stage_path_reuse_truncates_stale_lists(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(f"{st}/lists").select("vec_id").collect()
     }
     assert staged_ids == sub_ids  # no stale rows from the first corpus
+
+
+def test_token_cosine_pairs_hand_example(spark):
+    """Exact cosine over tf vectors: dot products are exact BIGINT
+    sums, norms sqrt-of-integer; hot terms (df > max_df) leave the
+    similarity space entirely."""
+    import math
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        token_cosine_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple banana banana"),
+            (3, "cherry durian elderberry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in token_cosine_pairs(docs, threshold=0.1, max_df=100).collect()
+    }
+    # docs 1,2: tf vectors (2,1) and (1,2): cos = 4/5
+    assert set(out) == {(1, 2)}
+    assert out[(1, 2)] == round(4 / (math.sqrt(5) * math.sqrt(5)), 6)
+
+    # make 'apple'/'banana' hot (df > 2): nothing shares a rare term
+    hot = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple banana banana"),
+            (3, "apple banana cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    assert token_cosine_pairs(hot, threshold=0.1, max_df=2).count() == 0
+
+    # k=3 gram mode: identical docs pair at cosine 1.0
+    tri = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "z y x w v")],
+        "doc_id long, text string",
+    )
+    got = token_cosine_pairs(tri, threshold=0.9, max_df=100, k=3).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == [(1, 2, 1.0)]

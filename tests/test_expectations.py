@@ -249,3 +249,27 @@ def test_k_anonymity_violations_and_suppression(spark):
     assert kept == {"NL", None} and widened.count() == 11
     with _pytest.raises(ValueError):
         k_anonymity_violations(df, ["country"], k=1)
+
+
+def test_fd_violations_structure_audit(spark):
+    """X -> Y violations: only forked combinations report, NULL rhs
+    is not evidence of a fork, witnesses are min/max."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        fd_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x"), ("a", "y"), ("a", "y"),   # fork: 2 distinct
+            ("b", "z"), ("b", "z"),               # holds
+            ("c", "w"), ("c", None),              # NULL not a fork
+            (None, "p"), (None, "q"),             # NULL lhs groups
+        ],
+        "k string, v string",
+    )
+    out = {r["k"]: r for r in fd_violations(df, ["k"], "v").collect()}
+    assert set(out) == {"a", None}
+    assert out["a"]["n_distinct_rhs"] == 2
+    assert out["a"]["n_rows"] == 3
+    assert (out["a"]["rhs_min"], out["a"]["rhs_max"]) == ("x", "y")
+    assert out[None]["n_distinct_rhs"] == 2

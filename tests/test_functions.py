@@ -426,3 +426,31 @@ def test_char_entropy_matches_python(spark):
     assert got[1] == 0.0
     assert abs(got[2] - round(math.log(2), 6)) < 1e-9
     assert got[3] > got[2] > got[1]
+
+
+def test_l_diversity_violations(spark):
+    """Groups with fewer than l distinct non-NULL sensitive values
+    violate; NULL sensitive values do not add diversity; NULL quasi
+    combos group as themselves (capability row 187)."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        l_diversity_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "flu"), ("a", "flu"), ("a", None),   # 1 distinct -> viol
+            ("b", "flu"), ("b", "cold"),                # 2 distinct -> ok
+            (None, "hiv"),                              # NULL quasi -> viol
+        ],
+        "zip string, dx string",
+    )
+    out = {
+        r["zip"]: r
+        for r in l_diversity_violations(df, ["zip"], "dx", l=2).collect()
+    }
+    assert set(out) == {"a", None}
+    assert out["a"]["n"] == 3 and out["a"]["n_sensitive"] == 1
+    with _pytest.raises(ValueError):
+        l_diversity_violations(df, ["zip"], "dx", l=1)

@@ -214,3 +214,48 @@ def test_hits_partitioning_independence_and_l1_norm(spark):
     hub_sum = sum(float(x[1]) for x in a)
     auth_sum = sum(float(x[2]) for x in a)
     assert abs(hub_sum - 1.0) < 1e-9 and abs(auth_sum - 1.0) < 1e-9
+
+
+def test_k_core_hand_example_and_convergence(spark):
+    """2-core of a triangle with pendant chain: the chain peels away
+    over multiple rounds (cascading), the triangle survives with
+    degree 2 everywhere; fixed-round form equals the converged form
+    once rounds >= peeling depth, and extra rounds are no-ops."""
+    from strategicai_visibility_loop_etl_spark.operators.graph import k_core
+
+    # triangle 1-2-3, chain 3-4-5-6 (4,5,6 peel in cascade: 6 first,
+    # then 5, then 4 — three rounds of depth)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    conv = {r["id"]: r["core_degree"] for r in k_core(edges, k=2).collect()}
+    assert conv == {1: 2, 2: 2, 3: 2}
+    fixed = {
+        r["id"]: r["core_degree"]
+        for r in k_core(edges, k=2, iters=3).collect()
+    }
+    assert fixed == conv
+    # idempotent past convergence
+    more = {
+        r["id"]: r["core_degree"]
+        for r in k_core(edges, k=2, iters=8).collect()
+    }
+    assert more == conv
+    # too few rounds: survivors may still hold degree < k (documented)
+    early = {
+        r["id"]: r["core_degree"]
+        for r in k_core(edges, k=2, iters=1).collect()
+    }
+    assert set(early) == {1, 2, 3, 4, 5}  # 6 peeled, 5 not yet
+
+    # parallel edges collapse, self-loops drop, whole-graph dissolve
+    messy = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3)], "src long, dst long"
+    )
+    assert k_core(messy, k=2).count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        k_core(edges, k=0)
