@@ -4648,6 +4648,75 @@ def qx88_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l_diversity_violations(ev, ["event_type", "user_id"], "band", l=2)
 
 
+def qx89_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch–Kincaid grade + reading ease per document (capability
+    row 188): explicit-whitespace word count, [.!?]+ sentence runs
+    (min 1), vowel-group syllables — two IEEE divisions + literal
+    blends, replayed exactly by DuckDB."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        fk_grade,
+        reading_ease,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fk_grade(F.col("text")).alias("fk_grade"),
+        reading_ease(F.col("text")).alias("reading_ease"),
+    ).orderBy("doc_id")
+
+
+def qx90_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writing-system fractions per document (capability row 189):
+    share of non-space chars in ASCII/Latin/digit/Cyrillic/Greek/
+    Arabic/CJK ranges — pure string-length arithmetic over literal
+    codepoint classes, identical in Java regex and RE2."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        script_fractions,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = docs.select(
+        "doc_id", script_fractions(F.col("text")).alias("__p")
+    )
+    return prof.select(
+        "doc_id",
+        F.col("__p.ascii").alias("ascii_frac"),
+        F.col("__p.latin").alias("latin_frac"),
+        F.col("__p.digit").alias("digit_frac"),
+        F.col("__p.cyrillic").alias("cyrillic_frac"),
+        F.col("__p.greek").alias("greek_frac"),
+        F.col("__p.arabic").alias("arabic_frac"),
+        F.col("__p.cjk").alias("cjk_frac"),
+    ).orderBy("doc_id")
+
+
+def qx91_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (capability row 190): top 25 candidate
+    phrases by degree/frequency word scores — exact BIGINT counts,
+    9dp word scores, DECIMAL phrase sums. DuckDB replays the boundary
+    marking, phrase windows and both aggregates."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        rake_keywords,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return rake_keywords(docs, top_k=25)
+
+
+def qx92_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix diversity per source (capability row 191):
+    unbiased Gini–Simpson from exact pair counts + Berger–Parker
+    dominance — the datasheet concentration line before mixture
+    re-weighting. DuckDB replays the integer arithmetic."""
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        mixture_diversity,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("source", "lang")
+    return mixture_diversity(docs, "lang", ["source"])
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -4738,6 +4807,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx86_k_core": qx86_k_core,
         "qx87_fd_violations": qx87_fd_violations,
         "qx88_l_diversity": qx88_l_diversity,
+        "qx89_readability": qx89_readability,
+        "qx90_script_profile": qx90_script_profile,
+        "qx91_rake_keywords": qx91_rake_keywords,
+        "qx92_mixture_diversity": qx92_mixture_diversity,
     }
 
 
@@ -8124,6 +8197,150 @@ def extra_oracle_sql() -> dict[str, str]:
         HAVING COUNT(DISTINCT CAST(floor(value / 100.0) AS BIGINT)) < 2
         ORDER BY n_sensitive, n,
                  event_type NULLS FIRST, user_id NULLS FIRST
+    """
+
+    # qx89: same word/sentence/syllable counts, same literal blends.
+    _rb_words = (
+        "len(list_filter(string_split_regex(coalesce(text, ''),"
+        " '[ \t\n\f\r]+'), t -> t <> ''))"
+    )
+    sql["qx89_readability"] = f"""
+        WITH parts AS (
+            SELECT doc_id,
+                   CAST({_rb_words} AS DOUBLE) AS w,
+                   greatest(CAST(len(regexp_extract_all(
+                       coalesce(text, ''), '[.!?]+')) AS DOUBLE),
+                       CAST(1.0 AS DOUBLE)) AS s,
+                   CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                       '[aeiouy]+')) AS DOUBLE) AS sy
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN w > 0 THEN round(
+                   CAST(0.39 AS DOUBLE) * (w / s)
+                   + CAST(11.8 AS DOUBLE) * (sy / w)
+                   - CAST(15.59 AS DOUBLE), 6) END AS fk_grade,
+               CASE WHEN w > 0 THEN round(
+                   CAST(206.835 AS DOUBLE)
+                   - CAST(1.015 AS DOUBLE) * (w / s)
+                   - CAST(84.6 AS DOUBLE) * (sy / w), 6) END AS reading_ease
+        FROM parts ORDER BY doc_id
+    """
+
+    # qx90: literal-codepoint classes count identically in RE2; the
+    # 'g' flag matters (DuckDB replaces first match by default).
+    _sp_ranges = {
+        "ascii_frac": "\x01-\x7f",
+        "latin_frac": "A-Za-z",
+        "digit_frac": "0-9",
+        "cyrillic_frac": "Ѐ-ӿ",
+        "greek_frac": "Ͱ-Ͽ",
+        "arabic_frac": "؀-ۿ",
+        "cjk_frac": "一-鿿぀-ヿ가-힯",
+    }
+    _sp_cols = ",\n               ".join(
+        f"CASE WHEN n > 0 THEN round(CAST(length(regexp_replace(st,"
+        f" '[^{r}]', '', 'g')) AS DOUBLE) / n, 6) END AS {name}"
+        for name, r in _sp_ranges.items()
+    )
+    sql["qx90_script_profile"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   regexp_replace(coalesce(text, ''),
+                       '[ \t\n\f\r]', '', 'g') AS st
+            FROM documents
+        ),
+        sized AS (SELECT doc_id, st, CAST(length(st) AS DOUBLE) AS n FROM base)
+        SELECT doc_id,
+               {_sp_cols}
+        FROM sized ORDER BY doc_id
+    """
+
+    # qx91: the RAKE pipeline replayed — boundary marking, per-doc
+    # position window, phrase assembly, degree/frequency word scores
+    # (9dp), DECIMAL phrase sums (6dp).
+    _rk_stops = ", ".join(
+        f"'{w}'"
+        for w in LANG_MARKERS["en"]
+        + ("a", "an", "it", "on", "as", "at", "by", "be")
+    )
+    sql["qx91_rake_keywords"] = f"""
+        WITH marked AS (
+            SELECT doc_id AS id,
+                   string_split_regex(regexp_replace(
+                       lower(coalesce(text, '')),
+                       '[^a-z0-9 \t\n\f\r]+', ' | ', 'g'),
+                       '[ \t\n\f\r]+') AS l
+            FROM documents
+        ),
+        toks AS (
+            SELECT id, i AS pos, l[i] AS tok
+            FROM marked, unnest(range(1, len(l) + 1)) AS r(i)
+            WHERE l[i] <> ''
+        ),
+        tagged AS (
+            SELECT id, pos, tok,
+                   SUM(CASE WHEN tok = '|' OR tok IN ({_rk_stops})
+                            THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY id ORDER BY pos) AS phrase_id,
+                   (tok = '|' OR tok IN ({_rk_stops})) AS is_b
+            FROM toks
+        ),
+        content AS (SELECT id, pos, tok, phrase_id FROM tagged WHERE NOT is_b),
+        phrases AS (
+            SELECT id, phrase_id,
+                   string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM content GROUP BY id, phrase_id
+        ),
+        occ AS (
+            SELECT c.id, c.phrase_id, c.tok, p.n_words
+            FROM content c JOIN phrases p
+              ON p.id = c.id AND p.phrase_id = c.phrase_id
+        ),
+        ws AS (
+            SELECT tok,
+                   round(CAST(SUM(n_words) AS DOUBLE)
+                         / CAST(COUNT(*) AS DOUBLE), 9) AS word_score
+            FROM occ GROUP BY tok
+        ),
+        ps AS (
+            SELECT o.id, o.phrase_id,
+                   SUM(CAST(ws.word_score AS DECIMAL(28,9))) AS sc
+            FROM occ o JOIN ws ON ws.tok = o.tok
+            GROUP BY o.id, o.phrase_id
+        ),
+        dedup AS (
+            SELECT p.phrase,
+                   MIN(p.n_words) AS n_words,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   MIN(ps.sc) AS sc
+            FROM ps JOIN phrases p
+              ON p.id = ps.id AND p.phrase_id = ps.phrase_id
+            GROUP BY p.phrase
+        )
+        SELECT phrase, n_words, n_occurrences,
+               round(CAST(sc AS DOUBLE), 6) AS score
+        FROM dedup ORDER BY score DESC, phrase LIMIT 25
+    """
+
+    # qx92: exact pair-count Gini–Simpson + dominance share.
+    sql["qx92_mixture_diversity"] = """
+        WITH c AS (
+            SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+            FROM documents WHERE lang IS NOT NULL GROUP BY source, lang
+        )
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS k_classes,
+               CASE WHEN SUM(c) >= 2 THEN round(
+                   CAST(1.0 AS DOUBLE)
+                   - CAST(SUM(c * (c - 1)) AS DOUBLE)
+                     / CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE), 6) END
+                   AS gini_simpson,
+               round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                   AS berger_parker
+        FROM c GROUP BY source ORDER BY source
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -386,3 +386,110 @@ def code_score(col: Column) -> Column:
     from .numeric import round_c  # noqa: PLC0415
 
     return round_c(score, 6)
+
+
+def _readability_parts(col: Column) -> tuple[Column, Column, Column]:
+    """(words, sentences, syllables) under the readability heuristics:
+    words = non-empty splits on the EXPLICIT whitespace class (the
+    code_score discipline — Java's ``\\s`` includes vertical tab,
+    RE2's does not); sentences = runs of ``.!?`` (min 1 so a
+    fragment still scores); syllables = vowel-group runs
+    ``[aeiouy]+`` of the lowercased text (groups never span
+    whitespace, so the text-level count equals the per-word sum).
+    Every count replays exactly in a SQL twin."""
+    ws = "[ \t\n\f\r]"
+    s = F.coalesce(col.cast("string"), F.lit(""))
+    n_words = F.size(
+        F.filter(F.split(s, ws + "+"), lambda t: t != "")
+    ).cast("double")
+    n_sent = F.greatest(
+        F.regexp_count(s, F.lit(r"[.!?]+")).cast("double"), F.lit(1.0)
+    )
+    n_syll = F.regexp_count(F.lower(s), F.lit("[aeiouy]+")).cast("double")
+    return n_words, n_sent, n_syll
+
+
+def fk_grade(col: Column, decimals: int = 6) -> Column:
+    """Flesch–Kincaid grade level — the classic readability score a
+    quality pipeline uses to band documents by audience complexity
+    (Kincaid et al. 1975): ``0.39·(words/sentences) +
+    11.8·(syllables/words) − 15.59``. Vowel-group syllables are the
+    standard cheap approximation (hyphenation dictionaries don't
+    belong in a scan). NULL for word-less documents (nothing to
+    grade, never 0/0). One codegen projection, no UDF; the arithmetic
+    is two IEEE divisions + the literal blend, so a SQL twin replays
+    bit-for-bit."""
+    from .numeric import round_c
+
+    n_words, n_sent, n_syll = _readability_parts(col)
+    grade = (
+        F.lit(0.39) * (n_words / n_sent)
+        + F.lit(11.8) * (n_syll / n_words)
+        - F.lit(15.59)
+    )
+    return F.when(n_words > 0, round_c(grade, decimals))
+
+
+def reading_ease(col: Column, decimals: int = 6) -> Column:
+    """Flesch reading ease (higher = easier, ~0-100 for normal prose):
+    ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``.
+    Same parts, same NULL contract and replay discipline as
+    :func:`fk_grade`."""
+    from .numeric import round_c
+
+    n_words, n_sent, n_syll = _readability_parts(col)
+    ease = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syll / n_words)
+    )
+    return F.when(n_words > 0, round_c(ease, decimals))
+
+
+# Unicode script ranges as LITERAL character-class members — literal
+# codepoints (not \u escapes in the pattern source) parse identically
+# in Java regex and RE2, so a SQL twin counts the same chars.
+SCRIPT_RANGES: dict[str, str] = {
+    "latin": "A-Za-z",
+    "digit": "0-9",
+    "cyrillic": "Ѐ-ӿ",
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿぀-ヿ가-힯",
+}
+
+
+def script_fractions(col: Column, decimals: int = 6) -> Column:
+    """Per-document writing-system profile: the fraction of non-space
+    characters in each major script range (struct of
+    ``ascii, latin, digit, cyrillic, greek, arabic, cjk``) — the
+    language-ID prior and mojibake/mixed-script tripwire a multilingual
+    crawl runs before routing documents to per-language cleaning
+    (complements ``lang_id_expr``, which needs the VOCABULARY; this
+    reads the raw codepoints, so it works on languages the marker
+    table doesn't know).
+
+    Denominator = non-whitespace character count (whitespace is
+    layout, not script). NULL struct for whitespace-only/empty text.
+    Counting is ``length(text) − length(strip(class))`` per class —
+    pure codegen string ops, no UDF, replayable in any regex-capable
+    SQL engine (the ranges are literal codepoints, identical in Java
+    regex and RE2)."""
+    from .numeric import round_c
+
+    ws = "[ \t\n\f\r]"
+    s = F.coalesce(col.cast("string"), F.lit(""))
+    stripped = F.regexp_replace(s, ws, "")
+    n = F.length(stripped).cast("double")
+
+    def frac(ranges: str) -> Column:
+        kept = F.length(
+            F.regexp_replace(stripped, f"[^{ranges}]", "")
+        ).cast("double")
+        return round_c(kept / n, decimals)
+
+    fields = [
+        frac("\x01-\x7f").alias("ascii"),  # NUL never occurs in text
+        *[frac(r).alias(name) for name, r in SCRIPT_RANGES.items()],
+    ]
+    return F.when(n > 0, F.struct(*fields))

@@ -399,3 +399,60 @@ def l_diversity_violations(
         .filter(F.col("n_sensitive") < l)
         .orderBy("n_sensitive", "n", *quasi_cols)
     )
+
+
+def mixture_diversity(
+    df,
+    class_col: str,
+    group_cols: list[str] | None = None,
+):
+    """Categorical mixture-diversity report — the datasheet line that
+    answers "how concentrated is this corpus?" per slice (language
+    mix per source, domain mix per shard) before a mixture re-weight
+    (DoReMi, temperature sampling) decides what to do about it:
+
+    - ``n`` rows with a non-NULL class, ``k_classes`` distinct;
+    - ``gini_simpson`` = 1 − Σ nᵢ(nᵢ−1) / (n(n−1)) — the UNBIASED
+      (finite-sample) probability two draws WITHOUT replacement
+      differ; 0 = monoculture, →1 = maximally mixed. Exact rational
+      of integer counts, one final double division (no pow/ln —
+      Shannon entropy would not hash-replay, this does);
+    - ``berger_parker`` = max nᵢ / n, the dominance share (the
+      complement view: how big is the single biggest class).
+
+    NULL class values are excluded (an unknown label is not a
+    class); groups with n < 2 report NULL gini (no pair to draw).
+    Two hash aggregates on one grouping chain; replayable in any
+    SQL engine."""
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import round_c
+
+    gcols = list(group_cols or [])
+    counts = (
+        df.filter(F.col(class_col).isNotNull())
+        .groupBy(*gcols, class_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n = F.sum("__c")
+    pairs_same = F.sum(F.col("__c") * (F.col("__c") - F.lit(1)))
+    out = counts.groupBy(*gcols).agg(
+        n.alias("n"),
+        F.count(F.lit(1)).alias("k_classes"),
+        pairs_same.alias("__same"),
+        F.max("__c").alias("__top"),
+    )
+    gini = F.lit(1.0) - (
+        F.col("__same").cast("double")
+        / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+    )
+    result = out.select(
+        *gcols,
+        "n",
+        "k_classes",
+        F.when(F.col("n") >= 2, round_c(gini, 6)).alias("gini_simpson"),
+        round_c(
+            F.col("__top").cast("double") / F.col("n").cast("double"), 6
+        ).alias("berger_parker"),
+    )
+    return result.orderBy(*gcols) if gcols else result

@@ -1500,3 +1500,106 @@ def quantile_normalize(
             ).alias(out_col),
         )
     )
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 25,
+    stopwords: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), fully relational:
+    candidate phrases are maximal runs of content words between
+    stopword/punctuation boundaries; each word scores
+    ``degree/frequency`` (degree = summed length of the phrases its
+    occurrences sit in — words that live in long multi-word phrases
+    outrank equally frequent loners); a phrase scores the sum of its
+    member word scores. The corpus-level keyword report next to
+    TF-IDF top terms (row 74): TF-IDF needs a background corpus to
+    contrast against, RAKE reads phrase structure from the corpus
+    itself.
+
+    Output: top ``top_k`` distinct phrases —
+    (phrase, n_words, n_occurrences, score), score descending,
+    phrase as tiebreak.
+
+    Exactness: degree/frequency are exact BIGINT counts; each word
+    score is one IEEE division rounded to 9dp, the phrase score an
+    exact DECIMAL sum of those, rounded to 6dp — a SQL twin replays
+    every step.
+
+    Scale shape: boundary-marking is one codegen projection
+    (punctuation becomes a literal ``|`` token); phrase ids are a
+    per-document running sum over token position (one shuffle on
+    doc id, total order by construction); then three hash aggregates
+    (phrase assembly, word stats, phrase dedup) and a TakeOrdered
+    top-k. No self-joins, no windows beyond the per-doc position
+    scan."""
+    from ..functions.text import STOPWORDS_EN
+
+    stop = tuple(stopwords) if stopwords is not None else STOPWORDS_EN
+    s = F.lower(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+    # punctuation/symbols become an explicit boundary token; runs of
+    # whitespace collapse via the non-empty filter after split
+    marked = F.regexp_replace(s, r"[^a-z0-9 \t\n\f\r]+", " | ")
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(marked, "[ \t\n\f\r]+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    is_boundary = (F.col("tok") == "|") | F.col("tok").isin(*stop)
+    w = Window.partitionBy("id").orderBy("pos")
+    tagged = toks.select(
+        "id",
+        "pos",
+        "tok",
+        F.sum(F.when(is_boundary, 1).otherwise(0)).over(w).alias("phrase_id"),
+        is_boundary.alias("is_b"),
+    ).filter(~F.col("is_b"))
+    phrases = tagged.groupBy("id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                ),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("n_words"),
+    )
+    # per-occurrence word stats: freq = occurrences, degree = summed
+    # length of the containing phrase per occurrence
+    occ = tagged.join(
+        phrases.select("id", "phrase_id", "n_words"), ["id", "phrase_id"]
+    )
+    word_scores = occ.groupBy("tok").agg(
+        (
+            F.sum("n_words").cast("double")
+            / F.count("*").cast("double")
+        ).alias("__ws")
+    ).select("tok", round_c(F.col("__ws"), 9).alias("word_score"))
+    phrase_scores = (
+        occ.join(word_scores, "tok")
+        .groupBy("id", "phrase_id")
+        .agg(
+            F.sum(F.col("word_score").cast("decimal(28,9)")).alias("__ps")
+        )
+        .join(phrases, ["id", "phrase_id"])
+        .groupBy("phrase")
+        .agg(
+            F.min("n_words").alias("n_words"),
+            F.count("*").alias("n_occurrences"),
+            F.min("__ps").alias("__ps"),
+        )
+    )
+    return (
+        phrase_scores.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            round_c(F.col("__ps").cast("double"), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(top_k)
+    )

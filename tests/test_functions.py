@@ -454,3 +454,92 @@ def test_l_diversity_violations(spark):
     assert out["a"]["n"] == 3 and out["a"]["n_sensitive"] == 1
     with _pytest.raises(ValueError):
         l_diversity_violations(df, ["zip"], "dx", l=1)
+
+
+def test_readability_scores(spark):
+    """FK grade / reading ease on a known sentence pair; NULL for
+    word-less text (never 0/0)."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        fk_grade,
+        reading_ease,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"), (2, ""), (3, None), (4, "   ")],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["g"], r["e"])
+        for r in df.select(
+            "id",
+            fk_grade(F.col("text")).alias("g"),
+            reading_ease(F.col("text")).alias("e"),
+        ).collect()
+    }
+    # words=6, sentences=2, syllables=6 (vowel groups)
+    assert out[1] == (
+        round(0.39 * 3.0 + 11.8 * 1.0 - 15.59, 6),
+        round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6),
+    )
+    assert out[2] == (None, None)
+    assert out[3] == (None, None)
+    assert out[4] == (None, None)
+
+
+def test_script_fractions(spark):
+    """Mixed-script profile: literal codepoint classes count per
+    range; whitespace excluded from the denominator; NULL struct for
+    blank text."""
+    from strategicai_visibility_loop_etl_spark.functions.text import (
+        script_fractions,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc 123 Привет 你好"), (2, "  ")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["p"]
+        for r in df.select(
+            "id", script_fractions(F.col("text")).alias("p")
+        ).collect()
+    }
+    p = rows[1]
+    n = 14.0  # 3 latin + 3 digit + 6 cyrillic + 2 cjk
+    assert p["ascii"] == round(6 / n, 6)
+    assert p["latin"] == round(3 / n, 6)
+    assert p["digit"] == round(3 / n, 6)
+    assert p["cyrillic"] == round(6 / n, 6)
+    assert p["cjk"] == round(2 / n, 6)
+    assert p["greek"] == 0.0 and p["arabic"] == 0.0
+    assert rows[2] is None
+
+
+def test_mixture_diversity(spark):
+    """Unbiased Gini–Simpson from pair counts: monoculture 0, an
+    a,a,b mix 2/3; n=1 groups report NULL (no pair to draw); NULL
+    classes excluded."""
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        mixture_diversity,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("s1", "a"), ("s1", "a"), ("s1", "b"),
+            ("s2", "a"), ("s2", "a"),
+            ("s3", "a"), ("s3", None),
+        ],
+        "src string, lang string",
+    )
+    out = {
+        r["src"]: r
+        for r in mixture_diversity(df, "lang", ["src"]).collect()
+    }
+    assert out["s1"]["n"] == 3 and out["s1"]["k_classes"] == 2
+    assert out["s1"]["gini_simpson"] == round(1 - 2 / 6, 6)
+    assert out["s1"]["berger_parker"] == round(2 / 3, 6)
+    assert out["s2"]["gini_simpson"] == 0.0     # monoculture
+    assert out["s3"]["n"] == 1 and out["s3"]["gini_simpson"] is None
+    # ungrouped form: one global row
+    g = mixture_diversity(df, "lang").collect()
+    assert len(g) == 1 and g[0]["n"] == 6

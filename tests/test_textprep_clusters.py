@@ -1013,3 +1013,30 @@ def test_golden_record_quotes_awkward_column_names(spark):
     assert len(out) == 1
     assert out[0]["full name"] == "alpha"   # latest non-null
     assert out[0]["e-mail"] == "y.com"
+
+
+def test_rake_keywords_hand_example(spark):
+    """The RAKE score algebra on a tiny corpus: boundaries at
+    punctuation and stopwords, degree/frequency word scores, phrase
+    score = sum of member scores, dedup counts occurrences."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        rake_keywords,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "red apple. the red apple pie"), (2, "red apple!")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["phrase"]: r for r in rake_keywords(docs, top_k=10).collect()
+    }
+    # phrases: "red apple" x2, "red apple pie" x1
+    # freq: red 3, apple 3, pie 1; degree: red 2+3+2=7, apple 7, pie 3
+    # scores: red = apple = 7/3, pie = 3
+    rs = round(7 / 3, 9)
+    assert set(out) == {"red apple", "red apple pie"}
+    assert out["red apple"]["n_occurrences"] == 2
+    assert out["red apple"]["n_words"] == 2
+    assert out["red apple"]["score"] == round(rs + rs, 6)
+    assert out["red apple pie"]["score"] == round(rs + rs + 3.0, 6)
+    assert out["red apple pie"]["n_occurrences"] == 1
