@@ -4717,6 +4717,82 @@ def qx92_mixture_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_diversity(docs, "lang", ["source"])
 
 
+def qx93_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic scorer calibration (capability row 192): does event
+    value predict purchase? Bin the value range, fit the monotone
+    max-min (= PAVA) regression of the purchase rate — DECIMAL
+    prefix sums, one IEEE division per (j,k) window, replayed
+    triple-for-triple by DuckDB."""
+    from strategicai_visibility_loop_etl_spark.operators.scorer import (
+        isotonic_calibrate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("value").alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return isotonic_calibrate(ev, "score", "label", n_bins=12)
+
+
+def qx94_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference strengths (capability row 193): each
+    user 'duels' every pair of event types they used — the type with
+    the larger decimal-exact value total wins (ties skip) — then 10
+    MM rounds estimate type strengths. DuckDB replays the duel
+    derivation and all 10 unrolled rounds."""
+    from strategicai_visibility_loop_etl_spark.operators.preference import (
+        bradley_terry,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.sum(_rd(F.col("value"), 6).cast("decimal(28,6)")).alias("v")
+        )
+        .filter(F.col("v").isNotNull())
+    )
+    a = per.select(
+        "user_id", F.col("event_type").alias("t_a"), F.col("v").alias("v_a")
+    )
+    b = per.select(
+        "user_id", F.col("event_type").alias("t_b"), F.col("v").alias("v_b")
+    )
+    duels = (
+        a.join(b, "user_id")
+        .filter((F.col("t_a") < F.col("t_b")) & (F.col("v_a") != F.col("v_b")))
+        .select(
+            F.when(F.col("v_a") > F.col("v_b"), F.col("t_a"))
+            .otherwise(F.col("t_b"))
+            .alias("winner"),
+            F.when(F.col("v_a") > F.col("v_b"), F.col("t_b"))
+            .otherwise(F.col("t_a"))
+            .alias("loser"),
+        )
+    )
+    return bradley_terry(duels, iters=10)
+
+
+def qx95_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (capability row 194): user
+    journeys over event types under the (tus, event_id) total order,
+    truncated at first purchase; 8 value-iteration rounds per
+    scenario (full + one per removed channel), all scenarios advanced
+    by one keyed join per round. DuckDB replays the journey build,
+    the scenario retargeting and all 8 unrolled rounds."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        removal_effect,
+    )
+
+    ev = _ev(spark, sf_dir).select("user_id", "tus", "event_id", "event_type")
+    return removal_effect(
+        ev, "user_id", "tus", "event_type", "purchase",
+        tiebreak_col="event_id", horizon=8,
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -4811,6 +4887,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx90_script_profile": qx90_script_profile,
         "qx91_rake_keywords": qx91_rake_keywords,
         "qx92_mixture_diversity": qx92_mixture_diversity,
+        "qx93_isotonic": qx93_isotonic,
+        "qx94_bradley_terry": qx94_bradley_terry,
+        "qx95_removal_effect": qx95_removal_effect,
     }
 
 
@@ -8341,6 +8420,265 @@ def extra_oracle_sql() -> dict[str, str]:
                round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
                    AS berger_parker
         FROM c GROUP BY source ORDER BY source
+    """
+
+    # qx93: the max-min isotonic fit replayed triple-for-triple —
+    # same binning arithmetic, DECIMAL prefix sums, one double
+    # division per (j,k) window, min-then-max.
+    sql["qx93_isotonic"] = """
+        WITH base AS (
+            SELECT CAST(value AS DOUBLE) AS s,
+                   CAST(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END AS DOUBLE) AS y
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        rng AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM base),
+        binned AS (
+            SELECT CASE WHEN hi > lo THEN least(
+                       CAST(floor((s - lo) / (hi - lo)
+                            * CAST(12.0 AS DOUBLE)) AS BIGINT),
+                       CAST(11 AS BIGINT))
+                   ELSE CAST(0 AS BIGINT) END AS bin,
+                   y, lo, hi
+            FROM base, rng
+        ),
+        bins AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(round(y, 9) AS DECIMAL(28,9))) AS ysum,
+                   MIN(lo) AS lo, MAX(hi) AS hi
+            FROM binned GROUP BY bin
+        ),
+        pref AS (
+            SELECT bin, n, ysum, lo, hi,
+                   CAST(SUM(n) OVER (ORDER BY bin) AS BIGINT) AS cw,
+                   CAST(SUM(ysum) OVER (ORDER BY bin)
+                        AS DECIMAL(38,9)) AS cwy
+            FROM bins
+        ),
+        triples AS (
+            SELECT i.bin AS i, j.bin AS j,
+                   CAST(k.cwy - (j.cwy - j.ysum) AS DOUBLE)
+                   / CAST(k.cw - (j.cw - j.n) AS DOUBLE) AS a
+            FROM pref i
+            JOIN pref j ON j.bin <= i.bin
+            JOIN pref k ON k.bin >= i.bin
+        ),
+        fit AS (
+            SELECT i, MAX(m) AS f FROM (
+                SELECT i, j, MIN(a) AS m FROM triples GROUP BY i, j
+            ) GROUP BY i
+        )
+        SELECT bins.bin,
+               round(lo + CAST(bins.bin AS DOUBLE) * (hi - lo)
+                     / CAST(12.0 AS DOUBLE), 9) AS score_lo,
+               round(lo + CAST(bins.bin + 1 AS DOUBLE) * (hi - lo)
+                     / CAST(12.0 AS DOUBLE), 9) AS score_hi,
+               n,
+               round(CAST(ysum AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                   AS label_mean,
+               round(f, 6) AS fit
+        FROM bins JOIN fit ON fit.i = bins.bin
+        ORDER BY bins.bin
+    """
+
+    _bt_prev = "p0"
+    _bt_rounds = []
+    for _t in range(1, 11):
+        _bt_rounds.append(f"""
+        den{_t} AS (
+            SELECT e.i,
+                   SUM(CAST(round(CAST(e.n AS DOUBLE) / (pi.p + pj.p), 12)
+                       AS DECIMAL(38,12))) AS den
+            FROM edges e
+            JOIN {_bt_prev} pi ON pi.item = e.i
+            JOIN {_bt_prev} pj ON pj.item = e.j
+            GROUP BY e.i
+        ),
+        raw{_t} AS MATERIALIZED (
+            SELECT it.item,
+                   CAST(it.wins AS DOUBLE) / CAST(d.den AS DOUBLE) AS raw
+            FROM items it JOIN den{_t} d ON d.i = it.item
+        ),
+        s{_t} AS (
+            SELECT CAST(SUM(CAST(round(raw, 12) AS DECIMAL(38,12)))
+                   AS DOUBLE) AS s
+            FROM raw{_t}
+        ),
+        p{_t} AS MATERIALIZED (
+            SELECT item, round(raw * (nit.n / s{_t}.s), 12) AS p
+            FROM raw{_t}, s{_t}, nit
+        )""")
+        _bt_prev = f"p{_t}"
+    # qx94: duel derivation + all 10 MM rounds unrolled (MATERIALIZED
+    # per round; the prev-CTE name advances each loop — the qx47
+    # discipline). Same 12dp per-term rounds, DECIMAL denominator and
+    # normalizer sums, mean-1 gauge.
+    sql["qx94_bradley_terry"] = f"""
+        WITH per AS (
+            SELECT user_id, event_type,
+                   SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS v
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY user_id, event_type
+            HAVING SUM(CAST(round(value, 6) AS DECIMAL(28,6))) IS NOT NULL
+        ),
+        duels AS (
+            SELECT CASE WHEN a.v > b.v THEN a.event_type
+                        ELSE b.event_type END AS w,
+                   CASE WHEN a.v > b.v THEN b.event_type
+                        ELSE a.event_type END AS l
+            FROM per a JOIN per b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            WHERE a.v <> b.v
+        ),
+        dc AS (SELECT w, l, CAST(COUNT(*) AS BIGINT) AS n
+               FROM duels GROUP BY w, l),
+        edges AS MATERIALIZED (
+            SELECT i, j, CAST(SUM(n) AS BIGINT) AS n FROM (
+                SELECT w AS i, l AS j, n FROM dc
+                UNION ALL SELECT l AS i, w AS j, n FROM dc
+            ) GROUP BY i, j
+        ),
+        winrows AS (SELECT w AS item, CAST(SUM(n) AS BIGINT) AS wins
+                    FROM dc GROUP BY w),
+        items AS MATERIALIZED (
+            SELECT item, coalesce(wins, CAST(0 AS BIGINT)) AS wins
+            FROM (SELECT DISTINCT i AS item FROM edges)
+            LEFT JOIN winrows USING (item)
+        ),
+        games AS (SELECT i AS item, CAST(SUM(n) AS BIGINT) AS games
+                  FROM edges GROUP BY i),
+        nit AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM items),
+        p0 AS MATERIALIZED (
+            SELECT item, CAST(1.0 AS DOUBLE) AS p FROM items
+        ),{",".join(_bt_rounds)}
+        SELECT it.item, it.wins, g.games, round(p.p, 6) AS strength
+        FROM items it
+        JOIN games g USING (item)
+        JOIN p10 p USING (item)
+        ORDER BY strength DESC, item
+    """
+
+    # qx95: journey build, scenario retargeting and all 8 value-
+    # iteration rounds unrolled (MATERIALIZED; prev-CTE advances per
+    # loop). 12dp transition probs and 15dp iteration terms summed as
+    # DECIMAL, exactly as the engine.
+    _re_prev = "r0"
+    _re_rounds = []
+    for _t in range(1, 9):
+        _re_rounds.append(f"""
+        st{_t} AS (
+            SELECT s.scen, s."from" AS state,
+                   CAST(SUM(CAST(round(s.p * r.r, 15) AS DECIMAL(38,15)))
+                        AS DOUBLE) AS r
+            FROM scen_trans s
+            JOIN {_re_prev} r ON r.scen = s.scen AND r.state = s."to"
+            GROUP BY s.scen, s."from"
+        ),
+        r{_t} AS MATERIALIZED (
+            SELECT scen, state, r FROM st{_t}
+            UNION ALL SELECT scen, state, r FROM absorbing
+        )""")
+        _re_prev = f"r{_t}"
+    sql["qx95_removal_effect"] = f"""
+        WITH base AS (
+            SELECT user_id AS seq,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS pos,
+                   event_type AS st
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ),
+        cpos AS (
+            SELECT seq, MIN(pos) AS cp FROM base
+            WHERE st = 'purchase' GROUP BY seq
+        ),
+        kept AS (
+            SELECT b.seq, b.pos,
+                   CASE WHEN b.st = 'purchase' THEN 'CONV' ELSE b.st END
+                       AS st,
+                   c.cp
+            FROM base b LEFT JOIN cpos c USING (seq)
+            WHERE c.cp IS NULL OR b.pos <= c.cp
+        ),
+        journey AS (
+            SELECT DISTINCT seq, CAST(0 AS BIGINT) AS pos, 'START' AS st
+            FROM kept
+            UNION ALL SELECT seq, pos, st FROM kept
+            UNION ALL
+            SELECT DISTINCT seq, CAST(4611686018427387904 AS BIGINT)
+                       AS pos, 'DROP' AS st
+            FROM kept WHERE cp IS NULL
+        ),
+        steps AS (
+            SELECT st AS "from",
+                   lead(st) OVER (PARTITION BY seq ORDER BY pos) AS "to"
+            FROM journey QUALIFY "to" IS NOT NULL
+        ),
+        trans AS (
+            SELECT "from", "to", CAST(COUNT(*) AS BIGINT) AS n
+            FROM steps GROUP BY "from", "to"
+        ),
+        tots AS (SELECT "from", SUM(n) AS tot FROM trans GROUP BY "from"),
+        probs AS MATERIALIZED (
+            SELECT t."from", t."to",
+                   round(CAST(t.n AS DOUBLE) / CAST(s.tot AS DOUBLE), 12)
+                       AS p
+            FROM trans t JOIN tots s ON s."from" = t."from"
+        ),
+        scens AS MATERIALIZED (
+            SELECT DISTINCT "from" AS scen FROM probs
+            WHERE "from" <> 'START'
+            UNION ALL SELECT '__full__'
+        ),
+        scen_trans AS MATERIALIZED (
+            SELECT scen, "from",
+                   CASE WHEN scen <> '__full__' AND "to" = scen
+                        THEN 'DROP' ELSE "to" END AS "to",
+                   CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS p
+            FROM probs CROSS JOIN scens
+            WHERE scen = '__full__' OR "from" <> scen
+            GROUP BY scen, "from",
+                     CASE WHEN scen <> '__full__' AND "to" = scen
+                          THEN 'DROP' ELSE "to" END
+        ),
+        absorbing AS MATERIALIZED (
+            SELECT scen, 'CONV' AS state, CAST(1.0 AS DOUBLE) AS r
+            FROM scens
+            UNION ALL
+            SELECT scen, 'DROP' AS state, CAST(0.0 AS DOUBLE) AS r
+            FROM scens
+        ),
+        r0 AS MATERIALIZED (
+            SELECT DISTINCT scen, "from" AS state, CAST(0.0 AS DOUBLE) AS r
+            FROM scen_trans
+            UNION ALL SELECT scen, state, r FROM absorbing
+        ),{",".join(_re_rounds)},
+        p_conv AS (
+            SELECT scen, r AS pc FROM {_re_prev} WHERE state = 'START'
+        ),
+        fullp AS (SELECT pc AS pf FROM p_conv WHERE scen = '__full__'),
+        effects AS MATERIALIZED (
+            SELECT scen AS channel, pf, pc,
+                   CASE WHEN pf > 0
+                        THEN round(CAST(1.0 AS DOUBLE) - pc / pf, 12) END
+                       AS re
+            FROM p_conv, fullp WHERE scen <> '__full__'
+        ),
+        tot_re AS (
+            SELECT CAST(SUM(CAST(re AS DECIMAL(38,12))) AS DOUBLE) AS s
+            FROM effects
+        )
+        SELECT channel,
+               round(pf, 6) AS p_full,
+               round(pc, 6) AS p_removed,
+               round(re, 6) AS removal_effect,
+               CASE WHEN s > 0 THEN round(re / s, 6) END
+                   AS attribution_share
+        FROM effects, tot_re
+        ORDER BY removal_effect DESC, channel
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -1,0 +1,154 @@
+"""Preference-ranking estimation for pairwise-comparison data.
+
+The preference-data member of the analytics family: RLHF-style
+pipelines accumulate DUELS (A beat B on this prompt) and need item
+strengths back out of them. The Bradley–Terry model is the standard
+answer — P(i beats j) = pi_i / (pi_i + pi_j) — estimated here by the
+classic MM algorithm (Hunter 2004, "MM algorithms for generalized
+Bradley-Terry models"), a fixed number of rounds so a SQL twin can
+replay the identical arithmetic (the PageRank/HITS discipline).
+
+Shape at 100 TB: duel volume is the big-data side — one hash
+aggregate collapses duels to the per-pair count table (pairs <<
+duels); each MM round is two strength join-backs + one denominator
+hash aggregate over the PAIR table + a 1-row broadcast normalizer.
+Strengths stay distributed (item count can be large); per-round
+``localCheckpoint`` cuts the iteration lineage.
+
+No analog in the reference (a pandas visibility ETL has no ranking
+estimation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.numeric import round_c
+
+
+def bradley_terry(
+    duels: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    iters: int = 10,
+) -> DataFrame:
+    """Bradley–Terry strengths from raw duel rows (one row = one
+    comparison, ``winner_col`` beat ``loser_col``).
+
+    MM update, ``iters`` fixed rounds from the uniform start:
+
+        pi_i  <-  W_i / sum_j n_ij / (pi_i + pi_j)
+
+    then normalized to mean 1 (sum = item count) — BT strengths are
+    scale-free, and the mean-1 gauge keeps every round's numbers
+    O(1) without the geometric mean's ln/exp (which would not
+    hash-replay).
+
+    Exactness contract: each opponent term ``n_ij / (pi_i + pi_j)``
+    is one IEEE division rounded to 12dp; the per-item denominator
+    sums those as DECIMAL (exact, order-free); the normalizer sums
+    12dp-rounded raw strengths the same way. Every step replays
+    bit-for-bit in an unrolled SQL twin.
+
+    Standard BT caveat (caller contract): strengths are identified
+    only on a CONNECTED comparison graph where every item has at
+    least one win and one loss; an all-winning item's strength grows
+    without bound under more rounds (finite here — the fixed rounds
+    bound it), an all-losing item's goes to 0.
+
+    Output: (item, wins, games, strength), strength descending with
+    item tiebreak, rounded to 6dp.
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    d = duels.select(
+        F.col(winner_col).alias("w"), F.col(loser_col).alias("l")
+    ).filter(F.col("w").isNotNull() & F.col("l").isNotNull())
+    # directed duel counts, then symmetric per-pair game counts
+    dir_counts = d.groupBy("w", "l").agg(F.count(F.lit(1)).alias("n"))
+    edges = (
+        dir_counts.select(F.col("w").alias("i"), F.col("l").alias("j"), "n")
+        .unionAll(
+            dir_counts.select(
+                F.col("l").alias("i"), F.col("w").alias("j"), "n"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    wins = (
+        dir_counts.groupBy("w")
+        .agg(F.sum("n").alias("wins"))
+        .select(F.col("w").alias("item"), "wins")
+    )
+    items = (
+        edges.select(F.col("i").alias("item"))
+        .distinct()
+        .join(wins, "item", "left")
+        .select(
+            "item", F.coalesce("wins", F.lit(0).cast("long")).alias("wins")
+        )
+        .localCheckpoint(eager=False)
+    )
+    games = edges.groupBy("i").agg(F.sum("n").alias("games")).select(
+        F.col("i").alias("item"), "games"
+    )
+
+    p = items.select("item", F.lit(1.0).alias("p"))
+    n_items = items.count()  # scalar, once — the normalization gauge
+    for _ in range(iters):
+        pi = p.select(F.col("item").alias("i"), F.col("p").alias("p_i"))
+        pj = p.select(F.col("item").alias("j"), F.col("p").alias("p_j"))
+        den = (
+            edges.join(pi, "i")
+            .join(pj, "j")
+            .select(
+                "i",
+                round_c(
+                    F.col("n").cast("double")
+                    / (F.col("p_i") + F.col("p_j")),
+                    12,
+                ).alias("__t"),
+            )
+            .groupBy("i")
+            .agg(
+                F.sum(F.col("__t").cast("decimal(38,12)")).alias("__den")
+            )
+        )
+        raw = (
+            items.join(den, items["item"] == den["i"])
+            .select(
+                "item",
+                (
+                    F.col("wins").cast("double")
+                    / F.col("__den").cast("double")
+                ).alias("__raw"),
+            )
+        )
+        total = raw.agg(
+            F.sum(round_c(F.col("__raw"), 12).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("__s")
+        )
+        p = (
+            raw.crossJoin(F.broadcast(total))
+            .select(
+                "item",
+                round_c(
+                    F.col("__raw")
+                    * (F.lit(float(n_items)) / F.col("__s")),
+                    12,
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        items.join(games, "item")
+        .join(p, "item")
+        .select(
+            "item", "wins", "games", round_c(F.col("p"), 6).alias("strength")
+        )
+        .orderBy(F.desc("strength"), "item")
+    )

@@ -510,3 +510,215 @@ def sessionize_metrics(
     return flagged.groupBy(
         F.col(seq_col), F.col("__sess").alias("session_no")
     ).agg(*aggs)
+
+
+def removal_effect(
+    df: DataFrame,
+    seq_col: str,
+    time_col: str,
+    state_col: str,
+    conversion_state: str,
+    tiebreak_col: str | None = None,
+    horizon: int = 8,
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016 shape) —
+    the model-based alternative to Shapley attribution (row 152) that
+    consumes the empirical chain :func:`markov_transitions` estimates:
+    build the first-order journey chain with START / CONV / DROP
+    states, compute the probability a journey converts within
+    ``horizon`` steps, then for each channel recompute it with that
+    channel REMOVED (its incoming probability mass redirected to
+    DROP); the channel's removal effect is the relative conversion
+    loss, and attribution shares normalize the effects.
+
+    Journey construction: per ``seq_col``, events order by
+    (``time_col``, ``tiebreak_col``) — a TOTAL order, the qx70
+    lesson; the journey truncates at the FIRST ``conversion_state``
+    event (mapped to the absorbing CONV), non-converting journeys
+    absorb into DROP, and START precedes every journey.
+
+    Finite ``horizon`` (fixed value-iteration rounds) rather than a
+    linear solve: the iteration is the replayable form (a SQL twin
+    unrolls the same rounds — the PageRank/HITS/Bradley-Terry
+    discipline), and at 8+ steps the remaining mass sits in cycles
+    that rarely convert. Per round, every scenario advances in ONE
+    join — scenarios ride a key column, never a loop of jobs.
+
+    Exactness: transition probabilities are 12dp-rounded divisions
+    summed as DECIMAL under scenario retargeting; each value-
+    iteration term is one IEEE multiply rounded to 15dp, summed as
+    DECIMAL (order-free); effects and shares are single divisions.
+
+    Scale shape: the corpus-sized work is the per-sequence window +
+    one transition hash aggregate (the qx80 shape). Everything after
+    runs on the transition table (states², model-sized by
+    construction) × (channels + 1) scenarios; per-round
+    ``localCheckpoint`` cuts the iteration lineage.
+
+    Output per channel: (channel, p_full, p_removed, removal_effect,
+    attribution_share), effect descending.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    order = [F.col(time_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(seq_col).orderBy(*order)
+    base = df.filter(
+        F.col(seq_col).isNotNull() & F.col(state_col).isNotNull()
+    ).select(
+        F.col(seq_col).alias("seq"),
+        F.row_number().over(w).alias("pos"),
+        F.col(state_col).alias("st"),
+    )
+    conv_pos = (
+        base.filter(F.col("st") == conversion_state)
+        .groupBy("seq")
+        .agg(F.min("pos").alias("cpos"))
+    )
+    kept = (
+        base.join(conv_pos, "seq", "left")
+        .filter(F.col("cpos").isNull() | (F.col("pos") <= F.col("cpos")))
+        .select(
+            "seq",
+            "pos",
+            F.when(F.col("st") == conversion_state, F.lit("CONV"))
+            .otherwise(F.col("st"))
+            .alias("st"),
+            "cpos",
+        )
+    )
+    starts = kept.select("seq").distinct().select(
+        "seq", F.lit(0).alias("pos"), F.lit("START").alias("st")
+    )
+    drops = (
+        kept.filter(F.col("cpos").isNull())
+        .select("seq")
+        .distinct()
+        .select(
+            "seq",
+            F.lit(1 << 62).alias("pos"),
+            F.lit("DROP").alias("st"),
+        )
+    )
+    journey = starts.unionAll(kept.select("seq", "pos", "st")).unionAll(drops)
+    jw = Window.partitionBy("seq").orderBy("pos")
+    steps = (
+        journey.withColumn("to", F.lead("st").over(jw))
+        .filter(F.col("to").isNotNull())
+        .select(F.col("st").alias("from"), "to")
+    )
+    trans = steps.groupBy("from", "to").agg(F.count(F.lit(1)).alias("n"))
+    totals = trans.groupBy("from").agg(F.sum("n").alias("__tot"))
+    probs = trans.join(totals, "from").select(
+        "from",
+        "to",
+        round_c(
+            F.col("n").cast("double") / F.col("__tot").cast("double"), 12
+        ).alias("p"),
+    ).localCheckpoint(eager=False)
+
+    channels = (
+        probs.select(F.col("from").alias("ch"))
+        .filter(F.col("ch") != "START")
+        .distinct()
+    )
+    scens = channels.select(F.col("ch").alias("scen")).unionAll(
+        probs.sparkSession.createDataFrame(
+            [("__full__",)], "scen string"
+        )
+    ).localCheckpoint(eager=False)
+    scen_trans = (
+        probs.crossJoin(F.broadcast(scens))
+        .filter((F.col("scen") == "__full__") | (F.col("from") != F.col("scen")))
+        .select(
+            "scen",
+            "from",
+            F.when(
+                (F.col("scen") != "__full__")
+                & (F.col("to") == F.col("scen")),
+                F.lit("DROP"),
+            )
+            .otherwise(F.col("to"))
+            .alias("to"),
+            "p",
+        )
+        .groupBy("scen", "from", "to")
+        .agg(
+            F.sum(F.col("p").cast("decimal(38,12)"))
+            .cast("double")
+            .alias("p")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    absorbing = scens.select(
+        "scen", F.lit("CONV").alias("state"), F.lit(1.0).alias("r")
+    ).unionAll(
+        scens.select(
+            "scen", F.lit("DROP").alias("state"), F.lit(0.0).alias("r")
+        )
+    ).localCheckpoint(eager=False)
+    nonabs0 = scen_trans.select(
+        "scen", F.col("from").alias("state")
+    ).distinct().select("scen", "state", F.lit(0.0).alias("r"))
+    r = nonabs0.unionAll(absorbing).localCheckpoint(eager=False)
+    for _ in range(horizon):
+        stepped = (
+            scen_trans.join(
+                r.withColumnRenamed("state", "to"), ["scen", "to"]
+            )
+            .select(
+                "scen",
+                F.col("from").alias("state"),
+                round_c(F.col("p") * F.col("r"), 15).alias("__t"),
+            )
+            .groupBy("scen", "state")
+            .agg(
+                F.sum(F.col("__t").cast("decimal(38,15)"))
+                .cast("double")
+                .alias("r")
+            )
+        )
+        r = stepped.unionAll(absorbing).localCheckpoint(eager=False)
+
+    p_conv = r.filter(F.col("state") == "START").select(
+        "scen", F.col("r").alias("p_conv")
+    )
+    full = p_conv.filter(F.col("scen") == "__full__").select(
+        F.col("p_conv").alias("p_full")
+    )
+    effects = (
+        p_conv.filter(F.col("scen") != "__full__")
+        .crossJoin(F.broadcast(full))
+        .select(
+            F.col("scen").alias("channel"),
+            "p_full",
+            F.col("p_conv").alias("p_removed"),
+            F.when(
+                F.col("p_full") > 0,
+                round_c(
+                    F.lit(1.0) - F.col("p_conv") / F.col("p_full"), 12
+                ),
+            ).alias("re"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot_re = effects.agg(
+        F.sum(F.col("re").cast("decimal(38,12)")).cast("double").alias("__s")
+    )
+    return (
+        effects.crossJoin(F.broadcast(tot_re))
+        .select(
+            "channel",
+            round_c(F.col("p_full"), 6).alias("p_full"),
+            round_c(F.col("p_removed"), 6).alias("p_removed"),
+            round_c(F.col("re"), 6).alias("removal_effect"),
+            F.when(
+                F.col("__s") > 0, round_c(F.col("re") / F.col("__s"), 6)
+            ).alias("attribution_share"),
+        )
+        .orderBy(F.desc("removal_effect"), "channel")
+    )

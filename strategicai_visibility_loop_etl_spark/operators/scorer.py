@@ -299,3 +299,156 @@ def dsir_select(
             F.col("sel_rank").cast("int").alias("sel_rank"),
         )
     )
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Isotonic (monotone) calibration of a scorer against observed
+    labels — the step that turns a RANKING score (fastText-shape
+    scorer, perplexity, quality blend) into a usable PROBABILITY
+    before thresholding decides what a corpus keeps: bin the score
+    range, take each bin's label mean, then fit the best monotone
+    non-decreasing approximation (L2 isotonic regression). Where
+    Platt scaling assumes a sigmoid, isotonic assumes only
+    monotonicity — the standard non-parametric choice (Zadrozny &
+    Elkan 2002).
+
+    The fit uses the CLOSED-FORM max-min characterization over bins —
+    ``fit_i = max_{j<=i} min_{k>=i} wavg(label, bins j..k)`` — which
+    equals the PAVA solution exactly but is pure relational algebra:
+    with ``B`` bins it enumerates the O(B^3) (j, i, k) triples over a
+    B-row table (8k rows at B=20 — model-sized by construction, the
+    bins being the model). Weighted averages come from DECIMAL prefix
+    sums (exact, order-free); each is ONE double division, so a SQL
+    twin replays the fit bit-for-bit. No collect, no UDF, no window
+    beyond the B-row prefix scan.
+
+    Scale shape: the heavy part is ONE hash aggregate of the corpus
+    into B bins (map-side combine); everything after runs on B rows.
+    Bin edges come from the global min/max via a 1-row broadcast
+    (the scalar-agg discipline); a degenerate constant score lands
+    everything in bin 0. NULL scores/labels are excluded.
+
+    Output: (bin, score_lo, score_hi, n, label_mean, fit) — ``fit``
+    non-decreasing in ``bin`` (pytest-pinned against a reference
+    PAVA).
+    """
+    from ..functions.numeric import round_c
+
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    rng = base.agg(
+        F.min("__s").alias("__lo"), F.max("__s").alias("__hi")
+    )
+    binned = (
+        base.crossJoin(F.broadcast(rng))
+        .select(
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.least(
+                    F.floor(
+                        (F.col("__s") - F.col("__lo"))
+                        / (F.col("__hi") - F.col("__lo"))
+                        * F.lit(float(n_bins))
+                    ).cast("long"),
+                    F.lit(n_bins - 1).cast("long"),
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("bin"),
+            "__y",
+            "__lo",
+            "__hi",
+        )
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(round_c(F.col("__y"), 9).cast("decimal(28,9)")).alias("__ysum"),
+        F.min("__lo").alias("__lo"),
+        F.max("__hi").alias("__hi"),
+    )
+    # single-partition by construction (B rows — the bins ARE the
+    # model); the non-foldable constant key keeps the partition bound
+    # explicit (the anomaly-rank nanvl idiom — an INTEGER col*0 would
+    # constant-fold and resurrect the no-partition warning; the
+    # double form can't fold because NaN*0 is NaN, and nanvl pins it)
+    w = (
+        Window.partitionBy(
+            F.nanvl(F.col("bin").cast("double") * F.lit(0.0), F.lit(0.0))
+        )
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = bins.select(
+        "bin",
+        "n",
+        "__ysum",
+        "__lo",
+        "__hi",
+        F.sum("n").over(w).alias("__cw"),
+        F.sum("__ysum").over(w).alias("__cwy"),
+    )
+    # prefix rows keyed for the triple join (tiny — at most B rows,
+    # so the single-partition window above is model-sized by design)
+    jrows = pref.select(
+        F.col("bin").alias("j"),
+        (F.col("__cw") - F.col("n")).alias("cw_j0"),
+        (F.col("__cwy") - F.col("__ysum")).alias("cwy_j0"),
+    )
+    krows = pref.select(
+        F.col("bin").alias("k"),
+        F.col("__cw").alias("cw_k"),
+        F.col("__cwy").alias("cwy_k"),
+    )
+    irows = pref.select(F.col("bin").alias("i"))
+    avg_jk = (
+        (F.col("cwy_k") - F.col("cwy_j0")).cast("double")
+        / (F.col("cw_k") - F.col("cw_j0")).cast("double")
+    )
+    triples = (
+        irows.join(jrows, F.col("j") <= F.col("i"))
+        .join(krows, F.col("k") >= F.col("i"))
+        .select("i", "j", avg_jk.alias("__a"))
+    )
+    fit = (
+        triples.groupBy("i", "j")
+        .agg(F.min("__a").alias("__m"))
+        .groupBy("i")
+        .agg(F.max("__m").alias("__fit"))
+    )
+    return (
+        bins.join(fit, bins["bin"] == fit["i"])
+        .select(
+            "bin",
+            round_c(
+                F.col("__lo")
+                + F.col("bin").cast("double")
+                * (F.col("__hi") - F.col("__lo"))
+                / F.lit(float(n_bins)),
+                9,
+            ).alias("score_lo"),
+            round_c(
+                F.col("__lo")
+                + (F.col("bin") + F.lit(1)).cast("double")
+                * (F.col("__hi") - F.col("__lo"))
+                / F.lit(float(n_bins)),
+                9,
+            ).alias("score_hi"),
+            "n",
+            round_c(
+                F.col("__ysum").cast("double") / F.col("n").cast("double"), 6
+            ).alias("label_mean"),
+            round_c(F.col("__fit"), 6).alias("fit"),
+        )
+        .orderBy("bin")
+    )

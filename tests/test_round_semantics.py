@@ -577,3 +577,92 @@ def test_ewma_smooth_excludes_null_values(spark):
     assert out[3]["ewma"] == 15.0          # .5*20 + .5*10 — not NULL
     assert out[4]["ewma"] == 22.5
     assert out[4]["residual"] == 15.0      # 30 - 15
+
+
+def test_bradley_terry_two_item_exact_and_properties(spark):
+    """Two items with a 3:1 record converge to the exact MLE (1.5,
+    0.5) in one MM round under the mean-1 gauge; more wins never
+    ranks lower; strengths are partitioning-invariant."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.preference import (
+        bradley_terry,
+    )
+
+    duels = spark.createDataFrame(
+        [("A", "B")] * 3 + [("B", "A")],
+        "winner string, loser string",
+    )
+    out = {r["item"]: r for r in bradley_terry(duels, iters=10).collect()}
+    assert out["A"]["strength"] == 1.5
+    assert out["B"]["strength"] == 0.5
+    assert out["A"]["wins"] == 3 and out["A"]["games"] == 4
+    assert out["B"]["wins"] == 1 and out["B"]["games"] == 4
+
+    # three items, transitive record: strength order follows dominance
+    tri = spark.createDataFrame(
+        [("A", "B")] * 4 + [("B", "C")] * 4 + [("A", "C")] * 4
+        + [("C", "A"), ("B", "A"), ("C", "B")],
+        "winner string, loser string",
+    )
+    r = {x["item"]: x["strength"] for x in bradley_terry(tri, iters=10).collect()}
+    assert r["A"] > r["B"] > r["C"]
+    assert abs(sum(r.values()) - 3.0) < 1e-6  # mean-1 gauge
+    # partitioning invariance (decimal sums are order-free)
+    r2 = {
+        x["item"]: x["strength"]
+        for x in bradley_terry(tri.repartition(7), iters=10).collect()
+    }
+    assert r == r2
+
+    with _pytest.raises(ValueError):
+        bradley_terry(duels, iters=0)
+
+
+def test_removal_effect_hand_example(spark):
+    """Four journeys with a hand-solvable chain: full conversion
+    probability 0.5; removing A leaves only S->B->CONV (0.125),
+    removing B leaves only S->A->CONV (0.25) — effects 0.75/0.5,
+    shares 0.6/0.4."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        removal_effect,
+    )
+
+    rows = [
+        (1, 1, "A"), (1, 2, "purchase"),
+        (2, 1, "A"), (2, 2, "B"),
+        (3, 1, "B"), (3, 2, "purchase"),
+        (4, 1, "A"),
+    ]
+    df = spark.createDataFrame(rows, "seq long, t long, ch string")
+    out = {
+        r["channel"]: r
+        for r in removal_effect(
+            df, "seq", "t", "ch", "purchase", horizon=8
+        ).collect()
+    }
+    assert set(out) == {"A", "B"}
+    assert out["A"]["p_full"] == 0.5 and out["B"]["p_full"] == 0.5
+    assert out["A"]["p_removed"] == 0.125
+    assert out["B"]["p_removed"] == 0.25
+    assert out["A"]["removal_effect"] == 0.75
+    assert out["B"]["removal_effect"] == 0.5
+    assert out["A"]["attribution_share"] == 0.6
+    assert out["B"]["attribution_share"] == 0.4
+
+    # journeys truncate at the FIRST conversion: a post-purchase
+    # event must not create transitions
+    rows2 = rows + [(1, 3, "B")]
+    df2 = spark.createDataFrame(rows2, "seq long, t long, ch string")
+    out2 = {
+        r["channel"]: r["removal_effect"]
+        for r in removal_effect(
+            df2, "seq", "t", "ch", "purchase", horizon=8
+        ).collect()
+    }
+    assert out2 == {"A": 0.75, "B": 0.5}
+
+    with _pytest.raises(ValueError):
+        removal_effect(df, "seq", "t", "ch", "purchase", horizon=0)

@@ -136,3 +136,61 @@ def test_dsir_is_deterministic(spark):
     b = sorted((r["doc_id"], r["sel_rank"]) for r in
                dsir_select(raw.repartition(7), target, k=10, n_buckets=512).collect())
     assert a == b
+
+
+def _pava_reference(weights, means):
+    """Textbook pool-adjacent-violators on (weight, mean) blocks;
+    returns the per-block fitted values."""
+    pools = []  # [weight, weighted_sum, n_blocks]
+    for w, m in zip(weights, means):
+        pools.append([w, w * m, 1])
+        while len(pools) > 1 and (
+            pools[-2][1] / pools[-2][0] > pools[-1][1] / pools[-1][0]
+        ):
+            w2, s2, c2 = pools.pop()
+            pools[-1][0] += w2
+            pools[-1][1] += s2
+            pools[-1][2] += c2
+    res = []
+    for w, s, c in pools:
+        res.extend([s / w] * c)
+    return res
+
+
+def test_isotonic_calibrate_matches_pava(spark):
+    """The max-min closed form equals textbook PAVA; fit is monotone
+    non-decreasing; degenerate constant score lands in bin 0."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.scorer import (
+        isotonic_calibrate,
+    )
+
+    rows = []
+    # bin means 0.8, 0.2, 0.5, 0.9 with weights 5, 5, 2, 2 over
+    # scores 0..3 (n_bins=4 over range [0,3])
+    rows += [(0.0, 1.0)] * 4 + [(0.0, 0.0)]
+    rows += [(1.0, 1.0)] * 1 + [(1.0, 0.0)] * 4
+    rows += [(2.0, 1.0), (2.0, 0.0)]
+    rows += [(3.0, 0.9), (3.0, 0.9)]
+    df = spark.createDataFrame(rows, "score double, label double")
+    out = sorted(
+        isotonic_calibrate(df, "score", "label", n_bins=4).collect(),
+        key=lambda r: r["bin"],
+    )
+    want = _pava_reference([5, 5, 2, 2], [0.8, 0.2, 0.5, 0.9])
+    got = [r["fit"] for r in out]
+    assert got == [round(v, 6) for v in want] == [0.5, 0.5, 0.5, 0.9]
+    assert [r["label_mean"] for r in out] == [0.8, 0.2, 0.5, 0.9]
+    assert all(a <= b for a, b in zip(got, got[1:]))  # monotone
+    assert [r["n"] for r in out] == [5, 5, 2, 2]
+
+    # constant score: everything in bin 0, fit = global mean
+    const = spark.createDataFrame(
+        [(7.0, 1.0), (7.0, 0.0)], "score double, label double"
+    )
+    c = isotonic_calibrate(const, "score", "label", n_bins=4).collect()
+    assert len(c) == 1 and c[0]["bin"] == 0 and c[0]["fit"] == 0.5
+
+    with _pytest.raises(ValueError):
+        isotonic_calibrate(df, "score", "label", n_bins=0)
