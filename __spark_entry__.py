@@ -4793,6 +4793,94 @@ def qx95_removal_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx96_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier churn curves per signup-week cohort (capability
+    row 195): duration = active-day span per user, churn observed
+    when the user went quiet 7+ days before the corpus edge (else
+    censored). DuckDB replays the product-limit recurrence with a
+    recursive CTE (the qx77 pattern)."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.expr("tus DIV 86400000000")).alias("fd"),
+        F.max(F.expr("tus DIV 86400000000")).alias("ld"),
+    )
+    gmax = per_user.agg(F.max("ld").alias("gmax"))
+    units = per_user.crossJoin(F.broadcast(gmax)).select(
+        F.expr("fd DIV 7").alias("cohort"),
+        (F.col("ld") - F.col("fd") + F.lit(1)).alias("dur"),
+        (F.col("ld") < F.col("gmax") - F.lit(7)).cast("int").alias("churned"),
+    )
+    return kaplan_meier(units, "dur", "churned", ["cohort"])
+
+
+def qx97_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth over 20 id-range buckets
+    (capability row 196): cumulative tokens vs cumulative distinct
+    vocabulary, new types per bucket. Pure integer bucketing + two
+    hash aggregates; DuckDB replays every count."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        vocab_growth,
+    )
+
+    return vocab_growth(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        n_buckets=20,
+    )
+
+
+def qx98_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per day-of-week (capability row 197):
+    pseudo-variants by user-id parity, success = purchase; pooled-SE
+    z with a fixed operation order DuckDB replays bit-for-bit."""
+    from strategicai_visibility_loop_etl_spark.operators.drift import (
+        two_proportion_ztest,
+    )
+
+    ev = _ev(spark, sf_dir).filter(F.col("user_id").isNotNull()).select(
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        (F.col("event_type") == "purchase").cast("int").alias("ok"),
+        F.pmod(F.expr("tus DIV 86400000000"), F.lit(7)).alias("dow"),
+    )
+    return two_proportion_ztest(ev, "variant", "A", "B", "ok", ["dow"])
+
+
+def qx99_chi2_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square term selection per language (capability row 198):
+    top-10 class-discriminative tokens from exact 2×2 presence
+    tables; the difference rides DECIMAL, the statistic one
+    fixed-order double expression."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        chi2_terms,
+    )
+
+    return chi2_terms(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "text"),
+        top_k=10,
+    )
+
+
+def qx100_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling (capability row
+    199): 3 hash-drawn negatives per document via bucketed argmin —
+    no rand(), reproducible across engines/partitionings; DuckDB
+    replays the hashes and the per-draw argmin."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        negative_pairs,
+    )
+
+    return negative_pairs(
+        _t(spark, sf_dir, "documents").select("doc_id"),
+        k=3,
+        buckets=16,
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -4890,6 +4978,11 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx93_isotonic": qx93_isotonic,
         "qx94_bradley_terry": qx94_bradley_terry,
         "qx95_removal_effect": qx95_removal_effect,
+        "qx96_kaplan_meier": qx96_kaplan_meier,
+        "qx97_vocab_growth": qx97_vocab_growth,
+        "qx98_ab_ztest": qx98_ab_ztest,
+        "qx99_chi2_terms": qx99_chi2_terms,
+        "qx100_negative_pairs": qx100_negative_pairs,
     }
 
 
@@ -8679,6 +8772,230 @@ def extra_oracle_sql() -> dict[str, str]:
                    AS attribution_share
         FROM effects, tot_re
         ORDER BY removal_effect DESC, channel
+    """
+
+    # qx96: product-limit recurrence replayed via recursive CTE over
+    # per-cohort step numbers (the qx77 pattern); at-risk counts fold
+    # down from the cohort total exactly as the engine's array fold.
+    sql["qx96_kaplan_meier"] = """
+        WITH RECURSIVE per_user AS (
+            SELECT user_id,
+                   MIN(epoch_us(ts) // 86400000000) AS fd,
+                   MAX(epoch_us(ts) // 86400000000) AS ld
+            FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+        ),
+        g AS (SELECT MAX(ld) AS gmax FROM per_user),
+        units AS (
+            SELECT fd // 7 AS cohort,
+                   ld - fd + 1 AS dur,
+                   CASE WHEN ld < gmax - 7 THEN 1 ELSE 0 END AS ev
+            FROM per_user, g
+        ),
+        per_t AS (
+            SELECT cohort, dur AS t,
+                   CAST(SUM(ev) AS BIGINT) AS d,
+                   CAST(COUNT(*) - SUM(ev) AS BIGINT) AS c
+            FROM units GROUP BY cohort, dur
+        ),
+        tot AS (
+            SELECT cohort, CAST(SUM(d + c) AS BIGINT) AS n_total
+            FROM per_t GROUP BY cohort
+        ),
+        seq AS (
+            SELECT p.*, row_number() OVER (
+                       PARTITION BY p.cohort ORDER BY p.t) AS rn,
+                   tot.n_total
+            FROM per_t p JOIN tot USING (cohort)
+        ),
+        r AS (
+            SELECT cohort, t, d, c, rn,
+                   n_total AS n,
+                   n_total - d - c AS remaining,
+                   round((CAST(1.0 AS DOUBLE)
+                          - CAST(d AS DOUBLE) / CAST(n_total AS DOUBLE))
+                         * 1e12) / 1e12 AS s
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT seq.cohort, seq.t, seq.d, seq.c, seq.rn,
+                   r.remaining AS n,
+                   r.remaining - seq.d - seq.c AS remaining,
+                   round(r.s * (CAST(1.0 AS DOUBLE)
+                          - CAST(seq.d AS DOUBLE)
+                            / CAST(r.remaining AS DOUBLE))
+                         * 1e12) / 1e12 AS s
+            FROM r JOIN seq ON seq.cohort = r.cohort
+                           AND seq.rn = r.rn + 1
+        )
+        SELECT cohort, t AS duration, n AS n_risk, d AS n_events,
+               c AS n_censored, s AS survival
+        FROM r ORDER BY cohort, duration
+    """
+
+    # qx97: same integer bucketing, token counts and window cumsums.
+    sql["qx97_vocab_growth"] = f"""
+        WITH rng AS (
+            SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+        ),
+        base AS (
+            SELECT doc_id,
+                   CAST(floor(((doc_id - lo) * 20)
+                        / (hi - lo + 1)) AS BIGINT) AS bucket,
+                   list_filter({_toks(norm_text)},
+                               t -> length(t) >= 1) AS toks
+            FROM documents, rng
+        ),
+        per_bucket AS (
+            SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(toks)) AS BIGINT) AS tokens
+            FROM base GROUP BY bucket
+        ),
+        firstb AS (
+            SELECT tok, MIN(bucket) AS fb
+            FROM (SELECT bucket, unnest(toks) AS tok FROM base)
+            GROUP BY tok
+        ),
+        newt AS (
+            SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+            FROM firstb GROUP BY fb
+        )
+        SELECT p.bucket, p.n_docs, p.tokens,
+               CAST(SUM(p.tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+                   AS tokens_cum,
+               coalesce(n.new_types, CAST(0 AS BIGINT)) AS new_types,
+               CAST(SUM(coalesce(n.new_types, 0)) OVER (ORDER BY p.bucket)
+                    AS BIGINT) AS vocab_cum
+        FROM per_bucket p LEFT JOIN newt n ON n.bucket = p.bucket
+        ORDER BY p.bucket
+    """
+
+    # qx98: pooled-SE z with the engine's exact operation order.
+    sql["qx98_ab_ztest"] = """
+        WITH ev AS (
+            SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END
+                       AS variant,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS ok,
+                   (epoch_us(ts) // 86400000000) % 7 AS dow
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        agg AS (
+            SELECT dow,
+                   CAST(SUM(CASE WHEN variant = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN variant = 'A' THEN ok ELSE 0 END)
+                        AS BIGINT) AS x_a,
+                   CAST(SUM(CASE WHEN variant = 'B' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN variant = 'B' THEN ok ELSE 0 END)
+                        AS BIGINT) AS x_b
+            FROM ev GROUP BY dow
+            HAVING n_a > 0 AND n_b > 0
+        ),
+        calc AS (
+            SELECT *,
+                   CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+                   CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+                   CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                       AS pool
+            FROM agg
+        ),
+        zc AS (
+            SELECT *,
+                   sqrt(pool * (CAST(1.0 AS DOUBLE) - pool)
+                        * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+                           + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+                       AS se
+            FROM calc
+        )
+        SELECT dow, n_a, x_a, round(pa, 6) AS p_a,
+               n_b, x_b, round(pb, 6) AS p_b,
+               CASE WHEN se > 0 THEN round((pa - pb) / se, 6) END AS z,
+               coalesce(abs(CASE WHEN se > 0
+                                 THEN round((pa - pb) / se, 6) END)
+                        > 1.959963985, FALSE) AS significant
+        FROM zc ORDER BY dow
+    """
+
+    # qx99: exact 2x2 presence cells, DECIMAL product-difference,
+    # fixed-order double statistic, per-class top-10 window.
+    sql["qx99_chi2_terms"] = f"""
+        WITH pres AS (
+            SELECT DISTINCT doc_id AS id, lang AS cls, tok
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(list_distinct({_toks(norm_text)})) AS tok
+                FROM documents WHERE lang IS NOT NULL
+            ) WHERE length(tok) >= 1
+        ),
+        a AS (SELECT cls, tok, CAST(COUNT(*) AS BIGINT) AS A
+              FROM pres GROUP BY cls, tok),
+        tt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS T
+               FROM pres GROUP BY tok),
+        ct AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS Nc
+               FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS N
+               FROM documents WHERE lang IS NOT NULL),
+        cells AS (
+            SELECT a.cls, a.tok, a.A,
+                   tt.T - a.A AS B,
+                   ct.Nc - a.A AS C,
+                   nt.N - ct.Nc - (tt.T - a.A) AS D,
+                   nt.N
+            FROM a JOIN tt USING (tok) JOIN ct USING (cls), nt
+        ),
+        scored AS (
+            SELECT cls, tok, A,
+                   CAST(CAST(A AS DECIMAL(38,0)) * CAST(D AS DECIMAL(38,0))
+                        - CAST(B AS DECIMAL(38,0)) * CAST(C AS DECIMAL(38,0))
+                        AS DOUBLE) AS diff,
+                   CAST(A + B AS DOUBLE) * CAST(C + D AS DOUBLE)
+                       * CAST(A + C AS DOUBLE) * CAST(B + D AS DOUBLE)
+                       AS den,
+                   CAST(N AS DOUBLE) AS nd
+            FROM cells
+        ),
+        chi AS (
+            SELECT cls, tok, A,
+                   CASE WHEN den > 0
+                        THEN round(nd * (diff * diff) / den, 6) END AS chi2
+            FROM scored
+        ),
+        ranked AS (
+            SELECT cls, tok, A, chi2,
+                   row_number() OVER (
+                       PARTITION BY cls ORDER BY chi2 DESC, tok) AS rank
+            FROM chi WHERE chi2 IS NOT NULL
+        )
+        SELECT cls, CAST(rank AS INT) AS rank, tok, A AS n_docs, chi2
+        FROM ranked WHERE rank <= 10 ORDER BY cls, rank
+    """
+
+    # qx100: the Knuth-hash draws and per-draw argmin replayed.
+    sql["qx100_negative_pairs"] = """
+        WITH cand AS (
+            SELECT doc_id AS cand,
+                   (doc_id * 2654435761) % 4294967296 % 16 AS bucket
+            FROM documents
+        ),
+        draws AS (
+            SELECT d.doc_id AS anchor, j.draw,
+                   (d.doc_id * 2654435761 + j.draw * 40503)
+                       % 4294967296 % 16 AS bucket
+            FROM documents d,
+                 (SELECT unnest(range(1, 4)) AS draw) j
+        ),
+        paired AS (
+            SELECT anchor, draw, cand,
+                   ((anchor * 31 + cand) * 2654435761 + draw)
+                       % 4294967296 AS h
+            FROM draws JOIN cand USING (bucket)
+            WHERE cand <> anchor
+        )
+        SELECT anchor AS anchor_id, draw, cand AS negative_id
+        FROM paired
+        QUALIFY row_number() OVER (
+            PARTITION BY anchor, draw ORDER BY h, cand) = 1
+        ORDER BY anchor_id, draw
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

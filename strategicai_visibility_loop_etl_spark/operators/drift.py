@@ -260,3 +260,77 @@ def ks_test(
         F.when(has_data, round_c(crit, 6)).alias("critical"),
         F.when(has_data, round_c(ks, 6) > round_c(crit, 6)).alias("reject"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    variant_a: str,
+    variant_b: str,
+    success_col: str,
+    group_cols: list[str] | None = None,
+    alpha_z: float = 1.959963985,
+) -> DataFrame:
+    """Two-proportion z-test per group — the A/B-experiment readout
+    (did variant A's success rate differ from B's beyond sampling
+    noise?) and the categorical companion of :func:`ks_test` (that
+    compares continuous DISTRIBUTIONS; this compares RATES):
+
+        z = (p_a − p_b) / sqrt(p(1−p)(1/n_a + 1/n_b)),  p pooled.
+
+    Output per group: n/x/p for both variants, z, and
+    ``significant`` at the given critical value (default two-sided
+    95%). z is NULL when either variant is absent or the pooled rate
+    is degenerate (0 or 1 — no variance to test against).
+
+    Exactness: counts are exact; p's are single divisions; sqrt is
+    IEEE-correctly-rounded; the z expression keeps a fixed operation
+    order so a SQL twin replays it bit-for-bit.
+
+    Scale shape: ONE conditional-count hash aggregate over the
+    grouping; everything after is per-group scalar arithmetic.
+    ``success_col`` is truthy-int (NULL = failure, the conservative
+    default).
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    gcols = list(group_cols or [])
+    is_a = F.col(variant_col) == variant_a
+    is_b = F.col(variant_col) == variant_b
+    succ = F.when(
+        F.coalesce(F.col(success_col), F.lit(0)).cast("int") != 0, 1
+    ).otherwise(0)
+    agg = df.groupBy(*gcols).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(is_a, succ).otherwise(0)).cast("long").alias("x_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(is_b, succ).otherwise(0)).cast("long").alias("x_b"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    p_a = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    z = F.when(se > 0, round_c((p_a - p_b) / se, 6))
+    out = agg.select(
+        *gcols,
+        "n_a",
+        "x_a",
+        round_c(p_a, 6).alias("p_a"),
+        "n_b",
+        "x_b",
+        round_c(p_b, 6).alias("p_b"),
+        z.alias("z"),
+        F.coalesce(
+            F.abs(z) > F.lit(float(alpha_z)), F.lit(False)
+        ).alias("significant"),
+    )
+    return out.orderBy(*gcols) if gcols else out

@@ -1431,3 +1431,97 @@ def centroid_similarity(
             .alias("cosine"),
         )
     )
+
+
+def negative_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    buckets: int = 64,
+    exclude_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training data:
+    each anchor document draws ``k`` pseudo-random negatives from the
+    corpus — no ``rand()`` anywhere (the A-ES/qx14 discipline), so
+    the sample is reproducible across engines, runs and
+    partitionings, and a SQL twin replays it exactly.
+
+    Mechanism: candidates hash into ``buckets`` by a Knuth
+    multiplicative hash of their id; each (anchor, j) draw targets
+    bucket ``h(anchor, j) mod buckets`` and takes the candidate
+    minimizing a (anchor, j, candidate)-keyed hash — an argmin inside
+    one bucket, so no global rank, no order dependence, and the
+    per-draw join fans out to ONE bucket's candidates (size ~N/B;
+    size ``buckets`` ~ N/1000 at scale to bound it). Self-pairs are
+    excluded; ``exclude_pairs`` (id_a, id_b — e.g. near-dup pairs
+    from any dedup-family operator) removes known positives in both
+    orientations via an anti-join, so a near-duplicate can never be
+    served as a negative.
+
+    Output: (anchor_id, draw, negative_id) — ``draw`` in 1..k. A
+    draw whose bucket holds no eligible candidate yields no row
+    (visible as a missing draw, never a fabricated pair).
+    """
+    if k < 1 or buckets < 1:
+        raise ValueError("k and buckets must be >= 1")
+    m32 = F.lit(4294967296)
+    cand = docs.select(
+        F.col(id_col).alias("cand"),
+        F.pmod(
+            F.pmod(F.col(id_col) * F.lit(2654435761), m32), F.lit(buckets)
+        ).alias("bucket"),
+    )
+    draws = docs.select(F.col(id_col).alias("anchor")).crossJoin(
+        F.broadcast(
+            docs.sparkSession.range(1, k + 1).select(
+                F.col("id").alias("draw")
+            )
+        )
+    ).select(
+        "anchor",
+        "draw",
+        F.pmod(
+            F.pmod(
+                F.col("anchor") * F.lit(2654435761)
+                + F.col("draw") * F.lit(40503),
+                m32,
+            ),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    paired = (
+        draws.join(cand, "bucket")
+        .filter(F.col("cand") != F.col("anchor"))
+        .select(
+            "anchor",
+            "draw",
+            "cand",
+            F.pmod(
+                (F.col("anchor") * F.lit(31) + F.col("cand"))
+                * F.lit(2654435761)
+                + F.col("draw"),
+                m32,
+            ).alias("__h"),
+        )
+    )
+    if exclude_pairs is not None:
+        ex = exclude_pairs.select(
+            F.col(exclude_pairs.columns[0]).alias("anchor"),
+            F.col(exclude_pairs.columns[1]).alias("cand"),
+        )
+        both = ex.unionAll(
+            ex.select(F.col("cand").alias("anchor"), F.col("anchor").alias("cand"))
+        )
+        paired = paired.join(both, ["anchor", "cand"], "left_anti")
+    return (
+        paired.groupBy("anchor", "draw")
+        .agg(
+            F.min_by(
+                "cand", F.struct(F.col("__h"), F.col("cand"))
+            ).alias("negative_id")
+        )
+        .select(
+            F.col("anchor").alias("anchor_id"), "draw", "negative_id"
+        )
+        .orderBy("anchor_id", "draw")
+    )

@@ -1603,3 +1603,187 @@ def rake_keywords(
         .orderBy(F.desc("score"), "phrase")
         .limit(top_k)
     )
+
+
+def vocab_growth(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 20,
+) -> DataFrame:
+    """Vocabulary-growth curve (Heaps'-law audit): walk the corpus in
+    ``id_col`` order, bucketed into ``n_buckets`` id-range slices, and
+    report per bucket the cumulative token count and cumulative
+    DISTINCT vocabulary — the curve whose flattening says "more of the
+    same crawl adds words, not WORDS" (the diminishing-returns signal
+    behind dedup/diversity decisions), plus per-bucket new-type
+    counts.
+
+    Bucketing is pure integer arithmetic over the id range
+    (``(id - min) * n_buckets DIV (max - min + 1)``, a broadcast
+    1-row min/max) — NOT a global rank, so no single-partition sort
+    over documents exists; the caveat is that id-sparse corpora get
+    uneven buckets (documented trade-off; ids here are the corpus
+    order). A token's first appearance is its min id's bucket — one
+    token-keyed hash aggregate; the cumulative sums run over the
+    ``n_buckets``-row table (single-partition by construction, the
+    nanvl idiom).
+
+    Output: (bucket, n_docs, tokens, tokens_cum, new_types,
+    vocab_cum).
+    """
+    from ..functions.text import normalized_text  # noqa: PLC0415
+
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    rng = df.agg(
+        F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi")
+    )
+    bucket = (
+        (F.col(id_col) - F.col("__lo")) * F.lit(n_buckets)
+    ) / (F.col("__hi") - F.col("__lo") + F.lit(1))
+    base = df.crossJoin(F.broadcast(rng)).select(
+        F.col(id_col).alias("id"),
+        F.floor(bucket).cast("long").alias("bucket"),
+        F.split(
+            normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+        ).alias("__toks"),
+    )
+    toks = base.select(
+        "id", "bucket", F.explode("__toks").alias("tok")
+    ).filter(F.length("tok") >= 1)
+    per_bucket = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.col("__toks"), lambda t: F.length(t) >= 1))
+        ).cast("long").alias("tokens"),
+    )
+    first_bucket = toks.groupBy("tok").agg(
+        F.min("bucket").alias("fb")
+    )
+    new_types = first_bucket.groupBy("fb").agg(
+        F.count(F.lit(1)).alias("new_types")
+    )
+    joined = per_bucket.join(
+        new_types.withColumnRenamed("fb", "bucket"), "bucket", "left"
+    ).select(
+        "bucket",
+        "n_docs",
+        "tokens",
+        F.coalesce("new_types", F.lit(0).cast("long")).alias("new_types"),
+    )
+    w = (
+        Window.partitionBy(
+            F.nanvl(F.col("bucket").cast("double") * F.lit(0.0), F.lit(0.0))
+        )
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "bucket",
+        "n_docs",
+        "tokens",
+        F.sum("tokens").over(w).cast("long").alias("tokens_cum"),
+        "new_types",
+        F.sum("new_types").over(w).cast("long").alias("vocab_cum"),
+    ).orderBy("bucket")
+
+
+def chi2_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    class_col: str = "lang",
+    id_col: str = "doc_id",
+    top_k: int = 10,
+) -> DataFrame:
+    """Chi-square term selection per class — the feature-selection
+    step before training a per-class router or scorer (which tokens
+    are EVIDENCE of a class, not merely frequent): for each
+    (class, term), the 2×2 presence table A/B/C/D yields
+    ``chi2 = N(AD−BC)² / ((A+B)(C+D)(A+C)(B+D))``; the per-class
+    top-k terms by chi2 are the discriminators. Complements TF-IDF
+    (row 74 — frequency against a background) with a supervised
+    signal.
+
+    Exactness: A/B/C/D are exact document counts; the difference
+    ``AD − BC`` is an exact DECIMAL product-difference; chi2 then
+    evaluates in doubles with a FIXED multiplication order (same
+    sequence in the SQL twin), one final round. Document-presence
+    (not raw counts) keeps every cell a count of docs.
+
+    Scale shape: distinct (doc, class, term) explode → two hash
+    aggregates (per class-term, per term) + two broadcast-able
+    model-sized joins (class totals, corpus total); the per-class
+    top-k is a bounded window over class-term rows.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+    from ..functions.text import normalized_text  # noqa: PLC0415
+
+    pres = (
+        df.filter(F.col(class_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(class_col).alias("cls"),
+            F.explode(
+                F.array_distinct(
+                    F.split(
+                        normalized_text(
+                            F.coalesce(F.col(text_col), F.lit(""))
+                        ),
+                        " ",
+                    )
+                )
+            ).alias("tok"),
+        )
+        .filter(F.length("tok") >= 1)
+    )
+    a = pres.groupBy("cls", "tok").agg(F.count(F.lit(1)).alias("A"))
+    t_tot = pres.groupBy("tok").agg(F.count(F.lit(1)).alias("T"))
+    c_tot = (
+        df.filter(F.col(class_col).isNotNull())
+        .groupBy(F.col(class_col).alias("cls"))
+        .agg(F.count(F.lit(1)).alias("Nc"))
+    )
+    n_tot = df.filter(F.col(class_col).isNotNull()).agg(
+        F.count(F.lit(1)).alias("N")
+    )
+    cells = (
+        a.join(t_tot, "tok")
+        .join(c_tot, "cls")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "cls",
+            "tok",
+            "A",
+            (F.col("T") - F.col("A")).alias("B"),
+            (F.col("Nc") - F.col("A")).alias("C"),
+            (F.col("N") - F.col("Nc") - (F.col("T") - F.col("A"))).alias("D"),
+            "N",
+        )
+    )
+    diff = (
+        F.col("A").cast("decimal(38,0)") * F.col("D").cast("decimal(38,0)")
+        - F.col("B").cast("decimal(38,0)") * F.col("C").cast("decimal(38,0)")
+    ).cast("double")
+    den = (
+        (F.col("A") + F.col("B")).cast("double")
+        * (F.col("C") + F.col("D")).cast("double")
+        * (F.col("A") + F.col("C")).cast("double")
+        * (F.col("B") + F.col("D")).cast("double")
+    )
+    scored = cells.select(
+        "cls",
+        "tok",
+        "A",
+        F.when(
+            den > 0,
+            round_c(F.col("N").cast("double") * (diff * diff) / den, 6),
+        ).alias("chi2"),
+    ).filter(F.col("chi2").isNotNull())
+    w = Window.partitionBy("cls").orderBy(F.desc("chi2"), "tok")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("cls", "rank", "tok", F.col("A").alias("n_docs"), "chi2")
+        .orderBy("cls", "rank")
+    )

@@ -297,3 +297,113 @@ def ewma_smooth(
             F.col("__e.r").alias("residual"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve per group — the
+    censoring-correct retention estimator (Kaplan & Meier 1958): a
+    user last seen yesterday has NOT churned, they are CENSORED, and
+    naive retention (q62's cohort ratios) silently counts them as
+    lost. Input: one row per unit with ``duration_col`` (time
+    observed, e.g. days active) and ``event_col`` (1 = the event —
+    churn/failure — was OBSERVED at that duration, 0 = censored
+    there).
+
+    At each distinct duration t with at least one observed event:
+    ``S(t) = prod_{u <= t} (1 - d_u / n_u)`` where ``d_u`` = events
+    at u and ``n_u`` = units still at risk (duration >= u). Output:
+    (group, duration, n_risk, n_events, n_censored, survival).
+
+    Exactness: d and n are exact counts; each factor ``1 - d/n`` is
+    one IEEE division; the running product multiplies in duration
+    order with a 12dp round per step — a SQL twin replays the
+    identical recurrence (the ewma pattern: recursive CTE over
+    per-group step numbers).
+
+    Scale shape: ONE hash aggregate to (group, duration) rows, one
+    per-group collected fold over the distinct-duration series
+    (bounded by distinct durations per group — days, not units; the
+    ewma bound), one explode. At-risk counts come from a reverse
+    cumulative sum INSIDE the fold (total units minus the units
+    already passed), so no window over unit rows exists anywhere.
+
+    NULL durations are excluded; NULL event flags count as censored
+    (observing nothing is a censor, the conservative default).
+    """
+    gcols = list(group_cols or [])
+    ev = F.when(
+        F.coalesce(F.col(event_col), F.lit(0)).cast("int") != 0, 1
+    ).otherwise(0)
+    per_t = (
+        df.filter(F.col(duration_col).isNotNull())
+        .groupBy(*gcols, F.col(duration_col).alias("t"))
+        .agg(
+            F.sum(ev).cast("long").alias("d"),
+            (F.count(F.lit(1)) - F.sum(ev)).cast("long").alias("c"),
+        )
+    )
+    series = per_t.groupBy(*gcols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("t"), F.col("d"), F.col("c")))
+        ).alias("__pts"),
+        F.sum(F.col("d") + F.col("c")).alias("__n_total"),
+    )
+    # fold carries (t, d, c, n_risk, s): n_risk = total - units with
+    # smaller duration (all still at risk at t); s multiplies the
+    # factor only when events were observed at t (the KM convention:
+    # censoring times don't step the curve)
+    from ..functions.numeric import round_c
+
+    def _s_next(st, e):
+        return round_c(
+            st["s"]
+            * (
+                F.lit(1.0)
+                - e["d"].cast("double") / st["left"].cast("double")
+            ),
+            12,
+        )
+
+    folded = F.aggregate(
+        F.col("__pts"),
+        F.struct(
+            F.array().cast(
+                "array<struct<t:" + dict(per_t.dtypes)["t"] + ","
+                "d:long,c:long,n:long,s:double>>"
+            ).alias("acc"),
+            F.col("__n_total").alias("left"),
+            F.lit(1.0).alias("s"),
+        ),
+        lambda st, e: F.struct(
+            F.concat(
+                st["acc"],
+                F.array(
+                    F.struct(
+                        e["t"].alias("t"),
+                        e["d"].alias("d"),
+                        e["c"].alias("c"),
+                        st["left"].alias("n"),
+                        _s_next(st, e).alias("s"),
+                    )
+                ),
+            ).alias("acc"),
+            (st["left"] - e["d"] - e["c"]).alias("left"),
+            _s_next(st, e).alias("s"),
+        ),
+    )
+    out = series.select(
+        *gcols, F.explode(folded["acc"]).alias("__e")
+    ).select(
+        *gcols,
+        F.col("__e.t").alias("duration"),
+        F.col("__e.n").alias("n_risk"),
+        F.col("__e.d").alias("n_events"),
+        F.col("__e.c").alias("n_censored"),
+        F.col("__e.s").alias("survival"),
+    )
+    return out.orderBy(*gcols, "duration")

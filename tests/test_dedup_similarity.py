@@ -1640,3 +1640,35 @@ def test_token_cosine_pairs_hand_example(spark):
     )
     got = token_cosine_pairs(tri, threshold=0.9, max_df=100, k=3).collect()
     assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == [(1, 2, 1.0)]
+
+
+def test_negative_pairs_deterministic_and_excluding(spark):
+    """Hash-deterministic negatives: reproducible across
+    partitionings, never the anchor itself, and excluded pairs are
+    never served in either orientation."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        negative_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    a = sorted(map(tuple, negative_pairs(docs, k=2, buckets=4).collect()))
+    b = sorted(
+        map(tuple, negative_pairs(docs.repartition(7), k=2, buckets=4).collect())
+    )
+    assert a == b and len(a) > 0
+    assert all(anchor != neg for anchor, _, neg in a)
+    assert all(1 <= d <= 2 for _, d, _ in a)
+
+    # exclusion: whatever pairs were served, excluding them removes
+    # or replaces them — they never reappear
+    served = {(x, z) for x, _, z in a}
+    ex = spark.createDataFrame(
+        [(x, z) for x, z in list(served)[:5]], "id_a long, id_b long"
+    )
+    banned = {(x, z) for x, z in ex.collect()} | {
+        (z, x) for x, z in ex.collect()
+    }
+    c = negative_pairs(docs, k=2, buckets=4, exclude_pairs=ex).collect()
+    assert all((r["anchor_id"], r["negative_id"]) not in banned for r in c)

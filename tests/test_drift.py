@@ -181,3 +181,32 @@ def test_ks_test_null_metrics_excluded_in_both_legs(spark):
     )
     r = ks_test(only_null, "g", "v", "a", "b").collect()[0]
     assert (r["n_a"], r["n_b"]) == (1, 0) and r["ks_stat"] is None
+
+
+def test_two_proportion_ztest(spark):
+    """Hand-evaluated pooled z; NULL successes count as failures;
+    groups missing a variant drop; degenerate pooled rate gives NULL
+    z and significant=False."""
+    import math
+
+    from strategicai_visibility_loop_etl_spark.operators.drift import (
+        two_proportion_ztest,
+    )
+
+    rows = [("A", 1)] * 6 + [("A", 0)] * 4 + [("B", 1)] * 2 + [("B", None)] * 8
+    df = spark.createDataFrame(rows, "variant string, ok int")
+    out = two_proportion_ztest(df, "variant", "A", "B", "ok").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (10, 6, 10, 2)
+    pool = 8 / 20
+    se = math.sqrt(pool * (1 - pool) * (0.1 + 0.1))
+    assert r["z"] == round((0.6 - 0.2) / se, 6)
+    assert r["significant"] == (abs(r["z"]) > 1.959963985)
+
+    # all-failure pooled rate: no variance, NULL z
+    flat = spark.createDataFrame(
+        [("A", 0)] * 3 + [("B", 0)] * 3, "variant string, ok int"
+    )
+    f = two_proportion_ztest(flat, "variant", "A", "B", "ok").collect()[0]
+    assert f["z"] is None and f["significant"] is False

@@ -666,3 +666,34 @@ def test_removal_effect_hand_example(spark):
 
     with _pytest.raises(ValueError):
         removal_effect(df, "seq", "t", "ch", "purchase", horizon=0)
+
+
+def test_kaplan_meier_hand_example(spark):
+    """Classic product-limit example: censored units leave the risk
+    set without stepping the curve; survival steps only at observed
+    events; NULL flags count as censored."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        kaplan_meier,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("g", 1, 1),
+            ("g", 2, 0),
+            ("g", 3, 1),
+            ("g", 3, 1),
+            ("g", 4, None),  # NULL = censored
+        ],
+        "grp string, dur long, ev int",
+    )
+    out = {
+        r["duration"]: r
+        for r in kaplan_meier(df, "dur", "ev", ["grp"]).collect()
+    }
+    assert out[1]["n_risk"] == 5 and out[1]["n_events"] == 1
+    assert out[1]["survival"] == 0.8
+    assert out[2]["n_risk"] == 4 and out[2]["n_censored"] == 1
+    assert out[2]["survival"] == 0.8          # censoring doesn't step
+    assert out[3]["n_risk"] == 3 and out[3]["n_events"] == 2
+    assert out[3]["survival"] == round(0.8 * (1 - 2 / 3), 12)
+    assert out[4]["n_risk"] == 1 and out[4]["survival"] == out[3]["survival"]

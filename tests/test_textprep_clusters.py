@@ -1040,3 +1040,52 @@ def test_rake_keywords_hand_example(spark):
     assert out["red apple"]["score"] == round(rs + rs, 6)
     assert out["red apple pie"]["score"] == round(rs + rs + 3.0, 6)
     assert out["red apple pie"]["n_occurrences"] == 1
+
+
+def test_vocab_growth_hand_example(spark):
+    """Id-range bucketing, first-appearance new types, cumulative
+    token/vocab sums."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        vocab_growth,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "c d a"), (3, "d")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["bucket"]: r for r in vocab_growth(docs, n_buckets=2).collect()
+    }
+    assert out[0]["n_docs"] == 2 and out[1]["n_docs"] == 2
+    assert out[0]["tokens"] == 4 and out[1]["tokens"] == 4
+    assert out[0]["new_types"] == 3      # a, b, c first appear
+    assert out[1]["new_types"] == 1      # d
+    assert out[0]["vocab_cum"] == 3 and out[1]["vocab_cum"] == 4
+    assert out[1]["tokens_cum"] == 8
+
+
+def test_chi2_terms_discriminative_tokens(spark):
+    """Class-exclusive tokens dominate the per-class top-k; the chi2
+    value matches the hand-evaluated 2x2 formula."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        chi2_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "the cat shared"),
+            (2, "en", "the dog shared"),
+            (3, "de", "der hund shared"),
+            (4, "de", "der katze shared"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = chi2_terms(docs, top_k=2).collect()
+    top = {(r["cls"], r["rank"]): r for r in out}
+    # 'the' is en-exclusive (A=2,B=0,C=0,D=2): chi2 = 4*(4-0)^2/(2*2*2*2) = 4
+    assert top[("en", 1)]["tok"] == "the"
+    assert top[("en", 1)]["chi2"] == 4.0
+    assert top[("de", 1)]["tok"] == "der"
+    assert top[("de", 1)]["chi2"] == 4.0
+    # 'shared' is everywhere: chi2 = 0 -> never outranks exclusives
+    assert all(r["tok"] != "shared" or r["chi2"] == 0.0 for r in out)
