@@ -3702,55 +3702,20 @@ def qx52_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def qx53_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented triangle counting (capability row 147): the
-    qx47 manufactured-graph pattern — ring edges (i, i+1) and
-    (i, i+2) guarantee a triangle per vertex; hash-arithmetic extras
-    add irregular closures — then the node-iterator algorithm with
-    degree orientation. Pure integer arithmetic; DuckDB replays edge
+    shared manufactured document graph (_doc_graph_edges — ring edges
+    guarantee a triangle per vertex, hash-arithmetic extras add
+    irregular closures), then the node-iterator algorithm with degree
+    orientation. Pure integer arithmetic; DuckDB replays edge
     manufacture, canonicalization, orientation, wedge build and
     closure row-for-row."""
     from strategicai_visibility_loop_etl_spark.operators.graph import (
         triangle_count,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
-    total = docs.agg(F.count("*").alias("__n"))
-    ring = (
-        docs.crossJoin(F.broadcast(total))
-        .select(
-            F.col("id").alias("src"),
-            F.explode(
-                F.array(
-                    F.pmod(F.col("id") + 1, F.col("__n")),
-                    F.pmod(F.col("id") + 2, F.col("__n")),
-                )
-            ).alias("dst"),
-        )
-    )
-    hashed = (
-        docs.filter(F.col("id") % 3 != 0)
-        .select(
-            "id",
-            F.explode(
-                F.sequence(F.lit(1).cast("bigint"), F.lit(2).cast("bigint"))
-            ).alias("j"),
-        )
-        .crossJoin(F.broadcast(total))
-        .select(
-            F.col("id").alias("src"),
-            F.pmod(
-                F.pmod(
-                    F.col("id") * F.lit(2654435761) + F.col("j") * F.lit(40503),
-                    F.lit(4294967296),
-                ),
-                F.col("__n"),
-            ).alias("dst"),
-        )
-    )
-    tc = triangle_count(ring.unionAll(hashed))
+    tc = triangle_count(_doc_graph_edges(spark, sf_dir))
     return tc.select(
         F.col("id").alias("doc_id"), "triangles"
     ).orderBy("doc_id")
-
 
 def qx54_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew profile (capability row 148): the heaviest
@@ -8355,7 +8320,7 @@ def extra_oracle_sql() -> dict[str, str]:
                MAX(p_brand) AS rhs_max
         FROM part GROUP BY p_type
         HAVING COUNT(DISTINCT p_brand) > 1
-        ORDER BY n_distinct_rhs DESC, p_type
+        ORDER BY n_distinct_rhs DESC, p_type NULLS FIRST
     """
 
     # qx88: the l-diversity gate — COUNT(DISTINCT) excludes NULL
@@ -8512,7 +8477,7 @@ def extra_oracle_sql() -> dict[str, str]:
                    AS gini_simpson,
                round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
                    AS berger_parker
-        FROM c GROUP BY source ORDER BY source
+        FROM c GROUP BY source ORDER BY source NULLS FIRST
     """
 
     # qx93: the max-min isotonic fit replayed triple-for-triple —
@@ -8974,19 +8939,21 @@ def extra_oracle_sql() -> dict[str, str]:
     sql["qx100_negative_pairs"] = """
         WITH cand AS (
             SELECT doc_id AS cand,
-                   (doc_id * 2654435761) % 4294967296 % 16 AS bucket
+                   ((doc_id % 2147483648) * 2654435761)
+                       % 4294967296 % 16 AS bucket
             FROM documents
         ),
         draws AS (
             SELECT d.doc_id AS anchor, j.draw,
-                   (d.doc_id * 2654435761 + j.draw * 40503)
-                       % 4294967296 % 16 AS bucket
+                   ((d.doc_id % 2147483648) * 2654435761
+                    + j.draw * 40503) % 4294967296 % 16 AS bucket
             FROM documents d,
                  (SELECT unnest(range(1, 4)) AS draw) j
         ),
         paired AS (
             SELECT anchor, draw, cand,
-                   ((anchor * 31 + cand) * 2654435761 + draw)
+                   ((((anchor % 2147483648) * 31 + (cand % 2147483648))
+                     % 2147483648) * 2654435761 + draw)
                        % 4294967296 AS h
             FROM draws JOIN cand USING (bucket)
             WHERE cand <> anchor

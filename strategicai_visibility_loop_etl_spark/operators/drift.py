@@ -280,7 +280,9 @@ def two_proportion_ztest(
 
     Output per group: n/x/p for both variants, z, and
     ``significant`` at the given critical value (default two-sided
-    95%). z is NULL when either variant is absent or the pooled rate
+    95%). Groups where either variant logged NOTHING are dropped
+    (there is no rate to compare — join back on the group keys if
+    absence itself must be surfaced); z is NULL when the pooled rate
     is degenerate (0 or 1 — no variance to test against).
 
     Exactness: counts are exact; p's are single divisions; sqrt is

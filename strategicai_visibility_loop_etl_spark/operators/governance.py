@@ -434,17 +434,23 @@ def mixture_diversity(
         .groupBy(*gcols, class_col)
         .agg(F.count(F.lit(1)).alias("__c"))
     )
+    # pair products ride DECIMAL: at corpus scale n(n-1) exceeds
+    # BIGINT (~3e9 rows wraps it silently in non-ANSI long multiply)
+    # — the chi2_terms discipline; decimal -> double conversion is
+    # value-identical to DuckDB's HUGEINT -> double
+    c_dec = F.col("__c").cast("decimal(38,0)")
     n = F.sum("__c")
-    pairs_same = F.sum(F.col("__c") * (F.col("__c") - F.lit(1)))
+    pairs_same = F.sum(c_dec * (c_dec - F.lit(1)))
     out = counts.groupBy(*gcols).agg(
         n.alias("n"),
         F.count(F.lit(1)).alias("k_classes"),
         pairs_same.alias("__same"),
         F.max("__c").alias("__top"),
     )
+    n_dec = F.col("n").cast("decimal(38,0)")
     gini = F.lit(1.0) - (
         F.col("__same").cast("double")
-        / (F.col("n") * (F.col("n") - F.lit(1))).cast("double")
+        / (n_dec * (n_dec - F.lit(1))).cast("double")
     )
     result = out.select(
         *gcols,

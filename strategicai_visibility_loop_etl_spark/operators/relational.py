@@ -562,6 +562,23 @@ def removal_effect(
 
     if horizon < 1:
         raise ValueError("horizon must be >= 1")
+    # the synthetic states are RESERVED: a real channel literally named
+    # START/CONV/DROP would merge with them (a 'CONV' channel lands in
+    # both the non-absorbing spine and the absorbing r=1 rows, double-
+    # counting probability mass) — raise loudly instead (one bounded
+    # pushdown-filtered probe, the schema-guard discipline)
+    reserved = {"START", "CONV", "DROP"} - {conversion_state}
+    clash = (
+        df.filter(F.col(state_col).isin(*sorted(reserved)))
+        .select(state_col)
+        .limit(1)
+        .collect()
+    )
+    if clash:
+        raise ValueError(
+            f"state value {clash[0][0]!r} collides with a reserved "
+            "journey state (START/CONV/DROP) — rename it upstream"
+        )
     order = [F.col(time_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []
     )

@@ -1461,14 +1461,35 @@ def negative_pairs(
     Output: (anchor_id, draw, negative_id) — ``draw`` in 1..k. A
     draw whose bucket holds no eligible candidate yields no row
     (visible as a missing draw, never a fabricated pair).
+
+    Id contract: ``id_col`` must be an integral type (raises
+    otherwise — a string id would hash NULL and silently empty the
+    output) and NON-NEGATIVE (the cross-engine contract: a SQL
+    twin's ``%`` keeps the dividend's sign where ``pmod`` does not).
+    Every hash input is first reduced mod 2^31, so arbitrary int64
+    magnitudes never overflow the 64-bit multiply in either engine.
     """
     if k < 1 or buckets < 1:
         raise ValueError("k and buckets must be >= 1")
+    id_type = dict(docs.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
+        raise ValueError(
+            f"id_col must be integral, got {id_type!r} — string ids "
+            "would hash NULL and silently produce no pairs"
+        )
+    m31 = F.lit(2147483648)
     m32 = F.lit(4294967296)
+
+    def _n31(col):
+        # overflow normalization: x mod 2^31 <= 2.1e9, so the Knuth
+        # multiply stays below 2^63 for ANY non-negative int64 input
+        return F.pmod(col, m31)
+
     cand = docs.select(
         F.col(id_col).alias("cand"),
         F.pmod(
-            F.pmod(F.col(id_col) * F.lit(2654435761), m32), F.lit(buckets)
+            F.pmod(_n31(F.col(id_col)) * F.lit(2654435761), m32),
+            F.lit(buckets),
         ).alias("bucket"),
     )
     draws = docs.select(F.col(id_col).alias("anchor")).crossJoin(
@@ -1482,7 +1503,7 @@ def negative_pairs(
         "draw",
         F.pmod(
             F.pmod(
-                F.col("anchor") * F.lit(2654435761)
+                _n31(F.col("anchor")) * F.lit(2654435761)
                 + F.col("draw") * F.lit(40503),
                 m32,
             ),
@@ -1497,7 +1518,9 @@ def negative_pairs(
             "draw",
             "cand",
             F.pmod(
-                (F.col("anchor") * F.lit(31) + F.col("cand"))
+                _n31(
+                    _n31(F.col("anchor")) * F.lit(31) + _n31(F.col("cand"))
+                )
                 * F.lit(2654435761)
                 + F.col("draw"),
                 m32,

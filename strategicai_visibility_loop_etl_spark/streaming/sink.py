@@ -726,8 +726,23 @@ def compact_agg_state(spark: SparkSession, state_dir: str) -> int:
 
     from ..operators.snapshot import merge_agg_states  # noqa: PLC0415
 
+    # ONE ledger listing drives everything below. Deriving `dirs`
+    # from a second listing (the old _agg_state_dirs call) was a
+    # TOCTOU: a batch committed between the two listings would be
+    # folded and deleted while the manifest recorded a stale `upto`
+    # below its id — every later reader would then resolve the
+    # deleted dir and crash. With a single snapshot, `max(ids)` is by
+    # construction the highest batch the fold actually covers.
     ids = committed_batches(state_dir)
-    dirs = _agg_state_dirs(state_dir)
+    manifest_path = os.path.join(state_dir, "_fold")
+    upto = -1
+    dirs = []
+    if os.path.exists(manifest_path):
+        with open(manifest_path, encoding="utf-8") as fh:
+            m = json.load(fh)
+        upto = m["upto"]
+        dirs.append(os.path.join(state_dir, m["dir"]))
+    dirs += [os.path.join(state_dir, f"b{i}") for i in ids if i > upto]
     if not dirs:
         return 0
     # sweep leftovers of crashed prior attempts: fold dirs no manifest
@@ -737,11 +752,6 @@ def compact_agg_state(spark: SparkSession, state_dir: str) -> int:
     # leak forever — readers resolve through the manifest and never
     # see i <= upto dirs, so removal is safe)
     referenced = {os.path.basename(d) for d in dirs}
-    manifest_path = os.path.join(state_dir, "_fold")
-    upto = -1
-    if os.path.exists(manifest_path):
-        with open(manifest_path, encoding="utf-8") as fh:
-            upto = json.load(fh)["upto"]
     for name in os.listdir(state_dir):
         full = os.path.join(state_dir, name)
         if name in referenced or not os.path.isdir(full):
@@ -764,7 +774,12 @@ def compact_agg_state(spark: SparkSession, state_dir: str) -> int:
     manifest = os.path.join(state_dir, "_fold")
     tmp = manifest + ".tmp"
     with open(tmp, "w", encoding="utf-8") as fh:
-        json.dump({"dir": fold_dir, "upto": max(ids)}, fh)
+        # max over the SAME snapshot the fold read — a batch committed
+        # after the listing is neither folded nor claimed, so a later
+        # compaction picks it up (no TOCTOU). `ids` can only be empty
+        # when no manifest exists either (dirs would be empty), so the
+        # fallback to the prior horizon is pure defensiveness.
+        json.dump({"dir": fold_dir, "upto": max(ids) if ids else upto}, fh)
     os.replace(tmp, manifest)  # the atomic commit
     for d in dirs:  # superseded: old fold dir + covered batch dirs
         shutil.rmtree(d, ignore_errors=True)

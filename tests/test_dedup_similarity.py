@@ -1672,3 +1672,28 @@ def test_negative_pairs_deterministic_and_excluding(spark):
     }
     c = negative_pairs(docs, k=2, buckets=4, exclude_pairs=ex).collect()
     assert all((r["anchor_id"], r["negative_id"]) not in banned for r in c)
+
+
+def test_negative_pairs_id_domain_contract(spark):
+    """String ids raise (they would hash NULL and silently empty the
+    output); huge int64 ids run without overflow and stay
+    deterministic across partitionings (the mod-2^31 normalization)."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        negative_pairs,
+    )
+
+    strs = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    with _pytest.raises(ValueError, match="integral"):
+        negative_pairs(strs)
+
+    big = spark.createDataFrame(
+        [((1 << 61) + i,) for i in range(30)], "doc_id long"
+    )
+    a = sorted(map(tuple, negative_pairs(big, k=2, buckets=4).collect()))
+    b = sorted(
+        map(tuple, negative_pairs(big.repartition(5), k=2, buckets=4).collect())
+    )
+    assert a == b and len(a) > 0
+    assert all(x != z for x, _, z in a)

@@ -697,3 +697,20 @@ def test_kaplan_meier_hand_example(spark):
     assert out[3]["n_risk"] == 3 and out[3]["n_events"] == 2
     assert out[3]["survival"] == round(0.8 * (1 - 2 / 3), 12)
     assert out[4]["n_risk"] == 1 and out[4]["survival"] == out[3]["survival"]
+
+
+def test_removal_effect_reserved_state_collision_raises(spark):
+    """A real channel named CONV/DROP/START would merge with the
+    synthetic absorbing states and corrupt attribution — raise."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        removal_effect,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, "A"), (1, 2, "CONV"), (2, 1, "A"), (2, 2, "purchase")],
+        "seq long, t long, ch string",
+    )
+    with _pytest.raises(ValueError, match="reserved"):
+        removal_effect(df, "seq", "t", "ch", "purchase", horizon=2)

@@ -1118,3 +1118,41 @@ def test_compact_agg_state_sweeps_orphaned_covered_batches(
     )
 
     assert full == snap(finalize_agg(agg_state(ev, ["event_type"], "value")))
+
+
+def test_compact_agg_state_single_snapshot_horizon(spark, sf_dir, tmp_path):
+    """The fold manifest's horizon derives from the SAME ledger
+    snapshot the fold read (the TOCTOU fix): after compaction the
+    manifest covers exactly the folded ids, later batches (including
+    id gaps) keep folding in, and a second compaction absorbs them."""
+    import json
+    import os
+
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        agg_state_on_arrival_batch,
+        compact_agg_state,
+        read_agg_state,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    parts = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    sd = str(tmp_path / "state")
+    agg_state_on_arrival_batch(parts[0], 0, sd, ["event_type"], "value")
+    agg_state_on_arrival_batch(parts[1], 1, sd, ["event_type"], "value")
+    compact_agg_state(spark, sd)
+    with open(os.path.join(sd, "_fold"), encoding="utf-8") as fh:
+        assert json.load(fh)["upto"] == 1
+    # a batch with an id GAP lands after compaction: readable, then
+    # absorbed by the next compaction with the horizon advanced
+    agg_state_on_arrival_batch(parts[2], 5, sd, ["event_type"], "value")
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    full = snap(read_agg_state(spark, sd))
+    compact_agg_state(spark, sd)
+    with open(os.path.join(sd, "_fold"), encoding="utf-8") as fh:
+        assert json.load(fh)["upto"] == 5
+    assert snap(read_agg_state(spark, sd)) == full
+    assert not os.path.exists(os.path.join(sd, "b5"))
