@@ -1804,7 +1804,16 @@ def token_cosine_pairs(
     detection form, and the only discriminative one on corpora whose
     unigram vocabulary is tiny relative to the document count.
     """
+    # the posting table feeds FOUR consumers (size census, the
+    # self-join twice, the norm aggregate) and the hot set travels by
+    # broadcast, so there is no exchange for Spark to reuse — without
+    # a barrier the tokenize+NGram+explode+count subtree re-executes
+    # per consumer (the ngram_jaccard lesson; warm sf0.1 runs measured
+    # ~3x faster with the cut). stage_path materializes to parquet instead when a
+    # replayable table is wanted.
     postings = token_posting_lists(df, text_col, id_col, k)
+    if stage_path is None:
+        postings = postings.localCheckpoint(eager=False)
     posting_sizes = postings.groupBy("tok").agg(F.count("*").alias("n"))
     cap = resolve_max_bucket(posting_sizes, max_df)
     hot = posting_sizes.filter(F.col("n") > cap)
