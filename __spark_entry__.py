@@ -4846,6 +4846,65 @@ def qx100_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx101_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over the lineitem metrics
+    (capability row 200): pairwise-complete exact DECIMAL sums, the
+    closed form in fixed-order doubles. DuckDB replays every sum and
+    the exact expression sequence."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        corr_matrix,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return corr_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def qx102_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between event type and day-of-week
+    (capability row 201): full-grid chi2 including zero cells,
+    12dp DECIMAL term sums, one sqrt. DuckDB replays the grid and
+    every term."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        cramers_v,
+    )
+
+    ev = _ev(spark, sf_dir).select(
+        "event_type",
+        F.pmod(F.expr("tus DIV 86400000000"), F.lit(7)).alias("dow"),
+    )
+    return cramers_v(ev, "event_type", "dow")
+
+
+def qx103_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of per-type daily value totals
+    (capability row 202): centered 7-point moving-average trend,
+    per-phase seasonal means normalized to zero, residual leftover —
+    all from exact DECIMAL window/group sums with fixed-order
+    divisions. DuckDB replays the windows and both aggregates."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    daily = (
+        _ev(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("tus DIV 86400000000").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(_rd(F.col("value"), 6).cast("decimal(28,6)")).alias("__s")
+        )
+        .select(
+            "event_type", "day", _rd(F.col("__s").cast("double"), 6).alias("x")
+        )
+    )
+    return seasonal_decompose(daily, ["event_type"], "day", "x", period=7)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -4948,6 +5007,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx98_ab_ztest": qx98_ab_ztest,
         "qx99_chi2_terms": qx99_chi2_terms,
         "qx100_negative_pairs": qx100_negative_pairs,
+        "qx101_corr_matrix": qx101_corr_matrix,
+        "qx102_cramers_v": qx102_cramers_v,
+        "qx103_seasonal": qx103_seasonal,
     }
 
 
@@ -8963,6 +9025,172 @@ def extra_oracle_sql() -> dict[str, str]:
         QUALIFY row_number() OVER (
             PARTITION BY anchor, draw ORDER BY h, cand) = 1
         ORDER BY anchor_id, draw
+    """
+
+    # qx101: the six pairwise-complete sum sets in one pass, then the
+    # closed form in the engine's exact double order.
+    _cm_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    _cm_aggs, _cm_sel = [], []
+    for _i, _a in enumerate(_cm_cols):
+        for _b in _cm_cols[_i + 1:]:
+            _tag = f"{_a}__{_b}"
+            _both = f"{_a} IS NOT NULL AND {_b} IS NOT NULL"
+            _x = f"CAST(round({_a}, 6) AS DECIMAL(28,6))"
+            _y = f"CAST(round({_b}, 6) AS DECIMAL(28,6))"
+            _cm_aggs.append(f"""
+               CAST(COUNT(*) FILTER (WHERE {_both}) AS BIGINT) AS n_{_tag},
+               SUM({_x}) FILTER (WHERE {_both}) AS sx_{_tag},
+               SUM({_y}) FILTER (WHERE {_both}) AS sy_{_tag},
+               SUM(CAST({_x} * {_y} AS DECIMAL(38,12)))
+                   FILTER (WHERE {_both}) AS sxy_{_tag},
+               SUM(CAST({_x} * {_x} AS DECIMAL(38,12)))
+                   FILTER (WHERE {_both}) AS sxx_{_tag},
+               SUM(CAST({_y} * {_y} AS DECIMAL(38,12)))
+                   FILTER (WHERE {_both}) AS syy_{_tag}""")
+            _cm_sel.append(f"""
+        SELECT '{_a}' AS col_a, '{_b}' AS col_b, n_{_tag} AS n,
+               CASE WHEN n_{_tag} >= 2
+                         AND CAST(n_{_tag} AS DOUBLE)
+                             * CAST(sxx_{_tag} AS DOUBLE)
+                             - CAST(sx_{_tag} AS DOUBLE)
+                               * CAST(sx_{_tag} AS DOUBLE) > 0
+                         AND CAST(n_{_tag} AS DOUBLE)
+                             * CAST(syy_{_tag} AS DOUBLE)
+                             - CAST(sy_{_tag} AS DOUBLE)
+                               * CAST(sy_{_tag} AS DOUBLE) > 0
+                    THEN round((CAST(n_{_tag} AS DOUBLE)
+                                * CAST(sxy_{_tag} AS DOUBLE)
+                                - CAST(sx_{_tag} AS DOUBLE)
+                                  * CAST(sy_{_tag} AS DOUBLE))
+                               / (sqrt(CAST(n_{_tag} AS DOUBLE)
+                                       * CAST(sxx_{_tag} AS DOUBLE)
+                                       - CAST(sx_{_tag} AS DOUBLE)
+                                         * CAST(sx_{_tag} AS DOUBLE))
+                                  * sqrt(CAST(n_{_tag} AS DOUBLE)
+                                         * CAST(syy_{_tag} AS DOUBLE)
+                                         - CAST(sy_{_tag} AS DOUBLE)
+                                           * CAST(sy_{_tag} AS DOUBLE))),
+                               6)
+               END AS r
+        FROM s""")
+    sql["qx101_corr_matrix"] = (
+        "WITH s AS (SELECT "
+        + ",".join(_cm_aggs)
+        + " FROM lineitem) "
+        + " UNION ALL ".join(_cm_sel)
+        + " ORDER BY col_a, col_b"
+    )
+
+    # qx102: full r x c grid chi2 (zero cells included), 12dp DECIMAL
+    # term sums, one sqrt.
+    sql["qx102_cramers_v"] = """
+        WITH base AS (
+            SELECT event_type AS a,
+                   (epoch_us(ts) // 86400000000) % 7 AS b
+            FROM events WHERE event_type IS NOT NULL
+        ),
+        obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
+                FROM base GROUP BY a, b),
+        ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS ra FROM obs GROUP BY a),
+        cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cb FROM obs GROUP BY b),
+        tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+                       CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows,
+                       CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols
+                FROM obs),
+        cells AS (
+            SELECT ra.a, cb.b, ra.ra, cb.cb,
+                   coalesce(obs.o, CAST(0 AS BIGINT)) AS o
+            FROM ra CROSS JOIN cb
+            LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+        ),
+        term AS (
+            SELECT n, n_rows, n_cols,
+                   round((CAST(o AS DOUBLE)
+                          - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                            / CAST(n AS DOUBLE))
+                         * (CAST(o AS DOUBLE)
+                            - CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                         / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)
+                            / CAST(n AS DOUBLE)), 12) AS t
+            FROM cells, tot
+        ),
+        agg AS (
+            SELECT n, n_rows, n_cols,
+                   CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+            FROM term GROUP BY n, n_rows, n_cols
+        )
+        SELECT n, n_rows, n_cols, round(chi2, 6) AS chi2,
+               CASE WHEN least(n_rows - 1, n_cols - 1) > 0
+                    THEN round(sqrt(chi2
+                         / (CAST(n AS DOUBLE)
+                            * CAST(least(n_rows - 1, n_cols - 1)
+                                   AS DOUBLE))), 6)
+               END AS v
+        FROM agg
+    """
+
+    # qx103: centered MA trend window, per-phase means, zero-mean
+    # normalization — same frames, same decimal sums, same order.
+    sql["qx103_seasonal"] = """
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
+                         AS DOUBLE), 6) AS x
+            FROM events GROUP BY event_type, day
+        ),
+        base AS (
+            SELECT event_type, day, x,
+                   CAST(round(x, 6) AS DECIMAL(28,6)) AS y,
+                   (row_number() OVER (
+                        PARTITION BY event_type ORDER BY day) - 1) % 7
+                       AS phase,
+                   COUNT(CAST(round(x, 6) AS DECIMAL(28,6))) OVER w AS wn,
+                   SUM(CAST(round(x, 6) AS DECIMAL(28,6))) OVER w AS ws
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ),
+        detr AS (
+            SELECT event_type, day, x, phase,
+                   CASE WHEN wn = 7
+                        THEN CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE)
+                   END AS trend,
+                   CASE WHEN wn = 7 AND y IS NOT NULL
+                        THEN round(CAST(y AS DOUBLE)
+                                   - CAST(ws AS DOUBLE)
+                                     / CAST(wn AS DOUBLE), 9)
+                   END AS d
+            FROM base
+        ),
+        pm AS (
+            SELECT event_type, phase,
+                   CAST(SUM(CAST(d AS DECIMAL(28,9))) AS DOUBLE)
+                       / CAST(COUNT(d) AS DOUBLE) AS pmv
+            FROM detr GROUP BY event_type, phase
+        ),
+        nrm AS (
+            SELECT event_type,
+                   CAST(SUM(CAST(round(pmv, 9) AS DECIMAL(28,9)))
+                        AS DOUBLE) / CAST(COUNT(pmv) AS DOUBLE)
+                       AS mean_pm
+            FROM pm GROUP BY event_type
+        )
+        SELECT d.event_type, d.day, d.x,
+               round(d.trend, 6) AS trend,
+               CASE WHEN pm.pmv IS NOT NULL
+                    THEN round(round(pm.pmv - nrm.mean_pm, 9), 6)
+               END AS seasonal,
+               CASE WHEN d.trend IS NOT NULL AND pm.pmv IS NOT NULL
+                         AND d.x IS NOT NULL
+                    THEN round(round(d.x, 6) - d.trend
+                               - round(pm.pmv - nrm.mean_pm, 9), 6)
+               END AS residual
+        FROM detr d
+        LEFT JOIN pm ON pm.event_type = d.event_type
+                    AND pm.phase = d.phase
+        LEFT JOIN nrm ON nrm.event_type = d.event_type
+        ORDER BY d.event_type, d.day
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

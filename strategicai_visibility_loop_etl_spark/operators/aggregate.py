@@ -419,3 +419,85 @@ def winsorize(
     return df.join(bounds, list(group_cols)).withColumn(
         f"{value_col}_winsorized", clipped
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations over a fixed metric-column list —
+    the metric-redundancy audit before a quality blend (row 129
+    fuses scorers; this says which scorers are measuring the same
+    thing) and the numeric companion of Cramér's V. Output: one row
+    per unordered pair (col_a < col_b) with the PAIRWISE-COMPLETE
+    sample size and r.
+
+    Pairwise-complete: each pair's sums run over rows where BOTH
+    columns are non-NULL (the standard corr(x, y) contract), as
+    conditional aggregates — all pairs in ONE corpus pass, k(k−1)/2
+    aggregate sets over a fixed small k (the caller names the
+    columns; they are the model).
+
+    Exactness: values round to 6dp and sum as DECIMAL (order-free,
+    partition-invariant); the closed form
+    r = (n·Sxy − Sx·Sy) / (sqrt(n·Sxx − Sx²) · sqrt(n·Syy − Sy²))
+    then evaluates in DOUBLES over those exact sums in a FIXED
+    operation order (decimal×decimal here would hit each engine's
+    own precision-reduction rules; exact-sum→double conversion is
+    engine-identical, and fixed-order IEEE ops replay bit-for-bit —
+    the rolling-zscore discipline, never the engine's incremental
+    algorithm). r is NULL for degenerate pairs (constant column or
+    n < 2).
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            both = F.col(a).isNotNull() & F.col(b).isNotNull()
+            x = F.when(both, round_c(F.col(a).cast("double"), 6)).cast(
+                "decimal(28,6)"
+            )
+            y = F.when(both, round_c(F.col(b).cast("double"), 6)).cast(
+                "decimal(28,6)"
+            )
+            tag = f"{a}__{b}"
+            aggs += [
+                F.count(F.when(both, F.lit(1))).alias(f"n_{tag}"),
+                F.sum(x).alias(f"sx_{tag}"),
+                F.sum(y).alias(f"sy_{tag}"),
+                F.sum((x * y).cast("decimal(38,12)")).alias(f"sxy_{tag}"),
+                F.sum((x * x).cast("decimal(38,12)")).alias(f"sxx_{tag}"),
+                F.sum((y * y).cast("decimal(38,12)")).alias(f"syy_{tag}"),
+            ]
+    wide = df.agg(*aggs)
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            tag = f"{a}__{b}"
+            n = F.col(f"n_{tag}").cast("double")
+            sx = F.col(f"sx_{tag}").cast("double")
+            sy = F.col(f"sy_{tag}").cast("double")
+            num = n * F.col(f"sxy_{tag}").cast("double") - sx * sy
+            dx = n * F.col(f"sxx_{tag}").cast("double") - sx * sx
+            dy = n * F.col(f"syy_{tag}").cast("double") - sy * sy
+            r = F.when(
+                (F.col(f"n_{tag}") >= 2) & (dx > 0) & (dy > 0),
+                round_c(num / (F.sqrt(dx) * F.sqrt(dy)), decimals),
+            )
+            rows.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(f"n_{tag}").alias("n"),
+                    r.alias("r"),
+                )
+            )
+    return wide.select(
+        F.explode(F.array(*rows)).alias("__p")
+    ).select("__p.col_a", "__p.col_b", "__p.n", "__p.r").orderBy(
+        "col_a", "col_b"
+    )

@@ -299,3 +299,107 @@ def fd_violations(
         .filter(F.col("n_distinct_rhs") > 1)
         .orderBy(F.desc("n_distinct_rhs"), *lhs_cols)
     )
+
+
+def cramers_v(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cramér's V association between two categorical columns — the
+    profiling question "are these columns redundant / dependent?"
+    that :func:`fd_violations` answers only in the exact-dependency
+    limit and Pearson r can't answer for categories at all:
+    ``V = sqrt(chi2 / (n · min(r−1, c−1)))`` over the full
+    contingency table, 0 = independent, 1 = one determines the
+    other.
+
+    Exactness: observed cells and margins are exact counts; each
+    expected cell is one double expression in fixed order
+    (``row·col/n``), chi2 sums the per-cell terms as 12dp-rounded
+    DECIMAL (order-free), one sqrt at the end. NULLs in either
+    column are excluded (the countDistinct convention).
+
+    Scale shape: one (a, b) hash aggregate (cells ≤ r·c, model-sized
+    for real categorical columns), two margin aggregates joined back,
+    a 1-row broadcast total. Output: one row — (n, n_rows, n_cols,
+    chi2, v).
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    base = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    obs = base.groupBy("a", "b").agg(F.count(F.lit(1)).alias("o"))
+    ra = obs.groupBy("a").agg(F.sum("o").alias("ra"))
+    cb = obs.groupBy("b").agg(F.sum("o").alias("cb"))
+    tot = obs.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("n_rows"),
+        F.countDistinct("b").alias("n_cols"),
+    )
+    # the FULL r x c grid: unobserved combinations contribute
+    # (0 - e)^2 / e — dropping them understates chi2 exactly when the
+    # association is strongest (a perfect-determination table is half
+    # zero cells). The grid is margins x margins: model-sized for real
+    # categorical columns, broadcast accordingly.
+    cells = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(obs, ["a", "b"], "left")
+        .select(
+            "a",
+            "b",
+            "ra",
+            "cb",
+            F.coalesce("o", F.lit(0).cast("long")).alias("o"),
+        )
+    )
+    term = (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "n_rows",
+            "n_cols",
+            round_c(
+                (
+                    F.col("o").cast("double")
+                    - F.col("ra").cast("double")
+                    * F.col("cb").cast("double")
+                    / F.col("n").cast("double")
+                )
+                * (
+                    F.col("o").cast("double")
+                    - F.col("ra").cast("double")
+                    * F.col("cb").cast("double")
+                    / F.col("n").cast("double")
+                )
+                / (
+                    F.col("ra").cast("double")
+                    * F.col("cb").cast("double")
+                    / F.col("n").cast("double")
+                ),
+                12,
+            ).alias("__t"),
+        )
+    )
+    mind = F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+    return term.groupBy("n", "n_rows", "n_cols").agg(
+        F.sum(F.col("__t").cast("decimal(38,12)"))
+        .cast("double")
+        .alias("chi2")
+    ).select(
+        "n",
+        "n_rows",
+        "n_cols",
+        round_c(F.col("chi2"), 6).alias("chi2"),
+        F.when(
+            mind > 0,
+            round_c(
+                F.sqrt(
+                    F.col("chi2")
+                    / (F.col("n").cast("double") * mind.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("v"),
+    )

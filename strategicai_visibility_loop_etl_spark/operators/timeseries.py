@@ -407,3 +407,111 @@ def kaplan_meier(
         F.col("__e.s").alias("survival"),
     )
     return out.orderBy(*gcols, "duration")
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    value_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Additive seasonal decomposition per group (the classical
+    moving-average method, decompose-style): ``value = trend +
+    seasonal + residual`` with a centered ``period``-point moving
+    average as trend, per-phase means of the detrended series as the
+    seasonal component (normalized to sum ≈ 0 over one period), and
+    the leftover as residual. The metrics-monitoring complement of
+    rows 120/172: the z-score flags points, EWMA smooths levels —
+    this SEPARATES the weekly rhythm from the trend so a Monday dip
+    stops paging anyone.
+
+    Exactness: the trend is an exact DECIMAL window sum divided by
+    its exact count (the rolling-zscore discipline); phase means and
+    the normalizing mean are DECIMAL sums with single divisions;
+    every subtraction runs in a fixed order — a SQL twin replays the
+    whole pipeline. Trend (and so seasonal/residual) is NULL at the
+    edges where the centered window is incomplete, and rows with
+    NULL values pass through with NULL components (never excluded —
+    the time grid matters here, unlike ewma's event series).
+
+    Scale shape: one per-group window (ROWS frame over ``period``
+    points), one (group, phase) hash aggregate, one group aggregate
+    for the normalizer, two broadcast-able join-backs. Phase =
+    row position mod period under the per-group (time) order —
+    supply a regular (resampled, row 94) series for calendar-aligned
+    phases.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    if period < 2:
+        raise ValueError("period must be >= 2")
+    half = period // 2
+    w_ord = Window.partitionBy(*group_cols).orderBy(time_col)
+    w_frame = w_ord.rowsBetween(-half, period - 1 - half)
+    y = round_c(F.col(value_col).cast("double"), 6).cast("decimal(28,6)")
+    base = df.select(
+        *group_cols,
+        F.col(time_col),
+        F.col(value_col),
+        y.alias("__y"),
+        F.pmod(F.row_number().over(w_ord) - 1, F.lit(period)).alias(
+            "__phase"
+        ),
+        F.count(y).over(w_frame).alias("__wn"),
+        F.sum(y).over(w_frame).alias("__ws"),
+    )
+    trend = F.when(
+        F.col("__wn") == period,
+        F.col("__ws").cast("double") / F.col("__wn").cast("double"),
+    )
+    detr = base.select(
+        *group_cols,
+        time_col,
+        value_col,
+        "__phase",
+        trend.alias("__trend"),
+        F.when(
+            trend.isNotNull() & F.col("__y").isNotNull(),
+            round_c(F.col("__y").cast("double") - trend, 9),
+        ).alias("__d"),
+    )
+    phase_means = detr.groupBy(*group_cols, "__phase").agg(
+        (
+            F.sum(F.col("__d").cast("decimal(28,9)")).cast("double")
+            / F.count("__d").cast("double")
+        ).alias("__pm")
+    )
+    norm = phase_means.groupBy(*group_cols).agg(
+        (
+            F.sum(round_c(F.col("__pm"), 9).cast("decimal(28,9)"))
+            .cast("double")
+            / F.count("__pm").cast("double")
+        ).alias("__mean_pm")
+    )
+    seasonal = round_c(F.col("__pm") - F.col("__mean_pm"), 9)
+    out = (
+        detr.join(phase_means, [*group_cols, "__phase"], "left")
+        .join(norm, group_cols, "left")
+        .select(
+            *group_cols,
+            time_col,
+            value_col,
+            round_c(F.col("__trend"), 6).alias("trend"),
+            F.when(
+                F.col("__pm").isNotNull(), round_c(seasonal, 6)
+            ).alias("seasonal"),
+            F.when(
+                F.col("__trend").isNotNull()
+                & F.col("__pm").isNotNull()
+                & F.col(value_col).isNotNull(),
+                round_c(
+                    round_c(F.col(value_col).cast("double"), 6)
+                    - F.col("__trend")
+                    - seasonal,
+                    6,
+                ),
+            ).alias("residual"),
+        )
+    )
+    return out.orderBy(*group_cols, time_col)

@@ -714,3 +714,78 @@ def test_removal_effect_reserved_state_collision_raises(spark):
     )
     with _pytest.raises(ValueError, match="reserved"):
         removal_effect(df, "seq", "t", "ch", "purchase", horizon=2)
+
+
+def test_corr_matrix(spark):
+    """Perfect +/- correlations, degenerate-constant NULL, and
+    pairwise-complete NULL handling."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        corr_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, 5.0, 7.0),
+            (2.0, 4.0, 5.0, None),
+            (3.0, 6.0, 5.0, 3.0),
+            (4.0, 8.0, 5.0, 1.0),
+        ],
+        "x double, y double, c double, w double",
+    )
+    out = {
+        (r["col_a"], r["col_b"]): r
+        for r in corr_matrix(df, ["x", "y", "c", "w"]).collect()
+    }
+    assert out[("x", "y")]["r"] == 1.0       # y = 2x
+    assert out[("x", "y")]["n"] == 4
+    assert out[("x", "c")]["r"] is None      # constant column
+    assert out[("x", "w")]["n"] == 3         # pairwise-complete
+    assert out[("x", "w")]["r"] == -1.0      # w = -2x + 9 on those rows
+    with _pytest.raises(ValueError):
+        corr_matrix(df, ["x"])
+
+
+def test_cramers_v(spark):
+    """Perfect determination gives V=1; exact independence gives 0."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        cramers_v,
+    )
+
+    det = spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "y")] * 3, "p string, q string"
+    )
+    r = cramers_v(det, "p", "q").collect()[0]
+    assert r["v"] == 1.0 and r["n"] == 6
+    indep = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")],
+        "p string, q string",
+    )
+    r2 = cramers_v(indep, "p", "q").collect()[0]
+    assert r2["chi2"] == 0.0 and r2["v"] == 0.0
+
+
+def test_seasonal_decompose(spark):
+    """Alternating series around a constant level: trend = level,
+    seasonal = the alternation, residual = 0; edges where the
+    centered window is incomplete carry NULL trend/residual."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    rows = [("g", t, 10.0 + (t % 2)) for t in range(1, 9)]
+    df = spark.createDataFrame(rows, "grp string, t long, v double")
+    out = {
+        r["t"]: r
+        for r in seasonal_decompose(df, ["grp"], "t", "v", period=2).collect()
+    }
+    assert out[1]["trend"] is None and out[1]["residual"] is None
+    for t in range(2, 9):
+        assert out[t]["trend"] == 10.5
+        assert out[t]["residual"] == 0.0
+    assert out[3]["seasonal"] == 0.5 and out[4]["seasonal"] == -0.5
+    with _pytest.raises(ValueError):
+        seasonal_decompose(df, ["grp"], "t", "v", period=1)
