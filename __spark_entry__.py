@@ -4905,6 +4905,54 @@ def qx103_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_decompose(daily, ["event_type"], "day", "x", period=7)
 
 
+def qx104_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template mining (capability row 203) over manufactured
+    event lines (integer fields only — double stringification is
+    engine-specific): digit runs mask to <n>, one hash aggregate per
+    template. DuckDB replays the masking regexes."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        log_templates,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(" uid="),
+            F.col("user_id").cast("string"),
+            F.lit(" ev="),
+            F.col("event_id").cast("string"),
+        ).alias("line")
+    )
+    return log_templates(ev, "line")
+
+
+def qx105_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 rollup (capability row 204): manufactured hosts across
+    multi-label suffixes (.co.uk/.com.au), plain TLDs and an unknown
+    TLD; per-registrable-domain counts with the longest-suffix-wins
+    CASE chain replayed by DuckDB (the a.co.uk-vs-.uk trap)."""
+    from strategicai_visibility_loop_etl_spark.operators.domains import (
+        registrable_domain,
+    )
+
+    d = F.col("doc_id")
+    n = (d % 7).cast("string")
+    host = (
+        F.when(d % 5 == 0, F.concat(F.lit("www.shop"), n, F.lit(".co.uk")))
+        .when(d % 5 == 1, F.concat(F.lit("blog"), n, F.lit(".com")))
+        .when(d % 5 == 2, F.concat(F.lit("a.b.site"), n, F.lit(".org")))
+        .when(d % 5 == 3, F.concat(F.lit("x"), n, F.lit(".com.au")))
+        .otherwise(F.concat(F.lit("plain"), n, F.lit(".zz")))
+    )
+    hosts = _t(spark, sf_dir, "documents").select(host.alias("host"))
+    return (
+        hosts.select(registrable_domain(F.col("host")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .orderBy("domain")
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5010,6 +5058,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx101_corr_matrix": qx101_corr_matrix,
         "qx102_cramers_v": qx102_cramers_v,
         "qx103_seasonal": qx103_seasonal,
+        "qx104_log_templates": qx104_log_templates,
+        "qx105_registrable_domains": qx105_registrable_domains,
     }
 
 
@@ -9191,6 +9241,75 @@ def extra_oracle_sql() -> dict[str, str]:
                     AND pm.phase = d.phase
         LEFT JOIN nrm ON nrm.event_type = d.event_type
         ORDER BY d.event_type, d.day
+    """
+
+    # qx104: the same three masks in the same order, 'g' flags.
+    sql["qx104_log_templates"] = """
+        WITH lines AS (
+            SELECT event_type || ' uid=' || CAST(user_id AS VARCHAR)
+                   || ' ev=' || CAST(event_id AS VARCHAR) AS line
+            FROM events
+        ),
+        masked AS (
+            SELECT line,
+                   trim(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(line,
+                           '[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}',
+                           '<uuid>', 'g'),
+                           '\\b0x[0-9a-fA-F]+\\b', '<hex>', 'g'),
+                           '[0-9]+', '<n>', 'g'),
+                           '[ \t]+', ' ', 'g')) AS template
+            FROM lines WHERE line IS NOT NULL
+        )
+        SELECT template, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(COUNT(DISTINCT line) AS BIGINT) AS n_distinct_lines,
+               MIN(line) AS example
+        FROM masked GROUP BY template
+        ORDER BY n_lines DESC, template
+    """
+
+    # qx105: the longest-suffix-first CASE chain generated from the
+    # SAME ordered suffix list the engine compiles.
+    from strategicai_visibility_loop_etl_spark.operators.domains import (
+        PUBLIC_SUFFIXES,
+    )
+
+    _rd_ordered = sorted(
+        PUBLIC_SUFFIXES, key=lambda s: (s.count("."), len(s)), reverse=True
+    )
+    _rd_arms = []
+    for _s in _rd_ordered:
+        _esc = _s.replace(".", "\\.")
+        _ext = f"regexp_extract(h, '([^.]+\\.{_esc})$', 1)"
+        _rd_arms.append(
+            f"WHEN ends_with(h, '.{_s}') AND {_ext} <> '' THEN {_ext}"
+        )
+    _rd_whens = "\n               ".join(_rd_arms)
+    _rd_suflist = ", ".join(f"'{s}'" for s in _rd_ordered)
+    sql["qx105_registrable_domains"] = f"""
+        WITH hosts AS (
+            SELECT lower(CASE
+                WHEN doc_id % 5 = 0
+                    THEN 'www.shop' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+                WHEN doc_id % 5 = 1
+                    THEN 'blog' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                WHEN doc_id % 5 = 2
+                    THEN 'a.b.site' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                WHEN doc_id % 5 = 3
+                    THEN 'x' || CAST(doc_id % 7 AS VARCHAR) || '.com.au'
+                ELSE 'plain' || CAST(doc_id % 7 AS VARCHAR) || '.zz'
+            END) AS h
+            FROM documents
+        ),
+        reg AS (
+            SELECT CASE WHEN h IN ({_rd_suflist}) THEN NULL
+               ELSE CASE
+               {_rd_whens}
+               END END AS domain
+            FROM hosts
+        )
+        SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_hosts
+        FROM reg GROUP BY domain ORDER BY domain NULLS FIRST
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

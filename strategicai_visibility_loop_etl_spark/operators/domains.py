@@ -141,3 +141,56 @@ def crawl_frontier_shards(
         "fetch_round",
         F.floor((F.col("seq") - 1) / per_host_per_round).cast("int"),
     )
+
+
+# A deliberately small, BUILT-IN public-suffix subset (longest match
+# wins): the full PSL is a moving external file — callers with exotic
+# TLD needs pass their own list. Ordered here only for reading; the
+# expression sorts by label depth so 'co.uk' beats 'uk'.
+PUBLIC_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "co.in", "co.kr", "com.mx",
+    "com", "org", "net", "edu", "gov", "mil", "int",
+    "io", "dev", "app", "info", "biz", "example",
+    "uk", "de", "fr", "jp", "cn", "au", "in", "br", "ru", "it", "nl",
+)
+
+
+def registrable_domain(host_col, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES):
+    """eTLD+1 (registrable domain) of a hostname column — the crawl
+    aggregation key that host-level rollups get WRONG for multi-label
+    suffixes (``a.co.uk`` and ``b.co.uk`` are different sites;
+    grouping by the last two labels would merge every .co.uk site
+    into one). The longest matching suffix from the built-in PSL
+    subset wins; the registrable domain is the label before it plus
+    the suffix. NULL when no suffix matches or the host IS a bare
+    suffix (no registrable label).
+
+    Pure expression: one lowercase + a when-chain over the suffix
+    list ordered by label depth (longest first), each arm a single
+    anchored ``regexp_extract`` — codegen, replayable as a SQL CASE
+    chain with the same ordering.
+    """
+    import re as _re  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    h = F.lower(host_col.cast("string"))
+    # longest suffix FIRST in the chain: chained .when()s test in
+    # order, so 'a.co.uk' must hit the co.uk arm before the uk arm
+    ordered = sorted(
+        suffixes, key=lambda s: (s.count("."), len(s)), reverse=True
+    )
+    expr = None
+    for suf in ordered:
+        pat = r"([^.]+\." + _re.escape(suf) + r")$"
+        got = F.regexp_extract(h, pat, 1)
+        cond = h.endswith("." + suf) & (got != "")
+        expr = F.when(cond, got) if expr is None else expr.when(cond, got)
+    # a host that IS a suffix has no registrable label ('co.uk' would
+    # otherwise fall through to the '.uk' arm and return itself)
+    return F.when(h.isin(*ordered), F.lit(None).cast("string")).otherwise(
+        expr.otherwise(F.lit(None).cast("string"))
+    )

@@ -403,3 +403,49 @@ def cramers_v(
             ),
         ).alias("v"),
     )
+
+
+def log_templates(
+    df: DataFrame,
+    text_col: str,
+) -> DataFrame:
+    """Log-template mining (Drain-lite): collapse free-text log/event
+    lines onto their structural templates by masking the variable
+    parts — UUIDs → ``<uuid>``, 0x-hex → ``<hex>``, digit runs →
+    ``<n>`` — then one hash aggregate per template. The observability
+    profiler for machine-generated text: "what KINDS of lines is this
+    pipeline emitting, and at what rates" (the line-level analog of
+    the column profiler, row 130, and the upstream question before
+    boilerplate excision targets the hot templates).
+
+    Output: (template, n_lines, n_distinct_lines, example) — example
+    is the MIN raw line (deterministic witness). NULL lines are
+    excluded.
+
+    Every mask pattern sits in the Java-and-RE2-common subset (ASCII
+    classes, ``\\b`` word boundaries, no lookaround), so a SQL twin
+    replays the masking character-for-character. One projection + one
+    hash aggregate; template cardinality is the small side by
+    construction (that is the point of templates).
+    """
+    s = F.col(text_col).cast("string")
+    t = F.regexp_replace(
+        s,
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "<uuid>",
+    )
+    t = F.regexp_replace(t, r"\b0x[0-9a-fA-F]+\b", "<hex>")
+    t = F.regexp_replace(t, r"[0-9]+", "<n>")
+    t = F.trim(F.regexp_replace(t, r"[ \t]+", " "))
+    return (
+        df.filter(s.isNotNull())
+        .select(t.alias("template"), s.alias("__line"))
+        .groupBy("template")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("__line").alias("n_distinct_lines"),
+            F.min("__line").alias("example"),
+        )
+        .orderBy(F.desc("n_lines"), "template")
+    )

@@ -171,3 +171,35 @@ def test_crawl_frontier_politeness_invariants(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         crawl_frontier_shards(df, n_shards=0)
+
+
+def test_registrable_domain(spark):
+    """Longest public suffix wins; bare suffixes and unknown TLDs give
+    NULL; matching is case-insensitive."""
+    import pyspark.sql.functions as SF
+
+    from strategicai_visibility_loop_etl_spark.operators.domains import (
+        registrable_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("www.shop.co.uk",),
+            ("a.b.site.com",),
+            ("WWW.Foo.COM",),
+            ("x.com.au",),
+            ("co.uk",),        # bare suffix: no registrable label
+            ("weird.zz",),     # unknown TLD
+            (None,),
+        ],
+        "host string",
+    )
+    out = [
+        r["d"]
+        for r in df.select(
+            registrable_domain(SF.col("host")).alias("d")
+        ).collect()
+    ]
+    assert out == [
+        "shop.co.uk", "site.com", "foo.com", "x.com.au", None, None, None,
+    ]

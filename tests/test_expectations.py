@@ -273,3 +273,33 @@ def test_fd_violations_structure_audit(spark):
     assert out["a"]["n_rows"] == 3
     assert (out["a"]["rhs_min"], out["a"]["rhs_max"]) == ("x", "y")
     assert out[None]["n_distinct_rhs"] == 2
+
+
+def test_log_templates(spark):
+    """UUIDs, 0x-hex and digit runs mask to placeholders; identical
+    templates aggregate with distinct-line counts and a deterministic
+    example; NULL lines drop."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        log_templates,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("user 123 logged in",),
+            ("user 99 logged in",),
+            ("user 99 logged in",),
+            ("error 0xDEADbeef at 17",),
+            ("req 550e8400-e29b-41d4-a716-446655440000 done",),
+            (None,),
+        ],
+        "line string",
+    )
+    out = {r["template"]: r for r in log_templates(df, "line").collect()}
+    assert set(out) == {
+        "user <n> logged in",
+        "error <hex> at <n>",
+        "req <uuid> done",
+    }
+    u = out["user <n> logged in"]
+    assert u["n_lines"] == 3 and u["n_distinct_lines"] == 2
+    assert u["example"] == "user 123 logged in"
