@@ -4953,6 +4953,90 @@ def qx105_registrable_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx106_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-window trending terms (capability row 205): the
+    id-range halves as before/after windows, integer-ppm rate deltas
+    (no float ever). DuckDB replays the counts and the DIV
+    arithmetic."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        trending_terms,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    rng = docs.agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+    win = docs.crossJoin(F.broadcast(rng)).select(
+        "text",
+        F.floor(
+            (F.col("doc_id") - F.col("__lo"))
+            * F.lit(2)
+            / (F.col("__hi") - F.col("__lo") + F.lit(1))
+        ).cast("int").alias("w"),
+    )
+    return trending_terms(win, "text", "w", top_k=20, min_count=5)
+
+
+def qx107_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard assignment (capability row 206):
+    manufactured hosts assigned under 4 nodes AND under 3 nodes in
+    one result — the off-diagonal rows are exactly node-d's keys (the
+    minimal-disruption property). DuckDB replays the polynomial hash
+    and the argmax."""
+    from strategicai_visibility_loop_etl_spark.operators.domains import (
+        rendezvous_assign,
+    )
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example"),
+        ).alias("host")
+    ).distinct()
+    four = rendezvous_assign(hosts, "host", ["node-a", "node-b", "node-c", "node-d"], "node4")
+    three = rendezvous_assign(hosts, "host", ["node-a", "node-b", "node-c"], "node3")
+    return (
+        four.join(three, "host")
+        .groupBy("node4", "node3")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .orderBy("node4", "node3")
+    )
+
+
+def qx108_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence cosine (capability row 207) over the
+    qx78 basket data (user × event type): exact pair counts over
+    sqrt-products of item frequencies. DuckDB replays the basket
+    discipline and the arithmetic."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        item_cosine_pairs,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type")
+    return item_cosine_pairs(ev, "user_id", "event_type", min_pair=2)
+
+
+def qx109_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration of per-user value mass per event type
+    (capability row 208): is engagement value concentrated in a few
+    users? Exact decimal rank-sums, one final division. DuckDB
+    replays the window and the closed form."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        gini_concentration,
+    )
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(_rd(F.col("value"), 6).cast("decimal(28,6)")).alias("__s")
+        )
+        .select(
+            "event_type", _rd(F.col("__s").cast("double"), 6).alias("v")
+        )
+    )
+    return gini_concentration(per_user, ["event_type"], "v")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5060,6 +5144,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx103_seasonal": qx103_seasonal,
         "qx104_log_templates": qx104_log_templates,
         "qx105_registrable_domains": qx105_registrable_domains,
+        "qx106_trending_terms": qx106_trending_terms,
+        "qx107_rendezvous": qx107_rendezvous,
+        "qx108_item_cosine": qx108_item_cosine,
+        "qx109_gini": qx109_gini,
     }
 
 
@@ -9310,6 +9398,152 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_hosts
         FROM reg GROUP BY domain ORDER BY domain NULLS FIRST
+    """
+
+    # qx106: identical id-range halves, token counts and DIV ppm.
+    sql["qx106_trending_terms"] = f"""
+        WITH rng AS (
+            SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+        ),
+        toks AS (
+            SELECT CAST(floor((doc_id - lo) * 2 / (hi - lo + 1))
+                        AS INTEGER) AS w,
+                   unnest({_toks(norm_text)}) AS tok
+            FROM documents, rng
+        ),
+        f AS (SELECT w, tok FROM toks WHERE length(tok) >= 1 AND w IN (0, 1)),
+        counts AS (
+            SELECT tok,
+                   CAST(SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_before,
+                   CAST(SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_after
+            FROM f GROUP BY tok
+        ),
+        tot AS (
+            SELECT CAST(SUM(CASE WHEN w = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS tb,
+                   CAST(SUM(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS ta
+            FROM f
+        ),
+        rated AS (
+            SELECT tok, n_before, n_after,
+                   CAST(CASE WHEN tb > 0 THEN n_before * 1000000 // tb
+                             ELSE 0 END AS BIGINT) AS ppm_before,
+                   CAST(CASE WHEN ta > 0 THEN n_after * 1000000 // ta
+                             ELSE 0 END AS BIGINT) AS ppm_after
+            FROM counts, tot
+            WHERE n_before + n_after >= 5
+        )
+        SELECT tok, n_before, n_after, ppm_before, ppm_after,
+               ppm_after - ppm_before AS delta_ppm
+        FROM rated ORDER BY delta_ppm DESC, tok LIMIT 20
+    """
+
+    # qx107: the shared polynomial hash (list_reduce — first element
+    # is the fold init, equal to acc0=0*31+c0) and the (w, node)
+    # lexicographic argmax per key, under both node lists.
+    _rv_hash = (
+        "list_reduce(list_transform(range(1, length({s}) + 1), "
+        "i -> CAST(ascii(substr({s}, CAST(i AS INTEGER), 1)) AS BIGINT)), "
+        "(a, x) -> (a * 31 + x) % 1000000007)"
+    )
+    _rv_h4 = _rv_hash.format(s="n4.node || '|' || h.host")
+    _rv_h3 = _rv_hash.format(s="n3.node || '|' || h.host")
+    sql["qx107_rendezvous"] = f"""
+        WITH h AS (
+            SELECT DISTINCT 'host' || CAST(doc_id % 97 AS VARCHAR)
+                       || '.example' AS host
+            FROM documents
+        ),
+        n4 AS (SELECT unnest(['node-a','node-b','node-c','node-d']) AS node),
+        n3 AS (SELECT unnest(['node-a','node-b','node-c']) AS node),
+        a4 AS (
+            SELECT host, node AS node4 FROM (
+                SELECT h.host, n4.node, {_rv_h4} AS w
+                FROM h CROSS JOIN n4
+            ) QUALIFY row_number() OVER (
+                PARTITION BY host ORDER BY w DESC, node DESC) = 1
+        ),
+        a3 AS (
+            SELECT host, node AS node3 FROM (
+                SELECT h.host, n3.node, {_rv_h3} AS w
+                FROM h CROSS JOIN n3
+            ) QUALIFY row_number() OVER (
+                PARTITION BY host ORDER BY w DESC, node DESC) = 1
+        )
+        SELECT node4, node3, CAST(COUNT(*) AS BIGINT) AS n_hosts
+        FROM a4 JOIN a3 USING (host)
+        GROUP BY node4, node3 ORDER BY node4, node3
+    """
+
+    # qx108: the qx78 basket discipline feeding the cosine form.
+    sql["qx108_item_cosine"] = """
+        WITH bi AS (
+            SELECT DISTINCT user_id AS b, event_type AS i FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        ),
+        kept AS (
+            SELECT b, i FROM bi QUALIFY
+                COUNT(*) OVER (PARTITION BY b) <= 100
+        ),
+        itemn AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM kept GROUP BY i),
+        pairs AS (
+            SELECT l.i AS item_a, r.i AS item_b,
+                   CAST(COUNT(*) AS BIGINT) AS pair_n
+            FROM kept l JOIN kept r ON l.b = r.b AND l.i < r.i
+            GROUP BY l.i, r.i
+            HAVING COUNT(*) >= 2
+        )
+        SELECT item_a, item_b, pair_n, na.n AS n_a, nb.n AS n_b,
+               round(CAST(pair_n AS DOUBLE)
+                     / (sqrt(CAST(na.n AS DOUBLE))
+                        * sqrt(CAST(nb.n AS DOUBLE))), 6) AS cosine
+        FROM pairs
+        JOIN itemn na ON na.i = pairs.item_a
+        JOIN itemn nb ON nb.i = pairs.item_b
+        ORDER BY item_a, item_b
+    """
+
+    # qx109: ascending rank window + exact decimal rank-sums, the
+    # closed form's one double division.
+    sql["qx109_gini"] = """
+        WITH per_user AS (
+            SELECT event_type,
+                   round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
+                         AS DOUBLE), 6) AS v
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY event_type, user_id
+        ),
+        base AS (
+            SELECT event_type, CAST(round(v, 6) AS DECIMAL(28,6)) AS x
+            FROM per_user WHERE v IS NOT NULL AND v >= 0
+        ),
+        ranked AS (
+            SELECT event_type, x,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type ORDER BY x) AS BIGINT) AS i
+            FROM base
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(x) AS sx,
+                   SUM(CAST(CAST(i AS DECIMAL(38,6)) * x
+                       AS DECIMAL(38,6))) AS six
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round(CAST(sx AS DOUBLE), 6) AS total,
+               CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE) > 0
+                    THEN round(
+                        CAST(2 * six - CAST(n + 1 AS DECIMAL(38,0)) * sx
+                             AS DOUBLE)
+                        / CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE), 6)
+               END AS gini
+        FROM agg ORDER BY event_type
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

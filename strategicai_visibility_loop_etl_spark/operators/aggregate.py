@@ -501,3 +501,63 @@ def corr_matrix(
     ).select("__p.col_a", "__p.col_b", "__p.n", "__p.r").orderBy(
         "col_a", "col_b"
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Gini coefficient of a non-negative value per group — the
+    inequality/concentration audit ("is this corpus's traffic /
+    token mass / crawl budget concentrated in a few heads?") that
+    complements the CATEGORICAL concentration in mixture_diversity
+    (row 191) with the standard NUMERIC-mass measure: 0 = uniform,
+    →1 = one unit holds everything.
+
+    Closed form over ascending-ranked values:
+    ``G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)``. Ranks come from one
+    per-group window; ties rank arbitrarily WITHIN equal values,
+    which cannot change Σ i·xᵢ (equal x swap freely) — so no
+    tiebreak column is needed and any replay agrees. Values round to
+    6dp and every sum/product is exact DECIMAL; ONE double division
+    at the end. NULL and negative values are excluded by contract
+    (Gini needs non-negative mass); all-zero groups report NULL.
+
+    Scale shape: one window + one hash aggregate, both on the group
+    key — a single shuffle. Output: (group, n, total, gini).
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    x = round_c(F.col(value_col).cast("double"), 6).cast("decimal(28,6)")
+    base = df.filter(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(*group_cols, x.alias("__x"))
+    w = Window.partitionBy(*group_cols).orderBy("__x")
+    ranked = base.select(
+        *group_cols,
+        "__x",
+        F.row_number().over(w).cast("long").alias("__i"),
+    )
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("__sx"),
+        F.sum(
+            (F.col("__i").cast("decimal(38,6)") * F.col("__x")).cast(
+                "decimal(38,6)"
+            )
+        ).alias("__six"),
+    )
+    num = (
+        F.lit(2) * F.col("__six")
+        - (F.col("n") + F.lit(1)).cast("decimal(38,0)") * F.col("__sx")
+    ).cast("double")
+    den = (
+        F.col("n").cast("decimal(38,0)") * F.col("__sx")
+    ).cast("double")
+    return agg.select(
+        *group_cols,
+        "n",
+        round_c(F.col("__sx").cast("double"), 6).alias("total"),
+        F.when(den > 0, round_c(num / den, 6)).alias("gini"),
+    ).orderBy(*group_cols)

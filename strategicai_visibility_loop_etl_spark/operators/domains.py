@@ -194,3 +194,47 @@ def registrable_domain(host_col, suffixes: tuple[str, ...] = PUBLIC_SUFFIXES):
     return F.when(h.isin(*ordered), F.lit(None).cast("string")).otherwise(
         expr.otherwise(F.lit(None).cast("string"))
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    nodes: list[str],
+    out_col: str = "node",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) assignment of keys to a
+    node list — the rebalance-STABLE alternative to modulo sharding
+    (row 163's ``mod n_shards``): when a node leaves, ONLY the keys
+    that lived on it move (~1/n of keys), where re-modding moves
+    almost everything. The shard-rebalancing primitive for crawl
+    frontiers, cache partitioning, and worker hand-off.
+
+    weight(key, node) = the repo's shared polynomial char hash
+    (``char_fold_hash``, DuckDB-replayable) of ``node || '|' || key``;
+    the key goes to the arg-max weight with the node NAME as total
+    tiebreak. Deterministic, no coordinator state: any worker
+    recomputes any assignment.
+
+    Scale shape: keys × |nodes| via a broadcast explode (|nodes| is
+    the model), one key-keyed max_by — one shuffle on the key.
+    """
+    from ..functions.text import char_fold_hash
+
+    if not nodes:
+        raise ValueError("need at least one node")
+    spark = df.sparkSession
+    node_df = spark.createDataFrame([(n,) for n in nodes], "__node string")
+    weighted = df.select(F.col(key_col)).distinct().crossJoin(
+        F.broadcast(node_df)
+    ).select(
+        key_col,
+        "__node",
+        char_fold_hash(
+            F.concat(F.col("__node"), F.lit("|"), F.col(key_col))
+        ).alias("__w"),
+    )
+    return weighted.groupBy(key_col).agg(
+        F.max_by(
+            "__node", F.struct(F.col("__w"), F.col("__node"))
+        ).alias(out_col)
+    )

@@ -739,3 +739,79 @@ def removal_effect(
         )
         .orderBy(F.desc("removal_effect"), "channel")
     )
+
+
+def item_cosine_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket: int = 100,
+    min_pair: int = 2,
+) -> DataFrame:
+    """Item-item cosine similarity from co-occurrence — the
+    normalized kNN-recommender form next to :func:`basket_affinity`
+    (support/confidence/lift answer RULE questions; cosine
+    ``pair_n / (sqrt(n_a)·sqrt(n_b))`` is the symmetric SIMILARITY a
+    nearest-neighbor model consumes, penalizing ubiquitous items that
+    lift alone does not normalize symmetrically).
+
+    Same basket discipline as basket_affinity: distinct collapse,
+    per-basket size guard (``max_basket`` — one bot basket otherwise
+    contributes O(items²) pairs), bounded self-join on the basket
+    key, NULL baskets/items excluded. ``min_pair`` drops
+    one-coincidence pairs.
+
+    Exactness: counts exact; cosine = exact BIGINT over the product
+    of two IEEE sqrts of exact integers — replays bit-for-bit.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    bi = (
+        df.filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(
+            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+        )
+        .distinct()
+    )
+    sizes = bi.groupBy("b").agg(F.count(F.lit(1)).alias("__sz"))
+    kept = bi.join(
+        sizes.filter(F.col("__sz") <= max_basket).select("b"), "b"
+    )
+    item_n = kept.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
+    a = kept.select("b", F.col("i").alias("item_a"))
+    c = kept.select("b", F.col("i").alias("item_b"))
+    pairs = (
+        a.join(c, "b")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= min_pair)
+    )
+    return (
+        pairs.join(
+            item_n.select(F.col("i").alias("item_a"), F.col("n").alias("n_a")),
+            "item_a",
+        )
+        .join(
+            item_n.select(F.col("i").alias("item_b"), F.col("n").alias("n_b")),
+            "item_b",
+        )
+        .select(
+            "item_a",
+            "item_b",
+            "pair_n",
+            "n_a",
+            "n_b",
+            round_c(
+                F.col("pair_n").cast("double")
+                / (
+                    F.sqrt(F.col("n_a").cast("double"))
+                    * F.sqrt(F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy("item_a", "item_b")
+    )

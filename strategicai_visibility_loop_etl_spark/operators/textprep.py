@@ -1787,3 +1787,79 @@ def chi2_terms(
         .select("cls", "rank", "tok", F.col("A").alias("n_docs"), "chi2")
         .orderBy("cls", "rank")
     )
+
+
+def trending_terms(
+    df: DataFrame,
+    text_col: str,
+    window_col: str,
+    top_k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Window-over-window trending terms: token rates (integer parts
+    per million) in the AFTER window (``window_col`` = 1) vs the
+    BEFORE window (0), ranked by rate delta — the trend detector over
+    a corpus/stream ("what vocabulary is rising"), complementing the
+    static census (row 90) and the distribution drift tests (rows
+    145/167) with a per-TERM answer.
+
+    Exactness: ppm = cnt·1,000,000 DIV window-total — pure integer
+    arithmetic end to end (no rate division ever touches a double),
+    so the output replays exactly and tiny windows can't float-drift.
+    Absent-in-one-window tokens count 0 there (full outer on the
+    token). ``min_count`` drops noise terms (fewer than that many
+    total occurrences).
+
+    Scale shape: one tokenize+explode into a (token, window) hash
+    aggregate, a 2-row broadcast of window totals, one TakeOrdered
+    top-k. Output: (token, n_before, n_after, ppm_before, ppm_after,
+    delta_ppm), delta descending, token tiebreak.
+    """
+    from ..functions.text import normalized_text  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(window_col).cast("int").alias("w"),
+        F.explode(
+            F.split(
+                normalized_text(F.coalesce(F.col(text_col), F.lit(""))), " "
+            )
+        ).alias("tok"),
+    ).filter((F.length("tok") >= 1) & F.col("w").isin(0, 1))
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_before"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_after"),
+    )
+    totals = toks.groupBy().agg(
+        F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("__tb"),
+        F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("__ta"),
+    )
+    ppm_b = F.when(
+        F.col("__tb") > 0,
+        F.expr("n_before * 1000000 DIV __tb"),
+    ).otherwise(F.lit(0)).cast("long")
+    ppm_a = F.when(
+        F.col("__ta") > 0,
+        F.expr("n_after * 1000000 DIV __ta"),
+    ).otherwise(F.lit(0)).cast("long")
+    return (
+        counts.filter(F.col("n_before") + F.col("n_after") >= min_count)
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            "n_before",
+            "n_after",
+            ppm_b.alias("ppm_before"),
+            ppm_a.alias("ppm_after"),
+            (ppm_a - ppm_b).alias("delta_ppm"),
+        )
+        .orderBy(F.desc("delta_ppm"), "tok")
+        .limit(top_k)
+    )

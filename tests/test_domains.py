@@ -203,3 +203,38 @@ def test_registrable_domain(spark):
     assert out == [
         "shop.co.uk", "site.com", "foo.com", "x.com.au", None, None, None,
     ]
+
+
+def test_rendezvous_assign_stability(spark):
+    """HRW assignment: deterministic across partitionings, and
+    removing one node moves ONLY that node's keys (the property mod
+    sharding lacks)."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.domains import (
+        rendezvous_assign,
+    )
+
+    keys = spark.createDataFrame(
+        [(f"host{i}.example",) for i in range(60)], "host string"
+    )
+    four = {
+        r["host"]: r["node"]
+        for r in rendezvous_assign(keys, "host", ["a", "b", "c", "d"]).collect()
+    }
+    four2 = {
+        r["host"]: r["node"]
+        for r in rendezvous_assign(
+            keys.repartition(7), "host", ["a", "b", "c", "d"]
+        ).collect()
+    }
+    assert four == four2
+    assert set(four.values()) == {"a", "b", "c", "d"}  # all nodes used
+    three = {
+        r["host"]: r["node"]
+        for r in rendezvous_assign(keys, "host", ["a", "b", "c"]).collect()
+    }
+    moved = {k for k in four if three[k] != four[k]}
+    assert moved == {k for k, n in four.items() if n == "d"}
+    with _pytest.raises(ValueError):
+        rendezvous_assign(keys, "host", [])

@@ -789,3 +789,49 @@ def test_seasonal_decompose(spark):
     assert out[3]["seasonal"] == 0.5 and out[4]["seasonal"] == -0.5
     with _pytest.raises(ValueError):
         seasonal_decompose(df, ["grp"], "t", "v", period=1)
+
+
+def test_item_cosine_pairs(spark):
+    """Co-occurrence cosine: exact pair count over the sqrt-product
+    of item frequencies; min_pair drops coincidences."""
+    import math
+
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        item_cosine_pairs,
+    )
+
+    rows = [
+        (1, "A"), (1, "B"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+    ]
+    df = spark.createDataFrame(rows, "b long, i string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in item_cosine_pairs(df, "b", "i", min_pair=2).collect()
+    }
+    assert set(out) == {("A", "B")}   # A-C co-occurs once -> dropped
+    r = out[("A", "B")]
+    assert (r["pair_n"], r["n_a"], r["n_b"]) == (2, 3, 2)
+    assert r["cosine"] == round(2 / (math.sqrt(3) * math.sqrt(2)), 6)
+
+
+def test_gini_concentration(spark):
+    """Uniform mass -> 0; one-holder mass -> (n-1)/n; zero-total and
+    empty groups NULL/absent; negatives and NULLs excluded."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        gini_concentration,
+    )
+
+    rows = (
+        [("u", 5.0)] * 4
+        + [("c", 0.0), ("c", 0.0), ("c", 0.0), ("c", 1.0)]
+        + [("z", 0.0), ("z", 0.0)]
+        + [("n", -3.0), ("n", None), ("n", 2.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in gini_concentration(df, ["g"], "v").collect()}
+    assert out["u"]["gini"] == 0.0
+    assert out["c"]["gini"] == 0.75       # (2*4 - 5*1) / (4*1)
+    assert out["z"]["gini"] is None       # zero total mass
+    assert out["n"]["n"] == 1             # negative + NULL excluded

@@ -1089,3 +1089,31 @@ def test_chi2_terms_discriminative_tokens(spark):
     assert top[("de", 1)]["chi2"] == 4.0
     # 'shared' is everywhere: chi2 = 0 -> never outranks exclusives
     assert all(r["tok"] != "shared" or r["chi2"] == 0.0 for r in out)
+
+
+def test_trending_terms_integer_ppm(spark):
+    """Window-over-window rate deltas in exact integer ppm; absent
+    tokens count 0 in their window; min_count drops noise."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        trending_terms,
+    )
+
+    rows = (
+        [(0, "old old old stable")] * 2
+        + [(1, "new new stable")] * 3
+        + [(1, "rare")]
+    )
+    df = spark.createDataFrame(rows, "w int, text string")
+    out = {
+        r["tok"]: r
+        for r in trending_terms(df, "text", "w", top_k=10, min_count=2).collect()
+    }
+    # before total 8 tokens, after total 10
+    assert "rare" not in out                      # min_count
+    assert out["new"]["n_before"] == 0 and out["new"]["n_after"] == 6
+    assert out["new"]["ppm_before"] == 0
+    assert out["new"]["ppm_after"] == 6 * 1_000_000 // 10
+    assert out["old"]["delta_ppm"] == -(6 * 1_000_000 // 8)
+    assert out["stable"]["delta_ppm"] == (
+        3 * 1_000_000 // 10 - 2 * 1_000_000 // 8
+    )
