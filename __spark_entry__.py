@@ -4990,7 +4990,7 @@ def qx107_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("host"), (F.col("doc_id") % 97).cast("string"),
             F.lit(".example"),
         ).alias("host")
-    ).distinct()
+    )  # rendezvous_assign distincts keys itself
     four = rendezvous_assign(hosts, "host", ["node-a", "node-b", "node-c", "node-d"], "node4")
     three = rendezvous_assign(hosts, "host", ["node-a", "node-b", "node-c"], "node3")
     return (
@@ -9173,17 +9173,22 @@ def extra_oracle_sql() -> dict[str, str]:
         for _b in _cm_cols[_i + 1:]:
             _tag = f"{_a}__{_b}"
             _both = f"{_a} IS NOT NULL AND {_b} IS NOT NULL"
-            _x = f"CAST(round({_a}, 6) AS DECIMAL(28,6))"
-            _y = f"CAST(round({_b}, 6) AS DECIMAL(28,6))"
+            # asymmetric (19,6)x(18,6) products — exact in BOTH
+            # engines (Spark: (38,12) no precision loss; DuckDB:
+            # width 37 on int128, where (18,6)^2 overflows int64)
+            _x = f"CAST(round({_a}, 6) AS DECIMAL(18,6))"
+            _x19 = f"CAST(round({_a}, 6) AS DECIMAL(19,6))"
+            _y = f"CAST(round({_b}, 6) AS DECIMAL(18,6))"
+            _y19 = f"CAST(round({_b}, 6) AS DECIMAL(19,6))"
             _cm_aggs.append(f"""
                CAST(COUNT(*) FILTER (WHERE {_both}) AS BIGINT) AS n_{_tag},
                SUM({_x}) FILTER (WHERE {_both}) AS sx_{_tag},
                SUM({_y}) FILTER (WHERE {_both}) AS sy_{_tag},
-               SUM(CAST({_x} * {_y} AS DECIMAL(38,12)))
+               SUM(CAST({_x19} * {_y} AS DECIMAL(38,12)))
                    FILTER (WHERE {_both}) AS sxy_{_tag},
-               SUM(CAST({_x} * {_x} AS DECIMAL(38,12)))
+               SUM(CAST({_x19} * {_x} AS DECIMAL(38,12)))
                    FILTER (WHERE {_both}) AS sxx_{_tag},
-               SUM(CAST({_y} * {_y} AS DECIMAL(38,12)))
+               SUM(CAST({_y19} * {_y} AS DECIMAL(38,12)))
                    FILTER (WHERE {_both}) AS syy_{_tag}""")
             _cm_sel.append(f"""
         SELECT '{_a}' AS col_a, '{_b}' AS col_b, n_{_tag} AS n,
@@ -9223,9 +9228,12 @@ def extra_oracle_sql() -> dict[str, str]:
     # term sums, one sqrt.
     sql["qx102_cramers_v"] = """
         WITH base AS (
+            -- ts IS NOT NULL + double-mod mirror Spark's pmod-over-
+            -- non-NULL dow exactly (cramers_v drops NULL b rows)
             SELECT event_type AS a,
-                   (epoch_us(ts) // 86400000000) % 7 AS b
-            FROM events WHERE event_type IS NOT NULL
+                   (((epoch_us(ts) // 86400000000) % 7) + 7) % 7 AS b
+            FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
         ),
         obs AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS o
                 FROM base GROUP BY a, b),

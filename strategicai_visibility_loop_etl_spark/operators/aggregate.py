@@ -458,20 +458,29 @@ def corr_matrix(
     for i, a in enumerate(cols):
         for b in cols[i + 1:]:
             both = F.col(a).isNotNull() & F.col(b).isNotNull()
-            x = F.when(both, round_c(F.col(a).cast("double"), 6)).cast(
-                "decimal(28,6)"
-            )
-            y = F.when(both, round_c(F.col(b).cast("double"), 6)).cast(
-                "decimal(28,6)"
-            )
+            # ASYMMETRIC (19,6)x(18,6) product operands: Spark's
+            # (28,6)x(28,6) promotes to (38,6) — silently 6dp-ROUNDED
+            # (0.000123*0.000456 -> 0E-12, review-caught) — while
+            # DuckDB's (18,6)x(18,6) runs int64 internally and
+            # OVERFLOWS on ~1e5-scale values. (19,6)x(18,6) is the
+            # one shape exact in BOTH: Spark (38,12) with no
+            # precision loss; DuckDB width 37 on int128.
+            # |value| < 1e12 after 6dp rounding is the input contract.
+            def _dec(col_name, width):
+                return F.when(
+                    both, round_c(F.col(col_name).cast("double"), 6)
+                ).cast(f"decimal({width},6)")
+
+            x19, x18 = _dec(a, 19), _dec(a, 18)
+            y19, y18 = _dec(b, 19), _dec(b, 18)
             tag = f"{a}__{b}"
             aggs += [
                 F.count(F.when(both, F.lit(1))).alias(f"n_{tag}"),
-                F.sum(x).alias(f"sx_{tag}"),
-                F.sum(y).alias(f"sy_{tag}"),
-                F.sum((x * y).cast("decimal(38,12)")).alias(f"sxy_{tag}"),
-                F.sum((x * x).cast("decimal(38,12)")).alias(f"sxx_{tag}"),
-                F.sum((y * y).cast("decimal(38,12)")).alias(f"syy_{tag}"),
+                F.sum(x18).alias(f"sx_{tag}"),
+                F.sum(y18).alias(f"sy_{tag}"),
+                F.sum((x19 * y18).cast("decimal(38,12)")).alias(f"sxy_{tag}"),
+                F.sum((x19 * x18).cast("decimal(38,12)")).alias(f"sxx_{tag}"),
+                F.sum((y19 * y18).cast("decimal(38,12)")).alias(f"syy_{tag}"),
             ]
     wide = df.agg(*aggs)
     rows = []

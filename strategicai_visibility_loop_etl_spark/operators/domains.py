@@ -215,6 +215,11 @@ def rendezvous_assign(
     tiebreak. Deterministic, no coordinator state: any worker
     recomputes any assignment.
 
+    Output contract: ONE row per DISTINCT key (the result is an
+    assignment MAP — duplicate input keys collapse; join it back to
+    the payload table on the key rather than re-attaching
+    positionally).
+
     Scale shape: keys × |nodes| via a broadcast explode (|nodes| is
     the model), one key-keyed max_by — one shuffle on the key.
     """

@@ -315,6 +315,29 @@ def shapley_attribution(
     )
 
 
+def _kept_basket_items(
+    df: DataFrame, basket_col: str, item_col: str, max_basket: int
+) -> DataFrame:
+    """The shared basket discipline under basket_affinity and
+    item_cosine_pairs: NULL baskets/items excluded, distinct
+    (basket, item) collapse, baskets larger than ``max_basket``
+    dropped (one bot basket otherwise contributes O(items²) pairs).
+    Returns (b, i)."""
+    if max_basket < 2:
+        raise ValueError("max_basket must be >= 2")
+    bi = (
+        df.filter(
+            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
+        )
+        .select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
+        .distinct()
+    )
+    sizes = bi.groupBy("b").agg(F.count(F.lit(1)).alias("__n"))
+    return bi.join(
+        sizes.filter(F.col("__n") <= max_basket).select("b"), "b"
+    )
+
+
 def basket_affinity(
     df: DataFrame,
     basket_col: str,
@@ -349,19 +372,7 @@ def basket_affinity(
     """
     from ..functions.numeric import round_c  # noqa: PLC0415
 
-    if max_basket < 2:
-        raise ValueError("max_basket must be >= 2")
-    bi = (
-        df.filter(
-            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
-        )
-        .select(F.col(basket_col).alias("b"), F.col(item_col).alias("i"))
-        .distinct()
-    )
-    sizes = bi.groupBy("b").agg(F.count(F.lit(1)).alias("__n"))
-    kept = bi.join(
-        sizes.filter(F.col("__n") <= max_basket).select("b"), "b"
-    )
+    kept = _kept_basket_items(df, basket_col, item_col, max_basket)
     total = kept.select("b").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )
@@ -766,19 +777,7 @@ def item_cosine_pairs(
     """
     from ..functions.numeric import round_c  # noqa: PLC0415
 
-    bi = (
-        df.filter(
-            F.col(basket_col).isNotNull() & F.col(item_col).isNotNull()
-        )
-        .select(
-            F.col(basket_col).alias("b"), F.col(item_col).alias("i")
-        )
-        .distinct()
-    )
-    sizes = bi.groupBy("b").agg(F.count(F.lit(1)).alias("__sz"))
-    kept = bi.join(
-        sizes.filter(F.col("__sz") <= max_basket).select("b"), "b"
-    )
+    kept = _kept_basket_items(df, basket_col, item_col, max_basket)
     item_n = kept.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
     a = kept.select("b", F.col("i").alias("item_a"))
     c = kept.select("b", F.col("i").alias("item_b"))

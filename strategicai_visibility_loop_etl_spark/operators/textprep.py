@@ -1833,13 +1833,13 @@ def trending_terms(
         .cast("long")
         .alias("n_after"),
     )
-    totals = toks.groupBy().agg(
-        F.sum(F.when(F.col("w") == 0, 1).otherwise(0))
-        .cast("long")
-        .alias("__tb"),
-        F.sum(F.when(F.col("w") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("__ta"),
+    # totals derive from the per-token aggregate (BEFORE the
+    # min_count filter, which partitions the token space) — never a
+    # second pass over the tokenize+explode subtree (the
+    # token_cosine_pairs re-execution lesson)
+    totals = counts.agg(
+        F.sum("n_before").cast("long").alias("__tb"),
+        F.sum("n_after").cast("long").alias("__ta"),
     )
     ppm_b = F.when(
         F.col("__tb") > 0,

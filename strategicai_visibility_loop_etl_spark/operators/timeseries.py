@@ -418,8 +418,11 @@ def seasonal_decompose(
 ) -> DataFrame:
     """Additive seasonal decomposition per group (the classical
     moving-average method, decompose-style): ``value = trend +
-    seasonal + residual`` with a centered ``period``-point moving
-    average as trend, per-phase means of the detrended series as the
+    seasonal + residual`` with a centered moving average as trend —
+    a plain ``period``-point window for odd periods, the classical
+    2×-period half-weighted-endpoint form for even periods (a plain
+    even window is asymmetric and leaks half the slope into the
+    seasonal means) — per-phase means of the detrended series as the
     seasonal component (normalized to sum ≈ 0 over one period), and
     the leftover as residual. The metrics-monitoring complement of
     rows 120/172: the z-score flags points, EWMA smooths levels —
@@ -448,23 +451,55 @@ def seasonal_decompose(
         raise ValueError("period must be >= 2")
     half = period // 2
     w_ord = Window.partitionBy(*group_cols).orderBy(time_col)
-    w_frame = w_ord.rowsBetween(-half, period - 1 - half)
     y = round_c(F.col(value_col).cast("double"), 6).cast("decimal(28,6)")
-    base = df.select(
-        *group_cols,
-        F.col(time_col),
-        F.col(value_col),
-        y.alias("__y"),
-        F.pmod(F.row_number().over(w_ord) - 1, F.lit(period)).alias(
-            "__phase"
-        ),
-        F.count(y).over(w_frame).alias("__wn"),
-        F.sum(y).over(w_frame).alias("__ws"),
+    phase = F.pmod(F.row_number().over(w_ord) - 1, F.lit(period)).alias(
+        "__phase"
     )
-    trend = F.when(
-        F.col("__wn") == period,
-        F.col("__ws").cast("double") / F.col("__wn").cast("double"),
-    )
+    if period % 2 == 1:
+        # odd period: a plain centered window IS symmetric
+        w_frame = w_ord.rowsBetween(-half, half)
+        base = df.select(
+            *group_cols,
+            F.col(time_col),
+            F.col(value_col),
+            y.alias("__y"),
+            phase,
+            F.count(y).over(w_frame).alias("__wn"),
+            F.sum(y).over(w_frame).alias("__ws"),
+        )
+        trend = F.when(
+            F.col("__wn") == period,
+            F.col("__ws").cast("double") / F.col("__wn").cast("double"),
+        )
+    else:
+        # even period: the classical 2x-period WEIGHTED centered MA —
+        # endpoints at half weight — via exact decimals:
+        # (2*S - x_lo - x_hi) / (2*period) over the (period+1)-point
+        # frame. A plain (-h, period-1-h) frame is asymmetric (half a
+        # step late) and leaks half the slope into every seasonal
+        # phase mean (review-caught; the slope-unbiasedness is
+        # pytest-pinned).
+        w_frame = w_ord.rowsBetween(-half, half)
+        base = df.select(
+            *group_cols,
+            F.col(time_col),
+            F.col(value_col),
+            y.alias("__y"),
+            phase,
+            F.count(y).over(w_frame).alias("__wn"),
+            F.sum(y).over(w_frame).alias("__ws"),
+            F.lag(y, half).over(w_ord).alias("__lo"),
+            F.lead(y, half).over(w_ord).alias("__hi"),
+        )
+        trend = F.when(
+            (F.col("__wn") == period + 1)
+            & F.col("__lo").isNotNull()
+            & F.col("__hi").isNotNull(),
+            (
+                F.lit(2) * F.col("__ws") - F.col("__lo") - F.col("__hi")
+            ).cast("double")
+            / F.lit(2.0 * period),
+        )
     detr = base.select(
         *group_cols,
         time_col,

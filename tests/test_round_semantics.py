@@ -782,11 +782,34 @@ def test_seasonal_decompose(spark):
         r["t"]: r
         for r in seasonal_decompose(df, ["grp"], "t", "v", period=2).collect()
     }
-    assert out[1]["trend"] is None and out[1]["residual"] is None
-    for t in range(2, 9):
+    # even period: the 2x-weighted centered MA needs BOTH neighbors
+    assert out[1]["trend"] is None and out[8]["trend"] is None
+    for t in range(2, 8):
         assert out[t]["trend"] == 10.5
         assert out[t]["residual"] == 0.0
     assert out[3]["seasonal"] == 0.5 and out[4]["seasonal"] == -0.5
+
+    # slope-unbiasedness of the even-period form: on a pure linear
+    # series the centered weighted MA recovers the level EXACTLY —
+    # the asymmetric plain window would sit half a step low
+    lin = spark.createDataFrame(
+        [("g", t, float(t)) for t in range(1, 9)],
+        "grp string, t long, v double",
+    )
+    lout = {
+        r["t"]: r["trend"]
+        for r in seasonal_decompose(lin, ["grp"], "t", "v", period=2).collect()
+    }
+    for t in range(2, 8):
+        assert lout[t] == float(t)
+
+    # odd period stays the plain symmetric window
+    oout = {
+        r["t"]: r["trend"]
+        for r in seasonal_decompose(lin, ["grp"], "t", "v", period=3).collect()
+    }
+    for t in range(2, 8):
+        assert oout[t] == float(t)
     with _pytest.raises(ValueError):
         seasonal_decompose(df, ["grp"], "t", "v", period=1)
 
@@ -835,3 +858,20 @@ def test_gini_concentration(spark):
     assert out["c"]["gini"] == 0.75       # (2*4 - 5*1) / (4*1)
     assert out["z"]["gini"] is None       # zero total mass
     assert out["n"]["n"] == 1             # negative + NULL excluded
+
+
+def test_corr_matrix_small_magnitude_products(spark):
+    """Products of ~1e-4-scale values must stay exact: the Spark
+    (28,6)x(28,6) decimal promotion would 6dp-round them to zero and
+    report NULL r for a perfectly correlated pair (review-caught;
+    operands now ride (18,6) so the product is (37,12) exact)."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        corr_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1e-4, 2e-4), (2e-4, 4e-4), (3e-4, 6e-4)],
+        "x double, y double",
+    )
+    out = corr_matrix(df, ["x", "y"]).collect()
+    assert out[0]["r"] == 1.0
