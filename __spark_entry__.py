@@ -5037,6 +5037,65 @@ def qx109_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gini_concentration(per_user, ["event_type"], "v")
 
 
+# Lee et al. 2022's minimum-match length. The synthetic corpus's
+# merged-span lengths run 10-95 tokens at every SF, so 50 exercises
+# both branches (short spans survive, long boilerplate dies).
+_QX110_MIN_MATCH = 50
+
+
+def qx110_exactsubstr_minlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr with Lee et al.'s minimum-match length (capability
+    row 104 refinement, round 12): merged duplicate spans are excised
+    only when they run ≥ min_match_tokens (here 50), so short repeated
+    idioms and citations survive while long boilerplate still dies.
+    Same positional-gram plan as qx15 — the threshold is a pure
+    span-array filter per doc. DuckDB replays the span merge with
+    island grouping (running-sum of new-span markers), drops short
+    spans, and excises from the kept spans' coverage."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return exactsubstr_dedup(
+        docs,
+        k=8,
+        stage_path=f"{_SIG_STAGE}/exactsubstr_ml",
+        min_match_tokens=_QX110_MIN_MATCH,
+    ).orderBy("doc_id")
+
+
+def qx111_exactsubstr_incr_minlen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental ExactSubstr with the minimum-match length threaded
+    through the persistent-index path (row 135 refinement): archive
+    docs feed the gram-occurrence index, the batch excises only merged
+    spans ≥ 50 tokens. Oracle: qx110's full-path SQL restricted to the
+    batch predicate — the incremental path's declared equivalence
+    contract, now covering the L parameter too."""
+    import shutil  # noqa: PLC0415
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_incremental,
+        substr_gram_index_write,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = f"{_SIG_STAGE}/gramidx111"
+    shutil.rmtree(idx, ignore_errors=True)  # idempotent across reps
+    substr_gram_index_write(
+        docs.filter(F.col("doc_id") % 10 != 0), idx, k=8
+    )
+    return exactsubstr_incremental(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        idx,
+        k=8,
+        stage_path=f"{_SIG_STAGE}/esi111",
+        min_match_tokens=_QX110_MIN_MATCH,
+    ).orderBy("doc_id")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5148,6 +5207,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx107_rendezvous": qx107_rendezvous,
         "qx108_item_cosine": qx108_item_cosine,
         "qx109_gini": qx109_gini,
+        "qx110_exactsubstr_minlen": qx110_exactsubstr_minlen,
+        "qx111_exactsubstr_incr_minlen": qx111_exactsubstr_incr_minlen,
     }
 
 
@@ -9552,6 +9613,84 @@ def extra_oracle_sql() -> dict[str, str]:
                         / CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE), 6)
                END AS gini
         FROM agg ORDER BY event_type
+    """
+
+    # qx110: qx15's ExactSubstr replay with Lee et al.'s minimum-match
+    # length — islands group via a running sum of new-span markers,
+    # spans shorter than L drop BEFORE the coverage/excision step, and
+    # n_spans counts only the kept spans (matching the Spark side's
+    # span-array filter).
+    sql["qx110_exactsubstr_minlen"] = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        g0 AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - 6),
+                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')) AS gs
+            FROM t
+        ),
+        g AS (
+            SELECT doc_id, unnest(gs) AS gram,
+                   generate_subscripts(gs, 1) - 1 AS pos
+            FROM g0
+        ),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+        h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+        sp AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos - lag(pos) OVER w > 8
+                        THEN 1 ELSE 0 END AS ns
+            FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CAST(SUM(ns) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS grp
+            FROM sp
+        ),
+        spans0 AS (
+            SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+            FROM isl GROUP BY doc_id, grp
+        ),
+        spans1 AS (
+            SELECT * FROM spans0 WHERE e - s >= {_QX110_MIN_MATCH}
+        ),
+        spans AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM spans1 GROUP BY doc_id
+        ),
+        cov AS (
+            SELECT DISTINCT spans1.doc_id, c.i
+            FROM spans1, unnest(range(spans1.s, spans1.e)) AS c(i)
+        ),
+        tp AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) - 1 AS p
+            FROM t
+        ),
+        kept AS (
+            SELECT tp.doc_id, COUNT(*) AS n_kept,
+                   string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
+            FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.i = tp.p
+            WHERE cov.i IS NULL
+            GROUP BY tp.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               coalesce(spans.n_spans, 0) AS n_spans,
+               CAST(len(t.toks) - coalesce(kept.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               coalesce(kept.clean_text, '') AS clean_text
+        FROM t
+        LEFT JOIN spans USING (doc_id)
+        LEFT JOIN kept USING (doc_id)
+        ORDER BY t.doc_id
+    """
+    sql["qx111_exactsubstr_incr_minlen"] = f"""
+        SELECT * FROM ({sql["qx110_exactsubstr_minlen"]})
+        WHERE doc_id % 10 = 0 ORDER BY doc_id
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

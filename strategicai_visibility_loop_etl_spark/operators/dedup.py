@@ -595,6 +595,7 @@ def exactsubstr_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     stage_path: str | None = None,
+    min_match_tokens: int | None = None,
 ) -> DataFrame:
     """Cross-document exact-substring removal (the ExactSubstr pass of
     "Deduplicating Training Data Makes Language Models Better", Lee et
@@ -630,6 +631,15 @@ def exactsubstr_dedup(
     Exact semantics note: duplication counts gram OCCURRENCES, not
     distinct documents — a sentence pasted twice inside one document is
     excised too, matching the suffix-array behavior.
+
+    ``min_match_tokens`` is Lee et al.'s minimum-match length (they use
+    50): after hit intervals merge into maximal spans, only spans of at
+    least that many TOKENS are excised — short repeated idioms,
+    citations and named entities survive while true boilerplate (whose
+    merged spans run long) still dies. ``None`` (default) excises every
+    merged span, i.e. the threshold is ``k`` itself. The filter is a
+    pure span-array expression per doc — the gram/hit plan is
+    unchanged, so the 100 TB shape is identical.
     """
     base, pos = _gram_tables(df, k, text_col, id_col)
     # Both the dup-set aggregate and the hit join consume `pos`;
@@ -644,7 +654,7 @@ def exactsubstr_dedup(
         .filter(F.col("__c") > 1)
         .select("gh")
     )
-    return _excise_hit_spans(base, pos, dup, k, id_col)
+    return _excise_hit_spans(base, pos, dup, k, id_col, min_match_tokens)
 
 
 def _gram_tables(df: DataFrame, k: int, text_col: str, id_col: str):
@@ -670,11 +680,19 @@ def _gram_tables(df: DataFrame, k: int, text_col: str, id_col: str):
 
 
 def _excise_hit_spans(
-    base: DataFrame, pos: DataFrame, dup: DataFrame, k: int, id_col: str
+    base: DataFrame,
+    pos: DataFrame,
+    dup: DataFrame,
+    k: int,
+    id_col: str,
+    min_match_tokens: int | None = None,
 ) -> DataFrame:
     """Fold duplicated-gram hits back per doc, merge [p, p+k) islands
-    into maximal spans and excise — the shared tail of the batch and
-    incremental ExactSubstr paths."""
+    into maximal spans and excise — the shared tail of the batch,
+    incremental and streaming ExactSubstr paths. When
+    ``min_match_tokens`` exceeds ``k``, merged spans shorter than it
+    are dropped BEFORE excision (and before the n_spans count) — the
+    Lee et al. 2022 minimum-match length."""
     hits = (
         pos.join(dup, "gh")
         .groupBy("id")
@@ -708,6 +726,11 @@ def _excise_hit_spans(
     spans_expr = F.zip_with(
         starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
     )
+    if min_match_tokens is not None and min_match_tokens > k:
+        spans_expr = F.filter(
+            spans_expr,
+            lambda sp: sp["e"] - sp["s"] >= F.lit(int(min_match_tokens)),
+        )
     # flet-bound twice: the exists() probe must see the span array as
     # a lambda variable (else the whole starts/ends construction
     # re-evaluates PER TOKEN), and the kept array feeds two output
@@ -785,6 +808,7 @@ def exactsubstr_incremental(
     update_index: bool = False,
     stage_path: str | None = None,
     refresh: bool = False,
+    min_match_tokens: int | None = None,
 ) -> DataFrame:
     """ExactSubstr excision for an INCOMING BATCH against the
     accumulated corpus without re-tokenizing archived text — the last
@@ -887,7 +911,7 @@ def exactsubstr_incremental(
         )
         .select("gh")
     )
-    out = _excise_hit_spans(base, pos, dup, k, id_col)
+    out = _excise_hit_spans(base, pos, dup, k, id_col, min_match_tokens)
     if update_index:
         # force before append: the plan reads the same grams/ dir
         out = out.localCheckpoint()

@@ -438,6 +438,7 @@ def exactsubstr_on_arrival_batch(
     k: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_match_tokens: int | None = None,
 ) -> None:
     """foreachBatch body: ExactSubstr excision-on-arrival with the
     ledgered exactly-once protocol — the streaming twin of
@@ -447,7 +448,9 @@ def exactsubstr_on_arrival_batch(
     when its k-gram's occurrences across committed predecessors plus
     the batch itself reach two; arrival-prefix semantics, re-crawl
     guard and replay behavior exactly as
-    ``line_excision_on_arrival_batch``."""
+    ``line_excision_on_arrival_batch``. ``min_match_tokens`` is the
+    Lee et al. minimum-match length, threaded to the shared span
+    excision exactly as in the batch and incremental paths."""
     from ..operators.dedup import _excise_hit_spans, _gram_tables
 
     marker = os.path.join(_ledger_dir(index_dir), str(batch_id))
@@ -484,7 +487,7 @@ def exactsubstr_on_arrival_batch(
     dup = total.filter(
         F.col("__cnt_new") + F.coalesce("__cnt_old", F.lit(0)) > 1
     ).select("gh")
-    out = _excise_hit_spans(base, pos, dup, k, id_col)
+    out = _excise_hit_spans(base, pos, dup, k, id_col, min_match_tokens)
     out.write.mode("overwrite").parquet(os.path.join(out_dir, f"v{batch_id}"))
     os.makedirs(_ledger_dir(index_dir), exist_ok=True)
     tmp = marker + ".tmp"

@@ -354,6 +354,78 @@ def test_exactsubstr_adjacent_span_merge_at_gap_k(spark):
     assert got[4]["clean_text"] == "x y"
 
 
+def test_exactsubstr_min_match_tokens(spark, tmp_path):
+    """Lee et al. 2022's minimum-match length (they use 50): merged
+    duplicate spans SHORTER than min_match_tokens survive — short
+    idioms and citations — while spans >= L still excise (true
+    boilerplate). Verified identically on the batch, incremental, and
+    streaming-foreachBatch paths; n_spans counts kept spans only."""
+    import os
+
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup,
+        exactsubstr_incremental,
+        substr_gram_index_write,
+    )
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        exactsubstr_on_arrival_batch,
+    )
+
+    k, L = 8, 50
+    boiler = " ".join(f"cookie{i}" for i in range(60))  # 60-token block
+    idiom = " ".join(f"idiom{i}" for i in range(k))     # exactly k tokens
+    rows = [
+        (1, f"u1 u2 u3 {boiler} mid1 mid2 {idiom} tail1 tail2"),
+        (2, f"v1 v2 {boiler} v3 v4"),
+        (3, f"w1 {idiom} w2 w3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Batch path, L=50: the 60-token boilerplate dies in every doc,
+    # the 8-token idiom survives everywhere.
+    got = {
+        r["doc_id"]: r
+        for r in exactsubstr_dedup(df, k=k, min_match_tokens=L).collect()
+    }
+    assert got[1]["clean_text"] == f"u1 u2 u3 mid1 mid2 {idiom} tail1 tail2"
+    assert got[1]["n_spans"] == 1 and got[1]["n_removed"] == 60
+    assert got[2]["clean_text"] == "v1 v2 v3 v4"
+    assert got[3]["clean_text"] == f"w1 {idiom} w2 w3"
+    assert got[3]["n_spans"] == 0 and got[3]["n_removed"] == 0
+
+    # Default (None): both spans excise — unchanged legacy semantics.
+    legacy = {
+        r["doc_id"]: r for r in exactsubstr_dedup(df, k=k).collect()
+    }
+    assert legacy[1]["clean_text"] == "u1 u2 u3 mid1 mid2 tail1 tail2"
+    assert legacy[1]["n_spans"] == 2
+    assert legacy[3]["clean_text"] == "w1 w2 w3"
+
+    # Incremental path: archive docs 2-3 in the index, doc 1 arrives.
+    idx = str(tmp_path / "gramidx")
+    archive = df.filter("doc_id != 1")
+    batch = df.filter("doc_id == 1")
+    substr_gram_index_write(archive, idx, k=k)
+    inc = exactsubstr_incremental(
+        batch, idx, k=k, min_match_tokens=L
+    ).collect()
+    assert len(inc) == 1
+    assert inc[0]["clean_text"] == got[1]["clean_text"]
+    assert inc[0]["n_spans"] == got[1]["n_spans"]
+
+    # Streaming foreachBatch body: same batch against the ledgered
+    # index dir, L threaded through.
+    sidx = str(tmp_path / "sidx")
+    sout = str(tmp_path / "sout")
+    exactsubstr_on_arrival_batch(archive, 0, sidx, sout, k=k)
+    exactsubstr_on_arrival_batch(
+        batch, 1, sidx, sout, k=k, min_match_tokens=L
+    )
+    sres = spark.read.parquet(os.path.join(sout, "v1")).collect()
+    assert len(sres) == 1
+    assert sres[0]["clean_text"] == got[1]["clean_text"]
+
+
 def test_minhash_incremental_matches_full_recompute(spark, sf_dir, tmp_path):
     """dedup_minhash_incremental(batch, index) == full batch LSH over
     archive+batch restricted to pairs involving a new doc — without

@@ -116,6 +116,10 @@ def main() -> None:
     if run_docs:
         # ExactSubstr: no row loss at scale.
         assert report["exactsubstr"]["docs"] == n_docs, report["exactsubstr"]
+        # Min-match leg rows = corpus + the appended long-boiler block.
+        assert (
+            report["exactsubstr_minlen"]["docs"] == n_docs + args.skew
+        ), report["exactsubstr_minlen"]
         # The Bloom prefilter must be result-identical to the exact
         # decontamination path at scale, not just in unit fixtures.
         assert (
@@ -252,6 +256,65 @@ def _run_doc_family(args, timed, corpus) -> None:
         }
 
     timed("exactsubstr", _exactsubstr)
+
+    # Minimum-match length (Lee et al. 2022's L=50) at scale: append a
+    # second adversarial block — `skew` copies of a 60-token
+    # boilerplate (ids >= 950M). Gate is TWO-SIDED: every long copy is
+    # fully excised (its merged span is 60 >= L) while the original
+    # 19-token boilerplate block survives UNTOUCHED at L=50 (its span
+    # is below the threshold — the short-idiom-survival contract), and
+    # rows are conserved. Same linear hit-fold; the span filter is a
+    # per-doc array expression, so candidate volume is unchanged.
+    def _exactsubstr_minlen():
+        long_boiler = corpus.sparkSession.range(args.skew).select(
+            (F.col("id") + F.lit(950_000_000)).alias("doc_id"),
+            F.lit(" ".join(f"legal{i} notice{i}" for i in range(30))).alias(
+                "text"
+            ),
+        )
+        c2 = corpus.unionByName(long_boiler)
+        out = exactsubstr_dedup(
+            c2,
+            k=8,
+            stage_path=os.path.join(args.stage, "xsml"),
+            min_match_tokens=50,
+        )
+        agg = out.agg(F.count("*").alias("docs")).first()
+        lb = (
+            out.filter(F.col("doc_id") >= 950_000_000)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    (F.col("n_removed") == F.col("n_tokens")).cast("int")
+                ).alias("full"),
+            )
+            .first()
+        )
+        sb = (
+            out.filter(
+                (F.col("doc_id") >= 900_000_000)
+                & (F.col("doc_id") < 950_000_000)
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum((F.col("n_removed") == 0).cast("int")).alias(
+                    "untouched"
+                ),
+            )
+            .first()
+        )
+        assert lb["n"] == lb["full"], ("long boilerplate not excised", lb)
+        assert sb["n"] == sb["untouched"], (
+            "short boilerplate excised below min-match length",
+            sb,
+        )
+        return {
+            "docs": agg["docs"],
+            "long_excised": lb["full"],
+            "short_untouched": sb["untouched"],
+        }
+
+    timed("exactsubstr_minlen", _exactsubstr_minlen)
 
     # Unigram-LM perplexity scoring: two term-frequency shuffles + a
     # vocabulary join — should stay scan-bound at any multiplier. The
