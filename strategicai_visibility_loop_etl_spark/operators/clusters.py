@@ -107,10 +107,23 @@ def connected_components(
             return _connected_components_star(edges, src, dst, max_iter)
     if algorithm != "propagation":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionAll(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # Symmetrize by EXPLODE, not union-with-swap: Catalyst expands a
+    # self-union into two copies of the edges subtree, so the pair
+    # generator (shingle index / window over the corpus) would execute
+    # TWICE inside the one eager-checkpoint job that is supposed to pin
+    # it. The explode reads the subtree exactly once.
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
+                    F.struct(F.col(dst).alias("a"), F.col(src).alias("b")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
+        .localCheckpoint(eager=True)
     )
-    sym = sym.localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("id"))
         .distinct()
@@ -168,10 +181,15 @@ def _connected_components_star(
     (count + sum of xxhash64) of the canonical edge set — one scalar
     aggregate per round, no driver-side edge collection.
     """
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize the input projection ONCE: nodes and the canonical
+    # edge set both consume it, and the node derivation explodes rather
+    # than self-unions — without this the edges subtree (possibly a
+    # whole candidate generator) would execute three times.
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     nodes = (
-        raw.select(F.col("a").alias("id"))
-        .unionAll(raw.select(F.col("b").alias("id")))
+        raw.select(F.explode(F.array("a", "b")).alias("id"))
         .distinct()
         .localCheckpoint(eager=True)
     )
