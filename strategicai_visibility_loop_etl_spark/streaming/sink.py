@@ -81,6 +81,57 @@ def read_latest(spark: SparkSession, target_dir: str) -> DataFrame | None:
     return spark.read.parquet(os.path.join(target_dir, f"v{ids[-1]}"))
 
 
+def read_version(
+    spark: SparkSession,
+    target_dir: str,
+    batch_id: int,
+    ledger_dir: str | None = None,
+) -> DataFrame:
+    """Time-travel read: the snapshot committed by EXACTLY
+    ``batch_id``. Resolution goes through the ledger, never the
+    filesystem listing — a torn ``v{id}`` directory whose marker was
+    never written is invisible, exactly as it is to ``read_latest``.
+    Raises ``ValueError`` on an uncommitted id (including torn
+    writes) and ``FileNotFoundError`` if the committed snapshot
+    directory was vacuumed out from under the ledger.
+
+    ``ledger_dir`` covers the excision-on-arrival sinks, whose
+    ledger lives in the INDEX directory while versioned outputs land
+    in ``out_dir`` — pass the index dir there; the default (the
+    target itself) is the MERGE-sink layout."""
+    led = ledger_dir if ledger_dir is not None else target_dir
+    if batch_id not in committed_batches(led):
+        raise ValueError(
+            f"batch {batch_id} was never committed in {led} "
+            "(uncommitted or torn write)"
+        )
+    version_dir = os.path.join(target_dir, f"v{batch_id}")
+    if not os.path.isdir(version_dir):
+        raise FileNotFoundError(
+            f"batch {batch_id} is committed but {version_dir} is gone "
+            "(vacuumed?); time travel to it is no longer possible"
+        )
+    return spark.read.parquet(version_dir)
+
+
+def read_asof(
+    spark: SparkSession,
+    target_dir: str,
+    batch_id: int,
+    ledger_dir: str | None = None,
+) -> DataFrame | None:
+    """Time-travel read: the latest committed snapshot with id ≤
+    ``batch_id`` (the AS OF semantics of the table formats this sink
+    family emulates), or None when nothing that old is committed.
+    Ledger-resolved like :func:`read_version`, so torn writes and
+    in-flight batches never surface."""
+    led = ledger_dir if ledger_dir is not None else target_dir
+    ids = [i for i in committed_batches(led) if i <= batch_id]
+    if not ids:
+        return None
+    return read_version(spark, target_dir, ids[-1], ledger_dir=ledger_dir)
+
+
 def exactly_once_upsert(
     batch_df: DataFrame,
     batch_id: int,
@@ -699,6 +750,53 @@ def read_agg_state(
         return None
     states = [spark.read.parquet(d) for d in dirs]
     merged = merge_agg_states(*states)
+    return finalize_agg(merged) if finalize else merged
+
+
+def read_agg_state_asof(
+    spark: SparkSession,
+    state_dir: str,
+    batch_id: int,
+    finalize: bool = True,
+) -> DataFrame | None:
+    """Time-travel fold of the agg-state sink: the aggregate view AS
+    OF ``batch_id`` — the fold of every committed batch with id ≤
+    ``batch_id``. Mergeable states make this exact: the as-of view is
+    just a fold over a ledger prefix, no snapshot was ever stored.
+
+    Compaction bounds how far back travel reaches: batches at or
+    below the fold horizon were folded together and their dirs
+    deleted, so an as-of BELOW the horizon raises ``ValueError``
+    (the retention trade every table format makes); AT the horizon,
+    the manifest dir IS the exact as-of state. Torn batch dirs are
+    invisible (ledger-resolved), matching :func:`read_agg_state`."""
+    import json  # noqa: PLC0415
+
+    from ..operators.snapshot import finalize_agg, merge_agg_states
+
+    ids = committed_batches(state_dir)
+    manifest = os.path.join(state_dir, "_fold")
+    dirs = []
+    upto = -1
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as fh:
+            m = json.load(fh)
+        upto = m["upto"]
+        if batch_id < upto:
+            raise ValueError(
+                f"as-of {batch_id} predates the compaction horizon "
+                f"{upto} in {state_dir}; those per-batch states were "
+                "folded and vacuumed"
+            )
+        dirs.append(os.path.join(state_dir, m["dir"]))
+    dirs += [
+        os.path.join(state_dir, f"b{i}")
+        for i in ids
+        if upto < i <= batch_id
+    ]
+    if not dirs:
+        return None
+    merged = merge_agg_states(*[spark.read.parquet(d) for d in dirs])
     return finalize_agg(merged) if finalize else merged
 
 

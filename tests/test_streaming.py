@@ -1156,3 +1156,144 @@ def test_compact_agg_state_single_snapshot_horizon(spark, sf_dir, tmp_path):
         assert json.load(fh)["upto"] == 5
     assert snap(read_agg_state(spark, sd)) == full
     assert not os.path.exists(os.path.join(sd, "b5"))
+
+
+def test_time_travel_reads_merge_sink(spark, tmp_path):
+    """read_version/read_asof resolve any committed snapshot through
+    the ledger: exact id, as-of floor semantics, torn writes
+    invisible, redelivery cannot rewrite history, a vacuumed snapshot
+    fails loudly, and the excision sinks' split ledger/out layout
+    resolves via ledger_dir."""
+    import os
+    import shutil
+
+    import pytest
+
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        exactly_once_upsert,
+        read_asof,
+        read_latest,
+        read_version,
+    )
+
+    target = str(tmp_path / "t")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, v string")
+    exactly_once_upsert(mk([(1, "a"), (2, "b")]), 0, target, ["k"])
+    exactly_once_upsert(mk([(2, "B"), (3, "c")]), 1, target, ["k"])
+    exactly_once_upsert(mk([(1, "A2")]), 2, target, ["k"])
+
+    def snap(df):
+        return {r["k"]: r["v"] for r in df.collect()}
+
+    assert snap(read_version(spark, target, 0)) == {1: "a", 2: "b"}
+    assert snap(read_version(spark, target, 1)) == {1: "a", 2: "B", 3: "c"}
+    assert snap(read_version(spark, target, 2)) == {1: "A2", 2: "B", 3: "c"}
+    # as-of floor: ≤ semantics, not exact-match
+    assert snap(read_asof(spark, target, 1)) == snap(
+        read_version(spark, target, 1)
+    )
+    assert snap(read_asof(spark, target, 99)) == snap(
+        read_latest(spark, target)
+    )
+    assert read_asof(spark, target, -1) is None
+
+    # uncommitted id raises; a TORN write (dir present, marker never
+    # committed) is equally invisible
+    with pytest.raises(ValueError):
+        read_version(spark, target, 7)
+    shutil.copytree(os.path.join(target, "v1"), os.path.join(target, "v7"))
+    with pytest.raises(ValueError):
+        read_version(spark, target, 7)
+    assert snap(read_asof(spark, target, 7)) == snap(
+        read_version(spark, target, 2)
+    )
+
+    # redelivery with DIFFERENT content cannot rewrite history
+    exactly_once_upsert(mk([(9, "z")]), 1, target, ["k"])
+    assert snap(read_version(spark, target, 1)) == {1: "a", 2: "B", 3: "c"}
+
+    # a vacuumed-but-committed snapshot fails loudly, and does not
+    # silently fall back to an older one
+    shutil.rmtree(os.path.join(target, "v0"))
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, target, 0)
+    with pytest.raises(FileNotFoundError):
+        read_asof(spark, target, 0)
+
+    # excision-sink layout: ledger in the INDEX dir, versioned output
+    # in out_dir — resolved via ledger_dir
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        exactsubstr_on_arrival_batch,
+    )
+
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    exactsubstr_on_arrival_batch(docs, 0, idx, out, k=8)
+    got = read_version(spark, out, 0, ledger_dir=idx).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1
+    with pytest.raises(ValueError):
+        read_version(spark, out, 3, ledger_dir=idx)
+
+
+def test_agg_state_asof_prefix_folds_and_horizon(spark, sf_dir, tmp_path):
+    """read_agg_state_asof folds exactly the ledger prefix ≤ the
+    requested id (mergeable states make the as-of view exact without
+    stored snapshots); torn dirs are invisible; compaction bounds
+    travel — below the fold horizon raises, at/above it still works."""
+    import os
+    import shutil
+
+    import pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        agg_state,
+        finalize_agg,
+    )
+    from strategicai_visibility_loop_etl_spark.streaming.sink import (
+        agg_state_on_arrival_batch,
+        compact_agg_state,
+        read_agg_state,
+        read_agg_state_asof,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    sd = str(tmp_path / "state")
+    for bid, b in enumerate(batches):
+        agg_state_on_arrival_batch(b, bid, sd, ["event_type"], "value")
+
+    def snap(df):
+        return sorted(map(tuple, df.collect()))
+
+    def want_upto(n):
+        rows = ev.filter(F.col("event_id") % 3 <= n)
+        return snap(finalize_agg(agg_state(rows, ["event_type"], "value")))
+
+    assert snap(read_agg_state_asof(spark, sd, 0)) == want_upto(0)
+    assert snap(read_agg_state_asof(spark, sd, 1)) == want_upto(1)
+    assert snap(read_agg_state_asof(spark, sd, 2)) == want_upto(2)
+    # floor semantics past the head; None before any commit
+    assert snap(read_agg_state_asof(spark, sd, 9)) == want_upto(2)
+    assert read_agg_state_asof(spark, sd, -1) is None
+    # torn dir (no marker) is invisible to as-of
+    shutil.copytree(os.path.join(sd, "b2"), os.path.join(sd, "b8"))
+    assert snap(read_agg_state_asof(spark, sd, 9)) == want_upto(2)
+
+    # compaction horizon: below raises, at/above still serves
+    compact_agg_state(spark, sd)
+    assert snap(read_agg_state_asof(spark, sd, 2)) == want_upto(2)
+    assert snap(read_agg_state_asof(spark, sd, 9)) == want_upto(2)
+    with pytest.raises(ValueError):
+        read_agg_state_asof(spark, sd, 1)
+    # post-compaction batches keep folding into as-of prefixes
+    extra = ev.filter(F.col("event_id") % 3 == 0).limit(50)
+    agg_state_on_arrival_batch(extra, 3, sd, ["event_type"], "value")
+    assert snap(read_agg_state_asof(spark, sd, 2)) == want_upto(2)
+    assert snap(read_agg_state_asof(spark, sd, 3)) == snap(
+        read_agg_state(spark, sd)
+    )
