@@ -1900,12 +1900,13 @@ def oracle_sql() -> dict[str, str]:
             FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
             GROUP BY 1, 2
         ),
+        lens AS (SELECT doc_id, len(sh) AS n_sh FROM s),
         e AS (
             SELECT ea, eb
             FROM inter
-            JOIN s sa ON sa.doc_id = ea
-            JOIN s sb ON sb.doc_id = eb
-            WHERE CAST(i AS DOUBLE) / (len(sa.sh) + len(sb.sh) - i) >= 0.5
+            JOIN lens la ON la.doc_id = ea
+            JOIN lens lb ON lb.doc_id = eb
+            WHERE CAST(i AS DOUBLE) / (la.n_sh + lb.n_sh - i) >= 0.5
         ),
         sym AS (
             SELECT ea AS a, eb AS b FROM e UNION ALL SELECT eb, ea FROM e

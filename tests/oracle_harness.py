@@ -152,18 +152,24 @@ def run_all(spark, sf_dir: str, only: list[str] | None = None, on_result=None,
         # holds the overflow and gets the identical check here.
         qs.update(getattr(entrymod, "extra_queries", dict)())
         oracles.update(getattr(entrymod, "extra_oracle_sql", dict)())
+    import time
+
     results = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.monotonic()
         df = fn(spark, sf_dir)
         s_cols, s_rows, s_kinds = spark_result(df)
+        t1 = time.monotonic()
         if name not in oracles:
             rep = {"query": name, "status": "rows_only", "rows": len(s_rows)}
         else:
             o_cols, o_rows, o_kinds = duckdb_result(oracles[name], sf_dir)
             rep = compare(name, s_cols, s_rows, o_cols, o_rows,
                           s_kinds=s_kinds, o_kinds=o_kinds)
+        rep["spark_s"] = round(t1 - t0, 2)
+        rep["oracle_s"] = round(time.monotonic() - t1, 2)
         results.append(rep)
         if on_result:
             on_result(rep)

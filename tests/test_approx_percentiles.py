@@ -20,6 +20,9 @@ import pytest
 from pyspark.sql import functions as F
 
 
+
+pytestmark = pytest.mark.sweep  # approx-vs-exact percentile envelope sweeps
+
 def _rank_envelope(sorted_vals, p: float, eps: float, slack: int = 1):
     """[lo, hi] value envelope for an approx percentile with rank
     error <= eps*n, padded by ``slack`` ranks."""

@@ -3,6 +3,8 @@ streaming sessionization vs its batch twin."""
 
 from __future__ import annotations
 
+import pytest
+
 from datetime import datetime, timedelta
 
 from pyspark.sql import functions as F
@@ -122,6 +124,7 @@ def test_sessionize_batch(spark):
         assert ss[0]["sum_value"] == 3.0 and ss[1]["sum_value"] == 2.0
 
 
+@pytest.mark.sweep
 def test_sessionize_streaming_matches_batch(spark, tmp_path):
     ev = _session_events(spark)
     src = str(tmp_path / "sess_src")
@@ -183,6 +186,7 @@ def test_shapley_attribution_hand_example(spark):
     assert got == {"A": (2.0, 12.5), "B": (1.0, 2.5)}
 
 
+@pytest.mark.sweep
 def test_shapley_efficiency_axiom_and_partition_independence(spark):
     from pyspark.sql import functions as F
 

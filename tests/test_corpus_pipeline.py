@@ -12,6 +12,9 @@ from strategicai_visibility_loop_etl_spark.plans.corpus import (
     run_corpus_pipeline,
 )
 
+
+pytestmark = pytest.mark.sweep  # corpus pipeline + CLI end-to-end
+
 BASE = "the quick brown fox jumps over the lazy dog again and again today"
 
 

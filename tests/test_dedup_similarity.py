@@ -3,6 +3,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from strategicai_visibility_loop_etl_spark.operators.dedup import (
@@ -101,6 +103,7 @@ def _pathological_corpus(spark, n_identical=1000, n_bases=5000):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.sweep
 def test_auto_max_bucket_bounds_candidates_on_skew(spark):
     """max_bucket="auto" derives the hot-bucket cutoff from the bucket
     size distribution: the 1k-identical block (bucket size 1000, far
@@ -426,6 +429,7 @@ def test_exactsubstr_min_match_tokens(spark, tmp_path):
     assert sres[0]["clean_text"] == got[1]["clean_text"]
 
 
+@pytest.mark.sweep
 def test_minhash_incremental_matches_full_recompute(spark, sf_dir, tmp_path):
     """dedup_minhash_incremental(batch, index) == full batch LSH over
     archive+batch restricted to pairs involving a new doc — without
@@ -464,6 +468,7 @@ def test_minhash_incremental_matches_full_recompute(spark, sf_dir, tmp_path):
     assert all(a in new_ids or b in new_ids for a, b, _ in got)
 
 
+@pytest.mark.sweep
 def test_minhash_incremental_index_update(spark, tmp_path):
     """update_index=True appends batch signatures: the NEXT batch sees
     this batch's docs as archive."""
@@ -496,6 +501,7 @@ def test_minhash_incremental_index_update(spark, tmp_path):
     assert (2, 3) in {(r["id_a"], r["id_b"]) for r in p2}
 
 
+@pytest.mark.sweep
 def test_minhash_incremental_recrawled_id_no_index_dup(spark, tmp_path):
     """A re-crawled doc_id in a later batch must NOT duplicate its
     (id, sig) row in the index — duplicates would fan out ambiguous
@@ -640,6 +646,7 @@ def test_boilerplate_incremental_equivalence_to_full(spark, tmp_path):
     assert inc[10]["n_removed"] == 3  # nav, cookie, footer
 
 
+@pytest.mark.sweep
 def test_boilerplate_incremental_index_update_and_recrawl(spark, tmp_path):
     """update_index accumulates batch partials; a re-crawled id is
     dropped from output and cannot inflate any line's df; two
@@ -839,6 +846,7 @@ def test_compact_count_index_preserves_results(spark, tmp_path):
     assert promo not in out_after["clean_text"]
 
 
+@pytest.mark.sweep
 def test_pq_topk_recall_self_match_and_determinism(spark):
     """PQ/ADC ranking (capability row 136): on structured vectors a
     2×8 codebook ranks each query's own vector first, recalls most of
@@ -880,6 +888,7 @@ def test_pq_topk_recall_self_match_and_determinism(spark):
     }
 
 
+@pytest.mark.sweep
 def test_ivfpq_recall_beats_flat_pq_and_determinism(spark):
     """IVF-PQ (capability row 143): the residual-encode + exact-
     re-rank composition recalls at least as well as flat PQ at equal
@@ -1053,6 +1062,7 @@ def test_random_projection_jl_distance_preservation(spark):
     assert a == b
 
 
+@pytest.mark.sweep
 def test_compact_count_index_crash_recovery(spark, tmp_path):
     """A compaction that dies between its two renames must not strand
     the index: recover_count_index (run by compaction entry and every
@@ -1178,6 +1188,7 @@ def test_ivfpq_codes_stage_partitioned_and_pruned(spark, sf_dir, tmp_path):
     assert len(probed) <= 3 * 2
 
 
+@pytest.mark.sweep
 def test_minhash_refresh_replaces_stale_content(spark, sf_dir, tmp_path):
     """refresh=True is the mutable-content mode (the round-9 verdict's
     item 3): a re-crawled id whose text CHANGED produces the same
@@ -1251,6 +1262,7 @@ def test_minhash_refresh_replaces_stale_content(spark, sf_dir, tmp_path):
     assert latest_after == latest_before and n == len(latest_before)
 
 
+@pytest.mark.sweep
 def test_minhash_default_mode_keeps_stored_signature(spark, tmp_path):
     """Control for the refresh test: without refresh, a re-crawled id
     with changed text neither rewrites the index nor re-pairs — the
@@ -1317,6 +1329,7 @@ def test_ivf_lists_stage_partitioned_and_pruned(spark, sf_dir, tmp_path):
     assert len({int(x) for x in m_in.group(1).split(",")}) <= 3 * 2
 
 
+@pytest.mark.sweep
 def test_line_excision_refresh_replaces_stale_content(spark, tmp_path):
     """Line-index content refresh (the count-index half of the
     round-9 verdict's item 3): a re-crawled id's OLD lines leave the
@@ -1429,6 +1442,7 @@ def test_line_excision_refresh_requires_detail_layout(spark, tmp_path):
         boilerplate_excision_incremental(batch, idx, min_df=2, refresh=True)
 
 
+@pytest.mark.sweep
 def test_exactsubstr_refresh_replaces_stale_content(spark, tmp_path):
     """Gram-index content refresh (opt-in details): a re-crawled id's
     old gram occurrences subtract via the stored per-doc detail, so

@@ -8,6 +8,9 @@ import pytest
 import __spark_entry__ as entrymod
 from tests.oracle_harness import compare, duckdb_result, spark_result
 
+
+pytestmark = pytest.mark.sweep  # full-registry oracle sweep at sf0.001 (161 queries)
+
 QUERIES = sorted(entrymod.queries()) + sorted(entrymod.extra_queries())
 
 

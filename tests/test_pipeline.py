@@ -15,6 +15,9 @@ from strategicai_visibility_loop_etl_spark.plans.pipeline import (
     run_visibility_pipeline,
 )
 
+
+pytestmark = pytest.mark.sweep  # reference-parity pipeline + CLI end-to-end
+
 FROG = """
 Address,Status Code,Title 1,Word Count,Structured Data
 https://e.com/a/,200,A,500,Article

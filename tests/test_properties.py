@@ -5,6 +5,8 @@ one Spark job per hypothesis case to keep runtime sane."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -29,6 +31,9 @@ _urls = st.lists(
     max_size=24,
 )
 
+
+
+pytestmark = pytest.mark.sweep  # hypothesis property sweeps
 
 @settings(max_examples=12, deadline=None)
 @given(urls=_urls, site_base=st.sampled_from([None, "https://base.example"]))

@@ -579,6 +579,7 @@ def test_ewma_smooth_excludes_null_values(spark):
     assert out[4]["residual"] == 15.0      # 30 - 15
 
 
+@pytest.mark.sweep
 def test_bradley_terry_two_item_exact_and_properties(spark):
     """Two items with a 3:1 record converge to the exact MLE (1.5,
     0.5) in one MM round under the mean-1 gauge; more wins never

@@ -7,6 +7,8 @@ with the exact path, estimate tolerance, partitioning independence).
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from strategicai_visibility_loop_etl_spark.operators.dedup import benchmark_overlap
@@ -114,6 +116,7 @@ def test_approx_heavy_hitters_contains_exact_top(spark, sf_dir):
         assert approx.get(r["token"]) == r["n_occurrences"], r["token"]
 
 
+@pytest.mark.sweep
 def test_kmeans_assign_covers_corpus_once(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     a = kmeans_assign(emb, n_clusters=8, iters=1)
@@ -427,6 +430,7 @@ def test_corpus_minhash_estimate_identical_and_disjoint(spark):
     assert r2["est_jaccard"] == 0.0  # disjoint shingle sets never agree
 
 
+@pytest.mark.sweep
 def test_decayed_counts_exact_dyadic_ages(spark):
     from strategicai_visibility_loop_etl_spark.operators.timeseries import (
         decayed_counts,

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from datetime import datetime, timedelta
 
+import pytest
 from pyspark.sql import functions as F
 
 from strategicai_visibility_loop_etl_spark.streaming.events import (
@@ -14,6 +15,9 @@ from strategicai_visibility_loop_etl_spark.streaming.events import (
     streaming_dedup,
     streaming_visibility_update,
 )
+
+
+pytestmark = pytest.mark.sweep  # streaming protocol equivalences (micro-batch restarts, exactly-once, batch twins)
 
 SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double"
 

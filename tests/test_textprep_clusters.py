@@ -234,6 +234,7 @@ def test_connected_components_chain_and_clique(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+@pytest.mark.sweep
 def test_connected_components_star_matches_propagation_random(spark):
     """Property: the alternating-star contraction and min-label
     propagation agree exactly on random graphs (seeded, several shapes:
@@ -256,6 +257,7 @@ def test_connected_components_star_matches_propagation_random(spark):
         assert prop == star, (seed, {k: (prop[k], star.get(k)) for k in prop if prop[k] != star.get(k)})
 
 
+@pytest.mark.sweep
 def test_connected_components_star_deep_chain_converges_fast(spark):
     """A 300-node path needs ~300 propagation rounds (propagation's
     declared failure mode, raising at max_iter) but only O(log n) star
@@ -273,6 +275,7 @@ def test_connected_components_star_deep_chain_converges_fast(spark):
     assert comp == {i: 0 for i in range(n)}
 
 
+@pytest.mark.sweep
 def test_connected_components_auto_falls_back_to_star(spark):
     """algorithm='auto': propagation handles shallow graphs; a deep
     chain that would raise at max_iter silently falls back to star."""
