@@ -1402,13 +1402,13 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q01_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
                COUNT(*) AS count_order,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_qty,
+               CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_price
         FROM lineitem
         WHERE l_shipdate < TIMESTAMP '1998-09-03'
         GROUP BY l_returnflag, l_linestatus
@@ -1418,7 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT o.o_orderkey,
                strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
                o.o_orderpriority,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1430,7 +1430,7 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q05_region_volume"] = """
         SELECT r.r_name,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
                COUNT(*) AS n_items
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1444,8 +1444,8 @@ def oracle_sql() -> dict[str, str]:
         WITH li AS (
             SELECT l_partkey AS p_partkey,
                    COUNT(*) AS n_lines,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+                   CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
                    round(
                      CAST(SUM(CAST(l_extendedprice * (CASE WHEN l_linenumber <= 2 THEN 1.0
                                                  WHEN l_quantity > 0 THEN l_quantity
@@ -1458,7 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         ord AS (
             SELECT l.l_partkey AS p_partkey,
                    COUNT(DISTINCT o.o_orderkey) AS n_orders,
-                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend
+                   CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS total_spend
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY 1
         )
@@ -1493,7 +1493,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q14_ctr_underperf"] = f"""
         WITH g AS (
             SELECT 'https://shop.example.com/part/' || CAST(l_partkey AS VARCHAR) AS url,
-                   CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS clicks,
+                   CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS clicks,
                    SUM(l_quantity * 10) AS impressions,
                    SUM((CAST(l_linenumber AS DOUBLE)) * (l_quantity * 10)) / SUM(l_quantity * 10) AS position
             FROM lineitem GROUP BY 1
@@ -1763,7 +1763,7 @@ def oracle_sql() -> dict[str, str]:
     sql["q31_salted_join"] = """
         SELECT p.p_brand,
                COUNT(*) AS n_lines,
-               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+               CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand
     """
@@ -1788,7 +1788,7 @@ def oracle_sql() -> dict[str, str]:
                     WHEN date_diff('day', o.o_orderdate, l.l_shipdate) < 90 THEN '60-89d'
                     ELSE '90d+' END AS ship_latency,
                COUNT(*) AS n_items,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+               CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1, 2
     """
@@ -1811,7 +1811,7 @@ def oracle_sql() -> dict[str, str]:
                strftime(make_timestamp(MIN(tus)), '%Y-%m-%d %H:%M:%S') AS session_start,
                strftime(make_timestamp(MAX(tus)), '%Y-%m-%d %H:%M:%S') AS session_end,
                COUNT(*) AS n_events,
-               round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+               round(CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE), 6) AS sum_value
         FROM g
         GROUP BY user_id, sess
     """
@@ -1863,11 +1863,11 @@ def oracle_sql() -> dict[str, str]:
     sql["q40_avg_qty_outliers"] = """
         WITH t AS (
             SELECT l_partkey,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                        / COUNT(*) * 0.2 AS qty_thresh
             FROM lineitem GROUP BY l_partkey
         )
-        SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        SELECT round(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
                      / 7.0, 6) AS avg_yearly,
                COUNT(*) AS n_items
         FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
@@ -1996,11 +1996,11 @@ def oracle_sql() -> dict[str, str]:
         met AS (
             SELECT doc_id,
                    CAST(SUM(c) AS BIGINT) AS n_grams,
-                   round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                   round(CAST(MAX(c) AS DOUBLE) / CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE), 6)
                        AS top_gram_frac,
-                   round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                   round(CAST(COUNT(*) AS DOUBLE) / CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE), 6)
                        AS distinct_gram_frac,
-                   (CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)) > 0.2
+                   (CAST(MAX(c) AS DOUBLE) / CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE)) > 0.2
                        AS repetitive
             FROM per GROUP BY doc_id
         )
@@ -2141,7 +2141,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                CAST(GROUPING(event_type, strftime(ts, '%Y-%m-%d')) AS INT) AS gid,
                COUNT(*) AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               CAST(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY CUBE(event_type, strftime(ts, '%Y-%m-%d'))
     """
@@ -5251,7 +5251,7 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS n_occurrences FROM toks
             WHERE length(token) >= 1 GROUP BY token
         ),
-        tot AS (SELECT CAST(SUM(n_occurrences) AS DOUBLE) AS total FROM f),
+        tot AS (SELECT CAST(CAST(SUM(n_occurrences) AS VARCHAR) AS DOUBLE) AS total FROM f),
         top AS (
             SELECT token, n_occurrences FROM f
             ORDER BY n_occurrences DESC, token LIMIT 50
@@ -5454,7 +5454,7 @@ def extra_oracle_sql() -> dict[str, str]:
             mm = (f"CAST(MIN(CAST({c} AS DOUBLE)) AS DOUBLE), "
                   f"CAST(MAX(CAST({c} AS DOUBLE)) AS DOUBLE), "
                   f"CASE WHEN COUNT({c}) > 0 THEN "
-                  f"round(CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS DOUBLE)"
+                  f"round(CAST(CAST(SUM(CAST({c} AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)"
                   f" / COUNT({c}), 6) END, "
                   f"CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)")
         else:
@@ -7183,8 +7183,8 @@ def extra_oracle_sql() -> dict[str, str]:
                round(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
                                    THEN vol ELSE CAST(0 AS DECIMAL(18,6))
                               END) AS DOUBLE)
-                     / CAST(SUM(vol) AS DOUBLE), 6) AS mkt_share,
-               CAST(SUM(vol) AS DOUBLE) AS total_volume
+                     / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE), 6) AS mkt_share,
+               CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS total_volume
         FROM j GROUP BY o_year ORDER BY o_year
     '''
     sql["qx31_product_profit"] = '''
@@ -7535,9 +7535,9 @@ def extra_oracle_sql() -> dict[str, str]:
                 AS ch(bit, channel)
         )
         SELECT channel,
-               round(CAST(SUM(CAST(w AS DECIMAL(38,0)) * v_n) AS DOUBLE)
+               round(CAST(CAST(SUM(CAST(w AS DECIMAL(38,0)) * v_n) AS VARCHAR) AS DOUBLE)
                      / 24, 6) AS shapley_conversions,
-               round(CAST(SUM(CAST(w AS DECIMAL(38,6)) * v_v) AS DOUBLE)
+               round(CAST(CAST(SUM(CAST(w AS DECIMAL(38,6)) * v_v) AS VARCHAR) AS DOUBLE)
                      / 24, 6) AS shapley_value
         FROM terms GROUP BY channel ORDER BY channel
     """
@@ -7724,7 +7724,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM per_age
         )
         SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n_events,
-               round(CAST(SUM(scaled) AS DOUBLE) / 1e18, 6) AS decayed_count
+               round(CAST(CAST(SUM(scaled) AS VARCHAR) AS DOUBLE) / 1e18, 6) AS decayed_count
         FROM s GROUP BY event_type ORDER BY event_type
     """
 
@@ -7999,7 +7999,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM hashed
         )
         SELECT vec_id, CAST(j AS INTEGER) AS j,
-               round(CAST(SUM(t) AS DOUBLE) * 0.25, 6) AS value
+               round(CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE) * 0.25, 6) AS value
         FROM terms GROUP BY vec_id, j
         ORDER BY vec_id, j
     """
@@ -8504,7 +8504,7 @@ def extra_oracle_sql() -> dict[str, str]:
             JOIN dfc USING (tok) WHERE dfc.n <= 1000
         ),
         norms AS (
-            SELECT id, sqrt(CAST(SUM(tf * tf) AS DOUBLE)) AS nrm
+            SELECT id, sqrt(CAST(CAST(SUM(tf * tf) AS VARCHAR) AS DOUBLE)) AS nrm
             FROM pruned GROUP BY id
         ),
         dots AS (
@@ -8699,7 +8699,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         ws AS (
             SELECT tok,
-                   round(CAST(SUM(n_words) AS DOUBLE)
+                   round(CAST(CAST(SUM(n_words) AS VARCHAR) AS DOUBLE)
                          / CAST(COUNT(*) AS DOUBLE), 9) AS word_score
             FROM occ GROUP BY tok
         ),
@@ -8734,10 +8734,10 @@ def extra_oracle_sql() -> dict[str, str]:
                CAST(COUNT(*) AS BIGINT) AS k_classes,
                CASE WHEN SUM(c) >= 2 THEN round(
                    CAST(1.0 AS DOUBLE)
-                   - CAST(SUM(c * (c - 1)) AS DOUBLE)
-                     / CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE), 6) END
+                   - CAST(CAST(SUM(c * (c - 1)) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(SUM(c) * (SUM(c) - 1) AS VARCHAR) AS DOUBLE), 6) END
                    AS gini_simpson,
-               round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+               round(CAST(MAX(c) AS DOUBLE) / CAST(CAST(SUM(c) AS VARCHAR) AS DOUBLE), 6)
                    AS berger_parker
         FROM c GROUP BY source ORDER BY source NULLS FIRST
     """
@@ -8957,7 +8957,7 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT scen, "from",
                    CASE WHEN scen <> '__full__' AND "to" = scen
                         THEN 'DROP' ELSE "to" END AS "to",
-                   CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) AS p
+                   CAST(CAST(SUM(CAST(p AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS p
             FROM probs CROSS JOIN scens
             WHERE scen = '__full__' OR "from" <> scen
             GROUP BY scen, "from",
@@ -8988,7 +8988,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM p_conv, fullp WHERE scen <> '__full__'
         ),
         tot_re AS (
-            SELECT CAST(SUM(CAST(re AS DECIMAL(38,12))) AS DOUBLE) AS s
+            SELECT CAST(CAST(SUM(CAST(re AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s
             FROM effects
         )
         SELECT channel,
@@ -9325,7 +9325,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         agg AS (
             SELECT n, n_rows, n_cols,
-                   CAST(SUM(CAST(t AS DECIMAL(38,12))) AS DOUBLE) AS chi2
+                   CAST(CAST(SUM(CAST(t AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS chi2
             FROM term GROUP BY n, n_rows, n_cols
         )
         SELECT n, n_rows, n_cols, round(chi2, 6) AS chi2,
@@ -9373,7 +9373,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         pm AS (
             SELECT event_type, phase,
-                   CAST(SUM(CAST(d AS DECIMAL(28,9))) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(d AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE)
                        / CAST(COUNT(d) AS DOUBLE) AS pmv
             FROM detr GROUP BY event_type, phase
         ),
