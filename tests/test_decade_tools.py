@@ -1,0 +1,141 @@
+"""Contract tests for the decade-sweep tooling (tools/gen_decade.py,
+tools/decade_cc_check.py) — DuckDB-only, no SparkSession, fast tier.
+
+The decade replica is only a valid oracle-sweep input if every FK
+stays closed, every column keeps its source type, and the mutated
+documents stay internally consistent. These pins are what made the
+round-12 sf0.5 sweep meaningful; they guard the tool for the next
+scale jump.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.gen_decade import OFF, generate  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+MULT = 3
+
+
+@pytest.fixture(scope="module")
+def decade_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("decade"))
+    counts = generate(SRC, out, MULT)
+    return out, counts
+
+
+def _one(con, q):
+    return con.execute(q).fetchone()[0]
+
+
+def test_row_counts_replicate(decade_dir):
+    out, counts = decade_dir
+    con = duckdb.connect()
+    for table in ("customer", "orders", "lineitem", "events",
+                  "documents", "embeddings", "part", "supplier"):
+        src_n = _one(con, f"SELECT count(*) FROM read_parquet('{SRC}/{table}.parquet')")
+        assert counts[table] == src_n * MULT, table
+    for table in ("region", "nation"):
+        src_n = _one(con, f"SELECT count(*) FROM read_parquet('{SRC}/{table}.parquet')")
+        assert counts[table] == src_n, table
+
+
+def test_schema_types_preserved(decade_dir):
+    out, _ = decade_dir
+    con = duckdb.connect()
+    for table in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+        src = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{table}.parquet')"
+        ).fetchall()
+        dst = con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{out}/{table}.parquet')"
+        ).fetchall()
+        assert [(c[0], c[1]) for c in src] == [(c[0], c[1]) for c in dst], table
+
+
+def test_fks_stay_closed(decade_dir):
+    out, _ = decade_dir
+    con = duckdb.connect()
+    fks = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    for child, ck, parent, pk in fks:
+        orphans = _one(con, f"""
+            SELECT count(*) FROM read_parquet('{out}/{child}.parquet') c
+            WHERE c.{ck} IS NOT NULL AND c.{ck} NOT IN
+                  (SELECT {pk} FROM read_parquet('{out}/{parent}.parquet'))
+        """)
+        assert orphans == 0, f"{child}.{ck} -> {parent}.{pk}"
+
+
+def test_fk_offsets_form_closed_sub_universes(decade_dir):
+    """Each replica joins only within its own key block — the property
+    that makes per-group aggregates exact MULT-fold ties."""
+    out, _ = decade_dir
+    con = duckdb.connect()
+    cross = _one(con, f"""
+        SELECT count(*) FROM read_parquet('{out}/lineitem.parquet') l
+        JOIN read_parquet('{out}/orders.parquet') o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_orderkey // {OFF} <> o.o_custkey // {OFF}
+    """)
+    assert cross == 0
+
+
+def test_documents_mutated_but_consistent(decade_dir):
+    out, _ = decade_dir
+    con = duckdb.connect()
+    bad = _one(con, f"""
+        SELECT count(*) FROM read_parquet('{out}/documents.parquet')
+        WHERE n_chars <> length(text)
+    """)
+    assert bad == 0
+    # rep 0 byte-identical to source; rep>0 carries the tail token
+    diff0 = _one(con, f"""
+        SELECT count(*) FROM read_parquet('{out}/documents.parquet') d
+        JOIN read_parquet('{SRC}/documents.parquet') s USING (doc_id)
+        WHERE d.doc_id < {OFF} AND d.text <> s.text
+    """)
+    assert diff0 == 0
+    untagged = _one(con, f"""
+        SELECT count(*) FROM read_parquet('{out}/documents.parquet')
+        WHERE doc_id >= {OFF}
+          AND text NOT LIKE '%rep' || CAST(doc_id // {OFF} AS VARCHAR)
+    """)
+    assert untagged == 0
+
+
+def test_embeddings_shifted_per_replica(decade_dir):
+    out, _ = decade_dir
+    con = duckdb.connect()
+    # no exact-duplicate vectors across replicas of the same source row
+    dups = _one(con, f"""
+        SELECT count(*) FROM read_parquet('{out}/embeddings.parquet') a
+        JOIN read_parquet('{out}/embeddings.parquet') b
+          ON a.vec_id % {OFF} = b.vec_id % {OFF} AND a.vec_id < b.vec_id
+        WHERE a.embedding = b.embedding
+    """)
+    assert dups == 0
+
+
+def test_union_find_matches_recursive_closure_semantics():
+    from tools.decade_cc_check import union_find
+
+    # chain + separate triangle + self-contained pair, shuffled input
+    edges = [(5, 3), (3, 9), (9, 7), (20, 21), (21, 22), (22, 20), (40, 41)]
+    labels = union_find(edges)
+    assert labels == {5: 3, 3: 3, 9: 3, 7: 3,
+                      20: 20, 21: 20, 22: 20, 40: 40, 41: 40}
