@@ -1351,6 +1351,109 @@ def _toks(norm_expr: str) -> str:
     return f"CASE WHEN {norm_expr} = '' THEN [] ELSE string_split({norm_expr}, ' ') END"
 
 
+def _exactsubstr_oracle(norm_text: str, min_match: int | None = None) -> str:
+    """Shared ExactSubstr DuckDB replay (qx15 and qx110 differ ONLY in
+    span handling): positional 8-grams with multiplicity (a gram
+    repeated inside ONE doc is duplicated too, matching the
+    suffix-array semantics), window-merged spans, covered-index
+    anti-join excision. Gram strings here; the Spark side groups their
+    xxhash64 (same dup set absent a 64-bit collision). With
+    ``min_match`` (Lee et al.'s minimum-match length), islands group
+    via a running sum of new-span markers and spans shorter than L
+    drop BEFORE the coverage/excision step, n_spans counting only the
+    kept spans — one copy of the replay machinery serves both oracles
+    so a tokenizer/gram/merge fix can never desynchronize them."""
+    prefix = f"""
+        WITH t AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+        ),
+        g0 AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(toks) - 6),
+                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')) AS gs
+            FROM t
+        ),
+        g AS (
+            SELECT doc_id, unnest(gs) AS gram,
+                   generate_subscripts(gs, 1) - 1 AS pos
+            FROM g0
+        ),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+        h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),"""
+    if min_match is None:
+        middle = """
+        sp AS (
+            SELECT doc_id,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos - lag(pos) OVER w > 8
+                        THEN 1 ELSE 0 END AS ns
+            FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        spans AS (
+            SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS n_spans
+            FROM sp GROUP BY doc_id
+        ),
+        cov AS (
+            SELECT DISTINCT h.doc_id, c.i
+            FROM h, unnest(range(h.pos, h.pos + 8)) AS c(i)
+        ),"""
+    else:
+        middle = f"""
+        sp AS (
+            SELECT doc_id, pos,
+                   CASE WHEN lag(pos) OVER w IS NULL
+                             OR pos - lag(pos) OVER w > 8
+                        THEN 1 ELSE 0 END AS ns
+            FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+        ),
+        isl AS (
+            SELECT doc_id, pos,
+                   CAST(SUM(ns) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS grp
+            FROM sp
+        ),
+        spans0 AS (
+            SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+            FROM isl GROUP BY doc_id, grp
+        ),
+        spans1 AS (
+            SELECT * FROM spans0 WHERE e - s >= {min_match}
+        ),
+        spans AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM spans1 GROUP BY doc_id
+        ),
+        cov AS (
+            SELECT DISTINCT spans1.doc_id, c.i
+            FROM spans1, unnest(range(spans1.s, spans1.e)) AS c(i)
+        ),"""
+    tail = """
+        tp AS (
+            SELECT doc_id, unnest(toks) AS tok,
+                   generate_subscripts(toks, 1) - 1 AS p
+            FROM t
+        ),
+        kept AS (
+            SELECT tp.doc_id, COUNT(*) AS n_kept,
+                   string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
+            FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.i = tp.p
+            WHERE cov.i IS NULL
+            GROUP BY tp.doc_id
+        )
+        SELECT t.doc_id,
+               CAST(len(t.toks) AS BIGINT) AS n_tokens,
+               coalesce(spans.n_spans, 0) AS n_spans,
+               CAST(len(t.toks) - coalesce(kept.n_kept, 0) AS BIGINT)
+                   AS n_removed,
+               coalesce(kept.clean_text, '') AS clean_text
+        FROM t
+        LEFT JOIN spans USING (doc_id)
+        LEFT JOIN kept USING (doc_id)
+        ORDER BY t.doc_id
+    """
+    return prefix + middle + tail
+
+
 def _bucket_case_sql(value_expr: str, out: str) -> str:
     """Expected-CTR bucket chain from default_config(), first match wins."""
     from strategicai_visibility_loop_etl_spark.operators.scoring import expected_ctr_bucket_rows
@@ -1447,12 +1550,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
                    CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS revenue,
                    round(
-                     CAST(SUM(CAST(l_extendedprice * (CASE WHEN l_linenumber <= 2 THEN 1.0
+                     CAST(CAST(SUM(CAST(l_extendedprice * (CASE WHEN l_linenumber <= 2 THEN 1.0
                                                  WHEN l_quantity > 0 THEN l_quantity
-                                                 ELSE 1.0 END) AS DECIMAL(38,6))) AS DOUBLE)
-                     / CAST(SUM(CAST(CASE WHEN l_linenumber <= 2 THEN 1.0
+                                                 ELSE 1.0 END) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+                     / CAST(CAST(SUM(CAST(CASE WHEN l_linenumber <= 2 THEN 1.0
                                 WHEN l_quantity > 0 THEN l_quantity
-                                ELSE 1.0 END AS DECIMAL(38,6))) AS DOUBLE), 2) AS weighted_price
+                                ELSE 1.0 END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE), 2) AS weighted_price
             FROM lineitem GROUP BY 1
         ),
         ord AS (
@@ -5709,66 +5812,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
-    # ExactSubstr replay: positional 8-grams with multiplicity (a gram
-    # repeated inside ONE doc is duplicated too, matching the
-    # suffix-array semantics), window-merged spans, covered-index
-    # anti-join excision. Gram strings here; the Spark side groups
-    # their xxhash64 (same dup set absent a 64-bit collision).
-    sql["qx15_exactsubstr"] = f"""
-        WITH t AS (
-            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
-        ),
-        g0 AS (
-            SELECT doc_id,
-                   list_transform(range(1, len(toks) - 6),
-                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')) AS gs
-            FROM t
-        ),
-        g AS (
-            SELECT doc_id, unnest(gs) AS gram,
-                   generate_subscripts(gs, 1) - 1 AS pos
-            FROM g0
-        ),
-        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
-        h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
-        sp AS (
-            SELECT doc_id,
-                   CASE WHEN lag(pos) OVER w IS NULL
-                             OR pos - lag(pos) OVER w > 8
-                        THEN 1 ELSE 0 END AS ns
-            FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        ),
-        spans AS (
-            SELECT doc_id, CAST(SUM(ns) AS BIGINT) AS n_spans
-            FROM sp GROUP BY doc_id
-        ),
-        cov AS (
-            SELECT DISTINCT h.doc_id, c.i
-            FROM h, unnest(range(h.pos, h.pos + 8)) AS c(i)
-        ),
-        tp AS (
-            SELECT doc_id, unnest(toks) AS tok,
-                   generate_subscripts(toks, 1) - 1 AS p
-            FROM t
-        ),
-        kept AS (
-            SELECT tp.doc_id, COUNT(*) AS n_kept,
-                   string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
-            FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.i = tp.p
-            WHERE cov.i IS NULL
-            GROUP BY tp.doc_id
-        )
-        SELECT t.doc_id,
-               CAST(len(t.toks) AS BIGINT) AS n_tokens,
-               coalesce(spans.n_spans, 0) AS n_spans,
-               CAST(len(t.toks) - coalesce(kept.n_kept, 0) AS BIGINT)
-                   AS n_removed,
-               coalesce(kept.clean_text, '') AS clean_text
-        FROM t
-        LEFT JOIN spans USING (doc_id)
-        LEFT JOIN kept USING (doc_id)
-        ORDER BY t.doc_id
-    """
+    sql["qx15_exactsubstr"] = _exactsubstr_oracle(norm_text)
 
     # qx16/qx17: unrolled replay of the deterministic BPE merge
     # sequence. Each round: adjacent-pair count over the word table,
@@ -7180,9 +7224,9 @@ def extra_oracle_sql() -> dict[str, str]:
             WHERE p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
         )
         SELECT CAST(o_year AS INT) AS o_year,
-               round(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+               round(CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
                                    THEN vol ELSE CAST(0 AS DECIMAL(18,6))
-                              END) AS DOUBLE)
+                              END) AS VARCHAR) AS DOUBLE)
                      / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE), 6) AS mkt_share,
                CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS total_volume
         FROM j GROUP BY o_year ORDER BY o_year
@@ -7190,9 +7234,9 @@ def extra_oracle_sql() -> dict[str, str]:
     sql["qx31_product_profit"] = '''
         SELECT n.n_name AS nation,
                CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
-               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+               CAST(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
                              - 0.1 * p.p_retailprice * l.l_quantity
-                        AS DECIMAL(18,6))) AS DOUBLE) AS sum_profit,
+                        AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sum_profit,
                COUNT(*) AS n_lines
         FROM lineitem l
         JOIN part p ON l.l_partkey = p.p_partkey
@@ -7568,11 +7612,10 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         areas AS (
             SELECT b, r,
-                   round(CAST(SUM(CASE WHEN i < 50 THEN pd ELSE 0 END)
-                              AS DOUBLE) / 100, 6) AS fp_area,
-                   round(CAST(SUM(CASE WHEN i >= 50
+                   round(CAST(CAST(SUM(CASE WHEN i < 50 THEN pd ELSE 0 END) AS VARCHAR) AS DOUBLE) / 100, 6) AS fp_area,
+                   round(CAST(CAST(SUM(CASE WHEN i >= 50
                                   THEN CAST(1 AS DECIMAL(18,9)) - pd
-                                  ELSE 0 END) AS DOUBLE) / 100, 6) AS fn_area
+                                  ELSE 0 END) AS VARCHAR) AS DOUBLE) / 100, 6) AS fn_area
             FROM p GROUP BY b, r
         ),
         tot AS (
@@ -8223,8 +8266,7 @@ def extra_oracle_sql() -> dict[str, str]:
     sql["qx77_ewma"] = """
         WITH RECURSIVE daily AS (
             SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-                   round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
-                         AS DOUBLE), 6) AS x
+                   round(CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS x
             FROM events GROUP BY event_type, day
         ),
         seq AS (
@@ -8291,8 +8333,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         comp AS (
             SELECT g, dim,
-                   CAST(round(CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9)))
-                        AS DOUBLE) / COUNT(*), 9) AS DECIMAL(18,9)) AS c
+                   CAST(round(CAST(CAST(SUM(CAST(round(x, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) / COUNT(*), 9) AS DECIMAL(18,9)) AS c
             FROM ex GROUP BY g, dim
         ),
         dots AS (
@@ -8430,8 +8471,7 @@ def extra_oracle_sql() -> dict[str, str]:
                MAX(tus) - MIN(tus) AS duration,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                COUNT(*) = 1 AS bounce,
-               round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
-                     AS DOUBLE), 6) AS value_sum
+               round(CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS value_sum
         FROM sess GROUP BY user_id, session_no
         ORDER BY user_id, session_no
     """
@@ -8821,8 +8861,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM items it JOIN den{_t} d ON d.i = it.item
         ),
         s{_t} AS (
-            SELECT CAST(SUM(CAST(round(raw, 12) AS DECIMAL(38,12)))
-                   AS DOUBLE) AS s
+            SELECT CAST(CAST(SUM(CAST(round(raw, 12) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS s
             FROM raw{_t}
         ),
         p{_t} AS MATERIALIZED (
@@ -8890,8 +8929,7 @@ def extra_oracle_sql() -> dict[str, str]:
         _re_rounds.append(f"""
         st{_t} AS (
             SELECT s.scen, s."from" AS state,
-                   CAST(SUM(CAST(round(s.p * r.r, 15) AS DECIMAL(38,15)))
-                        AS DOUBLE) AS r
+                   CAST(CAST(SUM(CAST(round(s.p * r.r, 15) AS DECIMAL(38,15))) AS VARCHAR) AS DOUBLE) AS r
             FROM scen_trans s
             JOIN {_re_prev} r ON r.scen = s.scen AND r.state = s."to"
             GROUP BY s.scen, s."from"
@@ -9343,8 +9381,7 @@ def extra_oracle_sql() -> dict[str, str]:
     sql["qx103_seasonal"] = """
         WITH daily AS (
             SELECT event_type, epoch_us(ts) // 86400000000 AS day,
-                   round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
-                         AS DOUBLE), 6) AS x
+                   round(CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS x
             FROM events GROUP BY event_type, day
         ),
         base AS (
@@ -9379,8 +9416,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         nrm AS (
             SELECT event_type,
-                   CAST(SUM(CAST(round(pmv, 9) AS DECIMAL(28,9)))
-                        AS DOUBLE) / CAST(COUNT(pmv) AS DOUBLE)
+                   CAST(CAST(SUM(CAST(round(pmv, 9) AS DECIMAL(28,9))) AS VARCHAR) AS DOUBLE) / CAST(COUNT(pmv) AS DOUBLE)
                        AS mean_pm
             FROM pm GROUP BY event_type
         )
@@ -9582,8 +9618,7 @@ def extra_oracle_sql() -> dict[str, str]:
     sql["qx109_gini"] = """
         WITH per_user AS (
             SELECT event_type,
-                   round(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6)))
-                         AS DOUBLE), 6) AS v
+                   round(CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS v
             FROM events WHERE user_id IS NOT NULL
             GROUP BY event_type, user_id
         ),
@@ -9616,79 +9651,8 @@ def extra_oracle_sql() -> dict[str, str]:
         FROM agg ORDER BY event_type
     """
 
-    # qx110: qx15's ExactSubstr replay with Lee et al.'s minimum-match
-    # length — islands group via a running sum of new-span markers,
-    # spans shorter than L drop BEFORE the coverage/excision step, and
-    # n_spans counts only the kept spans (matching the Spark side's
-    # span-array filter).
-    sql["qx110_exactsubstr_minlen"] = f"""
-        WITH t AS (
-            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
-        ),
-        g0 AS (
-            SELECT doc_id,
-                   list_transform(range(1, len(toks) - 6),
-                       i -> array_to_string(list_slice(toks, i, i + 7), ' ')) AS gs
-            FROM t
-        ),
-        g AS (
-            SELECT doc_id, unnest(gs) AS gram,
-                   generate_subscripts(gs, 1) - 1 AS pos
-            FROM g0
-        ),
-        dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
-        h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
-        sp AS (
-            SELECT doc_id, pos,
-                   CASE WHEN lag(pos) OVER w IS NULL
-                             OR pos - lag(pos) OVER w > 8
-                        THEN 1 ELSE 0 END AS ns
-            FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-        ),
-        isl AS (
-            SELECT doc_id, pos,
-                   CAST(SUM(ns) OVER (
-                       PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS grp
-            FROM sp
-        ),
-        spans0 AS (
-            SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
-            FROM isl GROUP BY doc_id, grp
-        ),
-        spans1 AS (
-            SELECT * FROM spans0 WHERE e - s >= {_QX110_MIN_MATCH}
-        ),
-        spans AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
-            FROM spans1 GROUP BY doc_id
-        ),
-        cov AS (
-            SELECT DISTINCT spans1.doc_id, c.i
-            FROM spans1, unnest(range(spans1.s, spans1.e)) AS c(i)
-        ),
-        tp AS (
-            SELECT doc_id, unnest(toks) AS tok,
-                   generate_subscripts(toks, 1) - 1 AS p
-            FROM t
-        ),
-        kept AS (
-            SELECT tp.doc_id, COUNT(*) AS n_kept,
-                   string_agg(tp.tok, ' ' ORDER BY tp.p) AS clean_text
-            FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.i = tp.p
-            WHERE cov.i IS NULL
-            GROUP BY tp.doc_id
-        )
-        SELECT t.doc_id,
-               CAST(len(t.toks) AS BIGINT) AS n_tokens,
-               coalesce(spans.n_spans, 0) AS n_spans,
-               CAST(len(t.toks) - coalesce(kept.n_kept, 0) AS BIGINT)
-                   AS n_removed,
-               coalesce(kept.clean_text, '') AS clean_text
-        FROM t
-        LEFT JOIN spans USING (doc_id)
-        LEFT JOIN kept USING (doc_id)
-        ORDER BY t.doc_id
-    """
+    sql["qx110_exactsubstr_minlen"] = _exactsubstr_oracle(
+        norm_text, min_match=_QX110_MIN_MATCH)
     sql["qx111_exactsubstr_incr_minlen"] = f"""
         SELECT * FROM ({sql["qx110_exactsubstr_minlen"]})
         WHERE doc_id % 10 = 0 ORDER BY doc_id

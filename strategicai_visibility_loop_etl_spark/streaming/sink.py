@@ -716,24 +716,50 @@ def agg_state_on_arrival_batch(
     os.replace(tmp, marker)
 
 
-def _agg_state_dirs(state_dir: str) -> list[str]:
-    """The directories the current aggregate view folds over: the
-    fold-manifest dir (when :func:`compact_agg_state` has run) plus
-    every committed batch dir NEWER than the fold horizon — older
-    batch markers stay in the ledger purely for redelivery no-ops."""
+def _agg_state_dirs(state_dir: str, asof: int | None = None) -> list[str]:
+    """The directories an aggregate view folds over: the fold-manifest
+    dir (when :func:`compact_agg_state` has run) plus every committed
+    batch dir NEWER than the fold horizon — older batch markers stay
+    in the ledger purely for redelivery no-ops. With ``asof``, only
+    batches with id ≤ ``asof`` participate (the time-travel prefix);
+    an ``asof`` BELOW the fold horizon raises ``ValueError`` — those
+    per-batch states were folded together and vacuumed, so the prefix
+    is no longer reconstructible (the retention trade every table
+    format makes). AT the horizon, the manifest dir IS the exact
+    as-of state. This is the ONE place that knows the state layout
+    (_fold manifest schema, b{i} dir naming)."""
     import json  # noqa: PLC0415
 
     ids = committed_batches(state_dir)
+    if asof is not None:
+        ids = [i for i in ids if i <= asof]
     manifest = os.path.join(state_dir, "_fold")
     if not os.path.exists(manifest):
         return [os.path.join(state_dir, f"b{i}") for i in ids]
     with open(manifest, encoding="utf-8") as fh:
         m = json.load(fh)
+    if asof is not None and asof < m["upto"]:
+        raise ValueError(
+            f"as-of {asof} predates the compaction horizon "
+            f"{m['upto']} in {state_dir}; those per-batch states were "
+            "folded and vacuumed"
+        )
     dirs = [os.path.join(state_dir, m["dir"])]
     dirs += [
         os.path.join(state_dir, f"b{i}") for i in ids if i > m["upto"]
     ]
     return dirs
+
+
+def _fold_agg_dirs(
+    spark: SparkSession, dirs: list[str], finalize: bool
+) -> DataFrame | None:
+    from ..operators.snapshot import finalize_agg, merge_agg_states
+
+    if not dirs:
+        return None
+    merged = merge_agg_states(*[spark.read.parquet(d) for d in dirs])
+    return finalize_agg(merged) if finalize else merged
 
 
 def read_agg_state(
@@ -743,14 +769,7 @@ def read_agg_state(
     rows — group-count × surviving-dirs, not raw rows): the fold
     manifest's compacted state plus every newer committed batch.
     ``finalize=True`` adds ``avg``; None before any commit."""
-    from ..operators.snapshot import finalize_agg, merge_agg_states
-
-    dirs = _agg_state_dirs(state_dir)
-    if not dirs:
-        return None
-    states = [spark.read.parquet(d) for d in dirs]
-    merged = merge_agg_states(*states)
-    return finalize_agg(merged) if finalize else merged
+    return _fold_agg_dirs(spark, _agg_state_dirs(state_dir), finalize)
 
 
 def read_agg_state_asof(
@@ -769,35 +788,12 @@ def read_agg_state_asof(
     deleted, so an as-of BELOW the horizon raises ``ValueError``
     (the retention trade every table format makes); AT the horizon,
     the manifest dir IS the exact as-of state. Torn batch dirs are
-    invisible (ledger-resolved), matching :func:`read_agg_state`."""
-    import json  # noqa: PLC0415
-
-    from ..operators.snapshot import finalize_agg, merge_agg_states
-
-    ids = committed_batches(state_dir)
-    manifest = os.path.join(state_dir, "_fold")
-    dirs = []
-    upto = -1
-    if os.path.exists(manifest):
-        with open(manifest, encoding="utf-8") as fh:
-            m = json.load(fh)
-        upto = m["upto"]
-        if batch_id < upto:
-            raise ValueError(
-                f"as-of {batch_id} predates the compaction horizon "
-                f"{upto} in {state_dir}; those per-batch states were "
-                "folded and vacuumed"
-            )
-        dirs.append(os.path.join(state_dir, m["dir"]))
-    dirs += [
-        os.path.join(state_dir, f"b{i}")
-        for i in ids
-        if upto < i <= batch_id
-    ]
-    if not dirs:
-        return None
-    merged = merge_agg_states(*[spark.read.parquet(d) for d in dirs])
-    return finalize_agg(merged) if finalize else merged
+    invisible (ledger-resolved), matching :func:`read_agg_state` —
+    both resolve through :func:`_agg_state_dirs`, the one place that
+    knows the state layout."""
+    return _fold_agg_dirs(
+        spark, _agg_state_dirs(state_dir, asof=batch_id), finalize
+    )
 
 
 def compact_agg_state(spark: SparkSession, state_dir: str) -> int:

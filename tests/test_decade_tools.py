@@ -10,16 +10,17 @@ scale jump.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import pytest
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from tools.gen_decade import OFF, generate  # noqa: E402
 
-SRC = "/root/testdata/sf0.001"
+SRC = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 MULT = 3
 
 

@@ -93,11 +93,37 @@ TEMPLATES = {
 }
 
 
+# key columns whose replica blocks must not overlap: every source key
+# must be < OFF or the offset scheme silently collides (e.g. running
+# the replicator on its own output, or on data with keys >= 10M).
+_OFFSET_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
 def generate(src_dir: str, out_dir: str, mult: int) -> dict:
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    for table, keys in _OFFSET_KEYS.items():
+        sel = ", ".join(f"max({k})" for k in keys)
+        maxes = con.execute(
+            f"SELECT {sel} FROM read_parquet('{src_dir}/{table}.parquet')"
+        ).fetchone()
+        for k, mx in zip(keys, maxes):
+            if mx is not None and mx >= OFF:
+                raise ValueError(
+                    f"{table}.{k} max {mx} >= offset {OFF}: replica key "
+                    f"blocks would collide (source must have keys < {OFF})"
+                )
     counts = {}
     for table, tmpl in TEMPLATES.items():
         src = f"{src_dir}/{table}.parquet"
