@@ -3816,10 +3816,13 @@ def qx53_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         triangle_count,
     )
 
-    tc = triangle_count(_doc_graph_edges(spark, sf_dir))
-    return tc.select(
-        F.col("id").alias("doc_id"), "triangles"
-    ).orderBy("doc_id")
+    edges, mapping = _doc_graph_edges(spark, sf_dir)
+    tc = triangle_count(edges)
+    return (
+        tc.join(F.broadcast(mapping), "id")
+        .select("doc_id", "triangles")
+        .orderBy("doc_id")
+    )
 
 def qx54_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew profile (capability row 148): the heaviest
@@ -4613,11 +4616,33 @@ def qx84_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _doc_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The qx47/qx53 manufactured document graph: ring edges (i, i±1),
+def _doc_graph_edges(spark: SparkSession, sf_dir: str):
+    """The qx53/qx86 manufactured document graph: ring edges (i, i±1),
     (i, i±2) plus hash-arithmetic extras for 2/3 of nodes — shared by
-    every graph-family query so oracles replay one edge recipe."""
-    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    the triangle/k-core queries so oracles replay one edge recipe.
+
+    Node ids are DENSE ranks of doc_id (row_number − 1): at the
+    driver scales doc_ids are already 0..n−1, so ranking is the
+    identity, but sparse/offset corpora (the decade replica's five
+    10M-offset blocks) would otherwise scatter the mod-n ring targets
+    across id gaps and peel the 5-core to empty. The global
+    row_number window is fine HERE because this is a test-fixture
+    generator, not a production operator. Returns
+    ``(edges, mapping)`` where mapping is (doc_id, id) for
+    translating results back to document keys."""
+    from pyspark.sql import Window
+
+    mapping = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            "doc_id",
+            (F.row_number().over(Window.orderBy("doc_id")) - 1)
+            .cast("long")
+            .alias("id"),
+        )
+    )
+    docs = mapping.select("id")
     total = docs.agg(F.count("*").alias("__n"))
     ring = (
         docs.crossJoin(F.broadcast(total))
@@ -4651,7 +4676,7 @@ def _doc_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dst"),
         )
     )
-    return ring.unionAll(hashed)
+    return ring.unionAll(hashed), mapping
 
 
 def qx85_token_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4679,10 +4704,13 @@ def qx86_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equivalence). DuckDB unrolls the identical 8 rounds."""
     from strategicai_visibility_loop_etl_spark.operators.graph import k_core
 
-    out = k_core(_doc_graph_edges(spark, sf_dir), k=5, iters=8)
-    return out.select(
-        F.col("id").alias("doc_id"), "core_degree"
-    ).orderBy("doc_id")
+    edges, mapping = _doc_graph_edges(spark, sf_dir)
+    out = k_core(edges, k=5, iters=8)
+    return (
+        out.join(F.broadcast(mapping), "id")
+        .select("doc_id", "core_degree")
+        .orderBy("doc_id")
+    )
 
 
 def qx87_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6971,7 +6999,12 @@ def extra_oracle_sql() -> dict[str, str]:
     # side, then canonicalize → degree → orient → wedge → close,
     # mirroring operators/graph.py triangle_count exactly.
     sql["qx53_triangle_count"] = """
-        WITH nn AS (SELECT doc_id AS id FROM documents),
+        WITH nn AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY doc_id) - 1
+                        AS BIGINT) AS id
+            FROM documents
+        ),
         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn),
         ring AS (
             SELECT id AS s, (id + 1) % t.n AS d FROM nn, t
@@ -7028,9 +7061,12 @@ def extra_oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT hi AS id FROM tri
             ) GROUP BY id
         )
-        SELECT deg.id AS doc_id,
+        SELECT nn.doc_id,
                CAST(coalesce(pc.triangles, 0) AS BIGINT) AS triangles
-        FROM deg LEFT JOIN pc USING (id) ORDER BY doc_id
+        FROM deg
+        JOIN nn ON nn.id = deg.id
+        LEFT JOIN pc ON pc.id = deg.id
+        ORDER BY nn.doc_id
     """
 
     # qx54: skew-profile replay — integer floor-division shares and
@@ -8585,7 +8621,12 @@ def extra_oracle_sql() -> dict[str, str]:
         )""")
         _kc_prev = f"e{_i}"
     sql["qx86_k_core"] = f"""
-        WITH nn AS (SELECT doc_id AS id FROM documents),
+        WITH nn AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY doc_id) - 1
+                        AS BIGINT) AS id
+            FROM documents
+        ),
         t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn),
         ring AS (
             SELECT id AS s, (id + 1) % t.n AS d FROM nn, t
@@ -8606,11 +8647,15 @@ def extra_oracle_sql() -> dict[str, str]:
         e0 AS MATERIALIZED (
             SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM e
         ),{",".join(_kc_rounds)}
-        SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+        SELECT nn.doc_id, g.core_degree
         FROM (
-            SELECT a AS id FROM {_kc_prev}
-            UNION ALL SELECT b AS id FROM {_kc_prev}
-        ) GROUP BY id ORDER BY doc_id
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS core_degree
+            FROM (
+                SELECT a AS id FROM {_kc_prev}
+                UNION ALL SELECT b AS id FROM {_kc_prev}
+            ) GROUP BY id
+        ) g JOIN nn ON nn.id = g.id
+        ORDER BY nn.doc_id
     """
 
     # qx87: one GROUP BY + HAVING with min/max witnesses.
