@@ -4641,6 +4641,9 @@ def _doc_graph_edges(spark: SparkSession, sf_dir: str):
             .cast("long")
             .alias("id"),
         )
+        # four consumers (ring, hashed, the count, the result join) —
+        # checkpoint so the single-partition rank window runs once.
+        .localCheckpoint(eager=True)
     )
     docs = mapping.select("id")
     total = docs.agg(F.count("*").alias("__n"))

@@ -184,14 +184,17 @@ def _connected_components_star(
     # Materialize the input projection ONCE: nodes and the canonical
     # edge set both consume it, and the node derivation explodes rather
     # than self-unions — without this the edges subtree (possibly a
-    # whole candidate generator) would execute three times. persist
-    # (not localCheckpoint): both consumers are themselves eagerly
-    # checkpointed right here, after which raw's blocks are dead —
-    # persist gives a real unpersist to release them, instead of
-    # holding a second resident copy of the edge set for all
-    # O(log n) rounds until JVM GC gets around to it.
-    raw = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).persist()
-    raw.count()
+    # whole candidate generator) would execute three times.
+    # localCheckpoint, NOT persist: a persisted block lost mid-build is
+    # silently recomputed from the untruncated lineage, and if the
+    # upstream candidate generator is order-sensitive the two consumers
+    # can see DIVERGENT edge sets (the round-7 prefix-sum bug class);
+    # the checkpoint is fail-stop instead. Dropping the reference once
+    # both consumers are checkpointed makes the blocks collectible by
+    # the ContextCleaner rather than pinned for all O(log n) rounds.
+    raw = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).localCheckpoint(eager=True)
     nodes = (
         raw.select(F.explode(F.array("a", "b")).alias("id"))
         .distinct()
@@ -203,7 +206,7 @@ def _connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    raw.unpersist()
+    del raw
 
     def _checksum(df: DataFrame):
         # decimal(38,0) accumulator: a long sum of xxhash64 values

@@ -114,15 +114,18 @@ def generate(src_dir: str, out_dir: str, mult: int) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for table, keys in _OFFSET_KEYS.items():
-        sel = ", ".join(f"max({k})" for k in keys)
-        maxes = con.execute(
+        sel = ", ".join(f"min({k}), max({k})" for k in keys)
+        bounds = con.execute(
             f"SELECT {sel} FROM read_parquet('{src_dir}/{table}.parquet')"
         ).fetchone()
-        for k, mx in zip(keys, maxes):
-            if mx is not None and mx >= OFF:
+        for i, k in enumerate(keys):
+            mn, mx = bounds[2 * i], bounds[2 * i + 1]
+            # negative keys shift into the PREVIOUS replica's block, so
+            # the whole [min, max] range must fit inside [0, OFF)
+            if mn is not None and (mn < 0 or mx >= OFF):
                 raise ValueError(
-                    f"{table}.{k} max {mx} >= offset {OFF}: replica key "
-                    f"blocks would collide (source must have keys < {OFF})"
+                    f"{table}.{k} range [{mn}, {mx}] outside [0, {OFF}): "
+                    "replica key blocks would collide"
                 )
     counts = {}
     for table, tmpl in TEMPLATES.items():
