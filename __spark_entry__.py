@@ -5231,6 +5231,55 @@ def qx111_exactsubstr_incr_minlen(
     ).orderBy("doc_id")
 
 
+def qx112_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based classifier evaluation (capability row 211): does
+    event value rank purchases above other events, per user cohort?
+    ROC AUC as the tie-corrected Mann-Whitney statistic over
+    1-decimal-rounded scores (deliberately coarse so tie groups are
+    exercised at every sf). DuckDB replays the distinct-score
+    aggregate, the doubled-average-rank window and the fixed-order
+    closed forms."""
+    from strategicai_visibility_loop_etl_spark.operators.scorer import (
+        classifier_eval,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 5).alias("cohort"),
+        _rd(F.col("value"), 1).alias("score"),
+        (F.col("event_type") == "purchase").cast("int").alias("label"),
+    )
+    return classifier_eval(ev, "score", "label", ["cohort"])
+
+
+def qx113_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per event type vs the all-events
+    baseline (capability row 212): value distributions bucketed by the
+    BASELINE's exact deciles (one percentile aggregate broadcast back
+    — no global sort), add-one smoothing, ln terms rounded to 9dp and
+    summed as DECIMAL. DuckDB replays cuts (quantile_cont parity),
+    bucketing, the grid fill and the term arithmetic."""
+    from strategicai_visibility_loop_etl_spark.operators.drift import (
+        psi_drift,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return psi_drift(ev, "value", ["event_type"], n_bins=10)
+
+
+def qx114_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group higher-moment profile (capability row 213): mean,
+    sample std, adjusted skewness G1 and sample excess kurtosis G2 of
+    extended price per return flag, from exact decimal power sums in
+    one pass. DuckDB replays the rounded power terms and the
+    fixed-order closed forms."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        moments_profile,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return moments_profile(li, "l_extendedprice", ["l_returnflag"])
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5344,6 +5393,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx109_gini": qx109_gini,
         "qx110_exactsubstr_minlen": qx110_exactsubstr_minlen,
         "qx111_exactsubstr_incr_minlen": qx111_exactsubstr_incr_minlen,
+        "qx112_classifier_eval": qx112_classifier_eval,
+        "qx113_psi": qx113_psi,
+        "qx114_moments": qx114_moments,
     }
 
 
@@ -9704,6 +9756,186 @@ def extra_oracle_sql() -> dict[str, str]:
     sql["qx111_exactsubstr_incr_minlen"] = f"""
         SELECT * FROM ({sql["qx110_exactsubstr_minlen"]})
         WHERE doc_id % 10 = 0 ORDER BY doc_id
+    """
+
+    # qx112: distinct-score aggregate, doubled-average-rank window,
+    # fixed-order AUC / U / tie-corrected z closed forms.
+    sql["qx112_classifier_eval"] = """
+        WITH base AS (
+            SELECT user_id % 5 AS cohort,
+                   round(value, 1) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        per AS (
+            SELECT cohort, s, CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(y) AS BIGINT) AS pos_g
+            FROM base GROUP BY cohort, s
+        ),
+        w AS (
+            SELECT cohort, n_g, pos_g,
+                   2 * COALESCE(SUM(n_g) OVER (
+                       PARTITION BY cohort ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) + n_g + 1 AS two_r
+            FROM per
+        ),
+        agg AS (
+            SELECT cohort,
+                   CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(pos_g) AS BIGINT) AS n_pos,
+                   CAST(SUM(n_g) - SUM(pos_g) AS BIGINT) AS n_neg,
+                   SUM(CAST(pos_g AS DECIMAL(18,0))
+                       * CAST(two_r AS DECIMAL(19,0))) AS r2pos,
+                   SUM(CAST(n_g AS DECIMAL(12,0)) * CAST(n_g AS DECIMAL(12,0))
+                       * CAST(n_g AS DECIMAL(12,0)) - n_g) AS ties
+            FROM w GROUP BY cohort
+        ),
+        m AS (
+            SELECT cohort, n, n_pos, n_neg,
+                   r2pos - CAST(n_pos AS DECIMAL(18,0))
+                           * CAST(n_pos + 1 AS DECIMAL(19,0)) AS num,
+                   (CAST(n_pos AS DECIMAL(18,0))
+                    * CAST(n_neg AS DECIMAL(19,0)))
+                   * CAST(2 AS DECIMAL(1,0)) AS denom,
+                   CAST(CAST(CAST(n_pos AS DECIMAL(18,0))
+                        * CAST(n_neg AS DECIMAL(19,0)) AS VARCHAR)
+                        AS DOUBLE) AS npnn,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(CAST(ties AS VARCHAR) AS DOUBLE) AS tiesd
+            FROM agg
+        ),
+        f AS (
+            SELECT cohort, n, n_pos, n_neg,
+                   CAST(CAST(num AS VARCHAR) AS DOUBLE) AS numd,
+                   CAST(CAST(denom AS VARCHAR) AS DOUBLE) AS denomd,
+                   npnn, nd,
+                   npnn / 12.0 * ((nd + 1.0)
+                       - tiesd / (nd * (nd - 1.0))) AS sig2
+            FROM m
+        )
+        SELECT cohort, n, n_pos, n_neg,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN round(numd / denomd, 6) END AS auc,
+               CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN numd / 2.0 END AS u_stat,
+               CASE WHEN n_pos > 0 AND n_neg > 0 AND sig2 > 0
+                    THEN round((numd / 2.0 - npnn / 2.0) / sqrt(sig2), 6)
+               END AS z
+        FROM f ORDER BY cohort
+    """
+
+    # qx113: baseline-decile bins (quantile_cont parity), full grid
+    # with add-one smoothing, 9dp ln terms summed as DECIMAL.
+    _psi_fracs = ", ".join(str(i / 10) for i in range(1, 10))
+    sql["qx113_psi"] = f"""
+        WITH vals AS (
+            SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ),
+        cuts AS (
+            SELECT quantile_cont(value, [{_psi_fracs}]) AS c FROM vals
+        ),
+        bc AS (
+            SELECT len(list_filter(c, t -> t <= value)) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS cb
+            FROM vals CROSS JOIN cuts GROUP BY 1
+        ),
+        cc AS (
+            SELECT event_type, len(list_filter(c, t -> t <= value)) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS cc
+            FROM vals CROSS JOIN cuts GROUP BY 1, 2
+        ),
+        spine AS (SELECT unnest(range(0, 10)) AS b),
+        groups AS (
+            SELECT event_type, CAST(SUM(cc) AS BIGINT) AS n_cur
+            FROM cc GROUP BY event_type
+        ),
+        nb AS (SELECT CAST(SUM(cb) AS BIGINT) AS n_base FROM bc),
+        grid AS (
+            SELECT g.event_type, g.n_cur, nb.n_base, s.b,
+                   COALESCE(cc.cc, 0) AS cnt_cur,
+                   COALESCE(bc.cb, 0) AS cnt_base
+            FROM groups g CROSS JOIN spine s CROSS JOIN nb
+            LEFT JOIN cc ON cc.event_type = g.event_type AND cc.b = s.b
+            LEFT JOIN bc ON bc.b = s.b
+        ),
+        terms AS (
+            SELECT event_type, n_cur, n_base,
+                   CAST(round(
+                       ((CAST(cnt_cur AS DOUBLE) + 1.0)
+                            / (CAST(n_cur AS DOUBLE) + 10.0)
+                        - (CAST(cnt_base AS DOUBLE) + 1.0)
+                            / (CAST(n_base AS DOUBLE) + 10.0))
+                       * (ln((CAST(cnt_cur AS DOUBLE) + 1.0)
+                              / (CAST(n_cur AS DOUBLE) + 10.0))
+                          - ln((CAST(cnt_base AS DOUBLE) + 1.0)
+                               / (CAST(n_base AS DOUBLE) + 10.0))), 9)
+                   AS DECIMAL(28,9)) AS t
+            FROM grid
+        )
+        SELECT event_type, MAX(n_cur) AS n_cur, MAX(n_base) AS n_base,
+               round(CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE), 6) AS psi
+        FROM terms GROUP BY event_type ORDER BY event_type
+    """
+
+    # qx114: rounded fixed-order power terms, exact decimal sums,
+    # fixed-order central-moment / G1 / G2 closed forms.
+    sql["qx114_moments"] = """
+        WITH base AS (
+            SELECT l_returnflag, round(CAST(l_extendedprice AS DOUBLE), 6) AS x
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ),
+        p AS (
+            SELECT l_returnflag, x,
+                   round(x * x, 6) AS x2,
+                   round((x * x) * x, 6) AS x3,
+                   round((x * x) * (x * x), 6) AS x4
+            FROM base
+        ),
+        agg AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(x AS DECIMAL(28,6))) AS s1,
+                   SUM(CAST(x2 AS DECIMAL(32,6))) AS s2,
+                   SUM(CAST(x3 AS DECIMAL(36,6))) AS s3,
+                   SUM(CAST(x4 AS DECIMAL(38,6))) AS s4
+            FROM p GROUP BY l_returnflag
+        ),
+        d AS (
+            SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+                   CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
+                   CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
+                   CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS s3d,
+                   CAST(CAST(s4 AS VARCHAR) AS DOUBLE) AS s4d
+            FROM agg
+        ),
+        m AS (
+            SELECT l_returnflag, n, nd,
+                   s1d / nd AS mean,
+                   s2d / nd - (s1d / nd) * (s1d / nd) AS m2,
+                   s3d / nd - 3.0 * (s1d / nd) * (s2d / nd)
+                       + 2.0 * ((s1d / nd) * (s1d / nd)) * (s1d / nd) AS m3,
+                   s4d / nd - 4.0 * (s1d / nd) * (s3d / nd)
+                       + 6.0 * ((s1d / nd) * (s1d / nd)) * (s2d / nd)
+                       - 3.0 * (((s1d / nd) * (s1d / nd))
+                                * ((s1d / nd) * (s1d / nd))) AS m4
+            FROM d
+        )
+        SELECT l_returnflag, n,
+               round(mean, 6) AS mean,
+               round(CASE WHEN n > 1
+                          THEN sqrt(m2 * nd / (nd - 1.0)) END, 6) AS std,
+               CASE WHEN n > 2 AND m2 > 0
+                    THEN round((m3 / (m2 * sqrt(m2)))
+                               * sqrt(nd * (nd - 1.0)) / (nd - 2.0), 6)
+               END AS skewness,
+               CASE WHEN n > 3 AND m2 > 0
+                    THEN round(((nd + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0)
+                               * (nd - 1.0)
+                               / ((nd - 2.0) * (nd - 3.0)), 6)
+               END AS kurtosis
+        FROM m ORDER BY l_returnflag
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

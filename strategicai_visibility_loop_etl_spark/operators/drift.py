@@ -336,3 +336,116 @@ def two_proportion_ztest(
         ).alias("significant"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def psi_drift(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    baseline: DataFrame | None = None,
+    n_bins: int = 10,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Population Stability Index per group — the model-monitoring
+    standard for NUMERIC distribution drift (banking/scoring lineage),
+    complementing :func:`token_distribution_drift` (categorical KL over
+    tokens) and :func:`ks_test` (a hypothesis test; PSI is the
+    magnitude-of-shift INDEX the common >0.1 / >0.25 thresholds read):
+
+        PSI = sum_bins (p_cur - p_base) * ln(p_cur / p_base)
+
+    over ``n_bins`` quantile bins OF THE BASELINE (equal expected mass
+    — the convention that makes PSI comparable across metrics), with
+    add-one smoothing so empty bins contribute finitely (the qx51
+    discipline; classic implementations clamp with an arbitrary
+    epsilon, which is not replayable arithmetic).
+
+    Scale shape: the baseline collapses to ONE exact-percentile
+    aggregate whose n_bins-1 cut points broadcast back (the
+    quality_blend pattern — no global sort; swap `percentile_approx`
+    in at 100 TB, identical plan); bucketing is a pure array
+    expression; each side then folds to a bins×groups aggregate. The
+    only corpus-scale exchanges are the two bucket-count aggregates.
+    NULL values are excluded; groups absent from ``df`` don't appear
+    (join back on a spine if absence must be surfaced).
+
+    Exactness: counts are exact; each bin's term is a fixed-order
+    double expression over (count+1)/(n+B) ratios, rounded via
+    ``round_c`` to 9 decimals and summed as DECIMAL — order- and
+    engine-independent (the shared ln-then-round log-sum discipline).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    base_df = baseline if baseline is not None else df
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    cuts = (
+        base_df.filter(F.col(value_col).isNotNull())
+        .agg(F.percentile(F.col(value_col), F.lit(fracs)).alias("__cuts"))
+    )
+    bucket = F.size(
+        F.filter(F.col("__cuts"), lambda t: t <= F.col(value_col))
+    ).alias("__b")
+
+    base_counts = (
+        base_df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(cuts))
+        .select(bucket)
+        .groupBy("__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cb"))
+    )
+    cur_counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(F.broadcast(cuts))
+        .select(*group_cols, bucket)
+        .groupBy(*group_cols, "__b")
+        .agg(F.count(F.lit(1)).cast("long").alias("__cc"))
+    )
+    # Full group x bin grid so absent bins still contribute their
+    # smoothed mass (dropping them understates PSI exactly when drift
+    # is strongest -- the cramers_v zero-cell lesson).
+    spine = cuts.select(
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("__b")
+    )
+    groups = cur_counts.groupBy(*group_cols).agg(
+        F.sum("__cc").cast("long").alias("__n_cur")
+    )
+    n_base_f = base_counts.agg(
+        F.sum("__cb").cast("long").alias("__n_base")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(spine))
+        .join(cur_counts, [*group_cols, "__b"], "left")
+        .join(F.broadcast(base_counts), "__b", "left")
+        .crossJoin(F.broadcast(n_base_f))
+        .select(
+            *group_cols,
+            "__b",
+            "__n_cur",
+            "__n_base",
+            F.coalesce(F.col("__cc"), F.lit(0)).alias("__cc"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+    )
+    bins_lit = F.lit(float(n_bins))
+    p_cur = (F.col("__cc").cast("double") + F.lit(1.0)) / (
+        F.col("__n_cur").cast("double") + bins_lit
+    )
+    p_base = (F.col("__cb").cast("double") + F.lit(1.0)) / (
+        F.col("__n_base").cast("double") + bins_lit
+    )
+    term = round_c((p_cur - p_base) * (F.log(p_cur) - F.log(p_base)), 9)
+    out = (
+        grid.select(
+            *group_cols,
+            "__n_cur",
+            "__n_base",
+            term.cast("decimal(28,9)").alias("__t"),
+        )
+        .groupBy(*group_cols)
+        .agg(
+            F.max("__n_cur").alias("n_cur"),
+            F.max("__n_base").alias("n_base"),
+            round_c(F.sum("__t").cast("double"), out_decimals).alias("psi"),
+        )
+    )
+    return out.orderBy(*group_cols)

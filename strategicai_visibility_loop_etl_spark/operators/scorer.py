@@ -452,3 +452,117 @@ def isotonic_calibrate(
         )
         .orderBy("bin")
     )
+
+
+def classifier_eval(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Rank-based binary-classifier evaluation: ROC AUC computed as
+    the tie-corrected Mann-Whitney rank statistic, plus the U statistic
+    and the normal-approximation z against the no-discrimination null —
+    the readout that closes the scorer family's loop (train a scorer
+    `train_hashed_scorer`, calibrate it `isotonic_calibrate`, and now
+    MEASURE whether it actually ranks positives above negatives before
+    a 100 TB corpus is filtered with it).
+
+    AUC == P(score_pos > score_neg) + P(tie)/2 == the Wilcoxon/
+    Mann-Whitney statistic (Hanley & McNeil 1982), so no ROC curve is
+    ever materialized: with average ranks ``R_pos`` summed over
+    positives, ``AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg)``.
+
+    Exactness: ranks never materialize per row — the per-DISTINCT-score
+    aggregate carries (count, positives), the cumulative window gives
+    each tie group's doubled average rank ``2*cum_before + n_g + 1``
+    (an integer, so no fractional rank arithmetic), and every product
+    rides DECIMAL with asymmetric operand widths (the corr_matrix
+    precision discipline — exact in both Spark and a replaying SQL
+    engine). The tie-corrected variance uses the exact
+    ``sum(t^3 - t)`` term; AUC/z are each ONE fixed-order double
+    expression at the end, so an oracle replays them bit-for-bit.
+
+    Scale shape: one hash aggregate to distinct scores (map-side
+    combine collapses the corpus to at most |distinct scores| rows per
+    group), one per-group cumulative window over those rows, one
+    per-group fold. No row-level ranks, no global sort of the corpus,
+    no collect. NULL scores/labels are excluded (no rank to assign /
+    no class to credit); groups with a single class report NULL
+    metrics rather than vanishing.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    gcols = list(group_cols or [])
+    lab = (F.col(label_col).cast("int") != 0).cast("int")
+    base = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(*gcols, F.col(score_col).alias("__s"), lab.alias("__y"))
+    per_score = base.groupBy(*gcols, "__s").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_g"),
+        F.sum("__y").cast("long").alias("__pos_g"),
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in gcols])
+        if gcols
+        else Window.partitionBy(F.lit(1))
+    )
+    cum_before = F.coalesce(
+        F.sum("__n_g").over(
+            w.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0).cast("long"),
+    )
+    # Doubled average rank of the tie group: 2*cum_before + n_g + 1.
+    ranked = per_score.withColumn(
+        "__two_r", F.lit(2) * cum_before + F.col("__n_g") + F.lit(1)
+    )
+    # Asymmetric decimal widths keep every product exact in Spark
+    # ((38,0), no precision loss) AND inside a replaying engine's
+    # int128 (the corr_matrix lesson).
+    nd = F.col("__n_g").cast("decimal(12,0)")
+    agg = ranked.groupBy(*gcols).agg(
+        F.sum("__n_g").cast("long").alias("n"),
+        F.sum("__pos_g").cast("long").alias("n_pos"),
+        (F.sum("__n_g") - F.sum("__pos_g")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__pos_g").cast("decimal(18,0)")
+            * F.col("__two_r").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("__r2pos"),
+        F.sum(nd * nd * nd - nd).cast("decimal(38,0)").alias("__ties"),
+    )
+    np_d = F.col("n_pos").cast("decimal(18,0)")
+    nn_d = F.col("n_neg").cast("decimal(19,0)")
+    # num = 2*R_pos - n_pos(n_pos+1)  (integer; U = num/2 exactly)
+    num = F.col("__r2pos") - np_d * (np_d + F.lit(1)).cast("decimal(19,0)")
+    # (np*nn)*2, not 2*np*nn: keeps the widest intermediate at 38
+    # digits in a replaying engine whose multiply widths ADD.
+    denom = (np_d * nn_d) * F.lit(2).cast("decimal(1,0)")
+    npnn = (np_d * nn_d).cast("double")
+    n_dbl = F.col("n").cast("double")
+    u = num.cast("double") / F.lit(2.0)
+    sig2 = (
+        npnn
+        / F.lit(12.0)
+        * (
+            (n_dbl + F.lit(1.0))
+            - F.col("__ties").cast("double")
+            / (n_dbl * (n_dbl - F.lit(1.0)))
+        )
+    )
+    both = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    auc = F.when(both, round_c(num.cast("double") / denom.cast("double"), 6))
+    z = F.when(
+        both & (sig2 > 0),
+        round_c((u - npnn / F.lit(2.0)) / F.sqrt(sig2), 6),
+    )
+    out = agg.select(
+        *gcols,
+        "n",
+        "n_pos",
+        "n_neg",
+        auc.alias("auc"),
+        F.when(both, u).alias("u_stat"),
+        z.alias("z"),
+    )
+    return out.orderBy(*gcols) if gcols else out
