@@ -5280,6 +5280,56 @@ def qx114_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moments_profile(li, "l_extendedprice", ["l_returnflag"])
 
 
+def qx115_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series per type at
+    lags 1..7 (capability row 214): one window pass attaches the lead
+    columns, one aggregate collects exact decimal sums, each r_k is a
+    fixed-order double expression. DuckDB replays the positional
+    pairing with an rn self-join and the identical arithmetic."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        autocorrelation,
+    )
+
+    daily = (
+        _ev(spark, sf_dir)
+        .select("event_type", F.expr("tus DIV 86400000000").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    return autocorrelation(daily, ["event_type"], "day", "x", max_lag=7)
+
+
+def qx116_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoints over the daily value-sum series
+    per event type (capability row 215): self-baselined mu/sigma from
+    exact decimal sums, slack 0.5 sigma, threshold 4 sigma, the
+    max(0, .)-recurrence evaluated as written. DuckDB replays the
+    recurrence with a recursive CTE over per-group step numbers (the
+    qx77 pattern)."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        cusum_changepoints,
+    )
+
+    daily = (
+        _ev(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("tus DIV 86400000000").alias("day"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(_rd(F.col("value"), 6).cast("decimal(28,6)")).alias("__s")
+        )
+        .select(
+            "event_type", "day", _rd(F.col("__s").cast("double"), 6).alias("x")
+        )
+    )
+    return cusum_changepoints(
+        daily, ["event_type"], "day", "x", k_sigma=0.5, h_sigma=4.0
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5396,6 +5446,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx112_classifier_eval": qx112_classifier_eval,
         "qx113_psi": qx113_psi,
         "qx114_moments": qx114_moments,
+        "qx115_acf": qx115_acf,
+        "qx116_cusum": qx116_cusum,
     }
 
 
@@ -9936,6 +9988,134 @@ def extra_oracle_sql() -> dict[str, str]:
                                / ((nd - 2.0) * (nd - 3.0)), 6)
                END AS kurtosis
         FROM m ORDER BY l_returnflag
+    """
+
+    # qx115: rn self-join replays the lead pairing; exact decimal
+    # sums; fixed-order r_k closed form.
+    sql["qx115_acf"] = """
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(COUNT(*) AS DOUBLE) AS x
+            FROM events GROUP BY event_type, day
+        ),
+        seq AS (
+            SELECT event_type, day, round(x, 6) AS xr,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS rn
+            FROM daily
+        ),
+        g AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(xr AS DECIMAL(28,6))) AS s1,
+                   SUM(CAST(round(xr * xr, 6) AS DECIMAL(32,6))) AS s2
+            FROM seq GROUP BY event_type
+        ),
+        lags AS (SELECT unnest(range(1, 8)) AS lag),
+        pairsum AS (
+            SELECT a.event_type, l.lag,
+                   SUM(CAST(round(a.xr * b.xr, 6) AS DECIMAL(32,6))) AS c,
+                   SUM(CAST(a.xr AS DECIMAL(28,6))) AS h,
+                   SUM(CAST(b.xr AS DECIMAL(28,6))) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM seq a
+            CROSS JOIN lags l
+            JOIN seq b ON b.event_type = a.event_type
+                      AND b.rn = a.rn + l.lag
+            GROUP BY a.event_type, l.lag
+        ),
+        grid AS (
+            SELECT g.event_type, l.lag,
+                   CAST(g.n AS DOUBLE) AS nd,
+                   CAST(CAST(g.s1 AS VARCHAR) AS DOUBLE) AS s1d,
+                   CAST(CAST(g.s2 AS VARCHAR) AS DOUBLE) AS s2d,
+                   CAST(CAST(p.c AS VARCHAR) AS DOUBLE) AS cd,
+                   CAST(CAST(p.h AS VARCHAR) AS DOUBLE) AS hd,
+                   CAST(CAST(p.t AS VARCHAR) AS DOUBLE) AS td,
+                   COALESCE(p.n_pairs, 0) AS n_pairs
+            FROM g CROSS JOIN lags l
+            LEFT JOIN pairsum p ON p.event_type = g.event_type
+                               AND p.lag = l.lag
+        )
+        SELECT event_type, CAST(lag AS INT) AS lag,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CASE WHEN (s2d - nd * ((s1d / nd) * (s1d / nd))) > 0
+                         AND n_pairs > 0
+                    THEN round(
+                        (cd - (s1d / nd) * (hd + td)
+                            + CAST(n_pairs AS DOUBLE)
+                              * ((s1d / nd) * (s1d / nd)))
+                        / (s2d - nd * ((s1d / nd) * (s1d / nd))), 6)
+               END AS r
+        FROM grid ORDER BY event_type, lag
+    """
+
+    # qx116: the qx77 daily series through the Page recurrence —
+    # recursive CTE over per-group step numbers, stats from exact
+    # decimal sums, greatest() guarded by COALESCEd parameters.
+    sql["qx116_cusum"] = """
+        WITH RECURSIVE daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   round(CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS x
+            FROM events GROUP BY event_type, day
+        ),
+        stats AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(round(x, 6) AS DECIMAL(28,6))) AS s1,
+                   SUM(CAST(round(round(x, 6) * round(x, 6), 6)
+                       AS DECIMAL(32,6))) AS s2
+            FROM daily WHERE x IS NOT NULL GROUP BY event_type
+        ),
+        par AS (
+            SELECT event_type,
+                   round(CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
+                         / CAST(n AS DOUBLE), 6) AS mu,
+                   n, CAST(n AS DOUBLE) AS nd,
+                   CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
+            FROM stats
+        ),
+        par2 AS (
+            SELECT event_type, mu,
+                   CASE WHEN n > 1 AND (s2d - nd * (mu * mu)) > 0
+                        THEN round(sqrt((s2d - nd * (mu * mu))
+                                        / (nd - 1.0)), 6) END AS sd
+            FROM par
+        ),
+        par3 AS (
+            SELECT event_type, mu, sd,
+                   round(0.5 * sd, 6) AS slack,
+                   round(4.0 * sd, 6) AS thr
+            FROM par2
+        ),
+        seq AS (
+            SELECT d.event_type, d.day, d.x,
+                   row_number() OVER (
+                       PARTITION BY d.event_type ORDER BY d.day) AS rn,
+                   COALESCE(p.mu, 0.0) AS muc,
+                   COALESCE(p.slack, 0.0) AS slackc,
+                   p.sd, p.thr
+            FROM daily d JOIN par3 p USING (event_type)
+            WHERE d.x IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type, day, x, rn, sd, thr, muc, slackc,
+                   greatest(0.0, 0.0 + (x - muc) - slackc) AS sp,
+                   greatest(0.0, 0.0 + (muc - x) - slackc) AS sn
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT seq.event_type, seq.day, seq.x, seq.rn, seq.sd,
+                   seq.thr, seq.muc, seq.slackc,
+                   greatest(0.0, r.sp + (seq.x - seq.muc) - seq.slackc),
+                   greatest(0.0, r.sn + (seq.muc - seq.x) - seq.slackc)
+            FROM r JOIN seq ON seq.event_type = r.event_type
+                           AND seq.rn = r.rn + 1
+        )
+        SELECT event_type, day, x,
+               CASE WHEN sd IS NOT NULL THEN round(sp, 6) END AS cusum_pos,
+               CASE WHEN sd IS NOT NULL THEN round(sn, 6) END AS cusum_neg,
+               COALESCE(CASE WHEN sd IS NOT NULL
+                             THEN (sp > thr OR sn > thr) END,
+                        FALSE) AS alarm
+        FROM r ORDER BY event_type, day
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

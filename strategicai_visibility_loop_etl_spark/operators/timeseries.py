@@ -550,3 +550,265 @@ def seasonal_decompose(
         )
     )
     return out.orderBy(*group_cols, time_col)
+
+
+def autocorrelation(
+    df: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    value_col: str,
+    max_lag: int = 7,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Per-group autocorrelation function (ACF) at lags 1..max_lag —
+    the rhythm detector that answers "does this metric echo itself a
+    day/week later?" BEFORE `seasonal_decompose` is pointed at a
+    period (its period parameter should come from the ACF peak, not a
+    guess), and the memory-structure companion of the level/trend
+    monitors (`ewma_smooth`, `rolling_zscore_anomalies`):
+
+        r_k = sum_t (x_t - mean)(x_{t+k} - mean) / sum_t (x_t - mean)^2
+
+    (the standard full-series-mean estimator), expanded into RAW SUMS
+    so nothing is ever centered row-by-row: one window pass attaches
+    the k lead columns, ONE hash aggregate per group collects exact
+    DECIMAL sums of x, x^2, and per-lag x_t*x_{t+k} / head / tail
+    sums, and each r_k is a fixed-order double expression over those
+    sums — order- and engine-independent (the linear_trend exact-sum
+    discipline; Welford-style incremental forms differ in low bits
+    across engines).
+
+    Scale shape: one per-group-keyed exchange (the sort window), whose
+    partitioning the aggregate reuses; no self-join, no per-lag scan —
+    max_lag widens the row, not the plan. Series are assumed
+    regularly spaced with unique ``time_col`` per group (build them
+    with a daily rollup; gaps shift what "lag k" means, as with any
+    positional ACF). NULL values are excluded before positions form.
+
+    Output: (group, lag, n_pairs, r); r is NULL for a constant series
+    (zero denominator) and for lags with no pairs (lag >= n).
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    x = round_c(F.col(value_col).cast("double"), 6)
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(time_col)
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        x.alias("__x"),
+        round_c(x * x, 6).alias("__x2"),
+        *[
+            F.lead(x, k).over(w).alias(f"__lead_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(F.col("__x").cast("decimal(28,6)")).alias("__s1"),
+        F.sum(F.col("__x2").cast("decimal(32,6)")).alias("__s2"),
+    ]
+    for k in range(1, max_lag + 1):
+        lead = F.col(f"__lead_{k}")
+        aggs += [
+            F.sum(
+                round_c(F.col("__x") * lead, 6).cast("decimal(32,6)")
+            ).alias(f"__c_{k}"),
+            F.sum(
+                F.when(lead.isNotNull(), F.col("__x")).cast("decimal(28,6)")
+            ).alias(f"__h_{k}"),
+            F.sum(lead.cast("decimal(28,6)")).alias(f"__t_{k}"),
+            F.count(lead).cast("long").alias(f"__cnt_{k}"),
+        ]
+    agg = base.groupBy(*group_cols).agg(*aggs)
+    melted = agg.select(
+        *group_cols,
+        "__n",
+        F.col("__s1").cast("double").alias("__s1d"),
+        F.col("__s2").cast("double").alias("__s2d"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("lag"),
+                        F.col(f"__c_{k}").cast("double").alias("c"),
+                        F.col(f"__h_{k}").cast("double").alias("h"),
+                        F.col(f"__t_{k}").cast("double").alias("t"),
+                        F.col(f"__cnt_{k}").alias("n_pairs"),
+                    )
+                    for k in range(1, max_lag + 1)
+                ]
+            )
+        ).alias("__e"),
+    )
+    nd = F.col("__n").cast("double")
+    mean = F.col("__s1d") / nd
+    den = F.col("__s2d") - nd * (mean * mean)
+    e = F.col("__e")
+    num = (
+        e["c"]
+        - mean * (e["h"] + e["t"])
+        + e["n_pairs"].cast("double") * (mean * mean)
+    )
+    r = F.when(
+        (den > 0) & (e["n_pairs"] > 0), round_c(num / den, out_decimals)
+    )
+    return melted.select(
+        *group_cols,
+        e["lag"].alias("lag"),
+        e["n_pairs"].alias("n_pairs"),
+        r.alias("r"),
+    ).orderBy(*group_cols, "lag")
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    value_col: str,
+    k_sigma: float = 0.5,
+    h_sigma: float = 4.0,
+) -> DataFrame:
+    """Two-sided CUSUM changepoint detection (Page 1954) per group —
+    the SUSTAINED-shift detector between `rolling_zscore_anomalies`
+    (single-point spikes; a 0.8σ level shift never trips a 3σ z) and
+    `seasonal_decompose` (rhythm): the one-sided sums
+
+        s+_t = max(0, s+_{t-1} + (x_t - mu) - kσ)
+        s-_t = max(0, s-_{t-1} + (mu - x_t) - kσ)
+
+    accumulate drift beyond a slack of ``k_sigma``·σ and alarm when
+    either exceeds ``h_sigma``·σ — small persistent shifts integrate
+    up while in-control noise resets to zero.
+
+    mu/σ here are the series' own mean and sample std from exact
+    decimal sums (the self-baselined form; for a true in-control
+    baseline, winsorize or slice the training window upstream and
+    feed the result here). The recurrence is evaluated exactly as
+    written — IEEE add/subtract/max per step, mu / kσ / hσ rounded
+    once up front — so a SQL engine replaying the same recursive
+    recurrence lands bit-identically (the ewma/kaplan_meier fold
+    contract).
+
+    Scale shape: one stats aggregate + join-back, ONE hash aggregate
+    collecting each group's sorted series (bounded by points-per-group
+    — days/weeks, never corpus rows), one linear array fold, one
+    explode. Degenerate groups (n < 2 or σ = 0) keep their rows with
+    NULL cusums and no alarm. NULL values are excluded.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    stats = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__sn"),
+            F.sum(
+                round_c(F.col(value_col).cast("double"), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).alias("__ss1"),
+            F.sum(
+                round_c(
+                    round_c(F.col(value_col).cast("double"), 6)
+                    * round_c(F.col(value_col).cast("double"), 6),
+                    6,
+                ).cast("decimal(32,6)")
+            ).alias("__ss2"),
+        )
+    )
+    nd = F.col("__sn").cast("double")
+    mu = round_c(F.col("__ss1").cast("double") / nd, 6)
+    var_num = F.col("__ss2").cast("double") - nd * (mu * mu)
+    sd = F.when(
+        (F.col("__sn") > 1) & (var_num > 0),
+        round_c(F.sqrt(var_num / (nd - F.lit(1.0))), 6),
+    )
+    stats = stats.select(
+        *group_cols,
+        mu.alias("__mu"),
+        sd.alias("__sd"),
+        round_c(F.lit(float(k_sigma)) * sd, 6).alias("__slack"),
+        round_c(F.lit(float(h_sigma)) * sd, 6).alias("__thr"),
+    )
+    series = (
+        df.filter(F.col(value_col).isNotNull())
+        .join(stats, group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(value_col).cast("double").alias("x"),
+                    )
+                )
+            ).alias("__pts"),
+            F.first("__mu").alias("__mu"),
+            F.first("__sd").alias("__sd"),
+            F.first("__slack").alias("__slack"),
+            F.first("__thr").alias("__thr"),
+        )
+    )
+    # Fold with slack coalesced to 0 for degenerate groups (greatest()
+    # skips NULLs, which would silently zero the state instead of
+    # propagating "undefined") -- outputs are masked on __sd below.
+    mu_c = F.coalesce(F.col("__mu"), F.lit(0.0))
+    slack_c = F.coalesce(F.col("__slack"), F.lit(0.0))
+    folded = F.aggregate(
+        F.col("__pts"),
+        F.array().cast(
+            "array<struct<t:" + dict(df.dtypes)[time_col] + ","
+            "x:double,sp:double,sn:double>>"
+        ),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    e["t"].alias("t"),
+                    e["x"].alias("x"),
+                    F.greatest(
+                        F.lit(0.0),
+                        F.when(
+                            F.size(acc) > 0, F.element_at(acc, -1)["sp"]
+                        ).otherwise(F.lit(0.0))
+                        + (e["x"] - mu_c)
+                        - slack_c,
+                    ).alias("sp"),
+                    F.greatest(
+                        F.lit(0.0),
+                        F.when(
+                            F.size(acc) > 0, F.element_at(acc, -1)["sn"]
+                        ).otherwise(F.lit(0.0))
+                        + (mu_c - e["x"])
+                        - slack_c,
+                    ).alias("sn"),
+                )
+            ),
+        ),
+    )
+    ok = F.col("__sd").isNotNull()
+    e = F.col("__e")
+    return (
+        series.select(
+            *group_cols,
+            "__sd",
+            "__thr",
+            F.explode(folded).alias("__e"),
+        )
+        .select(
+            *group_cols,
+            e["t"].alias(time_col),
+            e["x"].alias(value_col),
+            F.when(ok, round_c(e["sp"], 6)).alias("cusum_pos"),
+            F.when(ok, round_c(e["sn"], 6)).alias("cusum_neg"),
+            F.coalesce(
+                F.when(
+                    ok,
+                    (e["sp"] > F.col("__thr")) | (e["sn"] > F.col("__thr")),
+                ),
+                F.lit(False),
+            ).alias("alarm"),
+        )
+        .orderBy(*group_cols, time_col)
+    )

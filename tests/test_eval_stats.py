@@ -169,3 +169,104 @@ def test_moments_null_values_excluded(spark):
     )
     r = moments_profile(df, "v", ["g"]).collect()[0]
     assert r["n"] == 5 and r["mean"] == 3.0
+
+
+# ---------------------------------------------------------------- ACF
+
+from strategicai_visibility_loop_etl_spark.operators.timeseries import (  # noqa: E402
+    autocorrelation,
+    cusum_changepoints,
+)
+
+
+def _series(spark, rows):
+    return spark.createDataFrame(rows, "g string, t long, v double")
+
+
+def test_acf_alternating_series(spark):
+    # x = +1,-1,+1,... : mean 0, r_1 = -1, r_2 = +1 (up to the n-k/n
+    # taper of the raw-sum estimator with full-series denominator).
+    rows = [("a", t, 1.0 if t % 2 == 0 else -1.0) for t in range(40)]
+    out = {r["lag"]: r for r in
+           autocorrelation(_series(spark, rows), ["g"], "t", "v", max_lag=2).collect()}
+    assert out[1]["n_pairs"] == 39 and out[2]["n_pairs"] == 38
+    assert out[1]["r"] == pytest.approx(-39 / 40, abs=1e-6)
+    assert out[2]["r"] == pytest.approx(38 / 40, abs=1e-6)
+
+
+def test_acf_period_7_peak(spark):
+    # A clean period-7 signal: r_7 must dominate every shorter lag.
+    rows = [("a", t, float(t % 7)) for t in range(70)]
+    out = {r["lag"]: r["r"] for r in
+           autocorrelation(_series(spark, rows), ["g"], "t", "v", max_lag=7).collect()}
+    assert out[7] > 0.8
+    assert all(out[7] > out[k] for k in range(1, 7))
+
+
+def test_acf_constant_series_null(spark):
+    rows = [("a", t, 5.0) for t in range(10)]
+    out = autocorrelation(_series(spark, rows), ["g"], "t", "v", max_lag=3).collect()
+    assert all(r["r"] is None for r in out)
+
+
+def test_acf_short_series_lags_null(spark):
+    rows = [("a", 0, 1.0), ("a", 1, 2.0), ("a", 2, 1.5)]
+    out = {r["lag"]: r for r in
+           autocorrelation(_series(spark, rows), ["g"], "t", "v", max_lag=5).collect()}
+    assert out[3]["n_pairs"] == 0 and out[3]["r"] is None
+    assert out[5]["n_pairs"] == 0 and out[5]["r"] is None
+    assert out[1]["n_pairs"] == 2
+
+
+def test_acf_rejects_bad_lag(spark):
+    with pytest.raises(ValueError):
+        autocorrelation(_series(spark, [("a", 0, 1.0)]), ["g"], "t", "v", max_lag=0)
+
+
+# -------------------------------------------------------------- CUSUM
+
+
+def test_cusum_level_shift_sides_split_at_change(spark):
+    # 30 points then a sustained +3 shift. The baseline is the
+    # series' OWN mean (self-baselined form), which sits between the
+    # halves — so the low half drives the NEGATIVE sum and the high
+    # half the POSITIVE sum, and the detector flags both regimes on
+    # the correct side of the changepoint.
+    base = [0.0, 1.0, -1.0, 0.5, -0.5] * 6
+    rows = [("a", t, v) for t, v in enumerate(base)]
+    rows += [("a", 30 + t, v + 3.0) for t, v in enumerate(base)]
+    out = cusum_changepoints(_series(spark, rows), ["g"], "t", "v").collect()
+    pre = [r for r in out if r["t"] < 30]
+    post = [r for r in out if r["t"] >= 30]
+    # The positive sum never moves in the low half...
+    assert all(r["cusum_pos"] == 0.0 for r in pre)
+    # ...and integrates to an alarm in the high half.
+    assert any(r["alarm"] and r["cusum_pos"] > 0 for r in post)
+    # The carried-over negative sum drains once the shift starts and
+    # stays at zero for the rest of the high half.
+    assert all(r["cusum_neg"] == 0.0 for r in post[15:])
+    # Any pre-shift alarm is the negative side seeing the low regime.
+    assert all(r["cusum_neg"] > 0 for r in pre if r["alarm"])
+
+
+def test_cusum_in_control_never_alarms(spark):
+    rows = [("a", t, float((t * 7) % 5) - 2.0) for t in range(50)]
+    out = cusum_changepoints(_series(spark, rows), ["g"], "t", "v").collect()
+    assert not any(r["alarm"] for r in out)
+
+
+def test_cusum_degenerate_groups_null(spark):
+    rows = [("one", 0, 1.0)] + [("const", t, 3.0) for t in range(5)]
+    out = cusum_changepoints(_series(spark, rows), ["g"], "t", "v").collect()
+    for r in out:
+        assert r["cusum_pos"] is None and r["cusum_neg"] is None
+        assert r["alarm"] is False
+
+
+def test_cusum_symmetric_downward_shift(spark):
+    base = [0.0, 1.0, -1.0, 0.5, -0.5] * 6
+    rows = [("a", t, v) for t, v in enumerate(base)]
+    rows += [("a", 30 + t, v - 3.0) for t, v in enumerate(base)]
+    out = cusum_changepoints(_series(spark, rows), ["g"], "t", "v").collect()
+    post = [r for r in out if r["t"] >= 30]
+    assert any(r["alarm"] and r["cusum_neg"] > 0 for r in post)
