@@ -5330,6 +5330,60 @@ def qx116_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx117_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (capability row 216) over the
+    shared manufactured document graph: seeds every 97th node, 6
+    fixed frontier-relaxation rounds (the replayable k_core/qx86
+    contract). DuckDB unrolls the identical 6 rounds with
+    MATERIALIZED per-round distance tables."""
+    from strategicai_visibility_loop_etl_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges, mapping = _doc_graph_edges(spark, sf_dir)
+    seeds = mapping.select("id").filter(F.col("id") % 97 == 0)
+    out = bfs_distances(edges, seeds, iters=6)
+    return (
+        out.join(F.broadcast(mapping), "id")
+        .select("doc_id", "dist")
+        .orderBy("doc_id")
+    )
+
+
+def qx118_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (capability row 217): four shard
+    sketches over customer keys of orders, merged (union -> distinct
+    -> k smallest == sketch of the union) and estimated via
+    (k-1)*M/v_k, with the exact distinct count and relative error in
+    the same row (the qx55 audit-twin discipline). DuckDB replays
+    the polynomial hash, both rank windows and the estimator."""
+    from strategicai_visibility_loop_etl_spark.operators.sketch import (
+        kmv_merge_estimate,
+        kmv_shard_sketches,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    sk = kmv_shard_sketches(
+        orders, "o_custkey", k=64,
+        shard_col=F.pmod(F.col("o_orderkey"), F.lit(4)),
+    )
+    est = kmv_merge_estimate(sk, k=64)
+    exact = orders.filter(F.col("o_custkey").isNotNull()).agg(
+        F.countDistinct("o_custkey").cast("long").alias("exact_distinct")
+    )
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_kept",
+        "v_k",
+        "est",
+        "exact_distinct",
+        _rd(
+            F.abs(F.col("est") - F.col("exact_distinct").cast("double"))
+            / F.col("exact_distinct").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5448,6 +5502,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx114_moments": qx114_moments,
         "qx115_acf": qx115_acf,
         "qx116_cusum": qx116_cusum,
+        "qx117_bfs": qx117_bfs,
+        "qx118_kmv": qx118_kmv,
     }
 
 
@@ -10116,6 +10172,112 @@ def extra_oracle_sql() -> dict[str, str]:
                              THEN (sp > thr OR sn > thr) END,
                         FALSE) AS alarm
         FROM r ORDER BY event_type, day
+    """
+
+    # qx117: the qx86 edge recipe symmetrized, 6 unrolled BFS rounds
+    # (frontier-filtered candidate generation, per-node MIN merge).
+    _bfs_rounds = ",".join(
+        f"""
+        d{r} AS MATERIALIZED (
+            SELECT id, MIN(dist) AS dist FROM (
+                SELECT id, dist FROM d{r - 1}
+                UNION ALL
+                SELECT e2.d AS id, p.dist + 1 AS dist
+                FROM d{r - 1} p JOIN e2 ON e2.s = p.id
+                WHERE p.dist = {r - 1}
+            ) GROUP BY id
+        )"""
+        for r in range(1, 7)
+    )
+    sql["qx117_bfs"] = f"""
+        WITH nn AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY doc_id) - 1
+                        AS BIGINT) AS id
+            FROM documents
+        ),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nn),
+        ring AS (
+            SELECT id AS s, (id + 1) % t.n AS d FROM nn, t
+            UNION ALL
+            SELECT id AS s, (id + 2) % t.n AS d FROM nn, t
+        ),
+        he AS (
+            SELECT id AS s,
+                   ((id * 2654435761 + j * 40503) % 4294967296) % t.n AS d
+            FROM (SELECT id, unnest(range(1, 3)) AS j
+                  FROM nn WHERE id % 3 <> 0), t
+        ),
+        e AS (
+            SELECT s, d FROM (
+                SELECT s, d FROM ring UNION ALL SELECT s, d FROM he
+            ) WHERE s <> d
+        ),
+        e2 AS MATERIALIZED (
+            SELECT DISTINCT s, d FROM (
+                SELECT s, d FROM e UNION ALL SELECT d AS s, s AS d FROM e
+            )
+        ),
+        d0 AS MATERIALIZED (
+            SELECT id, 0 AS dist FROM nn WHERE id % 97 = 0
+        ),{_bfs_rounds}
+        SELECT nn.doc_id, CAST(d6.dist AS INT) AS dist
+        FROM d6 JOIN nn ON nn.id = d6.id
+        ORDER BY nn.doc_id
+    """
+
+    # qx118: polynomial-fold hashes (list_reduce == the acc=0 fold
+    # since f(0,c)=c), two rank windows, the (k-1)*M/v_k estimator.
+    _kmv_hash = (
+        "list_reduce(list_transform(range(1, length({s}) + 1), "
+        "i -> CAST(ascii(substr({s}, CAST(i AS INTEGER), 1)) AS BIGINT)), "
+        "(a, x) -> (a * 31 + x) % 1000000007)"
+    ).format(s="CAST(o_custkey AS VARCHAR)")
+    sql["qx118_kmv"] = f"""
+        WITH hv0 AS (
+            SELECT o_orderkey % 4 AS shard,
+                   ({_kmv_hash} * 2654435761) % 4294967296 AS h0
+            FROM orders WHERE o_custkey IS NOT NULL
+        ),
+        hv1 AS (
+            SELECT shard,
+                   (xor(h0, h0 >> 13) * 40503) % 4294967296 AS h1
+            FROM hv0
+        ),
+        hv AS (
+            SELECT DISTINCT shard, xor(h1, h1 >> 16) AS h FROM hv1
+        ),
+        sk AS (
+            SELECT shard, h FROM hv QUALIFY
+                row_number() OVER (PARTITION BY shard ORDER BY h) <= 64
+        ),
+        merged AS (SELECT DISTINCT h FROM sk),
+        topk AS (
+            SELECT h FROM merged QUALIFY
+                row_number() OVER (ORDER BY h) <= 64
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_kept, MAX(h) AS v_k
+            FROM topk
+        ),
+        ex AS (
+            SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+                   AS exact_distinct
+            FROM orders WHERE o_custkey IS NOT NULL
+        ),
+        est AS (
+            SELECT n_kept, v_k,
+                   CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                        ELSE round(63.0 * 4294967296.0
+                                   / CAST(v_k AS DOUBLE), 6)
+                   END AS est,
+                   exact_distinct
+            FROM agg CROSS JOIN ex
+        )
+        SELECT n_kept, v_k, est, exact_distinct,
+               round(abs(est - CAST(exact_distinct AS DOUBLE))
+                     / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+        FROM est
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

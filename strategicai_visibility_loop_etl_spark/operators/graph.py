@@ -540,3 +540,91 @@ def k_core(
                 break
             prev = n
     return _degrees(cur).withColumnRenamed("deg", "core_degree")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances: the shortest hop count from
+    ANY seed to each reachable node, out to ``iters`` hops — the
+    crawl-frontier / trust-propagation primitive the rest of the
+    graph family leans on (seed a crawl at known-good hosts and
+    ``dist`` is crawl depth; seed at known-spam hosts and it is
+    contamination radius; nodes past ``iters`` are "beyond the
+    horizon" by construction, the bounded form production crawls
+    actually run).
+
+    Per round (synchronous frontier relaxation, Bellman-Ford
+    specialized to unit weights): candidates = frontier ⋈ edges (one
+    key-partitioned shuffle), new distance table = union + per-node
+    MIN hash aggregate, lineage ``localCheckpoint``-cut per round
+    (the pagerank discipline — iteration t must not re-execute
+    iteration t−1's plan). Only the FRONTIER (nodes first reached
+    last round) joins the edge table, so round cost tracks the
+    expanding wave, not the visited set; a fixed ``iters`` makes the
+    run replayable by an unrolled SQL twin (the k_core contract —
+    distances already found are final BFS property, so extra rounds
+    past the horizon are no-ops).
+
+    Undirected graphs (default) symmetrize via explode (the CC
+    lesson: a union of two projections re-executes the upstream
+    subtree; one explode does not). Self-loops are dropped; parallel
+    edges are harmless under MIN. Output: ``(id, dist)`` for reached
+    nodes only — left-join from your node table if unreached rows
+    must surface (with NULL dist).
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    e = edges.select(
+        F.col(src_col).alias("s"), F.col(dst_col).alias("d")
+    ).filter(
+        F.col("s").isNotNull()
+        & F.col("d").isNotNull()
+        & (F.col("s") != F.col("d"))
+    )
+    if not directed:
+        e = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("s"), F.col("d")),
+                    F.struct(
+                        F.col("d").alias("s"), F.col("s").alias("d")
+                    ),
+                )
+            ).alias("__e")
+        ).select(F.col("__e.s").alias("s"), F.col("__e.d").alias("d"))
+    e = e.distinct().localCheckpoint(eager=False)
+    dist = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .select("id", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint(eager=False)
+    )
+    frontier = dist
+    for r in range(1, iters + 1):
+        cand = (
+            e.join(
+                frontier.select(F.col("id").alias("s")), "s"
+            )
+            .select(F.col("d").alias("id"))
+            .distinct()
+            .select("id", F.lit(r).cast("int").alias("dist"))
+        )
+        merged = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        # Nodes first reached THIS round: they alone expand next.
+        frontier = merged.filter(F.col("dist") == r).localCheckpoint(
+            eager=False
+        )
+        dist = merged
+    return dist

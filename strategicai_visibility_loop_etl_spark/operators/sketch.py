@@ -432,3 +432,107 @@ def corpus_exact_jaccard(
             ).alias("exact_jaccard"),
         )
     )
+
+
+def kmv_shard_sketches(
+    df: DataFrame,
+    col: str,
+    k: int = 64,
+    shard_col: Column | None = None,
+) -> DataFrame:
+    """Per-shard KMV (k-minimum-values) distinct-count sketches
+    (Bar-Yossef et al. 2002): each shard keeps the ``k`` smallest
+    portable hashes of its distinct values. The ORDER-STATISTICS
+    sketch in the family — where :func:`hll_shard_sketches` trades
+    exactness of replay for 1.5 kB of registers, a KMV sketch is k
+    plain integers whose merge and estimate are ordinary relational
+    algebra: ``merge = union -> distinct -> k smallest`` (exactly the
+    sketch of the union — pytest pins it), and the estimator
+    ``(k-1) * M / v_k`` is one arithmetic expression over the k-th
+    value. That replayability is the point: an external SQL engine
+    can recompute the whole pipeline bit-for-bit, which no HLL
+    register layout allows.
+
+    Hashing is the repo's shared polynomial fold (``char_fold_hash``)
+    FINALIZED through the qx69 shift-xor avalanche into a uniform
+    32-bit value: the raw fold is portable but NOT uniform — values
+    sharing a prefix differ only in a few low-order polynomial terms,
+    so their hashes CLUSTER, and an order-statistics estimator reads
+    cluster edges instead of density (measured: a flat ~394 estimate
+    for any n over "value-{i}" keys). The avalanche spreads clusters
+    while staying in replayable 64-bit integer arithmetic; the 2^32
+    range caps resolvable cardinality at ~4e9 distinct values (swap a
+    portable 64-bit mix in for more headroom, same plan). Hash ties
+    across distinct values merge (the standard KMV duplicate-collapse,
+    a ~n²/2M effect).
+
+    Scale shape: one distinct-collapse aggregate, then a per-shard
+    rank window whose ``WindowGroupLimit`` pre-prunes map-side to k
+    rows per partition — the shuffle carries O(partitions * k), never
+    the value set. Output: (shard, pos, h) — k rows per shard.
+    """
+    from ..functions.text import char_fold_hash  # noqa: PLC0415
+
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    shard = (shard_col if shard_col is not None else F.lit(0)).alias(
+        "shard"
+    )
+    m32 = F.lit(4294967296)
+    h = F.pmod(
+        char_fold_hash(F.col(col).cast("string")) * F.lit(2654435761), m32
+    )
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = F.pmod(h * F.lit(40503), m32)
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    hashes = (
+        df.filter(F.col(col).isNotNull())
+        .select(shard, h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("shard").orderBy("h")
+    return (
+        hashes.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("shard", "pos", "h")
+    )
+
+
+def kmv_merge_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge any set of KMV shard sketches and estimate the distinct
+    count of the UNION: distinct hashes across shards, keep the k
+    smallest, then ``est = (k-1) * 2^32 / v_k`` (with v_k the k-th
+    smallest avalanched hash; if fewer than k distinct hashes
+    survive, the sketch SAW every value and the count is exact — the
+    standard small-set escape). One rank window over at most
+    shards*k rows — model-sized by construction.
+
+    Output: one row — n_kept, v_k, est (6-dp double). The estimator
+    is unbiased for uniform hashes; the polynomial fold is uniform
+    enough for monitoring-grade estimates (the accuracy-vs-exact
+    audit belongs next to the estimate, as qx55 does for MinHash
+    Jaccard).
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    merged = sketches.select("h").distinct()
+    w = Window.partitionBy(F.lit(1)).orderBy("h")
+    topk = (
+        merged.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+    )
+    agg = topk.agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.max("h").alias("v_k"),
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        round_c(
+            F.lit(float(k - 1))
+            * F.lit(4294967296.0)
+            / F.col("v_k").cast("double"),
+            6,
+        )
+    )
+    return agg.select("n_kept", "v_k", est.alias("est"))

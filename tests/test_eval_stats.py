@@ -270,3 +270,111 @@ def test_cusum_symmetric_downward_shift(spark):
     out = cusum_changepoints(_series(spark, rows), ["g"], "t", "v").collect()
     post = [r for r in out if r["t"] >= 30]
     assert any(r["alarm"] and r["cusum_neg"] > 0 for r in post)
+
+
+# ---------------------------------------------------------------- BFS
+
+from strategicai_visibility_loop_etl_spark.operators.graph import (  # noqa: E402
+    bfs_distances,
+)
+from strategicai_visibility_loop_etl_spark.operators.sketch import (  # noqa: E402
+    kmv_merge_estimate,
+    kmv_shard_sketches,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _seeds(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id long")
+
+
+def test_bfs_path_graph_distances(spark):
+    # 0-1-2-3-4-5 path, seed {0}: dist == node id, capped by iters.
+    e = _edges(spark, [(i, i + 1) for i in range(5)])
+    out = {r["id"]: r["dist"] for r in
+           bfs_distances(e, _seeds(spark, [0]), iters=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond horizon
+
+
+def test_bfs_multi_source_takes_min(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(10)])
+    out = {r["id"]: r["dist"] for r in
+           bfs_distances(e, _seeds(spark, [0, 10]), iters=4).collect()}
+    # node 5 is 5 hops from BOTH seeds: beyond the 4-hop horizon.
+    assert 5 not in out
+    # node 7: 3 hops from 10, 7 from 0 -> min is 3
+    assert out[7] == 3
+    assert out[4] == 4 and out[6] == 4
+    assert out[0] == 0 and out[10] == 0
+
+
+def test_bfs_directed_respects_direction(spark):
+    e = _edges(spark, [(0, 1), (1, 2)])
+    out = {r["id"]: r["dist"] for r in
+           bfs_distances(e, _seeds(spark, [2]), iters=3, directed=True).collect()}
+    assert out == {2: 0}  # nothing reachable downstream of 2
+    undirected = {r["id"]: r["dist"] for r in
+                  bfs_distances(e, _seeds(spark, [2]), iters=3).collect()}
+    assert undirected == {2: 0, 1: 1, 0: 2}
+
+
+def test_bfs_extra_rounds_are_noops(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(6)])
+    d4 = {(r["id"], r["dist"]) for r in
+          bfs_distances(e, _seeds(spark, [0]), iters=6).collect()}
+    d8 = {(r["id"], r["dist"]) for r in
+          bfs_distances(e, _seeds(spark, [0]), iters=9).collect()}
+    assert d4 == d8  # converged: extra rounds change nothing
+
+
+def test_bfs_rejects_negative_iters(spark):
+    with pytest.raises(ValueError):
+        bfs_distances(_edges(spark, [(0, 1)]), _seeds(spark, [0]), iters=-1)
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def _valdf(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "v string")
+
+
+def test_kmv_small_set_is_exact(spark):
+    df = _valdf(spark, [f"u{i}" for i in range(10)] * 3)
+    sk = kmv_shard_sketches(df, "v", k=64)
+    r = kmv_merge_estimate(sk, k=64).collect()[0]
+    assert r["n_kept"] == 10
+    assert r["est"] == 10.0
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    vals = [f"user-{i}" for i in range(500)]
+    df = spark.createDataFrame(
+        [(v, i % 3) for i, v in enumerate(vals)], "v string, sh int"
+    )
+    sharded = kmv_shard_sketches(df, "v", k=32, shard_col=F.col("sh"))
+    merged = kmv_merge_estimate(sharded, k=32).collect()[0]
+    single = kmv_merge_estimate(
+        kmv_shard_sketches(df, "v", k=32), k=32
+    ).collect()[0]
+    assert merged["v_k"] == single["v_k"]
+    assert merged["est"] == single["est"]
+
+
+def test_kmv_estimate_in_sane_band(spark):
+    n = 2000
+    df = _valdf(spark, [f"value-{i}" for i in range(n)])
+    r = kmv_merge_estimate(kmv_shard_sketches(df, "v", k=128), k=128).collect()[0]
+    # KMV with k=128: relative sigma ~ 1/sqrt(k-2) ~ 9%; allow 4 sigma.
+    assert 0.6 * n < r["est"] < 1.5 * n
+
+
+def test_kmv_rejects_degenerate_k(spark):
+    df = _valdf(spark, ["a"])
+    with pytest.raises(ValueError):
+        kmv_shard_sketches(df, "v", k=1)
+    with pytest.raises(ValueError):
+        kmv_merge_estimate(df.selectExpr("1 as h"), k=1)
