@@ -5384,6 +5384,102 @@ def qx118_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def qx119_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (capability row 218): quasi classes
+    (event_type, user cohort) whose value-band distribution strays
+    from the table-wide one by total-variation distance > 0.01 — the
+    distribution-disclosure gate after qx82's k-anonymity and qx88's
+    l-diversity. DuckDB replays both distributions, the absent-mass
+    closed form and the decimal term sums."""
+    from strategicai_visibility_loop_etl_spark.operators.governance import (
+        t_closeness_violations,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(20)).alias("cohort"),
+        F.floor(F.col("value") / 100.0).cast("long").alias("band"),
+    )
+    return t_closeness_violations(
+        ev, ["event_type", "cohort"], "band", t=0.01
+    )
+
+
+def qx120_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (capability row 219): per-language
+    document rankings by quality score and by token count fused into
+    one top-10 — the hybrid-retrieval combiner whose inputs in
+    production are qx27's BM25 and the ANN stack (rank positions are
+    the only thing fused, so incommensurable scores don't matter).
+    DuckDB replays both rankings, the reciprocal decimal sums and the
+    fused cut."""
+    from strategicai_visibility_loop_etl_spark.operators.retrieval import (
+        rank_fusion,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        quality_score(F.col("text")).alias("qual"),
+        token_count(F.col("text")).cast("double").alias("ntok"),
+    )
+    w1 = Window.partitionBy("lang").orderBy(
+        F.col("qual").desc(), F.col("doc_id").asc()
+    )
+    w2 = Window.partitionBy("lang").orderBy(
+        F.col("ntok").desc(), F.col("doc_id").asc()
+    )
+    r1 = docs.select(
+        F.col("lang").alias("query"),
+        F.col("doc_id").alias("doc"),
+        F.row_number().over(w1).alias("rank"),
+    )
+    r2 = docs.select(
+        F.col("lang").alias("query"),
+        F.col("doc_id").alias("doc"),
+        F.row_number().over(w2).alias("rank"),
+    )
+    return rank_fusion(r1.unionByName(r2), top_k=10, k_const=60)
+
+
+def qx121_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval evaluation (capability row 220): NDCG@10 /
+    precision / recall / MRR per manufactured query bucket — rankings
+    from the shared integer-hash arithmetic (engine-replayable; the
+    production inputs are qx27/qx120 outputs), graded labels from a
+    second hash. DuckDB replays the ranking window, the ideal-DCG
+    window, the shiftleft gains and the 9dp log2 term pins."""
+    from strategicai_visibility_loop_etl_spark.operators.retrieval import (
+        retrieval_eval,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(10)).alias("query"),
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).alias(
+            "__h"
+        ),
+        F.pmod(F.col("doc_id") * F.lit(40503), F.lit(7)).alias("__m"),
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.col("__h").asc(), F.col("doc_id").asc()
+    )
+    results = docs.select(
+        "query",
+        F.col("doc_id").alias("doc"),
+        F.row_number().over(w).alias("rank"),
+    ).filter(F.col("rank") <= 20)
+    truth = docs.select(
+        "query",
+        F.col("doc_id").alias("doc"),
+        F.when(F.col("__m") == 0, F.lit(3))
+        .when(F.col("__m") == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("rel"),
+    ).filter(F.col("rel") > 0)
+    return retrieval_eval(results, truth, k=10)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5504,6 +5600,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx116_cusum": qx116_cusum,
         "qx117_bfs": qx117_bfs,
         "qx118_kmv": qx118_kmv,
+        "qx119_t_closeness": qx119_t_closeness,
+        "qx120_rank_fusion": qx120_rank_fusion,
+        "qx121_retrieval_eval": qx121_retrieval_eval,
     }
 
 
@@ -10278,6 +10377,184 @@ def extra_oracle_sql() -> dict[str, str]:
                round(abs(est - CAST(exact_distinct AS DOUBLE))
                      / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
         FROM est
+    """
+
+    # qx119: both distributions, the absent-mass closed form, 9dp
+    # decimal term sums, one fixed-order halving.
+    sql["qx119_t_closeness"] = """
+        WITH base AS (
+            SELECT event_type, user_id % 20 AS cohort,
+                   CAST(floor(value / 100.0) AS BIGINT) AS band
+            FROM events WHERE value IS NOT NULL
+        ),
+        gdist AS (
+            SELECT band, CAST(COUNT(*) AS BIGINT) AS g
+            FROM base GROUP BY band
+        ),
+        ng AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng FROM base),
+        cls AS (
+            SELECT event_type, cohort, band, CAST(COUNT(*) AS BIGINT) AS c
+            FROM base GROUP BY event_type, cohort, band
+        ),
+        ncls AS (
+            SELECT event_type, cohort, CAST(SUM(c) AS BIGINT) AS nc
+            FROM cls GROUP BY event_type, cohort
+        ),
+        j AS (
+            SELECT cls.event_type, cls.cohort, ncls.nc,
+                   CAST(round(abs(CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)
+                       - CAST(g AS DOUBLE) / CAST(ng.ng AS DOUBLE)), 9)
+                       AS DECIMAL(28,9)) AS d,
+                   CAST(round(CAST(g AS DOUBLE) / CAST(ng.ng AS DOUBLE), 9)
+                       AS DECIMAL(28,9)) AS pg
+            FROM cls
+            JOIN gdist USING (band)
+            JOIN ncls USING (event_type, cohort)
+            CROSS JOIN ng
+        ),
+        f AS (
+            SELECT event_type, cohort, MAX(nc) AS n,
+                   SUM(d) AS sumd, SUM(pg) AS sumpg
+            FROM j GROUP BY event_type, cohort
+        ),
+        o AS (
+            SELECT event_type, cohort, n,
+                   round((CAST(CAST(sumd AS VARCHAR) AS DOUBLE)
+                          + (1.0 - CAST(CAST(sumpg AS VARCHAR) AS DOUBLE)))
+                         * 0.5, 6) AS tvd
+            FROM f
+        )
+        SELECT event_type, cohort, n, tvd FROM o
+        WHERE tvd > 0.01
+        ORDER BY tvd DESC, event_type, cohort
+    """
+
+    # qx120: the qx38 quality/ntok replay feeding two rank windows,
+    # 9dp reciprocal decimal sums, doc-tiebroken fused cut.
+    sql["qx120_rank_fusion"] = f'''
+        WITH t AS (
+            SELECT doc_id, lang, {norm_text} AS norm,
+                   {_toks(norm_text)} AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, lang,
+                   round((least(CAST(length(norm) AS DOUBLE) / 500.0, 1.0)
+                      + (CASE WHEN length(replace(norm, ' ', '')) > 0
+                              THEN CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+                                   / length(replace(norm, ' ', ''))
+                              ELSE 0.0 END)
+                      + least((CASE WHEN len(toks) > 0
+                               THEN CAST(len(list_filter(toks, x ->
+                                    list_contains([{{stops}}], x))) AS DOUBLE)
+                                    / len(toks) ELSE 0.0 END) / 0.4, 1.0)
+                     ) / 3.0, 6) AS qual,
+                   CAST(len(toks) AS DOUBLE) AS ntok
+            FROM t
+        ),
+        ranks AS (
+            SELECT lang AS query, doc_id AS doc,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY qual DESC, doc_id) AS rank
+            FROM s
+            UNION ALL
+            SELECT lang AS query, doc_id AS doc,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY ntok DESC, doc_id) AS rank
+            FROM s
+        ),
+        f AS (
+            SELECT query, doc, CAST(COUNT(*) AS BIGINT) AS n_rankers,
+                   SUM(CAST(round(1.0 / (60.0 + CAST(rank AS DOUBLE)), 9)
+                       AS DECIMAL(28,9))) AS rrf
+            FROM ranks GROUP BY query, doc
+        )
+        SELECT query, doc, n_rankers,
+               CAST(CAST(rrf AS VARCHAR) AS DOUBLE) AS rrf,
+               CAST(fused_rank AS INT) AS fused_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query ORDER BY rrf DESC, doc) AS fused_rank
+            FROM f
+        ) WHERE fused_rank <= 10
+        ORDER BY query, fused_rank
+    '''
+    sql["qx120_rank_fusion"] = sql["qx120_rank_fusion"].replace(
+        "{stops}", stops38
+    )
+
+    # qx121: hash-manufactured rankings and graded labels; shiftleft
+    # gains, 9dp log2 term pins, full-join query spine.
+    sql["qx121_retrieval_eval"] = """
+        WITH docs AS (
+            SELECT doc_id, doc_id % 10 AS query,
+                   (doc_id * 2654435761) % 4294967296 AS h,
+                   (doc_id * 40503) % 7 AS m
+            FROM documents
+        ),
+        res AS (
+            SELECT query, doc_id AS doc, rn AS rank FROM (
+                SELECT query, doc_id, h, row_number() OVER (
+                    PARTITION BY query ORDER BY h, doc_id) AS rn
+                FROM docs
+            ) WHERE rn <= 20
+        ),
+        tru AS (
+            SELECT query, doc_id AS doc,
+                   CASE WHEN m = 0 THEN 3 WHEN m = 1 THEN 1 ELSE 0 END AS rel
+            FROM docs
+            WHERE CASE WHEN m = 0 THEN 3 WHEN m = 1 THEN 1 ELSE 0 END > 0
+        ),
+        hits AS (
+            SELECT r.query, r.rank, COALESCE(t.rel, 0) AS rel
+            FROM res r LEFT JOIN tru t
+                 ON t.query = r.query AND t.doc = r.doc
+            WHERE r.rank <= 10
+        ),
+        perq AS (
+            SELECT query,
+                   SUM(CAST(round(CAST((1 << rel) - 1 AS DOUBLE)
+                       / log2(CAST(rank AS DOUBLE) + 1.0), 9)
+                       AS DECIMAL(28,9))) AS dcg,
+                   CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nhits,
+                   MIN(CASE WHEN rel > 0 THEN rank END) AS frst
+            FROM hits GROUP BY query
+        ),
+        ideal AS (
+            SELECT query,
+                   SUM(CASE WHEN ipos <= 10 THEN
+                       CAST(round(CAST((1 << rel) - 1 AS DOUBLE)
+                           / log2(CAST(ipos AS DOUBLE) + 1.0), 9)
+                           AS DECIMAL(28,9)) END) AS idcg,
+                   CAST(COUNT(*) AS BIGINT) AS n_relevant
+            FROM (
+                SELECT query, rel, doc, row_number() OVER (
+                    PARTITION BY query ORDER BY rel DESC, doc) AS ipos
+                FROM tru
+            ) GROUP BY query
+        ),
+        j AS (
+            SELECT COALESCE(p.query, i.query) AS query,
+                   p.dcg, p.nhits, p.frst, i.idcg, i.n_relevant
+            FROM perq p FULL JOIN ideal i ON i.query = p.query
+        )
+        SELECT query,
+               COALESCE(n_relevant, 0) AS n_relevant,
+               round(CAST(COALESCE(nhits, 0) AS DOUBLE) / 10.0, 6)
+                   AS precision_at_10,
+               CASE WHEN n_relevant IS NOT NULL AND n_relevant > 0
+                    THEN round(CAST(COALESCE(nhits, 0) AS DOUBLE)
+                               / CAST(n_relevant AS DOUBLE), 6)
+               END AS recall_at_10,
+               CASE WHEN idcg IS NOT NULL AND idcg > 0
+                    THEN round(
+                        CAST(CAST(COALESCE(dcg, CAST(0 AS DECIMAL(28,9)))
+                             AS VARCHAR) AS DOUBLE)
+                        / CAST(CAST(idcg AS VARCHAR) AS DOUBLE), 6)
+               END AS ndcg_at_10,
+               COALESCE(round(1.0 / CAST(frst AS DOUBLE), 9), 0.0) AS mrr
+        FROM j ORDER BY query
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

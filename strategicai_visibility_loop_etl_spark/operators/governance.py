@@ -462,3 +462,90 @@ def mixture_diversity(
         ).alias("berger_parker"),
     )
     return result.orderBy(*gcols) if gcols else result
+
+
+def t_closeness_violations(
+    df,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    out_decimals: int = 6,
+):
+    """t-closeness audit — the DISTRIBUTION-disclosure gate that
+    completes the privacy trio (Li et al. 2007): a class can be
+    k-anonymous (:func:`k_anonymity_violations`) and l-diverse
+    (:func:`l_diversity_violations`) yet still leak — "every 41-zip
+    male has SOME cancer, 90% of them lung" — whenever its sensitive
+    DISTRIBUTION strays from the table-wide one. For a categorical
+    sensitive attribute under uniform ground distance the Earth
+    Mover's Distance reduces to total variation,
+
+        tvd = 1/2 * sum_v |p_class(v) - p_global(v)|,
+
+    and classes with ``tvd > t`` are reported (largest first).
+
+    Scale shape: NO class x value grid — the absent-value mass is the
+    closed form ``1 - sum_present p_global(v)`` (the qx51 discipline),
+    so the plan is one (class, value) hash aggregate, one value-keyed
+    join against the model-sized global distribution, one per-class
+    fold. NULL sensitive values are excluded from BOTH distributions
+    (the l-diversity convention); NULL quasi values group as their
+    own class.
+
+    Exactness: p's are single divisions of exact counts; each
+    |p_c - p_g| term and each present p_g rounds via ``round_c`` to
+    9 decimals and sums as DECIMAL, so tvd is order- and
+    engine-independent; the final halving is one fixed-order double
+    expression.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import round_c
+
+    if not 0.0 < t < 1.0:
+        raise ValueError("t must be in (0, 1)")
+    base = df.filter(F.col(sensitive_col).isNotNull())
+    glob = base.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__g")
+    )
+    n_glob = base.agg(F.count(F.lit(1)).cast("long").alias("__ng"))
+    cls = base.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    n_cls = cls.groupBy(*quasi_cols).agg(
+        F.sum("__c").cast("long").alias("__nc")
+    )
+    joined = (
+        cls.join(F.broadcast(glob), sensitive_col)
+        .join(n_cls, quasi_cols)
+        .crossJoin(F.broadcast(n_glob))
+    )
+    p_c = F.col("__c").cast("double") / F.col("__nc").cast("double")
+    p_g = F.col("__g").cast("double") / F.col("__ng").cast("double")
+    folded = (
+        joined.select(
+            *quasi_cols,
+            F.col("__nc"),
+            round_c(F.abs(p_c - p_g), 9).cast("decimal(28,9)").alias("__d"),
+            round_c(p_g, 9).cast("decimal(28,9)").alias("__pg"),
+        )
+        .groupBy(*quasi_cols)
+        .agg(
+            F.max("__nc").alias("n"),
+            F.sum("__d").alias("__sumd"),
+            F.sum("__pg").alias("__sumpg"),
+        )
+    )
+    tvd = round_c(
+        (
+            F.col("__sumd").cast("double")
+            + (F.lit(1.0) - F.col("__sumpg").cast("double"))
+        )
+        * F.lit(0.5),
+        out_decimals,
+    )
+    return (
+        folded.select(*quasi_cols, "n", tvd.alias("tvd"))
+        .filter(F.col("tvd") > t)
+        .orderBy(F.col("tvd").desc(), *quasi_cols)
+    )

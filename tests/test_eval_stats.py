@@ -378,3 +378,145 @@ def test_kmv_rejects_degenerate_k(spark):
         kmv_shard_sketches(df, "v", k=1)
     with pytest.raises(ValueError):
         kmv_merge_estimate(df.selectExpr("1 as h"), k=1)
+
+
+# --------------------------------------------------------- t-closeness
+
+from strategicai_visibility_loop_etl_spark.operators.governance import (  # noqa: E402
+    t_closeness_violations,
+)
+from strategicai_visibility_loop_etl_spark.operators.retrieval import (  # noqa: E402
+    rank_fusion,
+    retrieval_eval,
+)
+
+
+def test_t_closeness_skewed_class_flagged(spark):
+    # Global: 50/50 A-B. Class "skew" is all-A (tvd 0.5); class
+    # "fair" mirrors the global distribution (tvd 0).
+    rows = [("fair", "A")] * 25 + [("fair", "B")] * 25
+    rows += [("skew", "A")] * 50
+    # Rebalance global: add a hidden all-B class so global stays 50/50.
+    rows += [("other", "B")] * 50
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r["q"]: r for r in
+           t_closeness_violations(df, ["q"], "s", t=0.2).collect()}
+    assert "fair" not in out
+    assert out["skew"]["tvd"] == 0.5
+    assert out["other"]["tvd"] == 0.5
+
+
+def test_t_closeness_null_sensitive_excluded(spark):
+    rows = [("a", "A"), ("a", "B"), ("a", None), ("b", "A"), ("b", "B")]
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = t_closeness_violations(df, ["q"], "s", t=0.4).collect()
+    assert out == []  # both classes match the global 50/50
+
+
+def test_t_closeness_rejects_bad_t(spark):
+    df = spark.createDataFrame([("a", "A")], "q string, s string")
+    with pytest.raises(ValueError):
+        t_closeness_violations(df, ["q"], "s", t=0.0)
+
+
+# ---------------------------------------------------------------- RRF
+
+
+def _rankings(spark, rows):
+    return spark.createDataFrame(rows, "query string, doc long, rank int")
+
+
+def test_rrf_hand_scores_and_tiebreak(spark):
+    # doc 1 is ranked 2nd by both rankers; docs 2 and 3 each take one
+    # first and one third. RRF: doc1 = 2/62, doc2 = doc3 = 1/61+1/63 —
+    # which EXCEEDS 2/62 (reciprocals are convex), so the split-rank
+    # docs tie at the top and break on doc id; doc 1 lands third.
+    rows = [("q", 2, 1), ("q", 1, 2), ("q", 3, 3),
+            ("q", 3, 1), ("q", 1, 2), ("q", 2, 3)]
+    out = rank_fusion(_rankings(spark, rows), top_k=3).collect()
+    assert [r["doc"] for r in out] == [2, 3, 1]
+    assert all(r["n_rankers"] == 2 for r in out)
+    assert out[0]["rrf"] == pytest.approx(
+        round(1 / 61, 9) + round(1 / 63, 9), abs=1e-12
+    )
+    assert out[2]["rrf"] == pytest.approx(2 * round(1 / 62, 9), abs=1e-12)
+
+
+def test_rrf_top_k_cut_and_missing_docs(spark):
+    # Ranker B never saw docs 4..10: they fuse on one term only.
+    rows = [("q", d, d) for d in range(1, 11)]
+    rows += [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)]
+    out = rank_fusion(_rankings(spark, rows), top_k=5).collect()
+    assert len(out) == 5
+    assert [r["fused_rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert out[3]["n_rankers"] == 1  # doc 4 onward: single ranker
+
+
+def test_rrf_rejects_bad_params(spark):
+    df = _rankings(spark, [("q", 1, 1)])
+    with pytest.raises(ValueError):
+        rank_fusion(df, k_const=0)
+    with pytest.raises(ValueError):
+        rank_fusion(df, top_k=0)
+
+
+# ----------------------------------------------------- retrieval eval
+
+
+def test_retrieval_eval_perfect_ranking(spark):
+    results = spark.createDataFrame(
+        [("q", d, d) for d in range(1, 11)], "query string, doc long, rank int"
+    )
+    truth = spark.createDataFrame(
+        [("q", 1, 3), ("q", 2, 2), ("q", 3, 1)], "query string, doc long, rel int"
+    )
+    r = retrieval_eval(results, truth, k=10).collect()[0]
+    assert r["ndcg_at_10"] == 1.0  # results order == ideal order
+    assert r["precision_at_10"] == 0.3
+    assert r["recall_at_10"] == 1.0
+    assert r["mrr"] == 1.0
+    assert r["n_relevant"] == 3
+
+
+def test_retrieval_eval_relevant_beyond_k(spark):
+    results = spark.createDataFrame(
+        [("q", 99, 1)], "query string, doc long, rank int"
+    )
+    truth = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 1)], "query string, doc long, rel int"
+    )
+    r = retrieval_eval(results, truth, k=10).collect()[0]
+    assert r["precision_at_10"] == 0.0
+    assert r["recall_at_10"] == 0.0
+    assert r["ndcg_at_10"] == 0.0
+    assert r["mrr"] == 0.0
+
+
+def test_retrieval_eval_no_labels_null_ndcg(spark):
+    results = spark.createDataFrame(
+        [("q", 1, 1)], "query string, doc long, rank int"
+    )
+    truth = spark.createDataFrame(
+        [("other", 1, 1)], "query string, doc long, rel int"
+    )
+    out = {r["query"]: r for r in retrieval_eval(results, truth, k=10).collect()}
+    assert out["q"]["ndcg_at_10"] is None
+    assert out["q"]["recall_at_10"] is None
+    assert out["q"]["precision_at_10"] == 0.0
+    # Query present only in truth: everything missed.
+    assert out["other"]["recall_at_10"] == 0.0
+    assert out["other"]["precision_at_10"] == 0.0
+
+
+def test_retrieval_eval_mid_rank_hit(spark):
+    # Single relevant doc found at rank 3: MRR = 1/3, NDCG =
+    # log2(2)/log2(4) = 0.5.
+    results = spark.createDataFrame(
+        [("q", d, d) for d in range(1, 6)], "query string, doc long, rank int"
+    )
+    truth = spark.createDataFrame(
+        [("q", 3, 1)], "query string, doc long, rel int"
+    )
+    r = retrieval_eval(results, truth, k=5).collect()[0]
+    assert r["mrr"] == pytest.approx(1 / 3, abs=1e-9)
+    assert r["ndcg_at_5"] == 0.5
