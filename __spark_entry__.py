@@ -5310,23 +5310,9 @@ def qx116_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum_changepoints,
     )
 
-    daily = (
-        _ev(spark, sf_dir)
-        .select(
-            "event_type",
-            F.expr("tus DIV 86400000000").alias("day"),
-            F.col("value"),
-        )
-        .groupBy("event_type", "day")
-        .agg(
-            F.sum(_rd(F.col("value"), 6).cast("decimal(28,6)")).alias("__s")
-        )
-        .select(
-            "event_type", "day", _rd(F.col("__s").cast("double"), 6).alias("x")
-        )
-    )
     return cusum_changepoints(
-        daily, ["event_type"], "day", "x", k_sigma=0.5, h_sigma=4.0
+        _qx_daily_value(spark, sf_dir),
+        ["event_type"], "day", "x", k_sigma=0.5, h_sigma=4.0,
     )
 
 
@@ -5480,6 +5466,81 @@ def qx121_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval_eval(results, truth, k=10)
 
 
+def _qx_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The qx77/qx116 daily value-sum series per event type — shared
+    by the smoothing/trend-test queries so oracles replay ONE series
+    recipe."""
+    return (
+        _ev(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr("tus DIV 86400000000").alias("day"),
+            F.col("value"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum(_rd(F.col("value"), 6).cast("decimal(28,6)")).alias("__s")
+        )
+        .select(
+            "event_type", "day", _rd(F.col("__s").cast("double"), 6).alias("x")
+        )
+    )
+
+
+def qx122_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (level+trend) smoothing of the daily value series
+    (capability row 221): alpha=0.5 / beta=0.3 coupled recurrences,
+    one-step-ahead forecast and residual per point. DuckDB replays
+    the identical IEEE recurrence with a recursive CTE (the qx77
+    pattern, two state columns)."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        holt_smooth,
+    )
+
+    out = holt_smooth(
+        _qx_daily_value(spark, sf_dir),
+        ["event_type"], "day", "x", alpha=0.5, beta=0.3,
+    )
+    return out.select(
+        "event_type",
+        "day",
+        "x",
+        _rd(F.col("level"), 6).alias("level"),
+        _rd(F.col("trend"), 6).alias("trend"),
+        _rd(F.col("forecast"), 6).alias("forecast"),
+        _rd(F.col("residual"), 6).alias("residual"),
+    ).orderBy("event_type", "day")
+
+
+def qx123_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test over the daily value series
+    per event type (capability row 222): exact integer S, tie-corrected
+    variance through asymmetric-width decimals, continuity-corrected
+    z and the trend verdict. DuckDB replays the rn-ordered pair join
+    and the closed forms."""
+    from strategicai_visibility_loop_etl_spark.operators.aggregate import (
+        mann_kendall,
+    )
+
+    return mann_kendall(
+        _qx_daily_value(spark, sf_dir), ["event_type"], "day", "x"
+    )
+
+
+def qx124_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of extended prices per return flag
+    (capability row 223): integer-exact digit extraction (no float
+    formatting), always-9-digit grid, chi-square + Nigrini MAD from
+    9dp decimal term sums. DuckDB replays digits, grid and terms with
+    the same pre-tabulated Benford literals."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        benford_audit,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return benford_audit(li, "l_extendedprice", ["l_returnflag"])
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5603,6 +5664,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx119_t_closeness": qx119_t_closeness,
         "qx120_rank_fusion": qx120_rank_fusion,
         "qx121_retrieval_eval": qx121_retrieval_eval,
+        "qx122_holt": qx122_holt,
+        "qx123_mann_kendall": qx123_mann_kendall,
+        "qx124_benford": qx124_benford,
     }
 
 
@@ -10555,6 +10619,163 @@ def extra_oracle_sql() -> dict[str, str]:
                END AS ndcg_at_10,
                COALESCE(round(1.0 / CAST(frst AS DOUBLE), 9), 0.0) AS mrr
         FROM j ORDER BY query
+    """
+
+    # qx122: the qx77 daily series through Holt's coupled recurrences;
+    # the level expression repeats textually inside the trend step so
+    # both engines evaluate the identical doubles.
+    sql["qx122_holt"] = """
+        WITH RECURSIVE daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   round(CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS x
+            FROM events GROUP BY event_type, day
+        ),
+        seq AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY day) AS rn
+            FROM daily WHERE x IS NOT NULL
+        ),
+        r AS (
+            SELECT event_type, day, x, rn,
+                   x AS l, CAST(0.0 AS DOUBLE) AS b,
+                   CAST(NULL AS DOUBLE) AS f,
+                   CAST(NULL AS DOUBLE) AS resid
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT seq.event_type, seq.day, seq.x, seq.rn,
+                   0.5 * seq.x + (1.0 - 0.5) * (r.l + r.b),
+                   0.3 * ((0.5 * seq.x + (1.0 - 0.5) * (r.l + r.b)) - r.l)
+                       + (1.0 - 0.3) * r.b,
+                   r.l + r.b,
+                   seq.x - (r.l + r.b)
+            FROM r JOIN seq ON seq.event_type = r.event_type
+                           AND seq.rn = r.rn + 1
+        )
+        SELECT event_type, day, x,
+               round(l, 6) AS level,
+               round(b, 6) AS trend,
+               round(f, 6) AS forecast,
+               round(resid, 6) AS residual
+        FROM r ORDER BY event_type, day
+    """
+
+    # qx123: rn-ordered pair join for S, tie polynomial through
+    # asymmetric decimals, continuity-corrected z.
+    sql["qx123_mann_kendall"] = """
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   round(CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS x
+            FROM events GROUP BY event_type, day
+        ),
+        seq AS (
+            SELECT event_type, x, row_number() OVER (
+                PARTITION BY event_type ORDER BY day) AS rn
+            FROM daily WHERE x IS NOT NULL
+        ),
+        s_tab AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                                 WHEN b.x < a.x THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM seq a JOIN seq b
+                 ON b.event_type = a.event_type AND a.rn < b.rn
+            GROUP BY a.event_type
+        ),
+        ties AS (
+            SELECT event_type,
+                   CAST(SUM(tcnt) AS BIGINT) AS n,
+                   SUM(CAST(tcnt AS DECIMAL(12,0))
+                       * CAST(tcnt - 1 AS DECIMAL(13,0))
+                       * CAST(2 * tcnt + 5 AS DECIMAL(13,0))) AS tie_sum
+            FROM (
+                SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS tcnt
+                FROM seq GROUP BY event_type, x
+            ) GROUP BY event_type
+        ),
+        j AS (
+            SELECT t.event_type, t.n,
+                   COALESCE(s.s_stat, 0) AS s_stat,
+                   (CAST(CAST(
+                        CAST(t.n AS DECIMAL(12,0))
+                        * CAST(t.n - 1 AS DECIMAL(13,0))
+                        * CAST(2 * t.n + 5 AS DECIMAL(13,0))
+                        - t.tie_sum AS VARCHAR) AS DOUBLE)) / 18.0 AS var_s
+            FROM ties t LEFT JOIN s_tab s USING (event_type)
+        ),
+        z AS (
+            SELECT event_type, n, s_stat, var_s,
+                   CASE WHEN n > 1 AND var_s > 0 THEN
+                       CASE WHEN s_stat > 0
+                            THEN round((CAST(s_stat AS DOUBLE) - 1.0)
+                                       / sqrt(var_s), 6)
+                            WHEN s_stat < 0
+                            THEN round((CAST(s_stat AS DOUBLE) + 1.0)
+                                       / sqrt(var_s), 6)
+                            ELSE 0.0 END
+                   END AS z
+            FROM j
+        )
+        SELECT event_type, n, s_stat, round(var_s, 6) AS var_s, z,
+               CASE WHEN z IS NULL THEN 'no_trend'
+                    WHEN abs(z) > 1.959963985 AND s_stat > 0
+                         THEN 'increasing'
+                    WHEN abs(z) > 1.959963985 AND s_stat < 0
+                         THEN 'decreasing'
+                    ELSE 'no_trend' END AS trend
+        FROM z ORDER BY event_type
+    """
+
+    # qx124: integer-exact digit extraction, shared Benford literals,
+    # 9dp decimal chi-square / MAD term sums.
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        BENFORD_P as _BP,
+    )
+
+    _bp_values = ", ".join(
+        f"({d + 1}, {_BP[d]!r})" for d in range(9)
+    )
+    sql["qx124_benford"] = f"""
+        WITH base AS (
+            SELECT l_returnflag,
+                   CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS d
+            FROM (
+                SELECT l_returnflag,
+                       CAST(round(abs(CAST(l_extendedprice AS DOUBLE))
+                            * 1000000.0, 0) AS BIGINT) AS m
+                FROM lineitem WHERE l_extendedprice IS NOT NULL
+            ) WHERE m > 0
+        ),
+        counts AS (
+            SELECT l_returnflag, d, CAST(COUNT(*) AS BIGINT) AS o
+            FROM base GROUP BY l_returnflag, d
+        ),
+        totals AS (
+            SELECT l_returnflag, CAST(SUM(o) AS BIGINT) AS n
+            FROM counts GROUP BY l_returnflag
+        ),
+        spine AS (SELECT * FROM (VALUES {_bp_values}) AS v(d, p)),
+        grid AS (
+            SELECT t.l_returnflag, t.n, s.p,
+                   COALESCE(c.o, 0) AS o
+            FROM totals t CROSS JOIN spine s
+            LEFT JOIN counts c ON c.l_returnflag = t.l_returnflag
+                              AND c.d = s.d
+        ),
+        terms AS (
+            SELECT l_returnflag, n,
+                   CAST(round((CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                       * (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) * p)
+                       / (CAST(n AS DOUBLE) * p), 9)
+                       AS DECIMAL(28,9)) AS chi_t,
+                   CAST(round(abs(CAST(o AS DOUBLE) / CAST(n AS DOUBLE) - p),
+                       9) AS DECIMAL(28,9)) AS mad_t
+            FROM grid
+        )
+        SELECT l_returnflag, MAX(n) AS n,
+               round(CAST(CAST(SUM(chi_t) AS VARCHAR) AS DOUBLE), 6) AS chi2,
+               round(CAST(CAST(SUM(mad_t) AS VARCHAR) AS DOUBLE) / 9.0, 6)
+                   AS mad
+        FROM terms GROUP BY l_returnflag ORDER BY l_returnflag
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -662,3 +662,124 @@ def moments_profile(
         skew.alias("skewness"),
         kurt.alias("kurtosis"),
     ).orderBy(*group_cols)
+
+
+def mann_kendall(
+    df: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    value_col: str,
+    alpha_z: float = 1.959963985,
+) -> DataFrame:
+    """Mann-Kendall trend test per group — the NON-PARAMETRIC "is this
+    metric monotonically drifting?" readout beside `linear_trend`
+    (assumes linearity; one outlier owns the slope) and
+    `theil_sen_trend` (robust SLOPE estimate; this is the TEST):
+
+        S = sum_{i<j} sign(x_j - x_i)
+
+    with the tie-corrected normal approximation
+    ``Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18`` and the
+    standard continuity correction (z = (S∓1)/sqrt(Var), 0 at S=0).
+    Output per group: n, s_stat, var_s, z, and trend ∈ {increasing,
+    decreasing, no_trend} at the given critical value.
+
+    Exactness: S is an exact integer over sign comparisons of raw
+    doubles; both variance polynomials ride asymmetric-width DECIMAL
+    products ((12,0)x(13,0)x(13,0) — exact in Spark AND a replaying
+    engine's int128); z is one fixed-order double expression.
+
+    Scale shape: the pair table is an equi-join on the group key with
+    a position-ordering filter (the theil_sen contract — NEVER a
+    cartesian; pair volume is O(points²/group), bounded by rollup
+    cardinality: use daily/weekly rollups, not raw events). Ties in
+    ``time_col`` within a group make sign pairs ill-defined — build
+    series with unique timestamps (a rollup does). NULL values are
+    excluded; n < 2 groups report NULL z.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(
+            *group_cols,
+            F.col(time_col).alias("__t"),
+            F.col(value_col).cast("double").alias("__x"),
+        )
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("__t")
+    seq = base.withColumn("__rn", F.row_number().over(w))
+    a = seq.select(
+        *group_cols, F.col("__rn").alias("__ri"), F.col("__x").alias("__xi")
+    )
+    bb = seq.select(
+        *[F.col(c).alias(f"__g_{c}") for c in group_cols],
+        F.col("__rn").alias("__rj"),
+        F.col("__x").alias("__xj"),
+    )
+    cond = [F.col(c) == F.col(f"__g_{c}") for c in group_cols] + [
+        F.col("__ri") < F.col("__rj")
+    ]
+    s_tab = (
+        a.join(bb, cond)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum(F.signum(F.col("__xj") - F.col("__xi")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    td = F.col("__tcnt").cast("decimal(12,0)")
+    ties = (
+        base.groupBy(*group_cols, "__x")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tcnt"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__nvals"),
+            F.sum("__tcnt").cast("long").alias("n"),
+            F.sum(
+                td
+                * (td - F.lit(1)).cast("decimal(13,0)")
+                * (
+                    F.lit(2).cast("decimal(12,0)") * td + F.lit(5)
+                ).cast("decimal(13,0)")
+            ).cast("decimal(38,0)").alias("__tie_sum"),
+        )
+    )
+    joined = ties.join(s_tab, group_cols, "left")
+    nd = F.col("n").cast("decimal(12,0)")
+    var_num = (
+        nd
+        * (nd - F.lit(1)).cast("decimal(13,0)")
+        * (F.lit(2).cast("decimal(12,0)") * nd + F.lit(5)).cast(
+            "decimal(13,0)"
+        )
+    ).cast("decimal(38,0)") - F.col("__tie_sum")
+    var_s = var_num.cast("double") / F.lit(18.0)
+    s_d = F.col("s_stat").cast("double")
+    z = F.when(
+        (F.col("n") > 1) & (var_s > 0),
+        F.when(F.col("s_stat") > 0, round_c((s_d - F.lit(1.0)) / F.sqrt(var_s), 6))
+        .when(F.col("s_stat") < 0, round_c((s_d + F.lit(1.0)) / F.sqrt(var_s), 6))
+        .otherwise(F.lit(0.0)),
+    )
+    trend = (
+        F.when(z.isNull(), F.lit("no_trend"))
+        .when(
+            (F.abs(z) > F.lit(float(alpha_z))) & (F.col("s_stat") > 0),
+            F.lit("increasing"),
+        )
+        .when(
+            (F.abs(z) > F.lit(float(alpha_z))) & (F.col("s_stat") < 0),
+            F.lit("decreasing"),
+        )
+        .otherwise(F.lit("no_trend"))
+    )
+    return joined.select(
+        *group_cols,
+        "n",
+        F.coalesce(F.col("s_stat"), F.lit(0)).alias("s_stat"),
+        round_c(var_s, 6).alias("var_s"),
+        z.alias("z"),
+        trend.alias("trend"),
+    ).orderBy(*group_cols)

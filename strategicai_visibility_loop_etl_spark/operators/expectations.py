@@ -449,3 +449,96 @@ def log_templates(
         )
         .orderBy(F.desc("n_lines"), "template")
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), evaluated ONCE in
+# Python so both engines embed the SAME literals (the decay-weights
+# tabulation trick) -- log10 never runs in either plan.
+BENFORD_P = [
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+]
+
+
+def benford_audit(
+    df,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    out_decimals: int = 6,
+):
+    """Benford's-law first-digit audit per group — the classic
+    fabricated-or-truncated-numbers tripwire for ingested numeric
+    feeds (Nigrini's forensic-accounting standard, equally effective
+    on synthetic-data tells): naturally occurring multi-magnitude
+    quantities put digit d first with probability log10(1 + 1/d);
+    capped, defaulted or invented values don't. Reports chi-square
+    against the Benford expectation and the mean absolute deviation
+    (MAD — Nigrini's conformity bands: < 0.006 close, > 0.015
+    nonconformity) per group.
+
+    First-digit extraction never touches float FORMATTING (engine-
+    specific): the value rounds to 6 decimals, scales to an exact
+    BIGINT, and the digit is the first character of the INTEGER's
+    string — identical in any engine. Zero values (no leading digit)
+    are excluded; |x| handles sign. The digit grid always covers 1-9
+    (zero-count digits still contribute their expected mass — the
+    cramers_v zero-cell lesson).
+
+    One hash aggregate over the corpus + a 9-row broadcast grid;
+    chi-square and MAD terms round to 9dp and sum as DECIMAL —
+    order- and engine-exact.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import round_c
+
+    gcols = list(group_cols or [])
+    m = F.round(F.abs(F.col(value_col).cast("double")) * F.lit(1e6), 0).cast(
+        "long"
+    )
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, m.alias("__m"))
+        .filter(F.col("__m") > 0)
+        .select(
+            *gcols,
+            F.substring(F.col("__m").cast("string"), 1, 1)
+            .cast("int")
+            .alias("__d"),
+        )
+    )
+    counts = base.groupBy(*gcols, "__d").agg(
+        F.count(F.lit(1)).cast("long").alias("__o")
+    )
+    totals = counts.groupBy(*gcols).agg(F.sum("__o").cast("long").alias("__n"))
+    spine = totals.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("__d"),
+        F.element_at(
+            F.array(*[F.lit(p) for p in BENFORD_P]), F.col("id").cast("int")
+        ).alias("__p"),
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(spine))
+        .join(counts, [*gcols, "__d"], "left")
+        .select(
+            *gcols,
+            "__n",
+            "__p",
+            F.coalesce(F.col("__o"), F.lit(0)).alias("__o"),
+        )
+    )
+    o = F.col("__o").cast("double")
+    exp = F.col("__n").cast("double") * F.col("__p")
+    chi_t = round_c((o - exp) * (o - exp) / exp, 9).cast("decimal(28,9)")
+    mad_t = round_c(
+        F.abs(o / F.col("__n").cast("double") - F.col("__p")), 9
+    ).cast("decimal(28,9)")
+    out = grid.groupBy(*gcols).agg(
+        F.max("__n").alias("n"),
+        round_c(F.sum(chi_t).cast("double"), out_decimals).alias("chi2"),
+        round_c(
+            F.sum(mad_t).cast("double") / F.lit(9.0), out_decimals
+        ).alias("mad"),
+    )
+    return out.orderBy(*gcols) if gcols else out

@@ -812,3 +812,102 @@ def cusum_changepoints(
         )
         .orderBy(*group_cols, time_col)
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    group_cols: list[str],
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    beta: float = 0.3,
+) -> DataFrame:
+    """Per-group Holt linear (double-exponential) smoothing — the
+    trend-aware upgrade of :func:`ewma_smooth` (a plain EWMA lags a
+    trending series by a constant amount forever; Holt's coupled
+    level+trend recurrences don't):
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    with l_1 = x_1, b_1 = 0 (the lookahead-free init — a fold sees
+    elements once; the trend converges off the first few steps).
+    Output per point: level, trend, forecast (= l_{t-1} + b_{t-1},
+    the one-step-ahead prediction; NULL at the head) and residual
+    (= x - forecast, the surprise a monitor alarms on).
+
+    Exactness/scale: the ewma fold contract verbatim — NULL values
+    excluded before the series forms, the recurrence evaluated as
+    written (IEEE multiply/add per step, engine-replayable via a
+    recursive CTE), ONE hash aggregate collecting each group's sorted
+    series (bounded by points-per-group, never corpus rows), one
+    explode back to rows.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    a = F.lit(float(alpha))
+    one_a = F.lit(1.0 - float(alpha))
+    b = F.lit(float(beta))
+    one_b = F.lit(1.0 - float(beta))
+    series = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(time_col).alias("t"),
+                        F.col(value_col).cast("double").alias("x"),
+                    )
+                )
+            ).alias("__pts")
+        )
+    )
+
+    def _step(acc, e):
+        prev = F.element_at(acc, -1)
+        first = F.size(acc) == 0
+        fcst = F.when(~first, prev["l"] + prev["b"])
+        lvl = F.when(first, e["x"]).otherwise(
+            a * e["x"] + one_a * (prev["l"] + prev["b"])
+        )
+        trd = F.when(first, F.lit(0.0)).otherwise(
+            b * (lvl - prev["l"]) + one_b * prev["b"]
+        )
+        return F.concat(
+            acc,
+            F.array(
+                F.struct(
+                    e["t"].alias("t"),
+                    e["x"].alias("x"),
+                    lvl.alias("l"),
+                    trd.alias("b"),
+                    fcst.alias("f"),
+                    (e["x"] - fcst).alias("r"),
+                )
+            ),
+        )
+
+    folded = F.aggregate(
+        F.col("__pts"),
+        F.array().cast(
+            "array<struct<t:" + dict(df.dtypes)[time_col] + ","
+            "x:double,l:double,b:double,f:double,r:double>>"
+        ),
+        _step,
+    )
+    e = F.col("__e")
+    return (
+        series.select(*group_cols, F.explode(folded).alias("__e"))
+        .select(
+            *group_cols,
+            e["t"].alias(time_col),
+            e["x"].alias(value_col),
+            e["l"].alias("level"),
+            e["b"].alias("trend"),
+            e["f"].alias("forecast"),
+            e["r"].alias("residual"),
+        )
+    )

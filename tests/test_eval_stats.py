@@ -520,3 +520,101 @@ def test_retrieval_eval_mid_rank_hit(spark):
     r = retrieval_eval(results, truth, k=5).collect()[0]
     assert r["mrr"] == pytest.approx(1 / 3, abs=1e-9)
     assert r["ndcg_at_5"] == 0.5
+
+
+# ----------------------------------------------------------- Holt/MK
+
+from strategicai_visibility_loop_etl_spark.operators.aggregate import (  # noqa: E402
+    mann_kendall,
+)
+from strategicai_visibility_loop_etl_spark.operators.expectations import (  # noqa: E402
+    benford_audit,
+)
+from strategicai_visibility_loop_etl_spark.operators.timeseries import (  # noqa: E402
+    holt_smooth,
+)
+
+
+def test_holt_tracks_linear_trend(spark):
+    # On x_t = 2t the trend estimate must converge to 2 and the
+    # one-step forecast error shrink toward 0; a plain EWMA would lag
+    # by a constant forever.
+    rows = [("a", t, 2.0 * t) for t in range(60)]
+    out = sorted(
+        holt_smooth(_series(spark, rows), ["g"], "t", "v").collect(),
+        key=lambda r: r["t"],
+    )
+    assert out[0]["level"] == 0.0 and out[0]["trend"] == 0.0
+    assert out[0]["forecast"] is None and out[0]["residual"] is None
+    tail = out[-1]
+    assert abs(tail["trend"] - 2.0) < 0.05
+    assert abs(tail["residual"]) < 0.2
+
+
+def test_holt_recurrence_hand_step(spark):
+    # x = [10, 14]: l1=10, b1=0; step 2 with a=.5, b=.3:
+    # f2 = 10, l2 = .5*14 + .5*10 = 12, b2 = .3*(12-10) = 0.6, r2 = 4.
+    rows = [("a", 0, 10.0), ("a", 1, 14.0)]
+    out = sorted(
+        holt_smooth(_series(spark, rows), ["g"], "t", "v").collect(),
+        key=lambda r: r["t"],
+    )
+    assert out[1]["forecast"] == 10.0
+    assert out[1]["level"] == 12.0
+    assert abs(out[1]["trend"] - 0.6) < 1e-12
+    assert out[1]["residual"] == 4.0
+
+
+def test_holt_rejects_bad_params(spark):
+    df = _series(spark, [("a", 0, 1.0)])
+    with pytest.raises(ValueError):
+        holt_smooth(df, ["g"], "t", "v", alpha=0.0)
+    with pytest.raises(ValueError):
+        holt_smooth(df, ["g"], "t", "v", beta=1.5)
+
+
+def test_mann_kendall_monotone_series(spark):
+    rows = [("up", t, float(t)) for t in range(20)]
+    rows += [("down", t, float(-t)) for t in range(20)]
+    rows += [("flat", t, 5.0) for t in range(20)]
+    out = {r["g"]: r for r in
+           mann_kendall(_series(spark, rows), ["g"], "t", "v").collect()}
+    assert out["up"]["s_stat"] == 190 and out["up"]["trend"] == "increasing"
+    assert out["down"]["s_stat"] == -190 and out["down"]["trend"] == "decreasing"
+    # All-tied series: S=0 and the tie correction zeroes the variance.
+    assert out["flat"]["s_stat"] == 0 and out["flat"]["trend"] == "no_trend"
+    assert out["flat"]["z"] is None
+
+
+def test_mann_kendall_noise_no_trend(spark):
+    rows = [("a", t, float((t * 7) % 11)) for t in range(25)]
+    r = mann_kendall(_series(spark, rows), ["g"], "t", "v").collect()[0]
+    assert r["trend"] == "no_trend"
+    assert abs(r["z"]) < 1.96
+
+
+# -------------------------------------------------------------- Benford
+
+
+def test_benford_conforming_vs_uniform(spark):
+    # Geometric-ish spread (2^k scaled) conforms far better than a
+    # constant-first-digit feed.
+    import random
+    rnd = random.Random(7)
+    rows = [("geo", (1.0001 ** rnd.randint(0, 60000)))
+            for _ in range(3000)]
+    rows += [("flat", 100.0 + rnd.random()) for _ in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["g"]: r for r in benford_audit(df, "v", ["g"]).collect()}
+    assert out["geo"]["mad"] < 0.04
+    assert out["flat"]["mad"] > 0.1
+    assert out["flat"]["chi2"] > out["geo"]["chi2"] * 10
+
+
+def test_benford_digit_extraction_edges(spark):
+    # 0 excluded; negatives use |x|; sub-unit values still yield
+    # their first significant digit through the 6dp integer scale.
+    rows = [("a", 0.0), ("a", -912.5), ("a", 0.00042), ("a", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = benford_audit(df, "v", ["g"]).collect()[0]
+    assert r["n"] == 3  # the zero dropped
