@@ -5541,6 +5541,79 @@ def qx124_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(li, "l_extendedprice", ["l_returnflag"])
 
 
+def qx125_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event paths (capability row 224): which
+    length-3 journeys dominate, pattern-free — the sequence report
+    between qx57's fixed funnel and qx80's 1-step Markov rates.
+    Event-id tiebreak makes the per-user windows total. DuckDB
+    replays the lead windows and the bounded top-k cut."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        common_paths,
+    )
+
+    ev = _ev(spark, sf_dir)
+    return common_paths(
+        ev, "user_id", "tus", "event_type", n=3, top_k=20,
+        tiebreak_col="event_id",
+    )
+
+
+def qx126_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label-noise audit (capability row 225) over a 5% hash
+    slice of the embeddings: rows whose 5 nearest cosine neighbors
+    mostly carry a different label are mislabel candidates. DuckDB
+    replays the q25 cosine scoring, self-exclusion re-rank and the
+    smallest-label majority."""
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        knn_label_audit,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    audit = emb.filter(F.col("vec_id") % 20 == 0)
+    return knn_label_audit(emb, audit, k=5)
+
+
+def qx127_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration report (capability row 226): the quality score
+    read as P(doc is English) — reliability bins, ECE and Brier in
+    one frame (the metric arithmetic is the contract; feed any real
+    calibrated scorer the same way). DuckDB replays the qx38 quality
+    SQL, binning and the 9dp decimal term sums."""
+    from strategicai_visibility_loop_etl_spark.operators.scorer import (
+        calibration_report,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        quality_score(F.col("text")).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return calibration_report(docs, "p", "y", n_bins=10)
+
+
+def qx128_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted vs row mean of event values per type (capability
+    row 227): duplicate timestamps collapse to exact per-instant
+    sums, then each value weighs by its holding duration — the TWAP
+    the plain mean misstates whenever sampling is bursty. DuckDB
+    replays the collapse, the lead durations and the decimal products."""
+    from strategicai_visibility_loop_etl_spark.operators.timeseries import (
+        time_weighted_mean,
+    )
+
+    collapsed = (
+        _ev(spark, sf_dir)
+        .select("event_type", "tus", "value")
+        .groupBy("event_type", "tus")
+        .agg(
+            F.sum(_rd(F.col("value"), 6).cast("decimal(28,6)")).alias("__s")
+        )
+        .select(
+            "event_type", "tus", _rd(F.col("__s").cast("double"), 6).alias("x")
+        )
+    )
+    return time_weighted_mean(collapsed, ["event_type"], "tus", "x")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5667,6 +5740,10 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx122_holt": qx122_holt,
         "qx123_mann_kendall": qx123_mann_kendall,
         "qx124_benford": qx124_benford,
+        "qx125_common_paths": qx125_common_paths,
+        "qx126_knn_audit": qx126_knn_audit,
+        "qx127_calibration": qx127_calibration,
+        "qx128_twa": qx128_twa,
     }
 
 
@@ -10776,6 +10853,201 @@ def extra_oracle_sql() -> dict[str, str]:
                round(CAST(CAST(SUM(mad_t) AS VARCHAR) AS DOUBLE) / 9.0, 6)
                    AS mad
         FROM terms GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+
+    # qx125: per-user lead windows with event_id tiebreak, bounded
+    # top-20 under a total order.
+    sql["qx125_common_paths"] = """
+        WITH base AS (
+            SELECT user_id, epoch_us(ts) AS tus, event_id, event_type
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        ),
+        steps AS (
+            SELECT user_id AS u, event_type AS s0,
+                   lead(event_type, 1) OVER (
+                       PARTITION BY user_id ORDER BY tus, event_id) AS s1,
+                   lead(event_type, 2) OVER (
+                       PARTITION BY user_id ORDER BY tus, event_id) AS s2
+            FROM base
+        ),
+        paths AS (
+            SELECT u, s0 || '>' || s1 || '>' || s2 AS path
+            FROM steps WHERE s1 IS NOT NULL AND s2 IS NOT NULL
+        ),
+        agg AS (
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
+            FROM paths GROUP BY path
+        )
+        SELECT * FROM agg
+        ORDER BY n_occurrences DESC, n_users DESC, path
+        LIMIT 20
+    """
+
+    # qx126: the q25 cosine replay over the audit slice, k+1 fetch,
+    # self-exclusion re-rank, smallest-label majority.
+    sql["qx126_knn_audit"] = """
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                   label AS qlab
+            FROM embeddings WHERE vec_id % 20 = 0 AND label IS NOT NULL
+        ),
+        c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+            FROM embeddings WHERE label IS NOT NULL
+        ),
+        s AS (
+            SELECT q.query_id, c.vec_id, c.label AS nl,
+                   round(CASE WHEN sqrt(list_dot_product(cv, cv))
+                                   * sqrt(list_dot_product(qv, qv)) > 0
+                              THEN list_dot_product(cv, qv)
+                                   / (sqrt(list_dot_product(cv, cv))
+                                      * sqrt(list_dot_product(qv, qv)))
+                              ELSE 0.0 END, 6) AS cosine
+            FROM c, q
+        ),
+        rk AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id
+            ) AS rank FROM s
+        ),
+        top AS (
+            SELECT * FROM rk WHERE rank <= 6 AND vec_id <> query_id
+        ),
+        nn AS (
+            SELECT query_id, vec_id, nl FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY rank) AS r2
+                FROM top
+            ) WHERE r2 <= 5
+        ),
+        votes AS (
+            SELECT query_id, nl, CAST(COUNT(*) AS BIGINT) AS v
+            FROM nn GROUP BY query_id, nl
+        ),
+        maj AS (
+            SELECT query_id, nl AS majority_label, v AS n_agree
+            FROM votes QUALIFY row_number() OVER (
+                PARTITION BY query_id ORDER BY v DESC, nl) = 1
+        ),
+        cnt AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors
+            FROM nn GROUP BY query_id
+        )
+        SELECT q.query_id AS vec_id, q.qlab AS label,
+               maj.majority_label, cnt.n_neighbors, maj.n_agree,
+               q.qlab <> maj.majority_label AS flagged
+        FROM q
+        JOIN maj ON maj.query_id = q.query_id
+        JOIN cnt ON cnt.query_id = q.query_id
+        ORDER BY vec_id
+    """
+
+    # qx127: the qx38 quality replay binned on [0,1]; raw-ratio gaps
+    # weighted as one rounded double product per bin.
+    sql["qx127_calibration"] = f'''
+        WITH t AS (
+            SELECT doc_id, lang, {norm_text} AS norm,
+                   {_toks(norm_text)} AS toks
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id,
+                   round((least(CAST(length(norm) AS DOUBLE) / 500.0, 1.0)
+                      + (CASE WHEN length(replace(norm, ' ', '')) > 0
+                              THEN CAST(length(regexp_replace(norm, '[^a-z]', '', 'g')) AS DOUBLE)
+                                   / length(replace(norm, ' ', ''))
+                              ELSE 0.0 END)
+                      + least((CASE WHEN len(toks) > 0
+                               THEN CAST(len(list_filter(toks, x ->
+                                    list_contains([{{stops}}], x))) AS DOUBLE)
+                                    / len(toks) ELSE 0.0 END) / 0.4, 1.0)
+                     ) / 3.0, 6) AS p,
+                   CASE WHEN lang IS NULL THEN NULL
+                        WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM t
+        ),
+        base AS (
+            SELECT CAST(least(greatest(floor(p * 10.0), 0), 9) AS INT)
+                       AS bin,
+                   CAST(round(p, 9) AS DECIMAL(28,9)) AS p9,
+                   y,
+                   CAST(round((p - CAST(y AS DOUBLE))
+                        * (p - CAST(y AS DOUBLE)), 9)
+                        AS DECIMAL(28,9)) AS sq
+            FROM s WHERE p IS NOT NULL AND y IS NOT NULL
+        ),
+        bins AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(p9) AS ps, CAST(SUM(y) AS BIGINT) AS ys,
+                   SUM(sq) AS sqs
+            FROM base GROUP BY bin
+        ),
+        pb AS (
+            SELECT bin, n,
+                   CAST(CAST(ps AS VARCHAR) AS DOUBLE)
+                       / CAST(n AS DOUBLE) AS conf_raw,
+                   CAST(ys AS DOUBLE) / CAST(n AS DOUBLE) AS acc_raw,
+                   sqs
+            FROM bins
+        ),
+        pb2 AS (
+            SELECT bin, n, conf_raw, acc_raw, sqs,
+                   CAST(round(abs(acc_raw - conf_raw)
+                        * CAST(n AS DOUBLE), 9) AS DECIMAL(28,9)) AS wgap9
+            FROM pb
+        ),
+        summary AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+                   round(CAST(CAST(SUM(wgap9) AS VARCHAR) AS DOUBLE)
+                         / CAST(SUM(n) AS DOUBLE), 6) AS ece,
+                   round(CAST(CAST(SUM(sqs) AS VARCHAR) AS DOUBLE)
+                         / CAST(SUM(n) AS DOUBLE), 6) AS brier
+            FROM pb2
+        )
+        SELECT bin, n, round(conf_raw, 6) AS conf, round(acc_raw, 6) AS acc,
+               round(abs(acc_raw - conf_raw), 6) AS gap,
+               n_total, ece, brier
+        FROM pb2 CROSS JOIN summary
+        ORDER BY bin
+    '''
+    sql["qx127_calibration"] = sql["qx127_calibration"].replace(
+        "{stops}", stops38
+    )
+
+    # qx128: per-instant collapse, lead durations, asymmetric decimal
+    # products, one division.
+    sql["qx128_twa"] = """
+        WITH collapsed AS (
+            SELECT event_type, epoch_us(ts) AS tus,
+                   round(CAST(CAST(SUM(CAST(round(value, 6) AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE), 6) AS x
+            FROM events GROUP BY event_type, tus
+        ),
+        stepped AS (
+            SELECT event_type, tus AS t, round(x, 6) AS xr,
+                   lead(tus, 1) OVER (
+                       PARTITION BY event_type ORDER BY tus) - tus AS dur
+            FROM collapsed
+            WHERE x IS NOT NULL AND tus IS NOT NULL
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   MAX(t) - MIN(t) AS span,
+                   SUM(CAST(CAST(xr AS DECIMAL(18,6))
+                       * CAST(dur AS DECIMAL(19,0)) AS DECIMAL(38,6)))
+                       AS wsum,
+                   SUM(CAST(xr AS DECIMAL(28,6))) AS xsum
+            FROM stepped GROUP BY event_type
+        )
+        SELECT event_type, n_points, CAST(span AS BIGINT) AS span,
+               CASE WHEN span > 0
+                    THEN round(CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
+                               / CAST(span AS DOUBLE), 6) END AS twa,
+               round(CAST(CAST(xsum AS VARCHAR) AS DOUBLE)
+                     / CAST(n_points AS DOUBLE), 6) AS row_mean
+        FROM agg ORDER BY event_type
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

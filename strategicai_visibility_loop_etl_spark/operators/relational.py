@@ -814,3 +814,73 @@ def item_cosine_pairs(
         )
         .orderBy("item_a", "item_b")
     )
+
+
+def common_paths(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    n: int = 3,
+    top_k: int = 20,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Top-k most common n-step event paths — the sequence-pattern
+    report between `conversion_funnel` (counts ONE fixed pattern) and
+    `markov_transitions` (memoryless 1-step rates): which length-n
+    journeys actually dominate the product, pattern-free.
+
+    Each user's event stream (ordered by ``ts_col``, then
+    ``tiebreak_col`` — pass one whenever timestamps can collide, or
+    the path windows are nondeterministic) contributes one candidate
+    path per position via n-1 ``lead`` columns; incomplete tails
+    (fewer than n events remain) drop out. Paths count twice: raw
+    occurrences and distinct users (a single loop-happy user can't
+    own the report).
+
+    Scale shape: ONE user-keyed sort window (n widens the row, not
+    the plan), one (path) hash aggregate with map-side partials, and
+    a TakeOrderedAndProject top-k under the TOTAL order (occurrences
+    desc, users desc, path asc) — no global sort materializes and the
+    k boundary is engine-stable. NULL events are excluded before
+    positions form (a NULL step would poison every window crossing
+    it).
+    """
+    if n < 2:
+        raise ValueError("n must be >= 2")
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    order = [F.col(ts_col)]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(F.col(user_col)).orderBy(*order)
+    base = df.filter(
+        F.col(event_col).isNotNull() & F.col(user_col).isNotNull()
+    )
+    leads = [
+        F.lead(F.col(event_col), i).over(w).alias(f"__s{i}")
+        for i in range(1, n)
+    ]
+    steps = base.select(
+        F.col(user_col).alias("__u"),
+        F.col(event_col).alias("__s0"),
+        *leads,
+    )
+    complete = steps
+    for i in range(1, n):
+        complete = complete.filter(F.col(f"__s{i}").isNotNull())
+    path = F.concat_ws(">", *[F.col(f"__s{i}") for i in range(n)])
+    return (
+        complete.select(F.col("__u"), path.alias("path"))
+        .groupBy("path")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.countDistinct("__u").cast("long").alias("n_users"),
+        )
+        .orderBy(
+            F.col("n_occurrences").desc(),
+            F.col("n_users").desc(),
+            F.col("path").asc(),
+        )
+        .limit(top_k)
+    )

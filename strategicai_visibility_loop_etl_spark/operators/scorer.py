@@ -566,3 +566,103 @@ def classifier_eval(
         z.alias("z"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def calibration_report(
+    df: DataFrame,
+    prob_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Calibration diagnosis for a [0,1]-scored classifier: the
+    reliability table (per-bin predicted confidence vs observed rate)
+    plus Expected Calibration Error and the Brier score — the
+    MEASUREMENT companion of :func:`isotonic_calibrate` (that one
+    FIXES miscalibration; this one tells you whether you need to, and
+    whether the fix worked) and of :func:`classifier_eval` (AUC reads
+    RANKING power; a perfectly-ranked scorer can still be wildly
+    miscalibrated):
+
+        ECE   = sum_bins (n_b / n) * |acc_b - conf_b|
+        Brier = mean (p - y)^2
+
+    over ``n_bins`` equal-width probability bins. Output: one row per
+    NON-EMPTY bin — (bin, n, conf, acc, gap) — with the group-level
+    ece / brier / n_total repeated on each row (one result frame, the
+    datasheet convention).
+
+    Exactness: bin = floor(p * n_bins) clamped to the top bin (the
+    p = 1.0 edge); per-bin p-sums, (p-y)^2 terms and the |acc - conf|
+    ECE terms all round via ``round_c`` to 9 decimals and accumulate
+    as DECIMAL; ratios are fixed-order double expressions. Scale
+    shape: ONE hash aggregate into at most n_bins rows + a 1-row
+    broadcast summary; the corpus is scanned once. NULL probabilities
+    or labels are excluded; out-of-[0,1] probabilities raise no error
+    but land in the edge bins (clamped) — gate upstream with the
+    expectation operator if they should be impossible.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    p = F.col(prob_col).cast("double")
+    y = (F.col(label_col).cast("int") != 0).cast("int")
+    bin_ = F.least(
+        F.greatest(F.floor(p * F.lit(float(n_bins))), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    base = df.filter(
+        F.col(prob_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        bin_.alias("bin"),
+        round_c(p, 9).cast("decimal(28,9)").alias("__p"),
+        y.alias("__y"),
+        round_c((p - y.cast("double")) * (p - y.cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("__sq"),
+    )
+    bins = base.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__p").alias("__ps"),
+        F.sum("__y").cast("long").alias("__ys"),
+        F.sum("__sq").alias("__sqs"),
+    )
+    conf = F.col("__ps").cast("double") / F.col("n").cast("double")
+    acc = F.col("__ys").cast("double") / F.col("n").cast("double")
+    per_bin = bins.select(
+        "bin",
+        "n",
+        round_c(conf, out_decimals).alias("conf"),
+        round_c(acc, out_decimals).alias("acc"),
+        round_c(F.abs(acc - conf), out_decimals).alias("gap"),
+        # n * |acc - conf| as ONE fixed-order double product rounded
+        # to 9dp BEFORE the decimal sum: a decimal x decimal product
+        # here would trip Spark's precision-loss scale reduction (the
+        # corr_matrix lesson).
+        round_c(F.abs(acc - conf) * F.col("n").cast("double"), 9)
+        .cast("decimal(28,9)")
+        .alias("__wgap9"),
+        F.col("__sqs"),
+    )
+    summary = per_bin.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("__wgap9").alias("__wgap"),
+        F.sum("__sqs").alias("__sqall"),
+    ).select(
+        "n_total",
+        round_c(
+            F.col("__wgap").cast("double") / F.col("n_total").cast("double"),
+            out_decimals,
+        ).alias("ece"),
+        round_c(
+            F.col("__sqall").cast("double")
+            / F.col("n_total").cast("double"),
+            out_decimals,
+        ).alias("brier"),
+    )
+    return (
+        per_bin.select("bin", "n", "conf", "acc", "gap")
+        .crossJoin(F.broadcast(summary))
+        .orderBy("bin")
+    )

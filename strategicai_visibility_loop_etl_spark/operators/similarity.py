@@ -1548,3 +1548,91 @@ def negative_pairs(
         )
         .orderBy("anchor_id", "draw")
     )
+
+
+def knn_label_audit(
+    corpus: DataFrame,
+    audit: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Label-noise audit via k-NN disagreement (the confident-learning
+    intuition, Northcutt et al. 2021, reduced to its relational core):
+    a labeled example whose k nearest neighbors mostly carry a
+    DIFFERENT label is a mislabel candidate — the pre-training triage
+    for classifier/reward datasets that the scorer family
+    (`train_hashed_scorer`, `classifier_eval`) consumes downstream.
+
+    ``audit`` selects which rows get audited (default: the whole
+    corpus — quadratic; pass a deterministic hash slice to sample).
+    Neighbors come from :func:`knn_cosine_topk` (broadcast audit set ×
+    streamed corpus — the q25 plan); SELF is excluded after the fact
+    (k+1 fetched, own id dropped, survivors re-ranked so exactly k
+    remain even when duplicates tie above self). Majority is the
+    neighbor-label mode with smallest-label tie-break (the
+    label-propagation determinism rule). At production scale swap the
+    exact k-NN for `ivf_topk`/`ivfpq_topk` — identical downstream
+    plan.
+
+    Output: (id, label, majority_label, n_neighbors, n_agree,
+    flagged) — flagged when the majority disagrees with the row's own
+    label. NULL-labeled rows can't vote and aren't audited.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    labeled = corpus.filter(F.col(label_col).isNotNull())
+    audit_set = audit if audit is not None else labeled
+    queries = audit_set.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+    )
+    nn = knn_cosine_topk(
+        labeled, queries, k=k + 1, corpus_id=id_col, corpus_vec=vec_col
+    ).filter(F.col(id_col) != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy("rank")
+    nn = nn.withColumn("__r2", F.row_number().over(w)).filter(
+        F.col("__r2") <= k
+    )
+    votes = (
+        nn.join(
+            labeled.select(
+                F.col(id_col), F.col(label_col).alias("__nl")
+            ),
+            id_col,
+        )
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).cast("long").alias("__v"))
+    )
+    mw = Window.partitionBy("query_id").orderBy(
+        F.col("__v").desc(), F.col("__nl").asc()
+    )
+    majority = (
+        votes.withColumn("__mr", F.row_number().over(mw))
+        .filter(F.col("__mr") == 1)
+        .select(
+            "query_id",
+            F.col("__nl").alias("majority_label"),
+            F.col("__v").alias("n_agree"),
+        )
+    )
+    counts = nn.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_neighbors")
+    )
+    own = audit_set.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("label")
+    )
+    return (
+        own.join(majority, "query_id")
+        .join(counts, "query_id")
+        .select(
+            F.col("query_id").alias(id_col),
+            "label",
+            "majority_label",
+            "n_neighbors",
+            "n_agree",
+            (F.col("label") != F.col("majority_label")).alias("flagged"),
+        )
+        .orderBy(id_col)
+    )

@@ -911,3 +911,77 @@ def holt_smooth(
             e["r"].alias("residual"),
         )
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Per-group time-weighted average of an IRREGULARLY sampled
+    series — the honest mean for state-like metrics (a price, a queue
+    depth, a config value) where the plain row mean over-weights busy
+    periods: each observation holds until the next one, so it weighs
+    by its holding DURATION (left-continuous step interpolation, the
+    TWAP convention; the last observation has no duration and drops
+    from the weighted numerator — classic finite-horizon TWAP).
+
+        twa = sum_i x_i * (t_{i+1} - t_i) / (t_n - t_1)
+
+    ``ts_col`` must be numeric (epoch micros — the `_ev` convention)
+    and UNIQUE per group: collapse duplicate timestamps upstream
+    (e.g. a per-(group, ts) aggregate), or the lead window is
+    nondeterministic. The plain row mean rides along (``row_mean``)
+    so the over-weighting is visible in one frame.
+
+    Exactness: durations are exact BIGINT differences; each
+    x·duration product rides an asymmetric-width DECIMAL
+    ((18,6)x(19,0) — exact in Spark and a replaying engine's int128);
+    the final division is one fixed-order double expression. Scale
+    shape: one per-group sort window + one hash aggregate on the same
+    key. Groups with a single point (zero span) report NULL twa.
+    """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(ts_col).isNotNull()
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(ts_col)
+    stepped = base.select(
+        *group_cols,
+        F.col(ts_col).cast("long").alias("__t"),
+        round_c(F.col(value_col).cast("double"), 6).alias("__x"),
+        (F.lead(F.col(ts_col).cast("long"), 1).over(w) - F.col(ts_col).cast("long")).alias(
+            "__dur"
+        ),
+    )
+    agg = stepped.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        (F.max("__t") - F.min("__t")).alias("span"),
+        F.sum(
+            (
+                F.col("__x").cast("decimal(18,6)")
+                * F.col("__dur").cast("decimal(19,0)")
+            ).cast("decimal(38,6)")
+        ).alias("__wsum"),
+        F.sum(F.col("__x").cast("decimal(28,6)")).alias("__xsum"),
+    )
+    twa = F.when(
+        F.col("span") > 0,
+        round_c(
+            F.col("__wsum").cast("double") / F.col("span").cast("double"),
+            out_decimals,
+        ),
+    )
+    return agg.select(
+        *group_cols,
+        "n_points",
+        "span",
+        twa.alias("twa"),
+        round_c(
+            F.col("__xsum").cast("double") / F.col("n_points").cast("double"),
+            out_decimals,
+        ).alias("row_mean"),
+    ).orderBy(*group_cols)

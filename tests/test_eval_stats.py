@@ -618,3 +618,139 @@ def test_benford_digit_extraction_edges(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = benford_audit(df, "v", ["g"]).collect()[0]
     assert r["n"] == 3  # the zero dropped
+
+
+# ------------------------------------------------------- paths / kNN
+
+from strategicai_visibility_loop_etl_spark.operators.relational import (  # noqa: E402
+    common_paths,
+)
+from strategicai_visibility_loop_etl_spark.operators.scorer import (  # noqa: E402
+    calibration_report,
+)
+from strategicai_visibility_loop_etl_spark.operators.similarity import (  # noqa: E402
+    knn_label_audit,
+)
+from strategicai_visibility_loop_etl_spark.operators.timeseries import (  # noqa: E402
+    time_weighted_mean,
+)
+
+
+def test_common_paths_counts_and_order(spark):
+    # Two users walk a>b>c>d (paths a>b>c and b>c>d once each); a
+    # third loops a>b>c>a>b>c: path a>b>c leads with 4 occurrences
+    # but only 3 distinct users.
+    rows = []
+    for u in (1, 2):
+        for i, e in enumerate(["a", "b", "c", "d"]):
+            rows.append((u, i, i, e))
+    for i, e in enumerate(["a", "b", "c", "a", "b", "c"]):
+        rows.append((3, i, i, e))
+    df = spark.createDataFrame(rows, "u long, t long, eid long, e string")
+    out = common_paths(df, "u", "t", "e", n=3, top_k=10, tiebreak_col="eid").collect()
+    top = out[0]
+    assert top["path"] == "a>b>c"
+    assert top["n_occurrences"] == 4 and top["n_users"] == 3
+    paths = {r["path"] for r in out}
+    assert "b>c>a" in paths  # the loop's crossing window
+    assert all(r["path"].count(">") == 2 for r in out)
+
+
+def test_common_paths_short_streams_drop(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 0, "a"), (1, 1, 1, "b")], "u long, t long, eid long, e string"
+    )
+    assert common_paths(df, "u", "t", "e", n=3, top_k=5, tiebreak_col="eid").collect() == []
+
+
+def test_common_paths_rejects_bad_n(spark):
+    df = spark.createDataFrame([(1, 0, 0, "a")], "u long, t long, eid long, e string")
+    with pytest.raises(ValueError):
+        common_paths(df, "u", "t", "e", n=1)
+
+
+def _embs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_knn_audit_flags_planted_mislabel(spark):
+    # Two tight clusters; one point in cluster A carries cluster B's
+    # label and must be flagged; its same-cluster peers must not be.
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.01 * (i - 6), 1.0], 1))
+    rows.append((99, [1.0, 0.02], 1))  # mislabeled A-cluster point
+    out = {r["vec_id"]: r for r in knn_label_audit(_embs(spark, rows), k=5).collect()}
+    assert out[99]["flagged"] is True and out[99]["majority_label"] == 0
+    assert out[0]["flagged"] is False
+    assert all(r["n_neighbors"] == 5 for r in out.values())
+
+
+def test_knn_audit_excludes_self_despite_duplicates(spark):
+    # Exact duplicate vectors: self must still be excluded, k rows kept.
+    rows = [(i, [1.0, 0.0], 0) for i in range(4)] + [(10, [0.0, 1.0], 1)]
+    out = {r["vec_id"]: r for r in knn_label_audit(_embs(spark, rows), k=3).collect()}
+    assert out[0]["n_neighbors"] == 3
+    assert out[0]["majority_label"] == 0  # the three other duplicates win
+    assert out[10]["flagged"] is True  # its neighbors are all label 0
+
+
+# -------------------------------------------------------- calibration
+
+
+def test_calibration_perfect_and_off(spark):
+    # Bin 2 (p=0.25) observed at 25% -> gap 0; bin 7 (p=0.75)
+    # observed at 25% -> gap 0.5. ECE = weighted mean of gaps.
+    rows = [(0.25, 1 if i % 4 == 0 else 0) for i in range(40)]
+    rows += [(0.75, 1 if i % 4 == 0 else 0) for i in range(40)]
+    df = spark.createDataFrame(rows, "p double, y int")
+    out = {r["bin"]: r for r in calibration_report(df, "p", "y").collect()}
+    assert set(out) == {2, 7}
+    assert out[2]["gap"] == 0.0
+    assert out[7]["gap"] == 0.5
+    assert out[2]["ece"] == 0.25  # (40*0 + 40*0.5) / 80
+    assert out[2]["n_total"] == 80
+    # Brier: bin2 terms mean((0.25-y)^2)=0.1875*... hand: 10*(0.75^2)+30*(0.25^2)
+    # per 40 rows = (5.625+1.875)/40; bin7 10*(0.25)^2+30*(0.75)^2 = (0.625+16.875)/40
+    expected_brier = round((10 * 0.75**2 + 30 * 0.25**2
+                            + 10 * 0.25**2 + 30 * 0.75**2) / 80, 6)
+    assert out[2]["brier"] == expected_brier
+
+
+def test_calibration_edge_probabilities_clamped(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0), (1.0, 1), (0.999, 1)], "p double, y int"
+    )
+    out = {r["bin"]: r for r in calibration_report(df, "p", "y").collect()}
+    assert 0 in out and 9 in out
+    assert out[9]["n"] == 2  # p=1.0 clamps into the top bin
+
+
+def test_calibration_rejects_bad_bins(spark):
+    df = spark.createDataFrame([(0.5, 1)], "p double, y int")
+    with pytest.raises(ValueError):
+        calibration_report(df, "p", "y", n_bins=1)
+
+
+# ---------------------------------------------------------------- TWA
+
+
+def test_twa_burst_vs_uniform(spark):
+    # Value 10 holds for 9 time units, then a burst of 1s in one
+    # unit: TWA stays near 10 while the row mean collapses.
+    rows = [("a", 0, 10.0)]
+    rows += [("a", 9 + i, 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    r = time_weighted_mean(df, ["g"], "t", "v").collect()[0]
+    # weighted: 10*9 + 1*4 (last point no duration) over span 13
+    assert r["twa"] == pytest.approx((10 * 9 + 4) / 13, abs=1e-6)
+    assert r["row_mean"] == pytest.approx(2.5, abs=1e-9)
+    assert r["span"] == 13 and r["n_points"] == 6
+
+
+def test_twa_single_point_null(spark):
+    df = spark.createDataFrame([("a", 5, 3.0)], "g string, t long, v double")
+    r = time_weighted_mean(df, ["g"], "t", "v").collect()[0]
+    assert r["twa"] is None and r["row_mean"] == 3.0
