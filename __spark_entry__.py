@@ -10244,6 +10244,7 @@ def extra_oracle_sql() -> dict[str, str]:
         agg AS (
             SELECT l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(DISTINCT x) AS BIGINT) AS ndist,
                    SUM(CAST(x AS DECIMAL(28,6))) AS s1,
                    SUM(CAST(x2 AS DECIMAL(32,6))) AS s2,
                    SUM(CAST(x3 AS DECIMAL(36,6))) AS s3,
@@ -10251,7 +10252,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM p GROUP BY l_returnflag
         ),
         d AS (
-            SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+            SELECT l_returnflag, n, ndist, CAST(n AS DOUBLE) AS nd,
                    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
                    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
                    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS s3d,
@@ -10259,7 +10260,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM agg
         ),
         m AS (
-            SELECT l_returnflag, n, nd,
+            SELECT l_returnflag, n, ndist, nd,
                    s1d / nd AS mean,
                    s2d / nd - (s1d / nd) * (s1d / nd) AS m2,
                    s3d / nd - 3.0 * (s1d / nd) * (s2d / nd)
@@ -10272,13 +10273,15 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         SELECT l_returnflag, n,
                round(mean, 6) AS mean,
-               round(CASE WHEN n > 1
-                          THEN sqrt(m2 * nd / (nd - 1.0)) END, 6) AS std,
-               CASE WHEN n > 2 AND m2 > 0
+               round(CASE WHEN ndist = 1 THEN 0.0
+                          WHEN n > 1
+                          THEN sqrt(greatest(m2, 0.0) * nd / (nd - 1.0))
+                     END, 6) AS std,
+               CASE WHEN n > 2 AND m2 > 0 AND ndist > 1
                     THEN round((m3 / (m2 * sqrt(m2)))
                                * sqrt(nd * (nd - 1.0)) / (nd - 2.0), 6)
                END AS skewness,
-               CASE WHEN n > 3 AND m2 > 0
+               CASE WHEN n > 3 AND m2 > 0 AND ndist > 1
                     THEN round(((nd + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0)
                                * (nd - 1.0)
                                / ((nd - 2.0) * (nd - 3.0)), 6)
@@ -10817,9 +10820,17 @@ def extra_oracle_sql() -> dict[str, str]:
                    CAST(substr(CAST(m AS VARCHAR), 1, 1) AS INT) AS d
             FROM (
                 SELECT l_returnflag,
-                       CAST(round(abs(CAST(l_extendedprice AS DOUBLE))
-                            * 1000000.0, 0) AS BIGINT) AS m
-                FROM lineitem WHERE l_extendedprice IS NOT NULL
+                       CAST(round(
+                           CASE WHEN ax < 9e0 THEN ax * 1e18
+                                WHEN ax < 9e12 THEN ax * 1e6
+                                WHEN ax < 9e18 THEN ax
+                                WHEN ax < 9e30 THEN ax / 1e12
+                           END, 0) AS BIGINT) AS m
+                FROM (
+                    SELECT l_returnflag,
+                           abs(CAST(l_extendedprice AS DOUBLE)) AS ax
+                    FROM lineitem WHERE l_extendedprice IS NOT NULL
+                )
             ) WHERE m > 0
         ),
         counts AS (

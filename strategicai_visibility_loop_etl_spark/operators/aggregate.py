@@ -612,6 +612,11 @@ def moments_profile(
         .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
+            # Exact constant-group detection: with the raw-sum double
+            # form, a constant like 1.0005 yields m2 = -2.5e-7 from
+            # 6dp power rounding (NaN std) or a tiny positive value
+            # (noise skew); n_distinct == 1 decides exactly.
+            F.countDistinct(x).cast("long").alias("__nd"),
             F.sum(x.cast("decimal(28,6)")).alias("__s1"),
             F.sum(x2.cast("decimal(32,6)")).alias("__s2"),
             F.sum(x3.cast("decimal(36,6)")).alias("__s3"),
@@ -633,12 +638,13 @@ def moments_profile(
         + F.lit(6.0) * (mean * mean) * (s2 / n)
         - F.lit(3.0) * ((mean * mean) * (mean * mean))
     )
-    std = F.when(
-        F.col("n") > 1, F.sqrt(m2 * n / (n - F.lit(1.0)))
+    std = F.when(F.col("__nd") == 1, F.lit(0.0)).when(
+        F.col("n") > 1,
+        F.sqrt(F.greatest(m2, F.lit(0.0)) * n / (n - F.lit(1.0))),
     )
     g1 = m3 / (m2 * F.sqrt(m2))
     skew = F.when(
-        (F.col("n") > 2) & (m2 > 0),
+        (F.col("n") > 2) & (m2 > 0) & (F.col("__nd") > 1),
         round_c(
             g1 * F.sqrt(n * (n - F.lit(1.0))) / (n - F.lit(2.0)),
             out_decimals,
@@ -646,7 +652,7 @@ def moments_profile(
     )
     g2 = m4 / (m2 * m2) - F.lit(3.0)
     kurt = F.when(
-        (F.col("n") > 3) & (m2 > 0),
+        (F.col("n") > 3) & (m2 > 0) & (F.col("__nd") > 1),
         round_c(
             ((n + F.lit(1.0)) * g2 + F.lit(6.0))
             * (n - F.lit(1.0))
@@ -717,7 +723,10 @@ def mann_kendall(
         F.col("__rn").alias("__rj"),
         F.col("__x").alias("__xj"),
     )
-    cond = [F.col(c) == F.col(f"__g_{c}") for c in group_cols] + [
+    # eqNullSafe: window partitioning keeps NULL-keyed groups, so the
+    # pair join (and the S join-back below) must too — a plain == had
+    # a NULL-keyed drifting series report s_stat=0 / 'no_trend'.
+    cond = [F.col(c).eqNullSafe(F.col(f"__g_{c}")) for c in group_cols] + [
         F.col("__ri") < F.col("__rj")
     ]
     s_tab = (
@@ -746,7 +755,18 @@ def mann_kendall(
             ).cast("decimal(38,0)").alias("__tie_sum"),
         )
     )
-    joined = ties.join(s_tab, group_cols, "left")
+    s_tab_r = s_tab.select(
+        *[F.col(c).alias(f"__j_{i}") for i, c in enumerate(group_cols)],
+        "s_stat",
+    )
+    joined = ties.join(
+        s_tab_r,
+        [
+            F.col(c).eqNullSafe(F.col(f"__j_{i}"))
+            for i, c in enumerate(group_cols)
+        ],
+        "left",
+    ).drop(*[f"__j_{i}" for i in range(len(group_cols))])
     nd = F.col("n").cast("decimal(12,0)")
     var_num = (
         nd

@@ -412,9 +412,22 @@ def psi_drift(
     n_base_f = base_counts.agg(
         F.sum("__cb").cast("long").alias("__n_base")
     )
+    # NULL-SAFE join on the group key: groupBy keeps NULL-keyed
+    # groups, a plain equi-join would zero their bin counts and
+    # report the pure-smoothing PSI as if it were measured drift.
+    cc_r = cur_counts.select(
+        *[F.col(c).alias(f"__k_{i}") for i, c in enumerate(group_cols)],
+        F.col("__b").alias("__kb"),
+        "__cc",
+    )
+    ns_cond = [
+        F.col(c).eqNullSafe(F.col(f"__k_{i}"))
+        for i, c in enumerate(group_cols)
+    ] + [F.col("__b") == F.col("__kb")]
     grid = (
         groups.crossJoin(F.broadcast(spine))
-        .join(cur_counts, [*group_cols, "__b"], "left")
+        .join(cc_r, ns_cond, "left")
+        .drop(*[f"__k_{i}" for i in range(len(group_cols))], "__kb")
         .join(F.broadcast(base_counts), "__b", "left")
         .crossJoin(F.broadcast(n_base_f))
         .select(

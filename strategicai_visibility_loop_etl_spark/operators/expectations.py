@@ -478,12 +478,19 @@ def benford_audit(
     nonconformity) per group.
 
     First-digit extraction never touches float FORMATTING (engine-
-    specific): the value rounds to 6 decimals, scales to an exact
-    BIGINT, and the digit is the first character of the INTEGER's
-    string — identical in any engine. Zero values (no leading digit)
-    are excluded; |x| handles sign. The digit grid always covers 1-9
-    (zero-count digits still contribute their expected mass — the
-    cramers_v zero-cell lesson).
+    specific): |x| is brought into BIGINT range by ONE power-of-10
+    magnitude branch (x*1e18 below 9, x*1e6 below 9e12, x as-is below
+    9e18, x/1e12 below 9e30 — a naive x*1e6 cast OVERFLOWS under
+    ANSI mode at |x| >= ~9.2e12 and killed the whole audit), rounded
+    to an exact BIGINT whose integer-string head is the digit —
+    identical in any engine. Values outside [5e-19, 9e30) in
+    magnitude (including zero — no leading digit) are excluded and
+    simply don't count toward n. The power-of-10 scaling is binary-
+    inexact, so a value within ~1 ulp of a digit boundary may read as
+    the neighboring digit — deterministically, and identically in
+    both engines. The digit grid always covers 1-9 (zero-count digits
+    still contribute their expected mass — the cramers_v zero-cell
+    lesson).
 
     One hash aggregate over the corpus + a 9-row broadcast grid;
     chi-square and MAD terms round to 9dp and sum as DECIMAL —
@@ -494,9 +501,14 @@ def benford_audit(
     from ..functions.numeric import round_c
 
     gcols = list(group_cols or [])
-    m = F.round(F.abs(F.col(value_col).cast("double")) * F.lit(1e6), 0).cast(
-        "long"
-    )
+    ax = F.abs(F.col(value_col).cast("double"))
+    scaled = (
+        F.when(ax < F.lit(9e0), ax * F.lit(1e18))
+        .when(ax < F.lit(9e12), ax * F.lit(1e6))
+        .when(ax < F.lit(9e18), ax)
+        .when(ax < F.lit(9e30), ax / F.lit(1e12))
+    )  # ELSE NULL: beyond the supported magnitude window, excluded
+    m = F.round(scaled, 0).cast("long")
     base = (
         df.filter(F.col(value_col).isNotNull())
         .select(*gcols, m.alias("__m"))

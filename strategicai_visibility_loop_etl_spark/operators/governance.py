@@ -515,9 +515,21 @@ def t_closeness_violations(
     n_cls = cls.groupBy(*quasi_cols).agg(
         F.sum("__c").cast("long").alias("__nc")
     )
+    # NULL-SAFE join back on the quasi key: groupBy keeps NULL-keyed
+    # classes, and a plain equi-join would silently drop them — a
+    # privacy-gate false negative exactly where data is dirtiest.
+    n_cls_r = n_cls.select(
+        *[F.col(c).alias(f"__k_{i}") for i, c in enumerate(quasi_cols)],
+        "__nc",
+    )
+    ns_cond = [
+        F.col(c).eqNullSafe(F.col(f"__k_{i}"))
+        for i, c in enumerate(quasi_cols)
+    ]
     joined = (
         cls.join(F.broadcast(glob), sensitive_col)
-        .join(n_cls, quasi_cols)
+        .join(n_cls_r, ns_cond)
+        .drop(*[f"__k_{i}" for i in range(len(quasi_cols))])
         .crossJoin(F.broadcast(n_glob))
     )
     p_c = F.col("__c").cast("double") / F.col("__nc").cast("double")

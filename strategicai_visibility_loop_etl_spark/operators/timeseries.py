@@ -731,9 +731,26 @@ def cusum_changepoints(
         round_c(F.lit(float(k_sigma)) * sd, 6).alias("__slack"),
         round_c(F.lit(float(h_sigma)) * sd, 6).alias("__thr"),
     )
+    # NULL-SAFE join back: the stats aggregate keeps NULL-keyed
+    # groups, and a plain equi-join would silently drop their rows
+    # from the report instead of emitting the degenerate NULL cusums.
+    stats_r = stats.select(
+        *[F.col(c).alias(f"__k_{i}") for i, c in enumerate(group_cols)],
+        "__mu",
+        "__sd",
+        "__slack",
+        "__thr",
+    )
     series = (
         df.filter(F.col(value_col).isNotNull())
-        .join(stats, group_cols)
+        .join(
+            stats_r,
+            [
+                F.col(c).eqNullSafe(F.col(f"__k_{i}"))
+                for i, c in enumerate(group_cols)
+            ],
+        )
+        .drop(*[f"__k_{i}" for i in range(len(group_cols))])
         .groupBy(*group_cols)
         .agg(
             F.sort_array(

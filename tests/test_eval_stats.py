@@ -754,3 +754,71 @@ def test_twa_single_point_null(spark):
     df = spark.createDataFrame([("a", 5, 3.0)], "g string, t long, v double")
     r = time_weighted_mean(df, ["g"], "t", "v").collect()[0]
     assert r["twa"] is None and r["row_mean"] == 3.0
+
+
+# ------------------------------------------- review-pass regressions
+
+
+def test_t_closeness_null_quasi_class_reported(spark):
+    # Review finding: a NULL-keyed quasi class that leaks must be
+    # reported — the null-unsafe join-back silently dropped it.
+    rows = [(None, "A")] * 50 + [("fair", "A")] * 25 + [("fair", "B")] * 25
+    rows += [("other", "B")] * 50
+    df = spark.createDataFrame(rows, "q string, s string")
+    out = {r["q"]: r for r in
+           t_closeness_violations(df, ["q"], "s", t=0.2).collect()}
+    assert None in out and out[None]["tvd"] == 0.5
+    assert "other" in out and "fair" not in out
+
+
+def test_mann_kendall_null_group_keeps_real_s(spark):
+    rows = [(None, t, float(t)) for t in range(20)]
+    r = mann_kendall(
+        spark.createDataFrame(rows, "g string, t long, v double"),
+        ["g"], "t", "v",
+    ).collect()[0]
+    assert r["s_stat"] == 190
+    assert r["trend"] == "increasing"
+
+
+def test_psi_null_group_measures_real_drift(spark):
+    base = _vals(spark, [("x", float(i)) for i in range(100)])
+    cur = spark.createDataFrame(
+        [(None, float(i) + 1000.0) for i in range(100)], "g string, v double"
+    )
+    r = psi_drift(cur, "v", ["g"], baseline=base).collect()[0]
+    assert r["g"] is None
+    assert r["psi"] > 3.0  # everything in the top bin, NOT the
+    # all-bins-empty smoothing artifact (~2.18)
+
+
+def test_cusum_null_group_rows_survive(spark):
+    rows = [(None, t, float(t % 3)) for t in range(10)]
+    out = cusum_changepoints(
+        spark.createDataFrame(rows, "g string, t long, v double"),
+        ["g"], "t", "v",
+    ).collect()
+    assert len(out) == 10
+    assert all(r["cusum_pos"] is not None for r in out)
+
+
+def test_moments_rounding_edge_constant_group(spark):
+    # round(1.0005^2, 6) = 1.001 < 1.0005^2: the raw-sum m2 goes
+    # slightly negative — std must be 0.0 (constant group), never NaN,
+    # and skew/kurt must stay NULL instead of reporting rounding noise.
+    df = _vals(spark, [("a", 1.0005)] * 6)
+    r = moments_profile(df, "v", ["g"]).collect()[0]
+    assert r["std"] == 0.0
+    assert r["skewness"] is None and r["kurtosis"] is None
+
+
+def test_benford_large_and_tiny_magnitudes(spark):
+    # Review finding: |x| >= ~9.2e12 overflowed the BIGINT cast under
+    # ANSI mode and killed the job; micro-values rounded to 0 and
+    # silently vanished. Both magnitude branches must now count.
+    rows = [("a", 1.23e13), ("a", 4.5e20), ("a", 1e-7), ("a", 7.0),
+            ("a", 0.0), ("a", 1e35)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = benford_audit(df, "v", ["g"]).collect()[0]
+    # zero and the out-of-window 1e35 excluded; the other four count.
+    assert r["n"] == 4
