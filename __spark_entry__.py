@@ -5614,6 +5614,75 @@ def qx128_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_mean(collapsed, ["event_type"], "tus", "x")
 
 
+
+
+def qx129_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable dictionary encoding (capability row 228): build the
+    (key, id) dictionary from even-orderkey customers, then grow it
+    with the full table — existing ids never move, new keys extend
+    densely in sort order (both prefix sums run the DISTRIBUTED
+    two-pass form, never a data-sized global window). DuckDB replays
+    the two rank assignments and the anti-join."""
+    from strategicai_visibility_loop_etl_spark.operators.snapshot import (
+        id_dictionary_build,
+        id_dictionary_update,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    dict_a = id_dictionary_build(
+        orders.filter(F.col("o_orderkey") % 2 == 0), "o_custkey"
+    )
+    full = id_dictionary_update(dict_a, orders, "o_custkey")
+    return full.orderBy("key_id")
+
+
+def qx130_chash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hashing ring assignment (capability row 229): the
+    qx107 host universe under a 4-node and a 3-node ring in one
+    cross-tab — off-diagonal rows are exactly the removed node's keys
+    (minimal disruption, same property HRW shows, different
+    mechanism). Ring positions are pre-tabulated literals; only the
+    key hash runs in-engine, and DuckDB replays it."""
+    from strategicai_visibility_loop_etl_spark.operators.domains import (
+        consistent_hash_assign,
+    )
+
+    hosts = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 97).cast("string"),
+            F.lit(".example"),
+        ).alias("host")
+    )
+    four = consistent_hash_assign(
+        hosts, "host", ["node-a", "node-b", "node-c", "node-d"],
+        vnodes=16, out_col="node4",
+    )
+    three = consistent_hash_assign(
+        hosts, "host", ["node-a", "node-b", "node-c"],
+        vnodes=16, out_col="node3",
+    )
+    return (
+        four.join(three, "host")
+        .groupBy("node4", "node3")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .orderBy("node4", "node3")
+    )
+
+
+def qx131_js_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between language corpora
+    (capability row 230): the symmetric bounded drift metric with the
+    qx51 absent-mass closed form applied pairwise — no pairs-x-vocab
+    grid. DuckDB replays the union-token joins, the 9dp ln terms and
+    the 12dp absent constant."""
+    from strategicai_visibility_loop_etl_spark.operators.drift import (
+        js_divergence_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return js_divergence_pairs(docs, "lang")
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5744,6 +5813,9 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx126_knn_audit": qx126_knn_audit,
         "qx127_calibration": qx127_calibration,
         "qx128_twa": qx128_twa,
+        "qx129_dictionary": qx129_dictionary,
+        "qx130_chash_ring": qx130_chash_ring,
+        "qx131_js_pairs": qx131_js_pairs,
     }
 
 
@@ -11059,6 +11131,173 @@ def extra_oracle_sql() -> dict[str, str]:
                round(CAST(CAST(xsum AS VARCHAR) AS DOUBLE)
                      / CAST(n_points AS DOUBLE), 6) AS row_mean
         FROM agg ORDER BY event_type
+    """
+
+    # qx129: two sort-order rank assignments joined by an anti-join;
+    # ids from batch A never move.
+    sql["qx129_dictionary"] = """
+        WITH a AS (
+            SELECT DISTINCT o_custkey AS key FROM orders
+            WHERE o_orderkey % 2 = 0 AND o_custkey IS NOT NULL
+        ),
+        da AS (
+            SELECT key, CAST(row_number() OVER (ORDER BY key)
+                        AS BIGINT) AS key_id
+            FROM a
+        ),
+        b AS (
+            SELECT DISTINCT o_custkey AS key FROM orders
+            WHERE o_custkey IS NOT NULL
+        ),
+        newk AS (
+            SELECT key FROM b WHERE key NOT IN (SELECT key FROM a)
+        ),
+        mx AS (SELECT COALESCE(MAX(key_id), 0) AS m FROM da),
+        db AS (
+            SELECT key, CAST(m + row_number() OVER (ORDER BY key)
+                        AS BIGINT) AS key_id
+            FROM newk CROSS JOIN mx
+        )
+        SELECT key, key_id FROM da
+        UNION ALL SELECT key, key_id FROM db
+        ORDER BY key_id
+    """
+
+    # qx130: pre-tabulated ring literals (the SAME Python-generated
+    # integers the Spark plan embeds); only the key hash replays.
+    from strategicai_visibility_loop_etl_spark.operators.domains import (
+        ring_positions as _ring_positions,
+    )
+
+    _ch_hash = (
+        "list_reduce(list_transform(range(1, length({s}) + 1), "
+        "i -> CAST(ascii(substr({s}, CAST(i AS INTEGER), 1)) AS BIGINT)), "
+        "(a, x) -> (a * 31 + x) % 1000000007)"
+    ).format(s="host")
+
+    def _ring_sql(nodes, out):
+        ring = _ring_positions(nodes, 16)
+        pos_lit = ", ".join(str(p) for p, _ in ring)
+        node_lit = ", ".join(f"'{n}'" for _, n in ring)
+        return f"""
+            SELECT host,
+                   list_extract([{node_lit}],
+                       CASE WHEN below = {len(ring)} THEN 1
+                            ELSE below + 1 END) AS {out}
+            FROM (
+                SELECT host,
+                       len(list_filter([{pos_lit}], p -> p < kp)) AS below
+                FROM (
+                    SELECT host,
+                           xor(h2, h2 >> 16) AS kp
+                    FROM (
+                        SELECT host,
+                               (xor(h1, h1 >> 13) * 40503) % 4294967296 AS h2
+                        FROM (
+                            SELECT host,
+                                   ({_ch_hash} * 2654435761) % 4294967296 AS h1
+                            FROM hosts
+                        )
+                    )
+                )
+            )
+        """
+
+    sql["qx130_chash_ring"] = f"""
+        WITH hosts AS (
+            SELECT DISTINCT 'host' || CAST(doc_id % 97 AS VARCHAR)
+                       || '.example' AS host
+            FROM documents
+        ),
+        a4 AS ({_ring_sql(["node-a", "node-b", "node-c", "node-d"], "node4")}),
+        a3 AS ({_ring_sql(["node-a", "node-b", "node-c"], "node3")})
+        SELECT node4, node3, CAST(COUNT(*) AS BIGINT) AS n_hosts
+        FROM a4 JOIN a3 USING (host)
+        GROUP BY node4, node3 ORDER BY node4, node3
+    """
+
+    # qx131: union-token pair joins + the pairwise absent-mass closed
+    # form; 9dp ln terms, 12dp absent constant, literal ln(2).
+    import math as _math
+
+    sql["qx131_js_pairs"] = f"""
+        WITH counts AS (
+            SELECT g, t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+                SELECT lang AS g, unnest({_toks(norm_text)}) AS t
+                FROM documents WHERE text IS NOT NULL
+            ) GROUP BY g, t
+        ),
+        totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n
+                   FROM counts GROUP BY g),
+        vocab AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v
+                  FROM counts),
+        pairs AS (
+            SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
+            FROM totals a CROSS JOIN totals b
+            WHERE COALESCE(CAST(a.g AS VARCHAR), ' ')
+                  < COALESCE(CAST(b.g AS VARCHAR), ' ')
+        ),
+        ut AS (
+            SELECT DISTINCT ga, gb, t FROM (
+                SELECT p.ga, p.gb, c.t FROM pairs p
+                JOIN counts c ON c.g IS NOT DISTINCT FROM p.ga
+                UNION ALL
+                SELECT p.ga, p.gb, c.t FROM pairs p
+                JOIN counts c ON c.g IS NOT DISTINCT FROM p.gb
+            )
+        ),
+        j AS (
+            SELECT ut.ga, ut.gb, p.na, p.nb, v.v,
+                   (CAST(COALESCE(ca.c, 0) AS DOUBLE) + 1.0)
+                       / (CAST(p.na AS DOUBLE) + CAST(v.v AS DOUBLE)) AS p,
+                   (CAST(COALESCE(cb.c, 0) AS DOUBLE) + 1.0)
+                       / (CAST(p.nb AS DOUBLE) + CAST(v.v AS DOUBLE)) AS q
+            FROM ut
+            JOIN pairs p ON p.ga IS NOT DISTINCT FROM ut.ga
+                        AND p.gb IS NOT DISTINCT FROM ut.gb
+            CROSS JOIN vocab v
+            LEFT JOIN counts ca ON ca.g IS NOT DISTINCT FROM ut.ga
+                               AND ca.t = ut.t
+            LEFT JOIN counts cb ON cb.g IS NOT DISTINCT FROM ut.gb
+                               AND cb.t = ut.t
+        ),
+        terms AS (
+            SELECT ga, gb, na, nb, v,
+                   CAST(round(
+                       0.5 * (p * (ln(p) - ln((p + q) / 2.0)))
+                       + 0.5 * (q * (ln(q) - ln((p + q) / 2.0))), 9)
+                       AS DECIMAL(28,9)) AS term
+            FROM j
+        ),
+        present AS (
+            SELECT ga, gb, na, nb, v,
+                   CAST(COUNT(*) AS BIGINT) AS u,
+                   SUM(term) AS psum
+            FROM terms GROUP BY ga, gb, na, nb, v
+        ),
+        fin AS (
+            SELECT ga, gb, na, nb, u,
+                   CAST(CAST(psum AS VARCHAR) AS DOUBLE) AS psumd,
+                   CAST(CAST(
+                       CAST(round(
+                           0.5 * ((1.0 / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+                               * (ln(1.0 / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+                                  - ln(((1.0 / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+                                        + (1.0 / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))) / 2.0)))
+                           + 0.5 * ((1.0 / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))
+                               * (ln(1.0 / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))
+                                  - ln(((1.0 / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)))
+                                        + (1.0 / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)))) / 2.0))),
+                           12) AS DECIMAL(16,12))
+                       * CAST(v - u AS DECIMAL(19,0))
+                   AS VARCHAR) AS DOUBLE) AS absd
+            FROM present
+        )
+        SELECT ga AS group_a, gb AS group_b, na AS n_a, nb AS n_b,
+               u AS n_union_terms,
+               round(psumd + absd, 6) AS js,
+               round((psumd + absd) / {_math.log(2.0)!r}, 6) AS js_norm
+        FROM fin ORDER BY group_a, group_b
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -493,3 +493,37 @@ def script_fractions(col: Column, decimals: int = 6) -> Column:
         *[frac(r).alias(name) for name, r in SCRIPT_RANGES.items()],
     ]
     return F.when(n > 0, F.struct(*fields))
+
+
+def avalanche32(col: Column) -> Column:
+    """Shift-xor avalanche finalizer over a non-negative int64 (the
+    qx69 JL-hash mix): spreads the CLUSTERS the polynomial fold
+    leaves on shared-prefix inputs into a uniform 32-bit value —
+    required wherever hash VALUES (not just equality) carry meaning:
+    order statistics (KMV), ring positions (consistent hashing).
+    Every intermediate stays within int64; replayable in SQL as
+    ``xor((h*2654435761)%4294967296, ...)`` chains.
+    """
+    m32 = F.lit(4294967296)
+    h = F.pmod(col * F.lit(2654435761), m32)
+    h = h.bitwiseXOR(F.shiftright(h, 13))
+    h = F.pmod(h * F.lit(40503), m32)
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
+def py_char_fold_hash(s: str) -> int:
+    """Python mirror of ``char_fold_hash`` — for PRE-TABULATING hash
+    literals (ring positions, test fixtures) that both the Spark plan
+    and a SQL oracle then embed verbatim (the decay-weights trick)."""
+    acc = 0
+    for ch in s:
+        acc = (acc * _FP_BASE + ord(ch)) % _FP_MOD
+    return acc
+
+
+def py_avalanche32(x: int) -> int:
+    """Python mirror of :func:`avalanche32` (same pre-tabulation use)."""
+    x = (x * 2654435761) % 2**32
+    x ^= x >> 13
+    x = (x * 40503) % 2**32
+    return x ^ (x >> 16)

@@ -243,3 +243,69 @@ def rendezvous_assign(
             "__node", F.struct(F.col("__w"), F.col("__node"))
         ).alias(out_col)
     )
+
+
+def ring_positions(
+    nodes: list[str], vnodes: int = 16
+) -> list[tuple[int, str]]:
+    """Pre-tabulated consistent-hash ring: ``vnodes`` positions per
+    node at ``avalanche32(char_fold_hash(f"{node}#{r}"))``, sorted by
+    (position, node). Computed ONCE in Python (the decay-weights /
+    Benford tabulation trick) so the Spark plan and a SQL oracle
+    embed the SAME integer literals — only the KEY hash ever runs in
+    an engine. Position collisions across nodes keep a deterministic
+    node-name order."""
+    from ..functions.text import py_avalanche32, py_char_fold_hash
+
+    if vnodes < 1 or not nodes:
+        raise ValueError("need nodes and vnodes >= 1")
+    ring = [
+        (py_avalanche32(py_char_fold_hash(f"{n}#{r}")), n)
+        for n in nodes
+        for r in range(vnodes)
+    ]
+    return sorted(ring)
+
+
+def consistent_hash_assign(
+    df: DataFrame,
+    key_col: str,
+    nodes: list[str],
+    vnodes: int = 16,
+    out_col: str = "node",
+) -> DataFrame:
+    """Consistent-hashing ring assignment (Karger et al. 1997) — the
+    OTHER rebalance-stable sharder next to :func:`rendezvous_assign`
+    (HRW): each key goes to the first virtual node clockwise of its
+    hash. Removing a node moves ONLY that node's keys (onto the next
+    vnode clockwise — pytest-pinned); ``vnodes`` controls balance
+    (load spread ~1/sqrt(vnodes·|nodes|)). Prefer HRW for small
+    node counts (perfectly uniform); prefer the ring when node lists
+    are large (assignment is O(log) on a sorted ring, here a bounded
+    array expression) or when vnode weighting matters.
+
+    One row per DISTINCT key (the rendezvous map contract). The ring
+    is ``|nodes|·vnodes`` pre-tabulated literals riding the plan (see
+    :func:`ring_positions`); assignment is a pure array expression —
+    count ring positions below the key's hash, wrap past the end —
+    zero joins, zero shuffles beyond the key distinct.
+    """
+    from ..functions.text import avalanche32, char_fold_hash  # noqa: PLC0415
+
+    ring = ring_positions(nodes, vnodes)
+    pos_arr = F.array(*[F.lit(p).cast("long") for p, _ in ring])
+    node_arr = F.array(*[F.lit(n) for _, n in ring])
+    kp = avalanche32(char_fold_hash(F.col("key").cast("string")))
+    below = F.size(F.filter(pos_arr, lambda p: p < kp))
+    idx = F.when(below == F.lit(len(ring)), F.lit(1)).otherwise(
+        below + F.lit(1)
+    )
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("key"))
+        .distinct()
+        .select(
+            F.col("key").alias(key_col),
+            F.element_at(node_arr, idx).alias(out_col),
+        )
+    )

@@ -462,3 +462,167 @@ def psi_drift(
         )
     )
     return out.orderBy(*group_cols)
+
+
+def js_divergence_pairs(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    out_decimals: int = 6,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two groups'
+    token distributions — the SYMMETRIC, bounded ([0, ln 2]) member
+    of the drift family: :func:`token_distribution_drift`'s KL reads
+    each group against the corpus (asymmetric, unbounded — fine for
+    monitoring, awkward for clustering); JS is the metric-like
+    quantity mixture planning actually compares sources WITH
+    (which two crawls are interchangeable, which add diversity):
+
+        JS(P,Q) = 1/2 KL(P||M) + 1/2 KL(Q||M),  M = (P+Q)/2
+
+    with add-one smoothing over the corpus vocabulary V.
+
+    Scale shape — the qx51 closed form, pairwise: NO pairs-times-vocab
+    grid. For tokens absent from BOTH groups, the smoothed p, q, m
+    are per-pair CONSTANTS, so those (V - |union|) tokens contribute
+    one closed-form term; only each pair's union-token table (two
+    model-sized joins against the (group, token) counts) is computed
+    explicitly. Group count is assumed report-sized (sources/langs —
+    pairs are O(G^2)); the corpus is scanned once for the count table.
+
+    Exactness: every ln term is a fixed-order double rounded via
+    ``round_c`` to 9 decimals and summed as DECIMAL; the absent-mass
+    constant rounds to 12 decimals before the exact integer multiply
+    by (V - |union|). ``js_norm`` = js / ln 2 (a Python-literal
+    divisor — ln never runs in a plan for it) rescales to [0, 1].
+    NULL groups participate as their own group (eqNullSafe joins —
+    the review-pass convention).
+    """
+    import math  # noqa: PLC0415
+
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(tokens(F.col(text_col))).alias("__t"),
+        )
+        .groupBy("__g", "__t")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = counts.groupBy("__g").agg(
+        F.sum("__c").cast("long").alias("__n")
+    )
+    vocab = counts.select("__t").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__v")
+    )
+    ga = totals.select(F.col("__g").alias("ga"), F.col("__n").alias("na"))
+    gb = totals.select(F.col("__g").alias("gb"), F.col("__n").alias("nb"))
+    pairs = ga.crossJoin(gb).filter(
+        F.coalesce(F.col("ga").cast("string"), F.lit(" "))
+        < F.coalesce(F.col("gb").cast("string"), F.lit(" "))
+    )
+    # union tokens per pair: each side's tokens tagged with the pair.
+    ca = counts.select(
+        F.col("__g").alias("ga"),
+        F.col("__t").alias("__t"),
+        F.col("__c").alias("__ca"),
+    )
+    cb = counts.select(
+        F.col("__g").alias("gb"),
+        F.col("__t").alias("__t"),
+        F.col("__c").alias("__cb"),
+    )
+    # union tokens per pair, carrying the pair totals through so no
+    # re-join against `pairs` is needed downstream (a re-join would
+    # collide attribute lineage: ut derives FROM pairs).
+    left_tag = pairs.join(
+        ca.select(F.col("ga").alias("__cg"), "__t"),
+        pairs["ga"].eqNullSafe(F.col("__cg")),
+    ).select("ga", "gb", "na", "nb", "__t")
+    right_tag = pairs.join(
+        cb.select(F.col("gb").alias("__cg"), "__t"),
+        pairs["gb"].eqNullSafe(F.col("__cg")),
+    ).select("ga", "gb", "na", "nb", "__t")
+    ut = left_tag.unionByName(right_tag).distinct()
+    j = (
+        ut.alias("u")
+        .join(
+            ca.alias("x"),
+            (F.col("u.ga").eqNullSafe(F.col("x.ga")))
+            & (F.col("u.__t") == F.col("x.__t")),
+            "left",
+        )
+        .join(
+            cb.alias("y"),
+            (F.col("u.gb").eqNullSafe(F.col("y.gb")))
+            & (F.col("u.__t") == F.col("y.__t")),
+            "left",
+        )
+        .select(
+            F.col("u.ga").alias("ga"),
+            F.col("u.gb").alias("gb"),
+            F.col("u.na").alias("na"),
+            F.col("u.nb").alias("nb"),
+            F.col("x.__ca").alias("__ca"),
+            F.col("y.__cb").alias("__cb"),
+        )
+        .crossJoin(F.broadcast(vocab))
+    )
+    vd = F.col("__v").cast("double")
+    p = (F.coalesce(F.col("__ca"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("na").cast("double") + vd
+    )
+    q = (F.coalesce(F.col("__cb"), F.lit(0)).cast("double") + F.lit(1.0)) / (
+        F.col("nb").cast("double") + vd
+    )
+    m = (p + q) / F.lit(2.0)
+    term = round_c(
+        F.lit(0.5) * (p * (F.log(p) - F.log(m)))
+        + F.lit(0.5) * (q * (F.log(q) - F.log(m))),
+        9,
+    )
+    present = (
+        j.select(
+            "ga",
+            "gb",
+            "na",
+            "nb",
+            "__v",
+            term.cast("decimal(28,9)").alias("__term"),
+        )
+        .groupBy("ga", "gb", "na", "nb", "__v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__u"),
+            F.sum("__term").alias("__psum"),
+        )
+    )
+    p0 = F.lit(1.0) / (F.col("na").cast("double") + vd)
+    q0 = F.lit(1.0) / (F.col("nb").cast("double") + vd)
+    m0 = (p0 + q0) / F.lit(2.0)
+    const0 = round_c(
+        F.lit(0.5) * (p0 * (F.log(p0) - F.log(m0)))
+        + F.lit(0.5) * (q0 * (F.log(q0) - F.log(m0))),
+        12,
+    )
+    absent = (
+        const0.cast("decimal(16,12)")
+        * (F.col("__v") - F.col("__u")).cast("decimal(19,0)")
+    ).cast("decimal(38,12)")
+    js = round_c(
+        F.col("__psum").cast("double") + absent.cast("double"),
+        out_decimals,
+    )
+    ln2 = F.lit(math.log(2.0))
+    return present.select(
+        F.col("ga").alias("group_a"),
+        F.col("gb").alias("group_b"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.col("__u").alias("n_union_terms"),
+        js.alias("js"),
+        round_c(
+            (F.col("__psum").cast("double") + absent.cast("double")) / ln2,
+            out_decimals,
+        ).alias("js_norm"),
+    ).orderBy("group_a", "group_b")

@@ -475,16 +475,12 @@ def kmv_shard_sketches(
 
     if k < 2:
         raise ValueError("k must be >= 2")
+    from ..functions.text import avalanche32  # noqa: PLC0415
+
     shard = (shard_col if shard_col is not None else F.lit(0)).alias(
         "shard"
     )
-    m32 = F.lit(4294967296)
-    h = F.pmod(
-        char_fold_hash(F.col(col).cast("string")) * F.lit(2654435761), m32
-    )
-    h = h.bitwiseXOR(F.shiftright(h, 13))
-    h = F.pmod(h * F.lit(40503), m32)
-    h = h.bitwiseXOR(F.shiftright(h, 16))
+    h = avalanche32(char_fold_hash(F.col(col).cast("string")))
     hashes = (
         df.filter(F.col(col).isNotNull())
         .select(shard, h.alias("h"))

@@ -365,3 +365,101 @@ def finalize_agg(state: DataFrame) -> DataFrame:
             ),
         ),
     )
+
+
+def id_dictionary_build(
+    df: DataFrame, key_col: str, start_id: int = 1
+) -> DataFrame:
+    """Build a stable (key, key_id) dictionary: every distinct
+    non-NULL key gets a DENSE BIGINT id assigned in key sort order —
+    dictionary encoding for the wide string keys (urls, hosts, user
+    ids) that otherwise ride every shuffle of a 100 TB pipeline as
+    full strings. Pair with :func:`id_dictionary_update` (append-only
+    growth: existing ids NEVER change — the property that makes the
+    encoding safe to persist and join against historical outputs) and
+    :func:`encode_with_dictionary`.
+
+    Scale shape: numbering uses the SHARED distributed two-pass
+    prefix sum (`global_prefix_sum` — range-partition, local
+    row-number, partition-offset add), never a single-partition
+    global window; the only single-partition step is the
+    partition-count-sized offsets frame. Sort-order assignment is
+    what makes the build REPLAYABLE — any engine numbering the same
+    sorted key set produces the same dictionary.
+    """
+    from .textprep import global_prefix_sum  # noqa: PLC0415
+
+    keys = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("key"))
+        .distinct()
+        .withColumn("__one", F.lit(1).cast("bigint"))
+    )
+    ranked = global_prefix_sum(keys, "__one", "key")
+    return ranked.select(
+        "key",
+        (F.col("__before") + F.lit(int(start_id))).cast("long").alias(
+            "key_id"
+        ),
+    )
+
+
+def id_dictionary_update(
+    dictionary: DataFrame, df: DataFrame, key_col: str
+) -> DataFrame:
+    """Grow a dictionary with a new batch's unseen keys: existing
+    rows pass through UNTOUCHED (ids are forever — the contract every
+    downstream join and persisted encoding depends on), new keys get
+    ids max_id+1.. in key sort order. Idempotent under redelivery (a
+    replayed batch adds nothing) and superset-stable (updating with A
+    then B assigns A's keys the same ids as updating with A∪B would
+    only when B's keys all sort after... it does NOT — new-key ids
+    depend on arrival batching, as in every real dictionary encoder;
+    what IS stable is that once assigned, an id never moves —
+    pytest-pinned).
+
+    One anti-join (new keys), one new-batch-sized prefix sum, one
+    1-row max broadcast. Persist the result with the
+    caller's table mechanics (e.g. the MERGE sink) — this is the pure
+    function.
+    """
+    from .textprep import global_prefix_sum  # noqa: PLC0415
+
+    new = (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.col(key_col).alias("key"))
+        .distinct()
+        .join(dictionary.select("key"), "key", "left_anti")
+        .withColumn("__one", F.lit(1).cast("bigint"))
+    )
+    mx = dictionary.agg(
+        F.coalesce(F.max("key_id"), F.lit(0)).cast("long").alias("__mx")
+    )
+    assigned = (
+        global_prefix_sum(new, "__one", "key")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "key",
+            (F.col("__before") + F.col("__mx") + F.lit(1))
+            .cast("long")
+            .alias("key_id"),
+        )
+    )
+    return dictionary.select("key", "key_id").unionByName(assigned)
+
+
+def encode_with_dictionary(
+    df: DataFrame,
+    dictionary: DataFrame,
+    key_col: str,
+    out_col: str = "key_id",
+) -> DataFrame:
+    """Attach the dictionary id for ``key_col`` (left
+    join — unseen keys get NULL, the caller's signal to run
+    :func:`id_dictionary_update` first). No broadcast hint: AQE
+    broadcasts small dictionaries and shuffle-joins web-scale ones.
+    """
+    d = dictionary.select(
+        F.col("key").alias(key_col), F.col("key_id").alias(out_col)
+    )
+    return df.join(d, key_col, "left")

@@ -822,3 +822,113 @@ def test_benford_large_and_tiny_magnitudes(spark):
     r = benford_audit(df, "v", ["g"]).collect()[0]
     # zero and the out-of-window 1e35 excluded; the other four count.
     assert r["n"] == 4
+
+
+# ------------------------------------------------- dictionary / ring
+
+from strategicai_visibility_loop_etl_spark.operators.domains import (  # noqa: E402
+    consistent_hash_assign,
+    ring_positions,
+)
+from strategicai_visibility_loop_etl_spark.operators.drift import (  # noqa: E402
+    js_divergence_pairs,
+)
+from strategicai_visibility_loop_etl_spark.operators.snapshot import (  # noqa: E402
+    encode_with_dictionary,
+    id_dictionary_build,
+    id_dictionary_update,
+)
+
+
+def _keys(spark, ks):
+    return spark.createDataFrame([(k,) for k in ks], "k string")
+
+
+def test_dictionary_dense_sorted_and_stable(spark):
+    d1 = id_dictionary_build(_keys(spark, ["m", "a", "z", "a"]), "k")
+    rows = {r["key"]: r["key_id"] for r in d1.collect()}
+    assert rows == {"a": 1, "m": 2, "z": 3}
+    # Update with overlapping + new keys: old ids NEVER move, new
+    # keys extend densely in sort order after max.
+    d2 = id_dictionary_update(d1, _keys(spark, ["z", "b", "q"]), "k")
+    rows2 = {r["key"]: r["key_id"] for r in d2.collect()}
+    assert rows2 == {"a": 1, "m": 2, "z": 3, "b": 4, "q": 5}
+    # Idempotent under redelivery.
+    d3 = id_dictionary_update(d2, _keys(spark, ["b", "q"]), "k")
+    assert {r["key"]: r["key_id"] for r in d3.collect()} == rows2
+
+
+def test_dictionary_encode_unseen_null(spark):
+    d = id_dictionary_build(_keys(spark, ["a", "b"]), "k")
+    df = _keys(spark, ["a", "c"])
+    out = {r["k"]: r["key_id"] for r in
+           encode_with_dictionary(df, d, "k").collect()}
+    assert out["a"] == 1 and out["c"] is None
+
+
+def test_dictionary_empty_start(spark):
+    empty = id_dictionary_build(
+        _keys(spark, []).filter(F.col("k").isNotNull()), "k"
+    )
+    d = id_dictionary_update(empty, _keys(spark, ["x", "a"]), "k")
+    assert {r["key"]: r["key_id"] for r in d.collect()} == {"a": 1, "x": 2}
+
+
+def test_chash_minimal_disruption(spark):
+    keys = _keys(spark, [f"host{i}.example" for i in range(300)])
+    four = {r["k"]: r["node"] for r in consistent_hash_assign(
+        keys, "k", ["node-a", "node-b", "node-c", "node-d"]).collect()}
+    three = {r["k"]: r["node"] for r in consistent_hash_assign(
+        keys, "k", ["node-a", "node-b", "node-c"]).collect()}
+    moved = {k for k in four if four[k] != three[k]}
+    # Removing node-d moves EXACTLY node-d's keys, nothing else.
+    assert moved == {k for k, n in four.items() if n == "node-d"}
+    assert len(moved) > 0
+    # Reasonable balance with 16 vnodes over 300 keys.
+    from collections import Counter
+    c = Counter(four.values())
+    assert len(c) == 4 and max(c.values()) < 0.55 * 300
+
+
+def test_chash_rejects_bad_args(spark):
+    with pytest.raises(ValueError):
+        ring_positions([], 16)
+    with pytest.raises(ValueError):
+        ring_positions(["a"], 0)
+
+
+def test_ring_positions_deterministic_sorted():
+    r1 = ring_positions(["a", "b"], 8)
+    r2 = ring_positions(["b", "a"], 8)
+    assert r1 == r2 == sorted(r1)
+    assert len(r1) == 16
+
+
+# ----------------------------------------------------------------- JS
+
+
+def test_js_identical_groups_near_zero_and_symmetric_bound(spark):
+    rows = [(i, "p", "alpha beta gamma") for i in range(20)]
+    rows += [(100 + i, "q", "alpha beta gamma") for i in range(20)]
+    rows += [(200 + i, "r", "omega psi chi phi") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    out = {(r["group_a"], r["group_b"]): r for r in
+           js_divergence_pairs(df, "g").collect()}
+    assert set(out) == {("p", "q"), ("p", "r"), ("q", "r")}
+    # identical distributions: near zero
+    assert 0.0 <= out[("p", "q")]["js"] < 1e-3
+    # disjoint vocabularies: high js_norm (add-one smoothing over the
+    # shared 7-term vocab keeps it off the exact ln 2 bound)
+    assert out[("p", "r")]["js_norm"] > 0.6
+    assert out[("p", "r")]["js_norm"] <= 1.0
+    # symmetry is structural (canonical pair order); divergent pair
+    # dominates the identical pair
+    assert out[("p", "r")]["js"] > out[("p", "q")]["js"] * 100
+
+
+def test_js_counts_and_union(spark):
+    rows = [(1, "a", "x y"), (2, "b", "y z")]
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    r = js_divergence_pairs(df, "g").collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert r["n_union_terms"] == 3  # x, y, z
