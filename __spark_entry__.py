@@ -11234,8 +11234,12 @@ def extra_oracle_sql() -> dict[str, str]:
         pairs AS (
             SELECT a.g AS ga, a.n AS na, b.g AS gb, b.n AS nb
             FROM totals a CROSS JOIN totals b
-            WHERE COALESCE(CAST(a.g AS VARCHAR), ' ')
-                  < COALESCE(CAST(b.g AS VARCHAR), ' ')
+            WHERE (CASE WHEN a.g IS NULL THEN 1 ELSE 0 END
+                   < CASE WHEN b.g IS NULL THEN 1 ELSE 0 END)
+               OR ((CASE WHEN a.g IS NULL THEN 1 ELSE 0 END
+                    = CASE WHEN b.g IS NULL THEN 1 ELSE 0 END)
+                   AND COALESCE(CAST(a.g AS VARCHAR), '')
+                       < COALESCE(CAST(b.g AS VARCHAR), ''))
         ),
         ut AS (
             SELECT DISTINCT ga, gb, t FROM (
@@ -11297,7 +11301,7 @@ def extra_oracle_sql() -> dict[str, str]:
                u AS n_union_terms,
                round(psumd + absd, 6) AS js,
                round((psumd + absd) / {_math.log(2.0)!r}, 6) AS js_norm
-        FROM fin ORDER BY group_a, group_b
+        FROM fin ORDER BY group_a NULLS FIRST, group_b NULLS FIRST
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -496,13 +496,17 @@ def script_fractions(col: Column, decimals: int = 6) -> Column:
 
 
 def avalanche32(col: Column) -> Column:
-    """Shift-xor avalanche finalizer over a non-negative int64 (the
-    qx69 JL-hash mix): spreads the CLUSTERS the polynomial fold
-    leaves on shared-prefix inputs into a uniform 32-bit value —
-    required wherever hash VALUES (not just equality) carry meaning:
-    order statistics (KMV), ring positions (consistent hashing).
-    Every intermediate stays within int64; replayable in SQL as
-    ``xor((h*2654435761)%4294967296, ...)`` chains.
+    """Shift-xor avalanche finalizer over a non-negative value
+    < 2^32 (the ``char_fold_hash`` output domain; the qx69 JL-hash
+    mix): spreads the CLUSTERS the polynomial fold leaves on
+    shared-prefix inputs into a uniform 32-bit value — required
+    wherever hash VALUES (not just equality) carry meaning: order
+    statistics (KMV), ring positions (consistent hashing). The first
+    multiply overflows int64 for inputs >= ~3.47e9, so mask wider
+    hashes to 32 bits BEFORE calling (the Python mirror is
+    arbitrary-precision and would silently diverge otherwise).
+    Replayable in SQL as ``xor((h*2654435761)%4294967296, ...)``
+    chains.
     """
     m32 = F.lit(4294967296)
     h = F.pmod(col * F.lit(2654435761), m32)

@@ -295,15 +295,21 @@ def consistent_hash_assign(
     ring = ring_positions(nodes, vnodes)
     pos_arr = F.array(*[F.lit(p).cast("long") for p, _ in ring])
     node_arr = F.array(*[F.lit(n) for _, n in ring])
+    # kp and below are staged through intermediate selects: an outer
+    # reference inside the filter() lambda re-evaluates PER RING
+    # ELEMENT (the flet lesson -- 64 vnodes would re-run the per-char
+    # key fold 64x), and `below` feeds both branches of the wrap.
     kp = avalanche32(char_fold_hash(F.col("key").cast("string")))
-    below = F.size(F.filter(pos_arr, lambda p: p < kp))
-    idx = F.when(below == F.lit(len(ring)), F.lit(1)).otherwise(
-        below + F.lit(1)
-    )
+    below = F.size(F.filter(pos_arr, lambda p: p < F.col("__kp")))
+    idx = F.when(
+        F.col("__below") == F.lit(len(ring)), F.lit(1)
+    ).otherwise(F.col("__below") + F.lit(1))
     return (
         df.filter(F.col(key_col).isNotNull())
         .select(F.col(key_col).alias("key"))
         .distinct()
+        .select(F.col("key"), kp.alias("__kp"))
+        .select(F.col("key"), below.alias("__below"))
         .select(
             F.col("key").alias(key_col),
             F.element_at(node_arr, idx).alias(out_col),

@@ -518,9 +518,15 @@ def js_divergence_pairs(
     )
     ga = totals.select(F.col("__g").alias("ga"), F.col("__n").alias("na"))
     gb = totals.select(F.col("__g").alias("gb"), F.col("__n").alias("nb"))
+    # Canonical pair order via (is-null flag, string value): an
+    # in-domain sentinel (a literal ' ' group) would collide with the
+    # NULL group and silently drop that pair.
+    a_n = F.col("ga").isNull().cast("int")
+    b_n = F.col("gb").isNull().cast("int")
+    a_s = F.coalesce(F.col("ga").cast("string"), F.lit(""))
+    b_s = F.coalesce(F.col("gb").cast("string"), F.lit(""))
     pairs = ga.crossJoin(gb).filter(
-        F.coalesce(F.col("ga").cast("string"), F.lit(" "))
-        < F.coalesce(F.col("gb").cast("string"), F.lit(" "))
+        (a_n < b_n) | ((a_n == b_n) & (a_s < b_s))
     )
     # union tokens per pair: each side's tokens tagged with the pair.
     ca = counts.select(

@@ -459,6 +459,12 @@ def encode_with_dictionary(
     :func:`id_dictionary_update` first). No broadcast hint: AQE
     broadcasts small dictionaries and shuffle-joins web-scale ones.
     """
+    if out_col in df.columns:
+        raise ValueError(
+            f"df already has a column named {out_col!r} -- pass a "
+            "different out_col (a silent duplicate would fail later "
+            "with AMBIGUOUS_REFERENCE, far from the cause)"
+        )
     d = dictionary.select(
         F.col("key").alias(key_col), F.col("key_id").alias(out_col)
     )

@@ -932,3 +932,22 @@ def test_js_counts_and_union(spark):
     r = js_divergence_pairs(df, "g").collect()[0]
     assert r["n_a"] == 2 and r["n_b"] == 2
     assert r["n_union_terms"] == 3  # x, y, z
+
+
+def test_js_null_and_space_groups_both_pair(spark):
+    # Review finding: an in-domain ' ' sentinel collided with the
+    # NULL group and silently dropped their pair.
+    rows = [(1, None, "x y"), (2, " ", "y z"), (3, "a", "x z")]
+    df = spark.createDataFrame(rows, "doc_id long, g string, text string")
+    out = js_divergence_pairs(df, "g").collect()
+    pairs = {(r["group_a"], r["group_b"]) for r in out}
+    assert len(pairs) == 3
+    assert (" ", None) in pairs and ("a", None) in pairs
+    assert (" ", "a") in pairs or ("a", " ") in pairs
+
+
+def test_encode_rejects_out_col_collision(spark):
+    d = id_dictionary_build(_keys(spark, ["a"]), "k")
+    df = _keys(spark, ["a"]).withColumn("key_id", F.lit(1))
+    with pytest.raises(ValueError):
+        encode_with_dictionary(df, d, "k")
