@@ -5683,6 +5683,46 @@ def qx131_js_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return js_divergence_pairs(docs, "lang")
 
 
+
+
+def qx132_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema + statistics drift report (capability row 231): orders
+    vs a mutated snapshot exercising every status — a dropped column,
+    an added column, a timestamp retyped to string, a null-rate jump
+    and a 10% mean shift on kept columns. DuckDB replays the mutation
+    and the per-column exact-sum statistics."""
+    from strategicai_visibility_loop_etl_spark.operators.expectations import (
+        schema_drift,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    new = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.col("o_orderkey") % 10 != 0, F.col("o_orderstatus")
+        ).alias("o_orderstatus"),
+        (F.col("o_totalprice") * F.lit(0.9)).alias("o_totalprice"),
+        F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        (F.col("o_totalprice") * F.lit(0.1)).alias("o_surcharge"),
+    )
+    return schema_drift(orders, new)
+
+
+def qx133_coverage_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximum-coverage selection (capability row 232): the 5
+    documents that together cover the most distinct word 3-grams
+    (unigrams saturate on the tiny synthetic vocabulary), picked by
+    the Nemhauser greedy with a total-order tie-break. DuckDB unrolls
+    the 5 rounds with MATERIALIZED covered-set CTEs."""
+    from strategicai_visibility_loop_etl_spark.operators.textprep import (
+        greedy_coverage_select,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return greedy_coverage_select(docs, k=5, gram_n=3)
+
+
 def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qx01_bloom_decontaminate": qx01_bloom_decontaminate,
@@ -5816,6 +5856,8 @@ def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qx129_dictionary": qx129_dictionary,
         "qx130_chash_ring": qx130_chash_ring,
         "qx131_js_pairs": qx131_js_pairs,
+        "qx132_schema_drift": qx132_schema_drift,
+        "qx133_coverage_select": qx133_coverage_select,
     }
 
 
@@ -11302,6 +11344,149 @@ def extra_oracle_sql() -> dict[str, str]:
                round(psumd + absd, 6) AS js,
                round((psumd + absd) / {_math.log(2.0)!r}, 6) AS js_norm
         FROM fin ORDER BY group_a NULLS FIRST, group_b NULLS FIRST
+    """
+
+    # qx132: replay the mutation, then one stats row per column from
+    # two single-pass aggregates (statuses are static metadata).
+    _sd_cols = {
+        # column -> (in_old, in_new, old_type, new_type, numeric_common)
+        "o_custkey": (1, 1, "bigint", "bigint", 1),
+        "o_orderdate": (1, 1, "timestamp_ntz", "string", 0),
+        "o_orderkey": (1, 1, "bigint", "bigint", 1),
+        "o_orderpriority": (1, 0, "string", None, 0),
+        "o_orderstatus": (1, 1, "string", "string", 0),
+        "o_surcharge": (0, 1, None, "double", 0),
+        "o_totalprice": (1, 1, "double", "double", 1),
+    }
+
+    def _sd_aggs(cols, side):
+        parts = ["CAST(COUNT(*) AS BIGINT) AS n"]
+        for c, (in_old, in_new, _, _, num) in cols.items():
+            present = in_old if side == "old" else in_new
+            if present:
+                parts.append(
+                    f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                    f" AS BIGINT) AS nul_{c}"
+                )
+            if num:
+                parts.append(
+                    f"SUM(CAST(round(CAST({c} AS DOUBLE), 6)"
+                    f" AS DECIMAL(28,6))) AS sum_{c}"
+                )
+        return ", ".join(parts)
+
+    def _sd_row(c, spec):
+        in_old, in_new, ot, nt, num = spec
+        if in_old and not in_new:
+            status = "removed"
+        elif not in_old:
+            status = "added"
+        elif ot != nt:
+            status = "type_changed"
+        else:
+            status = "kept"
+        onf = (
+            f"round(CAST(so.nul_{c} AS DOUBLE) / CAST(so.n AS DOUBLE), 6)"
+            if in_old
+            else "CAST(NULL AS DOUBLE)"
+        )
+        nnf = (
+            f"round(CAST(sn.nul_{c} AS DOUBLE) / CAST(sn.n AS DOUBLE), 6)"
+            if in_new
+            else "CAST(NULL AS DOUBLE)"
+        )
+        if num:
+            om = (
+                f"round(CAST(CAST(so.sum_{c} AS VARCHAR) AS DOUBLE)"
+                f" / CAST(so.n - so.nul_{c} AS DOUBLE), 6)"
+            )
+            nm = (
+                f"round(CAST(CAST(sn.sum_{c} AS VARCHAR) AS DOUBLE)"
+                f" / CAST(sn.n - sn.nul_{c} AS DOUBLE), 6)"
+            )
+            shift = f"round({nm} - {om}, 6)"
+        else:
+            om = nm = shift = "CAST(NULL AS DOUBLE)"
+        ots = f"'{ot}'" if ot else "CAST(NULL AS VARCHAR)"
+        nts = f"'{nt}'" if nt else "CAST(NULL AS VARCHAR)"
+        return (
+            f"SELECT '{c}' AS \"column\", '{status}' AS status, "
+            f"{ots} AS old_type, {nts} AS new_type, "
+            f"{onf} AS old_null_frac, {nnf} AS new_null_frac, "
+            f"{om} AS old_mean, {nm} AS new_mean, {shift} AS mean_shift "
+            f"FROM so CROSS JOIN sn"
+        )
+
+    _sd_union = " UNION ALL ".join(
+        _sd_row(c, spec) for c, spec in _sd_cols.items()
+    )
+    sql["qx132_schema_drift"] = f"""
+        WITH newt AS (
+            SELECT o_orderkey, o_custkey,
+                   CASE WHEN o_orderkey % 10 <> 0
+                        THEN o_orderstatus END AS o_orderstatus,
+                   o_totalprice * 0.9 AS o_totalprice,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   o_totalprice * 0.1 AS o_surcharge
+            FROM orders
+        ),
+        so AS (
+            SELECT {_sd_aggs({c: s for c, s in _sd_cols.items() if s[0]}, "old")}
+            FROM orders
+        ),
+        sn AS (
+            SELECT {_sd_aggs({c: s for c, s in _sd_cols.items() if s[1]}, "new")}
+            FROM newt
+        )
+        SELECT * FROM ({_sd_union}) ORDER BY "column"
+    """
+
+    # qx133: 5 unrolled greedy rounds over the distinct (id, token)
+    # table; covered sets and winners MATERIALIZED per round.
+    _cov_rounds = []
+    for r in range(1, 6):
+        excl = (
+            " AND id NOT IN ("
+            + " UNION ALL ".join(f"SELECT id FROM s{i}" for i in range(1, r))
+            + ")"
+            if r > 1
+            else ""
+        )
+        notin_cov = f" AND t NOT IN (SELECT t FROM c{r - 1})" if r > 1 else ""
+        _cov_rounds.append(f"""
+        g{r} AS (
+            SELECT id, CAST(COUNT(*) AS BIGINT) AS gain FROM toks
+            WHERE 1 = 1{excl}{notin_cov}
+            GROUP BY id
+        ),
+        s{r} AS MATERIALIZED (
+            SELECT {r} AS round, id, gain FROM g{r}
+            ORDER BY gain DESC, id LIMIT 1
+        ),
+        c{r} AS MATERIALIZED (
+            SELECT DISTINCT t FROM (
+                {"SELECT t FROM c" + str(r - 1) + " UNION ALL " if r > 1 else ""}
+                SELECT t FROM toks WHERE id IN (SELECT id FROM s{r})
+            )
+        )""")
+    sql["qx133_coverage_select"] = f"""
+        WITH tt AS (
+            SELECT doc_id, {_toks(norm_text)} AS toks FROM documents
+            WHERE text IS NOT NULL
+        ),
+        toks AS MATERIALIZED (
+            SELECT doc_id AS id, unnest(sh) AS t FROM (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(toks) - 1),
+                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS sh
+                FROM tt WHERE len(toks) >= 3
+            )
+        ),{",".join(_cov_rounds)}
+        SELECT CAST(round AS INT) AS round, id, gain FROM (
+            SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+            UNION ALL SELECT * FROM s5
+        ) ORDER BY round
     """
 
     # qx05 intentionally absent: HLL estimates are engine-specific.

@@ -554,3 +554,141 @@ def benford_audit(
         ).alias("mad"),
     )
     return out.orderBy(*gcols) if gcols else out
+
+
+def schema_drift(
+    old_df,
+    new_df,
+    numeric_cols: list[str] | None = None,
+    out_decimals: int = 6,
+):
+    """Schema + column-statistics drift between two snapshots of a
+    table — the ingestion tripwire in front of every downstream
+    operator (a silently added/dropped/retyped column, a null-rate
+    jump, or a mean shift is how upstream breakage usually arrives):
+    one row per column across BOTH snapshots with
+
+        status   added | removed | type_changed | kept
+        null_frac (old/new, exact counts, 6 dp)
+        mean      (old/new + shift, for ``numeric_cols`` — exact
+                   decimal sums, the datasheet discipline)
+
+    ``numeric_cols`` defaults to the numeric columns present in both
+    schemas. Schema comparison is metadata-only (driver-side dtypes —
+    the resolve.py convention: no data moves for it); statistics cost
+    ONE conditional-sum hash aggregate per side, regardless of column
+    count (the expectation-gate shape).
+
+    Wide tables note: the stats pass widens the aggregate row, not
+    the plan — at 100 TB this is two table scans total.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import round_c
+
+    old_types = dict(old_df.dtypes)
+    new_types = dict(new_df.dtypes)
+    all_cols = sorted(set(old_types) | set(new_types))
+    if numeric_cols is None:
+        num_kinds = ("int", "bigint", "double", "float", "decimal", "smallint", "tinyint")
+        numeric_cols = [
+            c
+            for c in all_cols
+            if c in old_types
+            and c in new_types
+            and old_types[c].startswith(num_kinds)
+            and new_types[c].startswith(num_kinds)
+        ]
+
+    def _stats(df, cols, types):
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for c in cols:
+            if c in types:
+                aggs.append(
+                    F.sum(F.col(c).isNull().cast("long")).alias(f"__nul_{c}")
+                )
+            if c in numeric_cols:
+                aggs.append(
+                    F.sum(
+                        round_c(F.col(c).cast("double"), 6).cast(
+                            "decimal(28,6)"
+                        )
+                    ).alias(f"__sum_{c}")
+                )
+        return df.agg(*aggs)
+
+    so = _stats(old_df, all_cols, old_types)
+    sn = _stats(new_df, all_cols, new_types)
+    joined = so.crossJoin(sn.select(
+        F.col("__n").alias("__n2"),
+        *[
+            F.col(f"__nul_{c}").alias(f"__nul2_{c}")
+            for c in all_cols
+            if c in new_types
+        ],
+        *[
+            F.col(f"__sum_{c}").alias(f"__sum2_{c}")
+            for c in numeric_cols
+        ],
+    ))
+
+    rows = []
+    for c in all_cols:
+        if c in old_types and c not in new_types:
+            status = "removed"
+        elif c not in old_types:
+            status = "added"
+        elif old_types[c] != new_types[c]:
+            status = "type_changed"
+        else:
+            status = "kept"
+        old_nf = (
+            round_c(
+                F.col(f"__nul_{c}").cast("double")
+                / F.col("__n").cast("double"),
+                out_decimals,
+            )
+            if c in old_types
+            else F.lit(None).cast("double")
+        )
+        new_nf = (
+            round_c(
+                F.col(f"__nul2_{c}").cast("double")
+                / F.col("__n2").cast("double"),
+                out_decimals,
+            )
+            if c in new_types
+            else F.lit(None).cast("double")
+        )
+        if c in numeric_cols:
+            om = round_c(
+                F.col(f"__sum_{c}").cast("double")
+                / (F.col("__n") - F.col(f"__nul_{c}")).cast("double"),
+                out_decimals,
+            )
+            nm = round_c(
+                F.col(f"__sum2_{c}").cast("double")
+                / (F.col("__n2") - F.col(f"__nul2_{c}")).cast("double"),
+                out_decimals,
+            )
+            shift = round_c(nm - om, out_decimals)
+        else:
+            om = nm = shift = F.lit(None).cast("double")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.lit(status).alias("status"),
+                F.lit(old_types.get(c)).alias("old_type"),
+                F.lit(new_types.get(c)).alias("new_type"),
+                old_nf.alias("old_null_frac"),
+                new_nf.alias("new_null_frac"),
+                om.alias("old_mean"),
+                nm.alias("new_mean"),
+                shift.alias("mean_shift"),
+            )
+        )
+    return (
+        joined.select(F.explode(F.array(*rows)).alias("__r"))
+        .select("__r.*")
+        .orderBy("column")
+    )

@@ -1863,3 +1863,95 @@ def trending_terms(
         .orderBy(F.desc("delta_ppm"), "tok")
         .limit(top_k)
     )
+
+
+def greedy_coverage_select(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_n: int = 1,
+) -> DataFrame:
+    """Greedy maximum-coverage corpus selection (the Nemhauser greedy
+    for a submodular objective — guaranteed within (1 - 1/e) of the
+    optimal k-subset): pick, k times, the document adding the most
+    NOT-YET-COVERED distinct tokens. The diversity-first selector
+    beside the frequency/quality samplers (DoReMi reweights, quota
+    caps, temperature flattens — none of them MAXIMIZE coverage; this
+    is the "seed a labeling budget / eval set with maximal variety"
+    shape).
+
+    Per round (the BPE-argmax discipline — driver traffic is ONE row
+    per round): candidates' marginal gains are a left_anti join of
+    the staged (id, token) table against the covered-token set plus a
+    per-id count, the winner is a 1-row TakeOrdered collect (gain
+    desc, id asc — a TOTAL order, so the selection sequence is
+    replayable by an unrolled SQL twin), and the covered set grows by
+    the winner's tokens (localCheckpoint per round: round r's plan
+    must not re-execute rounds 1..r-1). Selection stops early when no
+    remaining candidate adds a single new token (zero-gain docs never
+    produce a gains row) — the unrolled oracle mirrors that by
+    emitting no row for exhausted rounds.
+
+    Scale: the (id, token) table is built ONCE (one explode + one
+    distinct); each round shuffles only that table's anti-join
+    against a covered set bounded by the selected docs' vocabulary.
+    k is report-sized (a labeling budget), never corpus-sized.
+    ``gram_n > 1`` covers word n-grams instead of unigrams (the qx85
+    lesson: a saturated unigram vocabulary makes every selector
+    equivalent after one pick — n-grams keep the objective
+    discriminative). Output: (round, id, gain) in selection order.
+    """
+    from ..functions.text import tokens  # noqa: PLC0415
+    from .dedup import exploded_shingles  # noqa: PLC0415
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = df.sparkSession
+    if gram_n > 1:
+        toks = (
+            exploded_shingles(df, text_col, id_col, gram_n)
+            .select("id", F.col("g").alias("t"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        toks = (
+            df.filter(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(tokens(F.col(text_col))).alias("t"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    covered = toks.select("t").limit(0).localCheckpoint(eager=False)
+    chosen: list[tuple[int, object, int]] = []
+    chosen_ids: list = []
+    for rnd in range(1, k + 1):
+        cand = toks
+        if chosen_ids:
+            cand = cand.filter(~F.col("id").isin(chosen_ids))
+        gains = (
+            cand.join(covered, "t", "left_anti")
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).cast("long").alias("gain"))
+        )
+        top = gains.orderBy(F.col("gain").desc(), F.col("id").asc()).limit(
+            1
+        ).collect()
+        if not top:
+            break
+        win_id, gain = top[0]["id"], top[0]["gain"]
+        chosen.append((rnd, win_id, int(gain)))
+        chosen_ids.append(win_id)
+        covered = (
+            covered.unionByName(
+                toks.filter(F.col("id") == F.lit(win_id)).select("t")
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+    id_type = dict(df.dtypes)[id_col]
+    return spark.createDataFrame(
+        chosen, f"round int, id {id_type}, gain long"
+    ).orderBy("round")

@@ -951,3 +951,88 @@ def test_encode_rejects_out_col_collision(spark):
     df = _keys(spark, ["a"]).withColumn("key_id", F.lit(1))
     with pytest.raises(ValueError):
         encode_with_dictionary(df, d, "k")
+
+
+# -------------------------------------------- schema drift / coverage
+
+from strategicai_visibility_loop_etl_spark.operators.expectations import (  # noqa: E402
+    schema_drift,
+)
+from strategicai_visibility_loop_etl_spark.operators.textprep import (  # noqa: E402
+    greedy_coverage_select,
+)
+
+
+def test_schema_drift_all_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0, 5), (2, None, 20.0, 6)],
+        "id long, name string, price double, qty int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 11.0, "5", 0.5), (2, "b", 21.0, "6", None)],
+        "id long, name string, price double, qty string, disc double",
+    )
+    out = {r["column"]: r for r in schema_drift(old, new).collect()}
+    assert out["id"]["status"] == "kept"
+    assert out["qty"]["status"] == "type_changed"
+    assert out["disc"]["status"] == "added"
+    assert out["disc"]["old_null_frac"] is None
+    assert out["disc"]["new_null_frac"] == 0.5
+    assert out["name"]["old_null_frac"] == 0.5
+    assert out["name"]["new_null_frac"] == 0.0
+    # kept numeric: exact means and shift
+    assert out["price"]["old_mean"] == 15.0
+    assert out["price"]["new_mean"] == 16.0
+    assert out["price"]["mean_shift"] == 1.0
+    # qty retyped: not numeric-common, so no mean comparison
+    assert out["qty"]["old_mean"] is None
+
+
+def test_schema_drift_removed_column(spark):
+    old = spark.createDataFrame([(1, "x")], "id long, gone string")
+    new = spark.createDataFrame([(1,)], "id long")
+    out = {r["column"]: r for r in schema_drift(old, new).collect()}
+    assert out["gone"]["status"] == "removed"
+    assert out["gone"]["new_type"] is None
+    assert out["gone"]["new_null_frac"] is None
+
+
+def _cov_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_coverage_greedy_order_and_gains(spark):
+    # doc 1 covers 4 tokens, doc 2 covers 3 (2 overlap with doc 1),
+    # doc 3 duplicates doc 1. Greedy: pick 1 (gain 4), then 2
+    # (gain 1: only "e" is new), then 3 (no new tokens -> stops).
+    rows = [
+        (1, "a b c d"),
+        (2, "c d e"),
+        (3, "a b c d"),
+    ]
+    out = greedy_coverage_select(_cov_docs(spark, rows), k=3).collect()
+    assert [(r["round"], r["id"], r["gain"]) for r in out] == [
+        (1, 1, 4), (2, 2, 1),
+    ]
+
+
+def test_coverage_tiebreak_and_k_cut(spark):
+    # Two docs with identical coverage: smallest id wins round 1.
+    rows = [(5, "x y"), (2, "x y"), (9, "z")]
+    out = greedy_coverage_select(_cov_docs(spark, rows), k=1).collect()
+    assert len(out) == 1 and out[0]["id"] == 2 and out[0]["gain"] == 2
+
+
+def test_coverage_submodular_gains_nonincreasing(spark):
+    import random
+    rnd = random.Random(3)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [(i, " ".join(rnd.sample(vocab, 12))) for i in range(30)]
+    out = greedy_coverage_select(_cov_docs(spark, rows), k=6).collect()
+    gains = [r["gain"] for r in sorted(out, key=lambda r: r["round"])]
+    assert all(gains[i] >= gains[i + 1] for i in range(len(gains) - 1))
+
+
+def test_coverage_rejects_bad_k(spark):
+    with pytest.raises(ValueError):
+        greedy_coverage_select(_cov_docs(spark, [(1, "a")]), k=0)
