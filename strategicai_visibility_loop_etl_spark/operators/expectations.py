@@ -590,14 +590,20 @@ def schema_drift(
     new_types = dict(new_df.dtypes)
     all_cols = sorted(set(old_types) | set(new_types))
     if numeric_cols is None:
-        num_kinds = ("int", "bigint", "double", "float", "decimal", "smallint", "tinyint")
+        # exact names + decimal prefix: a bare startswith("int") would
+        # also match interval types.
+        exact = {"int", "bigint", "smallint", "tinyint", "double", "float"}
+
+        def _is_num(t: str) -> bool:
+            return t in exact or t.startswith("decimal")
+
         numeric_cols = [
             c
             for c in all_cols
             if c in old_types
             and c in new_types
-            and old_types[c].startswith(num_kinds)
-            and new_types[c].startswith(num_kinds)
+            and _is_num(old_types[c])
+            and _is_num(new_types[c])
         ]
 
     def _stats(df, cols, types):
