@@ -10358,7 +10358,7 @@ def extra_oracle_sql() -> dict[str, str]:
         agg AS (
             SELECT l_returnflag,
                    CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(COUNT(DISTINCT x) AS BIGINT) AS ndist,
+                   MIN(x) AS mn, MAX(x) AS mx,
                    SUM(CAST(x AS DECIMAL(28,6))) AS s1,
                    SUM(CAST(x2 AS DECIMAL(32,6))) AS s2,
                    SUM(CAST(x3 AS DECIMAL(36,6))) AS s3,
@@ -10366,7 +10366,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM p GROUP BY l_returnflag
         ),
         d AS (
-            SELECT l_returnflag, n, ndist, CAST(n AS DOUBLE) AS nd,
+            SELECT l_returnflag, n, mn, mx, CAST(n AS DOUBLE) AS nd,
                    CAST(CAST(s1 AS VARCHAR) AS DOUBLE) AS s1d,
                    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d,
                    CAST(CAST(s3 AS VARCHAR) AS DOUBLE) AS s3d,
@@ -10374,7 +10374,7 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM agg
         ),
         m AS (
-            SELECT l_returnflag, n, ndist, nd,
+            SELECT l_returnflag, n, mn, mx, nd,
                    s1d / nd AS mean,
                    s2d / nd - (s1d / nd) * (s1d / nd) AS m2,
                    s3d / nd - 3.0 * (s1d / nd) * (s2d / nd)
@@ -10387,15 +10387,15 @@ def extra_oracle_sql() -> dict[str, str]:
         )
         SELECT l_returnflag, n,
                round(mean, 6) AS mean,
-               round(CASE WHEN ndist = 1 THEN 0.0
+               round(CASE WHEN mn = mx THEN 0.0
                           WHEN n > 1
                           THEN sqrt(greatest(m2, 0.0) * nd / (nd - 1.0))
                      END, 6) AS std,
-               CASE WHEN n > 2 AND m2 > 0 AND ndist > 1
+               CASE WHEN n > 2 AND m2 > 0 AND mn < mx
                     THEN round((m3 / (m2 * sqrt(m2)))
                                * sqrt(nd * (nd - 1.0)) / (nd - 2.0), 6)
                END AS skewness,
-               CASE WHEN n > 3 AND m2 > 0 AND ndist > 1
+               CASE WHEN n > 3 AND m2 > 0 AND mn < mx
                     THEN round(((nd + 1.0) * (m4 / (m2 * m2) - 3.0) + 6.0)
                                * (nd - 1.0)
                                / ((nd - 2.0) * (nd - 3.0)), 6)
@@ -10419,6 +10419,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         g AS (
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(xr) AS mn, MAX(xr) AS mx,
                    SUM(CAST(xr AS DECIMAL(28,6))) AS s1,
                    SUM(CAST(round(xr * xr, 6) AS DECIMAL(32,6))) AS s2
             FROM seq GROUP BY event_type
@@ -10438,6 +10439,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         grid AS (
             SELECT g.event_type, l.lag,
+                   g.mn, g.mx,
                    CAST(g.n AS DOUBLE) AS nd,
                    CAST(CAST(g.s1 AS VARCHAR) AS DOUBLE) AS s1d,
                    CAST(CAST(g.s2 AS VARCHAR) AS DOUBLE) AS s2d,
@@ -10452,6 +10454,7 @@ def extra_oracle_sql() -> dict[str, str]:
         SELECT event_type, CAST(lag AS INT) AS lag,
                CAST(n_pairs AS BIGINT) AS n_pairs,
                CASE WHEN (s2d - nd * ((s1d / nd) * (s1d / nd))) > 0
+                         AND mn < mx
                          AND n_pairs > 0
                     THEN round(
                         (cd - (s1d / nd) * (hd + td)
@@ -10473,6 +10476,7 @@ def extra_oracle_sql() -> dict[str, str]:
         ),
         stats AS (
             SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   MIN(round(x, 6)) AS mn, MAX(round(x, 6)) AS mx,
                    SUM(CAST(round(x, 6) AS DECIMAL(28,6))) AS s1,
                    SUM(CAST(round(round(x, 6) * round(x, 6), 6)
                        AS DECIMAL(32,6))) AS s2
@@ -10482,13 +10486,14 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    round(CAST(CAST(s1 AS VARCHAR) AS DOUBLE)
                          / CAST(n AS DOUBLE), 6) AS mu,
-                   n, CAST(n AS DOUBLE) AS nd,
+                   n, mn, mx, CAST(n AS DOUBLE) AS nd,
                    CAST(CAST(s2 AS VARCHAR) AS DOUBLE) AS s2d
             FROM stats
         ),
         par2 AS (
             SELECT event_type, mu,
                    CASE WHEN n > 1 AND (s2d - nd * (mu * mu)) > 0
+                             AND mn < mx
                         THEN round(sqrt((s2d - nd * (mu * mu))
                                         / (nd - 1.0)), 6) END AS sd
             FROM par
@@ -11160,14 +11165,17 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_points,
                    MAX(t) - MIN(t) AS span,
-                   SUM(CAST(CAST(xr AS DECIMAL(18,6))
+                   SUM(CAST(CAST(CASE WHEN abs(xr) < 1e12 THEN xr END
+                                 AS DECIMAL(18,6))
                        * CAST(dur AS DECIMAL(19,0)) AS DECIMAL(38,6)))
                        AS wsum,
+                   MAX(CASE WHEN abs(xr) >= 1e12 THEN 1 ELSE 0 END)
+                       AS oob,
                    SUM(CAST(xr AS DECIMAL(28,6))) AS xsum
             FROM stepped GROUP BY event_type
         )
         SELECT event_type, n_points, CAST(span AS BIGINT) AS span,
-               CASE WHEN span > 0
+               CASE WHEN span > 0 AND oob = 0
                     THEN round(CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
                                / CAST(span AS DOUBLE), 6) END AS twa,
                round(CAST(CAST(xsum AS VARCHAR) AS DOUBLE)

@@ -615,8 +615,13 @@ def moments_profile(
             # Exact constant-group detection: with the raw-sum double
             # form, a constant like 1.0005 yields m2 = -2.5e-7 from
             # 6dp power rounding (NaN std) or a tiny positive value
-            # (noise skew); n_distinct == 1 decides exactly.
-            F.countDistinct(x).cast("long").alias("__nd"),
+            # (noise skew); min(x) == max(x) over the ROUNDED value
+            # decides exactly AND collapses map-side like the other
+            # sums — countDistinct here would add an Exchange keyed
+            # on (group, value), a corpus-sized shuffle in a query
+            # that is otherwise one hash aggregate.
+            F.min(x).alias("__mn"),
+            F.max(x).alias("__mx"),
             F.sum(x.cast("decimal(28,6)")).alias("__s1"),
             F.sum(x2.cast("decimal(32,6)")).alias("__s2"),
             F.sum(x3.cast("decimal(36,6)")).alias("__s3"),
@@ -638,13 +643,13 @@ def moments_profile(
         + F.lit(6.0) * (mean * mean) * (s2 / n)
         - F.lit(3.0) * ((mean * mean) * (mean * mean))
     )
-    std = F.when(F.col("__nd") == 1, F.lit(0.0)).when(
+    std = F.when(F.col("__mn") == F.col("__mx"), F.lit(0.0)).when(
         F.col("n") > 1,
         F.sqrt(F.greatest(m2, F.lit(0.0)) * n / (n - F.lit(1.0))),
     )
     g1 = m3 / (m2 * F.sqrt(m2))
     skew = F.when(
-        (F.col("n") > 2) & (m2 > 0) & (F.col("__nd") > 1),
+        (F.col("n") > 2) & (m2 > 0) & (F.col("__mn") < F.col("__mx")),
         round_c(
             g1 * F.sqrt(n * (n - F.lit(1.0))) / (n - F.lit(2.0)),
             out_decimals,
@@ -652,7 +657,7 @@ def moments_profile(
     )
     g2 = m4 / (m2 * m2) - F.lit(3.0)
     kurt = F.when(
-        (F.col("n") > 3) & (m2 > 0) & (F.col("__nd") > 1),
+        (F.col("n") > 3) & (m2 > 0) & (F.col("__mn") < F.col("__mx")),
         round_c(
             ((n + F.lit(1.0)) * g2 + F.lit(6.0))
             * (n - F.lit(1.0))

@@ -605,6 +605,14 @@ def autocorrelation(
     )
     aggs = [
         F.count(F.lit(1)).cast("long").alias("__n"),
+        # Exact constant-series detection (the moments_profile guard):
+        # 6dp square rounding can round x^2 UP for small-magnitude
+        # constants (0.0009^2 = 8.1e-7 rounds to 1e-6), leaving
+        # den = s2 - n*mean^2 a positive rounding artifact and r_k a
+        # spurious n_pairs/n. min==max over the rounded value decides
+        # exactly and collapses map-side — no extra exchange.
+        F.min(F.col("__x")).alias("__mn"),
+        F.max(F.col("__x")).alias("__mx"),
         F.sum(F.col("__x").cast("decimal(28,6)")).alias("__s1"),
         F.sum(F.col("__x2").cast("decimal(32,6)")).alias("__s2"),
     ]
@@ -624,6 +632,8 @@ def autocorrelation(
     melted = agg.select(
         *group_cols,
         "__n",
+        "__mn",
+        "__mx",
         F.col("__s1").cast("double").alias("__s1d"),
         F.col("__s2").cast("double").alias("__s2d"),
         F.explode(
@@ -651,7 +661,10 @@ def autocorrelation(
         + e["n_pairs"].cast("double") * (mean * mean)
     )
     r = F.when(
-        (den > 0) & (e["n_pairs"] > 0), round_c(num / den, out_decimals)
+        (den > 0)
+        & (F.col("__mn") < F.col("__mx"))
+        & (e["n_pairs"] > 0),
+        round_c(num / den, out_decimals),
     )
     return melted.select(
         *group_cols,
@@ -715,13 +728,27 @@ def cusum_changepoints(
                     6,
                 ).cast("decimal(32,6)")
             ).alias("__ss2"),
+            # Exact constant-series detection (the moments_profile /
+            # ACF guard): 6dp square rounding can leave var_num a
+            # positive artifact for small-magnitude constants (e.g.
+            # 0.0009), yielding a spurious non-NULL sd and 0.0 cusums
+            # where the contract says NULL. min==max over the rounded
+            # value decides exactly, map-side.
+            F.min(round_c(F.col(value_col).cast("double"), 6)).alias(
+                "__smn"
+            ),
+            F.max(round_c(F.col(value_col).cast("double"), 6)).alias(
+                "__smx"
+            ),
         )
     )
     nd = F.col("__sn").cast("double")
     mu = round_c(F.col("__ss1").cast("double") / nd, 6)
     var_num = F.col("__ss2").cast("double") - nd * (mu * mu)
     sd = F.when(
-        (F.col("__sn") > 1) & (var_num > 0),
+        (F.col("__sn") > 1)
+        & (var_num > 0)
+        & (F.col("__smn") < F.col("__smx")),
         round_c(F.sqrt(var_num / (nd - F.lit(1.0))), 6),
     )
     stats = stats.select(
@@ -959,6 +986,15 @@ def time_weighted_mean(
     the final division is one fixed-order double expression. Scale
     shape: one per-group sort window + one hash aggregate on the same
     key. Groups with a single point (zero span) report NULL twa.
+
+    Value domain: |x| < 1e12 (the (18,6) width; the (19,0) duration
+    leg already spans any int64 micros gap). Out-of-range values are
+    detected with a row-level guard BEFORE the decimal cast — under
+    ANSI mode (Spark 4's default) an unguarded cast would throw
+    NUMERIC_VALUE_OUT_OF_RANGE and kill the whole report (the
+    benford_audit magnitude-window discipline) — and any group
+    containing one reports NULL twa rather than a silently truncated
+    average; row_mean (a (28,6) sum) still reports.
     """
     from ..functions.numeric import round_c  # noqa: PLC0415
 
@@ -974,19 +1010,21 @@ def time_weighted_mean(
             "__dur"
         ),
     )
+    x_in_range = F.abs(F.col("__x")) < F.lit(1e12)
     agg = stepped.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_points"),
         (F.max("__t") - F.min("__t")).alias("span"),
         F.sum(
             (
-                F.col("__x").cast("decimal(18,6)")
+                F.when(x_in_range, F.col("__x")).cast("decimal(18,6)")
                 * F.col("__dur").cast("decimal(19,0)")
             ).cast("decimal(38,6)")
         ).alias("__wsum"),
+        F.max((~x_in_range).cast("int")).alias("__oob"),
         F.sum(F.col("__x").cast("decimal(28,6)")).alias("__xsum"),
     )
     twa = F.when(
-        F.col("span") > 0,
+        (F.col("span") > 0) & (F.col("__oob") == 0),
         round_c(
             F.col("__wsum").cast("double") / F.col("span").cast("double"),
             out_decimals,

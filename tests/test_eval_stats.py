@@ -162,6 +162,34 @@ def test_moments_degenerate_groups(spark):
     assert out["const"]["std"] == 0.0
 
 
+def test_moments_small_constant_group_exact_null(spark):
+    # r12 ADVICE class: 6dp power rounding rounds 0.0009^2 = 8.1e-7
+    # UP to 1e-6, making the raw-sum m2 a positive artifact — the
+    # exact min==max constant guard must still report std 0 and NULL
+    # shape, not rounding-noise skew.
+    rows = [("tiny", 0.0009)] * 8
+    r = moments_profile(_vals(spark, rows), "v", ["g"]).collect()[0]
+    assert r["std"] == 0.0
+    assert r["skewness"] is None and r["kurtosis"] is None
+
+
+def test_moments_plan_single_group_exchange(spark):
+    # r12 VERDICT plan defect: the countDistinct constant guard
+    # planned an Exchange hash-partitioned on (group, value) — a
+    # corpus-sized shuffle. Pin the fix: every hashpartitioning
+    # exchange keys on the group column ONLY.
+    df = _vals(spark, [("a", float(i % 7)) for i in range(50)])
+    plan = (
+        moments_profile(df, "v", ["g"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # One hash exchange (the group aggregate); the final orderBy adds
+    # a rangepartitioning exchange, never a second hash one.
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
 def test_moments_null_values_excluded(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", None), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0)],
@@ -207,6 +235,17 @@ def test_acf_constant_series_null(spark):
     rows = [("a", t, 5.0) for t in range(10)]
     out = autocorrelation(_series(spark, rows), ["g"], "t", "v", max_lag=3).collect()
     assert all(r["r"] is None for r in out)
+
+
+def test_acf_small_constant_series_exact_null(spark):
+    # r12 ADVICE: constant 0.0009 — round(x*x, 6) rounds 8.1e-7 UP to
+    # 1e-6, so den = s2 - n*mean^2 was a positive rounding artifact
+    # and r_k a spurious n_pairs/n. The exact min==max guard must
+    # report NULL at every lag.
+    rows = [("a", t, 0.0009) for t in range(10)]
+    out = autocorrelation(_series(spark, rows), ["g"], "t", "v", max_lag=3).collect()
+    assert all(r["r"] is None for r in out)
+    assert out[0]["n_pairs"] == 9
 
 
 def test_acf_short_series_lags_null(spark):
@@ -258,6 +297,19 @@ def test_cusum_in_control_never_alarms(spark):
 def test_cusum_degenerate_groups_null(spark):
     rows = [("one", 0, 1.0)] + [("const", t, 3.0) for t in range(5)]
     out = cusum_changepoints(_series(spark, rows), ["g"], "t", "v").collect()
+    for r in out:
+        assert r["cusum_pos"] is None and r["cusum_neg"] is None
+        assert r["alarm"] is False
+
+
+def test_cusum_small_constant_series_exact_null(spark):
+    # r12 ADVICE: constant 0.0009 — 6dp square rounding made var_num
+    # a positive artifact, so sd was spuriously non-NULL (~0.00046)
+    # and the group emitted 0.0 cusums instead of the documented NULL
+    # for zero-variance series. The exact min==max guard fixes it.
+    rows = [("a", t, 0.0009) for t in range(10)]
+    out = cusum_changepoints(_series(spark, rows), ["g"], "t", "v").collect()
+    assert len(out) == 10
     for r in out:
         assert r["cusum_pos"] is None and r["cusum_neg"] is None
         assert r["alarm"] is False
@@ -748,6 +800,23 @@ def test_twa_burst_vs_uniform(spark):
     assert r["twa"] == pytest.approx((10 * 9 + 4) / 13, abs=1e-6)
     assert r["row_mean"] == pytest.approx(2.5, abs=1e-9)
     assert r["span"] == 13 and r["n_points"] == 6
+
+
+def test_twa_out_of_range_value_null_not_job_kill(spark):
+    # r12 ADVICE: |x| >= 1e12 overflows the (18,6) product leg — under
+    # ANSI mode an unguarded cast throws NUMERIC_VALUE_OUT_OF_RANGE
+    # and kills the whole report. The row-level guard must instead
+    # report NULL twa for the affected group, keep row_mean, and
+    # leave other groups untouched.
+    rows = [
+        ("big", 0, 1.0e12), ("big", 10, 2.0),
+        ("ok", 0, 10.0), ("ok", 9, 1.0), ("ok", 13, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, t long, v double")
+    out = {r["g"]: r for r in time_weighted_mean(df, ["g"], "t", "v").collect()}
+    assert out["big"]["twa"] is None
+    assert out["big"]["row_mean"] == pytest.approx(5.0e11 + 1.0, rel=1e-12)
+    assert out["ok"]["twa"] == pytest.approx((10 * 9 + 1 * 4) / 13, abs=1e-6)
 
 
 def test_twa_single_point_null(spark):
