@@ -3,9 +3,10 @@
 Images / audio / video travel as opaque ``binary`` columns next to a
 typed metadata struct. The *Spark-side* machinery — schema, batch
 shape, Arrow transfer through ``mapInPandas``, partition sizing — is
-real and tested; the codec step itself is stubbed (this container has
-no image/audio libraries) behind ``DecodeNotAvailable`` with a
-deterministic fake for tests.
+real and tested. The codec ladder: Pillow when installed; otherwise
+the stdlib-only PNG decoder (``functions.png``) carries 8-bit PNG for
+real, and everything else raises ``DecodeNotAvailable`` (with a
+deterministic fake for codec-agnostic tests).
 
 At 100 TB: binary payloads dominate partition size, so
 ``spark.sql.files.maxPartitionBytes`` should be tuned down (payload
@@ -61,14 +62,36 @@ class DecodeNotAvailable(NotImplementedError):
 
 
 def decode_image(payload: bytes) -> object:
-    """Decode bytes to a PIL image when Pillow is installed; otherwise
-    raise ``DecodeNotAvailable`` (the container this repo is developed
-    in ships no image codec — the fake decoder covers tests there)."""
-    if not pil_available():
-        raise DecodeNotAvailable("image decode requires an image codec library")
-    from PIL import Image  # noqa: PLC0415
+    """Decode bytes to an image object exposing the Pillow surface the
+    module drives (convert/resize/thumbnail/getdata/save, width/
+    height/format).
 
-    return Image.open(io.BytesIO(payload))
+    Codec ladder: Pillow when installed (the fast path — any format);
+    otherwise the stdlib-only PNG decoder in ``functions.png`` carries
+    8-bit non-interlaced PNG FOR REAL (zlib inflate + per-filter
+    scanline reconstruction), so PNG corpora exercise the real-decode
+    branch even in codec-less containers. Anything else raises
+    ``DecodeNotAvailable`` — the seam where JPEG/video codecs plug in.
+    Corrupt PNG bytes raise ``ValueError`` (callers quarantine, never
+    abort)."""
+    if pil_available():
+        from PIL import Image  # noqa: PLC0415
+
+        return Image.open(io.BytesIO(payload))
+    from ..functions.png import (  # noqa: PLC0415
+        PngUnsupportedError,
+        decode_png,
+    )
+
+    if payload and bytes(payload[:8]) == _PNG_SIG:
+        try:
+            return decode_png(payload)
+        except PngUnsupportedError as e:
+            raise DecodeNotAvailable(str(e)) from e
+    raise DecodeNotAvailable(
+        "no codec for this payload (the built-in fallback decodes "
+        "8-bit PNG only; install an image codec library for the rest)"
+    )
 
 
 def _real_image_feature(payload: bytes, dim: int) -> list[float]:
@@ -90,16 +113,16 @@ def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
 def extract_features(df: DataFrame, dim: int = 8, use_fake_decoder: bool = True) -> DataFrame:
     """payload → feature vector via mapInPandas (Arrow-batched).
 
-    ``use_fake_decoder=False`` decodes for real through Pillow when it
-    is installed (grayscale average-pool to ``dim`` values), and raises
-    ``DecodeNotAvailable`` at execution otherwise — the seam where any
-    other codec plugs in.
+    ``use_fake_decoder=False`` decodes for real (grayscale
+    average-pool to ``dim`` values) through ``decode_image``'s codec
+    ladder — Pillow when installed, the stdlib PNG fallback for 8-bit
+    PNG otherwise — and raises ``DecodeNotAvailable`` at execution for
+    payloads no available codec covers, the seam where any other codec
+    plugs in.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake_decoder and not pil_available():
-                raise DecodeNotAvailable("no media codec in this environment")
             feat = (
                 (lambda p: _fake_feature(p, dim))
                 if use_fake_decoder
@@ -139,8 +162,10 @@ def resize_images(
     target dimensions from metadata with the same aspect-ratio math a
     real resize would use — so the schema, batch shape, and dimension
     logic are all real and tested. With ``use_fake_decoder=False`` the
-    payload is decoded, resized, and re-encoded through Pillow when it
-    is installed (``DecodeNotAvailable`` otherwise). Rows whose
+    payload is decoded, resized, and re-encoded through
+    ``decode_image``'s codec ladder — Pillow when installed, the
+    stdlib PNG fallback for 8-bit PNG otherwise (``DecodeNotAvailable``
+    for payloads neither covers). Rows whose
     metadata lacks dimensions pass through unresized (None
     width/height), mirroring how a real pipeline quarantines
     undecodable media rather than failing the batch.
@@ -162,8 +187,6 @@ def resize_images(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake_decoder and not pil_available():
-                raise DecodeNotAvailable("no media codec in this environment")
             metas = pdf["meta"]
             if use_fake_decoder:
                 dims = [
@@ -365,7 +388,8 @@ def perceptual_hashes(
     member of the dedup family's fingerprint column.
 
     Decode rides the module's seam: the real branch grayscales
-    through the codec when one is installed; the deterministic fake
+    through the codec ladder (Pillow when installed, the stdlib PNG
+    fallback for 8-bit PNG otherwise); the deterministic fake
     (sha512-derived grid — 64 digest bytes, one per cell) keeps the
     full plumbing — schema, packing, banding, Hamming verify —
     testable in codec-less environments, where "near-dup" degenerates
@@ -379,8 +403,6 @@ def perceptual_hashes(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake_decoder and not pil_available():
-                raise DecodeNotAvailable("no media codec in this environment")
 
             def grid(p: bytes) -> list[float] | None:
                 if not p:
