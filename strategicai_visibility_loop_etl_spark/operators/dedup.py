@@ -640,6 +640,30 @@ def exactsubstr_dedup(
     merged span, i.e. the threshold is ``k`` itself. The filter is a
     pure span-array expression per doc — the gram/hit plan is
     unchanged, so the 100 TB shape is identical.
+
+    Fidelity vs the canonical suffix array (decision recorded in
+    SURVEY row 104; boundary behavior pinned in
+    ``tests/test_dedup_similarity.py::test_exactsubstr_kgram_vs_suffix_array_boundaries``):
+    for CONTIGUOUS duplicated token runs the k-gram form is exact —
+    every run of length ≥ max(k, min_match_tokens) has all its k-grams
+    duplicated, so it merges to a full-length span and is excised,
+    and runs shorter than k produce no hit at all (set k ≤ the
+    shortest duplication you care about; with ``min_match_tokens``
+    doing the length gating, small k costs only gram volume, not
+    correctness). The ONE divergence is chimeric over-excision when
+    ``min_match_tokens > k``: two DIFFERENT sub-threshold duplicated
+    pieces that overlap or abut within one document merge into a
+    single span that can clear the threshold, so the k-gram form
+    excises where a suffix array (no single duplicated substring ≥
+    the minimum) keeps — the conservative direction for training-data
+    hygiene (never under-excises a true duplicate; may drop a rare
+    pathological splice). xxhash64 gram collisions add a ~2⁻⁶⁴
+    per-pair false-hit floor, the standard fingerprint trade. A
+    distributed suffix-array build (prefix-doubling over the whole
+    corpus: O(log n) sort rounds on (rank, rank) pairs) would close
+    the chimera gap at ~10× the shuffle volume of one gram pass —
+    rejected while the only divergence is over-excision of spliced
+    near-threshold repeats.
     """
     base, pos = _gram_tables(df, k, text_col, id_col)
     # Both the dup-set aggregate and the hit join consume `pos`;

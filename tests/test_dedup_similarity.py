@@ -429,6 +429,110 @@ def test_exactsubstr_min_match_tokens(spark, tmp_path):
     assert sres[0]["clean_text"] == got[1]["clean_text"]
 
 
+def _suffix_array_excision_oracle(docs: list[tuple[int, str]], L: int):
+    """Brute-force replay of Lee et al. 2022's SUFFIX-ARRAY semantics:
+    a token position is removed iff SOME single duplicated substring
+    of >= L tokens (>= 2 occurrences corpus-wide, counting same-doc
+    repeats) covers it. O(corpus²·len) — test corpora only."""
+    toks = {d: t.split() for d, t in docs}
+    occs = [(d, i) for d, ts in toks.items() for i in range(len(ts))]
+
+    def dup_len(d, i):
+        # longest l such that toks[d][i:i+l] occurs elsewhere too
+        best = 0
+        for d2, j in occs:
+            if (d2, j) == (d, i):
+                continue
+            l = 0
+            while (
+                i + l < len(toks[d])
+                and j + l < len(toks[d2])
+                and toks[d][i + l] == toks[d2][j + l]
+            ):
+                l += 1
+            best = max(best, l)
+        return best
+
+    out = {}
+    for d, ts in toks.items():
+        removed = [False] * len(ts)
+        for s in range(len(ts)):
+            m = dup_len(d, s)
+            if m >= L:
+                for p in range(s, s + m):
+                    removed[p] = True
+        out[d] = " ".join(t for t, r in zip(ts, removed) if not r)
+    return out
+
+
+def test_exactsubstr_kgram_vs_suffix_array_boundaries(spark):
+    """SURVEY row 104 decision pin: where the k-gram form EQUALS
+    suffix-array semantics and where it diverges.
+
+    Exact on contiguous runs — a duplicated run of exactly L tokens
+    excises, L-1 survives, and a run shorter than k is invisible; all
+    three agree with the brute-force suffix-array oracle. The one
+    divergence: two different sub-threshold duplicated pieces that
+    ABUT inside one doc merge into a chimeric span that clears L, so
+    the k-gram form excises (conservative over-excision) where the
+    oracle keeps — never the reverse."""
+    from strategicai_visibility_loop_etl_spark.operators.dedup import (
+        exactsubstr_dedup,
+    )
+
+    k, L = 8, 50
+    run50 = " ".join(f"r{i}" for i in range(50))
+    run49 = " ".join(f"s{i}" for i in range(49))
+    run7 = " ".join(f"t{i}" for i in range(7))
+    p1 = " ".join(f"p{i}" for i in range(30))
+    p2 = " ".join(f"q{i}" for i in range(30))
+    rows = [
+        (1, f"a1 a2 {run50} z1 z2"),
+        (2, f"b1 {run50} b2"),
+        (3, f"c1 {run49} c2"),
+        (4, f"d1 {run49} d2"),
+        # chimera: doc 5 splices P1 (shared with 6) against P2
+        # (shared with 7); no single duplicated substring >= 50.
+        (5, f"e1 e2 {p1} {p2} y1 y2"),
+        (6, f"f1 {p1} f2"),
+        (7, f"g1 {p2} g2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in exactsubstr_dedup(df, k=k, min_match_tokens=L).collect()
+    }
+    oracle = _suffix_array_excision_oracle(rows, L)
+
+    # Contiguous-run boundaries: identical to suffix-array semantics.
+    assert got[1]["clean_text"] == oracle[1] == "a1 a2 z1 z2"
+    assert got[2]["clean_text"] == oracle[2] == "b1 b2"
+    assert got[3]["clean_text"] == oracle[3] == rows[2][1]  # 49 < L
+    assert got[4]["clean_text"] == oracle[4] == rows[3][1]
+
+    # Sub-k runs are invisible even with NO length threshold.
+    sub = spark.createDataFrame(
+        [(12, f"m1 {run7} m2"), (13, f"n1 {run7} n2")],
+        "doc_id long, text string",
+    )
+    for r in exactsubstr_dedup(sub, k=k).collect():
+        assert r["n_spans"] == 0 and r["n_removed"] == 0
+
+    # The documented divergence, in the documented DIRECTION only:
+    # the chimera doc over-excises vs the oracle; the piece donors
+    # agree with the oracle (30 < L survives).
+    assert oracle[5] == rows[4][1]            # suffix array keeps
+    assert got[5]["clean_text"] == "e1 e2 y1 y2"  # k-gram excises
+    assert got[5]["n_spans"] == 1 and got[5]["n_removed"] == 60
+    assert got[6]["clean_text"] == oracle[6] == rows[5][1]
+    assert got[7]["clean_text"] == oracle[7] == rows[6][1]
+    # Never under-excises: everything the oracle removed, we removed.
+    for d in (1, 2, 3, 4, 6, 7):
+        kept_by_engine = set(got[d]["clean_text"].split())
+        kept_by_oracle = set(oracle[d].split())
+        assert kept_by_engine <= kept_by_oracle
+
+
 @pytest.mark.sweep
 def test_minhash_incremental_matches_full_recompute(spark, sf_dir, tmp_path):
     """dedup_minhash_incremental(batch, index) == full batch LSH over
