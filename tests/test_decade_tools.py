@@ -140,3 +140,47 @@ def test_union_find_matches_recursive_closure_semantics():
     labels = union_find(edges)
     assert labels == {5: 3, 3: 3, 9: 3, 7: 3,
                       20: 20, 21: 20, 22: 20, 40: 40, 41: 40}
+
+
+def test_reps_split_staged_oracle_equals_recursive_oracle(tmp_path):
+    """The qx12/qx36 decade checker's string-surgered oracle (staged
+    union-find component table spliced in place of the embedded q42
+    recursive CTE) returns byte-identical rows to the REGISTERED
+    recursive oracle at a scale where the recursion is tractable —
+    proving the splice changes the closure's ENGINE, not its
+    semantics. DuckDB-only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entrymod
+    from tools.decade_cc_check import duckdb_edges, union_find
+    from tools.decade_reps_split_check import staged_oracle_sql
+
+    sf_dir = SRC
+    edges = duckdb_edges(
+        entrymod.oracle_sql()["q42_dedup_clusters"], sf_dir
+    )
+    labels = union_find(edges)
+    comp_path = str(tmp_path / "components.parquet")
+    ids = sorted(labels)
+    pq.write_table(
+        pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "component": pa.array([labels[i] for i in ids], pa.int64()),
+        }),
+        comp_path,
+    )
+    staged = staged_oracle_sql(entrymod, comp_path)
+    registered = entrymod.extra_oracle_sql()
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    for name in ("qx12_cluster_reps", "qx36_leakage_split"):
+        assert "read_parquet" in staged[name]
+        assert "RECURSIVE" not in staged[name].upper()
+        want = con.execute(registered[name]).fetchall()
+        got = con.execute(staged[name]).fetchall()
+        assert got == want, name
