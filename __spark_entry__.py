@@ -11165,21 +11165,28 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_points,
                    MAX(t) - MIN(t) AS span,
-                   SUM(CAST(CAST(CASE WHEN abs(xr) < 1e12 THEN xr END
+                   SUM(CAST(CAST(CASE WHEN isfinite(xr)
+                                           AND abs(xr) < 1e12 THEN xr END
                                  AS DECIMAL(18,6))
                        * CAST(dur AS DECIMAL(19,0)) AS DECIMAL(38,6)))
                        AS wsum,
-                   MAX(CASE WHEN abs(xr) >= 1e12 THEN 1 ELSE 0 END)
-                       AS oob,
-                   SUM(CAST(xr AS DECIMAL(28,6))) AS xsum
+                   MAX(CASE WHEN isfinite(xr) AND abs(xr) < 1e12
+                            THEN 0 ELSE 1 END) AS oob_w,
+                   MAX(CASE WHEN isfinite(xr) AND abs(xr) < 1e22
+                            THEN 0 ELSE 1 END) AS oob_m,
+                   SUM(CAST(CASE WHEN isfinite(xr)
+                                      AND abs(xr) < 1e22 THEN xr END
+                            AS DECIMAL(28,6))) AS xsum
             FROM stepped GROUP BY event_type
         )
         SELECT event_type, n_points, CAST(span AS BIGINT) AS span,
-               CASE WHEN span > 0 AND oob = 0
+               CASE WHEN span > 0 AND oob_w = 0
                     THEN round(CAST(CAST(wsum AS VARCHAR) AS DOUBLE)
                                / CAST(span AS DOUBLE), 6) END AS twa,
-               round(CAST(CAST(xsum AS VARCHAR) AS DOUBLE)
-                     / CAST(n_points AS DOUBLE), 6) AS row_mean
+               CASE WHEN oob_m = 0
+                    THEN round(CAST(CAST(xsum AS VARCHAR) AS DOUBLE)
+                               / CAST(n_points AS DOUBLE), 6)
+               END AS row_mean
         FROM agg ORDER BY event_type
     """
 

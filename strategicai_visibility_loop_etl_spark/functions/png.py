@@ -44,8 +44,23 @@ class PngFormatError(ValueError):
     """Corrupt or truncated PNG bytes (quarantine, not abort)."""
 
 
+class PngLimitError(PngFormatError):
+    """Valid PNG exceeding the decode resource cap (quarantine) —
+    the decompression-bomb guard, Pillow's MAX_IMAGE_PIXELS analog."""
+
+
 class PngUnsupportedError(NotImplementedError):
     """Valid PNG needing features only a real codec provides."""
+
+
+# Decompression-bomb cap: a few-KB crafted PNG can declare huge IHDR
+# dims and inflate ~1000:1, OOM-killing an executor — an abort no
+# quarantine handler catches. 16M pixels (4096²) is generous for the
+# fixture/probe workloads this fallback serves; raise it deliberately
+# for bigger single images. The inflate itself is ALSO hard-capped at
+# the exact expected byte count via decompressobj(max_length), so a
+# lying stream can never materialize more than the declared image.
+MAX_PIXELS = 16_000_000
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -145,11 +160,22 @@ def decode_png(payload: bytes) -> "PngImage":
         raise PngUnsupportedError(f"color type {ctype}")
     if ctype == 3 and plte is None:
         raise PngFormatError("palette image without PLTE")
+    if w * h > MAX_PIXELS:
+        raise PngLimitError(
+            f"{w}x{h} exceeds the {MAX_PIXELS}-pixel decode cap"
+        )
+    bpp = _CHANNELS[ctype]
+    expected = h * (1 + w * bpp)
     try:
-        raw = zlib.decompress(idat)
+        # Bounded inflate: never materialize more than the declared
+        # image, no matter what the stream claims.
+        dec = zlib.decompressobj()
+        raw = dec.decompress(idat, expected)
+        if dec.unconsumed_tail and not dec.eof:
+            if dec.decompress(dec.unconsumed_tail, 1):
+                raise PngFormatError("decompressed size mismatch")
     except zlib.error as e:
         raise PngFormatError(f"IDAT inflate failed: {e}") from e
-    bpp = _CHANNELS[ctype]
     px = _unfilter(raw, w, h, bpp)
     if ctype == 3:
         # palette → RGB / RGBA (tRNS gives per-index alpha)
@@ -175,11 +201,13 @@ class PngImage:
     """Minimal decoded-image surface: the subset of the Pillow Image
     API the multimodal seam drives (convert/resize/thumbnail/getdata/
     save + width/height/format), deliberately nothing more. Grayscale
-    uses Pillow's ITU-R 601-2 integer luma (R*299+G*587+B*114)//1000
-    so both seam branches agree on 'L' values; resize is exact
+    uses Pillow's exact fixed-point ITU-R 601-2 luma so both seam
+    branches agree bit-for-bit on 'L' values; resize is exact
     fractional-coverage box (area) averaging — deterministic across
     platforms, documented as area-average rather than Pillow's
-    default bicubic."""
+    default bicubic (resized pixels may therefore differ from a
+    Pillow resize; hash whole images, not resized crops, when mixing
+    environments)."""
 
     format = "PNG"
 
@@ -215,11 +243,18 @@ class PngImage:
         d, n = self._data, self._nch
         if self.mode == "LA":
             return PngImage("L", self.width, self.height, d[0::2])
-        # RGB / RGBA → L via integer ITU-R 601-2 (the Pillow formula)
+        # RGB / RGBA → L with Pillow's EXACT fixed-point ITU-R 601-2
+        # (libImaging Convert.c: (R·19595 + G·38470 + B·7471 + 2¹⁵)
+        # >> 16, coefficients summing to 65536) — a //1000 variant
+        # diverges from Pillow on ~0.5% of colors, which flips aHash
+        # bits near the grid mean and makes staged phash tables
+        # environment-dependent.
         out = bytearray(self.width * self.height)
         for i in range(len(out)):
             o = i * n
-            out[i] = (d[o] * 299 + d[o + 1] * 587 + d[o + 2] * 114) // 1000
+            out[i] = (
+                d[o] * 19595 + d[o + 1] * 38470 + d[o + 2] * 7471 + 0x8000
+            ) >> 16
         return PngImage("L", self.width, self.height, bytes(out))
 
     def resize(self, size: tuple[int, int]) -> "PngImage":

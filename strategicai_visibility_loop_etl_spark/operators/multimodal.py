@@ -70,10 +70,17 @@ def decode_image(payload: bytes) -> object:
     otherwise the stdlib-only PNG decoder in ``functions.png`` carries
     8-bit non-interlaced PNG FOR REAL (zlib inflate + per-filter
     scanline reconstruction), so PNG corpora exercise the real-decode
-    branch even in codec-less containers. Anything else raises
-    ``DecodeNotAvailable`` — the seam where JPEG/video codecs plug in.
-    Corrupt PNG bytes raise ``ValueError`` (callers quarantine, never
-    abort)."""
+    branch even in codec-less containers.
+
+    Error contract, IDENTICAL in both environments so a corpus run
+    cannot change failure semantics based on what happens to be
+    installed: a payload that sniffs as a RECOGNIZED container the
+    available codecs cannot decode (JPEG/GIF without Pillow, 16-bit/
+    interlaced PNG without Pillow) raises ``DecodeNotAvailable`` —
+    loudly, because silently quarantining a whole decodable modality
+    would drop valid data. Corrupt or unidentifiable bytes raise
+    ``ValueError`` (Pillow's UnidentifiedImageError is one) — the
+    callers' per-row quarantine path, never a job abort."""
     if pil_available():
         from PIL import Image  # noqa: PLC0415
 
@@ -83,22 +90,34 @@ def decode_image(payload: bytes) -> object:
         decode_png,
     )
 
-    if payload and bytes(payload[:8]) == _PNG_SIG:
+    mime, _w, _h = parse_image_header(payload)
+    if mime == "image/png":
         try:
             return decode_png(payload)
         except PngUnsupportedError as e:
             raise DecodeNotAvailable(str(e)) from e
-    raise DecodeNotAvailable(
-        "no codec for this payload (the built-in fallback decodes "
-        "8-bit PNG only; install an image codec library for the rest)"
-    )
+    if mime is not None:
+        raise DecodeNotAvailable(
+            f"no codec for {mime} (the built-in fallback decodes 8-bit "
+            "PNG only; install an image codec library for the rest)"
+        )
+    raise ValueError("unidentified image payload")
 
 
-def _real_image_feature(payload: bytes, dim: int) -> list[float]:
+def _real_image_feature(payload: bytes, dim: int) -> list[float] | None:
     """Grayscale the decoded image and average-pool it to ``dim``
     values in [0,1] — a minimal real feature extractor that exercises
-    decode → transform → vector end-to-end."""
-    img = decode_image(payload).convert("L").resize((dim, 1))
+    decode → transform → vector end-to-end. Corrupt/unidentifiable
+    members return None (the module quarantine convention — a crawl
+    corpus always contains some, and one must never abort the job);
+    ``DecodeNotAvailable`` still raises (missing codec for a whole
+    modality is a configuration error, not a data defect)."""
+    try:
+        img = decode_image(payload).convert("L").resize((dim, 1))
+    except DecodeNotAvailable:
+        raise
+    except Exception:
+        return None
     return [p / 255.0 for p in img.getdata()]
 
 
@@ -116,9 +135,10 @@ def extract_features(df: DataFrame, dim: int = 8, use_fake_decoder: bool = True)
     ``use_fake_decoder=False`` decodes for real (grayscale
     average-pool to ``dim`` values) through ``decode_image``'s codec
     ladder — Pillow when installed, the stdlib PNG fallback for 8-bit
-    PNG otherwise — and raises ``DecodeNotAvailable`` at execution for
-    payloads no available codec covers, the seam where any other codec
-    plugs in.
+    PNG otherwise. Corrupt members quarantine as NULL feature (digest
+    and n_bytes still real); a recognized container no available codec
+    covers raises ``DecodeNotAvailable`` — the seam where any other
+    codec plugs in.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -165,8 +185,9 @@ def resize_images(
     payload is decoded, resized, and re-encoded through
     ``decode_image``'s codec ladder — Pillow when installed, the
     stdlib PNG fallback for 8-bit PNG otherwise (``DecodeNotAvailable``
-    for payloads neither covers). Rows whose
-    metadata lacks dimensions pass through unresized (None
+    when a recognized container has no codec). Rows whose
+    metadata lacks dimensions (fake branch) or whose payload is
+    corrupt/unidentifiable (real branch) pass through unresized (None
     width/height), mirroring how a real pipeline quarantines
     undecodable media rather than failing the batch.
     """
@@ -178,11 +199,20 @@ def resize_images(
         return int(w * scale), int(h * scale)
 
     def _real_resize(payload):
-        img = decode_image(payload)
-        fmt = img.format or "PNG"
-        img.thumbnail((max_width, max_height))
-        buf = io.BytesIO()
-        img.save(buf, format=fmt)
+        # Corrupt/unidentifiable member: QUARANTINE as unresized
+        # passthrough with NULL dims — the same convention the fake
+        # branch applies to rows without metadata. DecodeNotAvailable
+        # (whole modality uncovered) still raises.
+        try:
+            img = decode_image(payload)
+            fmt = img.format or "PNG"
+            img.thumbnail((max_width, max_height))
+            buf = io.BytesIO()
+            img.save(buf, format=fmt)
+        except DecodeNotAvailable:
+            raise
+        except Exception:
+            return payload, None, None
         return buf.getvalue(), img.width, img.height
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

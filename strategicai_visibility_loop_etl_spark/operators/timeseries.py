@@ -987,14 +987,16 @@ def time_weighted_mean(
     shape: one per-group sort window + one hash aggregate on the same
     key. Groups with a single point (zero span) report NULL twa.
 
-    Value domain: |x| < 1e12 (the (18,6) width; the (19,0) duration
-    leg already spans any int64 micros gap). Out-of-range values are
-    detected with a row-level guard BEFORE the decimal cast — under
-    ANSI mode (Spark 4's default) an unguarded cast would throw
-    NUMERIC_VALUE_OUT_OF_RANGE and kill the whole report (the
-    benford_audit magnitude-window discipline) — and any group
-    containing one reports NULL twa rather than a silently truncated
-    average; row_mean (a (28,6) sum) still reports.
+    Value domain: |x| < 1e12 for twa (the (18,6) product width; the
+    (19,0) duration leg already spans any int64 micros gap) and
+    |x| < 1e22 for row_mean (the (28,6) sum width); NaN/±Inf are
+    outside both. Every decimal cast is preceded by a row-level
+    domain guard — under ANSI mode (Spark 4's default) an unguarded
+    cast would throw NUMERIC_VALUE_OUT_OF_RANGE / CAST_INVALID_INPUT
+    and kill the whole report (the benford_audit magnitude-window
+    discipline) — and a group containing a violator reports NULL for
+    the affected leg only (a 1e15 value nulls twa but row_mean still
+    reports; 1e23 or NaN nulls both).
     """
     from ..functions.numeric import round_c  # noqa: PLC0415
 
@@ -1010,23 +1012,42 @@ def time_weighted_mean(
             "__dur"
         ),
     )
-    x_in_range = F.abs(F.col("__x")) < F.lit(1e12)
+    # Row-level domain guards BEFORE every decimal cast — under ANSI
+    # mode (Spark 4 default) an out-of-range or NaN value would throw
+    # inside the cast and kill the whole report. Each output leg has
+    # its own domain: (18,6) for the duration products, (28,6) for the
+    # plain sum; a group containing a violator reports NULL for that
+    # leg only.
+    finite = ~(F.isnan(F.col("__x")) | F.col("__x").isin(
+        float("inf"), float("-inf")))
+    ok_w = finite & (F.abs(F.col("__x")) < F.lit(1e12))
+    ok_m = finite & (F.abs(F.col("__x")) < F.lit(1e22))
     agg = stepped.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_points"),
         (F.max("__t") - F.min("__t")).alias("span"),
         F.sum(
             (
-                F.when(x_in_range, F.col("__x")).cast("decimal(18,6)")
+                F.when(ok_w, F.col("__x")).cast("decimal(18,6)")
                 * F.col("__dur").cast("decimal(19,0)")
             ).cast("decimal(38,6)")
         ).alias("__wsum"),
-        F.max((~x_in_range).cast("int")).alias("__oob"),
-        F.sum(F.col("__x").cast("decimal(28,6)")).alias("__xsum"),
+        F.max((~ok_w).cast("int")).alias("__oob_w"),
+        F.max((~ok_m).cast("int")).alias("__oob_m"),
+        F.sum(F.when(ok_m, F.col("__x")).cast("decimal(28,6)")).alias(
+            "__xsum"
+        ),
     )
     twa = F.when(
-        (F.col("span") > 0) & (F.col("__oob") == 0),
+        (F.col("span") > 0) & (F.col("__oob_w") == 0),
         round_c(
             F.col("__wsum").cast("double") / F.col("span").cast("double"),
+            out_decimals,
+        ),
+    )
+    row_mean = F.when(
+        F.col("__oob_m") == 0,
+        round_c(
+            F.col("__xsum").cast("double") / F.col("n_points").cast("double"),
             out_decimals,
         ),
     )
@@ -1035,8 +1056,5 @@ def time_weighted_mean(
         "n_points",
         "span",
         twa.alias("twa"),
-        round_c(
-            F.col("__xsum").cast("double") / F.col("n_points").cast("double"),
-            out_decimals,
-        ).alias("row_mean"),
+        row_mean.alias("row_mean"),
     ).orderBy(*group_cols)

@@ -810,12 +810,18 @@ def test_twa_out_of_range_value_null_not_job_kill(spark):
     # leave other groups untouched.
     rows = [
         ("big", 0, 1.0e12), ("big", 10, 2.0),
+        ("huge", 0, 1.0e23), ("huge", 10, 2.0),   # beyond the (28,6) leg
+        ("nan", 0, float("nan")), ("nan", 10, 2.0),
         ("ok", 0, 10.0), ("ok", 9, 1.0), ("ok", 13, 1.0),
     ]
     df = spark.createDataFrame(rows, "g string, t long, v double")
     out = {r["g"]: r for r in time_weighted_mean(df, ["g"], "t", "v").collect()}
+    # 1e12 nulls only the (18,6) twa leg; row_mean still reports.
     assert out["big"]["twa"] is None
     assert out["big"]["row_mean"] == pytest.approx(5.0e11 + 1.0, rel=1e-12)
+    # 1e23 / NaN are outside BOTH legs: each nulls, neither job-kills.
+    assert out["huge"]["twa"] is None and out["huge"]["row_mean"] is None
+    assert out["nan"]["twa"] is None and out["nan"]["row_mean"] is None
     assert out["ok"]["twa"] == pytest.approx((10 * 9 + 1 * 4) / 13, abs=1e-6)
 
 

@@ -47,16 +47,29 @@ def test_extract_features_shapes_and_determinism(spark):
 
 
 def test_real_decoder_seam(spark):
-    """0-skip in every environment: without a codec the real-decode
-    path must raise through the declared DecodeNotAvailable seam; with
-    Pillow installed it must decode a real JPEG end to end (feature
-    extract + resize). Same test, both sides of the seam."""
+    """0-skip in every environment: without Pillow, a JPEG corpus must
+    raise through the declared DecodeNotAvailable seam (a recognized
+    container with no codec — never silently quarantined), while
+    unidentifiable bytes raise ValueError (the quarantine class,
+    Pillow-consistent); with Pillow installed the same JPEG decodes
+    end to end (feature extract + resize). Same test, both sides."""
     if not pil_available():
+        jpeg_df = spark.createDataFrame(
+            [(1, bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg"),
+              ("image/jpeg", 4, 4, None))],
+            MEDIA_SCHEMA,
+        )
         with pytest.raises(Exception) as err:
-            extract_features(_media_df(spark), use_fake_decoder=False).collect()
+            extract_features(jpeg_df, use_fake_decoder=False).collect()
         assert "DecodeNotAvailable" in str(err.value) or "codec" in str(err.value)
         with pytest.raises(DecodeNotAvailable):
-            decode_image(b"anything")
+            decode_image(b"\xff\xd8\xff\xe0jpeg-without-codec")
+        with pytest.raises(ValueError):
+            decode_image(b"anything")  # unidentifiable -> quarantine class
+        # Unidentifiable members QUARANTINE (NULL feature), digest real.
+        out = {r["media_id"]: r for r in
+               extract_features(_media_df(spark), use_fake_decoder=False).collect()}
+        assert out[1]["feature"] is None and out[1]["digest"] is not None
         return
     from PIL import Image
     import io
@@ -120,9 +133,21 @@ def test_resize_images_dims_and_passthrough(spark):
     assert out[2]["width"] is None and out[2]["height"] is None
     # Never upscale: 1x1 stays 1x1.
     assert (out[3]["width"], out[3]["height"]) == (1, 1)
-    with pytest.raises(Exception) as err:
-        resize_images(_media_df(spark), use_fake_decoder=False).collect()
-    assert "DecodeNotAvailable" in str(err.value) or "codec" in str(err.value)
+    # Real branch: unidentifiable payloads QUARANTINE as unresized
+    # passthrough with NULL dims (both environments); a codec-less
+    # environment still raises for a recognized-but-uncovered format.
+    real = {r["media_id"]: r for r in
+            resize_images(_media_df(spark), use_fake_decoder=False).collect()}
+    assert bytes(real[1]["payload"]) == b"\x89PNG fake image bytes"
+    assert real[1]["width"] is None and real[1]["height"] is None
+    if not pil_available():
+        jpeg_df = _media_df(spark).sparkSession.createDataFrame(
+            [(9, bytearray(b"\xff\xd8\xff\xe0jpeg"), ("image/jpeg", 2, 2, None))],
+            _media_df(spark).schema,
+        )
+        with pytest.raises(Exception) as err:
+            resize_images(jpeg_df, use_fake_decoder=False).collect()
+        assert "DecodeNotAvailable" in str(err.value) or "codec" in str(err.value)
 
 
 def _png_bytes(w: int, h: int) -> bytes:

@@ -157,16 +157,53 @@ def test_corrupt_is_format_error_unsupported_is_not_implemented():
     assert issubclass(PngFormatError, ValueError)
 
 
+def test_decompression_bomb_guard():
+    """A few-KB PNG declaring enormous dims must quarantine (ValueError
+    class) BEFORE inflating — never OOM the executor — and a stream
+    inflating past the declared size must fail as corrupt."""
+    from strategicai_visibility_loop_etl_spark.functions.png import (
+        MAX_PIXELS,
+        PngLimitError,
+    )
+
+    # 40000x40000 RGBA declared, tiny highly-compressible IDAT
+    ihdr = struct.pack(">IIBBBBB", 40000, 40000, 8, 6, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10000))
+        + _chunk(b"IEND", b"")
+    )
+    assert len(bomb) < 1000
+    with pytest.raises(PngLimitError):
+        decode_png(bomb)
+    assert issubclass(PngLimitError, ValueError)  # quarantine class
+    assert 40000 * 40000 > MAX_PIXELS
+
+    # In-cap dims but the stream inflates PAST the declared size:
+    # corrupt, and the bounded inflate must not materialize the excess.
+    raw_too_long = b"\x00\x07" * 4  # 1x1 gray needs 2 bytes, gives 8
+    over = _png(1, 1, 0, raw_too_long)
+    with pytest.raises(PngFormatError):
+        decode_png(over)
+
+
 # ------------------------------------------------ image-surface methods
 
 
-def test_convert_l_uses_itu_601_integer_luma():
-    img = PngImage("RGB", 2, 1, bytes([255, 0, 0, 10, 20, 30]))
+def test_convert_l_uses_pillow_exact_fixed_point_luma():
+    # Pillow's libImaging formula: (R*19595 + G*38470 + B*7471 +
+    # 0x8000) >> 16 — NOT (R*299+G*587+B*114)//1000: the fixed-point
+    # form half-rounds where the //1000 form floors (e.g. (0,0,5):
+    # 1 vs 0), and tens of thousands of colors diverge. Staged phash
+    # tables must not depend on which codec leg hashed them.
+    img = PngImage("RGB", 3, 1, bytes([255, 0, 0, 10, 20, 30, 0, 0, 5]))
     li = img.convert("L")
     assert li.getdata() == [
-        (255 * 299) // 1000,
-        (10 * 299 + 20 * 587 + 30 * 114) // 1000,
+        (255 * 19595 + 0x8000) >> 16,
+        (10 * 19595 + 20 * 38470 + 30 * 7471 + 0x8000) >> 16,
+        (5 * 7471 + 0x8000) >> 16,
     ]
+    assert li.getdata()[2] == 1  # the //1000 variant floors to 0
     # LA drops alpha; L is identity
     la = PngImage("LA", 2, 1, bytes([7, 255, 9, 0]))
     assert la.convert("L").getdata() == [7, 9]

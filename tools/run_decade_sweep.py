@@ -26,15 +26,18 @@ SPECIAL = {"q42_dedup_clusters", "qx12_cluster_reps", "qx36_leakage_split"}
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/tmp/decade_sf1"
-    skip = 0
-    only = None
-    for a in sys.argv[1:]:
-        if a.startswith("--skip"):
-            skip = int(a.split("=", 1)[1])
-        if a.startswith("--only"):
-            only = a.split("=", 1)[1].split(",")
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/tmp/decade_sf1")
+    ap.add_argument("--skip", type=int, default=0,
+                    help="skip the first N registry queries (resume)")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated query names to run")
+    ns = ap.parse_args()
+    sf_dir = ns.sf_dir
+    skip = ns.skip
+    only = ns.only.split(",") if ns.only else None
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
