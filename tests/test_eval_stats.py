@@ -190,6 +190,26 @@ def test_moments_plan_single_group_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
+def test_moments_fast_mode_tracks_exact(spark):
+    # exact=False (production double sums) must agree with the exact
+    # decimal mode well beyond the noise the docstring warns about,
+    # and keep every guard/NULL contract.
+    rows = [("a", float(i % 97) + 0.25) for i in range(500)]
+    rows += [("const", 0.0009)] * 5 + [("n2", 1.0), ("n2", 3.0)]
+    df = _vals(spark, rows)
+    ex = {r["g"]: r for r in moments_profile(df, "v", ["g"]).collect()}
+    fa = {r["g"]: r for r in
+          moments_profile(df, "v", ["g"], exact=False).collect()}
+    for g in ex:
+        for c in ("n", "mean", "std", "skewness", "kurtosis"):
+            a, b = ex[g][c], fa[g][c]
+            if a is None or b is None:
+                assert a == b, (g, c)
+            else:
+                assert abs(a - b) < 1e-4, (g, c, a, b)
+    assert fa["const"]["std"] == 0.0 and fa["const"]["skewness"] is None
+
+
 def test_moments_null_values_excluded(spark):
     df = spark.createDataFrame(
         [("a", 1.0), ("a", None), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0)],
