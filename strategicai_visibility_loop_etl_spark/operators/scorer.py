@@ -218,9 +218,15 @@ def hashed_scorer_scores(
         )
     )
     # + 0.0 canonicalizes IEEE negative zero (a tiny negative sum that
-    # rounds to zero must not hash-differ from +0.0 across engines)
+    # rounds to zero must not hash-differ from +0.0 across engines).
+    # round_c, not F.round: the r13 sf1 decade sweep caught two docs
+    # whose score·10^6 double product lands exactly on a .5 boundary,
+    # where F.round (shortest-repr rounding) disagrees with DuckDB's
+    # multiply-form round.
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
     denom = F.col("n_features") if normalize else F.lit(1)
-    score = F.round(
+    score = round_c(
         F.col("__sw").cast("double") / denom, 6
     ) + F.lit(0.0)
     out = scored.select(

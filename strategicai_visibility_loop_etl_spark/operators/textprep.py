@@ -623,12 +623,20 @@ def unigram_lm_scores(
             F.sum(F.col("tf").cast("decimal(18,0)") * F.col("logp")).alias("__slp"),
         )
     )
-    nll = F.round(-F.col("__slp").cast("double") / F.col("n_tokens"), 6)
+    # round_c, not F.round: F.round rounds the double's shortest
+    # decimal repr while DuckDB (and C-library engines) round the
+    # x·10^n double product — the two disagree when the product lands
+    # exactly on a .5 boundary (caught live by the r13 sf1 decade
+    # sweep: doc with slp = -88.873629, n = 26 → product exactly
+    # 3418216.5). round_c makes every step IEEE-identical.
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
+    nll = round_c(-F.col("__slp").cast("double") / F.col("n_tokens"), 6)
     return scored.select(
         F.col("id").alias(id_col),
         F.col("n_tokens").cast("long").alias("n_tokens"),
         nll.alias("nll"),
-        F.round(F.exp(nll), 4).alias("ppl"),
+        round_c(F.exp(nll), 4).alias("ppl"),
     )
 
 
