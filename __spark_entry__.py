@@ -6179,11 +6179,11 @@ def extra_oracle_sql() -> dict[str, str]:
         b AS (
             SELECT s.doc_id,
                    CASE WHEN qual IS NOT NULL THEN
-                       len(list_filter(cq, t -> t <= qual)) END AS qb,
+                       len(list_filter(cq, t -> t <= qual + 5e-8)) END AS qb,
                    CASE WHEN ent IS NOT NULL THEN
-                       len(list_filter(ce, t -> t <= ent)) END AS eb,
+                       len(list_filter(ce, t -> t <= ent + 5e-8)) END AS eb,
                    CASE WHEN ntok IS NOT NULL THEN
-                       len(list_filter(cn, t -> t <= ntok)) END AS nb
+                       len(list_filter(cn, t -> t <= ntok + 5e-8)) END AS nb
             FROM s CROSS JOIN cuts
         )
         SELECT doc_id,

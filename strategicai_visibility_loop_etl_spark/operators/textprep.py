@@ -1370,7 +1370,19 @@ def quality_blend(
 
     Rows with a NULL signal get NULL for that bucket and are excluded
     from the blend mean (blend NULL only if ALL signals are NULL).
+
+    Cross-engine cut robustness: signals live on the 1e-6 rounding
+    lattice, so every TRUE interior cut point (a + g·(b−a) with g a
+    tenth) lies on the 1e-7 lattice — but each engine computes the
+    interpolation with its own IEEE operation order, so computed cuts
+    can differ by an ulp around a value that EQUALS a signal, flipping
+    that row's bucket (caught live by the r13 sf1 decade sweep: one
+    doc of 50k). The bucket compare therefore allows a half-lattice
+    tolerance (``cut ≤ x + 5e-8``): it absorbs any few-ulp
+    interpolation error without ever reaching the next lattice point,
+    and the oracle applies the identical epsilon.
     """
+    cut_epsilon = 5e-8
     fracs = [i / n_buckets for i in range(1, n_buckets)]
 
     def _cut(c: str):
@@ -1384,7 +1396,10 @@ def quality_blend(
         c: F.when(
             F.col(c).isNotNull(),
             F.size(
-                F.filter(F.col(f"__cut_{c}"), lambda t: t <= F.col(c))
+                F.filter(
+                    F.col(f"__cut_{c}"),
+                    lambda t: t <= F.col(c) + F.lit(cut_epsilon),
+                )
             ),
         )
         for c in signal_cols
