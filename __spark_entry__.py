@@ -9820,10 +9820,18 @@ def extra_oracle_sql() -> dict[str, str]:
             FROM draws JOIN cand USING (bucket)
             WHERE cand <> anchor
         )
-        SELECT anchor AS anchor_id, draw, cand AS negative_id
+        SELECT anchor AS anchor_id, draw,
+               -- arg_min over the composite (h, cand) key instead of a
+               -- row_number window: the bucket join's O(n^2/buckets)
+               -- intermediate streams through a 150k-group hash
+               -- aggregate instead of materializing as window
+               -- partitions (the r13 sf1 sweep OOM-killed at 50 GB on
+               -- the window form; cand < 2^32 so the HUGEINT key is
+               -- collision-free)
+               arg_min(cand, CAST(h AS HUGEINT) * 4294967296 + cand)
+                   AS negative_id
         FROM paired
-        QUALIFY row_number() OVER (
-            PARTITION BY anchor, draw ORDER BY h, cand) = 1
+        GROUP BY anchor, draw
         ORDER BY anchor_id, draw
     """
 
