@@ -5263,7 +5263,13 @@ def qx113_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
-    return psi_drift(ev, "value", ["event_type"], n_bins=10)
+    # cut_epsilon: events.value is ~2dp-generated (adjacent distinct
+    # values >= ~1e-6 apart), so the half-6dp-lattice tolerance
+    # absorbs cross-engine cut-interpolation ulps (the qx38 class)
+    # without ever reaching a neighboring value.
+    return psi_drift(
+        ev, "value", ["event_type"], n_bins=10, cut_epsilon=5e-8
+    )
 
 
 def qx114_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10307,12 +10313,12 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT quantile_cont(value, [{_psi_fracs}]) AS c FROM vals
         ),
         bc AS (
-            SELECT len(list_filter(c, t -> t <= value)) AS b,
+            SELECT len(list_filter(c, t -> t <= value + 5e-8)) AS b,
                    CAST(COUNT(*) AS BIGINT) AS cb
             FROM vals CROSS JOIN cuts GROUP BY 1
         ),
         cc AS (
-            SELECT event_type, len(list_filter(c, t -> t <= value)) AS b,
+            SELECT event_type, len(list_filter(c, t -> t <= value + 5e-8)) AS b,
                    CAST(COUNT(*) AS BIGINT) AS cc
             FROM vals CROSS JOIN cuts GROUP BY 1, 2
         ),

@@ -171,9 +171,20 @@ def decode_png(payload: bytes) -> "PngImage":
         # image, no matter what the stream claims.
         dec = zlib.decompressobj()
         raw = dec.decompress(idat, expected)
-        if dec.unconsumed_tail and not dec.eof:
+        if dec.unconsumed_tail:
+            # We already have `expected` bytes; any FURTHER output
+            # means the stream lies about its size. Feeding the tail
+            # with a 1-byte cap also lets a well-formed stream consume
+            # its trailer so eof/adler can be verified below.
             if dec.decompress(dec.unconsumed_tail, 1):
                 raise PngFormatError("decompressed size mismatch")
+        # A truncated stream (trailer cut off) can inflate to exactly
+        # `expected` bytes without error under the bounded form, where
+        # one-shot zlib.decompress would have raised — and a real
+        # codec quarantines. Require stream completion so both seam
+        # branches classify the payload identically.
+        if not dec.eof:
+            raise PngFormatError("truncated IDAT stream")
     except zlib.error as e:
         raise PngFormatError(f"IDAT inflate failed: {e}") from e
     px = _unfilter(raw, w, h, bpp)

@@ -345,6 +345,7 @@ def psi_drift(
     baseline: DataFrame | None = None,
     n_bins: int = 10,
     out_decimals: int = 6,
+    cut_epsilon: float = 0.0,
 ) -> DataFrame:
     """Population Stability Index per group — the model-monitoring
     standard for NUMERIC distribution drift (banking/scoring lineage),
@@ -373,6 +374,16 @@ def psi_drift(
     double expression over (count+1)/(n+B) ratios, rounded via
     ``round_c`` to 9 decimals and summed as DECIMAL — order- and
     engine-independent (the shared ln-then-round log-sum discipline).
+
+    ``cut_epsilon``: the quality_blend half-lattice tolerance for the
+    bucket compare (``cut ≤ x + ε``). Engines interpolate the
+    percentile cuts with different IEEE operation order, so a cut
+    that EQUALS a data value can land one ulp above it in one engine
+    only, flipping a row's bin (caught live at sf1 for the sibling
+    pattern). Set it to half your value lattice (5e-8 for 6dp-rounded
+    values) when adjacent distinct values are farther apart than 2ε;
+    the default 0.0 keeps exact ``#cuts ≤ x`` semantics for arbitrary
+    doubles.
     """
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
@@ -383,7 +394,10 @@ def psi_drift(
         .agg(F.percentile(F.col(value_col), F.lit(fracs)).alias("__cuts"))
     )
     bucket = F.size(
-        F.filter(F.col("__cuts"), lambda t: t <= F.col(value_col))
+        F.filter(
+            F.col("__cuts"),
+            lambda t: t <= F.col(value_col) + F.lit(float(cut_epsilon)),
+        )
     ).alias("__b")
 
     base_counts = (

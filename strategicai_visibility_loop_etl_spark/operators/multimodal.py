@@ -72,15 +72,24 @@ def decode_image(payload: bytes) -> object:
     scanline reconstruction), so PNG corpora exercise the real-decode
     branch even in codec-less containers.
 
-    Error contract, IDENTICAL in both environments so a corpus run
-    cannot change failure semantics based on what happens to be
-    installed: a payload that sniffs as a RECOGNIZED container the
-    available codecs cannot decode (JPEG/GIF without Pillow, 16-bit/
-    interlaced PNG without Pillow) raises ``DecodeNotAvailable`` —
-    loudly, because silently quarantining a whole decodable modality
-    would drop valid data. Corrupt or unidentifiable bytes raise
-    ``ValueError`` (Pillow's UnidentifiedImageError is one) — the
-    callers' per-row quarantine path, never a job abort."""
+    Error contract: a payload that sniffs as a RECOGNIZED container
+    the available codecs cannot decode (JPEG/GIF without Pillow,
+    16-bit/interlaced PNG without Pillow) raises
+    ``DecodeNotAvailable`` — loudly, because silently quarantining a
+    whole decodable modality would drop valid data. Corrupt or
+    unidentifiable bytes raise ``ValueError`` (Pillow's
+    UnidentifiedImageError is one) — the callers' per-row quarantine
+    path, never a job abort.
+
+    Environment caveat, by design: the corrupt-vs-uncovered
+    classification is only as sharp as the available codec. Garbage
+    that merely STARTS with a recognized magic (e.g. two bytes
+    ``FF D8``) quarantines under Pillow (which can prove it is not a
+    JPEG) but raises ``DecodeNotAvailable`` codec-less — without a
+    JPEG decoder it is indistinguishable from a valid member of an
+    uncovered modality, and guessing "corrupt" would silently drop
+    real JPEGs. PNG-sniffed payloads classify identically in both
+    environments (the fallback decoder is authoritative for PNG)."""
     if pil_available():
         from PIL import Image  # noqa: PLC0415
 

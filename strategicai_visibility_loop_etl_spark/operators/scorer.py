@@ -165,9 +165,14 @@ def train_hashed_scorer(
     tot = agg.agg(
         F.sum("__pos").alias("__tp"), F.sum("__neg").alias("__tn")
     )
+    # round_c, not F.round: the weight table must round like the
+    # DuckDB oracle's multiply-form round (the qx11/qx19 sf1 class —
+    # one straddling bucket weight shifts every containing doc's sum).
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
     return agg.crossJoin(F.broadcast(tot)).select(
         "bucket",
-        F.round(
+        round_c(
             F.log(
                 (F.col("__pos") + 1).cast("double")
                 / (F.col("__tp") + F.lit(n_buckets)).cast("double")

@@ -606,9 +606,12 @@ def unigram_lm_scores(
         lm.write.mode("overwrite").parquet(stage_path)
         lm = df.sparkSession.read.parquet(stage_path)
     total = lm.agg(F.sum("cnt").alias("__total"))
+    # round_c here too (not just on nll/ppl): a single vocabulary
+    # token whose ln(cnt/total)·10^d product straddles .5 would shift
+    # logp by 1e-6 in every containing document's sum.
     logp = lm.crossJoin(F.broadcast(total)).select(
         "token",
-        F.round(
+        round_c(
             F.log(F.col("cnt").cast("double") / F.col("__total").cast("double")),
             logp_decimals,
         )
@@ -629,8 +632,6 @@ def unigram_lm_scores(
     # exactly on a .5 boundary (caught live by the r13 sf1 decade
     # sweep: doc with slp = -88.873629, n = 26 → product exactly
     # 3418216.5). round_c makes every step IEEE-identical.
-    from ..functions.numeric import round_c  # noqa: PLC0415
-
     nll = round_c(-F.col("__slp").cast("double") / F.col("n_tokens"), 6)
     return scored.select(
         F.col("id").alias(id_col),
@@ -1380,9 +1381,18 @@ def quality_blend(
     doc of 50k). The bucket compare therefore allows a half-lattice
     tolerance (``cut ≤ x + 5e-8``): it absorbs any few-ulp
     interpolation error without ever reaching the next lattice point,
-    and the oracle applies the identical epsilon.
+    and the oracle applies the identical epsilon. The lattice argument
+    needs the interior fractions to be exact decimals — n_buckets with
+    only 2s and 5s in its factorization (10 default, 2, 4, 5, 20…);
+    for any other bucket count a true cut can legitimately sit within
+    the epsilon of a signal, so the tolerance is disabled there
+    (reverting to the raw compare and its ulp exposure).
     """
-    cut_epsilon = 5e-8
+    nb = n_buckets
+    for f in (2, 5):
+        while nb % f == 0:
+            nb //= f
+    cut_epsilon = 5e-8 if nb == 1 else 0.0
     fracs = [i / n_buckets for i in range(1, n_buckets)]
 
     def _cut(c: str):
@@ -1407,7 +1417,7 @@ def quality_blend(
     n_present = sum(b.isNotNull().cast("int") for b in bexprs.values())
     blend = F.when(
         n_present > 0,
-        F.round(
+        round_c(
             sum(
                 F.coalesce(b.cast("double") / (n_buckets - 1), F.lit(0.0))
                 for b in bexprs.values()

@@ -186,6 +186,23 @@ def test_decompression_bomb_guard():
     with pytest.raises(PngFormatError):
         decode_png(over)
 
+    # Truncated stream (zlib trailer cut off) can inflate to exactly
+    # the declared size under the bounded form — it must still
+    # classify as corrupt (one-shot zlib.decompress raised here, and
+    # a real codec quarantines the member).
+    good = _png(2, 2, 0, b"\x00\x07\x09" + b"\x00\x03\x04")
+    idat_off = good.index(b"IDAT")
+    import struct as _st
+    idat_len = _st.unpack(">I", good[idat_off - 4 : idat_off])[0]
+    cut = idat_len - 5  # drop the 4-byte adler trailer + 1
+    truncated = (
+        good[: idat_off - 4]
+        + _chunk(b"IDAT", good[idat_off + 4 : idat_off + 4 + cut])
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngFormatError):
+        decode_png(truncated)
+
 
 # ------------------------------------------------ image-surface methods
 
