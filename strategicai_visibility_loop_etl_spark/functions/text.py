@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from .numeric import round_c
+
 # Per-language marker (stop)words for the n-gram/stopword language-ID
 # heuristic. Deliberately small + deterministic so the heuristic is
 # expressible in both Spark and ANSI SQL for oracle parity.
@@ -91,7 +93,7 @@ def quality_score(col: Column) -> Column:
     stop_sat = F.least(
         F.when(n_tok > 0, stops / n_tok).otherwise(F.lit(0.0)) / F.lit(0.4), F.lit(1.0)
     )
-    return F.round((len_sat + alpha_ratio + stop_sat) / F.lit(3.0), 6)
+    return round_c((len_sat + alpha_ratio + stop_sat) / F.lit(3.0), 6)
 
 
 def lang_id_expr(col: Column) -> Column:
@@ -299,7 +301,7 @@ def char_entropy(col: Column, decimals: int = 6) -> Column:
                 ds,
                 lambda c: flet(
                     F.size(F.filter(cs, lambda x: x == c)) / n,
-                    lambda p: F.round(p * F.log(p), 9),
+                    lambda p: round_c(p * F.log(p), 9),
                 ).cast("decimal(18,9)"),
             )
             total = F.aggregate(
@@ -309,7 +311,7 @@ def char_entropy(col: Column, decimals: int = 6) -> Column:
                 # so the sum can't approach DECIMAL(28,9)'s range
                 lambda acc, t: (acc + t).cast("decimal(28,9)"),
             )
-            return F.round(-total.cast("double"), decimals)
+            return round_c(-total.cast("double"), decimals)
 
         return F.when(F.size(cs) > 0, flet(F.array_distinct(cs), over_distinct))
 

@@ -153,12 +153,14 @@ def linear_trend(
     num = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")).cast(
         "decimal(38,6)"
     )
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
     slope = F.when(
-        den_x != 0, F.round(num.cast("double") / den_x.cast("double"), out_decimals)
+        den_x != 0, round_c(num.cast("double") / den_x.cast("double"), out_decimals)
     )
     intercept = F.when(
         den_x != 0,
-        F.round(
+        round_c(
             (
                 F.col("__sy").cast("double")
                 - (num.cast("double") / den_x.cast("double"))
@@ -170,7 +172,7 @@ def linear_trend(
     )
     r2 = F.when(
         (den_x != 0) & (den_y != 0),
-        F.round(
+        round_c(
             (num.cast("double") * num.cast("double"))
             / (den_x.cast("double") * den_y.cast("double")),
             out_decimals,
@@ -220,8 +222,10 @@ def theil_sen_trend(
         F.col(x_col).cast("long").alias("__xb"),
         F.col(y_col).cast("decimal(28,6)").alias("__yb"),
     )
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
     pairs = a.join(b, group_cols).filter(F.col("__xa") < F.col("__xb"))
-    slope = F.round(
+    slope = round_c(
         (F.col("__yb") - F.col("__ya")).cast("double")
         / (F.col("__xb") - F.col("__xa")).cast("double"),
         out_decimals + 3,
@@ -231,7 +235,7 @@ def theil_sen_trend(
         .groupBy(*group_cols)
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.median("__s"), out_decimals).alias("ts_slope"),
+            round_c(F.median("__s"), out_decimals).alias("ts_slope"),
         )
         .select(
             *group_cols,

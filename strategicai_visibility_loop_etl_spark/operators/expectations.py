@@ -142,6 +142,8 @@ def profile_columns(
     n_distinct is exact (count_distinct — swap approx_count_distinct
     at 100 TB, same plan shape).
     """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
     cols = cols or df.columns
     numeric = {
         c
@@ -173,7 +175,7 @@ def profile_columns(
         mean = (
             F.when(
                 nn > 0,
-                F.round(F.col(f"__sum{i}").cast("double") / nn, out_decimals),
+                round_c(F.col(f"__sum{i}").cast("double") / nn, out_decimals),
             )
             if is_num
             else null_d

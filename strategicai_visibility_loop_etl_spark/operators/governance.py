@@ -195,9 +195,11 @@ def corpus_datasheet(
         g = g.crossJoin(F.broadcast(lang))
         metrics["n_langs"] = F.col("n_langs").cast("double")
         metrics["top_lang_share"] = F.col("top_lang_share")
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
     stack_args = []
     for name in sorted(metrics):
-        stack_args += [F.lit(name), F.round(metrics[name], 6)]
+        stack_args += [F.lit(name), round_c(metrics[name], 6)]
     return (
         g.select(
             F.stack(F.lit(len(metrics)), *stack_args).alias("metric", "value")

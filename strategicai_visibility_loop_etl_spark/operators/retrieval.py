@@ -70,6 +70,8 @@ def bm25_topk(
     and optionally staged at ``stage_path`` so corpus stats and the
     scoring join all read one materialization.
     """
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
     if postings is None:
         postings = document_postings(docs, text_col, id_col)
         if stage_path is not None:
@@ -103,7 +105,7 @@ def bm25_topk(
     norm = tf + F.lit(k1) * (
         F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl")
     )
-    contrib = F.round(idf * tf * F.lit(k1 + 1.0) / norm, 6).cast(
+    contrib = round_c(idf * tf * F.lit(k1 + 1.0) / norm, 6).cast(
         "decimal(18,6)"
     )
 

@@ -838,7 +838,7 @@ def quantized_cosine_topk(
     denom2 = F.col("__cn2") * F.col("__qn2")
     cos = F.when(
         denom2 > 0,
-        F.round(dot.cast("double") / F.sqrt(denom2.cast("double")), 6),
+        round_c(dot.cast("double") / F.sqrt(denom2.cast("double")), 6),
     ).otherwise(F.lit(0.0))
     w = Window.partitionBy(query_id).orderBy(
         F.col("qcosine").desc(), F.col(corpus_id)

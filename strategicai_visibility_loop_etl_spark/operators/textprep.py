@@ -931,7 +931,7 @@ def pmi_collocations(
     )
     uni = g.groupBy(F.col("prev").alias("tok")).agg(F.sum("c").alias("c1"))
     total = uni.agg(F.sum("c1").alias("__n"))
-    pmi = F.round(
+    pmi = round_c(
         F.log(F.col("c2").cast("double"))
         + F.log(F.col("__n").cast("double"))
         - F.log(F.col("c1p").cast("double"))
@@ -1027,7 +1027,7 @@ def dedup_lines_within_doc(
         (n_all - n_kept).cast("long").alias("n_removed"),
         F.when(n_all == 0, F.lit(0.0))
         .otherwise(
-            F.round((n_all - n_kept) / n_all.cast("double"), frac_decimals)
+            round_c((n_all - n_kept) / n_all.cast("double"), frac_decimals)
         )
         .alias("dup_line_fraction"),
         F.array_join(kept, "\n").alias("text"),
@@ -1102,7 +1102,7 @@ def bigram_lm_scores(
         .select(
             "id",
             "tf",
-            F.round(
+            round_c(
                 F.when(
                     F.col("c2").isNotNull(),
                     F.log(
@@ -1145,7 +1145,7 @@ def bigram_lm_scores(
         F.col("id").alias(id_col),
         F.col("n_transitions").cast("long").alias("n_transitions"),
         nls.alias("neg_logscore"),
-        F.round(F.exp(nls), 4).alias("sb_ppl"),
+        round_c(F.exp(nls), 4).alias("sb_ppl"),
     )
 
 
@@ -1234,7 +1234,7 @@ def kneser_ney_scores(
         .select(
             "id",
             "tf",
-            F.round(F.log(main + lam * pcont), logs_decimals)
+            round_c(F.log(main + lam * pcont), logs_decimals)
             .cast(dec)
             .alias("logp"),
         )
@@ -1253,7 +1253,7 @@ def kneser_ney_scores(
         F.col("id").alias(id_col),
         F.col("n_transitions").cast("long").alias("n_transitions"),
         nlp.alias("neg_logprob"),
-        F.round(F.exp(nlp), 4).alias("kn_ppl"),
+        round_c(F.exp(nlp), 4).alias("kn_ppl"),
     )
 
 

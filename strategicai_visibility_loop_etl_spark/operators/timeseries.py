@@ -106,9 +106,11 @@ def rolling_zscore_anomalies(
     ok = (n >= min_periods) & (den > 0)
     mean = sy.cast("double") / n.cast("double")
     var = den.cast("double") / (n * (n - 1)).cast("double")
+    from ..functions.numeric import round_c  # noqa: PLC0415
+
     z = F.when(
         ok,
-        F.round(
+        round_c(
             (F.col(y_col).cast("double") - mean) / F.sqrt(var), out_decimals
         ),
     )
