@@ -4969,7 +4969,12 @@ def qx100_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling (capability row
     199): 3 hash-drawn negatives per document via bucketed argmin —
     no rand(), reproducible across engines/partitionings; DuckDB
-    replays the hashes and the per-draw argmin."""
+    replays the hashes and the per-draw argmin. ``buckets="auto"``
+    derives B = max(16, N/1000) from a corpus-count scalar subquery
+    (mirrored in the oracle), so per-draw fan-out stays ~1000 and
+    total work LINEAR in corpus size — the r13 decade sweep measured
+    the old fixed-B form quadratic (1.6 s at sf0.1 → 212.9 s at
+    sf1)."""
     from strategicai_visibility_loop_etl_spark.operators.similarity import (
         negative_pairs,
     )
@@ -4977,7 +4982,7 @@ def qx100_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(
         _t(spark, sf_dir, "documents").select("doc_id"),
         k=3,
-        buckets=16,
+        buckets="auto",
     )
 
 
@@ -9803,20 +9808,29 @@ def extra_oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rank <= 10 ORDER BY cls, rank
     """
 
-    # qx100: the Knuth-hash draws and per-draw argmin replayed.
+    # qx100: the Knuth-hash draws and per-draw argmin replayed; the
+    # bucket count is the engine's corpus-derived max(16, N/1000)
+    # scalar subquery (linear total work — the fixed-B form measured
+    # quadratic at the r13 decade).
     sql["qx100_negative_pairs"] = """
-        WITH cand AS (
+        WITH nb AS (
+            SELECT GREATEST(16, CAST(floor(COUNT(*) / 1000.0)
+                                     AS BIGINT)) AS n
+            FROM documents
+        ),
+        cand AS (
             SELECT doc_id AS cand,
                    ((doc_id % 2147483648) * 2654435761)
-                       % 4294967296 % 16 AS bucket
-            FROM documents
+                       % 4294967296 % nb.n AS bucket
+            FROM documents, nb
         ),
         draws AS (
             SELECT d.doc_id AS anchor, j.draw,
                    ((d.doc_id % 2147483648) * 2654435761
-                    + j.draw * 40503) % 4294967296 % 16 AS bucket
+                    + j.draw * 40503) % 4294967296 % nb.n AS bucket
             FROM documents d,
-                 (SELECT unnest(range(1, 4)) AS draw) j
+                 (SELECT unnest(range(1, 4)) AS draw) j,
+                 nb
         ),
         paired AS (
             SELECT anchor, draw, cand,

@@ -78,6 +78,7 @@ def _parse_chunks(payload: bytes):
         raise PngFormatError("not a PNG (bad signature)")
     pos, n = 8, len(payload)
     ihdr, plte, trns, idat = None, None, None, []
+    saw_iend = False
     while pos + 12 <= n:
         length = int.from_bytes(payload[pos : pos + 4], "big")
         typ = payload[pos + 4 : pos + 8]
@@ -97,8 +98,14 @@ def _parse_chunks(payload: bytes):
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
+            saw_iend = True
             break
         pos = end + 4
+    if not saw_iend:
+        # a stream truncated exactly between chunks would otherwise
+        # "decode" here while Pillow rejects it — the cross-environment
+        # classification contract requires rejecting it too
+        raise PngFormatError("truncated stream (no IEND)")
     if ihdr is None or len(ihdr) != 13:
         raise PngFormatError("missing/short IHDR")
     if not idat:

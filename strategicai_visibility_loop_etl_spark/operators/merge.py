@@ -73,6 +73,13 @@ def derive_metrics(merged: DataFrame) -> DataFrame:
     click_share needs the global clicks total — a scalar aggregate
     broadcast back via 1-row cross join (never a window over an
     unpartitioned frame, which would single-thread at scale).
+
+    Known rendering-only divergence: when the clicks total is 0 the
+    reference assigns the PYTHON SCALAR 0 (etl_merge.py:787), making
+    click_share an int64 column that pandas renders "0"; we keep the
+    double column (Spark schemas cannot be data-dependent) and render
+    "0.000000". Same value, dtype artifact — every non-degenerate
+    corpus renders identically.
     """
     out = merged
     if "ctr" in out.columns:

@@ -113,6 +113,38 @@ def decode_image(payload: bytes) -> object:
     raise ValueError("unidentified image payload")
 
 
+def _decode_for_fingerprint(payload: bytes) -> object:
+    """Codec-STABLE decode for hash/feature extraction: an 8-bit
+    non-interlaced PNG always routes through the deterministic stdlib
+    decoder (``functions.png`` — exact area-average resize), even when
+    Pillow is installed. Pillow's ``resize`` defaults to bicubic, so
+    the same PNG would otherwise yield different aHash bits / feature
+    values depending on which codec happened to be present — and a
+    staged phash table written in one environment would not band-match
+    in another. Routing PNG here makes 8-bit PNG fingerprints
+    identical in both environments by construction. Non-PNG payloads
+    (and the PNG variants the fallback does not carry — 16-bit /
+    interlaced) still ride ``decode_image``'s ladder and keep its
+    codec-dependence caveat."""
+    mime, _w, _h = parse_image_header(payload)
+    if mime == "image/png":
+        from ..functions.png import (  # noqa: PLC0415
+            PngUnsupportedError,
+            decode_png,
+        )
+
+        try:
+            return decode_png(payload)
+        except PngUnsupportedError:
+            # 16-bit/interlaced: Pillow leg when present, else the
+            # ladder raises DecodeNotAvailable — either way NOT a
+            # stability-covered shape
+            pass
+        # PngFormatError (corrupt) propagates: it is a ValueError, the
+        # callers' per-row quarantine path
+    return decode_image(payload)
+
+
 def _real_image_feature(payload: bytes, dim: int) -> list[float] | None:
     """Grayscale the decoded image and average-pool it to ``dim``
     values in [0,1] — a minimal real feature extractor that exercises
@@ -120,9 +152,16 @@ def _real_image_feature(payload: bytes, dim: int) -> list[float] | None:
     members return None (the module quarantine convention — a crawl
     corpus always contains some, and one must never abort the job);
     ``DecodeNotAvailable`` still raises (missing codec for a whole
-    modality is a configuration error, not a data defect)."""
+    modality is a configuration error, not a data defect).
+
+    Environment stability: decode goes through
+    ``_decode_for_fingerprint`` — 8-bit PNG always uses the
+    deterministic stdlib decoder (area-average resize), so PNG feature
+    vectors are identical whether or not Pillow is installed; other
+    formats inherit the installed codec's resampling and are NOT
+    portable across codec environments."""
     try:
-        img = decode_image(payload).convert("L").resize((dim, 1))
+        img = _decode_for_fingerprint(payload).convert("L").resize((dim, 1))
     except DecodeNotAvailable:
         raise
     except Exception:
@@ -427,8 +466,11 @@ def perceptual_hashes(
     member of the dedup family's fingerprint column.
 
     Decode rides the module's seam: the real branch grayscales
-    through the codec ladder (Pillow when installed, the stdlib PNG
-    fallback for 8-bit PNG otherwise); the deterministic fake
+    through ``_decode_for_fingerprint`` — 8-bit PNG ALWAYS takes the
+    deterministic stdlib decode (area-average resize), so PNG hash
+    bits are identical with or without Pillow and staged phash tables
+    stay portable across environments; other formats use whatever
+    codec is installed (hashes codec-dependent); the deterministic fake
     (sha512-derived grid — 64 digest bytes, one per cell) keeps the
     full plumbing — schema, packing, banding, Hamming verify —
     testable in codec-less environments, where "near-dup" degenerates
@@ -455,7 +497,16 @@ def perceptual_hashes(
                     dg = hashlib.sha512(p).digest()
                     return [dg[i] / 255.0 for i in range(64)]
                 try:
-                    img = decode_image(p).convert("L").resize((8, 8))
+                    # _decode_for_fingerprint: 8-bit PNG always takes
+                    # the deterministic stdlib decode+resize, so PNG
+                    # aHash bits are portable across codec
+                    # environments (staged phash tables band-match
+                    # regardless of whether Pillow is installed)
+                    img = (
+                        _decode_for_fingerprint(p)
+                        .convert("L")
+                        .resize((8, 8))
+                    )
                 except DecodeNotAvailable:
                     raise
                 except Exception:

@@ -145,9 +145,15 @@ def score_expected_ctr(
         .drop("__ctr_median")
     )
 
+    # NULL-propagating clip: pandas' (expected - ctr - margin).clip(0)
+    # keeps NaN for rows with no joined ctr (reference :820-824), but
+    # Spark's greatest() IGNORES nulls — greatest(NULL, 0.0) = 0.0 —
+    # which silently scored every unjoined row 0 instead of missing
+    # (caught by the r14 e2e parity drive on a disjoint-URL sample).
+    _deficit_raw = F.col("expected_ctr") - F.col("ctr") - F.lit(margin)
     out = out.withColumn(
         "ctr_deficit",
-        F.greatest(F.col("expected_ctr") - F.col("ctr") - F.lit(margin), F.lit(0.0)),
+        F.when(_deficit_raw.isNotNull(), F.greatest(_deficit_raw, F.lit(0.0))),
     )
     schema_col = F.col("schema_types") if "schema_types" in out.columns else None
     out = out.withColumn("intent_multiplier", intent_multiplier(F.col("url"), schema_col, cfg))

@@ -1437,7 +1437,7 @@ def negative_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     k: int = 3,
-    buckets: int = 64,
+    buckets: int | str = "auto",
     exclude_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic negative sampling for contrastive training data:
@@ -1451,8 +1451,15 @@ def negative_pairs(
     bucket ``h(anchor, j) mod buckets`` and takes the candidate
     minimizing a (anchor, j, candidate)-keyed hash — an argmin inside
     one bucket, so no global rank, no order dependence, and the
-    per-draw join fans out to ONE bucket's candidates (size ~N/B;
-    size ``buckets`` ~ N/1000 at scale to bound it). Self-pairs are
+    per-draw join fans out to ONE bucket's candidates (size ~N/B).
+    ``buckets="auto"`` (the default, and the only form that scales)
+    derives B = max(16, floor(N/1000)) from a corpus count computed
+    as a broadcast one-row scalar subquery — bucket size stays ~1000
+    regardless of corpus size, so total work is O(N·k·1000), LINEAR
+    in N. A fixed integer ``buckets`` pins B and makes total work
+    O(N²·k/B) — quadratic; acceptable only for small fixtures and
+    exact-replay tests (the r13 sf1 sweep measured 133× time for 10×
+    data at fixed B). Self-pairs are
     excluded; ``exclude_pairs`` (id_a, id_b — e.g. near-dup pairs
     from any dedup-family operator) removes known positives in both
     orientations via an anti-join, so a near-duplicate can never be
@@ -1469,7 +1476,12 @@ def negative_pairs(
     Every hash input is first reduced mod 2^31, so arbitrary int64
     magnitudes never overflow the 64-bit multiply in either engine.
     """
-    if k < 1 or buckets < 1:
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if isinstance(buckets, str):
+        if buckets != "auto":
+            raise ValueError("buckets must be an int >= 1 or 'auto'")
+    elif buckets < 1:
         raise ValueError("k and buckets must be >= 1")
     id_type = dict(docs.dtypes).get(id_col, "")
     if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
@@ -1485,11 +1497,32 @@ def negative_pairs(
         # multiply stays below 2^63 for ANY non-negative int64 input
         return F.pmod(col, m31)
 
-    cand = docs.select(
+    if buckets == "auto":
+        # B = max(16, floor(N/1000)) as a broadcast one-row scalar
+        # subquery: the count scan is column-pruned, the join adds no
+        # shuffle, and the plan stays fully declarative (no driver
+        # count action). Mirrored literally in the SQL twin.
+        nb_df = F.broadcast(
+            docs.agg(
+                F.greatest(
+                    F.lit(16).cast("long"),
+                    F.floor(F.count(F.lit(1)) / F.lit(1000.0)),
+                ).alias("__nb")
+            )
+        )
+        cand_src = docs.crossJoin(nb_df)
+        draws_nb = nb_df
+        nb = F.col("__nb")
+    else:
+        cand_src = docs
+        draws_nb = None
+        nb = F.lit(buckets)
+
+    cand = cand_src.select(
         F.col(id_col).alias("cand"),
         F.pmod(
             F.pmod(_n31(F.col(id_col)) * F.lit(2654435761), m32),
-            F.lit(buckets),
+            nb,
         ).alias("bucket"),
     )
     draws = docs.select(F.col(id_col).alias("anchor")).crossJoin(
@@ -1498,7 +1531,10 @@ def negative_pairs(
                 F.col("id").alias("draw")
             )
         )
-    ).select(
+    )
+    if draws_nb is not None:
+        draws = draws.crossJoin(draws_nb)
+    draws = draws.select(
         "anchor",
         "draw",
         F.pmod(
@@ -1507,7 +1543,7 @@ def negative_pairs(
                 + F.col("draw") * F.lit(40503),
                 m32,
             ),
-            F.lit(buckets),
+            nb,
         ).alias("bucket"),
     )
     paired = (

@@ -1864,6 +1864,37 @@ def test_negative_pairs_deterministic_and_excluding(spark):
     assert all((r["anchor_id"], r["negative_id"]) not in banned for r in c)
 
 
+def test_negative_pairs_auto_buckets(spark):
+    """buckets='auto' derives B = max(16, floor(N/1000)) from a
+    broadcast scalar subquery — identical output to the explicit B it
+    resolves to (here the N<16000 floor, B=16), partition-invariant,
+    and rejecting non-'auto' strings. The linearity contract: at
+    fixed B total work is O(N^2/B) (the r13 decade measured 133x time
+    for 10x data); auto pins bucket SIZE ~1000 instead, making work
+    O(N*k*1000)."""
+    import pytest as _pytest
+
+    from strategicai_visibility_loop_etl_spark.operators.similarity import (
+        negative_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    auto = sorted(map(tuple, negative_pairs(docs, k=2).collect()))
+    explicit = sorted(
+        map(tuple, negative_pairs(docs, k=2, buckets=16).collect())
+    )
+    assert auto == explicit and len(auto) > 0
+    repart = sorted(
+        map(tuple, negative_pairs(docs.repartition(7), k=2).collect())
+    )
+    assert auto == repart
+
+    with _pytest.raises(ValueError, match="auto"):
+        negative_pairs(docs, buckets="adaptive")
+
+
 def test_negative_pairs_id_domain_contract(spark):
     """String ids raise (they would hash NULL and silently empty the
     output); huge int64 ids run without overflow and stay

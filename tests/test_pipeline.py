@@ -92,6 +92,12 @@ def test_pipeline_parity_with_pandas_oracle(spark, fixture_paths, tmp_path, monk
     # /c has no GSC/GA4 data -> nulls, no crash
     c = merged["https://e.com/c"]
     assert c["clicks"] is None and c["sessions"] is None
+    # ... and scoring NULL-PROPAGATES for the unjoined row, exactly
+    # like pandas' NaN arithmetic (reference :820-843): Spark's
+    # greatest() ignores nulls, so a naive greatest(diff, 0) would
+    # score the row 0.0 instead of missing (r14 parity-drive find)
+    assert c["ctr_deficit"] is None
+    assert c["missed_clicks"] is None and c["missed_clicks_eff"] is None
 
     # anomaly slice ranked by missed clicks
     under = outs["ctr_underperf"].collect()

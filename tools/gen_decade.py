@@ -112,6 +112,17 @@ def generate(src_dir: str, out_dir: str, mult: int) -> dict:
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
+    # qx100's DuckDB oracle breaks argmin ties with the composite key
+    # h * 2^32 + cand, which is order-equivalent to ORDER BY (h, cand)
+    # ONLY while every id stays below 2^32. The offset scheme caps ids
+    # at mult * OFF, so fail loudly here rather than let a larger
+    # replica count silently change oracle tie-breaking.
+    if mult * OFF > 2**32:
+        raise ValueError(
+            f"mult={mult} puts replica ids above 2^32 "
+            "(qx100's composite arg_min key stops being "
+            "order-equivalent to (h, cand))"
+        )
     con = duckdb.connect()
     for table, keys in _OFFSET_KEYS.items():
         sel = ", ".join(f"min({k}), max({k})" for k in keys)
