@@ -5572,16 +5572,29 @@ def qx125_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def qx126_knn_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label-noise audit (capability row 225) over a 5% hash
     slice of the embeddings: rows whose 5 nearest cosine neighbors
-    mostly carry a different label are mislabel candidates. DuckDB
-    replays the q25 cosine scoring, self-exclusion re-rank and the
-    smallest-label majority."""
+    mostly carry a different label are mislabel candidates. The
+    registered query runs the IVF leg — the documented scale path
+    (the r13 decade measured the brute leg 43× time for 10× data) —
+    probing 4 of 16 inverted lists per audit row; centroids stage to
+    parquet and DuckDB replays assignment + probing + cosine + the
+    self-exclusion re-rank and smallest-label majority. Brute↔IVF
+    audit equivalence at full probe coverage is pytest-pinned
+    (test_dedup_similarity)."""
     from strategicai_visibility_loop_etl_spark.operators.similarity import (
         knn_label_audit,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     audit = emb.filter(F.col("vec_id") % 20 == 0)
-    return knn_label_audit(emb, audit, k=5)
+    return knn_label_audit(
+        emb,
+        audit,
+        k=5,
+        method="ivf",
+        n_centroids=16,
+        n_probe=4,
+        stage_path=f"{_SIG_STAGE}/knnaudit",
+    )
 
 
 def qx127_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11043,10 +11056,25 @@ def extra_oracle_sql() -> dict[str, str]:
         LIMIT 20
     """
 
-    # qx126: the q25 cosine replay over the audit slice, k+1 fetch,
-    # self-exclusion re-rank, smallest-label majority.
-    sql["qx126_knn_audit"] = """
-        WITH q AS (
+    # qx126: the IVF replay over the audit slice — Spark-trained
+    # centroids staged to parquet; DuckDB re-runs assignment (same
+    # (-2·x·c) + c·c argmin score and cluster tie-break), n_probe=4
+    # probing, exact cosine INSIDE the probed lists only — then the
+    # k+1 fetch, self-exclusion re-rank, smallest-label majority.
+    knnaudit_score_c = (
+        "(-2 * list_dot_product(c.cv, ct.centroid))"
+        " + list_dot_product(ct.centroid, ct.centroid)"
+    )
+    knnaudit_score_q = (
+        "(-2 * list_dot_product(q.qv, ct.centroid))"
+        " + list_dot_product(ct.centroid, ct.centroid)"
+    )
+    sql["qx126_knn_audit"] = f"""
+        WITH cent AS (
+            SELECT cluster, centroid
+            FROM read_parquet('{_SIG_STAGE}/knnaudit/centroids/*.parquet')
+        ),
+        q AS (
             SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
                    label AS qlab
             FROM embeddings WHERE vec_id % 20 = 0 AND label IS NOT NULL
@@ -11055,15 +11083,30 @@ def extra_oracle_sql() -> dict[str, str]:
             SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
             FROM embeddings WHERE label IS NOT NULL
         ),
+        ca AS (
+            SELECT vec_id, cv, label,
+                   (SELECT ct.cluster FROM cent ct
+                    ORDER BY {knnaudit_score_c}, ct.cluster LIMIT 1) AS cluster
+            FROM c
+        ),
+        pr AS (
+            SELECT query_id, qv, qlab, cluster FROM (
+                SELECT q.query_id, q.qv, q.qlab, ct.cluster,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {knnaudit_score_q}, ct.cluster) AS rn
+                FROM q, cent ct
+            ) WHERE rn <= 4
+        ),
         s AS (
-            SELECT q.query_id, c.vec_id, c.label AS nl,
+            SELECT pr.query_id, ca.vec_id, ca.label AS nl,
                    round(CASE WHEN sqrt(list_dot_product(cv, cv))
                                    * sqrt(list_dot_product(qv, qv)) > 0
                               THEN list_dot_product(cv, qv)
                                    / (sqrt(list_dot_product(cv, cv))
                                       * sqrt(list_dot_product(qv, qv)))
                               ELSE 0.0 END, 6) AS cosine
-            FROM c, q
+            FROM pr JOIN ca USING (cluster)
         ),
         rk AS (
             SELECT *, row_number() OVER (

@@ -67,14 +67,17 @@ def decode_image(payload: bytes) -> object:
     height/format).
 
     Codec ladder: Pillow when installed (the fast path — any format);
-    otherwise the stdlib-only PNG decoder in ``functions.png`` carries
-    8-bit non-interlaced PNG FOR REAL (zlib inflate + per-filter
-    scanline reconstruction), so PNG corpora exercise the real-decode
-    branch even in codec-less containers.
+    otherwise the stdlib-only decoders carry the two fixture
+    modalities FOR REAL — ``functions.png`` (8-bit non-interlaced
+    PNG: zlib inflate + per-filter scanline reconstruction) and
+    ``functions.jpeg`` (baseline SOF0/SOF1 JFIF: Huffman scan decode,
+    dequantize, exact-float IDCT, chroma upsample, YCbCr→RGB) — so
+    PNG and baseline-JPEG corpora exercise the real-decode branch
+    even in codec-less containers.
 
     Error contract: a payload that sniffs as a RECOGNIZED container
-    the available codecs cannot decode (JPEG/GIF without Pillow,
-    16-bit/interlaced PNG without Pillow) raises
+    the available codecs cannot decode (GIF/WebP without Pillow,
+    16-bit/interlaced PNG, progressive/arithmetic/CMYK JPEG) raises
     ``DecodeNotAvailable`` — loudly, because silently quarantining a
     whole decodable modality would drop valid data. Corrupt or
     unidentifiable bytes raise ``ValueError`` (Pillow's
@@ -82,14 +85,15 @@ def decode_image(payload: bytes) -> object:
     path, never a job abort.
 
     Environment caveat, by design: the corrupt-vs-uncovered
-    classification is only as sharp as the available codec. Garbage
-    that merely STARTS with a recognized magic (e.g. two bytes
-    ``FF D8``) quarantines under Pillow (which can prove it is not a
-    JPEG) but raises ``DecodeNotAvailable`` codec-less — without a
-    JPEG decoder it is indistinguishable from a valid member of an
-    uncovered modality, and guessing "corrupt" would silently drop
-    real JPEGs. PNG-sniffed payloads classify identically in both
-    environments (the fallback decoder is authoritative for PNG)."""
+    classification is only as sharp as the available codec. PNG and
+    BASELINE-JPEG payloads classify identically in both environments
+    (the fallbacks are authoritative for those shapes; garbage with a
+    ``FF D8`` magic now fails the marker walk as corrupt here just as
+    it fails Pillow); garbage wearing a magic the fallbacks do not
+    carry (e.g. GIF bytes, or a fake progressive-JPEG header)
+    quarantines under Pillow but raises ``DecodeNotAvailable``
+    codec-less — guessing "corrupt" there would silently drop real
+    members of an uncovered modality."""
     if pil_available():
         from PIL import Image  # noqa: PLC0415
 
@@ -105,10 +109,24 @@ def decode_image(payload: bytes) -> object:
             return decode_png(payload)
         except PngUnsupportedError as e:
             raise DecodeNotAvailable(str(e)) from e
+    if mime == "image/jpeg":
+        from ..functions.jpeg import (  # noqa: PLC0415
+            JpegUnsupportedError,
+            decode_jpeg,
+        )
+
+        try:
+            return decode_jpeg(payload)
+        except JpegUnsupportedError as e:
+            # progressive/arithmetic/12-bit/CMYK: a real codec's job
+            raise DecodeNotAvailable(str(e)) from e
+        # JpegFormatError (corrupt) propagates: ValueError, the
+        # callers' per-row quarantine path
     if mime is not None:
         raise DecodeNotAvailable(
             f"no codec for {mime} (the built-in fallback decodes 8-bit "
-            "PNG only; install an image codec library for the rest)"
+            "PNG and baseline JPEG; install an image codec library for "
+            "the rest)"
         )
     raise ValueError("unidentified image payload")
 
@@ -259,6 +277,12 @@ def resize_images(
             img.save(buf, format=fmt)
         except DecodeNotAvailable:
             raise
+        except NotImplementedError as e:
+            # a fallback codec that can DECODE the format but not
+            # RE-ENCODE it (JPEG without Pillow): same loud seam as a
+            # missing decoder — silently quarantining every member of
+            # a decodable modality would drop valid data
+            raise DecodeNotAvailable(str(e)) from e
         except Exception:
             return payload, None, None
         return buf.getvalue(), img.width, img.height

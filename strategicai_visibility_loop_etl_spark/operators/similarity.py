@@ -1593,6 +1593,11 @@ def knn_label_audit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    method: str = "brute",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+    stage_path: str | None = None,
 ) -> DataFrame:
     """Label-noise audit via k-NN disagreement (the confident-learning
     intuition, Northcutt et al. 2021, reduced to its relational core):
@@ -1603,14 +1608,26 @@ def knn_label_audit(
 
     ``audit`` selects which rows get audited (default: the whole
     corpus — quadratic; pass a deterministic hash slice to sample).
-    Neighbors come from :func:`knn_cosine_topk` (broadcast audit set ×
-    streamed corpus — the q25 plan); SELF is excluded after the fact
+    ``method`` picks the neighbor source; the downstream plan (k+1
+    fetch, self-exclusion re-rank, majority vote) is IDENTICAL:
+
+    - ``"brute"``: :func:`knn_cosine_topk` (broadcast audit set ×
+      streamed corpus — the q25 plan). Exact, but the corpus scan is
+      O(|audit|·N): decade-measured 43× time for 10× data.
+    - ``"ivf"``: :func:`ivf_topk` — the production scale path. The
+      corpus shards into ``n_centroids`` inverted lists; each audit
+      row probes its ``n_probe`` closest lists, so the scan is
+      ~n_probe/n_centroids of the brute cost and the audit stays
+      near-linear. With ``n_probe == n_centroids`` probing covers
+      every list and the leg is EXACTLY the brute audit (pinned by
+      test). ``stage_path`` stages centroids + Hive-partitioned lists
+      for the SQL-twin replay and pruned reads, as in ``ivf_topk``.
+
+    SELF is excluded after the fact
     (k+1 fetched, own id dropped, survivors re-ranked so exactly k
     remain even when duplicates tie above self). Majority is the
     neighbor-label mode with smallest-label tie-break (the
-    label-propagation determinism rule). At production scale swap the
-    exact k-NN for `ivf_topk`/`ivfpq_topk` — identical downstream
-    plan.
+    label-propagation determinism rule).
 
     Output: (id, label, majority_label, n_neighbors, n_agree,
     flagged) — flagged when the majority disagrees with the row's own
@@ -1618,19 +1635,40 @@ def knn_label_audit(
     """
     if k < 1:
         raise ValueError("k must be >= 1")
+    if method not in ("brute", "ivf"):
+        raise ValueError("method must be 'brute' or 'ivf'")
     labeled = corpus.filter(F.col(label_col).isNotNull())
     audit_set = audit if audit is not None else labeled
     queries = audit_set.filter(F.col(label_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
     )
-    nn = knn_cosine_topk(
-        labeled, queries, k=k + 1, corpus_id=id_col, corpus_vec=vec_col
-    ).filter(F.col(id_col) != F.col("query_id"))
+    if method == "ivf":
+        nn = ivf_topk(
+            labeled,
+            queries,
+            k=k + 1,
+            n_centroids=n_centroids,
+            n_probe=n_probe,
+            iters=iters,
+            corpus_id=id_col,
+            corpus_vec=vec_col,
+            stage_path=stage_path,
+        )
+    else:
+        nn = knn_cosine_topk(
+            labeled, queries, k=k + 1, corpus_id=id_col, corpus_vec=vec_col
+        )
+    nn = nn.filter(F.col(id_col) != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy("rank")
     nn = nn.withColumn("__r2", F.row_number().over(w)).filter(
         F.col("__r2") <= k
     )
+    # the neighbor table feeds THREE consumers (votes, counts, and the
+    # majority join); without a lineage cut each one re-executes the
+    # whole k-NN search — for the IVF leg that is re-training k-means
+    # and re-probing per consumer. |audit|·k rows: model-sized.
+    nn = nn.localCheckpoint(eager=False)
     votes = (
         nn.join(
             labeled.select(

@@ -65,6 +65,31 @@ def test_corpus_pipeline_stages(corpus):
     assert all(0 <= s < 2 for s in shards.values())
 
 
+def test_corpus_pipeline_minhash_method(corpus, tmp_path):
+    """neardup.method='minhash' — the production-scale near-dup leg
+    (banded MinHash-LSH instead of exact n-gram Jaccard; the r13
+    decade measured 503 s vs 21.9 s for the same pair volume). On this
+    fixture the near-dup cluster {1,2,3,6} collapses identically to
+    the jaccard leg: signatures of ~13-shingle docs sharing >90% of
+    shingles agree on most of the 64 minhashes, and threshold 0.5
+    verifies on the estimate."""
+    cfg = default_corpus_config()
+    cfg["min_tokens"] = 6
+    cfg["neardup"] = {
+        "enable": True,
+        "method": "minhash",
+        "k": 3,
+        "threshold": 0.5,
+        "num_hashes": 64,
+        "bands": 16,
+        "max_bucket": 10**6,
+        "stage_path": str(tmp_path / "minhash"),
+    }
+    out = run_corpus_pipeline(corpus, cfg)
+    clean = {r["doc_id"] for r in out["clean"].collect()}
+    assert clean == {1, 4}
+
+
 def test_corpus_pipeline_exact_only_and_filters(corpus):
     cfg = default_corpus_config()
     cfg["min_tokens"] = 6

@@ -769,6 +769,40 @@ def test_knn_audit_excludes_self_despite_duplicates(spark):
     assert out[10]["flagged"] is True  # its neighbors are all label 0
 
 
+def test_knn_audit_ivf_full_probe_equals_brute(spark, tmp_path):
+    """The IVF leg with n_probe == n_centroids probes every inverted
+    list, so its candidate set is the whole labeled corpus and the
+    audit output must be IDENTICAL to the brute leg — the equivalence
+    pin behind registering qx126 on the IVF path (at scale n_probe <
+    n_centroids trades exactness for a ~n_probe/n_centroids scan).
+    Also pins the method-name contract."""
+    rows = []
+    for i in range(6):
+        rows.append((i, [1.0, 0.01 * i], 0))
+    for i in range(6, 12):
+        rows.append((i, [0.01 * (i - 6), 1.0], 1))
+    rows.append((99, [1.0, 0.02], 1))
+    emb = _embs(spark, rows)
+    brute = sorted(map(tuple, knn_label_audit(emb, k=5).collect()))
+    ivf = sorted(
+        map(
+            tuple,
+            knn_label_audit(
+                emb,
+                k=5,
+                method="ivf",
+                n_centroids=4,
+                n_probe=4,
+                stage_path=str(tmp_path / "knnaudit"),
+            ).collect(),
+        )
+    )
+    assert brute == ivf and len(brute) == 13
+
+    with pytest.raises(ValueError, match="brute"):
+        knn_label_audit(emb, method="exact")
+
+
 # -------------------------------------------------------- calibration
 
 

@@ -54,16 +54,38 @@ def test_real_decoder_seam(spark):
     Pillow-consistent); with Pillow installed the same JPEG decodes
     end to end (feature extract + resize). Same test, both sides."""
     if not pil_available():
+        # Baseline JPEG now decodes FOR REAL through functions.jpeg
+        # (r14 — the old DecodeNotAvailable-for-all-JPEG contract is
+        # gone); garbage wearing the FF D8 magic fails the marker walk
+        # as CORRUPT (quarantine), exactly as Pillow classifies it.
+        import numpy as _np
+
+        from tests.jpeg_fixture import encode_jpeg as _enc
+
+        real_jpeg = _enc(
+            _np.add.outer(_np.arange(8), _np.arange(8)).astype(_np.uint8) * 4
+        )
         jpeg_df = spark.createDataFrame(
-            [(1, bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg"),
+            [(1, bytearray(real_jpeg), ("image/jpeg", 8, 8, None)),
+             (2, bytearray(b"\xff\xd8\xff\xe0rest-of-jpeg"),
               ("image/jpeg", 4, 4, None))],
             MEDIA_SCHEMA,
         )
-        with pytest.raises(Exception) as err:
-            extract_features(jpeg_df, use_fake_decoder=False).collect()
-        assert "DecodeNotAvailable" in str(err.value) or "codec" in str(err.value)
+        feats = {r["media_id"]: r for r in
+                 extract_features(jpeg_df, use_fake_decoder=False).collect()}
+        assert feats[1]["feature"] is not None  # real decode
+        assert feats[2]["feature"] is None      # corrupt -> quarantine
+        # A recognized container the fallbacks do NOT carry still
+        # raises through the seam: progressive JPEG (SOF2).
+        prog = (b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00")
         with pytest.raises(DecodeNotAvailable):
-            decode_image(b"\xff\xd8\xff\xe0jpeg-without-codec")
+            decode_image(prog)
+        prog_df = spark.createDataFrame(
+            [(3, bytearray(prog), ("image/jpeg", 8, 8, None))], MEDIA_SCHEMA
+        )
+        with pytest.raises(Exception) as err:
+            extract_features(prog_df, use_fake_decoder=False).collect()
+        assert "DecodeNotAvailable" in str(err.value) or "codec" in str(err.value)
         with pytest.raises(ValueError):
             decode_image(b"anything")  # unidentifiable -> quarantine class
         # Unidentifiable members QUARANTINE (NULL feature), digest real.
@@ -141,13 +163,29 @@ def test_resize_images_dims_and_passthrough(spark):
     assert bytes(real[1]["payload"]) == b"\x89PNG fake image bytes"
     assert real[1]["width"] is None and real[1]["height"] is None
     if not pil_available():
+        # Baseline JPEG decodes (r14), but the fallback has NO JPEG
+        # ENCODER — the resize re-encode raises through the seam
+        # (loud config error, never a silent quarantine of a decodable
+        # modality). Garbage wearing the magic is corrupt: passthrough.
+        import numpy as _np
+
+        from tests.jpeg_fixture import encode_jpeg as _enc
+
+        real_jpeg = _enc(_np.full((16, 16), 99, dtype=_np.uint8))
         jpeg_df = _media_df(spark).sparkSession.createDataFrame(
-            [(9, bytearray(b"\xff\xd8\xff\xe0jpeg"), ("image/jpeg", 2, 2, None))],
+            [(9, bytearray(real_jpeg), ("image/jpeg", 16, 16, None))],
             _media_df(spark).schema,
         )
         with pytest.raises(Exception) as err:
-            resize_images(jpeg_df, use_fake_decoder=False).collect()
-        assert "DecodeNotAvailable" in str(err.value) or "codec" in str(err.value)
+            resize_images(jpeg_df, 8, 8, use_fake_decoder=False).collect()
+        assert "codec" in str(err.value)
+        garbage_df = _media_df(spark).sparkSession.createDataFrame(
+            [(9, bytearray(b"\xff\xd8\xff\xe0jpeg"), ("image/jpeg", 2, 2, None))],
+            _media_df(spark).schema,
+        )
+        g = resize_images(garbage_df, use_fake_decoder=False).collect()[0]
+        assert bytes(g["payload"]) == b"\xff\xd8\xff\xe0jpeg"
+        assert g["width"] is None and g["height"] is None
 
 
 def _png_bytes(w: int, h: int) -> bytes:
