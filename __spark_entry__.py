@@ -1739,28 +1739,38 @@ def oracle_sql() -> dict[str, str]:
 
     # --- LSH trio: replay the logic over Spark-staged signature parquet.
     # q23: bands=16, r=4 over 64 minhashes; candidate ⟺ some band's 4
-    # signature slots match exactly (brute-forced here; Spark's xxhash64
-    # band-hash equality is the same predicate modulo hash collision).
-    # agree/64 has ≤6 decimal digits (64 = 2^6) so round(_, 6) is exact
-    # in both engines.
-    mh_bands = " OR ".join(
-        f"list_slice(a.sig, {b * 4 + 1}, {b * 4 + 4}) = list_slice(b.sig, {b * 4 + 1}, {b * 4 + 4})"
-        for b in range(16)
-    )
+    # signature slots match exactly. Inverted-index form (the q22/q42
+    # oracle rewrite, r14): explode each signature into its 16
+    # (band, 4-slot-slice) keys and equi-join on the slice — identical
+    # pair set to the old all-pairs OR-of-16 scan (slice equality IS
+    # the join key; DISTINCT collapses multi-band matches exactly as
+    # OR did), but the join does LSH's own bucket work instead of
+    # N²/2 row pairs: the sf1 decade measured the all-pairs form at
+    # 1,645 s, quadratic — this form scales with bucket volume like
+    # the engine. agree/64 has ≤6 decimal digits (64 = 2^6) so
+    # round(_, 6) is exact in both engines.
     sql["q23_minhash_lsh"] = f"""
         WITH s AS (
             SELECT id, sig FROM read_parquet('{_SIG_STAGE}/minhash/*.parquet')
         ),
+        bands AS (
+            SELECT id, bb.band,
+                   list_slice(sig, bb.band * 4 + 1, bb.band * 4 + 4) AS key
+            FROM s, (SELECT unnest(range(16)) AS band) bb
+        ),
         cand AS (
-            SELECT a.id AS id_a, b.id AS id_b, a.sig AS sa, b.sig AS sb
-            FROM s a JOIN s b ON a.id < b.id
-            WHERE {mh_bands}
+            SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.key = b.key AND a.id < b.id
         ),
         est AS (
             SELECT id_a, id_b,
-                   round(len(list_filter(range(1, 65), i -> sa[i] = sb[i])) / 64.0, 6)
+                   round(len(list_filter(range(1, 65),
+                                          i -> sa.sig[i] = sb.sig[i])) / 64.0, 6)
                        AS jaccard_est
             FROM cand
+            JOIN s sa ON sa.id = cand.id_a
+            JOIN s sb ON sb.id = cand.id_b
         )
         SELECT id_a, id_b, jaccard_est FROM est WHERE jaccard_est >= 0.5
     """

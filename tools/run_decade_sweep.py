@@ -3,13 +3,19 @@
 Runs every registered query+oracle pair through the harness's
 rows+schema+hash compare at a decade replica dir, streaming one JSON
 line per query so a killed run keeps its completed comparisons.
-Three queries are routed to their dedicated decade tools instead of
-the registered oracle (whose recursive-CTE closure is quadratic in
-component size and intractable at this scale):
+Four queries are routed to their dedicated decade tools instead of
+the registered oracle:
 
-- q42_dedup_clusters  → tools/decade_cc_check.py (union-find oracle)
+- q42_dedup_clusters  → tools/decade_cc_check.py (union-find oracle —
+                        the recursive-CTE closure is quadratic in
+                        component size and intractable at this scale)
 - qx12_cluster_reps   → tools/decade_reps_split_check.py (staged
 - qx36_leakage_split     component table spliced into the oracle)
+- q22_ngram_jaccard   → tools/decade_q22_sampled_check.py (both
+                        engines on the same doc_id % 4 hash sample —
+                        exact-verify pair volume is data-inherent and
+                        replica-quadratic; q23 is the production path
+                        and runs in full)
 
 Usage: python tools/run_decade_sweep.py [sf_dir] [--skip N] [--only a,b]
 """
@@ -22,7 +28,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SPECIAL = {"q42_dedup_clusters", "qx12_cluster_reps", "qx36_leakage_split"}
+SPECIAL = {
+    "q42_dedup_clusters",
+    "qx12_cluster_reps",
+    "qx36_leakage_split",
+    "q22_ngram_jaccard",
+}
 
 
 def main() -> None:
