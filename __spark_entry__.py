@@ -499,9 +499,17 @@ def q24_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (capability row 32). The (id, h) table
     stages to parquet; the DuckDB oracle brute-forces all-pairs Hamming
     over it — the pigeonhole chunk bucketing provably finds every pair
-    within distance 3, so the sets must agree exactly."""
+    within distance 3, so the sets must agree exactly. ``max_bucket``
+    pinned above any sweep corpus (the q22/q51 convention — the oracle
+    models NO pruning): the r14 sf2 decade caught the default cap of
+    2000 silently dropping six hot chunk buckets (max 3,524 members)
+    and 12,536 true pairs; skew-guard pruning itself stays covered by
+    the operator's own tests and the "auto" mode."""
     docs = _t(spark, sf_dir, "documents")
-    return dedup_simhash(docs, max_hamming=3, stage_path=f"{_SIG_STAGE}/simhash")
+    return dedup_simhash(
+        docs, max_hamming=3, max_bucket=10_000_000,
+        stage_path=f"{_SIG_STAGE}/simhash",
+    )
 
 
 def q25_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

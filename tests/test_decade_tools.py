@@ -132,6 +132,29 @@ def test_embeddings_shifted_per_replica(decade_dir):
     assert dups == 0
 
 
+def test_mult_cap_guards_qx100_arg_min_key():
+    """mult * OFF must stay <= 2^32: qx100's oracle breaks argmin ties
+    with the composite key h*2^32 + cand, order-equivalent to
+    (h, cand) only while ids fit below 2^32 (ADVICE r13). The guard
+    fails loudly instead of silently changing oracle tie-breaking."""
+    with pytest.raises(ValueError, match="2\\^32"):
+        generate(SRC, "/tmp/never-created", mult=430)
+
+
+def test_q22_sampled_tool_oracle_surgery_assumption():
+    """decade_q22_sampled_check swaps q22's single `FROM documents`
+    source for the sampled subquery by string surgery — pin the
+    single-occurrence assumption so an oracle rewrite that breaks it
+    fails THIS test, not silently mis-samples the sweep."""
+    import __spark_entry__ as entrymod
+
+    from tools.decade_q22_sampled_check import SAMPLE_PRED
+
+    sql = entrymod.oracle_sql()["q22_ngram_jaccard"]
+    assert sql.count("FROM documents") == 1
+    assert "%" in SAMPLE_PRED and "doc_id" in SAMPLE_PRED
+
+
 def test_union_find_matches_recursive_closure_semantics():
     from tools.decade_cc_check import union_find
 
