@@ -131,7 +131,7 @@ class _BitReader:
     restart marker (surfaced to the MCU loop); 0xFF D9 (EOI) or any
     other marker ends the scan (missing-data reads then raise)."""
 
-    __slots__ = ("data", "pos", "acc", "nbits", "marker")
+    __slots__ = ("data", "pos", "acc", "nbits", "marker", "_marker_pos")
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -139,6 +139,7 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
         self.marker: int | None = None
+        self._marker_pos = pos
 
     def _fill(self) -> None:
         d = self.data
@@ -186,14 +187,20 @@ class _BitReader:
         raise JpegFormatError("invalid Huffman code in scan")
 
     def at_restart(self) -> int | None:
-        """Peek a RSTn/EOI marker at the current byte boundary."""
+        """Peek a RSTn/EOI marker at the current byte boundary,
+        skipping 0xFF fill bytes (T.81 B.1.1.2 allows any marker to be
+        preceded by them — only the FF pair whose second byte is a
+        non-FF, non-stuffing code is the marker itself)."""
         d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1
         if p + 1 < len(d) and d[p] == 0xFF and d[p + 1] != 0x00:
+            self._marker_pos = p
             return d[p + 1]
         return None
 
     def consume_restart(self) -> None:
-        self.pos += 2
+        self.pos = self._marker_pos + 2
         self.acc = 0
         self.nbits = 0
 
@@ -276,6 +283,11 @@ def decode_jpeg(payload: bytes) -> JpegImage:
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0x0F
                 i += 1
+                if pq > 1:
+                    # T.81: Pq is 0 (8-bit) or 1 (16-bit); anything
+                    # else is a corrupt header — decoding on through
+                    # it would return garbage pixels as a success
+                    raise JpegFormatError(f"invalid DQT precision {pq}")
                 if pq == 1:
                     if i + 128 > len(seg):
                         raise JpegFormatError("short DQT")
@@ -358,15 +370,24 @@ def _decode_scan(
 ) -> JpegImage:
     h, w, comps = frame
     ns = seg[0] if seg else 0
-    if ns != len(comps):
+    # impossible counts are CORRUPTION (quarantine), not a missing
+    # codec feature: T.81 bounds Ns to 1..4 and a scan cannot name
+    # more components than the frame declares
+    if ns == 0 or ns > 4 or ns > len(comps):
+        raise JpegFormatError(f"invalid SOS component count {ns}")
+    if ns < len(comps):
+        # a genuinely valid non-interleaved multi-scan stream
         raise JpegUnsupportedError(
             "multi-scan (non-interleaved) JPEG needs a real codec"
         )
     if len(seg) < 1 + 2 * ns + 3:
         raise JpegFormatError("short SOS")
+    frame_ids = {c[0] for c in comps}
     scan_tables = {}
     for i in range(ns):
         cs, tda = seg[1 + 2 * i], seg[2 + 2 * i]
+        if cs not in frame_ids or cs in scan_tables:
+            raise JpegFormatError(f"SOS names unknown/duplicate component {cs}")
         scan_tables[cs] = (tda >> 4, tda & 0x0F)
     ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
     if (ss, se, ahal) != (0, 63, 0):
@@ -376,6 +397,16 @@ def _decode_scan(
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
+    for _cid, hs, vs, _tq in comps:
+        if hmax % hs or vmax % vs:
+            # spec-valid but needs fractional upsampling (e.g. 3:2:1
+            # factors) — sample replication only carries integer
+            # ratios; classify UNSUPPORTED, never let the numpy
+            # broadcast error masquerade as corrupt-quarantine
+            raise JpegUnsupportedError(
+                f"non-integer chroma upsampling ratio ({hmax}/{hs}, "
+                f"{vmax}/{vs}) needs a real codec"
+            )
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 

@@ -147,6 +147,7 @@ def _decode_for_fingerprint(payload: bytes) -> object:
     mime, _w, _h = parse_image_header(payload)
     if mime == "image/png":
         from ..functions.png import (  # noqa: PLC0415
+            PngFormatError,
             PngUnsupportedError,
             decode_png,
         )
@@ -158,8 +159,16 @@ def _decode_for_fingerprint(payload: bytes) -> object:
             # ladder raises DecodeNotAvailable — either way NOT a
             # stability-covered shape
             pass
-        # PngFormatError (corrupt) propagates: it is a ValueError, the
-        # callers' per-row quarantine path
+        except PngFormatError:
+            # the stdlib parser is STRICTER than Pillow (it hard-fails
+            # e.g. a bad CRC on an ancillary chunk Pillow ignores):
+            # when Pillow is present let it try rather than narrowing
+            # r13's coverage; such members are not stability-covered
+            # (they quarantine codec-less, decode Pillow-resampled
+            # here). Codec-less the error propagates: ValueError, the
+            # callers' quarantine path — same as before.
+            if not pil_available():
+                raise
     return decode_image(payload)
 
 
@@ -249,9 +258,14 @@ def resize_images(
     real resize would use — so the schema, batch shape, and dimension
     logic are all real and tested. With ``use_fake_decoder=False`` the
     payload is decoded, resized, and re-encoded through
-    ``decode_image``'s codec ladder — Pillow when installed, the
-    stdlib PNG fallback for 8-bit PNG otherwise (``DecodeNotAvailable``
-    when a recognized container has no codec). Rows whose
+    ``decode_image``'s codec ladder — Pillow when installed; codec-less,
+    8-bit PNG round-trips fully (stdlib decode + PNG re-encode) while
+    baseline JPEG DECODES but has no stdlib re-encoder, so the resize
+    raises ``DecodeNotAvailable`` at the save step (a loud
+    missing-codec config error — silently quarantining a whole
+    decodable modality is forbidden; fingerprint/feature ops, which
+    never re-encode, run JPEG fine). ``DecodeNotAvailable`` likewise
+    for recognized containers with no codec at all. Rows whose
     metadata lacks dimensions (fake branch) or whose payload is
     corrupt/unidentifiable (real branch) pass through unresized (None
     width/height), mirroring how a real pipeline quarantines

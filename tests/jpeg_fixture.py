@@ -26,7 +26,11 @@ import struct
 
 import numpy as np
 
-# raster index -> zigzag scan position k (inverse of the decoder's map)
+# The SAME public zigzag scan table as the decoder, used in the same
+# scan-position->raster-index direction (qc.flat[_ZIGZAG[k]] here
+# mirrors block[ZIGZAG[k]] = coef[k] there). This is a spec constant,
+# not part of the independence claim — that claim is about the DCT
+# basis construction only. Do NOT "fix" this by inverting it.
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,

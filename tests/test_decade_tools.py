@@ -136,9 +136,12 @@ def test_mult_cap_guards_qx100_arg_min_key():
     """mult * OFF must stay <= 2^32: qx100's oracle breaks argmin ties
     with the composite key h*2^32 + cand, order-equivalent to
     (h, cand) only while ids fit below 2^32 (ADVICE r13). The guard
-    fails loudly instead of silently changing oracle tie-breaking."""
+    fails loudly instead of silently changing oracle tie-breaking,
+    and fails BEFORE creating the output directory."""
+    target = "/tmp/gen_decade_guard_should_not_exist"
     with pytest.raises(ValueError, match="2\\^32"):
-        generate(SRC, "/tmp/never-created", mult=430)
+        generate(SRC, target, mult=430)
+    assert not os.path.exists(target)
 
 
 def test_q22_sampled_tool_oracle_surgery_assumption():

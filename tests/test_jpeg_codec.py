@@ -239,6 +239,62 @@ def test_eoi_before_scan():
         decode_jpeg(b"\xff\xd8\xff\xd9")
 
 
+def test_restart_markers_with_fill_bytes():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+    FF FF D0 must decode identically to FF D0 (review find: the
+    restart peek rejected fill-padded conformant streams)."""
+    rng = _rng(11)
+    arr = rng.integers(0, 256, (24, 24)).astype(np.uint8)
+    plain = encode_jpeg(arr, quant=2, restart_interval=2)
+    padded = plain
+    for m in range(8):
+        padded = padded.replace(bytes([0xFF, 0xD0 + m]), bytes([0xFF, 0xFF, 0xD0 + m]))
+    assert padded != plain  # surgery actually inserted fill bytes
+    a = _gray(decode_jpeg(plain))
+    b = _gray(decode_jpeg(padded))
+    assert a.tolist() == b.tolist()
+
+
+def test_non_divisor_sampling_unsupported():
+    """Spec-valid sampling factors with a non-integer upsampling ratio
+    (3:2) classify UNSUPPORTED, never a numpy broadcast crash wearing
+    the corrupt-quarantine class (review find)."""
+    sof = _segment(0xC0, bytes([8, 0, 16, 0, 16, 3])
+                   + bytes([1, 0x31, 0, 2, 0x21, 0, 3, 0x11, 0]))  # h 3/2/1
+    sos = _segment(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    with pytest.raises(JpegUnsupportedError, match="upsampling"):
+        decode_jpeg(b"\xff\xd8" + sof + sos)
+
+
+def test_corrupt_sos_and_dqt_are_format_errors():
+    """Impossible SOS component counts and invalid DQT precision are
+    CORRUPTION (ValueError/quarantine), not missing-codec features
+    (review find: a bit-flipped ns byte must never abort the job
+    through DecodeNotAvailable)."""
+    sof = _segment(0xC0, bytes([8, 0, 8, 0, 8, 1, 1, 0x11, 0]))
+    sos_zero = _segment(0xDA, bytes([0, 0, 63, 0]))
+    with pytest.raises(JpegFormatError, match="component count"):
+        decode_jpeg(b"\xff\xd8" + sof + sos_zero)
+    sos_over = _segment(0xDA, bytes([3, 1, 0, 2, 0, 3, 0, 0, 63, 0]))
+    with pytest.raises(JpegFormatError, match="component count"):
+        decode_jpeg(b"\xff\xd8" + sof + sos_over)
+    sos_unknown = _segment(0xDA, bytes([1, 7, 0x00, 0, 63, 0]))
+    with pytest.raises(JpegFormatError, match="unknown"):
+        decode_jpeg(b"\xff\xd8" + sof + sos_unknown)
+    dqt_bad = _segment(0xDB, bytes([0x20]) + bytes(64))
+    with pytest.raises(JpegFormatError, match="DQT precision"):
+        decode_jpeg(b"\xff\xd8" + dqt_bad + sof)
+    # genuinely valid non-interleaved stays UNSUPPORTED
+    sof3 = _segment(
+        0xC0,
+        bytes([8, 0, 8, 0, 8, 3])
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    sos_one = _segment(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    with pytest.raises(JpegUnsupportedError, match="multi-scan"):
+        decode_jpeg(b"\xff\xd8" + sof3 + sos_one)
+
+
 # ----------------------------------------------------- seam contract
 
 

@@ -111,7 +111,6 @@ _OFFSET_KEYS = {
 def generate(src_dir: str, out_dir: str, mult: int) -> dict:
     import duckdb
 
-    os.makedirs(out_dir, exist_ok=True)
     # qx100's DuckDB oracle breaks argmin ties with the composite key
     # h * 2^32 + cand, which is order-equivalent to ORDER BY (h, cand)
     # ONLY while every id stays below 2^32. The offset scheme caps ids
@@ -123,6 +122,7 @@ def generate(src_dir: str, out_dir: str, mult: int) -> dict:
             "(qx100's composite arg_min key stops being "
             "order-equivalent to (h, cand))"
         )
+    os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for table, keys in _OFFSET_KEYS.items():
         sel = ", ".join(f"min({k}), max({k})" for k in keys)
