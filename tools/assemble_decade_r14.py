@@ -1,0 +1,93 @@
+"""Assemble logs/decade_r14.json from the round's sweep logs.
+
+Round-14 decade evidence: the sf2 shortlist (wave 1 + wave 2), the
+sf1 re-measurements of the two fixed queries (qx100 auto-buckets,
+qx126 IVF leg), the q22 sampled-check results, engine-only CC-family
+timings at sf2, and the recorded oracle-cost stop decisions.
+
+Usage: python tools/assemble_decade_r14.py w1.log w2.log [extra.log...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def parse(path: str) -> list[dict]:
+    out = []
+    for line in open(path):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                out.append(json.loads(line))
+            except json.JSONDecodeError:
+                pass
+    return out
+
+
+def main() -> None:
+    results = []
+    for path in sys.argv[1:]:
+        results.extend(parse(path))
+    ok = sum(1 for r in results if r.get("status") == "ok")
+    doc = {
+        "round": 14,
+        "dataset_sf2": (
+            "sf0.1 x20 replica (tools/gen_decade.py --mult 20): "
+            "12,000,000 lineitem / 100,000 documents / 2,000,000 "
+            "events / 40,000 embeddings"
+        ),
+        "scale": (
+            "sf2 dedup/CC/ANN shortlist (wave 1 + wave 2) + sf1 "
+            "re-measurement of the two r13-flagged queries after "
+            "their fixes"
+        ),
+        "ok": ok,
+        "total": len(results),
+        "hazards_found_and_fixed": [
+            "q24_simhash at sf2: the registered query rode "
+            "dedup_simhash's default max_bucket=2000 while the oracle "
+            "brute-forces all pairs — six hot 16-bit chunk buckets "
+            "(max 3,524 members) crossed the cap and 12,536 true "
+            "pairs were silently pruned (engine 879,312 vs oracle "
+            "891,848). Fixed: max_bucket pinned to 10M (the q22/q51 "
+            "convention); re-run 891,848 == 891,848 ok.",
+        ],
+        "fix_measurements": [
+            "qx100_negative_pairs with buckets='auto' (N/1000): "
+            "sf1 52.1 s (fixed-B r13 form: 212.9 s), sf2 126.3 s — "
+            "2.4x wall for 2x data, linear-with-overhead; oracle "
+            "green at sf0.01/sf0.1/sf1/sf2.",
+            "qx126_knn_audit on the IVF leg: sf1 17.0 s (brute leg "
+            "r13: 99.0 s; verdict done-bar was <=20 s), sf2 27.7 s — "
+            "1.6x for 2x data; oracle replays staged centroids, "
+            "brute==IVF pinned at full probe coverage.",
+        ],
+        "decisions": [
+            "q22_ngram_jaccard decade policy: both engines run on the "
+            "same doc_id % 4 hash sample "
+            "(tools/decade_q22_sampled_check.py; sf2: 243,900 pairs "
+            "hash-equal, 63.0 s engine / 39.2 s oracle vs a projected "
+            "~2,000 s full run). The exact-verify leg's pair volume "
+            "is replica-quadratic by design; it stays oracle-pinned "
+            "in full at sf0.001/0.01/0.1, and q23 (the production "
+            "path) runs in full at every decade.",
+            "CC family (q42/qx12/qx36) at sf2: ORACLE-COST STOP. The "
+            "oracle's own inverted-index edge SQL (916 s at sf1) "
+            "exceeded a 50-minute budget at sf2 (replica pair volume "
+            "~4.2x); the family stays fully oracle-validated at "
+            "sf0.5 and sf1 (union-find + staged-splice checks), and "
+            "engine-only sf2 timings are recorded below.",
+            "qx67_quantile_normalize / qx38_quality_blend not re-run "
+            "at sf2: their ORACLE sides dominated the sf1 sweep "
+            "(498 s / 340 s; engines 1.3 s / 68.9 s) — same "
+            "oracle-cost reasoning, both stay green at sf1.",
+        ],
+        "results": results,
+    }
+    print(json.dumps(doc, indent=1))
+
+
+if __name__ == "__main__":
+    main()
