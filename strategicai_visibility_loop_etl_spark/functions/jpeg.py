@@ -248,6 +248,7 @@ def decode_jpeg(payload: bytes) -> JpegImage:
     huff_ac: dict[int, _Huffman] = {}
     frame = None  # (h, w, comps) — comps: [(cid, hs, vs, tq)]
     restart_interval = 0
+    adobe_transform: int | None = None
 
     while True:
         if pos + 1 >= len(d):
@@ -316,6 +317,12 @@ def decode_jpeg(payload: bytes) -> JpegImage:
                 table = _Huffman(counts, seg[i + 17 : i + 17 + n])
                 (huff_dc if tc == 0 else huff_ac)[th] = table
                 i += 17 + n
+            if i != len(seg):
+                # 1-16 trailing bytes = a truncated table or a lying
+                # segment length — libjpeg/Pillow reject (BAD_LENGTH),
+                # so accepting here would classify the same payload
+                # VALID codec-less and CORRUPT under Pillow
+                raise JpegFormatError("DHT segment length mismatch")
         elif marker in (0xC0, 0xC1):  # SOF0 / SOF1
             if len(seg) < 6:
                 raise JpegFormatError("short SOF")
@@ -345,6 +352,9 @@ def decode_jpeg(payload: bytes) -> JpegImage:
                 if not (1 <= hs <= 4 and 1 <= vs <= 4):
                     raise JpegFormatError("invalid sampling factors")
             frame = (h, w, comps)
+        elif marker == 0xEE:  # APP14 — Adobe color-transform flag
+            if len(seg) >= 12 and seg[:5] == b"Adobe":
+                adobe_transform = seg[11]
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise JpegFormatError("short DRI")
@@ -352,6 +362,21 @@ def decode_jpeg(payload: bytes) -> JpegImage:
         elif marker == 0xDA:  # SOS — decode the scan and finish
             if frame is None:
                 raise JpegFormatError("SOS before SOF")
+            # Color-space guard: the inverse transform below is JFIF
+            # YCbCr. Adobe APP14 transform=0 declares the components
+            # are stored as RGB (no transform), as do 'R'/'G'/'B'
+            # component ids — applying YCbCr math there returns
+            # GARBAGE pixels as a "successful" decode, far beyond the
+            # documented ±1-2 LSB codec caveat. Uncovered shape:
+            # raise, never silently mis-decode (Pillow honors APP14).
+            if len(frame[2]) == 3:
+                ids = tuple(c[0] for c in frame[2])
+                if adobe_transform == 0 or ids == (0x52, 0x47, 0x42):
+                    raise JpegUnsupportedError(
+                        "RGB-colorspace baseline JPEG (Adobe "
+                        "transform=0 / RGB component ids) needs a "
+                        "real codec"
+                    )
             return _decode_scan(
                 d, pos, seg, frame, qt, huff_dc, huff_ac, restart_interval
             )

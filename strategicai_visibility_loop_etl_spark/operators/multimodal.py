@@ -61,7 +61,11 @@ class DecodeNotAvailable(NotImplementedError):
     """Raised when a real media codec would be required."""
 
 
-def decode_image(payload: bytes) -> object:
+# sentinel: "caller did not pre-sniff" (None is a real sniff result)
+_UNSNIFFED = object()
+
+
+def decode_image(payload: bytes, _mime: object = _UNSNIFFED) -> object:
     """Decode bytes to an image object exposing the Pillow surface the
     module drives (convert/resize/thumbnail/getdata/save, width/
     height/format).
@@ -103,7 +107,13 @@ def decode_image(payload: bytes) -> object:
         decode_png,
     )
 
-    mime, _w, _h = parse_image_header(payload)
+    # _mime lets a caller that already sniffed the header (the
+    # fingerprint router) skip a second parse; external callers never
+    # pass it
+    if _mime is _UNSNIFFED:
+        mime, _w, _h = parse_image_header(payload)
+    else:
+        mime = _mime
     if mime == "image/png":
         try:
             return decode_png(payload)
@@ -154,11 +164,13 @@ def _decode_for_fingerprint(payload: bytes) -> object:
 
         try:
             return decode_png(payload)
-        except PngUnsupportedError:
-            # 16-bit/interlaced: Pillow leg when present, else the
-            # ladder raises DecodeNotAvailable — either way NOT a
-            # stability-covered shape
-            pass
+        except PngUnsupportedError as e:
+            # 16-bit/interlaced: Pillow leg when present; codec-less
+            # raise the seam error DIRECTLY (decode_image would only
+            # re-run the same decode_png to reach the same verdict) —
+            # either way NOT a stability-covered shape
+            if not pil_available():
+                raise DecodeNotAvailable(str(e)) from e
         except PngFormatError:
             # the stdlib parser is STRICTER than Pillow (it hard-fails
             # e.g. a bad CRC on an ancillary chunk Pillow ignores):
@@ -169,7 +181,9 @@ def _decode_for_fingerprint(payload: bytes) -> object:
             # callers' quarantine path — same as before.
             if not pil_available():
                 raise
-    return decode_image(payload)
+    # non-PNG (or a PNG only Pillow can carry): ride the ladder,
+    # passing the already-sniffed mime so the payload is parsed once
+    return decode_image(payload, _mime=mime)
 
 
 def _real_image_feature(payload: bytes, dim: int) -> list[float] | None:
@@ -186,7 +200,9 @@ def _real_image_feature(payload: bytes, dim: int) -> list[float] | None:
     deterministic stdlib decoder (area-average resize), so PNG feature
     vectors are identical whether or not Pillow is installed; other
     formats inherit the installed codec's resampling and are NOT
-    portable across codec environments."""
+    portable across codec environments. Feature tables staged under
+    Pillow before this routing existed must be rebuilt once (see
+    perceptual_hashes' migration note)."""
     try:
         img = _decode_for_fingerprint(payload).convert("L").resize((dim, 1))
     except DecodeNotAvailable:
@@ -508,7 +524,12 @@ def perceptual_hashes(
     deterministic stdlib decode (area-average resize), so PNG hash
     bits are identical with or without Pillow and staged phash tables
     stay portable across environments; other formats use whatever
-    codec is installed (hashes codec-dependent); the deterministic fake
+    codec is installed (hashes codec-dependent). MIGRATION NOTE: phash
+    tables staged in a Pillow environment BEFORE this routing existed
+    carry bicubic-resample bits — they will not band-match hashes
+    computed now; rebuild staged PNG phash tables once after
+    upgrading (a one-time, loud-by-documentation break in exchange
+    for permanent cross-environment portability); the deterministic fake
     (sha512-derived grid — 64 digest bytes, one per cell) keeps the
     full plumbing — schema, packing, banding, Hamming verify —
     testable in codec-less environments, where "near-dup" degenerates

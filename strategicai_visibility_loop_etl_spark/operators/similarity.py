@@ -1482,7 +1482,7 @@ def negative_pairs(
         if buckets != "auto":
             raise ValueError("buckets must be an int >= 1 or 'auto'")
     elif buckets < 1:
-        raise ValueError("k and buckets must be >= 1")
+        raise ValueError("buckets must be >= 1")
     id_type = dict(docs.dtypes).get(id_col, "")
     if id_type not in ("tinyint", "smallint", "int", "bigint", "long"):
         raise ValueError(

@@ -295,6 +295,58 @@ def test_corrupt_sos_and_dqt_are_format_errors():
         decode_jpeg(b"\xff\xd8" + sof3 + sos_one)
 
 
+def test_adobe_rgb_colorspace_unsupported():
+    """Adobe APP14 transform=0 (or R/G/B component ids) declares RGB
+    storage — applying the JFIF YCbCr inverse there returns garbage
+    pixels as a 'successful' decode (review find). Uncovered shape:
+    raise, never silently mis-decode."""
+    import struct as _s
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    plain = encode_jpeg(arr, quant=1)
+    adobe = _segment(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 0]))
+    assert adobe[2 + 2 + 11] == 0  # transform byte really is 0
+    with pytest.raises(JpegUnsupportedError, match="RGB"):
+        decode_jpeg(plain[:2] + adobe + plain[2:])
+    # transform=1 (YCbCr) stays decodable
+    adobe1 = _segment(0xEE, b"Adobe" + bytes([0, 100, 0, 0, 0, 0, 1]))
+    img = decode_jpeg(plain[:2] + adobe1 + plain[2:])
+    assert img.size == (8, 8)
+    # R/G/B component ids without APP14: same guard
+    sof_rgb = _segment(
+        0xC0,
+        bytes([8, 0, 8, 0, 8, 3])
+        + bytes([0x52, 0x11, 0, 0x47, 0x11, 0, 0x42, 0x11, 0]),
+    )
+    sos3 = _segment(
+        0xDA, bytes([3, 0x52, 0x00, 0x47, 0x00, 0x42, 0x00, 0, 63, 0])
+    )
+    with pytest.raises(JpegUnsupportedError, match="RGB"):
+        decode_jpeg(b"\xff\xd8" + sof_rgb + sos3)
+    del _s
+
+
+def test_dht_trailing_garbage_is_corrupt():
+    """A DHT segment whose declared length leaves 1-16 undecodable
+    trailing bytes is rejected like libjpeg/Pillow (BAD_LENGTH), so
+    the payload classifies identically in both environments (review
+    find: it previously decoded successfully codec-less)."""
+    arr = np.full((8, 8), 50, dtype=np.uint8)
+    plain = encode_jpeg(arr)
+    # locate the first DHT and extend its length by 3 garbage bytes
+    i = plain.index(b"\xff\xc4")
+    ln = int.from_bytes(plain[i + 2 : i + 4], "big")
+    patched = (
+        plain[:i + 2]
+        + (ln + 3).to_bytes(2, "big")
+        + plain[i + 4 : i + 2 + ln]
+        + b"\x00\x00\x00"
+        + plain[i + 2 + ln:]
+    )
+    with pytest.raises(JpegFormatError, match="DHT"):
+        decode_jpeg(patched)
+
+
 # ----------------------------------------------------- seam contract
 
 
