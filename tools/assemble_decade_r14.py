@@ -39,9 +39,9 @@ def main() -> None:
             "events / 40,000 embeddings"
         ),
         "scale": (
-            "sf2 dedup/CC/ANN shortlist (wave 1 + wave 2) + sf1 "
-            "re-measurement of the two r13-flagged queries after "
-            "their fixes"
+            "sf2 shortlist, waves 1-3 (dedup/CC/ANN + the next 25 heaviest "
+            "extras) + sf1 re-measurement of the two r13-flagged "
+            "queries after their fixes"
         ),
         "ok": ok,
         "total": len(results),
