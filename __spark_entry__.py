@@ -1630,13 +1630,24 @@ def oracle_sql() -> dict[str, str]:
             FROM sc2
             WHERE position IS NOT NULL AND ctr IS NOT NULL AND impressions IS NOT NULL
               AND position <= 20.0 AND ctr_deficit * impressions * 1.0 > 0
+        ),
+        -- the engine's anomaly slice caps at 100k by design (TakeOrdered
+        -- top-N, never an uncapped single-partition window sort at scale;
+        -- anomaly.py:20) — the oracle models the SAME deterministic
+        -- (missed_clicks DESC, url) cut. Below the cap (every driver
+        -- scale) this is a no-op; the r14 sf2 decade (195,060 slice
+        -- rows) is where it first binds.
+        cap AS (
+            SELECT * FROM sc3
+            ORDER BY missed_clicks DESC, url
+            LIMIT 100000
         )
         SELECT url, round(position, 2) AS position, round(ctr, 6) AS ctr,
                round(expected_ctr, 6) AS expected_ctr, expected_ctr_bucket,
                round(ctr_deficit, 6) AS ctr_deficit,
                round(missed_clicks, 4) AS missed_clicks,
                CAST(row_number() OVER (ORDER BY missed_clicks DESC, url) AS INT) AS priority_rank
-        FROM sc3
+        FROM cap
     """
 
     sql["q15_thin_content"] = """
