@@ -39,13 +39,24 @@ def main() -> None:
             "events / 40,000 embeddings"
         ),
         "scale": (
-            "sf2 shortlist, waves 1-3 (dedup/CC/ANN + the next 25 heaviest "
-            "extras) + sf1 re-measurement of the two r13-flagged "
-            "queries after their fixes"
+            "sf2 FULL REGISTRY (waves 1-5: all 183 registered queries — 176 "
+            "full-oracle hash-validated + qx05 rows-only by design + q22 "
+            "sampled + CC family engine-only under the documented "
+            "oracle-cost stop + qx67/qx38 oracle-cost stops) + sf1 "
+            "re-measurement of the two r13-flagged queries after their "
+            "fixes"
         ),
         "ok": ok,
         "total": len(results),
         "hazards_found_and_fixed": [
+            "q14_ctr_underperf at sf2: the engine's anomaly slice caps "
+            "at 100k by design (TakeOrdered top-N, never an uncapped "
+            "single-partition window sort) but the oracle ranked the "
+            "whole candidate set — below the cap at every driver scale, "
+            "first binding at sf2 (engine 100,000 vs oracle 195,060). "
+            "Fixed: the oracle models the same deterministic "
+            "(missed_clicks DESC, url) cut; re-run 100,000 == 100,000 "
+            "ok.",
             "q24_simhash at sf2: the registered query rode "
             "dedup_simhash's default max_bucket=2000 while the oracle "
             "brute-forces all pairs — six hot 16-bit chunk buckets "
