@@ -487,10 +487,17 @@ def q23_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures, bucket-join. The signature table stages to parquet and
     the DuckDB oracle replays banding + verification over it with
     brute-force band-slice equality (xxhash64 band-hash equality ⟺
-    slice equality modulo a ~2^-64 collision)."""
+    slice equality modulo a ~2^-64 collision). ``max_bucket`` pinned
+    above any sweep corpus (the q22/q24/q51 convention — the oracle
+    models NO band-bucket pruning, so the registered query must not
+    prune either; this call previously rode the operator default of
+    2000, the exact latent class the r14 sf2 decade caught binding in
+    q24). Skew-guard pruning stays covered by the operator's own
+    tests and the ``"auto"`` mode."""
     docs = _t(spark, sf_dir, "documents")
     return dedup_minhash_lsh(
         docs, k=3, num_hashes=64, bands=16, threshold=0.5,
+        max_bucket=10_000_000,
         stage_path=f"{_SIG_STAGE}/minhash",
     )
 
