@@ -3282,7 +3282,7 @@ def qx33_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"),
         )
         .agg(
-            F.round(F.sum("value"), 6).cast("decimal(28,6)").alias("daily_value")
+            _rd(F.sum("value"), 6).cast("decimal(28,6)").alias("daily_value")
         )
     )
     return theil_sen_trend(
@@ -3342,7 +3342,7 @@ def qx30_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("o_year").cast("int").alias("o_year"),
-            F.round(
+            _rd(
                 F.col("__t").cast("double") / F.col("__v").cast("double"), 6
             ).alias("mkt_share"),
             F.col("__v").cast("double").alias("total_volume"),
@@ -3406,7 +3406,7 @@ def qx29_rolling_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"),
         )
         .agg(
-            F.round(F.sum("value"), 6).cast("decimal(28,6)").alias("daily_value")
+            _rd(F.sum("value"), 6).cast("decimal(28,6)").alias("daily_value")
         )
     )
     out = rolling_zscore_anomalies(
@@ -3440,7 +3440,7 @@ def qx28_event_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
             .alias("day"),
         )
-        .agg(F.round(F.sum("value"), 6).cast("decimal(28,6)").alias("daily_value"))
+        .agg(_rd(F.sum("value"), 6).cast("decimal(28,6)").alias("daily_value"))
     )
     return linear_trend(
         daily, ["event_type"], "day", "daily_value"
