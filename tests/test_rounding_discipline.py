@@ -35,32 +35,55 @@ PKG = REPO / "strategicai_visibility_loop_etl_spark"
 ALLOWED: set[tuple[str, int]] = set()
 
 
-def _scaled_round_calls(path: Path) -> list[tuple[str, int, int]]:
-    """(file, line, scale) for every F.round(col, n) with literal
-    n > 0."""
+def _scaled_round_calls(path: Path) -> list[tuple[str, int, str]]:
+    """(file, line, why) for every ``<anything>.round(col, n)`` whose
+    scale is a literal n > 0 OR non-literal (unauditable — a variable
+    scale must route through round_c), regardless of what the
+    functions module is called locally — plus any alias-import of
+    pyspark's ``round`` (``from pyspark.sql.functions import round``)
+    which would dodge attribute matching entirely."""
     tree = ast.parse(path.read_text())
+    rel = str(path.relative_to(REPO))
     hits = []
     for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            if node.module and node.module.startswith("pyspark"):
+                for alias in node.names:
+                    if alias.name == "round":
+                        hits.append(
+                            (rel, node.lineno,
+                             "direct import of pyspark round — use "
+                             "F.round(… , 0) or round_c")
+                        )
+            continue
         if not isinstance(node, ast.Call):
             continue
         f = node.func
-        if not (
-            isinstance(f, ast.Attribute)
-            and f.attr == "round"
-            and isinstance(f.value, ast.Name)
-            and f.value.id == "F"
-        ):
+        if not (isinstance(f, ast.Attribute) and f.attr == "round"):
             continue
         scale = None
-        if len(node.args) >= 2 and isinstance(node.args[1], ast.Constant):
-            scale = node.args[1].value
+        has_scale = False
+        if len(node.args) >= 2:
+            has_scale = True
+            if isinstance(node.args[1], ast.Constant):
+                scale = node.args[1].value
         for kw in node.keywords:
-            if kw.arg == "scale" and isinstance(kw.value, ast.Constant):
-                scale = kw.value.value
-        if isinstance(scale, int) and scale > 0:
-            rel = str(path.relative_to(REPO))
-            if (rel, node.lineno) not in ALLOWED:
-                hits.append((rel, node.lineno, scale))
+            if kw.arg == "scale":
+                has_scale = True
+                if isinstance(kw.value, ast.Constant):
+                    scale = kw.value.value
+        if not has_scale:
+            continue  # .round(col) — scale 0 default, exact at ties
+        if (rel, node.lineno) in ALLOWED:
+            continue
+        if scale is None:
+            hits.append(
+                (rel, node.lineno,
+                 "non-literal scale — a parametric scale must go "
+                 "through round_c")
+            )
+        elif isinstance(scale, int) and scale > 0:
+            hits.append((rel, node.lineno, f"scale={scale}"))
     return hits
 
 
@@ -70,10 +93,10 @@ def test_no_scaled_f_round_outside_round_c():
     for p in files:
         offenders.extend(_scaled_round_calls(p))
     assert not offenders, (
-        "scale>0 F.round sites found — these diverge from DuckDB "
+        "scale>0 round sites found — these diverge from DuckDB "
         "round() at .5 ties (four live divergences across the "
         "r13/r14 decades); use round_c / _rd instead:\n"
-        + "\n".join(f"  {f}:{ln} (scale={s})" for f, ln, s in offenders)
+        + "\n".join(f"  {f}:{ln} ({why})" for f, ln, why in offenders)
     )
 
 
