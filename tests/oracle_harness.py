@@ -12,6 +12,7 @@ by tests/test_oracle.py and runnable standalone:
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -86,6 +87,20 @@ def duckdb_result(sql: str, sf_dir: str):
     visible so compare() can flag it locally.
     """
     con = duckdb.connect()
+    # An in-memory DuckDB has NO temp_directory, so a big oracle can't
+    # go out-of-core and the process OOMs instead (two decade-scale
+    # kills: qx100's selection at sf1, qx85's postings self-join at
+    # sf5 — 109 GB anon RSS). A bounded memory budget plus an explicit
+    # spill dir turns those into slow-but-finishing runs; both
+    # overridable for smaller hosts.
+    con.execute(
+        "SET memory_limit = '"
+        + os.environ.get("ORACLE_DUCKDB_MEMORY", "48GB")
+        + "'"
+    )
+    spill = os.environ.get("ORACLE_DUCKDB_SPILL", "/tmp/duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory = '{spill}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     tbl = con.execute(sql).fetch_arrow_table()
