@@ -214,6 +214,35 @@ def test_winnowing_profile_is_shuffle_free(spark, sf_dir):
     assert "lang" not in read and "source" not in read, read
 
 
+def test_scan_parallelize_is_adaptive(spark, sf_dir, monkeypatch):
+    """Optimization r14: `_t` repairs degenerate scan parallelism (the
+    driver testdata is ONE file / ONE row group per table, so every
+    pre-shuffle stage otherwise runs in a single task) with one
+    round-robin repartition to the session's core count — but ONLY
+    then. The production claim: naturally-parallel inputs and
+    dimension-sized tables keep the pristine shuffle-free scan."""
+    import __spark_entry__ as em
+
+    p = spark.sparkContext.defaultParallelism
+    big = f"{sf_dir}/embeddings.parquet"  # >128 KiB at every sf
+    # Degenerate single-row-group scan → exactly one round-robin.
+    df = em._t(spark, sf_dir, "embeddings")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "REPARTITION_BY_NUM" in df._jdf.queryExecution().logical().toString() or \
+        "RoundRobinPartitioning" in plan, plan[:1500]
+    assert df.rdd.getNumPartitions() == p
+    # Dimension-sized table (region, < _SCAN_PAR_MIN_BYTES) → untouched.
+    dim = em._t(spark, sf_dir, "region")
+    assert "RoundRobin" not in dim._jdf.queryExecution().executedPlan().toString()
+    # Naturally-parallel input (>= cores partitions) → untouched.
+    par = spark.read.parquet(big).repartition(p)
+    assert em._parallelize_scan(spark, par) is par
+    # Kill switch restores the pristine scan everywhere.
+    monkeypatch.setattr(em, "_SCAN_PAR_MODE", "off")
+    off = em._t(spark, sf_dir, "embeddings")
+    assert "RoundRobin" not in off._jdf.queryExecution().executedPlan().toString()
+
+
 def test_anomaly_rank_window_has_explicit_partition(spark):
     """The priority_rank window must carry a (constant) partition spec:
     the slice is bounded by .limit() so single-partition execution is
