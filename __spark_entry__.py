@@ -90,12 +90,20 @@ def _sweep_stale_stage_dirs(max_age_s: int = 6 * 3600) -> None:
 _sweep_stale_stage_dirs()
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str, heavy: bool = False) -> DataFrame:
+    """Read one testdata table. ``heavy=True`` declares that the query
+    does expensive per-row compute directly downstream of this scan
+    (text normalization/hashing, entropy, wide conditional aggregates)
+    — problem knowledge the optimizer cannot infer — and opts the scan
+    into :func:`_parallelize_scan`'s degenerate-layout repair."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
     # default; read nanos as long (queries derive what they need).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _parallelize_scan(spark, spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if heavy or _SCAN_PAR_MODE == "all":
+        df = _parallelize_scan(spark, df)
+    return df
 
 
 _SCAN_PAR_MODE = os.environ.get("SPARK_GRAFT_SCAN_PARALLELIZE", "auto").strip().lower()
@@ -106,7 +114,8 @@ _SCAN_PAR_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SCAN_PAR_MIN_BYTES", "1310
 
 
 def _parallelize_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
-    """Scale-adaptive scan parallelization (optimization r14, guide §2).
+    """Scale-adaptive scan parallelization (optimization r14, guide §2),
+    applied only to reads hinted ``heavy=True`` by their query.
 
     The driver's testdata ships each table as ONE parquet file with ONE
     row group, so every scan stage — and with it all pre-shuffle work
@@ -128,6 +137,18 @@ def _parallelize_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
     placement is reproducible under retries; results are additionally
     partitioning-invariant by the repo's exactness discipline
     (decimal sums, explicit tiebreaks).
+
+    WHY opt-in (measured, full-session A/B at sf0.1, min-of-3 per mode,
+    all 183 queries in bench order): repartitioning EVERY >128 KiB scan
+    won 2-5 s on the 15 compute-bound queries but taxed ~120 light
+    queries one extra exchange + a plan-side ``df.rdd`` each (~0.3-1 s
+    apiece): blanket-on total 387 s vs blanket-off 302 s vs hinted
+    ~274 s. The hint is a property of the operator (per-row CPU
+    weight), not of the scale — at production layouts the repartition
+    still self-disables via the split-count check below.
+    SPARK_GRAFT_SCAN_PARALLELIZE: ``auto`` honors hints (default),
+    ``all`` forces every non-dimension scan (the A/B's blanket mode),
+    ``off`` disables even hinted repairs.
     """
     if _SCAN_PAR_MODE in {"0", "off", "false", "no"}:
         return df
@@ -463,7 +484,7 @@ def q18_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     - CTR percent-vs-fraction heuristic + comma-tolerant coercion: a
       '%' anywhere in the column scales every value by 1/100;
       junk → NULL."""
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", heavy=True)
     k = F.col("o_orderkey")
     ks = k.cast("string")
     cs = F.col("o_custkey").cast("string")
@@ -528,7 +549,7 @@ def q22_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs); the oracle brute-forces all pairs — agreement proves the
     index loses nothing (max_bucket is sized above the corpus so the
     skew guard never prunes at test scale)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", heavy=True)
     return ngram_jaccard_pairs(
         docs, k=3, threshold=0.5, max_bucket=10_000_000,
         stage_path=f"{_SIG_STAGE}/ngram22",
@@ -601,7 +622,7 @@ def q26_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword-marker language ID (argmax over per-language marker hits),
     heuristic quality score, and whitespace + BPE-ish token counts —
     all native expressions, one codegen'd projection, no shuffle."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", heavy=True)
     return docs.select(
         "doc_id",
         "lang",
@@ -766,7 +787,7 @@ def q38_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap is EXERCISED with asserted rank-error bounds in
     ``tests/test_approx_percentiles.py``, with this exact form as its
     accuracy oracle."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", heavy=True)
     return li.groupBy("l_returnflag").agg(
         _rd(F.median("l_extendedprice"), 6).alias("median_price"),
         _rd(F.percentile("l_extendedprice", 0.9), 6).alias("p90_price"),
@@ -2938,7 +2959,7 @@ def qx13_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ghost = dict((c, g) for g, c in MOJIBAKE_TABLE)
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _t(spark, sf_dir, "documents", heavy=True).select("doc_id", "text")
     seeded = F.concat(F.col("text"), F.lit(_QX13_SEED))
     corrupted = seeded
     for ch in _QX13_CORRUPT:
@@ -3140,7 +3161,7 @@ def qx19_hashed_scorer(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_hashed_scorer,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", heavy=True).select(
         "doc_id", "text", (F.col("lang") == "en").alias("__is_en")
     )
     w = train_hashed_scorer(
@@ -3167,7 +3188,7 @@ def qx20_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_select,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    docs = _t(spark, sf_dir, "documents", heavy=True).select("doc_id", "text", "source")
     target = docs.filter(F.col("source") == "src0").select("doc_id", "text")
     return dsir_select(
         docs.select("doc_id", "text"), target, k=_QX20_K,
@@ -3218,7 +3239,7 @@ def qx38_quality_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_blend,
     )
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _t(spark, sf_dir, "documents", heavy=True).select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
         char_entropy(F.col("text")).alias("entropy"),
@@ -3538,7 +3559,7 @@ def qx26_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     norm = normalized_text(F.col("text"))
     return (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", heavy=True)
         .select(
             "doc_id",
             F.length(norm).cast("long").alias("n_chars"),
@@ -4228,7 +4249,7 @@ def qx65_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow_fingerprints,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", heavy=True)
     return winnow_fingerprints(docs, k=5, window=4).orderBy("doc_id")
 
 
@@ -4444,7 +4465,7 @@ def qx22_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_pages,
     )
 
-    pages = synth_pages(_t(spark, sf_dir, "documents"))
+    pages = synth_pages(_t(spark, sf_dir, "documents", heavy=True))
     out = c4_quality_filter(pages, text_col="page", bad_words=("badtoken",))
     return out.select(
         "doc_id",
@@ -4847,7 +4868,7 @@ def qx89_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         reading_ease,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", heavy=True)
     return docs.select(
         "doc_id",
         fk_grade(F.col("text")).alias("fk_grade"),
@@ -5069,7 +5090,7 @@ def qx100_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return negative_pairs(
-        _t(spark, sf_dir, "documents").select("doc_id"),
+        _t(spark, sf_dir, "documents", heavy=True).select("doc_id"),
         k=3,
         buckets="auto",
     )
@@ -5084,7 +5105,7 @@ def qx101_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr_matrix,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", heavy=True)
     return corr_matrix(
         li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     )
@@ -5376,7 +5397,7 @@ def qx114_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         moments_profile,
     )
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", heavy=True)
     return moments_profile(li, "l_extendedprice", ["l_returnflag"])
 
 

@@ -215,31 +215,39 @@ def test_winnowing_profile_is_shuffle_free(spark, sf_dir):
 
 
 def test_scan_parallelize_is_adaptive(spark, sf_dir, monkeypatch):
-    """Optimization r14: `_t` repairs degenerate scan parallelism (the
-    driver testdata is ONE file / ONE row group per table, so every
-    pre-shuffle stage otherwise runs in a single task) with one
-    round-robin repartition to the session's core count — but ONLY
-    then. The production claim: naturally-parallel inputs and
-    dimension-sized tables keep the pristine shuffle-free scan."""
+    """Optimization r14: `_t(..., heavy=True)` repairs degenerate scan
+    parallelism (the driver testdata is ONE file / ONE row group per
+    table, so every pre-shuffle stage otherwise runs in a single task)
+    with one round-robin repartition to the session's core count — but
+    ONLY on reads the query hints as compute-heavy, and only when the
+    layout is degenerate. The production claim: naturally-parallel
+    inputs, dimension-sized tables, and every un-hinted read keep the
+    pristine shuffle-free scan (the full-session A/B measured the
+    blanket form taxing ~120 light queries an exchange each: 387 s
+    blanket vs 302 s off vs ~274 s hinted)."""
     import __spark_entry__ as em
 
     p = spark.sparkContext.defaultParallelism
     big = f"{sf_dir}/embeddings.parquet"  # >128 KiB at every sf
-    # Degenerate single-row-group scan → exactly one round-robin.
-    df = em._t(spark, sf_dir, "embeddings")
+    # Hinted degenerate single-row-group scan → exactly one round-robin.
+    df = em._t(spark, sf_dir, "embeddings", heavy=True)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "REPARTITION_BY_NUM" in df._jdf.queryExecution().logical().toString() or \
         "RoundRobinPartitioning" in plan, plan[:1500]
     assert df.rdd.getNumPartitions() == p
-    # Dimension-sized table (region, < _SCAN_PAR_MIN_BYTES) → untouched.
-    dim = em._t(spark, sf_dir, "region")
+    # Un-hinted read (the default) → pristine scan, no repartition tax.
+    base = em._t(spark, sf_dir, "embeddings")
+    assert "RoundRobin" not in base._jdf.queryExecution().executedPlan().toString()
+    # Dimension-sized table (region, < _SCAN_PAR_MIN_BYTES) → untouched
+    # even when hinted.
+    dim = em._t(spark, sf_dir, "region", heavy=True)
     assert "RoundRobin" not in dim._jdf.queryExecution().executedPlan().toString()
     # Naturally-parallel input (>= cores partitions) → untouched.
     par = spark.read.parquet(big).repartition(p)
     assert em._parallelize_scan(spark, par) is par
-    # Kill switch restores the pristine scan everywhere.
+    # Kill switch beats the hint.
     monkeypatch.setattr(em, "_SCAN_PAR_MODE", "off")
-    off = em._t(spark, sf_dir, "embeddings")
+    off = em._t(spark, sf_dir, "embeddings", heavy=True)
     assert "RoundRobin" not in off._jdf.queryExecution().executedPlan().toString()
 
 
