@@ -32,6 +32,7 @@ def bradley_terry(
     winner_col: str = "winner",
     loser_col: str = "loser",
     iters: int = 10,
+    broadcast_items_max: int = 4096,
 ) -> DataFrame:
     """Bradley–Terry strengths from raw duel rows (one row = one
     comparison, ``winner_col`` beat ``loser_col``).
@@ -96,8 +97,10 @@ def bradley_terry(
         F.col("i").alias("item"), "games"
     )
 
-    p = items.select("item", F.lit(1.0).alias("p"))
     n_items = items.count()  # scalar, once — the normalization gauge
+    if 0 < n_items <= broadcast_items_max:
+        return _bt_rounds_model_sized(edges, items, games, n_items, iters)
+    p = items.select("item", F.lit(1.0).alias("p"))
     for _ in range(iters):
         pi = p.select(F.col("item").alias("i"), F.col("p").alias("p_i"))
         pj = p.select(F.col("item").alias("j"), F.col("p").alias("p_j"))
@@ -147,6 +150,133 @@ def bradley_terry(
     return (
         items.join(games, "item")
         .join(p, "item")
+        .select(
+            "item", "wins", "games", round_c(F.col("p"), 6).alias("strength")
+        )
+        .orderBy(F.desc("strength"), "item")
+    )
+
+
+def _bt_rounds_model_sized(
+    edges: DataFrame,
+    items: DataFrame,
+    games: DataFrame,
+    n_items: int,
+    iters: int,
+) -> DataFrame:
+    """MM rounds for a model-sized item universe (optimization r14).
+
+    The distributed loop spends its wall time on per-round STRUCTURE,
+    not arithmetic: two strength join-backs, a broadcast normalizer
+    and a lineage checkpoint cost ~23 AQE query stages per round on a
+    ~items-sized table (profiled: 237 stages, 1.3 s total executor
+    time, ~8 s wall at sf0.1). Here the strength table round-trips
+    the driver instead — the k-means/BPE model-sized-collect
+    discipline: each round is ONE job (denominator hash aggregate
+    over the pair table with p_i/p_j looked up from a map LITERAL,
+    normalizer as a whole-frame window sum of the same order-free
+    DECIMAL terms, one model-sized collect).
+
+    Bit-parity by construction: collected doubles re-enter as
+    literals, so every arithmetic step is the IDENTICAL Spark
+    expression over identical values — n/(p_i+p_j), the 12dp
+    round_c, the decimal(38,12) sums, the n_items/total gauge —
+    and the unrolled SQL twin replays unchanged (pinned by
+    test_eval_stats equivalence against the distributed loop).
+    Guarded by ``broadcast_items_max``: the map literal, like any
+    broadcast strength table, must be model-sized; larger item
+    universes keep the distributed join path.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    spark = edges.sparkSession
+    key_type = items.schema["item"].dataType
+    base = sorted(
+        ((r["item"], r["wins"]) for r in items.collect()),
+        key=lambda t: str(t[0]),
+    )
+    wins_map = F.create_map(
+        *[
+            c
+            for k, wn in base
+            for c in (F.lit(k).cast(key_type), F.lit(wn).cast("long"))
+        ]
+    )
+    strengths = {k: 1.0 for k, _ in base}
+    w_all = Window.partitionBy(F.lit(0))
+    for _ in range(iters):
+        pmap = F.create_map(
+            *[
+                c
+                for k, _ in base
+                for c in (F.lit(k).cast(key_type), F.lit(strengths[k]))
+            ]
+        )
+        raw = (
+            edges.select(
+                F.col("i").alias("item"),
+                round_c(
+                    F.col("n").cast("double")
+                    / (
+                        F.element_at(pmap, F.col("i"))
+                        + F.element_at(pmap, F.col("j"))
+                    ),
+                    12,
+                ).alias("__t"),
+            )
+            .groupBy("item")
+            .agg(F.sum(F.col("__t").cast("decimal(38,12)")).alias("__den"))
+            .select(
+                "item",
+                (
+                    F.element_at(wins_map, F.col("item")).cast("double")
+                    / F.col("__den").cast("double")
+                ).alias("__raw"),
+            )
+        )
+        p_rows = raw.select(
+            "item",
+            round_c(
+                F.col("__raw")
+                * (
+                    F.lit(float(n_items))
+                    / F.sum(
+                        round_c(F.col("__raw"), 12).cast("decimal(38,12)")
+                    )
+                    .over(w_all)
+                    .cast("double")
+                ),
+                12,
+            ).alias("p"),
+        ).collect()
+        strengths = {r["item"]: r["p"] for r in p_rows}
+    # LITERAL explode, not createDataFrame: parallelizing local Python
+    # rows costs one Python-worker round trip per partition per
+    # consumer; the literal array is pure JVM and one task.
+    p_final = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast(key_type).alias("item"),
+                            (
+                                F.lit(strengths.get(k))
+                                if strengths.get(k) is not None
+                                else F.lit(None).cast("double")
+                            ).alias("p"),
+                        )
+                        for k, _ in base
+                    ]
+                )
+            ).alias("__x")
+        )
+        .select("__x.item", "__x.p")
+    )
+    return (
+        items.join(games, "item")
+        .join(F.broadcast(p_final), "item")
         .select(
             "item", "wins", "games", round_c(F.col("p"), 6).alias("strength")
         )

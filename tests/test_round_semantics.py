@@ -876,3 +876,57 @@ def test_corr_matrix_small_magnitude_products(spark):
     )
     out = corr_matrix(df, ["x", "y"]).collect()
     assert out[0]["r"] == 1.0
+
+
+@pytest.mark.sweep
+def test_bt_model_sized_rounds_match_distributed_loop(spark):
+    """Optimization r14: the model-sized MM path (strengths fed back
+    as a map literal, one job per round) must be bit-identical to the
+    distributed join loop — same rows, same doubles — because every
+    arithmetic step is the same Spark expression over the same values."""
+    from strategicai_visibility_loop_etl_spark.operators.preference import (
+        bradley_terry,
+    )
+
+    duels = spark.createDataFrame(
+        [("A", "B")] * 7 + [("B", "C")] * 5 + [("C", "A")] * 3
+        + [("A", "C")] * 2 + [("B", "A")] * 4 + [("D", "A")],
+        "winner string, loser string",
+    )
+    fast = [tuple(r) for r in bradley_terry(duels, iters=10).collect()]
+    slow = [
+        tuple(r)
+        for r in bradley_terry(
+            duels, iters=10, broadcast_items_max=0
+        ).collect()
+    ]
+    assert fast == slow
+
+
+@pytest.mark.sweep
+def test_removal_effect_model_sized_rounds_match_join_loop(spark):
+    """Optimization r14: value iteration via per-round map literals
+    must be bit-identical to the join+union+checkpoint form."""
+    from strategicai_visibility_loop_etl_spark.operators.relational import (
+        removal_effect,
+    )
+
+    rows = []
+    chans = ["A", "B", "C"]
+    for seq in range(40):
+        for t in range(1 + seq % 4):
+            rows.append((seq, t, chans[(seq * 7 + t * 3) % 3]))
+        if seq % 3 == 0:
+            rows.append((seq, 9, "purchase"))
+    df = spark.createDataFrame(rows, "seq long, t long, ch string")
+    fast = [
+        tuple(r)
+        for r in removal_effect(df, "seq", "t", "ch", "purchase").collect()
+    ]
+    slow = [
+        tuple(r)
+        for r in removal_effect(
+            df, "seq", "t", "ch", "purchase", model_max_entries=0
+        ).collect()
+    ]
+    assert fast == slow

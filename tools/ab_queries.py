@@ -24,11 +24,16 @@ import json, os, sys, time
 sys.path.insert(0, {here!r})
 from pyspark.sql import SparkSession
 cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+b = SparkSession.builder
+for kv in os.environ.get("AB_EXTRA_CONF", "").split(";"):
+    if "=" in kv:
+        k, _, v = kv.partition("=")
+        b = b.config(k.strip(), v.strip())
 spark = (
-    SparkSession.builder.master(f"local[{{cpus}}]")
+    b.master(f"local[{{cpus}}]")
     .appName("ab")
-    .config("spark.sql.shuffle.partitions", str(cpus))
-    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.shuffle.partitions", os.environ.get("AB_SHUFFLE_PARTS", str(cpus)))
+    .config("spark.sql.adaptive.enabled", os.environ.get("AB_AQE", "true"))
     .config("spark.ui.enabled", "false")
     .config("spark.ui.showConsoleProgress", "false")
     .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
