@@ -914,8 +914,14 @@ def q44_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
     )
-    rates = spark.createDataFrame(
-        [("A", 50), ("N", 200), ("R", 10)], "l_returnflag string, rate_per_mille int"
+    from strategicai_visibility_loop_etl_spark.functions.localframe import (
+        literal_frame,
+    )
+
+    rates = literal_frame(
+        spark,
+        [("A", 50), ("N", 200), ("R", 10)],
+        "l_returnflag string, rate_per_mille int",
     )
     rate_leg = (
         hash_sample(li, rates, key_col="l_orderkey", stratum_col="l_returnflag")

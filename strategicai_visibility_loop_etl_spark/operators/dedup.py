@@ -34,6 +34,8 @@ import os
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localframe import literal_frame
+
 from ..functions.numeric import round_c
 from ..functions.text import fingerprint64, normalized_text, shingles, tokens
 
@@ -1628,7 +1630,7 @@ def lsh_band_plan(
     pairs = [
         (b, n_hashes // b) for b in range(1, n_hashes + 1) if n_hashes % b == 0
     ]
-    base = spark.createDataFrame(pairs, "b int, r int")
+    base = literal_frame(spark, pairs, "b int, r int")
     g = spark.range(1, grid).select(
         F.col("id").cast("int").alias("i"),
         (F.col("id").cast("double") / grid).alias("s"),

@@ -27,6 +27,8 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.localframe import literal_frame
+
 from ..functions.urls import host_suffixes, url_host
 
 _HOST = "__df_host"
@@ -36,7 +38,7 @@ def _list_df(spark, domains: Iterable[str] | DataFrame, col: str) -> DataFrame:
     if isinstance(domains, DataFrame):
         return domains.select(F.lower(F.trim(F.col(col))).alias("__dom"))
     rows = sorted({d.strip().lower().lstrip(".") for d in domains if d and d.strip()})
-    return spark.createDataFrame([(d,) for d in rows], "__dom string")
+    return literal_frame(spark, [(d,) for d in rows], "__dom string")
 
 
 def _matched_hosts(
@@ -228,7 +230,7 @@ def rendezvous_assign(
     if not nodes:
         raise ValueError("need at least one node")
     spark = df.sparkSession
-    node_df = spark.createDataFrame([(n,) for n in nodes], "__node string")
+    node_df = literal_frame(spark, [(n,) for n in nodes], "__node string")
     weighted = df.select(F.col(key_col)).distinct().crossJoin(
         F.broadcast(node_df)
     ).select(

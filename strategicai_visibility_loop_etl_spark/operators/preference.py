@@ -254,7 +254,7 @@ def _bt_rounds_model_sized(
     # rows costs one Python-worker round trip per partition per
     # consumer; the literal array is pure JVM and one task.
     p_final = (
-        spark.range(1)
+        spark.range(0, 1, 1, 1)
         .select(
             F.explode(
                 F.array(

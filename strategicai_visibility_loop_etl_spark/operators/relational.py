@@ -25,6 +25,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localframe import literal_frame
+
 
 def funnel_steps(
     events: DataFrame,
@@ -604,7 +606,7 @@ def _re_rounds_model_sized(
         ]
     )
     return (
-        spark.range(1)
+        spark.range(0, 1, 1, 1)
         .select(F.explode(rows).alias("__x"))
         .select("__x.scen", "__x.state", "__x.r")
     )
@@ -742,8 +744,8 @@ def removal_effect(
         .distinct()
     )
     scens = channels.select(F.col("ch").alias("scen")).unionAll(
-        probs.sparkSession.createDataFrame(
-            [("__full__",)], "scen string"
+        literal_frame(
+            probs.sparkSession, [("__full__",)], "scen string"
         )
     ).localCheckpoint(eager=False)
     scen_trans = (

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.localframe import literal_frame
+
 
 def _parse_bucket_key(k: str) -> tuple[float, float] | None:
     k = str(k).strip()
@@ -51,7 +53,8 @@ def expected_ctr_bucket_rows(scoring_cfg: dict) -> list[tuple[str, float, float,
 
 def expected_ctr_buckets_df(spark: SparkSession, scoring_cfg: dict) -> DataFrame:
     """Bucket config → tiny DataFrame (bucket, lo, hi, expected_ctr)."""
-    return spark.createDataFrame(
+    return literal_frame(
+        spark,
         expected_ctr_bucket_rows(scoring_cfg),
         "bucket string, lo double, hi double, expected_ctr double",
     )

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.localframe import literal_frame
+
 from ..functions.numeric import round_c
 from ..functions.text import normalized_text
 
@@ -676,7 +678,8 @@ def mixture_sample(
         raise ValueError("mixture_sample needs k > 0 and non-empty targets")
     total_w = float(sum(targets.values()))
     spark = df.sparkSession
-    tgt = spark.createDataFrame(
+    tgt = literal_frame(
+        spark,
         [(d, w / total_w) for d, w in sorted(targets.items())],
         f"{domain_col} string, __w double",
     )
