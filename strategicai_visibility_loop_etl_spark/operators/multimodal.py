@@ -252,7 +252,12 @@ def extract_features(df: DataFrame, dim: int = 8, use_fake_decoder: bool = True)
                 }
             )
 
-    return df.mapInPandas(op, schema=FEATURE_SCHEMA)
+    # Guide §4: mapInPandas is opaque to column pruning — ship only
+    # the columns the function touches (payload rows are huge; an
+    # extra metadata column would cross the Arrow boundary for free).
+    return df.select("media_id", "meta", "payload").mapInPandas(
+        op, schema=FEATURE_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = (
@@ -343,7 +348,12 @@ def resize_images(
                 }
             )
 
-    return df.mapInPandas(op, schema=RESIZED_SCHEMA)
+    # Guide §4: mapInPandas is opaque to column pruning — ship only
+    # the columns the function touches (payload rows are huge; an
+    # extra metadata column would cross the Arrow boundary for free).
+    return df.select("media_id", "meta", "payload").mapInPandas(
+        op, schema=RESIZED_SCHEMA
+    )
 
 
 def audio_chunks(
@@ -506,7 +516,12 @@ def extract_image_meta(df: DataFrame) -> DataFrame:
                 }
             )
 
-    return df.mapInPandas(op, schema=IMAGE_META_SCHEMA)
+    # Guide §4: mapInPandas is opaque to column pruning — ship only
+    # the columns the function touches (payload rows are huge; an
+    # extra metadata column would cross the Arrow boundary for free).
+    return df.select("media_id", "payload").mapInPandas(
+        op, schema=IMAGE_META_SCHEMA
+    )
 
 
 def perceptual_hashes(
@@ -591,7 +606,12 @@ def perceptual_hashes(
                 }
             )
 
-    return df.mapInPandas(op, schema="media_id long, phash long")
+    # Guide §4: mapInPandas is opaque to column pruning — ship only
+    # the columns the function touches (payload rows are huge; an
+    # extra metadata column would cross the Arrow boundary for free).
+    return df.select("media_id", "payload").mapInPandas(
+        op, schema="media_id long, phash long"
+    )
 
 
 def image_neardup_pairs(

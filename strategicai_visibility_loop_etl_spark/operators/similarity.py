@@ -223,7 +223,7 @@ def ivf_topk(
         # pruned re-read would silently feed stale rows into top-k
         write_partitioned(
             assigned, f"{stage_path}/lists", ["cluster"],
-            dynamic_overwrite=False,
+            dynamic_overwrite=False, distribute=True,
         )
         # computed ONCE (lineage cut): the pruning collect and the
         # search join share the same probe table instead of re-running
@@ -1180,7 +1180,7 @@ def ivfpq_topk(
         # keep stale partitions for now-empty clusters
         write_partitioned(
             codes, f"{stage_path}/codes", ["cluster"],
-            dynamic_overwrite=False,
+            dynamic_overwrite=False, distribute=True,
         )
         # lineage cut so the pruning collect and the downstream LUT
         # build share one probe computation

@@ -172,6 +172,7 @@ def write_partitioned(
     path: str,
     partition_cols: Sequence[str],
     dynamic_overwrite: bool = True,
+    distribute: bool = False,
 ) -> None:
     """Hive-style partitioned parquet write with DYNAMIC partition
     overwrite — the daily-ingest shape at 100 TB: re-running one
@@ -190,6 +191,16 @@ def write_partitioned(
     Readers prune on the partition columns: a filter on them reaches
     the file listing (PartitionFilters), not just the row scan.
     """
+    if distribute:
+        from pyspark.sql import functions as F  # noqa: PLC0415
+
+        # Guide §6: hash-distribute by the partition columns before a
+        # partitioned write — otherwise every write task opens a file
+        # in every partition directory it sees (tasks × partitions
+        # small files + as many commit paths). One narrow shuffle
+        # clusters each partition's rows into one task → one
+        # right-sized file per partition value at any scale.
+        df = df.repartition(*[F.col(c) for c in partition_cols])
     spark = df.sparkSession
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, None)
