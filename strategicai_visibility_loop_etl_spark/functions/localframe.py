@@ -25,6 +25,22 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def one_partition_frame(
+    spark: SparkSession, rows: list, schema: str | T.StructType
+) -> DataFrame:
+    """``spark.createDataFrame`` for model-sized local rows, shipped as
+    a ONE-slice Python RDD (optimization r15). The classic local path
+    parallelizes at ``defaultParallelism``, so every materialization of
+    the frame — a staging write, every broadcast build — pays one
+    zero-CPU Python-worker round trip PER SLICE (profiled at local[32]:
+    32 × ~0.18 s tasks under each IVF/PQ centroid/codebook write).
+    One slice = one round trip; rows and schema are identical to the
+    local-list form (pinned in tests). Use this, not
+    :func:`literal_frame`, for rows carrying wide arrays: array
+    literals bloat analysis/codegen per plan copy (measured r14)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def literal_frame(
     spark: SparkSession,
     rows: list,
@@ -32,8 +48,8 @@ def literal_frame(
     max_literal_rows: int = 512,
 ) -> DataFrame:
     """``rows`` (tuples, positionally matching ``schema``) as a
-    single-task literal DataFrame; falls back to
-    ``spark.createDataFrame`` when empty or above ``max_literal_rows``.
+    single-task literal DataFrame; falls back to the one-slice
+    ``createDataFrame`` when empty or above ``max_literal_rows``.
     Values are cast to the declared field types, so the result is
     row/type-identical to the ``createDataFrame`` form."""
     st = (
@@ -42,7 +58,7 @@ def literal_frame(
         else schema
     )
     if not rows or len(rows) > max_literal_rows:
-        return spark.createDataFrame(rows, st)
+        return one_partition_frame(spark, rows, st)
 
     def _lit(v, dt):
         if v is None:
@@ -50,6 +66,22 @@ def literal_frame(
         if isinstance(dt, T.ArrayType):
             return F.array(
                 *[_lit(x, dt.elementType) for x in v]
+            ).cast(dt)
+        if isinstance(dt, T.StructType):
+            vals = [v.get(f.name) for f in dt.fields] if isinstance(v, dict) else list(v)
+            return F.struct(
+                *[
+                    _lit(x, f.dataType).alias(f.name)
+                    for x, f in zip(vals, dt.fields)
+                ]
+            )
+        if isinstance(dt, T.MapType):
+            return F.create_map(
+                *[
+                    c
+                    for k, mv in v.items()
+                    for c in (_lit(k, dt.keyType), _lit(mv, dt.valueType))
+                ]
             ).cast(dt)
         return F.lit(v).cast(dt)
 

@@ -239,7 +239,9 @@ def bpe_merges_df(spark, merges: list[dict]) -> DataFrame:
         (m["merge_rank"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
         for m in merges
     ]
-    return spark.createDataFrame(rows, MERGES_SCHEMA)
+    from ..functions.localframe import one_partition_frame  # noqa: PLC0415
+
+    return one_partition_frame(spark, rows, MERGES_SCHEMA)
 
 
 def _apply_merges(word: str, ranks: dict) -> list[str]:

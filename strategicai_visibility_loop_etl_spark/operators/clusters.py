@@ -124,32 +124,49 @@ def connected_components(
         .select("__e.a", "__e.b")
         .localCheckpoint(eager=True)
     )
+    # The node derivation IS round 1 (optimization r15): instead of a
+    # distinct + self-label (same shuffle as a groupBy on the node id),
+    # aggregate min(neighbor ∪ self) directly — the first propagation
+    # hop comes free with the init job, and shallow graphs (the
+    # near-dup shape) save one full loop round.
     labels = (
-        sym.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        sym.groupBy(F.col("a").alias("id"))
+        .agg(F.least(F.min("b"), F.min("a")).alias("component"))
         .localCheckpoint(eager=True)
+    )
+    # Self-loops make each round ONE join + ONE aggregate (optimization
+    # r15): the (id, id) row carries the node's own current label
+    # through the neighbor join, so min(nc) over neighbors ∪ self IS
+    # the new label — no second join-back against the old labels — and
+    # the old label rides out of the same aggregate (min over the self
+    # row alone) for the changed flag. The ids are static, so the loop
+    # frame is built once from the initial labels.
+    sym2 = sym.unionAll(
+        labels.select(F.col("id").alias("a"), F.col("id").alias("b"))
     )
 
     for _ in range(max_iter):
-        neigh = (
-            sym.join(
+        # Lazy checkpoint: the convergence count below is the FIRST
+        # action on the frame, so one job both materializes the round's
+        # blocks (truncating lineage, as before) and returns the count
+        # — the eager-checkpoint + separate-count form paid two driver
+        # round trips per round for the same work.
+        updated = (
+            sym2.join(
                 labels.select(F.col("id").alias("b"), F.col("component").alias("nc")),
                 "b",
             )
             .groupBy(F.col("a").alias("id"))
-            .agg(F.min("nc").alias("nmin"))
-        )
-        updated = (
-            labels.join(neigh, "id", "left")
+            .agg(
+                F.min("nc").alias("component"),
+                F.min(F.when(F.col("a") == F.col("b"), F.col("nc"))).alias("__old"),
+            )
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-                (F.col("nmin") < F.col("component")).alias("__changed"),
+                "component",
+                (F.col("component") < F.col("__old")).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = updated.filter(F.col("__changed")).count()
         labels = updated.drop("__changed")
@@ -245,7 +262,9 @@ def _connected_components_star(
             .filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the checksum below is the first action, so one job
+            # materializes the round AND returns the convergence scalar
+            .localCheckpoint(eager=False)
         )
         e = small
         chk = _checksum(e)

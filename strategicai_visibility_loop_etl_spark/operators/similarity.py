@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.localframe import one_partition_frame
 from ..functions.numeric import round_c
 from ..functions.vectors import cosine_arrow, dot_arrow, l2_norm_arrow
 
@@ -143,8 +144,12 @@ def _train_ivf_centroids(
 def _centroid_df(spark, cents: np.ndarray) -> DataFrame:
     """(cluster, centroid) model table from a trained (k, dim) array —
     the single construction shared by every IVF consumer so the
-    staged schema can never drift between them."""
-    return spark.createDataFrame(
+    staged schema can never drift between them. One-slice parallelize:
+    the default 32-slice local frame paid 32 zero-CPU Python tasks per
+    staging write and per broadcast build (profiled r15); array-heavy
+    rows stay off the literal path by the r14 codegen measurement."""
+    return one_partition_frame(
+        spark,
         [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
         "cluster int, centroid array<double>",
     )
@@ -156,7 +161,8 @@ def _codebook_df(spark, books: np.ndarray, code_col: str) -> DataFrame:
     shape, so a corpus smaller than ``ksub`` degrades to fewer codes
     instead of indexing out of bounds."""
     m, ksub_eff = books.shape[0], books.shape[1]
-    return spark.createDataFrame(
+    return one_partition_frame(
+        spark,
         [
             (s, c, [float(x) for x in books[s, c]])
             for s in range(m)
@@ -609,10 +615,7 @@ def kmeans_assign(
 
     cents = _train_ivf_centroids(corpus, n_clusters, iters, corpus_id, corpus_vec)
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
-        "cluster int, centroid array<double>",
-    )
+    cent_df = _centroid_df(spark, cents)
     if stage_path is not None:
         cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
 
@@ -684,10 +687,7 @@ def semantic_neardup_pairs(
 
     cents = _train_ivf_centroids(corpus, n_clusters, iters, corpus_id, corpus_vec)
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(cents)],
-        "cluster int, centroid array<double>",
-    )
+    cent_df = _centroid_df(spark, cents)
     part = (F.lit(-2) * dot_arrow(F.col(corpus_vec), F.col("centroid"))) + dot_arrow(
         F.col("centroid"), F.col("centroid")
     )

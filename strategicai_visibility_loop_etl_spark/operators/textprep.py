@@ -1988,6 +1988,8 @@ def greedy_coverage_select(
             .localCheckpoint(eager=False)
         )
     id_type = dict(df.dtypes)[id_col]
-    return spark.createDataFrame(
-        chosen, f"round int, id {id_type}, gain long"
+    from ..functions.localframe import one_partition_frame  # noqa: PLC0415
+
+    return one_partition_frame(
+        spark, chosen, f"round int, id {id_type}, gain long"
     ).orderBy("round")
