@@ -210,37 +210,50 @@ def ivf_topk(
     100 TB that makes per-query list reads n_probe/n_centroids of the
     index bytes — the same layout contract as the IVF-PQ code table.
     """
-    from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
-
     cents = _train_ivf_centroids(corpus, n_centroids, iters, corpus_id, corpus_vec)
     cent_df = _centroid_df(corpus.sparkSession, cents)
-    if stage_path is not None:
-        cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
 
     assigned = ivf_assign(corpus, cent_df, corpus_id, corpus_vec)
     probes = None
     if stage_path is not None:
+        from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
+
         from ..sources.sinks import write_partitioned  # noqa: PLC0415
 
         # STATIC overwrite (full truncate): the staged lists are a
         # complete snapshot of THIS corpus/centroid assignment, so a
         # reused stage_path must not keep partitions for clusters the
         # new assignment left empty — dynamic overwrite would, and the
-        # pruned re-read would silently feed stale rows into top-k
-        write_partitioned(
-            assigned, f"{stage_path}/lists", ["cluster"],
-            dynamic_overwrite=False, distribute=True,
-        )
-        # computed ONCE (lineage cut): the pruning collect and the
-        # search join share the same probe table instead of re-running
-        # the queries×centroids assignment per consumer
-        probes = _probe_lists(
-            queries, cent_df, n_probe, query_id, query_vec
-        ).localCheckpoint(eager=False)
-        probed = sorted(
-            r["cluster"]
-            for r in probes.select("cluster").distinct().collect()
-        )
+        # pruned re-read would silently feed stale rows into top-k.
+        # Three legs run as CONCURRENT jobs (guide §2.6: actions are
+        # sequential only because the driver calls them sequentially):
+        # the centroid staging write (oracle audit surface only —
+        # consumers keep the driver-local frame, whose doubles the
+        # parquet roundtrip reproduces exactly), the corpus-side list
+        # write, and the query-side probe build.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            cents_write = pool.submit(
+                cent_df.write.mode("overwrite").parquet,
+                f"{stage_path}/centroids",
+            )
+            lists_write = pool.submit(
+                write_partitioned,
+                assigned, f"{stage_path}/lists", ["cluster"],
+                dynamic_overwrite=False, distribute=True,
+            )
+            # computed ONCE (lineage cut): the pruning collect and the
+            # search join share the same probe table instead of
+            # re-running the queries×centroids assignment per consumer
+            probes = _probe_lists(
+                queries, cent_df, n_probe, query_id, query_vec
+            ).localCheckpoint(eager=False)
+            probed = sorted(
+                r["cluster"]
+                for r in probes.select("cluster").distinct().collect()
+            )
+            # surface write errors before the read-back
+            cents_write.result()
+            lists_write.result()
         keep = F.col("cluster").isin(probed) if probed else F.lit(False)
         assigned = (
             corpus.sparkSession.read.parquet(f"{stage_path}/lists")
@@ -1110,7 +1123,7 @@ def ivfpq_topk(
     assignment, residuals, encoding, the decimal ADC sum, the
     candidate cut and the re-rank end-to-end.
     """
-    from .dedup import _stage_roundtrip  # noqa: PLC0415 (sibling module)
+    from concurrent.futures import ThreadPoolExecutor  # noqa: PLC0415
 
     head = corpus.select(corpus_vec).first()
     dim = len(head[0])
@@ -1121,8 +1134,21 @@ def ivfpq_topk(
 
     cents = _train_ivf_centroids(corpus, n_centroids, iters, corpus_id, corpus_vec)
     cent_df = _centroid_df(spark, cents)
+    # Model-table staging writes run as background jobs (guide §2.6):
+    # they exist for the oracle replay, while every in-process consumer
+    # keeps the driver-local frame (the parquet roundtrip reproduces
+    # the doubles exactly), so the centroid write overlaps PQ training
+    # and the codebook write overlaps encoding. All futures are joined
+    # before the staged code table is read back.
+    stage_pool = ThreadPoolExecutor(max_workers=2) if stage_path is not None else None
+    stage_writes = []
     if stage_path is not None:
-        cent_df = _stage_roundtrip(cent_df, f"{stage_path}/centroids")
+        stage_writes.append(
+            stage_pool.submit(
+                cent_df.write.mode("overwrite").parquet,
+                f"{stage_path}/centroids",
+            )
+        )
 
     assigned = ivf_assign(corpus, cent_df, corpus_id, corpus_vec)
     # Materialization barrier: resid feeds the codebook-init collect,
@@ -1139,7 +1165,12 @@ def ivfpq_topk(
     books = _train_pq_codebooks(resid, m, ksub, iters, corpus_id, "rvec", dim)
     book_df = _codebook_df(spark, books, "code")
     if stage_path is not None:
-        book_df = _stage_roundtrip(book_df, f"{stage_path}/books")
+        stage_writes.append(
+            stage_pool.submit(
+                book_df.write.mode("overwrite").parquet,
+                f"{stage_path}/books",
+            )
+        )
 
     r_slices = _subspace_slices(F.col("rvec"), m, dsub)
     enc_score = (F.lit(-2) * dot_arrow(F.col("subvec"), F.col("centroid"))) + dot_arrow(
@@ -1177,10 +1208,15 @@ def ivfpq_topk(
 
         # STATIC overwrite (full truncate), as with the IVF lists: a
         # reused stage_path with a re-trained codebook/corpus must not
-        # keep stale partitions for now-empty clusters
-        write_partitioned(
-            codes, f"{stage_path}/codes", ["cluster"],
-            dynamic_overwrite=False, distribute=True,
+        # keep stale partitions for now-empty clusters. The code-table
+        # write (corpus side) and the probe build (query side) are
+        # independent legs — run them as concurrent jobs (guide §2.6).
+        stage_writes.append(
+            stage_pool.submit(
+                write_partitioned,
+                codes, f"{stage_path}/codes", ["cluster"],
+                dynamic_overwrite=False, distribute=True,
+            )
         )
         # lineage cut so the pruning collect and the downstream LUT
         # build share one probe computation
@@ -1189,6 +1225,10 @@ def ivfpq_topk(
             r["cluster"]
             for r in probes.select("cluster").distinct().collect()
         )
+        # surface write errors before the pruned read-back
+        for fut in stage_writes:
+            fut.result()
+        stage_pool.shutdown()
         keep = F.col("cluster").isin(probed) if probed else F.lit(False)
         codes = (
             spark.read.parquet(f"{stage_path}/codes")
