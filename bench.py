@@ -19,6 +19,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _proc_tree_cpu(root_pid: int) -> float:
+    """CPU seconds (utime+stime+reaped-children) of ``root_pid`` and
+    every live descendant — in local mode that is the Spark JVM plus
+    the pyspark daemon/worker processes, i.e. all executor compute.
+
+    Additive observability for the driver's scaling probe (round 15):
+    at sf0.1 every query is fixed-overhead bound, so 8-core and
+    32-core WALL times are indistinguishable and the driver flagged
+    ``suspect_cpus_ignored``. Per-query CPU-over-wall is the signal
+    wall time cannot carry: it caps at the task-slot count, so it
+    tracks $SPARK_GRAFT_CPUS on compute-bound queries. Read entirely
+    OUTSIDE the timed region; never touches the timing methodology.
+    """
+    tck = os.sysconf("SC_CLK_TCK")
+    kids: dict[int, list[int]] = {}
+    stats: dict[int, float] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as fh:
+                parts = fh.read().rsplit(b")", 1)[1].split()
+            pid = int(d)
+            kids.setdefault(int(parts[1]), []).append(pid)
+            stats[pid] = (
+                int(parts[11]) + int(parts[12]) + int(parts[13]) + int(parts[14])
+            ) / tck
+        except (OSError, IndexError, ValueError):
+            continue
+    total, stack, seen = 0.0, [root_pid], set()
+    while stack:
+        p = stack.pop()
+        if p in seen:
+            continue
+        seen.add(p)
+        total += stats.get(p, 0.0)
+        stack.extend(kids.get(p, []))
+    return total
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -84,8 +124,16 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Executor-side CPU per query (JVM + python workers), sampled
+    # around the SAME run the min wall time comes from — makes the
+    # $SPARK_GRAFT_CPUS contract visible to the driver's scaling probe
+    # where sf0.1 wall times cannot show it (additive key; the timed
+    # region is untouched).
+    jvm_pid = int(spark._jvm.java.lang.ProcessHandle.current().pid())
+    cpu_sec: dict[str, float] = {}
     for _ in range(reps):
         for name, fn in qs.items():
+            c0 = _proc_tree_cpu(jvm_pid)
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -95,6 +143,7 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+                cpu_sec[name] = round(_proc_tree_cpu(jvm_pid) - c0, 3)
     failures = {n: e for n, e in errors.items() if n not in timings}
     transient = {n: e for n, e in errors.items() if n in timings}
     total = sum(timings.values())
@@ -134,9 +183,11 @@ def main() -> None:
     # driver's 50-query gate). Timed separately and NOT counted in the
     # headline total, so round-over-round totals stay comparable.
     extra_timings: dict[str, float] = {}
+    extra_cpu: dict[str, float] = {}
     extra_qs = getattr(entrymod, "extra_queries", dict)()
     for _ in range(reps):
         for name, fn in extra_qs.items():
+            c0 = _proc_tree_cpu(jvm_pid)
             t0 = time.perf_counter()
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -145,6 +196,7 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if name not in extra_timings or dt < extra_timings[name]:
                 extra_timings[name] = dt
+                extra_cpu[name] = round(_proc_tree_cpu(jvm_pid) - c0, 3)
 
     try:
         load_1m = round(os.getloadavg()[0], 2)
@@ -166,6 +218,19 @@ def main() -> None:
         "queries_fast_sums": fast_timings,
         "queries_extra": extra_timings,
         "load_avg_1m": load_1m,
+        # ADDITIVE observability (round 15, driver `suspect_cpus_ignored`
+        # item): executor-side CPU seconds per query (JVM + python
+        # workers, /proc delta around the min-wall rep) and the
+        # CPU-over-wall ratio summary. Wall time at sf0.1 is fixed-
+        # overhead bound, so it cannot show task-slot scaling; the
+        # concurrency ratio can — it is bounded by $SPARK_GRAFT_CPUS,
+        # so compute-bound queries track the core count (p90/max here),
+        # proving the env contract from the emitted line alone.
+        "queries_cpu": cpu_sec,
+        "queries_extra_cpu": extra_cpu,
+        "cpu_parallelism": _cpu_parallelism(
+            {**timings, **extra_timings}, {**cpu_sec, **extra_cpu}, cpus
+        ),
         "regressions": _regressions(timings, sf),
         # Tail-safety (r12 judge item 7): the driver records only a
         # 2,000-char stdout TAIL, which truncated r11's driver-query
@@ -196,6 +261,31 @@ def main() -> None:
     # overwrite (latest wins).
     _persist(result)
     spark.stop()
+
+
+def _cpu_parallelism(walls: dict, cpus_used: dict, cores) -> dict:
+    """Compact CPU-over-wall concurrency summary across queries.
+
+    ratio = process-CPU seconds / wall seconds for one query; it is
+    capped by the task-slot count, so its upper tail follows
+    $SPARK_GRAFT_CPUS on compute-bound queries even when wall times
+    (fixed-overhead bound at bench SF) do not move with cores.
+    """
+    ratios = sorted(
+        cpus_used[n] / walls[n]
+        for n in cpus_used
+        if n in walls and walls[n] > 0.05
+    )
+    if not ratios:
+        return {"cores": int(cores), "n": 0}
+    k = len(ratios)
+    return {
+        "cores": int(cores),
+        "n": k,
+        "ratio_p50": round(ratios[k // 2], 2),
+        "ratio_p90": round(ratios[min(k - 1, (k * 9) // 10)], 2),
+        "ratio_max": round(ratios[-1], 2),
+    }
 
 
 def _persist(result: dict) -> None:
