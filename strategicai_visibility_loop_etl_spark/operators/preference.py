@@ -32,7 +32,7 @@ def bradley_terry(
     winner_col: str = "winner",
     loser_col: str = "loser",
     iters: int = 10,
-    broadcast_items_max: int = 4096,
+    broadcast_items_max: int = 32,
 ) -> DataFrame:
     """Bradley–Terry strengths from raw duel rows (one row = one
     comparison, ``winner_col`` beat ``loser_col``).
@@ -183,9 +183,15 @@ def _bt_rounds_model_sized(
     round_c, the decimal(38,12) sums, the n_items/total gauge —
     and the unrolled SQL twin replays unchanged (pinned by
     test_eval_stats equivalence against the distributed loop).
-    Guarded by ``broadcast_items_max``: the map literal, like any
-    broadcast strength table, must be model-sized; larger item
-    universes keep the distributed join path.
+    Guarded by ``broadcast_items_max``: the per-round map literal is
+    rebuilt (new strengths → new plan → new analysis + codegen) every
+    round, so its cost grows with the item count while the join path's
+    per-round cost is structure-bound. Measured at the cap (r15,
+    min-of-3 warm, iters=10): literal wins ≤32 items (3.3 vs 3.8 s at
+    16), loses at 48 (5.3 vs 4.1 s) and degrades to 23/78/160 s at
+    512/2048/4096 items vs a flat ~5-7 s for the join path — hence the
+    cap sits at the measured crossover, far above real model sizes
+    (qx94 has 5 items) and far below the codegen cliff.
     """
     from pyspark.sql import Window  # noqa: PLC0415
 
@@ -205,11 +211,21 @@ def _bt_rounds_model_sized(
     strengths = {k: 1.0 for k, _ in base}
     w_all = Window.partitionBy(F.lit(0))
     for _ in range(iters):
+        # None-guard each strength like p_final below: a bare
+        # F.lit(None) would type the literal NullType and leave
+        # create_map to coerce it against the double values
         pmap = F.create_map(
             *[
                 c
                 for k, _ in base
-                for c in (F.lit(k).cast(key_type), F.lit(strengths[k]))
+                for c in (
+                    F.lit(k).cast(key_type),
+                    (
+                        F.lit(strengths[k])
+                        if strengths[k] is not None
+                        else F.lit(None).cast("double")
+                    ),
+                )
             ]
         )
         raw = (

@@ -620,7 +620,7 @@ def removal_effect(
     conversion_state: str,
     tiebreak_col: str | None = None,
     horizon: int = 8,
-    model_max_entries: int = 8192,
+    model_max_entries: int = 128,
 ) -> DataFrame:
     """Markov removal-effect attribution (Anderl et al. 2016 shape) —
     the model-based alternative to Shapley attribution (row 152) that
@@ -786,7 +786,13 @@ def removal_effect(
     # form pinned in tests). A lookup on a state absent from the
     # value vector yields NULL and the decimal SUM skips it — the
     # exact effect of the inner join dropping that row. Degenerate
-    # universes beyond ``model_max_entries`` keep the join path.
+    # universes beyond ``model_max_entries`` keep the join path —
+    # the per-round nested map literal is rebuilt (re-analyzed,
+    # re-codegen'd) every round, so it degrades with entry count
+    # (measured r15, horizon=8: literal ~8.5 s at ~290 entries,
+    # 21 s at ~1k, 69 s at ~3.8k vs a flat ~6-7 s join path), while
+    # real models stay tiny (qx95: ~35 entries). The cap sits near
+    # the measured crossover with headroom for real chains.
     init_keys = (
         scen_trans.select("scen", F.col("from").alias("state"))
         .distinct()
