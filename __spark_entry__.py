@@ -512,10 +512,13 @@ def q18_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _docs_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_dups(spark: SparkSession, sf_dir: str, heavy: bool = False) -> DataFrame:
     """documents ∪ upper-cased copies (ids +100000) — every original
-    gains exactly one case-variant duplicate under normalization."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    gains exactly one case-variant duplicate under normalization.
+    ``heavy``: forward the per-query compute-heavy scan hint (r14 §1)
+    for consumers whose per-row work (k-gram explode + hashing)
+    dominates directly downstream of the scan."""
+    docs = _t(spark, sf_dir, "documents", heavy=heavy).select("doc_id", "text")
     dups = docs.select((F.col("doc_id") + 100000).alias("doc_id"), F.upper("text").alias("text"))
     return docs.unionByName(dups)
 
@@ -1281,7 +1284,7 @@ def q64_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicate_span_fraction,
     )
 
-    return duplicate_span_fraction(_docs_with_dups(spark, sf_dir), k=8)
+    return duplicate_span_fraction(_docs_with_dups(spark, sf_dir, heavy=True), k=8)
 
 
 def q66_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -226,11 +226,16 @@ def duplicate_span_fraction(
     even when whole docs differ). Positions, not distinct grams, so a
     boilerplate sentence pasted five times counts five times.
 
-    Plan: positional grams explode once; cross-doc document frequency
-    aggregates over DISTINCT (gram, doc) — computed from the same
-    exploded table — and grams with df > 1 join back as a flag. Only
-    (gram, id, pos) rides any shuffle; the per-doc fractions are one
-    final hash aggregate.
+    Plan (optimization r15): positional grams explode ONCE into a
+    per-(doc, gram) occurrence-count table — a map-side-partial hash
+    aggregate, so only (id, gram, count) rides the shuffle instead of
+    every position (guide §2.3 "aggregate before you shuffle") — and
+    that table, lineage-cut so its explode cannot re-execute per
+    consumer (the previous shape computed the normalize+explode twice:
+    once under the document-frequency aggregate, once under the join),
+    feeds both the cross-doc document frequency and the per-doc
+    position sums. Identical outputs: n_positions = Σ count,
+    n_dup_positions = Σ count over grams seen in >1 doc.
     """
     from pyspark.ml.feature import NGram  # noqa: PLC0415 (cheap, pure-plan transform)
 
@@ -240,19 +245,22 @@ def duplicate_span_fraction(
     )
     grams = NGram(n=k, inputCol="__toks", outputCol="__g").transform(toks)
     pos = grams.select("id", F.posexplode("__g").alias("pos", "g"))
+    pg = (
+        pos.groupBy("id", "g")
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=False)
+    )
     dup = (
-        pos.select("id", "g")
-        .distinct()
-        .groupBy("g")
+        pg.groupBy("g")
         .agg(F.count("*").alias("__df"))
         .filter(F.col("__df") > 1)
         .select("g", F.lit(True).alias("__dup"))
     )
-    flagged = pos.join(dup, "g", "left")
+    flagged = pg.join(dup, "g", "left")
     spine = df.select(F.col(id_col).alias("id"))
     per = flagged.groupBy("id").agg(
-        F.count("*").alias("n_positions"),
-        F.count(F.when(F.col("__dup"), 1)).alias("n_dup_positions"),
+        F.sum("__c").alias("n_positions"),
+        F.sum(F.when(F.col("__dup"), F.col("__c"))).alias("n_dup_positions"),
     )
     return spine.join(per, "id", "left").select(
         "id",
@@ -285,12 +293,21 @@ def minhash_signatures(
     """(id, array<long> minhash signature). Hash i = min over shingles of
     xxhash64(shingle, seed=i) — 64 map-side MIN aggregates over the
     exploded shingle table (one shuffle, partial agg), assembled into
-    an array afterwards."""
+    an array in the same aggregate.
+
+    The aggregate is built as ONE SQL string (optimization r15):
+    constructing 64 min/xxhash64 Columns through the Python API costs
+    hundreds of py4j round trips PER QUERY BUILD (~0.6 s of driver
+    wall, re-paid on every execution); one parsed expression is
+    equivalent (same functions, same int seeds) and near-free.
+    """
     ex = exploded_shingles(df, text_col, id_col, k)
-    agg = ex.groupBy("id").agg(*_minhash_cols(num_hashes))
-    return agg.select(
-        "id", F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    sig = F.expr(
+        "array("
+        + ", ".join(f"min(xxhash64(g, {i}))" for i in range(num_hashes))
+        + ")"
+    ).alias("sig")
+    return ex.groupBy("id").agg(sig)
 
 
 def resolve_max_bucket(
@@ -348,28 +365,21 @@ def _band_rows(sig_df: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, band, bh) LSH bucket keys from a (id, sig) signature
     table — band hashing is map-side arithmetic over the signature
     columns, no text access; shared by the batch and incremental
-    paths."""
+    paths. Built as ONE parsed SQL generator (optimization r15): the
+    per-band Column construction cost ~bands × r py4j round trips of
+    driver wall per query build; ``inline`` over the same
+    named-struct array is expression-equivalent."""
     r = num_hashes // bands
-    band_hash = [
-        F.xxhash64(
-            F.concat_ws(
-                ",", *[F.element_at("sig", b * r + j + 1).cast("string") for j in range(r)]
-            )
-        ).alias(f"__b{b}")
+    structs = ", ".join(
+        "named_struct('band', {b}, 'bh', xxhash64(concat_ws(',', {terms})))".format(
+            b=b,
+            terms=", ".join(
+                f"cast(element_at(sig, {b * r + j + 1}) as string)" for j in range(r)
+            ),
+        )
         for b in range(bands)
-    ]
-    with_bands = sig_df.select("id", *band_hash)
-    return with_bands.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"__b{b}").alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"))
+    )
+    return sig_df.selectExpr("id", f"inline(array({structs}))")
 
 
 def minhash_lsh_pairs(
@@ -414,9 +424,14 @@ def minhash_lsh_pairs(
     sb = sig_df.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     cand = cand.join(sa, "id_a").join(sb, "id_b")
 
-    agree = sum(
-        (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
-        for i in range(num_hashes)
+    # one parsed expression, not num_hashes python-built Columns
+    # (py4j construction cost — optimization r15); same left-chained
+    # integer adds over the same element_at comparisons
+    agree = F.expr(
+        " + ".join(
+            f"cast((element_at(sig_a, {i + 1}) = element_at(sig_b, {i + 1})) as int)"
+            for i in range(num_hashes)
+        )
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
     return (
@@ -494,21 +509,19 @@ def simhash_table(
         F.explode(tokens(F.col(text_col))).alias("__tok"),
     ).withColumn("__th", F.xxhash64("__tok"))
 
-    bit_counts = tok_rows.groupBy("id").agg(
-        *[
-            F.sum(
-                (F.shiftright(F.col("__th"), i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-            ).alias(f"__c{i}")
+    # ONE parsed aggregate expression (optimization r15): building 64
+    # per-bit SUM Columns plus the 64-term assembly through the Python
+    # API cost hundreds of py4j round trips of driver wall per query
+    # build; the SQL string is the same arithmetic — per-bit ±1 long
+    # sums, bit set iff positive, left-chained long adds.
+    h = F.expr(
+        " + ".join(
+            "(case when sum(cast(((shiftright(__th, {i}) & 1) * 2 - 1) as bigint)) > 0"
+            " then shiftleft(cast(1 as bigint), {i}) else cast(0 as bigint) end)".format(i=i)
             for i in range(_NUM_BITS)
-        ]
-    )
-    assembled = sum(
-        F.when(F.col(f"__c{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-            F.lit(0).cast("long")
         )
-        for i in range(_NUM_BITS)
-    )
-    return bit_counts.select("id", assembled.alias("h"))
+    ).alias("h")
+    return tok_rows.groupBy("id").agg(h)
 
 
 def simhash_pairs(
@@ -1585,9 +1598,14 @@ def incremental_pairs_from_signatures(
     sa = union_sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = union_sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     cand = cand.join(sa, "id_a").join(sb, "id_b")
-    agree = sum(
-        (F.element_at("sig_a", i + 1) == F.element_at("sig_b", i + 1)).cast("int")
-        for i in range(num_hashes)
+    # one parsed expression, not num_hashes python-built Columns
+    # (py4j construction cost — optimization r15); same left-chained
+    # integer adds over the same element_at comparisons
+    agree = F.expr(
+        " + ".join(
+            f"cast((element_at(sig_a, {i + 1}) = element_at(sig_b, {i + 1})) as int)"
+            for i in range(num_hashes)
+        )
     )
     est = agree.cast("double") / F.lit(float(num_hashes))
     return (
